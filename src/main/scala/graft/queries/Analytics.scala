@@ -1,0 +1,453 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+
+/** Aggregation / window / set-op / scalar-function corpus (SURVEY.md §2.5 —
+  * capabilities absent from the reference, inherited from Spark SQL).
+  *
+  * Scale notes baked into each shape:
+  *  - group-bys rely on map-side partial aggregation (hash agg), so shuffle
+  *    volume is |groups|, not |rows|;
+  *  - window functions partition on high-cardinality keys (per-customer,
+  *    per-group) — no single-partition global windows on fact tables; the
+  *    only ORDER-BY-without-PARTITION windows run over already-aggregated
+  *    inputs (days, groups) that are tiny at any SF;
+  *  - top-k is always filter/limit after deterministic ordering →
+  *    TakeOrderedAndProject, never a full global sort of the fact table.
+  */
+object Analytics {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q11: stats pack — exact variance/stddev from decimal moments ----
+    // stddev_samp built-ins use different summation orders per engine, so
+    // the moments are accumulated exactly and combined with deterministic
+    // IEEE double arithmetic.
+    "q11_agg_stats" -> QueryDef(
+      build = (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val n     = count(col("l_quantity"))
+        val s1    = sum(col("l_quantity").cast(DecimalType(28, 2))).cast(DoubleType)
+        val s2    = sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4))).cast(DoubleType)
+        val varE  = (s2 - s1 * s1 / n) / (n - lit(1))
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            n.as("n"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            round(varE, 6).as("var_qty"),
+            round(sqrt(varE), 6).as("stddev_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT l_returnflag, COUNT(l_quantity) AS n,
+                 MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, min_qty, max_qty,
+               ROUND((s2 - s1*s1/n) / (n-1), 6) AS var_qty,
+               ROUND(SQRT((s2 - s1*s1/n) / (n-1)), 6) AS stddev_qty
+        FROM g ORDER BY l_returnflag""")),
+
+    // ---- q12: multiple COUNT(DISTINCT ...) in one aggregate ----
+    "q12_multi_distinct" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag")),
+      oracle = Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT l_partkey) AS n_part,
+               COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q13: ROLLUP (subtotals + grand total) ----
+    "q13_rollup" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n"), col("sum_qty"))
+          .orderBy(col("returnflag"), col("linestatus")),
+      oracle = Some(s"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n, ${sqlSum("l_quantity", 2)} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    // ---- q14: CUBE (all grouping-set combinations) ----
+    "q14_cube" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.orders(spark, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("priority")),
+      oracle = Some(s"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n, ${sqlSum("o_totalprice", 2)} AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ---- q15: top-N per group via ranking window ----
+    "q15_window_topn" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(spark, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_orderpriority, rn""")),
+
+    // ---- q16: running totals + lag/lead per customer ----
+    "q16_window_running" -> QueryDef(
+      build = (spark, dir) => {
+        val ord = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(spark, dir)
+          .filter(col("o_custkey") < 50)
+          .select(
+            col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderkey"),
+            col("o_totalprice"),
+            sum(col("o_totalprice").cast(DecimalType(28, 2))).over(run)
+              .cast(DoubleType).as("running_total"),
+            lag(col("o_totalprice"), 1).over(ord).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(ord).as("next_price"),
+            row_number().over(ord).as("order_seq"))
+          .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderkey, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_total,
+               LAG(o_totalprice, 1) OVER w AS prev_price,
+               LEAD(o_totalprice, 1) OVER w AS next_price,
+               ROW_NUMBER() OVER w AS order_seq
+        FROM orders
+        WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, orderdate, o_orderkey""")),
+
+    // ---- q17: 7-day moving average over pre-aggregated daily revenue ----
+    // Two-level: distributed daily agg first, then a global window over
+    // |days| rows (bounded at any SF — safe single-partition window).
+    "q17_window_moving_avg" -> QueryDef(
+      build = (spark, dir) => {
+        val daily = Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-07-01"))
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+        daily.select(
+            col("day"), col("revenue"),
+            round(sum(col("revenue").cast(DecimalType(28, 4))).over(w).cast(DoubleType) /
+                  count(lit(1)).over(w), 6).as("ma7"))
+          .orderBy(col("day"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+                 ${sqlSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+          GROUP BY strftime(l_shipdate, '%Y-%m-%d'))
+        SELECT day, revenue,
+               ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 6) AS ma7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day""")),
+
+    // ---- q18: multi-key sort with explicit NULL placement + limit ----
+    "q18_sort_nulls_limit" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.orders(spark, dir)
+          .select(
+            nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+            col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .orderBy(
+            col("status_or_null").asc_nulls_first,
+            col("o_orderpriority").desc,
+            col("o_totalprice").desc,
+            col("o_orderkey"))
+          .limit(50),
+      oracle = Some("""
+        SELECT NULLIF(o_orderstatus, 'P') AS status_or_null,
+               o_orderpriority, o_totalprice, o_orderkey
+        FROM orders
+        ORDER BY status_or_null ASC NULLS FIRST, o_orderpriority DESC,
+                 o_totalprice DESC, o_orderkey
+        LIMIT 50""")),
+
+    // ---- q19: UNION ALL / UNION / INTERSECT / EXCEPT ----
+    "q19_set_ops" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+        val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val stats = Seq(
+          ("union_all", f.unionAll(op)),
+          ("union_distinct", f.union(op).distinct()),
+          ("intersect", f.intersect(op)),
+          ("except", f.except(op)))
+        stats.map { case (nm, df) =>
+          df.agg(count(lit(1)).as("n")).select(lit(nm).as("op"), col("n"))
+        }.reduce(_ unionAll _).orderBy(col("op"))
+      },
+      oracle = Some("""
+        SELECT 'except' AS op, COUNT(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+          EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        UNION ALL
+        SELECT 'intersect', COUNT(*) FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+          INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        UNION ALL
+        SELECT 'union_all', COUNT(*) FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+          UNION ALL SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        UNION ALL
+        SELECT 'union_distinct', COUNT(*) FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+          UNION SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        ORDER BY op""")),
+
+    // ---- q20: pivot (priority columns per status) ----
+    "q20_pivot" -> QueryDef(
+      build = (spark, dir) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val p = Tables.orders(spark, dir)
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority", prios)
+          .agg(count(lit(1)))
+        p.select(col("o_orderstatus") +:
+            prios.map(c => coalesce(col(s"`$c`"), lit(0L)).as(c)): _*)
+          .orderBy(col("o_orderstatus"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus,
+               COUNT(CASE WHEN o_orderpriority='1-URGENT' THEN 1 END) AS "1-URGENT",
+               COUNT(CASE WHEN o_orderpriority='2-HIGH' THEN 1 END) AS "2-HIGH",
+               COUNT(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+               COUNT(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+               COUNT(CASE WHEN o_orderpriority='5-LOW' THEN 1 END) AS "5-LOW"
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- q21: string function pack ----
+    "q21_string_funcs" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.part(spark, dir)
+          .filter(col("p_name").like("%a%"))
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("name_upper"),
+            lower(col("p_brand")).as("brand_lower"),
+            substring(col("p_name"), 1, 5).as("name_prefix"),
+            length(col("p_name")).as("name_len"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+            regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+            instr(col("p_name"), "a").as("first_a"),
+            trim(lpad(col("p_type"), 12, "*")).as("padded_type"))
+          .orderBy(col("p_partkey"))
+          .limit(100),
+      oracle = Some("""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_brand) AS brand_lower,
+               SUBSTRING(p_name, 1, 5) AS name_prefix,
+               LENGTH(p_name) AS name_len,
+               p_brand || '|' || p_type AS brand_type,
+               REPLACE(p_name, ' ', '_') AS name_snake,
+               STRPOS(p_name, 'a') AS first_a,
+               TRIM(LPAD(p_type, 12, '*')) AS padded_type
+        FROM part
+        WHERE p_name LIKE '%a%'
+        ORDER BY p_partkey
+        LIMIT 100""")),
+
+    // ---- q22: date/time function pack ----
+    "q22_date_funcs" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy(
+            year(col("o_orderdate")).as("yr"),
+            quarter(col("o_orderdate")).as("qtr"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(dayofmonth(col("o_orderdate"))).as("active_days"),
+            min(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd")).as("first_week"),
+            max(datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1995-01-01")))).as("max_day_offset"))
+          .orderBy(col("yr"), col("qtr"), col("mo")),
+      oracle = Some("""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+               COUNT(*) AS n,
+               COUNT(DISTINCT CAST(EXTRACT(day FROM o_orderdate) AS INT)) AS active_days,
+               MIN(strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')) AS first_week,
+               MAX(CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT)) AS max_day_offset
+        FROM orders
+        GROUP BY 1, 2, 3
+        ORDER BY yr, qtr, mo""")),
+
+    // ---- q23: math function pack (IEEE-exact ops only in the oracle) ----
+    "q23_math_funcs" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .filter(col("l_orderkey") < 1000)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            abs(col("l_quantity") - 25.0).as("abs_dev"),
+            ceil(col("l_quantity") / 7.0).as("ceil_q7"),
+            floor(col("l_quantity") / 7.0).as("floor_q7"),
+            round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+            (col("l_quantity") * col("l_quantity")).as("q_sq"),
+            pmod(col("l_linenumber"), lit(3)).as("ln_mod3"),
+            round(col("l_extendedprice") / 1000.0, 2).as("price_k"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_quantity - 25.0) AS abs_dev,
+               CEIL(l_quantity / 7.0) AS ceil_q7,
+               FLOOR(l_quantity / 7.0) AS floor_q7,
+               ROUND(SQRT(l_quantity), 6) AS sqrt_q,
+               l_quantity * l_quantity AS q_sq,
+               CAST(l_linenumber % 3 AS INT) AS ln_mod3,
+               ROUND(l_extendedprice / 1000.0, 2) AS price_k
+        FROM lineitem
+        WHERE l_orderkey < 1000
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- q24: scalar subquery (broadcast, no driver collect) ----
+    "q24_scalar_subquery" -> QueryDef(
+      build = (spark, dir) => {
+        val p = Tables.part(spark, dir)
+        val avgPrice = p.agg(davg(col("p_retailprice"), 2).as("avg_price"))
+        p.join(broadcast(avgPrice))
+          .filter(col("p_retailprice") > col("avg_price"))
+          .agg(
+            count(lit(1)).as("n_above_avg"),
+            min(col("p_partkey")).as("min_key"),
+            max(col("p_partkey")).as("max_key"))
+      },
+      oracle = Some(s"""
+        SELECT COUNT(*) AS n_above_avg,
+               MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
+        FROM part
+        WHERE p_retailprice > (SELECT ${sqlAvg("p_retailprice", 2)} FROM part)""")),
+
+    // ---- q25: HAVING (post-aggregation filter) ----
+    "q25_having" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_suppkey"))
+          .agg(dsum(col("l_quantity"), 2).as("total_qty"),
+               count(lit(1)).as("n_lines"))
+          .filter(col("total_qty") > 16000.0)
+          .orderBy(col("total_qty").desc, col("l_suppkey")),
+      oracle = Some(s"""
+        SELECT l_suppkey, ${sqlSum("l_quantity", 2)} AS total_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING ${sqlSum("l_quantity", 2)} > 16000.0
+        ORDER BY total_qty DESC, l_suppkey""")),
+
+    // ---- q26: null-handling pack (coalesce/nullif/case over join nulls) ----
+    "q26_null_handling" -> QueryDef(
+      build = (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+        val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("o_orderkey")).as("n_matched"),
+            sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_null"),
+            coalesce(dsum(col("o_totalprice"), 2), lit(0.0)).as("big_total"),
+            count(nullif(col("c_mktsegment"), lit("BUILDING"))).as("n_nonbuilding"))
+          .orderBy(col("c_mktsegment"))
+      },
+      oracle = Some(s"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_rows,
+               COUNT(o_orderkey) AS n_matched,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+               COALESCE(${sqlSum("o_totalprice", 2)}, 0.0) AS big_total,
+               COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_nonbuilding
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 400000.0
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ---- q27: IN / NOT IN subqueries (semi/anti under the hood) ----
+    "q27_in_subquery" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+        val debtors = Tables.customer(spark, dir)
+          .filter(col("c_acctbal") < 0.0).select(col("c_custkey"))
+        val inPart = o.join(debtors, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+          .select(lit("debtor").as("side"), col("o_orderstatus"), col("n"))
+        val notIn = o.join(debtors, col("o_custkey") === col("c_custkey"), "left_anti")
+          .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+          .select(lit("solvent").as("side"), col("o_orderstatus"), col("n"))
+        inPart.unionAll(notIn).orderBy(col("side"), col("o_orderstatus"))
+      },
+      oracle = Some("""
+        SELECT 'debtor' AS side, o_orderstatus, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+        GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'solvent' AS side, o_orderstatus, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+        GROUP BY o_orderstatus
+        ORDER BY side, o_orderstatus"""))
+  )
+}
