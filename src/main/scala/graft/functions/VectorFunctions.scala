@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns as pure
+  * Column expressions (higher-order functions, codegen'd — no UDF
+  * serialization in the hot path).
+  *
+  * All arithmetic is done in double after an explicit float→double cast
+  * (exact), with sequential left-fold accumulation — deterministic and
+  * reproducible in any engine, so results can be oracle-checked.
+  */
+object VectorFunctions {
+
+  /** Exact float→double element cast. */
+  def vec64(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential-fold dot product (inputs must be double arrays). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-random-projection LSH bucket id (`nBits` hyperplanes).
+    *
+    * Hyperplane j's i-th component is ±1 derived from xxhash64(j, i) — no
+    * materialized plane vectors, fully deterministic across runs/cluster
+    * layouts, works for any embedding dimension. Vectors with the same
+    * bucket id are cosine-similar candidates (probability a hyperplane
+    * separates two vectors = angle/π).
+    */
+  def lshBucket(emb: Column, nBits: Int): Column = lshBucket(emb, nBits, 0)
+
+  private def lshBucket(emb: Column, nBits: Int, table: Int): Column = {
+    val idx = sequence(lit(0), size(emb) - 1)
+    val bits = (0 until nBits).map { j =>
+      val signed = zip_with(emb, idx, (x, i) =>
+        x * (pmod(xxhash64(lit(table * 1024 + j), i), lit(2)) * 2 - 1).cast("double"))
+      val proj = aggregate(signed, lit(0.0), (acc, v) => acc + v)
+      when(proj > 0.0, lit(1L) * (1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Multi-table (OR-amplified) LSH: `nTables` independent bucket ids,
+    * each tagged with its table index in the high bits. A pair is a
+    * candidate if it collides in ANY table — recall 1-(1-p^bits)^tables,
+    * tunable independently of the per-table selectivity. Explode the
+    * returned array and equijoin on the bucket value. */
+  def lshBuckets(emb: Column, nTables: Int, bitsPerTable: Int): Column =
+    array((0 until nTables).map { t =>
+      lshBucket(emb, bitsPerTable, t) + lit(t.toLong << 32)
+    }: _*)
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Event-stream analytics over the `events` table (FIXTURES.md §B):
+  * JSON prop extraction, event-time windowing, sessionization, funnels.
+  *
+  * These are the batch duals of the Structured Streaming operators in
+  * graft.streaming (same column expressions run under `readStream` with a
+  * watermark). Keeping the logic as plain expressions means one definition
+  * serves both batch backfill and the live stream — the Kappa-architecture
+  * property the reference's file-batch pipeline approximates.
+  *
+  * Time arithmetic stays in integer micros (unix_micros) so the oracle
+  * matches exactly — no double-seconds epoch math.
+  */
+object Events {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q30: JSON property extraction (from_json / get_json_object) ----
+    "q30_events_json_extract" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.events(spark, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      headline = true),
+
+    // ---- q31: tumbling event-time windows (batch dual of streaming agg) ----
+    "q31_events_tumbling_window" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+          .orderBy(col("hour_start"), col("event_type")),
+      oracle = Some(s"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, COUNT(*) AS n, ${sqlSum("value", 2)} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour_start, event_type""")),
+
+    // ---- q32: sessionization (gaps-and-islands, 30-min inactivity) ----
+    // Batch dual of session_window / flatMapGroupsWithState: partition by
+    // user (distributes across the cluster), sort within partition only.
+    "q32_events_sessionize" -> QueryDef(
+      build = (spark, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = lit(30L * 60 * 1000 * 1000)
+        val sess = Tables.events(spark, dir)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+                 unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+          .withColumn("sess_id",
+            sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        sess.groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+               (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"))
+          .groupBy(col("user_id"))
+          .agg(
+            max(col("sess_id")).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            max(col("n_events")).as("max_session_events"),
+            max(col("span_us")).as("max_session_span_us"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, event_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM marked),
+        per_sess AS (
+          SELECT user_id, sess_id, COUNT(*) AS n_events,
+                 date_diff('microsecond', MIN(ts), MAX(ts)) AS span_us
+          FROM sess GROUP BY user_id, sess_id)
+        SELECT user_id, MAX(sess_id) AS n_sessions, SUM(n_events) AS n_events,
+               MAX(n_events) AS max_session_events,
+               MAX(span_us) AS max_session_span_us
+        FROM per_sess GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- q33: conversion funnel (signup → purchase) ----
+    "q33_events_funnel" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.events(spark, dir)
+        val first = e.groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("first_signup_us"),
+            min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("first_purchase_us"))
+        first.agg(
+          count(col("first_signup_us")).as("n_signup_users"),
+          count(when(col("first_purchase_us") > col("first_signup_us"), 1)).as("n_converted"),
+          sum(when(col("first_purchase_us") > col("first_signup_us"),
+              col("first_purchase_us") - col("first_signup_us"))).as("total_delay_us"))
+      },
+      oracle = Some("""
+        WITH first AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type='signup'
+                     THEN date_diff('microsecond', TIMESTAMP '1970-01-01', ts) END) AS first_signup_us,
+                 MIN(CASE WHEN event_type='purchase'
+                     THEN date_diff('microsecond', TIMESTAMP '1970-01-01', ts) END) AS first_purchase_us
+          FROM events GROUP BY user_id)
+        SELECT COUNT(first_signup_us) AS n_signup_users,
+               COUNT(CASE WHEN first_purchase_us > first_signup_us THEN 1 END) AS n_converted,
+               SUM(CASE WHEN first_purchase_us > first_signup_us
+                   THEN first_purchase_us - first_signup_us END) AS total_delay_us
+        FROM first""")),
+
+    // ---- q34: hour-of-day activity profile ----
+    "q34_events_hourly_profile" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.events(spark, dir)
+          .groupBy(hour(col("ts")).as("hour_of_day"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            dsum(col("value"), 2).as("sum_value"))
+          .orderBy(col("hour_of_day")),
+      oracle = Some(s"""
+        SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+               COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+               ${sqlSum("value", 2)} AS sum_value
+        FROM events GROUP BY 1 ORDER BY hour_of_day"""))
+  )
+}

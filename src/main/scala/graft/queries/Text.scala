@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis corpus over the `documents` table — the operators a
+  * large-scale training-data pipeline needs (token stats, quality scoring,
+  * language ID, dedup signatures, fingerprints, n-gram Jaccard similarity).
+  *
+  * Everything is per-document column expressions (embarrassingly parallel,
+  * codegen'd) except q44, whose shingle self-join is the exact-similarity
+  * building block that q46's MinHash-LSH approximates at scale.
+  */
+object Text {
+
+  private val EN = Seq("the", "a", "of", "to", "and")
+  private val DE = Seq("der", "die", "das", "und", "ist")
+  private val ES = Seq("el", "los", "las", "es", "y")
+  private val FR = Seq("le", "les", "des", "est", "et")
+  private val ZH = Seq("的", "了", "是", "在", "我")
+
+  private def sqlStopCount(set: Seq[String]): String = {
+    val list = set.map(s => s"'$s'").mkString(", ")
+    s"len(list_filter(string_split(trim(text), ' '), x -> x IN ($list)))"
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q40: token statistics per document ----
+    "q40_token_stats" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+        val toks = tokens(col("text"))
+        d.select(
+            col("doc_id"),
+            size(toks).as("n_tokens"),
+            size(array_distinct(toks)).as("n_distinct"),
+            round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("ttr"),
+            round((col("n_chars") - (size(toks) - lit(1))).cast("double") / size(toks), 6)
+              .as("avg_token_len"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               len(list_distinct(string_split(trim(text), ' '))) AS n_distinct,
+               ROUND(CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                     / len(string_split(trim(text), ' ')), 6) AS ttr,
+               ROUND(CAST(n_chars - (len(string_split(trim(text), ' ')) - 1) AS DOUBLE)
+                     / len(string_split(trim(text), ' ')), 6) AS avg_token_len
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- q41: quality scoring (length/stopword/diversity heuristics) ----
+    "q41_text_quality" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast("double")
+        val stopRatio  = stopwordCount(toks, EN).cast("double") / nTok
+        val shortRatio = size(filter(toks, t => length(t) < 3)).cast("double") / nTok
+        val ttr        = size(array_distinct(toks)).cast("double") / nTok
+        val lenScore   = least(nTok / 100.0, lit(1.0))
+        val score = lenScore * 0.3 + ttr * 0.3 + (lit(1.0) - shortRatio) * 0.2 +
+          least(stopRatio * 10.0, lit(1.0)) * 0.2
+        Tables.documents(spark, dir)
+          .select(
+            col("doc_id"), col("source"),
+            round(stopRatio, 6).as("stop_ratio"),
+            round(shortRatio, 6).as("short_ratio"),
+            round(ttr, 6).as("ttr"),
+            round(score, 6).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n_tok,
+                 CAST(${sqlStopCount(EN)} AS DOUBLE) AS n_stop,
+                 CAST(len(list_filter(string_split(trim(text), ' '),
+                      x -> length(x) < 3)) AS DOUBLE) AS n_short,
+                 CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE) AS n_dist
+          FROM documents)
+        SELECT doc_id, source,
+               ROUND(n_stop / n_tok, 6) AS stop_ratio,
+               ROUND(n_short / n_tok, 6) AS short_ratio,
+               ROUND(n_dist / n_tok, 6) AS ttr,
+               ROUND(LEAST(n_tok / 100.0, 1.0) * 0.3 + (n_dist / n_tok) * 0.3 +
+                     (1.0 - n_short / n_tok) * 0.2 +
+                     LEAST((n_stop / n_tok) * 10.0, 1.0) * 0.2, 6) AS quality
+        FROM t ORDER BY doc_id""")),
+
+    // ---- q42: stopword-profile language ID (SQL-expressible variant; the
+    //      character-n-gram classifier lives in graft.functions) ----
+    "q42_langid" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = tokens(col("text"))
+        val cs = Map("en" -> EN, "de" -> DE, "es" -> ES, "fr" -> FR, "zh" -> ZH)
+          .map { case (l, set) => l -> stopwordCount(toks, set) }
+        val pred = when(cs("en") > 0 &&
+            cs("en") >= cs("de") && cs("en") >= cs("es") &&
+            cs("en") >= cs("fr") && cs("en") >= cs("zh"), "en")
+          .when(cs("de") > 0 && cs("de") >= cs("es") &&
+            cs("de") >= cs("fr") && cs("de") >= cs("zh"), "de")
+          .when(cs("es") > 0 && cs("es") >= cs("fr") && cs("es") >= cs("zh"), "es")
+          .when(cs("fr") > 0 && cs("fr") >= cs("zh"), "fr")
+          .when(cs("zh") > 0, "zh")
+          .otherwise("und")
+        Tables.documents(spark, dir)
+          .select(col("lang"), pred.as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("lang_pred"))
+      },
+      oracle = Some(s"""
+        WITH s AS (
+          SELECT lang,
+                 ${sqlStopCount(EN)} AS c_en, ${sqlStopCount(DE)} AS c_de,
+                 ${sqlStopCount(ES)} AS c_es, ${sqlStopCount(FR)} AS c_fr,
+                 ${sqlStopCount(ZH)} AS c_zh
+          FROM documents)
+        SELECT lang,
+               CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es
+                         AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                    WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr
+                         AND c_de >= c_zh THEN 'de'
+                    WHEN c_es > 0 AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                    WHEN c_fr > 0 AND c_fr >= c_zh THEN 'fr'
+                    WHEN c_zh > 0 THEN 'zh'
+                    ELSE 'und' END AS lang_pred,
+               COUNT(*) AS n
+        FROM s GROUP BY 1, 2 ORDER BY lang, lang_pred""")),
+
+    // ---- q43: exact + bag-of-words dedup signatures ----
+    "q43_dedup_exact" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+        val bow = concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
+        d.select(
+            md5(col("text").cast("binary")).as("exact_sig"),
+            md5(bow.cast("binary")).as("bow_sig"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("exact_sig")).as("n_exact_distinct"),
+            countDistinct(col("bow_sig")).as("n_bow_distinct"))
+      },
+      oracle = Some("""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_exact_distinct,
+               COUNT(DISTINCT md5(list_aggr(list_sort(list_distinct(
+                 string_split(trim(text), ' '))), 'string_agg', ' ')))
+                 AS n_bow_distinct
+        FROM documents""")),
+
+    // ---- q44: exact n-gram Jaccard near-dup pairs (shingle join) ----
+    // Inverted-index self-join on distinct 3-gram shingles: pairs sharing
+    // at least one shingle are counted, Jaccard = |∩| / (|A|+|B|-|∩|).
+    // This is the exact ground truth that q46's MinHash-LSH approximates;
+    // at 100 TB you run q46 and reserve this for candidate verification.
+    "q44_ngram_jaccard" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+          .filter(col("n_sh") > 0)
+        val ex = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+        val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
+        val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
+        a.join(b, Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .withColumn("jaccard",
+            round(col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")), 6))
+          .filter(col("jaccard") >= 0.2)
+          .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1] || ' ' ||
+                        string_split(trim(text), ' ')[i+2])) AS shingles
+          FROM documents),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+        FROM pairs
+        WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.2
+        ORDER BY doc_a, doc_b"""),
+      headline = true),
+
+    // ---- q45: deterministic document fingerprint (rolling hash) ----
+    "q45_fingerprint" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id,
+               list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
+                 x -> CAST(ascii(x) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        FROM documents ORDER BY doc_id"""))
+  )
+}

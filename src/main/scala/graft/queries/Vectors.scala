@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table.
+  *
+  * q50 is the exact baseline: brute-force cosine top-k with the small query
+  * side broadcast — at 100 TB this is one pass over the corpus per query
+  * batch, no shuffle of the big side. q51 is the scale path: sign-random-
+  * projection LSH buckets turn the O(Q·N) scan into a bucket-equijoin
+  * (shuffle on bucket id), trading recall for a ~2^bits fan-in reduction.
+  * q52 (all-pairs near-dup) and q53 (per-label stats) round out the
+  * embedding-column operator set.
+  */
+object Vectors {
+
+  /** query side: vec_id < 10, broadcastable at any SF. */
+  private def queryVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), vec64(col("embedding")).as("qe"))
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q50: exact brute-force cosine top-k (broadcast query side) ----
+    "q50_knn_bruteforce" -> QueryDef(
+      build = (spark, dir) => {
+        val cand = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        cand.join(broadcast(queryVecs(spark, dir)), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (SELECT qid, vec_id, list_cosine_similarity(qe, e) AS cos
+              FROM q JOIN c ON vec_id != qid),
+        r AS (SELECT qid, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, vec_id) AS rn
+              FROM s)
+        SELECT qid, rn, vec_id, ROUND(cos, 6) AS cosine
+        FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
+      headline = true),
+
+    // ---- q51: LSH-bucketed approximate NN (the 100 TB path) ----
+    // Multi-table sign-LSH: candidates collide in ANY of 8 four-bit
+    // tables (OR-amplification), then exact cosine re-ranks. The bucket
+    // equijoin replaces the full cross product; recall < 1 by design, so
+    // no SQL oracle — the driver's rows-only check applies, and the
+    // ScalaTest spec checks recall against q50's exact answer on planted
+    // near-duplicates.
+    "q51_ann_lsh" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+          .withColumn("buckets", lshBuckets(col("e"), 8, 4))
+        val cand = emb.select(col("vec_id"), col("e"), explode(col("buckets")).as("bucket"))
+        val q = cand.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        cand.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qe"), col("vec_id"), col("e"))
+          .dropDuplicates("qid", "vec_id")
+          .select(col("qid"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      oracle = None),
+
+    // ---- q52: all-pairs embedding near-duplicates ----
+    // Exact all-pairs with id-ordered dedup; at scale this is the verify
+    // stage after LSH candidate generation (same shape as q44 vs q46).
+    "q52_embedding_neardup" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+        val a = e.select(col("vec_id").as("id_a"), col("e").as("ea"))
+        val b = e.select(col("vec_id").as("id_b"), col("e").as("eb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cos"))
+          .filter(col("cos") >= 0.38)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.38
+        ORDER BY id_a, id_b""")),
+
+    // ---- q53: per-label vector statistics ----
+    "q53_vector_stats" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+          .select(col("label"), col("vec_id"),
+                  round(norm(vec64(col("embedding"))), 9).as("nrm"))
+        e.groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("nrm")).as("min_norm"),
+            max(col("nrm")).as("max_norm"),
+            round(sum(col("nrm").cast(DecimalType(28, 9))).cast(DoubleType) /
+                  count(lit(1)), 6).as("avg_norm"))
+          .orderBy(col("label"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT label,
+                          ROUND(sqrt(list_dot_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[]))), 9) AS nrm
+                   FROM embeddings)
+        SELECT label, COUNT(*) AS n,
+               MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+               ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_norm
+        FROM e GROUP BY label ORDER BY label"""))
+  )
+}
