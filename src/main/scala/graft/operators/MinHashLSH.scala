@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection — the 100 TB dedup path.
+  *
+  * Pipeline: tokens → distinct word n-gram shingles → 64-slot MinHash
+  * signature (per-doc column expressions, no explode) → `bands` band
+  * hashes → explode only the band hashes (|docs|·bands rows, tiny) →
+  * self-equijoin on (band, hash) → exact Jaccard verification of the
+  * candidates via array_intersect on the two shingle sets.
+  *
+  * Contrast with the exact shingle inverted-index join (queries.Text q44):
+  * that shuffles |docs|·|shingles| rows and compares every co-shingled
+  * pair; this shuffles |docs|·bands rows and compares only probable pairs.
+  * Probability a pair with Jaccard j becomes a candidate:
+  * 1 - (1 - j^rowsPerBand)^bands — with 32 bands × 2 rows, j=0.4 → 99.6%.
+  *
+  * Everything derives from xxhash64, so results are deterministic across
+  * runs and cluster layouts (but engine-specific: rows-only oracle).
+  */
+object MinHashLSH {
+
+  /** Near-dup pairs with exact-verified Jaccard >= `threshold`.
+    * Input must have an id column and a text column. */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.4): DataFrame = {
+
+    val rowsPerBand = numHashes / bands
+    val withSh = docs
+      .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val sig = withSh.withColumn("sig",
+      array(minhashSignature(col("sh"), numHashes): _*))
+
+    // band hash b = xxhash64(b, sig[b*r], ..., sig[b*r + r-1])
+    val bandCols: Column = array((0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slots: _*).as("h"))
+    }: _*)
+
+    val buckets = sig
+      .select(col("doc_id"), col("sh"), explode(bandCols).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.h").as("h"))
+
+    val a = buckets.select(col("band"), col("h"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = buckets.select(col("band"), col("h"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+
+    val candidates = a.join(b, Seq("band", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(
+        col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

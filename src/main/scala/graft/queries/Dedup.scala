@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.{MinHashLSH, SimHash}
+import org.apache.spark.sql.functions._
+
+/** Scale-path near-duplicate detection over `documents` — the operators a
+  * 100 TB training-data pipeline actually runs (vs. the exact shingle join
+  * q44, which is quadratic in co-shingled docs and reserved for candidate
+  * verification).
+  *
+  * q46 (MinHash+banded LSH) shuffles |docs|·bands tiny rows instead of
+  * |docs|·|shingles|; q47 (SimHash + pigeonhole blocks) reduces Hamming
+  * near-dup search to an equijoin. Both derive every hash from xxhash64, so
+  * results are deterministic across runs and cluster layouts but
+  * engine-specific: q46's candidates are exactly verified with true Jaccard,
+  * making its output equal to the exact q44 answer whenever LSH recall is 1
+  * (asserted in DedupSpec; the DuckDB oracle below is the exact-Jaccard
+  * query, so the driver's hash compare doubles as a recall=1 proof at
+  * sf0.01). q47's fingerprints have no SQL equivalent → rows-only check.
+  */
+object Dedup {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q46: MinHash + banded LSH near-dup pairs (the 100 TB dedup) ----
+    "q46_minhash_lsh" -> QueryDef(
+      build = (spark, dir) =>
+        MinHashLSH.nearDupPairs(
+          Tables.documents(spark, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 32, threshold = 0.4),
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1] || ' ' ||
+                        string_split(trim(text), ' ')[i+2])) AS shingles
+          FROM documents),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+        FROM pairs
+        WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.4
+        ORDER BY doc_a, doc_b"""),
+      headline = true),
+
+    // ---- q47: SimHash fingerprints + Hamming nearest neighbor ----
+    "q47_simhash" -> QueryDef(
+      build = (spark, dir) =>
+        SimHash.fingerprints(
+          Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3),
+      oracle = None)
+  )
+}
