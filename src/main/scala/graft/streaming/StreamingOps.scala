@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.core.GpsRecord
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the GPS telemetry stream —
+  * capabilities the reference lacks entirely (SURVEY §2.5: its only notion
+  * of event time is the string `timestamp` column, and its only windowing
+  * is Firehose's 120 s buffer). All operate on a streaming OR batch
+  * DataFrame in [[graft.core.GpsSchema]] shape and parse the wall-clock
+  * string once into a proper event-time column.
+  *
+  * Designed for unbounded state at 100 TB: every aggregation is preceded by
+  * a watermark so Spark can evict state; the custom-state operator bounds
+  * per-key state to a constant-size case class.
+  */
+object StreamingOps {
+
+  /** Parse the reference's 'yyyy-MM-dd HH:mm:ss' string into event time. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss"))
+
+  /** Tumbling-window per-direction speed profile with late-data eviction. */
+  def tumblingSpeedProfile(df: DataFrame, window_ : String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("direction"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("speed_kmh")).as("avg_speed"),
+        max(col("speed_kmh")).as("max_speed"),
+        sum(when(col("collision_detected"), 1).otherwise(0)).as("n_collisions"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("direction"), col("n_events"), col("avg_speed"),
+        col("max_speed"), col("n_collisions"))
+
+  /** Session windows per vehicle (gap-based), built-in session_window. */
+  def vehicleSessions(df: DataFrame, gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("vehicle_id"))
+      .agg(count(lit(1)).as("n_fixes"), avg(col("speed_kmh")).as("avg_speed"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("vehicle_id"), col("n_fixes"), col("avg_speed"))
+
+  // ---- custom state: per-vehicle trip accumulation ----------------------
+
+  final case class TripState(
+      nFixes: Long, sumSpeed: Double, nCollisions: Long,
+      firstTs: String, lastTs: String)
+
+  final case class TripSummary(
+      vehicle_id: String, n_fixes: Long, avg_speed: Double,
+      n_collisions: Long, first_ts: String, last_ts: String)
+
+  /** Arbitrary stateful processing via `flatMapGroupsWithState` — the
+    * engine's extension point for per-key logic no built-in window
+    * expresses. Emits a running trip summary per vehicle on every trigger;
+    * state is O(1) per vehicle. `evictIdle` turns on ProcessingTimeTimeout
+    * so vehicles that stop reporting get flushed and their state dropped —
+    * required for unbounded-key streams at scale, but it keeps the query
+    * re-triggering on a clock (so `processAllAvailable` never settles:
+    * tests and bounded backfills run with it off). Works identically in
+    * streaming (Update mode) and batch execution. */
+  def tripSummaries(ds: Dataset[GpsRecord],
+      evictIdle: Boolean = false): Dataset[TripSummary] = {
+    import ds.sparkSession.implicits._
+    val timeout =
+      if (evictIdle) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.vehicle_id)
+      .flatMapGroupsWithState[TripState, TripSummary](
+        OutputMode.Update(), timeout) {
+        case (vid, rows, state: GroupState[TripState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(TripSummary(vid, s.nFixes,
+              if (s.nFixes == 0) 0.0 else s.sumSpeed / s.nFixes,
+              s.nCollisions, s.firstTs, s.lastTs))
+          } else {
+            val prev = state.getOption.getOrElse(TripState(0L, 0.0, 0L, "", ""))
+            val next = rows.foldLeft(prev) { (acc, r) =>
+              TripState(
+                acc.nFixes + 1,
+                acc.sumSpeed + r.speed_kmh,
+                acc.nCollisions + (if (r.collision_detected) 1 else 0),
+                if (acc.firstTs.isEmpty || r.timestamp < acc.firstTs) r.timestamp else acc.firstTs,
+                if (r.timestamp > acc.lastTs) r.timestamp else acc.lastTs)
+            }
+            state.update(next)
+            if (evictIdle) state.setTimeoutDuration("30 minutes")
+            Iterator.single(TripSummary(vid, next.nFixes,
+              if (next.nFixes == 0) 0.0 else next.sumSpeed / next.nFixes,
+              next.nCollisions, next.firstTs, next.lastTs))
+          }
+      }
+  }
+
+  /** Exactly-once-friendly dedup on a natural key within the watermark
+    * horizon — the `dropDuplicates` upgrade SURVEY §1.4 proposes for the
+    * reference's at-least-once duplicate rows. */
+  def dedupWithinWatermark(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("vehicle_id", "timestamp")
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Recall properties of the approximate dedup operators on planted
+  * near-duplicates (the synthetic corpus has none above trivial Jaccard
+  * beyond its own clones, so we plant controlled mutations). */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Base corpus + one mutated clone per doc: drop the last word — high but
+    * non-trivial shingle overlap. */
+  private lazy val planted = {
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .limit(50).as[(Long, String)].collect()
+    val mutated = base.map { case (id, t) =>
+      (id + 100000L, t.split("\\s+").dropRight(1).mkString(" "))
+    }
+    spark.createDataFrame(base ++ mutated).toDF("doc_id", "text")
+  }
+
+  test("MinHash-LSH finds every planted near-dup pair (recall = 1)") {
+    val pairs = MinHashLSH.nearDupPairs(planted, "doc_id", "text",
+      threshold = 0.5).cache()
+    val plantedPairs = pairs
+      .where(col("doc_b") === col("doc_a") + 100000L)
+    assert(plantedPairs.count() == 50)
+    assert(plantedPairs.agg(min(col("jaccard"))).head().getDouble(0) >= 0.5)
+  }
+
+  test("MinHash-LSH output equals the exact shingle-join answer (no false positives)") {
+    // Candidates are exactly verified, so precision is 1 by construction;
+    // this asserts the *pairs found* match brute force exactly.
+    val lsh = MinHashLSH.nearDupPairs(planted, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b")
+    import graft.functions.TextFunctions._
+    val sh = planted.select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val exact = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh")))).as("j"))
+      .where(round(col("j"), 6) >= 0.5)
+      .select("doc_a", "doc_b")
+    assert(lsh.exceptAll(exact).isEmpty && exact.exceptAll(lsh).isEmpty)
+  }
+
+  test("SimHash: planted near-dups collide within Hamming distance") {
+    val fp = SimHash.fingerprints(planted, "doc_id", "text", maxHamming = 3)
+    // Dropping one word shifts few fingerprint bits for long docs but can
+    // flip >3 for short ones, so recall at maxHamming=3 is high, not 1 —
+    // observed 39/50 on this corpus; assert a stable lower bound.
+    val found = fp.where(col("doc_id") >= 100000L and col("nn_hamming").isNotNull)
+    assert(found.count() >= 35)
+  }
+
+  test("SimHash of identical text is identical (ham = 0)") {
+    val dupDocs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence about spark engines"))
+      .toDF("doc_id", "text")
+    val fp = SimHash.fingerprints(dupDocs, "doc_id", "text")
+    val rows = fp.orderBy("doc_id").collect()
+    assert(rows(0).getAs[Long]("simhash") == rows(1).getAs[Long]("simhash"))
+    assert(rows(0).getAs[Int]("nn_hamming") == 0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("nn_hamming")))
+  }
+}

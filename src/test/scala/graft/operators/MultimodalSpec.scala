@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Multimodal._
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("synthetic assets are deterministic and schema-complete") {
+    val a = syntheticAssets(spark, 300).cache()
+    assert(a.count() == 300)
+    val kinds = a.toDF().groupBy(col("meta.kind")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds == Map("image" -> 100, "audio" -> 100, "video" -> 100))
+    // Same id => byte-identical payload on regeneration (executor-side
+    // regen property that makes the corpus shippable without storage).
+    val p1 = a.filter(_.asset_id == 7L).head().payload
+    val p2 = syntheticAssets(spark, 300).filter(_.asset_id == 7L).head().payload
+    assert(java.util.Arrays.equals(p1, p2))
+  }
+
+  test("feature extraction: unit-L1 histogram per asset, batch-shaped") {
+    val f = extractFeatures(syntheticAssets(spark, 90)).cache()
+    assert(f.count() == 90)
+    val sums = f.toDF().select(
+      round(aggregate(col("feature"), lit(0.0d), (a, x) => a + x), 6).as("l1"))
+    // histogram normalized by byte count => sums to 1
+    assert(sums.where(col("l1") === 1.0).count() == 90)
+    assert(f.head().feature.length == 256)
+  }
+
+  test("frame sampling keeps every Nth frame and shrinks payload") {
+    val vids = syntheticAssets(spark, 30).filter(_.meta.kind == "video")
+    val before = vids.collect().map(v => v.asset_id -> v).toMap
+    val sampled = sampleFrames(vids, everyN = 2).collect()
+    sampled.foreach { s =>
+      val b = before(s.asset_id)
+      val expectKept = (0 until b.meta.nFrames by 2).size
+      assert(s.meta.nFrames == expectKept)
+      val frameLen = b.payload.length / b.meta.nFrames
+      assert(s.payload.length == expectKept * frameLen)
+      // First kept frame is byte-identical to the original frame 0.
+      assert(java.util.Arrays.equals(
+        s.payload.slice(0, frameLen), b.payload.slice(0, frameLen)))
+    }
+  }
+
+  test("resize rewrites image dims and payload size; non-images untouched") {
+    val a = syntheticAssets(spark, 30)
+    val resized = resize(a, 32, 32).cache()
+    resized.filter(_.meta.kind == "image").collect().foreach { img =>
+      assert(img.meta.width == 32 && img.meta.height == 32)
+      assert(img.payload.length == 32 * 32)
+    }
+    val audioBefore = a.filter(_.meta.kind == "audio").count()
+    assert(resized.filter(_.meta.kind == "audio").count() == audioBefore)
+  }
+
+  test("featureProfile is stable (golden)") {
+    val p1 = featureProfile(spark, 500).collect()
+    val p2 = featureProfile(spark, 500).collect()
+    assert(p1.toSeq == p2.toSeq)
+    assert(p1.map(_.getAs[String]("kind")).toSeq == Seq("audio", "image", "video"))
+    assert(p1.map(_.getAs[Long]("n_assets")).sum == 500)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** ANN quality on planted near-neighbors: the synthetic embeddings are
+  * near-orthogonal random vectors (max pairwise cosine ≈ 0.51), which no
+  * sublinear method can bucket usefully — so we plant genuine neighbors
+  * (small perturbations) and assert the LSH path finds them. */
+class VectorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("multi-table sign-LSH recalls planted near-neighbors") {
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), vec64(col("embedding")).as("e"))
+      .limit(100)
+    // Planted neighbor: same vector with every component scaled +3% and a
+    // tiny constant shift — cosine ≈ 0.999.
+    val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("e"), x => x * 1.03 + 0.001).as("e"))
+    val all = base.unionAll(planted).cache()
+
+    val bucketed = all.withColumn("bucket", explode(lshBuckets(col("e"), 8, 4)))
+    val q = bucketed.where(col("vec_id") >= 100000L)
+      .select(col("vec_id").as("qid"), col("bucket"))
+    val hits = bucketed.join(q, Seq("bucket"))
+      .where(col("vec_id") === col("qid") - 100000L)
+      .select("qid").distinct()
+    val recall = hits.count() / 100.0
+    assert(recall >= 0.99, s"planted-neighbor recall $recall")
+  }
+
+  test("cosine expression is exact on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(1.0f, 2.0f, 2.0f), Array(1.0f, 2.0f, 2.0f)),
+      (Array(3.0f, 4.0f, 0.0f), Array(-3.0f, -4.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(round(cosine(vec64(col("a")), vec64(col("b"))), 9).as("c"))
+    assert(df.as[Double].collect().toSeq == Seq(0.0, 1.0, -1.0))
+  }
+}

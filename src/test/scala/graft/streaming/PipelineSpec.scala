@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.GpsSchema
+import graft.sources.{GpsGenerator, JsonBatchReader}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §7.2 minimum end-to-end slice + checkpoint exactly-once. */
+class PipelineSpec extends SparkSpec {
+
+  test("generator is deterministic and matches the producer's domains") {
+    val df = GpsGenerator.batch(spark, 2000, seed = 42).cache()
+    assert(df.count() == 2000)
+    assert(df.columns.toSeq == GpsSchema.schema.fieldNames.toSeq)
+    val stats = df.agg(
+      countDistinct(col("vehicle_id")).as("fleet"),
+      min(col("latitude")).as("minLat"), max(col("latitude")).as("maxLat"),
+      min(col("speed_kmh")).as("minSp"), max(col("speed_kmh")).as("maxSp"),
+      sum(when(col("fuel_level").isNull, 1).otherwise(0)).as("nullFuel"),
+      countDistinct(col("direction")).as("dirs")).head()
+    assert(stats.getAs[Long]("fleet") == 20)
+    assert(stats.getAs[Double]("minLat") >= -90 && stats.getAs[Double]("maxLat") <= 90)
+    assert(stats.getAs[Double]("minSp") >= 0 && stats.getAs[Double]("maxSp") <= 120)
+    assert(stats.getAs[Long]("nullFuel") > 0) // EV subset emits null fuel
+    assert(stats.getAs[Long]("dirs") == 8)
+    // Determinism: same seed => identical content; different seed => different.
+    assert(GpsGenerator.batch(spark, 2000, 42).exceptAll(df).isEmpty)
+    assert(!GpsGenerator.batch(spark, 2000, 43).exceptAll(df).isEmpty)
+  }
+
+  test("end-to-end slice: JSON files -> stream -> enrich -> table -> query") {
+    val in = tmpDir("gps-in")
+    val table = "gps_e2e"
+    GpsGenerator.writeJsonFiles(spark, in, n = 3000, files = 6)
+
+    MicroBatchPipeline.runAvailable(spark, MicroBatchPipeline.Config(
+      inputDir = in, checkpointDir = tmpDir("gps-ckpt"), table = table,
+      clockEpochSec = Some(1750000000L)))
+
+    val out = spark.table(table).cache()
+    assert(out.count() == 3000)
+    // Enrichment columns (T3-T5) present and correct.
+    assert(out.columns.toSet ==
+      GpsSchema.schema.fieldNames.toSet ++ Set("input_file", "processed_time", "processed_date"))
+    assert(out.where(col("processed_date") === "2025-06-15").count() == 3000)
+    assert(out.where(col("input_file").contains(in.split("/").last)).count() == 3000)
+    // The §7.2 acceptance query.
+    val agg = out.groupBy(col("direction"))
+      .agg(count(lit(1)).as("n"), avg(col("speed_kmh")).as("avg_speed"))
+    assert(agg.count() == 8)
+    assert(agg.agg(sum(col("n"))).head().getLong(0) == 3000)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("checkpoint gives exactly-once across restarts; new files append once") {
+    val in = tmpDir("gps-in2")
+    val ckpt = tmpDir("gps-ckpt2")
+    val table = "gps_eo"
+    val config = MicroBatchPipeline.Config(
+      inputDir = in, checkpointDir = ckpt, table = table,
+      clockEpochSec = Some(1750000000L))
+
+    GpsGenerator.writeJsonFiles(spark, s"$in/b1", 500, 2, seed = 1)
+    // json writer emits _SUCCESS etc. at the top; stream reads the subdirs
+    // via glob on the parent only if configured — write batches as sibling
+    // dirs and point the stream at a glob.
+    val globConfig = config.copy(inputDir = s"$in/*")
+    MicroBatchPipeline.runAvailable(spark, globConfig)
+    assert(spark.table(table).count() == 500)
+
+    // Restart with no new data: checkpoint must prevent reprocessing.
+    MicroBatchPipeline.runAvailable(spark, globConfig)
+    assert(spark.table(table).count() == 500)
+
+    // New files: appended exactly once, old files not re-read.
+    GpsGenerator.writeJsonFiles(spark, s"$in/b2", 300, 2, seed = 2)
+    MicroBatchPipeline.runAvailable(spark, globConfig)
+    assert(spark.table(table).count() == 800)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("explicit-schema read equals reference's inference read") {
+    val in = tmpDir("gps-in3")
+    GpsGenerator.writeJsonFiles(spark, in, 400, 2)
+    val files = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.getAbsolutePath).toSeq
+    val explicit = JsonBatchReader.readGps(spark, files)
+    val inferred = JsonBatchReader.readGps(spark, files, inferSchema = true)
+    assert(explicit.schema == inferred.schema)
+    assert(explicit.exceptAll(inferred).isEmpty &&
+      inferred.exceptAll(explicit).isEmpty)
+  }
+
+  test("SQL enrichment path (reference default query) matches column DSL") {
+    val df = GpsGenerator.batch(spark, 100)
+    val viaSql = Enrichment.enrichSql(spark, df, Some(Enrichment.defaultSql))
+    val viaDsl = Enrichment.enrich(df)
+    assert(viaSql.schema.fieldNames.toSeq == viaDsl.schema.fieldNames.toSeq)
+    // Non-deterministic cols (clock, file) excluded from the value compare.
+    val keep = GpsSchema.schema.fieldNames.map(col).toSeq
+    assert(viaSql.select(keep: _*).exceptAll(viaDsl.select(keep: _*)).isEmpty)
+    spark.catalog.dropTempView("temp_view")
+  }
+}
