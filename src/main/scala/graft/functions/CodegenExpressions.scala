@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot vector/text kernels.
+  *
+  * Both implement `doGenCode`, so they participate in whole-stage codegen
+  * (one virtual call into [[VectorKernels]] per row) instead of falling
+  * back to interpreted per-element lambda evaluation like Spark's
+  * higher-order functions. See VectorKernels for the measured why.
+  */
+object CodegenExpressions {
+
+  private def requireType(e: Expression, t: DataType, who: String): TypeCheckResult =
+    if (DataType.equalsIgnoreNullability(e.dataType, t)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$who expects ${t.simpleString}, got ${e.dataType.simpleString}")
+
+  /** Codegen'd dot product over two array<double> columns. */
+  final case class DotProductExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, ArrayType(DoubleType), "dot_product")
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(right, ArrayType(DoubleType), "dot_product")
+    }
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.dot($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProductExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Codegen'd distinct n-gram shingles over an array<string> token column. */
+  final case class ShinglesExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(StringType), "shingles")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(arr: Any): Any =
+      VectorKernels.shingles(arr.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.shingles($a, $n);")
+    override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+      copy(child = newChild)
+  }
+
+  /** Codegen'd one-pass MinHash signature over an array<string> column. */
+  final case class MinHashSigExpr(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(StringType), "minhash_sig")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(arr: Any): Any =
+      VectorKernels.minhash(arr.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.minhash($a, $numHashes);")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+      copy(child = newChild)
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(MinHashSigExpr(
+      GraftColumnBridge.expression(shingles), numHashes))
+
+  def shingleArr(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(ShinglesExpr(GraftColumnBridge.expression(toks), n))
+}

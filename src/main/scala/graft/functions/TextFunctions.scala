@@ -13,14 +13,13 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word-level n-gram shingles (distinct), e.g. n=3 for dedup.
-    * Empty array when the document has fewer than n tokens. */
+  /** Word-level n-gram shingles (distinct, first-occurrence order), e.g.
+    * n=3 for dedup. Empty array when the document has fewer than n tokens.
+    * Compiled one-pass kernel (see [[CodegenExpressions.ShinglesExpr]]);
+    * semantically identical to
+    * `array_distinct(transform(sequence(...), concat_ws(" ", ...)))`. */
   def shingles(toks: Column, n: Int): Column =
-    // sequence(1, k) with k < 1 would count DOWN in Spark — guard short docs.
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)), i => concat_ws(" ",
-          (0 until n).map(o => element_at(toks, i + o)): _*))))
+    CodegenExpressions.shingleArr(toks, n)
 
   /** Deterministic polynomial rolling hash over characters (Karp-Rabin
     * style, base 31 mod 1e9+7) — document fingerprint reproducible in any
@@ -35,11 +34,12 @@ object TextFunctions {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
-  /** 64 deterministic min-hash values of a shingle array: h_i = min over
-    * shingles of xxhash64(i, shingle). Seeded by position, so signatures
-    * are stable across runs and cluster layouts. */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
-    }
+  /** Deterministic `numHashes`-slot MinHash signature of a shingle array,
+    * as one array<long> column: slot i = min over shingles of the i-th
+    * member of a splitmix64-derived hash family over xxhash64(shingle).
+    * Position-seeded, so signatures are stable across runs and cluster
+    * layouts. One-pass codegen'd kernel (see
+    * [[CodegenExpressions.MinHashSigExpr]]). */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    CodegenExpressions.minhashSig(shingleArr, numHashes)
 }

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled per-row kernels invoked from generated code by the custom
+  * Catalyst expressions in [[CodegenExpressions]].
+  *
+  * Spark's higher-order functions (`transform`/`zip_with`/`aggregate`) are
+  * CodegenFallback: each element evaluation walks an interpreted expression
+  * tree, which measured ~45 µs per 64-dim cosine on the all-pairs bench —
+  * the entire cost of q52. These kernels are plain JVM loops over Spark's
+  * columnar `ArrayData`, so a pair costs ~100 ns and the expression stays
+  * inside whole-stage codegen.
+  */
+object VectorKernels {
+
+  /** Sequential-fold dot product — identical accumulation order to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so results are
+    * bit-identical to the HOF formulation (and to the DuckDB oracle). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  private final val GOLDEN = 0x9E3779B97F4A7C15L
+
+  /** splitmix64 finalizer — standard bit mixer for deriving a hash family
+    * from one base hash. */
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Distinct word n-gram shingles from a token array: the compiled
+    * equivalent of `array_distinct(transform(sequence(...), i =>
+    * concat_ws(" ", toks[i..i+n-1])))`, which measured ~1.7 ms/doc
+    * interpreted — first-occurrence order preserved, empty when the doc has
+    * fewer than n tokens. */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(SPACE, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  /** One-pass MinHash signature: each shingle is xxhash64'd ONCE, then the
+    * `numHashes` family members derive by splitmix64 mixing — 1 byte-hash +
+    * k mixes per shingle instead of k byte-hashes, all in compiled code.
+    * (The previous formulation, 64 separate `transform` passes of
+    * `xxhash64(lit(i), s)`, cost 64 interpreted tree-walks per shingle.) */
+  def minhash(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val acc = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val h = mix(base + k * GOLDEN)
+        if (h < acc(k)) acc(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+}

@@ -39,29 +39,34 @@ object MinHashLSH {
       .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 
-    val sig = withSh.withColumn("sig",
-      array(minhashSignature(col("sh"), numHashes): _*))
+    val sig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    // band hash b = xxhash64(b, sig[b*r], ..., sig[b*r + r-1])
+    // band hash b = xxhash64(b, sig[b*r], ..., sig[b*r + r-1]).
+    // Bucket rows carry ONLY (doc_id, band, h): the shingle sets are
+    // re-joined after pair dedup, so the band-join shuffle moves
+    // |docs|·bands 24-byte rows, not full shingle arrays.
     val bandCols: Column = array((0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slots: _*).as("h"))
     }: _*)
 
     val buckets = sig
-      .select(col("doc_id"), col("sh"), explode(bandCols).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.h").as("h"))
+      .select(col("doc_id"), explode(bandCols).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
 
-    val a = buckets.select(col("band"), col("h"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("h"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val a = buckets.select(col("band"), col("h"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("h"), col("doc_id").as("doc_b"))
 
     val candidates = a.join(b, Seq("band", "h"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
 
+    // Exact verification: fetch each side's shingle set by id equijoin.
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
         col("n_common").cast("double") /

@@ -86,12 +86,17 @@ object Vectors {
     // stage after LSH candidate generation (same shape as q44 vs q46).
     "q52_embedding_neardup" -> QueryDef(
       build = (spark, dir) => {
+        // Norms precomputed once per row (O(N)) so each of the O(N²) pairs
+        // costs exactly one codegen'd dot product; dot/(na*nb) is the same
+        // IEEE op sequence as cosine(), so values stay oracle-identical.
         val e = Tables.embeddings(spark, dir)
           .select(col("vec_id"), vec64(col("embedding")).as("e"))
-        val a = e.select(col("vec_id").as("id_a"), col("e").as("ea"))
-        val b = e.select(col("vec_id").as("id_b"), col("e").as("eb"))
+          .withColumn("nrm", norm(col("e")))
+        val a = e.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
         a.join(b, col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cos"))
+          .select(col("id_a"), col("id_b"),
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
           .filter(col("cos") >= 0.38)
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
           .orderBy(col("id_a"), col("id_b"))
