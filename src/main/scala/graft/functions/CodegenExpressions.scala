@@ -70,6 +70,43 @@ object CodegenExpressions {
       copy(child = newChild)
   }
 
+  /** Codegen'd rolling-hash document fingerprint over a string column. */
+  final case class FingerprintExpr(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "fingerprint")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(s: Any): Any =
+      VectorKernels.rollingFingerprint(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.VectorKernels.rollingFingerprint($s);")
+    override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+      copy(child = newChild)
+  }
+
+  /** Codegen'd multi-table sign-LSH bucket ids over an array<double> column. */
+  final case class LshBucketsExpr(child: Expression, nTables: Int, bitsPerTable: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(DoubleType), "lsh_buckets")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(arr: Any): Any =
+      VectorKernels.lshBuckets(arr.asInstanceOf[ArrayData], nTables, bitsPerTable)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.lshBuckets($a, $nTables, $bitsPerTable);")
+    override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
+      copy(child = newChild)
+  }
+
+  def fingerprintCol(text: Column): Column =
+    GraftColumnBridge.column(FingerprintExpr(GraftColumnBridge.expression(text)))
+
+  def lshBucketsCol(emb: Column, nTables: Int, bitsPerTable: Int): Column =
+    GraftColumnBridge.column(LshBucketsExpr(
+      GraftColumnBridge.expression(emb), nTables, bitsPerTable))
+
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

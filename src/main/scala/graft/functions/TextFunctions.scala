@@ -23,12 +23,10 @@ object TextFunctions {
 
   /** Deterministic polynomial rolling hash over characters (Karp-Rabin
     * style, base 31 mod 1e9+7) — document fingerprint reproducible in any
-    * engine, unlike Spark-internal hash functions. */
+    * engine, unlike Spark-internal hash functions. Compiled kernel (see
+    * [[CodegenExpressions.FingerprintExpr]]). */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+    CodegenExpressions.fingerprintCol(text)
 
   /** Count of tokens present in `words`. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =

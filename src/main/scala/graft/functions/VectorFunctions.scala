@@ -28,34 +28,19 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-random-projection LSH bucket id (`nBits` hyperplanes).
+  /** Sign-random-projection LSH (no materialized hyperplanes): plane j's
+    * i-th component is ±1 derived from xxhash64(j, i) — deterministic
+    * across runs/cluster layouts, any embedding dimension. Vectors sharing
+    * a bucket id are cosine-similar candidates (P[a hyperplane separates
+    * two vectors] = angle/π).
     *
-    * Hyperplane j's i-th component is ±1 derived from xxhash64(j, i) — no
-    * materialized plane vectors, fully deterministic across runs/cluster
-    * layouts, works for any embedding dimension. Vectors with the same
-    * bucket id are cosine-similar candidates (probability a hyperplane
-    * separates two vectors = angle/π).
-    */
-  def lshBucket(emb: Column, nBits: Int): Column = lshBucket(emb, nBits, 0)
-
-  private def lshBucket(emb: Column, nBits: Int, table: Int): Column = {
-    val idx = sequence(lit(0), size(emb) - 1)
-    val bits = (0 until nBits).map { j =>
-      val signed = zip_with(emb, idx, (x, i) =>
-        x * (pmod(xxhash64(lit(table * 1024 + j), i), lit(2)) * 2 - 1).cast("double"))
-      val proj = aggregate(signed, lit(0.0), (acc, v) => acc + v)
-      when(proj > 0.0, lit(1L) * (1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** Multi-table (OR-amplified) LSH: `nTables` independent bucket ids,
+    * Multi-table (OR-amplified): `nTables` independent bucket ids,
     * each tagged with its table index in the high bits. A pair is a
     * candidate if it collides in ANY table — recall 1-(1-p^bits)^tables,
     * tunable independently of the per-table selectivity. Explode the
-    * returned array and equijoin on the bucket value. */
+    * returned array and equijoin on the bucket value. Compiled kernel with
+    * hashing identical to the HOF formulation above (see
+    * [[CodegenExpressions.LshBucketsExpr]]). */
   def lshBuckets(emb: Column, nTables: Int, bitsPerTable: Int): Column =
-    array((0 until nTables).map { t =>
-      lshBucket(emb, bitsPerTable, t) + lit(t.toLong << 32)
-    }: _*)
+    CodegenExpressions.lshBucketsCol(emb, nTables, bitsPerTable)
 }

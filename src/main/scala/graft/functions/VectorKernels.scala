@@ -40,6 +40,57 @@ object VectorKernels {
 
   private val SPACE = UTF8String.fromString(" ")
 
+  /** Karp-Rabin rolling fingerprint: (acc*31 + codePoint) mod 1e9+7 over
+    * the text's code points — exactly `aggregate(transform(split(text, ""),
+    * ascii), 0L, (acc, x) => (acc*31 + x) % 1000000007)` (Java's
+    * zero-width split keeps surrogate pairs whole, so code-point iteration
+    * matches for all text). */
+  def rollingFingerprint(s: UTF8String): Long = {
+    var acc = 0L
+    val str = s.toString
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Multi-table sign-random-projection LSH bucket ids — compiled
+    * equivalent of the HOF formulation in VectorFunctions.lshBuckets with
+    * IDENTICAL hashing (Spark XxHash64 fold, seed 42, over the two int
+    * inputs), so bucket assignments are unchanged: hyperplane component
+    * sign_ij = pmod(xxhash64(table*1024 + j, i), 2)*2 - 1; bit j of table
+    * t's bucket set iff Σ_i e_i·sign_ij > 0; bucket tagged t in the high
+    * bits. */
+  def lshBuckets(e: ArrayData, nTables: Int, bitsPerTable: Int): ArrayData = {
+    val dim = e.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        val seedJ = XXH64.hashInt(t * 1024 + j, 42L)
+        var proj = 0.0
+        var i = 0
+        while (i < dim) {
+          val h = XXH64.hashInt(i, seedJ)
+          val sign = (((h % 2) + 2) % 2) * 2 - 1
+          proj += e.getDouble(i) * sign
+          i += 1
+        }
+        if (proj > 0.0) bucket |= 1L << j
+        j += 1
+      }
+      out(t) = bucket + (t.toLong << 32)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word n-gram shingles from a token array: the compiled
     * equivalent of `array_distinct(transform(sequence(...), i =>
     * concat_ws(" ", toks[i..i+n-1])))`, which measured ~1.7 ms/doc
