@@ -79,6 +79,15 @@ class PipelineSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("q70 gate query: deterministic per-direction enrichment profile") {
+    val q = graft.SparkEntry.queries("q70_gps_enrich_agg")
+    val out = q(spark, "/root/testdata/sf0.001").cache()
+    assert(out.count() == 8)
+    assert(out.agg(sum(col("n_fixes"))).head().getLong(0) == 6000L)
+    assert(out.select("processed_date").distinct().head().getString(0) == "2025-06-15")
+    assert(q(spark, "/root/testdata/sf0.001").exceptAll(out).isEmpty)
+  }
+
   test("explicit-schema read equals reference's inference read") {
     val in = tmpDir("gps-in3")
     GpsGenerator.writeJsonFiles(spark, in, 400, 2)
