@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import graft.core.SparkSessionFactory
 
 /** Driver-run benchmark: headline queries (one per capability area) on
   * SPARK_GRAFT_SF_DIR at local[32]. Each query is run once untimed to
@@ -9,14 +9,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkSessionFactory.localFromEnv(32, "graft-bench")
     val queries = SparkEntry.queries
     val names = SparkEntry.headlines
     names.foreach(n => queries(n)(spark, sfDir).count()) // warmup pass

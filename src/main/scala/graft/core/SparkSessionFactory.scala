@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place every entry point builds its session (SURVEY §7.1-1,
+  * mirroring the reference's create_spark_session, spark_job.py:126-145).
+  *
+  * Local profile: in-proc master, UTC, UI off, shuffle parallelism = core
+  * count (not the 200 default — 32-way local has no use for 200 tiny
+  * reduce tasks; at cluster scale this is instead sized to ~2-3× total
+  * executor cores, with AQE coalescing handling the variance per stage).
+  *
+  * Prod (cluster) profile adds, per the reference's Iceberg wiring and the
+  * 100 TB posture — listed here as the documented config surface rather
+  * than hardcoded, since the offline build has no Iceberg runtime jar:
+  *   spark.sql.extensions = IcebergSparkSessionExtensions
+  *   spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog
+  *   spark.sql.catalog.<name>.warehouse = <s3 warehouse>
+  *   spark.sql.catalog.<name>.catalog-impl / io-impl  (Glue + S3FileIO)
+  *   spark.sql.adaptive.enabled = true (default; skew-join + coalesce)
+  *   spark.sql.files.maxPartitionBytes sized so a scan task's columnar
+  *     batch fits executor memory (default 128 MB is right for most)
+  */
+object SparkSessionFactory {
+
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Cores from SPARK_GRAFT_CPUS (driver contract), default per caller. */
+  def localFromEnv(defaultCores: Int, appName: String = "graft"): SparkSession =
+    local(sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCores.toString).toInt, appName)
+}

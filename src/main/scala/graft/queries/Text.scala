@@ -201,6 +201,31 @@ object Text {
         ORDER BY doc_a, doc_b"""),
       headline = true),
 
+    // ---- q48: token counting, whitespace + BPE-ish regex ----
+    // The regex pretokenizer (letter runs | digit runs | punctuation runs)
+    // is the standard pre-BPE segmentation; both engines evaluate the same
+    // pattern so counts oracle-match exactly.
+    "q48_token_count" -> QueryDef(
+      build = (spark, dir) => {
+        val pat = lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+")
+        val bpe = regexp_extract_all(col("text"), pat, lit(0))
+        Tables.documents(spark, dir)
+          .select(
+            col("doc_id"),
+            size(tokens(col("text"))).as("ws_tokens"),
+            size(bpe).as("bpe_tokens"),
+            size(array_distinct(bpe)).as("bpe_distinct"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               len(string_split(trim(text), ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+                 AS bpe_tokens,
+               len(list_distinct(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))) AS bpe_distinct
+        FROM documents ORDER BY doc_id""")),
+
     // ---- q45: deterministic document fingerprint (rolling hash) ----
     "q45_fingerprint" -> QueryDef(
       build = (spark, dir) =>

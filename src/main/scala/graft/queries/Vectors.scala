@@ -81,6 +81,44 @@ object Vectors {
       },
       oracle = None),
 
+    // ---- q54: IVF-style coarse-quantized ANN (alternate scale path) ----
+    // Deterministic coarse index: the k lowest-id vectors serve as cell
+    // centroids (broadcast); every vector joins its argmax-cosine cell.
+    // A query probes its nprobe nearest cells and re-ranks exactly inside
+    // them — the scan shrinks ~k/nprobe-fold vs brute force. Recall < 1 by
+    // design (rows-only check; VectorsSpec asserts planted-neighbor
+    // recall). At 100 TB the assignment pass is one broadcast join and the
+    // probe is a cell-partitioned equijoin — no all-pairs anywhere.
+    "q54_ann_ivf" -> QueryDef(
+      build = (spark, dir) => {
+        val k = 16
+        val nprobe = 2
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+        val cents = e.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val sims = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("e"), col("cid"),
+            cosine(col("e"), col("ce")).as("sim"))
+        val byCell = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cid"))
+        val ranked = sims.withColumn("cr", row_number().over(byCell))
+        val assigned = ranked.filter(col("cr") === 1)
+          .select(col("vec_id"), col("e"), col("cid"))
+        val probes = ranked.filter(col("vec_id") < 10 and col("cr") <= nprobe)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("cid"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .dropDuplicates("qid", "vec_id")
+          .select(col("qid"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      oracle = None),
+
     // ---- q52: all-pairs embedding near-duplicates ----
     // Exact all-pairs with id-ordered dedup; at scale this is the verify
     // stage after LSH candidate generation (same shape as q44 vs q46).

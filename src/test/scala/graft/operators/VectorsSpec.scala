@@ -33,6 +33,34 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.99, s"planted-neighbor recall $recall")
   }
 
+  test("IVF probe recalls planted near-neighbors") {
+    // Same planted construction as the LSH test, pushed through the q54
+    // cell-probe shape: a planted neighbor (cosine ≈ 0.999) lands in the
+    // same argmax-cosine cell as its base almost surely, and the query
+    // probes 2 cells, so recall should be ~1.
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), vec64(col("embedding")).as("e"))
+      .limit(100)
+    val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("e"), x => x * 1.03 + 0.001).as("e"))
+    val all = base.unionAll(planted).cache()
+
+    val cents = all.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val byCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val ranked = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), cosine(col("e"), col("ce")).as("sim"))
+      .withColumn("cr", row_number().over(byCell))
+    val assigned = ranked.filter(col("cr") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("vec_id") >= 100000L and col("cr") <= 2)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val hits = assigned.join(probes, Seq("cid"))
+      .where(col("vec_id") === col("qid") - 100000L)
+      .select("qid").distinct().count()
+    assert(hits >= 99, s"IVF planted-neighbor recall ${hits / 100.0}")
+  }
+
   test("cosine expression is exact on known vectors") {
     val df = Seq((Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
       (Array(1.0f, 2.0f, 2.0f), Array(1.0f, 2.0f, 2.0f)),
