@@ -70,6 +70,24 @@ object CodegenExpressions {
       copy(child = newChild)
   }
 
+  /** Codegen'd 64-bit SimHash over an array<string> token column. */
+  final case class SimHashExpr(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(StringType), "simhash64")
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(arr: Any): Any =
+      VectorKernels.simhash(arr.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.simhash($a);")
+    override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+      copy(child = newChild)
+  }
+
+  def simhashCol(toks: Column): Column =
+    GraftColumnBridge.column(SimHashExpr(GraftColumnBridge.expression(toks)))
+
   /** Codegen'd rolling-hash document fingerprint over a string column. */
   final case class FingerprintExpr(child: Expression)
       extends UnaryExpression {

@@ -32,6 +32,31 @@ object TextFunctions {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** Character-n-gram language ID: each language is profiled by a small set
+    * of high-frequency character trigrams; a document scores one point per
+    * profile trigram it contains and classifies to the argmax (ties break
+    * to the lexicographically greatest code — deterministic). The profile
+    * sets are the classic top character-trigram lists per language; this is
+    * the cheap shift-invariant heuristic used to bucket web-scale corpora
+    * before a real classifier runs. Pure codegen'd builtins (instr over a
+    * lowercased copy). */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", " th", "he ", "ing", "and", " an", "ion", " of"),
+    "de" -> Seq("der", "ein", "sch", "ich", "nde", "die", "und", "cht"),
+    "fr" -> Seq("les", "ent", "que", " de", "des", "ait", "ion", " le"),
+    "es" -> Seq(" de", "los", "ado", "que", "nte", " la", "ión", "ent"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def charNgramLangId(text: Column): Column = {
+    val lowered = lower(text)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val score = grams.map(g => when(instr(lowered, g) > 0, 1).otherwise(0))
+        .reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
   /** Deterministic `numHashes`-slot MinHash signature of a shingle array,
     * as one array<long> column: slot i = min over shingles of the i-th
     * member of a splitmix64-derived hash family over xxhash64(shingle).

@@ -40,6 +40,31 @@ object VectorKernels {
 
   private val SPACE = UTF8String.fromString(" ")
 
+  /** 64-bit SimHash of a token array — exact compiled equivalent of the
+    * per-bit HOF formulation (bit j votes ±1 by bit j of xxhash64(token),
+    * Spark seed 42; fingerprint bit j set iff the vote sum is positive),
+    * but one hash + 64 bit-tests per token instead of 64 interpreted
+    * passes per document. */
+  def simhash(toks: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
   /** Karp-Rabin rolling fingerprint: (acc*31 + codePoint) mod 1e9+7 over
     * the text's code points — exactly `aggregate(transform(split(text, ""),
     * ascii), 0L, (acc, x) => (acc*31 + x) % 1000000007)` (Java's

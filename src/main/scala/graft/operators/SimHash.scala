@@ -19,16 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit SimHash of a token array, as a Column. */
-  def simhash64(toks: Column): Column = {
-    val bits = (0 until 64).map { j =>
-      val votes = transform(toks, t =>
-        when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      val s = aggregate(votes, lit(0), (acc, v) => acc + v)
-      when(s > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  /** 64-bit SimHash of a token array, as a Column. Compiled one-pass
+    * kernel (see [[graft.functions.CodegenExpressions.SimHashExpr]]);
+    * bit-identical to the per-bit HOF formulation
+    * `OR_j (Σ_t sign(bit_j(xxhash64(t)))) > 0 ? 1<<j : 0`. */
+  def simhash64(toks: Column): Column =
+    graft.functions.CodegenExpressions.simhashCol(toks)
 
   /** doc_id, simhash, and the nearest Hamming distance found among block
     * collisions (null = no candidate within range). */

@@ -201,6 +201,21 @@ object Text {
         ORDER BY doc_a, doc_b"""),
       headline = true),
 
+    // ---- q49: char-n-gram language ID distribution ----
+    // Content-based heuristic classifier (TextFunctions.charNgramLangId).
+    // The synthetic corpus text is English-ish regardless of its `lang`
+    // label, so the interesting output is the predicted distribution
+    // (rows-only check; LangIdSpec asserts real classification on planted
+    // per-language sentences).
+    "q49_charngram_langid" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(charNgramLangId(col("text")).as("predicted"))
+          .groupBy(col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("predicted")),
+      oracle = None),
+
     // ---- q48: token counting, whitespace + BPE-ish regex ----
     // The regex pretokenizer (letter runs | digit runs | punctuation runs)
     // is the standard pre-BPE segmentation; both engines evaluate the same
