@@ -42,6 +42,41 @@ object Events {
         FROM events GROUP BY event_type ORDER BY event_type"""),
       headline = true),
 
+    // ---- q35: as-of join (click → most recent prior view, per user) ----
+    // graft.operators.AsOfJoin's union-sort-window implementation (one
+    // shuffle, linear) checked against DuckDB's native ASOF JOIN.
+    "q35_events_asof" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+        graft.operators.AsOfJoin
+          .asOfJoin(clicks, views, "user_id", "click_ts", "view_ts")
+          .select(col("click_id"), col("user_id"),
+            date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+            col("view_id"),
+            date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"))
+          .orderBy(col("click_id"))
+      },
+      oracle = Some("""
+        WITH clicks AS (
+          SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+        views AS (
+          SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view')
+        SELECT c.click_id, c.user_id,
+               strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               v.view_id,
+               strftime(v.view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
+        ORDER BY c.click_id""")),
+
     // ---- q31: tumbling event-time windows (batch dual of streaming agg) ----
     "q31_events_tumbling_window" -> QueryDef(
       build = (spark, dir) =>
