@@ -75,4 +75,35 @@ object MinHashLSH {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Resolve near-dup pairs into clusters: connected components by
+    * iterative min-label propagation, labels(v) ← min(labels(v),
+    * min_{u~v} labels(u)) until fixpoint. Each iteration is one
+    * distributed join+aggregate pass; the driver only orchestrates (no
+    * collect). Converges in O(component diameter) passes — dup clusters
+    * are shallow (near-cliques from LSH), so a handful. Returns
+    * (doc_id, cluster_id = min doc id of the component); downstream
+    * keep-one dedup filters `doc_id = cluster_id`. Only docs appearing in
+    * a pair are returned (singletons are their own cluster implicitly). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val fromNbr = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(fromNbr, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next.localCheckpoint() // truncate lineage between iterations
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -53,6 +53,49 @@ object Dedup {
         ORDER BY doc_a, doc_b"""),
       headline = true),
 
+    // ---- q56: near-dup pairs → connected-component clusters ----
+    // Distributed min-label propagation over the q46 pair graph; the
+    // oracle recomputes components with a recursive CTE (reachability
+    // closure → min reachable id), so the driver's hash compare proves the
+    // iterative dataflow converged to the true components.
+    "q56_dedup_clusters" -> QueryDef(
+      build = (spark, dir) => {
+        val pairs = MinHashLSH.nearDupPairs(
+          Tables.documents(spark, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 32, threshold = 0.4)
+        MinHashLSH.dupClusters(pairs)
+      },
+      oracle = Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1] || ' ' ||
+                        string_split(trim(text), ' ')[i+2])) AS shingles
+          FROM documents),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, a.n_sh, b.n_sh
+          HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)), 6) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges)
+        SELECT n.doc_id,
+               LEAST(n.doc_id, MIN(r.dst)) AS cluster_id
+        FROM nodes n JOIN reach r ON r.src = n.doc_id
+        GROUP BY n.doc_id
+        ORDER BY n.doc_id""")),
+
     // ---- q47: SimHash fingerprints + Hamming nearest neighbor ----
     "q47_simhash" -> QueryDef(
       build = (spark, dir) =>

@@ -48,6 +48,16 @@ class DedupSpec extends SparkSpec {
     assert(lsh.exceptAll(exact).isEmpty && exact.exceptAll(lsh).isEmpty)
   }
 
+  test("dupClusters resolves a chain and a clique into single components") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation pass) + clique 10,11,12 + isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = MinHashLSH.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("SimHash: planted near-dups collide within Hamming distance") {
     val fp = SimHash.fingerprints(planted, "doc_id", "text", maxHamming = 3)
     // Dropping one word shifts few fingerprint bits for long docs but can
