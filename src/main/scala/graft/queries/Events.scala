@@ -77,6 +77,33 @@ object Events {
           ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
         ORDER BY c.click_id""")),
 
+    // ---- q36: banded range join (event pairs within 5 min, per user) ----
+    // graft.operators.RangeJoin's bucketized band join vs DuckDB's
+    // inequality join on the same predicate: per user, ordered pairs of
+    // distinct events at most 5 minutes apart, counted per event type pair.
+    "q36_events_range_join" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+          col("ts").as("ts_a"), col("event_type").as("type_a"))
+        val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+          col("ts").as("ts_b"), col("event_type").as("type_b"))
+        graft.operators.RangeJoin
+          .bandJoin(a, b, "user_id", "ts_a", "ts_b", 300000000L,
+            extraFilter = col("id_a") < col("id_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      oracle = Some("""
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- q31: tumbling event-time windows (batch dual of streaming agg) ----
     "q31_events_tumbling_window" -> QueryDef(
       build = (spark, dir) =>
