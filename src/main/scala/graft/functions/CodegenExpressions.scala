@@ -88,6 +88,24 @@ object CodegenExpressions {
   def simhashCol(toks: Column): Column =
     GraftColumnBridge.column(SimHashExpr(GraftColumnBridge.expression(toks)))
 
+  /** Codegen'd char-n-gram language classification over a string column. */
+  final case class LangIdExpr(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "lang_id")
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(s: Any): Any =
+      VectorKernels.langId(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.VectorKernels.langId($s);")
+    override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+      copy(child = newChild)
+  }
+
+  def langIdCol(text: Column): Column =
+    GraftColumnBridge.column(LangIdExpr(GraftColumnBridge.expression(text)))
+
   /** Codegen'd rolling-hash document fingerprint over a string column. */
   final case class FingerprintExpr(child: Expression)
       extends UnaryExpression {

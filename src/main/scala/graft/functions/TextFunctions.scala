@@ -47,15 +47,8 @@ object TextFunctions {
     "es" -> Seq(" de", "los", "ado", "que", "nte", " la", "ión", "ent"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
-  def charNgramLangId(text: Column): Column = {
-    val lowered = lower(text)
-    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
-      val score = grams.map(g => when(instr(lowered, g) > 0, 1).otherwise(0))
-        .reduce(_ + _)
-      struct(score.as("score"), lit(lang).as("lang"))
-    }
-    array_max(array(scored: _*)).getField("lang")
-  }
+  def charNgramLangId(text: Column): Column =
+    CodegenExpressions.langIdCol(text)
 
   /** Deterministic `numHashes`-slot MinHash signature of a shingle array,
     * as one array<long> column: slot i = min over shingles of the i-th

@@ -65,6 +65,39 @@ object VectorKernels {
     fp
   }
 
+  /** Per-language (code, trigram bytes) profiles, sorted by code —
+    * initialized from [[TextFunctions.langProfiles]]. */
+  private lazy val langTable: Array[(UTF8String, Array[UTF8String])] =
+    TextFunctions.langProfiles.toArray.sortBy(_._1).map { case (lang, grams) =>
+      (UTF8String.fromString(lang), grams.map(UTF8String.fromString).toArray)
+    }
+
+  /** Char-n-gram language ID — compiled equivalent of the struct/array_max
+    * Column formulation: score = count of profile trigrams contained in the
+    * lowercased text; argmax with ties to the lexicographically greatest
+    * code (array_max on (score, lang) structs orders the same way). */
+  def langId(text: UTF8String): UTF8String = {
+    val lowered = text.toLowerCase
+    var bestLang: UTF8String = null
+    var bestScore = -1
+    var i = 0
+    while (i < langTable.length) {
+      val (lang, grams) = langTable(i)
+      var score = 0
+      var j = 0
+      while (j < grams.length) {
+        if (lowered.contains(grams(j))) score += 1
+        j += 1
+      }
+      if (score > bestScore || (score == bestScore && lang.compareTo(bestLang) > 0)) {
+        bestScore = score
+        bestLang = lang
+      }
+      i += 1
+    }
+    bestLang
+  }
+
   /** Karp-Rabin rolling fingerprint: (acc*31 + codePoint) mod 1e9+7 over
     * the text's code points — exactly `aggregate(transform(split(text, ""),
     * ascii), 0L, (acc, x) => (acc*31 + x) % 1000000007)` (Java's
