@@ -96,6 +96,25 @@ object Dedup {
         GROUP BY n.doc_id
         ORDER BY n.doc_id""")),
 
+    // ---- q57: reproducible stratified sampling profile ----
+    // Training-set construction: per-language fractions over documents via
+    // partition-independent hash membership (operators.Sampling). Members
+    // derive from xxhash64, so rows-only driver check; SamplingSpec proves
+    // reproducibility, disjointness, and per-stratum proportions.
+    "q57_stratified_sample" -> QueryDef(
+      build = (spark, dir) => {
+        val sampled = graft.operators.Sampling.stratifiedSample(
+          Tables.documents(spark, dir), "lang", Seq("doc_id"),
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1),
+          seed = 42L)
+        sampled.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      oracle = None),
+
     // ---- q47: SimHash fingerprints + Hamming nearest neighbor ----
     "q47_simhash" -> QueryDef(
       build = (spark, dir) =>
