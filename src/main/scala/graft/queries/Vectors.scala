@@ -148,6 +148,43 @@ object Vectors {
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.38
         ORDER BY id_a, id_b""")),
 
+    // ---- q58: exact KNN via typed bounded-heap Aggregator ----
+    // Same semantics (and oracle) as q50, computed with the UDAF extension
+    // point instead of sort+window: partial aggregation ships at most k
+    // rows per (query, map task) to the shuffle. The gate's hash compare
+    // against the q50 oracle proves the aggregator's ordering/tie-break
+    // contract.
+    "q58_knn_topk_agg" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        import graft.functions.TopKAggregator
+        val cand = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+        val pairs = cand.join(broadcast(queryVecs(spark, dir)), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+          .as[(Long, Long, Double)]
+        pairs.groupByKey(_._1)
+          .agg(TopKAggregator.topKOfRow(5).toColumn.name("top"))
+          .flatMap { case (qid, top) =>
+            top.zipWithIndex.map { case (s, i) => (qid, i + 1, s.id, s.score) }
+          }
+          .toDF("qid", "rn", "vec_id", "cos")
+          .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (SELECT qid, vec_id, list_cosine_similarity(qe, e) AS cos
+              FROM q JOIN c ON vec_id != qid),
+        r AS (SELECT qid, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, vec_id) AS rn
+              FROM s)
+        SELECT qid, rn, vec_id, ROUND(cos, 6) AS cosine
+        FROM r WHERE rn <= 5 ORDER BY qid, rn""")),
+
     // ---- q53: per-label vector statistics ----
     "q53_vector_stats" -> QueryDef(
       build = (spark, dir) => {
