@@ -448,6 +448,30 @@ object Analytics {
         FROM orders
         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
         GROUP BY o_orderstatus
-        ORDER BY side, o_orderstatus"""))
+        ORDER BY side, o_orderstatus""")),
+
+    // ---- q28: sketch aggregates (HLL++ distinct, GK quantiles) ----
+    // The approximate aggregations a 100 TB profile pass runs instead of
+    // exact distinct/sort: HyperLogLog++ count-distinct and Greenwald-
+    // Khanna percentiles are one-pass, bounded-memory, mergeable sketches.
+    // Both algorithms are deterministic for a given input (no RNG), but
+    // their estimates are engine-specific => rows-only driver check; the
+    // query carries its own ground truth and relative-error columns so the
+    // output is self-validating (spec asserts the bounds).
+    "q28_sketch_aggs" -> QueryDef(
+      build = (spark, dir) => {
+        val l = Tables.lineitem(spark, dir)
+        l.agg(
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("hll_orders"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+            expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+          .select(col("exact_orders"), col("hll_orders"),
+            round(abs(col("hll_orders") - col("exact_orders")) /
+              col("exact_orders"), 4).as("hll_rel_err"),
+            round(col("p50_approx"), 2).as("p50_approx"),
+            round(col("p50_exact").cast("double"), 2).as("p50_exact"))
+      },
+      oracle = None)
   )
 }
