@@ -241,6 +241,61 @@ object Text {
                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))) AS bpe_distinct
         FROM documents ORDER BY doc_id""")),
 
+    // ---- q59: corpus curation capstone (quality → dedup → profile) ----
+    // The end-to-end training-data path in one declarative plan: score
+    // quality (q41's heuristics), drop below-threshold docs, keep one
+    // representative per exact-duplicate group (min doc_id over md5(text)),
+    // profile the surviving corpus per language label. Entirely
+    // SQL-expressible, so the whole composition is oracle-checked.
+    "q59_corpus_curation" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types._
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast("double")
+        val stopRatio  = stopwordCount(toks, EN).cast("double") / nTok
+        val shortRatio = size(filter(toks, t => length(t) < 3)).cast("double") / nTok
+        val ttr        = size(array_distinct(toks)).cast("double") / nTok
+        val score = least(nTok / 100.0, lit(1.0)) * 0.3 + ttr * 0.3 +
+          (lit(1.0) - shortRatio) * 0.2 + least(stopRatio * 10.0, lit(1.0)) * 0.2
+        val w = Window.partitionBy(col("sig")).orderBy(col("doc_id"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("text"),
+            round(score, 6).as("quality"))
+          .filter(col("quality") >= 0.55)
+          .withColumn("sig", md5(col("text").cast("binary")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            round(sum(col("quality").cast(DecimalType(28, 6))).cast(DoubleType) /
+              count(lit(1)), 6).as("avg_quality"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang, text,
+                 ROUND(LEAST(CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                       (CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                        / len(string_split(trim(text), ' '))) * 0.3 +
+                       (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
+                            x -> length(x) < 3)) AS DOUBLE)
+                        / len(string_split(trim(text), ' '))) * 0.2 +
+                       LEAST((CAST(${sqlStopCount(EN)} AS DOUBLE)
+                        / len(string_split(trim(text), ' '))) * 10.0, 1.0) * 0.2, 6)
+                   AS quality
+          FROM documents),
+        kept AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM scored WHERE quality >= 0.55)
+        SELECT lang, COUNT(*) AS n_kept,
+               ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_quality,
+               MIN(doc_id) AS first_doc
+        FROM kept WHERE rn = 1
+        GROUP BY lang ORDER BY lang""")),
+
     // ---- q45: deterministic document fingerprint (rolling hash) ----
     "q45_fingerprint" -> QueryDef(
       build = (spark, dir) =>
