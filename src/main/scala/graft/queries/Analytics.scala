@@ -472,6 +472,50 @@ object Analytics {
             round(col("p50_approx"), 2).as("p50_approx"),
             round(col("p50_exact").cast("double"), 2).as("p50_exact"))
       },
-      oracle = None)
+      oracle = None),
+
+    // ---- q29: nation trade flows (TPC-H Q7 shape) ----
+    // The same dimension (nation) joined twice under different roles
+    // (customer's vs supplier's), both broadcast; the fact table streams
+    // through four broadcast joins with zero pre-aggregation shuffles —
+    // the deepest join tree in the corpus.
+    "q29_nation_trade_flows" -> QueryDef(
+      build = (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val o = Tables.orders(spark, dir)
+        val c = Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("cust_nk"))
+        val s = Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey").as("supp_nk"))
+        val nc = Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+        val ns = Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nc), "cust_nk")
+          .join(broadcast(ns), "supp_nk")
+          .filter(col("cust_nation") =!= col("supp_nation"))
+          .groupBy(col("cust_nation"), col("supp_nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+          .orderBy(col("cust_nation"), col("supp_nation"), col("o_year"))
+      },
+      oracle = Some(s"""
+        SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               ${sqlSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE nc.n_name != ns.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }

@@ -60,6 +60,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last.getAs[String]("last_ts") == "2025-06-15 10:00:20")
   }
 
+  test("watermark drops events later than the allowed lateness") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[GpsRecord]
+    // Append mode only emits windows the watermark has closed — exactly the
+    // eviction semantics under test.
+    val q = StreamingOps.tumblingSpeedProfile(mem.toDF(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("late_profile")
+      .outputMode(OutputMode.Append()).start()
+
+    // Batch 1: one event at 10:00; watermark advances to max(ts) - 2 min.
+    mem.addData(rec("v1", "2025-06-15 10:00:10", 40))
+    q.processAllAvailable()
+    // Batch 2: push event time forward to 10:10 => watermark 10:08 after
+    // this batch; the 10:00 window closes and is emitted.
+    mem.addData(rec("v1", "2025-06-15 10:10:00", 50))
+    q.processAllAvailable()
+    // Batch 3: a LATE event for the already-closed 10:00 window (beyond
+    // the 2-minute lateness) must be dropped, not re-emitted or merged.
+    mem.addData(rec("v1", "2025-06-15 10:00:20", 99))
+    q.processAllAvailable()
+    q.stop()
+
+    val w1000 = spark.table("late_profile")
+      .where(col("window_start") === "2025-06-15 10:00:00").collect()
+    assert(w1000.length == 1)
+    assert(w1000.head.getAs[Long]("n_events") == 1) // late row not merged
+    assert(w1000.head.getAs[Double]("max_speed") == 40.0)
+  }
+
   test("dedupWithinWatermark drops replayed (vehicle_id, timestamp) rows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
