@@ -474,6 +474,44 @@ object Analytics {
       },
       oracle = None),
 
+    // ---- q38: one-pass column profile (data-quality sweep) ----
+    // operators.Profiler over lineitem's integer key columns (integer
+    // min/max stringify identically in both engines; float formatting
+    // would not). Exact distinct for the oracle; the operator's scale
+    // mode swaps in HLL++.
+    "q38_table_profile" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.Profiler.profile(
+          Tables.lineitem(spark, dir),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")),
+      oracle = Some("""
+        WITH p AS (
+          SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+                 SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                 COUNT(DISTINCT l_orderkey) AS n_distinct,
+                 CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+                 CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_partkey', COUNT(*),
+                 SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
+                 COUNT(DISTINCT l_partkey),
+                 CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_suppkey', COUNT(*),
+                 SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END),
+                 COUNT(DISTINCT l_suppkey),
+                 CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_linenumber', COUNT(*),
+                 SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END),
+                 COUNT(DISTINCT l_linenumber),
+                 CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+          FROM lineitem)
+        SELECT * FROM p ORDER BY col_name""")),
+
     // ---- q29: nation trade flows (TPC-H Q7 shape) ----
     // The same dimension (nation) joined twice under different roles
     // (customer's vs supplier's), both broadcast; the fact table streams
