@@ -474,6 +474,35 @@ object Analytics {
       },
       oracle = None),
 
+    // ---- q39: correlated scalar subquery (TPC-H Q17 shape, SQL path) ----
+    // Runs through spark.sql over registered views — the reference's T6
+    // surface — so Catalyst's subquery DECORRELATION does the rewrite
+    // (inner per-part average → left join on the correlation key) rather
+    // than the query author. The inner average is decimal-exact (see Det)
+    // so the < comparison is engine-stable at the boundary.
+    "q39_correlated_subquery" -> QueryDef(
+      build = (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        spark.sql("""
+          SELECT COUNT(*) AS n_small,
+                 ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+                       / 7.0, 6) AS avg_yearly
+          FROM lineitem l
+          WHERE l_quantity < (
+            SELECT 0.5 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                       / COUNT(*)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
+      },
+      oracle = Some("""
+        SELECT COUNT(*) AS n_small,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+                     / 7.0, 6) AS avg_yearly
+        FROM lineitem l
+        WHERE l_quantity < (
+          SELECT 0.5 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                     / COUNT(*)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")),
+
     // ---- q38: one-pass column profile (data-quality sweep) ----
     // operators.Profiler over lineitem's integer key columns (integer
     // min/max stringify identically in both engines; float formatting
