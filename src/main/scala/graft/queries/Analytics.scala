@@ -474,6 +474,38 @@ object Analytics {
       },
       oracle = None),
 
+    // ---- q37: returned-item customer ranking (TPC-H Q10 shape) ----
+    // Fact → orders join (shuffle), dims broadcast, revenue agg per
+    // customer, deterministic top-20.
+    "q37_returned_item_ranking" -> QueryDef(
+      build = (spark, dir) => {
+        val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+        val o = Tables.orders(spark, dir)
+        val c = Tables.customer(spark, dir)
+        val n = Tables.nation(spark, dir)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_returned"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      oracle = Some(s"""
+        SELECT c_custkey, c_name, n_name,
+               ${sqlSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+               COUNT(*) AS n_returned
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")),
+
     // ---- q39: correlated scalar subquery (TPC-H Q17 shape, SQL path) ----
     // Runs through spark.sql over registered views — the reference's T6
     // surface — so Catalyst's subquery DECORRELATION does the rewrite
