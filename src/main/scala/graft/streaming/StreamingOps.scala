@@ -102,6 +102,35 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream inner join with a time bound: collision events matched
+    * to sudden-braking events of the same vehicle within `within` after
+    * the collision. Both sides are watermarked and the join condition
+    * bounds `braking_time` to a window after `collision_time`, so Spark
+    * can prove when buffered state is safe to evict — without the bound a
+    * stream-stream join buffers forever. Works on two live streams or two
+    * batch frames identically. */
+  def collisionBrakingJoin(collisions: DataFrame, braking: DataFrame,
+      within: String = "5 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val c = withEventTime(collisions)
+      .filter(col("collision_detected"))
+      .withWatermark("event_time", watermark)
+      .select(col("vehicle_id"),
+        col("event_time").as("collision_time"),
+        col("speed_kmh").as("collision_speed"))
+    val b = withEventTime(braking)
+      .filter(col("sudden_braking"))
+      .withWatermark("event_time", watermark)
+      .select(col("vehicle_id").as("b_vehicle_id"),
+        col("event_time").as("braking_time"))
+    c.join(b,
+      col("vehicle_id") === col("b_vehicle_id") &&
+        col("braking_time") >= col("collision_time") &&
+        col("braking_time") <= col("collision_time") + expr(s"INTERVAL $within"),
+      "inner")
+      .select(col("vehicle_id"), col("collision_time"),
+        col("collision_speed"), col("braking_time"))
+  }
+
   /** Exactly-once-friendly dedup on a natural key within the watermark
     * horizon — the `dropDuplicates` upgrade SURVEY §1.4 proposes for the
     * reference's at-least-once duplicate rows. */

@@ -60,6 +60,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last.getAs[String]("last_ts") == "2025-06-15 10:00:20")
   }
 
+  test("stream-stream join matches braking within the bound, per vehicle") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val collisions = MemoryStream[GpsRecord]
+    val braking = MemoryStream[GpsRecord]
+
+    val q = StreamingOps.collisionBrakingJoin(
+        collisions.toDF(), braking.toDF(), within = "5 minutes")
+      .writeStream.format("memory").queryName("cb_join")
+      .outputMode(OutputMode.Append()).start()
+
+    def crash(vid: String, ts: String, speed: Double) =
+      rec(vid, ts, speed, collision = true)
+    def brake(vid: String, ts: String) =
+      rec(vid, ts, 10).copy(sudden_braking = true)
+
+    collisions.addData(crash("v1", "2025-06-15 10:00:00", 80))
+    braking.addData(
+      brake("v1", "2025-06-15 10:03:00"), // within 5 min -> match
+      brake("v1", "2025-06-15 10:09:00"), // outside bound -> no match
+      brake("v2", "2025-06-15 10:03:00")) // other vehicle -> no match
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("cb_join").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("vehicle_id") == "v1")
+    assert(rows.head.getAs[Double]("collision_speed") == 80.0)
+    assert(rows.head.getAs[java.sql.Timestamp]("braking_time").toString
+      .startsWith("2025-06-15 10:03:00"))
+  }
+
   test("watermark drops events later than the allowed lateness") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
