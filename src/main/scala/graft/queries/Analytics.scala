@@ -474,6 +474,49 @@ object Analytics {
       },
       oracle = None),
 
+    // ---- q61: supplier-nation market share (TPC-H Q8 shape) ----
+    // Conditional aggregation over the deep join: one nation's share of
+    // revenue per year = sum(case when supp_nation then rev)/sum(rev).
+    "q61_market_share" -> QueryDef(
+      build = (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val o = Tables.orders(spark, dir)
+        val s = Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val n = Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            dsum(when(col("n_name") === "NATION_7", rev).otherwise(lit(0.0)), 4)
+              .as("focus_rev"),
+            dsum(rev, 4).as("total_rev"))
+          .select(col("o_year"),
+            round(col("focus_rev") / col("total_rev"), 6).as("mkt_share"),
+            col("focus_rev"), col("total_rev"))
+          .orderBy(col("o_year"))
+      },
+      oracle = Some(s"""
+        WITH j AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                 n_name, l_extendedprice * (1.0 - l_discount) AS rev
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey),
+        g AS (
+          SELECT o_year,
+                 ${sqlSum("CASE WHEN n_name = 'NATION_7' THEN rev ELSE 0.0 END", 4)}
+                   AS focus_rev,
+                 ${sqlSum("rev", 4)} AS total_rev
+          FROM j GROUP BY o_year)
+        SELECT o_year, ROUND(focus_rev / total_rev, 6) AS mkt_share,
+               focus_rev, total_rev
+        FROM g ORDER BY o_year""")),
+
     // ---- q37: returned-item customer ranking (TPC-H Q10 shape) ----
     // Fact → orders join (shuffle), dims broadcast, revenue agg per
     // customer, deterministic top-20.
