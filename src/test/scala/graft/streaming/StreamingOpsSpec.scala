@@ -92,6 +92,24 @@ class StreamingOpsSpec extends SparkSpec {
       .startsWith("2025-06-15 10:03:00"))
   }
 
+  test("stream-static join enriches a live stream with a dimension table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Static side: per-vehicle registration dimension (batch DataFrame).
+    val dim = Seq(("v1", "fleet-A"), ("v2", "fleet-B")).toDF("vehicle_id", "fleet")
+    val mem = MemoryStream[GpsRecord]
+    val q = mem.toDF().join(dim, Seq("vehicle_id"), "left")
+      .writeStream.format("memory").queryName("enriched_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rec("v1", "2025-06-15 10:00:00", 30),
+      rec("v3", "2025-06-15 10:00:01", 40)) // unregistered vehicle
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched_stream").collect()
+      .map(r => r.getAs[String]("vehicle_id") -> r.getAs[String]("fleet")).toMap
+    assert(out == Map("v1" -> "fleet-A", "v3" -> null))
+  }
+
   test("watermark drops events later than the allowed lateness") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
