@@ -13,9 +13,10 @@ object Bench {
     val queries = SparkEntry.queries
     val names = SparkEntry.headlines
     names.foreach(n => queries(n)(spark, sfDir).count()) // warmup pass
-    // min of 2 timed runs: the engine's cost, not co-tenant noise
+    // min of 3 timed runs: the engine's cost, not co-tenant stalls (this
+    // host shows multi-second transient freezes under shared load)
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -133,7 +133,8 @@ object Analytics {
                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders)
         WHERE rn <= 3
-        ORDER BY o_orderpriority, rn""")),
+        ORDER BY o_orderpriority, rn"""),
+      headline = true),
 
     // ---- q16: running totals + lag/lead per customer ----
     "q16_window_running" -> QueryDef(

@@ -30,6 +30,7 @@ object Gps {
             max(col("processed_date")).as("processed_date"))
           .orderBy(col("direction"))
       },
-      oracle = None)
+      oracle = None,
+      headline = true)
   )
 }

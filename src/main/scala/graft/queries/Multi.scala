@@ -16,6 +16,7 @@ object Multi {
           else if (dir.contains("sf0.01")) 5000L else 500L
         Multimodal.featureProfile(spark, n)
       },
-      oracle = None)
+      oracle = None,
+      headline = true)
   )
 }

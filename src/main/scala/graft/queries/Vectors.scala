@@ -146,7 +146,8 @@ object Vectors {
                ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.38
-        ORDER BY id_a, id_b""")),
+        ORDER BY id_a, id_b"""),
+      headline = true),
 
     // ---- q58: exact KNN via typed bounded-heap Aggregator ----
     // Same semantics (and oracle) as q50, computed with the UDAF extension
