@@ -72,7 +72,8 @@ object MinHashLSH {
         col("n_common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        col("n_common").cast("long").as("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

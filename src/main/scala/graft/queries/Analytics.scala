@@ -123,7 +123,8 @@ object Analytics {
         Tables.orders(spark, dir)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
-          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+            col("o_orderkey"), col("o_totalprice"))
           .orderBy(col("o_orderpriority"), col("rn"))
       },
       oracle = Some("""
@@ -153,7 +154,7 @@ object Analytics {
               .cast(DoubleType).as("running_total"),
             lag(col("o_totalprice"), 1).over(ord).as("prev_price"),
             lead(col("o_totalprice"), 1).over(ord).as("next_price"),
-            row_number().over(ord).as("order_seq"))
+            row_number().over(ord).cast("long").as("order_seq"))
           .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
       },
       oracle = Some("""
@@ -287,10 +288,10 @@ object Analytics {
             upper(col("p_name")).as("name_upper"),
             lower(col("p_brand")).as("brand_lower"),
             substring(col("p_name"), 1, 5).as("name_prefix"),
-            length(col("p_name")).as("name_len"),
+            length(col("p_name")).cast("long").as("name_len"),
             concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
             regexp_replace(col("p_name"), " ", "_").as("name_snake"),
-            instr(col("p_name"), "a").as("first_a"),
+            instr(col("p_name"), "a").cast("long").as("first_a"),
             trim(lpad(col("p_type"), 12, "*")).as("padded_type"))
           .orderBy(col("p_partkey"))
           .limit(100),
@@ -353,8 +354,8 @@ object Analytics {
       oracle = Some("""
         SELECT l_orderkey, l_linenumber,
                ABS(l_quantity - 25.0) AS abs_dev,
-               CEIL(l_quantity / 7.0) AS ceil_q7,
-               FLOOR(l_quantity / 7.0) AS floor_q7,
+               CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS ceil_q7,
+               CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS floor_q7,
                ROUND(SQRT(l_quantity), 6) AS sqrt_q,
                l_quantity * l_quantity AS q_sq,
                CAST(l_linenumber % 3 AS INT) AS ln_mod3,
@@ -417,7 +418,7 @@ object Analytics {
         SELECT c_mktsegment,
                COUNT(*) AS n_rows,
                COUNT(o_orderkey) AS n_matched,
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                COALESCE(${sqlSum("o_totalprice", 2)}, 0.0) AS big_total,
                COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_nonbuilding
         FROM customer
@@ -592,26 +593,26 @@ object Analytics {
       oracle = Some("""
         WITH p AS (
           SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
-                 SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                 CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                  COUNT(DISTINCT l_orderkey) AS n_distinct,
                  CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
                  CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
           FROM lineitem
           UNION ALL
           SELECT 'l_partkey', COUNT(*),
-                 SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
+                 CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                  COUNT(DISTINCT l_partkey),
                  CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
           FROM lineitem
           UNION ALL
           SELECT 'l_suppkey', COUNT(*),
-                 SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END),
+                 CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                  COUNT(DISTINCT l_suppkey),
                  CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
           FROM lineitem
           UNION ALL
           SELECT 'l_linenumber', COUNT(*),
-                 SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END),
+                 CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                  COUNT(DISTINCT l_linenumber),
                  CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
           FROM lineitem)

@@ -36,7 +36,7 @@ object Events {
           .orderBy(col("event_type")),
       oracle = Some("""
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type"""),
@@ -162,7 +162,8 @@ object Events {
           SELECT user_id, sess_id, COUNT(*) AS n_events,
                  date_diff('microsecond', MIN(ts), MAX(ts)) AS span_us
           FROM sess GROUP BY user_id, sess_id)
-        SELECT user_id, MAX(sess_id) AS n_sessions, SUM(n_events) AS n_events,
+        SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
                MAX(n_events) AS max_session_events,
                MAX(span_us) AS max_session_span_us
         FROM per_sess GROUP BY user_id ORDER BY user_id""")),
@@ -191,8 +192,8 @@ object Events {
           FROM events GROUP BY user_id)
         SELECT COUNT(first_signup_us) AS n_signup_users,
                COUNT(CASE WHEN first_purchase_us > first_signup_us THEN 1 END) AS n_converted,
-               SUM(CASE WHEN first_purchase_us > first_signup_us
-                   THEN first_purchase_us - first_signup_us END) AS total_delay_us
+               CAST(SUM(CASE WHEN first_purchase_us > first_signup_us
+                   THEN first_purchase_us - first_signup_us END) AS BIGINT) AS total_delay_us
         FROM first""")),
 
     // ---- q34: hour-of-day activity profile ----

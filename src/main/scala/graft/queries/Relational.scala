@@ -231,8 +231,8 @@ object Relational {
         SELECT COUNT(*) AS n_rows,
                COUNT(o_orderkey) AS n_orders,
                COUNT(l_orderkey) AS n_lines,
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS line_only,
-               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS order_only
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS line_only,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS order_only
         FROM (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0) o
         FULL OUTER JOIN (SELECT DISTINCT l_orderkey FROM lineitem
                          WHERE l_quantity >= 49.0) l

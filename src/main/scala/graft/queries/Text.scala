@@ -35,8 +35,8 @@ object Text {
         val toks = tokens(col("text"))
         d.select(
             col("doc_id"),
-            size(toks).as("n_tokens"),
-            size(array_distinct(toks)).as("n_distinct"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"),
             round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("ttr"),
             round((col("n_chars") - (size(toks) - lit(1))).cast("double") / size(toks), 6)
               .as("avg_token_len"))
@@ -227,9 +227,9 @@ object Text {
         Tables.documents(spark, dir)
           .select(
             col("doc_id"),
-            size(tokens(col("text"))).as("ws_tokens"),
-            size(bpe).as("bpe_tokens"),
-            size(array_distinct(bpe)).as("bpe_distinct"))
+            size(tokens(col("text"))).cast("long").as("ws_tokens"),
+            size(bpe).cast("long").as("bpe_tokens"),
+            size(array_distinct(bpe)).cast("long").as("bpe_distinct"))
           .orderBy(col("doc_id"))
       },
       oracle = Some("""

@@ -36,7 +36,8 @@ object Vectors {
           .select(col("qid"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
-          .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
+            round(col("cos"), 6).as("cosine"))
           .orderBy(col("qid"), col("rn"))
       },
       oracle = Some("""
@@ -76,7 +77,8 @@ object Vectors {
           .select(col("qid"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
-          .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
+            round(col("cos"), 6).as("cosine"))
           .orderBy(col("qid"), col("rn"))
       },
       oracle = None),
@@ -114,7 +116,8 @@ object Vectors {
           .select(col("qid"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
-          .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
+            round(col("cos"), 6).as("cosine"))
           .orderBy(col("qid"), col("rn"))
       },
       oracle = None),
@@ -170,7 +173,8 @@ object Vectors {
             top.zipWithIndex.map { case (s, i) => (qid, i + 1, s.id, s.score) }
           }
           .toDF("qid", "rn", "vec_id", "cos")
-          .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
+            round(col("cos"), 6).as("cosine"))
           .orderBy(col("qid"), col("rn"))
       },
       oracle = Some("""

@@ -4,12 +4,18 @@ against the DuckDB oracle and diff strictly.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 
-Strictest plausible comparison: column names (sorted), row count, and exact
-value equality after sorting columns by name. If we pass this, we pass any
-laxer driver compare."""
+Strictest plausible comparison: column names (sorted), per-column Arrow
+dtypes (normalized), row count, and exact value equality after sorting
+columns by name. If we pass this, we pass any laxer driver compare.
+
+The dtype check exists because pandas value-compare erases exactly the
+mismatch class the driver's hash catches: DuckDB SUM(int)->HUGEINT vs Spark
+sum(long)->BIGINT, DuckDB CEIL->DOUBLE vs Spark ceil->BIGINT. Python's
+`1 == 1.0` hides those; comparing Arrow types does not."""
 import sys, json, glob, math
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -42,6 +48,37 @@ def frame_rows(df):
     return [tuple(norm(v) for v in row) for row in df[cols].itertuples(index=False, name=None)], cols
 
 
+def canon_type(t):
+    """Canonical name for an Arrow dtype: collapse representation variants
+    (large_string vs string, timestamp tz) but keep width/kind distinctions
+    (int32 vs int64 vs decimal128 vs float64) that change the driver hash."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def dtype_mismatches(stab, dtab):
+    """Per-column canonical-dtype diff between two Arrow tables."""
+    stypes = {f.name: canon_type(f.type) for f in stab.schema}
+    dtypes = {f.name: canon_type(f.type) for f in dtab.schema}
+    return [(c, stypes[c], dtypes[c])
+            for c in sorted(set(stypes) & set(dtypes))
+            if stypes[c] != dtypes[c]]
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -57,8 +94,10 @@ def main():
             n_fail += 1
             continue
         try:
-            sdf = pq.read_table(files).to_pandas()
-            ddf = con.execute(sql).fetchdf()
+            stab = pq.read_table(files)
+            dtab = con.execute(sql).fetch_arrow_table()
+            sdf = stab.to_pandas()
+            ddf = dtab.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -67,6 +106,12 @@ def main():
         drows, dcols = frame_rows(ddf)
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            n_fail += 1
+            continue
+        tmis = dtype_mismatches(stab, dtab)
+        if tmis:
+            print(f"FAIL {name}: dtype mismatch " +
+                  "; ".join(f"{c}: spark={a} duck={b}" for c, a, b in tmis))
             n_fail += 1
             continue
         if len(srows) != len(drows):
