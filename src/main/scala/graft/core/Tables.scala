@@ -24,10 +24,23 @@ object Tables {
     * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
     * (legacy.parquet.nanosAsLong) and truncate to micros with integer
     * division — the same ns→µs truncation DuckDB applies, so event-time
-    * values agree across engines to the microsecond. */
+    * values agree across engines to the microsecond.
+    *
+    * The legacy conf has no per-read DataFrameReader option, so it is set
+    * on the session only for the duration of this call and then restored —
+    * leaving it set would silently change how every other nanos-timestamp
+    * parquet in the session is read. Restoring after `spark.read.parquet`
+    * is safe for the later (lazy) execution: the reader's hadoopConf is
+    * captured at relation creation, inside this window. */
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try spark.read.parquet(s"$dir/events.parquet")
+    finally prev match {
+      case Some(v) => spark.conf.set(NanosKey, v)
+      case None    => spark.conf.unset(NanosKey)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

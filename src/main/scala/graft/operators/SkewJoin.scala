@@ -24,9 +24,17 @@ object SkewJoin {
     * hot keys spread over `salts` reducers. The salt derives from
     * xxhash64 over the big side's whole row, so plans stay deterministic
     * across retries and cluster layouts (no rand()). */
+  private val SupportedJoinTypes = Set("inner", "left", "leftouter")
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // Salting is only equivalent to the plain join when unmatched SMALL-side
+    // rows never surface: the small side is replicated `salts` times, so
+    // right/full would emit each unmatched small row `salts` times, and
+    // semi/anti flip which side survives. Big side must be the left side.
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins with the big table on the left; got '$joinType'")
     val saltOfRow: Column =
       pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salts)).cast("int")
     val b = big.withColumn("__salt", saltOfRow)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Provenance enrichment (SURVEY §2.2 T2–T6): the reference's one
@@ -48,14 +48,18 @@ object Enrichment {
   /** SQL-path enrichment, reproducing the reference's temp-view dance
     * (register → spark.sql → drop, spark_job.py:35-37,68-69). `None`
     * bypasses transformation entirely, as in the reference's
-    * `sql_query=None` branch (spark_job.py:42-43). */
-  def enrichSql(spark: SparkSession, df: DataFrame,
-      sqlQuery: Option[String]): DataFrame =
+    * `sql_query=None` branch (spark_job.py:42-43).
+    *
+    * The query MUST run on `df.sparkSession`, not a caller-supplied
+    * session: inside `foreachBatch` the batch DataFrame belongs to the
+    * stream's cloned session, so the temp view registers in the clone's
+    * catalog and is invisible to the outer session. */
+  def enrichSql(df: DataFrame, sqlQuery: Option[String]): DataFrame =
     sqlQuery match {
       case None => df
       case Some(sql) =>
         df.createOrReplaceTempView("temp_view")
-        try spark.sql(sql)
-        finally () // view dropped by caller after the write, matching spark_job.py:68-69
+        // view dropped by caller after the write, matching spark_job.py:68-69
+        df.sparkSession.sql(sql)
     }
 }

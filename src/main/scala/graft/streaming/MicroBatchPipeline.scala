@@ -61,11 +61,12 @@ object MicroBatchPipeline {
           val enriched = config.clockEpochSec match {
             // Injected clock => deterministic column-DSL path (golden tests).
             case Some(_) => Enrichment.enrich(batch, config.clockEpochSec)
-            case None    => Enrichment.enrichSql(spark, batch, config.sqlQuery)
+            case None    => Enrichment.enrichSql(batch, config.sqlQuery)
           }
           sink.write(enriched, config.table, config.partitionCols, config.compression)
           if (config.sqlQuery.isDefined && config.clockEpochSec.isEmpty)
-            spark.catalog.dropTempView("temp_view") // spark_job.py:68-69
+            // The view lives in the batch's (cloned) session catalog.
+            batch.sparkSession.catalog.dropTempView("temp_view") // spark_job.py:68-69
         }
         ()
       }

@@ -88,6 +88,26 @@ class PipelineSpec extends SparkSpec {
     assert(q(spark, "/root/testdata/sf0.001").exceptAll(out).isEmpty)
   }
 
+  test("default config (SQL path, wall clock) runs end-to-end in foreachBatch") {
+    // Regression: foreachBatch hands the batch over on the stream's CLONED
+    // session. enrichSql must run the query (and the caller must drop the
+    // view) on the batch's own session, or the default Config throws
+    // TABLE_OR_VIEW_NOT_FOUND on the first non-empty batch.
+    val in = tmpDir("gps-in4")
+    val table = "gps_sqlpath"
+    GpsGenerator.writeJsonFiles(spark, in, n = 400, files = 2)
+    MicroBatchPipeline.runAvailable(spark, MicroBatchPipeline.Config(
+      inputDir = in, checkpointDir = tmpDir("gps-ckpt4"), table = table))
+    val out = spark.table(table)
+    assert(out.count() == 400)
+    assert(out.columns.toSet ==
+      GpsSchema.schema.fieldNames.toSet ++ Set("input_file", "processed_time", "processed_date"))
+    // Wall-clock enrichment: values are non-deterministic but must be present.
+    assert(out.where(col("processed_time").isNull).count() == 0)
+    assert(out.where(col("processed_date").isNull).count() == 0)
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("explicit-schema read equals reference's inference read") {
     val in = tmpDir("gps-in3")
     GpsGenerator.writeJsonFiles(spark, in, 400, 2)
@@ -102,7 +122,7 @@ class PipelineSpec extends SparkSpec {
 
   test("SQL enrichment path (reference default query) matches column DSL") {
     val df = GpsGenerator.batch(spark, 100)
-    val viaSql = Enrichment.enrichSql(spark, df, Some(Enrichment.defaultSql))
+    val viaSql = Enrichment.enrichSql(df, Some(Enrichment.defaultSql))
     val viaDsl = Enrichment.enrich(df)
     assert(viaSql.schema.fieldNames.toSeq == viaDsl.schema.fieldNames.toSeq)
     // Non-deterministic cols (clock, file) excluded from the value compare.
