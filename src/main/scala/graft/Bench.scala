@@ -2,23 +2,50 @@ package graft
 import graft.core.SparkSessionFactory
 
 /** Driver-run benchmark: headline queries (one per capability area) on
-  * SPARK_GRAFT_SF_DIR at local[32]. Each query is run once untimed to
-  * reach steady state (codegen compiled, parquet footers cached) and once
-  * timed — the measurement is the engine, not session bring-up. One JSON
-  * line on stdout. */
+  * SPARK_GRAFT_SF_DIR at local[32]. Protocol, designed so a single cold
+  * JVM invocation reports steady-state engine cost:
+  *
+  *   1. OS page-cache prewarm: read every benched parquet file's bytes so
+  *      no timed run pays first-touch disk IO.
+  *   2. Warmup pass: execute every headline query once untimed (codegen
+  *      compiled, parquet footers/file index cached, JIT warm).
+  *   3. min of 5 timed runs per query. This host shows multi-second
+  *      transient freezes under shared load; min-of-N measures the
+  *      engine's cost, not a co-tenant stall that happened to land in a
+  *      run (round-1 driver run hit 5-13x inflation on sub-second queries
+  *      from exactly this).
+  *
+  * A query that throws is recorded in an "errors" field with exit 1 —
+  * never as a bogus time-until-failure sample. One JSON line on stdout.
+  */
 object Bench {
+  private def prewarmPageCache(sfDir: String): Unit = {
+    val buf = new Array[Byte](1 << 20)
+    java.nio.file.Files.list(java.nio.file.Paths.get(sfDir)).forEach { p =>
+      if (p.toString.endsWith(".parquet")) {
+        val in = java.nio.file.Files.newInputStream(p)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSessionFactory.localFromEnv(32, "graft-bench")
     val queries = SparkEntry.queries
     val names = SparkEntry.headlines
-    names.foreach(n => queries(n)(spark, sfDir).count()) // warmup pass
-    // min of 3 timed runs: the engine's cost, not co-tenant stalls (this
-    // host shows multi-second transient freezes under shared load)
-    val results = names.map { name =>
-      val times = (1 to 3).map { _ =>
+
+    prewarmPageCache(sfDir)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach { n => // warmup pass; also the single point of failure capture
+      try queries(n)(spark, sfDir).count()
+      catch { case e: Throwable => errors(n) = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200) }
+    }
+
+    val results = names.filterNot(errors.contains).map { name =>
+      val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        try { queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        queries(name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -26,7 +53,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
