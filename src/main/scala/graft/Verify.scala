@@ -8,6 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = SparkSessionFactory.localFromEnv(4, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // q70's input is generated, not a testdata table: materialize the
+    // deterministic enriched batch so DuckDB can aggregate the same rows.
+    graft.queries.Gps.writeVerifyInput(spark, sfDir, outDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -27,8 +30,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.queries.Gps.VerifyOutToken, outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

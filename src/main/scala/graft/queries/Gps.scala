@@ -2,25 +2,48 @@ package graft.queries
 
 import graft.sources.GpsGenerator
 import graft.streaming.Enrichment
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The reference's own pipeline surface as a gate-checked query: generate
   * the producer's telemetry (S1), enrich with the reference's exact
   * transformation (T2–T5, fixed clock for determinism), aggregate per
-  * direction — the SURVEY §7.2 acceptance query. No parquet input, so no
-  * SQL oracle (rows-only driver check); PipelineSpec asserts golden values
-  * through the full streaming path. */
+  * direction — the SURVEY §7.2 acceptance query.
+  *
+  * There is no parquet *input* table, but generation is deterministic
+  * (seed + injected clock), so the oracle is real: [[graft.Verify]]
+  * materializes the enriched batch to `<outDir>/_q70_input` and rewrites
+  * the [[VerifyOutToken]] placeholder in the oracle SQL to that absolute
+  * path, giving DuckDB the exact same rows to aggregate. PipelineSpec
+  * additionally asserts golden values through the full streaming path.
+  */
 object Gps {
+
+  /** Placeholder in oracle SQL that Verify replaces with its outDir. */
+  val VerifyOutToken = "__VERIFY_OUT__"
+
+  /** Row count scaled to the testdata SF, mirroring lineitem's ~6k/sf0.001. */
+  def inputRows(dir: String): Long =
+    if (dir.contains("sf0.1")) 600000L
+    else if (dir.contains("sf0.01")) 60000L else 6000L
+
+  /** The deterministic enriched batch every q70 consumer agrees on. */
+  def enrichedBatch(spark: SparkSession, dir: String): DataFrame =
+    Enrichment.enrich(
+      GpsGenerator.batch(spark, inputRows(dir), seed = 42L),
+      clockEpochSec = Some(1750000000L))
+
+  /** Materialize the enriched batch for the DuckDB oracle (called by
+    * Verify before dumping oracle_sql.json). */
+  def writeVerifyInput(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    enrichedBatch(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_q70_input")
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q70_gps_enrich_agg" -> QueryDef(
-      build = (spark, dir) => {
-        val n = if (dir.contains("sf0.1")) 600000L
-          else if (dir.contains("sf0.01")) 60000L else 6000L
-        val enriched = Enrichment.enrich(
-          GpsGenerator.batch(spark, n, seed = 42L),
-          clockEpochSec = Some(1750000000L))
-        enriched.groupBy(col("direction"))
+      build = (spark, dir) =>
+        enrichedBatch(spark, dir).groupBy(col("direction"))
           .agg(
             count(lit(1)).as("n_fixes"),
             round(sum(col("speed_kmh").cast(DecimalType(28, 2))).cast(DoubleType) /
@@ -28,9 +51,20 @@ object Gps {
             sum(when(col("fuel_level").isNull, 1).otherwise(0)).as("n_ev_fixes"),
             sum(when(col("collision_detected"), 1).otherwise(0)).as("n_collisions"),
             max(col("processed_date")).as("processed_date"))
-          .orderBy(col("direction"))
-      },
-      oracle = None,
+          .orderBy(col("direction")),
+      // speed_kmh is generated with exactly 2 decimal places, so the
+      // DECIMAL(28,2) cast is exact in both engines; sums are exact and the
+      // final double division/round operate on identical values.
+      oracle = Some(s"""
+        SELECT direction,
+               COUNT(*) AS n_fixes,
+               ROUND(CAST(SUM(CAST(speed_kmh AS DECIMAL(28,2))) AS DOUBLE)
+                     / COUNT(speed_kmh), 6) AS avg_speed,
+               CAST(SUM(CASE WHEN fuel_level IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ev_fixes,
+               CAST(SUM(CASE WHEN collision_detected THEN 1 ELSE 0 END) AS BIGINT) AS n_collisions,
+               MAX(processed_date) AS processed_date
+        FROM read_parquet('$VerifyOutToken/_q70_input/*.parquet')
+        GROUP BY direction ORDER BY direction"""),
       headline = true)
   )
 }
