@@ -61,6 +61,42 @@ class VectorsSpec extends SparkSpec {
     assert(hits >= 99, s"IVF planted-neighbor recall ${hits / 100.0}")
   }
 
+  test("q55 scale-path near-dup: precision 1 vs exact, planted recall ~1") {
+    // Precision: the verify stage is exact cosine, so every q55 pair must
+    // appear in q52's exact all-pairs answer with the identical rounded
+    // cosine (subset property — this is what lets q52 stay the oracle of
+    // record while q55 is the benched scale shape).
+    val qs = graft.SparkEntry.queries
+    val scaled = qs("q55_neardup_scale")(spark, sf).cache()
+    val exact = qs("q52_embedding_neardup")(spark, sf).cache()
+    assert(scaled.exceptAll(exact).isEmpty, "q55 emitted a pair not in the exact answer")
+    // Recall on the testdata regime (pairs at cosine 0.38-0.5, the hardest
+    // zone for sign-LSH — see the ρ analysis in Vectors.scala): bounded,
+    // not 1. Both sides deterministic, so this is a fixed number.
+    val nExact = exact.count()
+    val nFound = scaled.count()
+    assert(nExact > 0)
+    assert(nFound >= (nExact * 0.5).toLong,
+      s"scale-path recall ${nFound.toDouble / nExact} below 0.5 on low-sim regime")
+
+    // Planted high-similarity pairs (cosine ≈ 0.999, the production
+    // near-dup zone): recall must be ~1 through the same (T=16, b=6)
+    // bucketing.
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), vec64(col("embedding")).as("e"))
+      .limit(100)
+    val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("e"), x => x * 1.03 + 0.001).as("e"))
+    val all = base.unionAll(planted).cache()
+    val bucketed = all.withColumn("bucket", explode(lshBuckets(col("e"), 16, 6)))
+    val q = bucketed.where(col("vec_id") >= 100000L)
+      .select(col("vec_id").as("qid"), col("bucket"))
+    val hits = bucketed.join(q, Seq("bucket"))
+      .where(col("vec_id") === col("qid") - 100000L)
+      .select("qid").distinct().count()
+    assert(hits >= 99, s"planted near-dup recall ${hits / 100.0} at (T=16, b=6)")
+  }
+
   test("cosine expression is exact on known vectors") {
     val df = Seq((Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
       (Array(1.0f, 2.0f, 2.0f), Array(1.0f, 2.0f, 2.0f)),
