@@ -38,4 +38,24 @@ object SparkSessionFactory {
   /** Cores from SPARK_GRAFT_CPUS (driver contract), default per caller. */
   def localFromEnv(defaultCores: Int, appName: String = "graft"): SparkSession =
     local(sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCores.toString).toInt, appName)
+
+  /** Prod-profile Iceberg catalog wiring, key-for-key the reference's
+    * create_spark_session (spark_job.py:128-139): SparkCatalog bound to a
+    * warehouse with the Iceberg SQL extensions and S3FileIO. Exposed as
+    * data (rather than baked into a builder) because the offline build has
+    * no Iceberg jar to resolve these classes — `IcebergContractSpec`
+    * asserts the exact strings; a runtime with the jar applies them via
+    * `configs.foldLeft(builder)((b, kv) => b.config(kv._1, kv._2))`. */
+  def icebergCatalogConf(catalogName: String, warehouse: String,
+      region: String = "us-east-1"): Seq[(String, String)] = Seq(
+    s"spark.sql.catalog.$catalogName" -> "org.apache.iceberg.spark.SparkCatalog",
+    s"spark.sql.catalog.$catalogName.client.region" -> region,
+    s"spark.sql.catalog.$catalogName.warehouse" -> warehouse,
+    s"spark.sql.catalog.$catalogName.type" -> "glue",
+    "spark.sql.extensions" -> "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+    s"spark.sql.catalog.$catalogName.io-impl" -> "org.apache.iceberg.aws.s3.S3FileIO")
+
+  /** K4 namespace DDL, verbatim spark_job.py:144. */
+  def namespaceDdl(catalogName: String, namespace: String): String =
+    s"CREATE NAMESPACE IF NOT EXISTS $catalogName.$namespace"
 }

@@ -40,16 +40,30 @@ object ParquetSink extends TableSink {
 /** Prod sink: Iceberg copy-on-write table, option-for-option the
   * reference's writer chain (spark_job.py:47-57). Requires
   * `iceberg-spark-runtime` + a configured SparkCatalog at runtime —
-  * compile-time dependency-free (format is resolved by name). */
+  * compile-time dependency-free (format is resolved by name).
+  *
+  * The contract surface ([[format]], [[writerOptions]], the catalog wiring
+  * in [[graft.core.SparkSessionFactory.icebergCatalogConf]]) is exposed as
+  * data so `IcebergContractSpec` can assert it string-for-string against
+  * the reference even though no Iceberg jar is available offline. */
 object IcebergSink extends TableSink {
+
+  /** spark_job.py:47 — `write.format("iceberg")`. */
+  val format = "iceberg"
+
+  /** spark_job.py:49-54, in the reference's chaining order: parquet file
+    * format, copy-on-write for all three mutation modes, codec passthrough. */
+  def writerOptions(compression: String): Seq[(String, String)] = Seq(
+    "write.format.default" -> "parquet",
+    "write.delete.mode" -> "copy-on-write",
+    "write.update.mode" -> "copy-on-write",
+    "write.merge.mode" -> "copy-on-write",
+    "write.parquet.compression-codec" -> compression)
+
   def write(df: DataFrame, fqn: String, partitionCols: Seq[String],
       compression: String): Unit = {
-    var w = df.write.format("iceberg")
-      .option("write.format.default", "parquet")
-      .option("write.delete.mode", "copy-on-write")
-      .option("write.update.mode", "copy-on-write")
-      .option("write.merge.mode", "copy-on-write")
-      .option("write.parquet.compression-codec", compression)
+    var w = df.write.format(format)
+    writerOptions(compression).foreach { case (k, v) => w = w.option(k, v) }
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     createOrAppend(df.sparkSession, fqn, w)
   }
