@@ -50,6 +50,33 @@ object Bench {
       }
       name -> times.min
     }
+    // Ingest throughput: the reference's envelope is ingest-shaped
+    // (Firehose buffers -> <=10 files per micro-batch, poller.py:20-24), so
+    // measure MicroBatchPipeline end-to-end at the same batch shape:
+    // JSON file source (explicit schema) -> SQL enrichment -> parquet
+    // create-or-append, AvailableNow over pre-generated files. Generation
+    // is untimed; the timed span is stream start -> last commit.
+    val ingest = try {
+      val rows = if (sfDir.contains("sf0.1")) 600000L
+        else if (sfDir.contains("sf0.01")) 60000L else 6000L
+      val stamp = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+        .replaceAll("[^0-9a-zA-Z]", "")
+      val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+      graft.sources.GpsGenerator.writeJsonFiles(spark, s"$base/in", rows, files = 60)
+      val table = "graft_ingest_bench_" + stamp
+      val t0 = System.nanoTime()
+      graft.streaming.MicroBatchPipeline.runAvailable(spark,
+        graft.streaming.MicroBatchPipeline.Config(
+          inputDir = s"$base/in", checkpointDir = s"$base/ckpt", table = table))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val written = spark.table(table).count()
+      spark.sql(s"DROP TABLE $table")
+      s""","ingest":{"rows":$written,"sec":$sec,"rows_per_sec":${(written / sec).toLong}}"""
+    } catch { case e: Throwable =>
+      errors("ingest") = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200)
+      ""
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -57,7 +84,7 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$ingest$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
