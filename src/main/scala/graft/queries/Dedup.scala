@@ -99,18 +99,50 @@ object Dedup {
     // ---- q57: reproducible stratified sampling profile ----
     // Training-set construction: per-language fractions over documents via
     // partition-independent hash membership (operators.Sampling). Members
-    // derive from xxhash64, so rows-only driver check; SamplingSpec proves
-    // reproducibility, disjointness, and per-stratum proportions.
+    // derive from xxhash64 (engine-specific), so no SQL oracle — instead
+    // the output CARRIES its own evidence, checkable by the driver's
+    // rows-only gate and mirrored in SamplingSpec:
+    //   resample_diff  = |sample ∆ re-sample| for an independently built
+    //                    second sample, same seed — 0 row-for-row proves
+    //                    reproducibility;
+    //   frac_in_bounds = |achieved - target| ≤ 3σ binomial given the
+    //                    stratum population — proves the rate is honest.
     "q57_stratified_sample" -> QueryDef(
       build = (spark, dir) => {
-        val sampled = graft.operators.Sampling.stratifiedSample(
-          Tables.documents(spark, dir), "lang", Seq("doc_id"),
-          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1),
-          seed = 42L)
-        sampled.groupBy(col("lang"))
+        import graft.operators.Sampling
+        import spark.implicits._
+        val fracs = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
+          "es" -> 0.25, "zh" -> 0.1)
+        val docs = Tables.documents(spark, dir)
+        def sample() = Sampling.stratifiedSample(
+          docs, "lang", Seq("doc_id"), fracs, seed = 42L)
+        val s1 = sample()
+        val s2 = sample()
+        val targets = fracs.toSeq.sortBy(_._1).toDF("lang", "target_frac")
+        val totals = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"))
+        val diff = s1.select(col("lang"), col("doc_id"))
+          .exceptAll(s2.select(col("lang"), col("doc_id")))
+          .unionAll(s2.select(col("lang"), col("doc_id"))
+            .exceptAll(s1.select(col("lang"), col("doc_id"))))
+          .groupBy(col("lang")).agg(count(lit(1)).as("resample_diff"))
+        s1.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_sampled"),
             min(col("doc_id")).as("min_id"),
             max(col("doc_id")).as("max_id"))
+          .join(totals, Seq("lang"))
+          .join(broadcast(targets), Seq("lang"))
+          .join(diff, Seq("lang"), "left")
+          .na.fill(0L, Seq("resample_diff"))
+          .withColumn("achieved_frac",
+            round(col("n_sampled").cast("double") / col("n_total"), 6))
+          .withColumn("frac_in_bounds",
+            abs(col("achieved_frac") - col("target_frac")) <=
+              lit(3.0) * sqrt(col("target_frac") * (lit(1.0) - col("target_frac"))
+                / col("n_total")))
+          .select(col("lang"), col("n_total"), col("n_sampled"),
+            col("target_frac"), col("achieved_frac"), col("frac_in_bounds"),
+            col("resample_diff"), col("min_id"), col("max_id"))
           .orderBy(col("lang"))
       },
       oracle = None),

@@ -31,6 +31,23 @@ class SamplingSpec extends SparkSpec {
     assert(counts("de").toDouble / base("de") < 0.25)
   }
 
+  test("q57 gate output certifies itself: resample_diff 0, fractions in bounds") {
+    // Mirrors the evidence columns the driver sees in the rows-only gate:
+    // the second independent sample must match row-for-row (resample_diff
+    // = 0) and every stratum's achieved rate must sit within 3σ binomial
+    // of its target.
+    val rows = graft.SparkEntry.queries("q57_stratified_sample")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("resample_diff") == 0L,
+        s"stratum ${r.getAs[String]("lang")} not reproducible")
+      assert(r.getAs[Boolean]("frac_in_bounds"),
+        s"stratum ${r.getAs[String]("lang")}: achieved ${r.getAs[Double]("achieved_frac")} " +
+          s"vs target ${r.getAs[Double]("target_frac")}")
+    }
+  }
+
   test("train/test split is disjoint and exhaustive") {
     val (train, test) = Sampling.trainTestSplit(docs, Seq("doc_id"), 0.2, seed = 7)
     assert(train.count() + test.count() == docs.count())
