@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization — all declarative single-plan
+  * DataFrame code (no UDFs), all oracle-backed.
+  *
+  * Scale notes (100 TB posture): q62/q63/q66 are one window + one
+  * hash-partition exchange each, keyed on low-cardinality strata (lang /
+  * source) — at real scale the same plans hold with AQE handling stratum
+  * skew; q64 is embarrassingly parallel per-row regex (codegen'd); q65's
+  * explode multiplies rows ~|tokens|/stride-fold but never shuffles —
+  * chunking stays map-side, which is exactly what you want feeding a
+  * tokenizer.
+  */
+object Curation {
+
+  /** Deterministic, engine-portable pick key: md5 over (doc_id || text).
+    * Both Spark and DuckDB emit the same 32-char lowercase hex, so ordered
+    * selections ("pick k per stratum") are oracle-checkable — unlike
+    * xxhash64, which is engine-specific. */
+  private def pickKey = md5(concat(col("doc_id").cast("string"), col("text")).cast("binary"))
+
+  private val SqlPickKey = "md5(CONCAT(CAST(doc_id AS VARCHAR), text))"
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q62: per-language quality-percentile filter ----
+    // Keep documents at or above their language's 25th percentile of
+    // type-token ratio — the "drop the worst quartile per language" cut.
+    // percent_rank is (rank-1)/(n-1), exact in double, and the (ttr,
+    // doc_id) ordering is tie-free, so both engines agree bit-for-bit.
+    "q62_quality_percentile" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = split(trim(col("text")), " ")
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("ttr"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("ttr"), col("doc_id"))
+        d.withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") >= 0.25)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("ttr")).as("min_ttr"),
+            max(col("ttr")).as("max_ttr"),
+            sum(col("n_chars")).as("chars_kept"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, lang, n_chars,
+                 ROUND(CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                       / len(string_split(trim(text), ' ')), 6) AS ttr
+          FROM documents),
+        r AS (SELECT *, PERCENT_RANK() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS pr
+              FROM d)
+        SELECT lang, COUNT(*) AS n_kept,
+               MIN(ttr) AS min_ttr, MAX(ttr) AS max_ttr,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        FROM r WHERE pr >= 0.25
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- q63: deterministic exact-k pick per stratum ----
+    // "Exactly 10 documents per language, reproducibly, engine-portably":
+    // rank by the md5 pick key and keep the first k — the fixed-size
+    // cousin of q57's fixed-rate sample.
+    "q63_stratum_exact_k" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("pick_key"), col("doc_id"))
+        Tables.documents(spark, dir)
+          .select(col("lang"), col("doc_id"), pickKey.as("pick_key"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 10)
+          .select(col("lang"), col("rn"), col("doc_id"), col("pick_key"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT lang, doc_id, $SqlPickKey AS pick_key,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY $SqlPickKey, doc_id) AS rn
+          FROM documents)
+        SELECT lang, rn, doc_id, pick_key
+        FROM r WHERE rn <= 10 ORDER BY lang, rn""")),
+
+    // ---- q64: PII-pattern scrub + entity masking ----
+    // Per-row regex redaction: count email/phone-shaped spans (none exist
+    // in this synthetic corpus — the counts prove the scan ran and found
+    // zero) and mask a known-entity lexicon, reporting hit counts and the
+    // post-mask length. Pure codegen'd per-row work, no shuffle at all
+    // until the final presentation sort.
+    "q64_pii_scrub" -> QueryDef(
+      build = (spark, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+        val entity = "\\b(customer|spark)\\b"
+        val masked = regexp_replace(col("text"), entity, "[ENT]")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+            regexp_count(col("text"), lit(phone)).cast("long").as("n_phone"),
+            regexp_count(col("text"), lit(entity)).cast("long").as("n_masked"),
+            length(masked).cast("long").as("masked_len"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+               len(regexp_extract_all(text, '\b(customer|spark)\b')) AS n_masked,
+               length(regexp_replace(text, '\b(customer|spark)\b', '[ENT]', 'g')) AS masked_len
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- q65: sliding-window document chunking ----
+    // Tokenizer feed: 32-token windows at stride 16 (docs shorter than one
+    // window yield one short chunk). explode(sequence(...)) keeps the whole
+    // thing map-side — chunk rows are born in the partition that read the
+    // document.
+    "q65_doc_chunking" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = split(trim(col("text")), " ")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), greatest(size(col("toks")) - 32, lit(0)), lit(16)))
+              .as("chunk_start"))
+          .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+            size(slice(col("toks"), col("chunk_start") + 1, lit(32))).cast("long").as("n_tok"),
+            concat_ws(" ", slice(col("toks"), col("chunk_start") + 1, lit(32))).as("chunk"))
+          .orderBy(col("doc_id"), col("chunk_start"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+                     unnest(generate_series(0, greatest(len(toks)-32, 0), 16)) AS chunk_start
+              FROM t)
+        SELECT doc_id, chunk_start,
+               len(list_slice(toks, chunk_start+1, chunk_start+32)) AS n_tok,
+               array_to_string(list_slice(toks, chunk_start+1, chunk_start+32), ' ') AS chunk
+        FROM s ORDER BY doc_id, chunk_start""")),
+
+    // ---- q66: per-source document cap (C4-style domain cap) ----
+    // Cap every source at 30 documents, picked by the deterministic key —
+    // the standard guard against one domain dominating the mixture. Output
+    // reports per-source population vs kept so the cap is auditable.
+    "q66_source_cap" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+        val w = Window.partitionBy(col("source")).orderBy(col("pick_key"), col("doc_id"))
+        val kept = d.select(col("source"), col("doc_id"), col("n_chars"),
+            pickKey.as("pick_key"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 30)
+        val totals = d.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+        kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+          .join(totals, Seq("source"))
+          .select(col("source"), col("n_total"), col("n_kept"), col("chars_kept"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY $SqlPickKey, doc_id) AS rn
+          FROM documents),
+        k AS (SELECT source, COUNT(*) AS n_kept,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+              FROM r WHERE rn <= 30 GROUP BY source),
+        t AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source)
+        SELECT k.source, t.n_total, k.n_kept, k.chars_kept
+        FROM k JOIN t USING (source) ORDER BY source"""))
+  )
+}
