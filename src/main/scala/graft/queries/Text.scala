@@ -163,10 +163,18 @@ object Text {
           .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
         val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
           .filter(col("n_sh") > 0)
+        // Join on the shingle's 64-bit hash, not the string: the hash
+        // projection runs map-side before the join exchange, so the shuffle
+        // ships 8-byte longs instead of ~25-byte text trigrams and the join
+        // compares longs. Exactness is preserved up to xxhash64 collisions
+        // within the co-shingled vocabulary (≤64k distinct trigrams here →
+        // P[any collision] ~ 1e-10), and the DuckDB oracle hash-compare
+        // would catch one — the gate doubles as the collision check.
         val ex = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-        val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
-        val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
-        a.join(b, Seq("shingle"))
+          .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shash"))
+        val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shash"))
+        val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shash"))
+        a.join(b, Seq("shash"))
           .filter(col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
           .agg(count(lit(1)).as("n_common"))
