@@ -21,4 +21,41 @@ class CompactionSpec extends SparkSpec {
       assert(spark.table("li_frag").count() == rowsBefore + 10)
     } finally spark.sql("DROP TABLE IF EXISTS li_frag")
   }
+
+  test("recovers a swap stranded between DROP and RENAME") {
+    // Simulate the crash window: data lives only under __compact_tmp, the
+    // original name is gone. The next compactTable must complete the rename
+    // first, then compact normally — no data loss, correct final state.
+    val li = Tables.lineitem(spark, sf).limit(1000)
+    try {
+      li.repartition(8).write.format("parquet")
+        .mode("overwrite").saveAsTable("li_crash__compact_tmp")
+      assert(!spark.catalog.tableExists("li_crash"))
+      val r = Compaction.compactTable(spark, "li_crash", targetFileBytes = 1L << 30)
+      assert(spark.catalog.tableExists("li_crash"))
+      assert(!spark.catalog.tableExists("li_crash__compact_tmp"))
+      assert(spark.table("li_crash").count() == 1000)
+      assert(r.filesAfter == 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_crash")
+      spark.sql("DROP TABLE IF EXISTS li_crash__compact_tmp")
+    }
+  }
+
+  test("clears a stale tmp left by a pre-DROP crash without touching the table") {
+    // Crash BEFORE the DROP: both tables exist; the tmp is stale state from
+    // the failed run and must be discarded, the original left as-is.
+    val li = Tables.lineitem(spark, sf).limit(500)
+    try {
+      li.write.format("parquet").mode("overwrite").saveAsTable("li_stale")
+      li.limit(100).write.format("parquet")
+        .mode("overwrite").saveAsTable("li_stale__compact_tmp")
+      Compaction.compactTable(spark, "li_stale", targetFileBytes = 1L << 30)
+      assert(spark.table("li_stale").count() == 500) // original data, not the stale tmp's
+      assert(!spark.catalog.tableExists("li_stale__compact_tmp"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_stale")
+      spark.sql("DROP TABLE IF EXISTS li_stale__compact_tmp")
+    }
+  }
 }

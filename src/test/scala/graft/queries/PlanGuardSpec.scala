@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards for the scale-critical plan properties
+  * the 100 TB posture depends on. PLANS.md snapshots these for human
+  * review; this spec makes the load-bearing ones break the build instead
+  * of waiting for a reviewer to notice:
+  *
+  *  - filters/pruning must reach the parquet scan (a scan reading all
+  *    columns for a narrow projection multiplies IO at any scale),
+  *  - constant-size dims must broadcast (a shuffled 5-row join side means
+  *    the fact table shuffled for nothing),
+  *  - top-k windows must prune partials before the exchange,
+  *  - the LSH scale path must never degenerate into a nested-loop or
+  *    cartesian plan — that would silently reintroduce the O(N²) shape it
+  *    exists to avoid.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02: filter is pushed to the parquet scan and the schema is pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]].*"), "no pushed filters on the scan")
+    assert(!p.contains("l_comment"), "unprojected wide column read from parquet")
+  }
+
+  test("q01: aggregation is partial before the exchange") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    // two HashAggregate nodes (partial below the exchange, final above it)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "aggregation not split partial/final around the exchange")
+  }
+
+  test("q05: constant-size dims join via broadcast, not shuffle") {
+    val p = plan("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), "region/nation dims not broadcast")
+  }
+
+  test("q15: window top-N prunes with WindowGroupLimit before the exchange") {
+    val p = plan("q15_window_topn")
+    assert(p.contains("WindowGroupLimit"), "top-N window materializes full partitions")
+  }
+
+  test("q55: the LSH scale path plans no cartesian/nested-loop join") {
+    val p = plan("q55_neardup_scale")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "scale path degenerated into an all-pairs join")
+  }
+
+  test("q03: top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q03_top_revenue_orders")
+    assert(p.contains("TakeOrderedAndProject"), "top-k executes as a global sort")
+  }
+}
