@@ -114,6 +114,27 @@ object Curation {
                length(regexp_replace(text, '\b(customer|spark)\b', '[ENT]', 'g')) AS masked_len
         FROM documents ORDER BY doc_id""")),
 
+    // ---- q67: reproducible global shuffle ----
+    // Training-example order randomization that is stable across engines,
+    // partitioning, and replays: position = rank of the md5 pick key. The
+    // window is over the whole corpus — at 100 TB you'd range-partition on
+    // pick_key instead of a single ordering (same result, distributed
+    // sort); the semantics (and oracle) are identical.
+    "q67_global_shuffle" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.orderBy(col("pick_key"), col("doc_id"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), pickKey.as("pick_key"))
+          .withColumn("shuffle_pos", row_number().over(w).cast("long"))
+          .select(col("shuffle_pos"), col("doc_id"))
+          .orderBy(col("shuffle_pos"))
+          .limit(100)
+      },
+      oracle = Some(s"""
+        SELECT ROW_NUMBER() OVER (ORDER BY $SqlPickKey, doc_id) AS shuffle_pos,
+               doc_id
+        FROM documents ORDER BY shuffle_pos LIMIT 100""")),
+
     // ---- q65: sliding-window document chunking ----
     // Tokenizer feed: 32-token windows at stride 16 (docs shorter than one
     // window yield one short chunk). explode(sequence(...)) keeps the whole
@@ -140,7 +161,8 @@ object Curation {
         SELECT doc_id, chunk_start,
                len(list_slice(toks, chunk_start+1, chunk_start+32)) AS n_tok,
                array_to_string(list_slice(toks, chunk_start+1, chunk_start+32), ' ') AS chunk
-        FROM s ORDER BY doc_id, chunk_start""")),
+        FROM s ORDER BY doc_id, chunk_start"""),
+      headline = true),
 
     // ---- q66: per-source document cap (C4-style domain cap) ----
     // Cap every source at 30 documents, picked by the deterministic key —

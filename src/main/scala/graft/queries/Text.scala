@@ -302,7 +302,8 @@ object Text {
                  AS avg_quality,
                MIN(doc_id) AS first_doc
         FROM kept WHERE rn = 1
-        GROUP BY lang ORDER BY lang""")),
+        GROUP BY lang ORDER BY lang"""),
+      headline = true),
 
     // ---- q45: deterministic document fingerprint (rolling hash) ----
     "q45_fingerprint" -> QueryDef(
