@@ -164,6 +164,29 @@ object Curation {
         FROM s ORDER BY doc_id, chunk_start"""),
       headline = true),
 
+    // ---- q69: vocabulary building (token frequency table) ----
+    // The input to tokenizer/BPE training: global token counts and
+    // document frequencies, top-50 by count. explode → partial-count
+    // map-side → one exchange on token; at 100 TB the same plan holds
+    // (token cardinality, not corpus size, drives the shuffle).
+    "q69_vocab_top_tokens" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = split(trim(col("text")), " ")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(toks).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                   FROM documents)
+        SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM t GROUP BY token
+        ORDER BY n DESC, token LIMIT 50""")),
+
     // ---- q66: per-source document cap (C4-style domain cap) ----
     // Cap every source at 30 documents, picked by the deterministic key —
     // the standard guard against one domain dominating the mixture. Output

@@ -210,6 +210,39 @@ object Events {
         SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
                COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
                ${sqlSum("value", 2)} AS sum_value
-        FROM events GROUP BY 1 ORDER BY hour_of_day"""))
+        FROM events GROUP BY 1 ORDER BY hour_of_day""")),
+
+    // ---- q68: cohort retention matrix ----
+    // Classic product/event analytics: cohort = the user's first active
+    // day; cell (cohort, day_offset) = distinct users from that cohort
+    // active offset days later. Two shuffles (per-user min, then the
+    // cohort-cell distinct+count) — both key-partitioned, no windows over
+    // the whole table, so the plan scales with users, not events².
+    "q68_retention_cohorts" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        val first = e.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        e.join(first, Seq("user_id"))
+          .select(col("user_id"), col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+          .distinct()
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+            col("day_offset"), col("n_active"))
+          .orderBy(col("cohort"), col("day_offset"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+        j AS (SELECT DISTINCT e.user_id, cohort_day,
+                     date_diff('day', cohort_day, day) AS day_offset
+              FROM e JOIN f USING (user_id))
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort, day_offset,
+               COUNT(*) AS n_active
+        FROM j GROUP BY cohort_day, day_offset
+        ORDER BY cohort, day_offset"""))
   )
 }
