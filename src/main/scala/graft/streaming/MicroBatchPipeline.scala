@@ -37,7 +37,13 @@ object MicroBatchPipeline {
       maxFilesPerTrigger: Int = 10, // ≙ SQS batch_size=10 (spark_job.py:173)
       processingInterval: Option[String] = Some("10 seconds"), // ≙ sleep(10); None => AvailableNow
       sqlQuery: Option[String] = Some(Enrichment.defaultSql),
-      clockEpochSec: Option[Long] = None)
+      clockEpochSec: Option[Long] = None,
+      // true => stamp rows with the micro-batch id and commit via dynamic
+      // partition overwrite (IdempotentParquetSink): replaying a batch
+      // after a crash between table write and checkpoint commit replaces
+      // its own partition instead of double-appending. Default false keeps
+      // the reference's plain-append table layout.
+      idempotentCommit: Boolean = false)
 
   /** Start the stream: JSON file source (explicit schema — no inference
     * double-read) → enrichment → create-or-append sink. */
@@ -56,14 +62,18 @@ object MicroBatchPipeline {
     source.writeStream
       .option("checkpointLocation", config.checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val enriched = config.clockEpochSec match {
             // Injected clock => deterministic column-DSL path (golden tests).
             case Some(_) => Enrichment.enrich(batch, config.clockEpochSec)
             case None    => Enrichment.enrichSql(batch, config.sqlQuery)
           }
-          sink.write(enriched, config.table, config.partitionCols, config.compression)
+          if (config.idempotentCommit)
+            IdempotentParquetSink.write(enriched, config.table, batchId,
+              config.partitionCols, config.compression)
+          else
+            sink.write(enriched, config.table, config.partitionCols, config.compression)
           if (config.sqlQuery.isDefined && config.clockEpochSec.isEmpty)
             // The view lives in the batch's (cloned) session catalog.
             batch.sparkSession.catalog.dropTempView("temp_view") // spark_job.py:68-69

@@ -108,6 +108,39 @@ class PipelineSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("idempotent commit: replaying a committed batch does not duplicate rows") {
+    // The crash window plain append cannot close: table write done,
+    // checkpoint offset not committed, stream restarts and re-runs the
+    // batch. With idempotentCommit the re-run must REPLACE partition
+    // batch_id=N, leaving counts and content unchanged.
+    val in = tmpDir("gps-in5")
+    val table = "gps_idem"
+    GpsGenerator.writeJsonFiles(spark, in, n = 300, files = 2,
+      baseEpoch = 1750000000L)
+    MicroBatchPipeline.runAvailable(spark, MicroBatchPipeline.Config(
+      inputDir = in, checkpointDir = tmpDir("gps-ckpt5"), table = table,
+      clockEpochSec = Some(1750000000L), idempotentCommit = true))
+    val afterFirst = spark.table(table).count()
+    assert(afterFirst == 300)
+    val batchIds = spark.table(table).select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchIds.size == 1, "2 files under maxFilesPerTrigger=10 => one batch")
+
+    // Simulate the replay: re-commit the SAME batch id with the same data
+    // directly through the sink (what a restarted stream would do).
+    val replay = Enrichment.enrich(
+      graft.sources.JsonBatchReader.readGps(spark,
+        new java.io.File(in).listFiles().filter(_.getName.endsWith(".json"))
+          .map(_.getAbsolutePath).sorted.toSeq),
+      clockEpochSec = Some(1750000000L))
+    IdempotentParquetSink.write(replay, table, batchIds.head)
+    spark.catalog.refreshTable(table)
+    assert(spark.table(table).count() == afterFirst,
+      "replaying a committed batch changed the row count")
+    assert(spark.table(table).select("batch_id").distinct().count() == 1)
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("explicit-schema read equals reference's inference read") {
     val in = tmpDir("gps-in3")
     GpsGenerator.writeJsonFiles(spark, in, 400, 2)
