@@ -79,6 +79,42 @@ def dtype_mismatches(stab, dtab):
             if stypes[c] != dtypes[c]]
 
 
+# Rows-only queries whose OUTPUT carries its own correctness evidence:
+# validate those columns locally even though no SQL oracle exists.
+def check_q57(df):
+    assert (df["resample_diff"] == 0).all(), "q57: sample not reproducible"
+    assert df["frac_in_bounds"].all(), "q57: stratum rate outside 3-sigma"
+
+def check_q28(df):
+    assert (df["hll_rel_err"].abs() <= 0.05).all(), "q28: HLL error > 5%"
+    p50_rel = ((df["p50_approx"] - df["p50_exact"]) / df["p50_exact"]).abs()
+    assert (p50_rel <= 0.01).all(), "q28: GK p50 error > 1%"
+
+SELF_CHECKS = {
+    "q57_stratified_sample": check_q57,
+    "q28_sketch_aggs": check_q28,
+}
+
+
+def run_self_checks(outdir):
+    """Returns (n_pass, n_fail) over the self-certifying rows-only dumps."""
+    n_pass = n_fail = 0
+    for name, check in sorted(SELF_CHECKS.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name} (self-check): no spark output")
+            n_fail += 1
+            continue
+        try:
+            check(pq.read_table(files).to_pandas())
+            print(f"PASS {name} (self-check)")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"FAIL {name} (self-check): {e}")
+            n_fail += 1
+    return n_pass, n_fail
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -129,6 +165,9 @@ def main():
         else:
             print(f"PASS {name} ({len(srows)} rows)")
             n_pass += 1
+    sp, sf_ = run_self_checks(outdir)
+    n_pass += sp
+    n_fail += sf_
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
