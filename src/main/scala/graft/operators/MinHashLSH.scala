@@ -35,7 +35,19 @@ object MinHashLSH {
       threshold: Double = 0.4): DataFrame = {
 
     val rowsPerBand = numHashes / bands
-    val withSh = docs
+    // Shingling is the compute-heavy stage and its output feeds THREE
+    // consumers (signature, both verification sides), each of which
+    // re-evaluates the kernel. Spreading the input across cores when it
+    // arrives under-parallelized (a small parquet = one split that would
+    // serialize all three evaluations on one core) bounds that cost; the
+    // repartition exchange itself is computed once and reused by all
+    // branches (ReuseExchange). At real scale the file splits already
+    // provide parallelism and the guard makes this a no-op.
+    val spread = {
+      val cores = docs.sparkSession.sparkContext.defaultParallelism
+      if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
+    }
+    val withSh = spread
       .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 
