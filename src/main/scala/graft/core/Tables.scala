@@ -55,6 +55,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Spread a DataFrame across the session's cores when the source arrived
+    * under-parallelized (a small parquet = one split, which serializes any
+    * compute-heavy map stage on one core). No-op when the scan already has
+    * enough splits — i.e., at real scale. Use ahead of expensive per-row
+    * kernels (shingling, signatures), not cheap scans. */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Register every table as a temp view (for spark.sql-path queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -43,11 +43,7 @@ object MinHashLSH {
     // repartition exchange itself is computed once and reused by all
     // branches (ReuseExchange). At real scale the file splits already
     // provide parallelism and the guard makes this a no-op.
-    val spread = {
-      val cores = docs.sparkSession.sparkContext.defaultParallelism
-      if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
-    }
-    val withSh = spread
+    val withSh = graft.core.Tables.spread(docs)
       .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 

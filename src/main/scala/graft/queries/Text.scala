@@ -159,7 +159,9 @@ object Text {
     // at 100 TB you run q46 and reserve this for candidate verification.
     "q44_ngram_jaccard" -> QueryDef(
       build = (spark, dir) => {
-        val d = Tables.documents(spark, dir)
+        // spread: shingling a single-split source would serialize on one
+        // core before the join exchange (no-op at real scale).
+        val d = Tables.spread(Tables.documents(spark, dir))
           .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
         val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
           .filter(col("n_sh") > 0)
