@@ -16,4 +16,17 @@ class TablesSpec extends SparkSpec {
     assert(df.schema("ts").dataType.typeName == "timestamp")
     assert(spark.conf.getOption(key) == prev)
   }
+
+  test("spread parallelizes an under-split source and no-ops a wide one") {
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    val narrow = (1 to 1000).toDF("x").coalesce(1)
+    val s = Tables.spread(narrow)
+    assert(s.rdd.getNumPartitions == cores)
+    assert(s.count() == 1000)
+    val wide = (1 to 1000).toDF("x").repartition(cores + 4)
+    // already >= cores: must return the input plan unchanged (no extra
+    // exchange at real scale)
+    assert(Tables.spread(wide) eq wide)
+  }
 }
