@@ -187,6 +187,47 @@ object Curation {
         FROM t GROUP BY token
         ORDER BY n DESC, token LIMIT 50""")),
 
+    // ---- q71: benchmark decontamination (n-gram overlap) ----
+    // The pre-training hygiene check: which training documents share long
+    // n-grams with the held-out eval set. Same inverted-index shape as the
+    // exact shingle join (q44) but across two corpus slices, joined on
+    // 64-bit gram hashes (8-byte shuffle rows; the corpus's docs are
+    // ~60-70 tokens over a ~40-word vocabulary, so 5-grams play the role
+    // 13-grams do on real text — 40^5 ≈ 1e8 possible grams, a shared one
+    // indicates copying).
+    // At 100 TB the eval side is small — Spark broadcasts it and the
+    // training corpus never shuffles.
+    "q71_decontamination" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.{shingles, tokens}
+        val d = Tables.spread(Tables.documents(spark, dir))
+          .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val ex = d.select(col("doc_id"), explode(col("sh")).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        val evalSide = ex.filter(col("doc_id") < 25)
+          .select(col("doc_id").as("eval_id"), col("gh"))
+        val train = ex.filter(col("doc_id") >= 25)
+          .select(col("doc_id").as("train_id"), col("gh"))
+        train.join(broadcast(evalSide), Seq("gh"))
+          .groupBy(col("eval_id"), col("train_id"))
+          .agg(count(lit(1)).as("n_shared")) // shingles are per-doc distinct
+          .orderBy(col("eval_id"), col("train_id"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(1, greatest(len(toks) - 3, 1)),
+                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+                 AS grams
+               FROM t),
+        ex AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE len(grams) > 0)
+        SELECT e.doc_id AS eval_id, tr.doc_id AS train_id, COUNT(*) AS n_shared
+        FROM ex e JOIN ex tr ON e.g = tr.g
+        WHERE e.doc_id < 25 AND tr.doc_id >= 25
+        GROUP BY 1, 2 ORDER BY eval_id, train_id""")),
+
     // ---- q66: per-source document cap (C4-style domain cap) ----
     // Cap every source at 30 documents, picked by the deterministic key —
     // the standard guard against one domain dominating the mixture. Output
