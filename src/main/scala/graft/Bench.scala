@@ -19,6 +19,31 @@ import graft.core.SparkSessionFactory
   * never as a bogus time-until-failure sample. One JSON line on stdout.
   */
 object Bench {
+
+  /** Attributes shuffle bytes to a label via job groups: JobStart carries
+    * the group id and the job's stage ids; TaskEnd metrics are summed into
+    * whichever label owns the task's stage. Gives the scale-review loop a
+    * measured answer to "how much does this query actually shuffle". */
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    private val stageToLabel = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val read = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    val write = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val label = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+      if (label.nonEmpty) js.stageIds.foreach(sid => stageToLabel.put(sid, label))
+    }
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val label = stageToLabel.get(te.stageId)
+      if (label != null && te.taskMetrics != null) {
+        read.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder)
+          .add(te.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        write.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder)
+          .add(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
   private def prewarmPageCache(sfDir: String): Unit = {
     val buf = new Array[Byte](1 << 20)
     java.nio.file.Files.list(java.nio.file.Paths.get(sfDir)).forEach { p =>
@@ -36,10 +61,14 @@ object Bench {
     val names = SparkEntry.headlines
 
     prewarmPageCache(sfDir)
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    names.foreach { n => // warmup pass; also the single point of failure capture
+    names.foreach { n => // warmup pass; also meters shuffle bytes + captures failures
+      spark.sparkContext.setJobGroup(n, n)
       try queries(n)(spark, sfDir).count()
       catch { case e: Throwable => errors(n) = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200) }
+      finally spark.sparkContext.clearJobGroup()
     }
 
     val results = names.filterNot(errors.contains).map { name =>
@@ -79,12 +108,21 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // One warmup execution per query was metered. Listener events are
+    // async, but the full timed pass (seconds of queries) has run since
+    // warmup; the brief sleep covers any last in-flight TaskEnd events.
+    Thread.sleep(1000)
+    val shuffle = names.map { n =>
+      val r = Option(meter.read.get(n)).map(_.sum).getOrElse(0L)
+      val w = Option(meter.write.get(n)).map(_.sum).getOrElse(0L)
+      "\"" + n + "\":{\"read\":" + r + ",\"write\":" + w + "}"
+    }.mkString(",\"shuffle_bytes\":{", ",", "}")
     val total = results.map(_._2).sum
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$ingest$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$shuffle$ingest$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
