@@ -660,6 +660,94 @@ object Analytics {
         JOIN nation nc ON c_nationkey = nc.n_nationkey
         JOIN nation ns ON s_nationkey = ns.n_nationkey
         WHERE nc.n_name != ns.n_name
-        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ---- q72: window-function breadth (ntile/cume_dist/value functions) ----
+    // The remaining window families over one tie-free ordering (both
+    // engines' default frame is RANGE UNBOUNDED PRECEDING..CURRENT ROW, so
+    // nth_value(2) is NULL on each partition's first row in both).
+    "q72_window_value_funcs" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(spark, dir)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(cume_dist().over(w), 6).as("cd"),
+            first(col("o_orderkey")).over(w).as("cheapest_key"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+          .limit(200)
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               ntile(4) OVER w AS quartile,
+               ROUND(cume_dist() OVER w, 6) AS cd,
+               first_value(o_orderkey) OVER w AS cheapest_key,
+               nth_value(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderstatus, o_totalprice, o_orderkey LIMIT 200""")),
+
+    // ---- q73: GROUPING SETS + grouping_id ----
+    // The general form rollup/cube (q13/q14) specialize; grouping_id bit
+    // convention (1 = column aggregated away) matches across engines.
+    "q73_grouping_sets" -> QueryDef(
+      build = (spark, dir) => {
+        Tables.orders(spark, dir).createOrReplaceTempView("orders_q73")
+        spark.sql("""
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                 COUNT(*) AS n
+          FROM orders_q73
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ---- q74: exact percentile arrays ----
+    // Exact linear-interpolation quantiles (not the approx sketch — that's
+    // q28); both engines interpolate (1-d)*x[k] + d*x[k+1].
+    "q74_exact_percentiles" -> QueryDef(
+      build = (spark, dir) => {
+        Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q74")
+        spark.sql("""
+          SELECT l_returnflag,
+                 percentile(l_quantity, array(0.25D, 0.5D, 0.75D)) AS q_quantity,
+                 percentile(l_extendedprice, array(0.5D)) AS med_price
+          FROM lineitem_q74
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q_quantity,
+               quantile_cont(l_extendedprice, [0.5]) AS med_price
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q75: ordered distinct string aggregation ----
+    // listagg semantics made deterministic: collect distinct, sort, join —
+    // the only order-stable form of string aggregation in a parallel
+    // engine.
+    "q75_string_agg" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+            .as("priorities"),
+            countDistinct(col("o_orderpriority")).as("n_priorities"))
+          .orderBy(col("o_orderstatus")),
+      oracle = Some("""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+                 AS priorities,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
