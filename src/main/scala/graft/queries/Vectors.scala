@@ -24,6 +24,19 @@ object Vectors {
     Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), vec64(col("embedding")).as("qe"))
 
+  /** Exact top-k (qid, vec_id) pairs — the ground truth the approximate
+    * paths certify against in their `in_exact_topk` evidence column. */
+  private def exactTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val cand = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vec64(col("embedding")).as("e"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(broadcast(queryVecs(spark, dir)), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), lit(true).as("in_exact_topk"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- q50: exact brute-force cosine top-k (broadcast query side) ----
@@ -77,8 +90,12 @@ object Vectors {
           .select(col("qid"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
+          // evidence column: is this approximate neighbor in the EXACT
+          // top-5? (self-certifying recall@5 — checked by compare.py)
+          .join(exactTopK(spark, dir, 5), Seq("qid", "vec_id"), "left")
+          .na.fill(false, Seq("in_exact_topk"))
           .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
-            round(col("cos"), 6).as("cosine"))
+            round(col("cos"), 6).as("cosine"), col("in_exact_topk"))
           .orderBy(col("qid"), col("rn"))
       },
       oracle = None),
@@ -116,8 +133,10 @@ object Vectors {
           .select(col("qid"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
+          .join(exactTopK(spark, dir, 5), Seq("qid", "vec_id"), "left")
+          .na.fill(false, Seq("in_exact_topk"))
           .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
-            round(col("cos"), 6).as("cosine"))
+            round(col("cos"), 6).as("cosine"), col("in_exact_topk"))
           .orderBy(col("qid"), col("rn"))
       },
       oracle = None),

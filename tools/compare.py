@@ -90,9 +90,18 @@ def check_q28(df):
     p50_rel = ((df["p50_approx"] - df["p50_exact"]) / df["p50_exact"]).abs()
     assert (p50_rel <= 0.01).all(), "q28: GK p50 error > 1%"
 
+def check_ann(bound):
+    def check(df):
+        r = df["in_exact_topk"].mean()
+        assert r >= bound, f"ANN recall@5 {r:.2f} below {bound}"
+    return check
+
 SELF_CHECKS = {
     "q57_stratified_sample": check_q57,
     "q28_sketch_aggs": check_q28,
+    # deterministic measured recall at sf0.01: LSH 0.72, IVF 0.92
+    "q51_ann_lsh": check_ann(0.6),
+    "q54_ann_ivf": check_ann(0.8),
 }
 
 
