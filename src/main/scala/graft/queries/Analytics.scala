@@ -731,6 +731,49 @@ object Analytics {
         FROM lineitem
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- q76: unpivot (melt) — the inverse of the q20 pivot ----
+    "q76_unpivot" -> QueryDef(
+      build = (spark, dir) => {
+        val agg = Tables.orders(spark, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("urgent"),
+            sum(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0)).as("low"))
+        agg.unpivot(Array(col("o_orderstatus")),
+            Array(col("urgent"), col("low")), "priority", "n")
+          .orderBy(col("o_orderstatus"), col("priority"))
+      },
+      oracle = Some("""
+        WITH agg AS (SELECT o_orderstatus,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+             FROM orders GROUP BY 1)
+        SELECT o_orderstatus, name AS priority, value AS n
+        FROM agg UNPIVOT (value FOR name IN (urgent, low))
+        ORDER BY o_orderstatus, priority""")),
+
+    // ---- q77: correlated EXISTS subquery (decorrelates to a semi-join
+    // with a pushed predicate — a different rewrite than q27's IN) ----
+    "q77_exists_subquery" -> QueryDef(
+      build = (spark, dir) => {
+        Tables.customer(spark, dir).createOrReplaceTempView("customer_q77")
+        Tables.orders(spark, dir).createOrReplaceTempView("orders_q77")
+        spark.sql("""
+          SELECT c_mktsegment, COUNT(*) AS n_with_orders
+          FROM customer_q77 c
+          WHERE EXISTS (SELECT 1 FROM orders_q77 o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 300000)
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_with_orders
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ---- q75: ordered distinct string aggregation ----
     // listagg semantics made deterministic: collect distinct, sort, join —
     // the only order-stable form of string aggregation in a parallel
