@@ -23,22 +23,22 @@ class CompactionSpec extends SparkSpec {
   }
 
   test("recovers a swap stranded between DROP and RENAME") {
-    // Simulate the crash window: data lives only under __compact_tmp, the
+    // Simulate the crash window: data lives only under __swap_tmp, the
     // original name is gone. The next compactTable must complete the rename
     // first, then compact normally — no data loss, correct final state.
     val li = Tables.lineitem(spark, sf).limit(1000)
     try {
       li.repartition(8).write.format("parquet")
-        .mode("overwrite").saveAsTable("li_crash__compact_tmp")
+        .mode("overwrite").saveAsTable("li_crash__swap_tmp")
       assert(!spark.catalog.tableExists("li_crash"))
       val r = Compaction.compactTable(spark, "li_crash", targetFileBytes = 1L << 30)
       assert(spark.catalog.tableExists("li_crash"))
-      assert(!spark.catalog.tableExists("li_crash__compact_tmp"))
+      assert(!spark.catalog.tableExists("li_crash__swap_tmp"))
       assert(spark.table("li_crash").count() == 1000)
       assert(r.filesAfter == 1)
     } finally {
       spark.sql("DROP TABLE IF EXISTS li_crash")
-      spark.sql("DROP TABLE IF EXISTS li_crash__compact_tmp")
+      spark.sql("DROP TABLE IF EXISTS li_crash__swap_tmp")
     }
   }
 
@@ -49,13 +49,13 @@ class CompactionSpec extends SparkSpec {
     try {
       li.write.format("parquet").mode("overwrite").saveAsTable("li_stale")
       li.limit(100).write.format("parquet")
-        .mode("overwrite").saveAsTable("li_stale__compact_tmp")
+        .mode("overwrite").saveAsTable("li_stale__swap_tmp")
       Compaction.compactTable(spark, "li_stale", targetFileBytes = 1L << 30)
       assert(spark.table("li_stale").count() == 500) // original data, not the stale tmp's
-      assert(!spark.catalog.tableExists("li_stale__compact_tmp"))
+      assert(!spark.catalog.tableExists("li_stale__swap_tmp"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS li_stale")
-      spark.sql("DROP TABLE IF EXISTS li_stale__compact_tmp")
+      spark.sql("DROP TABLE IF EXISTS li_stale__swap_tmp")
     }
   }
 }
