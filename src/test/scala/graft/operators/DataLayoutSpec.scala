@@ -33,4 +33,39 @@ class DataLayoutSpec extends SparkSpec {
       assert(hit <= 2, s"range scan below $cut touched $hit of 8 files")
     } finally spark.sql("DROP TABLE IF EXISTS orders_clustered")
   }
+
+  test("z-order clustering localizes 2-D box predicates") {
+    try {
+      val orders = Tables.orders(spark, sf)
+      DataLayout.writeClusteredZ(orders, "orders_z",
+        "o_custkey", "o_totalprice", bits = 8, numFiles = 8)
+      assert(spark.table("orders_z").count() == orders.count())
+
+      // a box tight in BOTH dimensions: z-locality keeps it in few files
+      val Array(r) = orders.agg(
+        min(col("o_custkey")), max(col("o_custkey")),
+        min(col("o_totalprice")), max(col("o_totalprice"))).collect()
+      val (kLo, kHi) = (r.getLong(0), r.getLong(1))
+      val (pLo, pHi) = (r.getDouble(2), r.getDouble(3))
+      val kCut = kLo + (kHi - kLo) / 4
+      val pCut = pLo + (pHi - pLo) / 4
+      val boxFiles = spark.table("orders_z")
+        .filter(col("o_custkey") <= kCut && col("o_totalprice") <= pCut)
+        .select(input_file_name()).distinct().count()
+      assert(boxFiles <= 3, s"2-D box touched $boxFiles of 8 z-ordered files")
+
+      // the comparative claim: single-key clustering on custkey scatters a
+      // totalprice-only predicate across ALL files; z-order keeps even the
+      // one-dimensional cut in a strict subset.
+      DataLayout.writeClustered(orders, "orders_k", Seq("o_custkey"), 8)
+      def filesFor(table: String): Long = spark.table(table)
+        .filter(col("o_totalprice") <= pCut)
+        .select(input_file_name()).distinct().count()
+      assert(filesFor("orders_k") == 8, "baseline should scatter across all files")
+      assert(filesFor("orders_z") < 8, "z-order should bound the scatter")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_z")
+      spark.sql("DROP TABLE IF EXISTS orders_k")
+    }
+  }
 }
