@@ -243,6 +243,35 @@ object Events {
         SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort, day_offset,
                COUNT(*) AS n_active
         FROM j GROUP BY cohort_day, day_offset
-        ORDER BY cohort, day_offset"""))
+        ORDER BY cohort, day_offset""")),
+
+    // ---- q78: event-path bigrams (what users do next) ----
+    // Per-user consecutive event-type transitions, counted globally: the
+    // path-analysis primitive behind funnels and Markov-chain journey
+    // models. One user-partitioned window (lag), then a key-partitioned
+    // count — scales with users per partition, no whole-table window.
+    "q78_event_bigrams" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(w).as("prev_type"))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("prev_type"), col("event_type"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT user_id, event_type,
+                 LAG(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM b WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY n DESC, prev_type, event_type LIMIT 20"""))
   )
 }
