@@ -30,9 +30,29 @@ object Gps {
 
   /** The deterministic enriched batch every q70 consumer agrees on. */
   def enrichedBatch(spark: SparkSession, dir: String): DataFrame =
+    enrichedBatchOfSize(spark, inputRows(dir))
+
+  /** Same pipeline at an explicit row count (ScaleProbe's entry). */
+  def enrichedBatchOfSize(spark: SparkSession, n: Long): DataFrame =
     Enrichment.enrich(
-      GpsGenerator.batch(spark, inputRows(dir), seed = 42L),
+      GpsGenerator.batch(spark, n, seed = 42L),
       clockEpochSec = Some(1750000000L))
+
+  /** The full q70 aggregation over [[enrichedBatchOfSize]] — shared by the
+    * gate query (via sfDir row counts) and ScaleProbe (explicit n). */
+  def aggOfSize(spark: SparkSession, n: Long): DataFrame =
+    aggregate(enrichedBatchOfSize(spark, n))
+
+  private def aggregate(enriched: DataFrame): DataFrame =
+    enriched.groupBy(col("direction"))
+      .agg(
+        count(lit(1)).as("n_fixes"),
+        round(sum(col("speed_kmh").cast(DecimalType(28, 2))).cast(DoubleType) /
+          count(col("speed_kmh")), 6).as("avg_speed"),
+        sum(when(col("fuel_level").isNull, 1).otherwise(0)).as("n_ev_fixes"),
+        sum(when(col("collision_detected"), 1).otherwise(0)).as("n_collisions"),
+        max(col("processed_date")).as("processed_date"))
+      .orderBy(col("direction"))
 
   /** Materialize the enriched batch for the DuckDB oracle (called by
     * Verify before dumping oracle_sql.json). */
@@ -42,16 +62,7 @@ object Gps {
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q70_gps_enrich_agg" -> QueryDef(
-      build = (spark, dir) =>
-        enrichedBatch(spark, dir).groupBy(col("direction"))
-          .agg(
-            count(lit(1)).as("n_fixes"),
-            round(sum(col("speed_kmh").cast(DecimalType(28, 2))).cast(DoubleType) /
-              count(col("speed_kmh")), 6).as("avg_speed"),
-            sum(when(col("fuel_level").isNull, 1).otherwise(0)).as("n_ev_fixes"),
-            sum(when(col("collision_detected"), 1).otherwise(0)).as("n_collisions"),
-            max(col("processed_date")).as("processed_date"))
-          .orderBy(col("direction")),
+      build = (spark, dir) => aggregate(enrichedBatch(spark, dir)),
       // speed_kmh is generated with exactly 2 decimal places, so the
       // DECIMAL(28,2) cast is exact in both engines; sums are exact and the
       // final double division/round operate on identical values.
