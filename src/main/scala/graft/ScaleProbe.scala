@@ -21,6 +21,18 @@ import graft.core.SparkSessionFactory
   *     co-shingled pairs — the measured form of the q44-vs-q46 scale
   *     argument.
   *
+  *  3. `ann`: embedding near-dup, exact all-pairs (q52's shape) vs
+  *     LSH-bucketed candidates → exact verify (q55's shape), on
+  *     deterministic synthetic 64-d vectors with PLANTED near-dups (the
+  *     second half of the ids is a 2% perturbation of the first half,
+  *     cosine ≈ 0.999; threshold 0.9 targets exactly that zone, clear of
+  *     the random-pair noise tail — the production near-dup regime).
+  *     Bucket bits scale with log(N) (~30 vectors/bucket) — the knob a
+  *     fixed-parameter demo hides: with constant bits, occupancy grows
+  *     linearly and the bucket join degenerates toward all-pairs. Both
+  *     paths should find all n/2 planted pairs (recall 1); exact pays
+  *     O(N²) dots, LSH stays near-linear.
+  *
   * Run: `sbt "runMain graft.ScaleProbe [maxScale]"`. */
 object ScaleProbe {
 
@@ -77,6 +89,50 @@ object ScaleProbe {
       val (lSec, lPairs) = timed(lsh(s))
       val (eSec, ePairs) = timed(exact(s))
       println(f"""{"probe":"dedup","scale":$s,"docs":${d0.count() * s},"lsh_sec":$lSec%.3f,"lsh_pairs":$lPairs,"exact_sec":$eSec%.3f,"exact_pairs":$ePairs}""")
+    }
+
+    // ann probe: synthetic deterministic 64-d vectors
+    import graft.functions.VectorFunctions.{dot, lshBuckets, norm}
+    def vecs(n: Long) = {
+      // ids in [n/2, n) are perturbed copies of id - n/2 (cos ≈ 0.999)
+      val baseId = when(col("id") >= n / 2, col("id") - n / 2).otherwise(col("id"))
+      val scale = when(col("id") >= n / 2, lit(1.02)).otherwise(lit(1.0))
+      val shift = when(col("id") >= n / 2, lit(0.001)).otherwise(lit(0.0))
+      spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 64).map(d =>
+          (pmod(xxhash64(baseId, lit(d), lit(7L)), lit(1000000L)).cast("double")
+            / 500000.0 - 1.0) * scale + shift): _*).as("e"))
+    }
+    def annExact(n: Long): Long = {
+      val e = vecs(n).withColumn("nrm", norm(col("e")))
+      val a = e.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("ia") < col("ib"))
+        .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.9)
+        .count()
+    }
+    def annLsh(n: Long): Long = {
+      val bits = math.max(6, (math.log(n / 30.0) / math.log(2)).ceil.toInt)
+      val e = vecs(n).withColumn("nrm", norm(col("e")))
+        .withColumn("buckets", lshBuckets(col("e"), 16, bits))
+      val ex2 = e.select(col("vec_id"), col("e"), col("nrm"),
+        explode(col("buckets")).as("bucket"))
+      val a = ex2.select(col("bucket"), col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+      val b = ex2.select(col("bucket"), col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket")).filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= 0.9)
+        .dropDuplicates("ia", "ib")
+        .count()
+    }
+    annExact(2000); annLsh(2000) // warmup
+    Seq(2000L, 10000L, 20000L, 100000L).foreach { n =>
+      val (lSec, lPairs) = timed(annLsh(n))
+      val (eSec, ePairs) =
+        if (n <= 20000L) { val r = timed(annExact(n)); (r._1, r._2.toString) }
+        else (-1.0, "skipped")
+      println(f"""{"probe":"ann","vectors":$n,"lsh_sec":$lSec%.3f,"lsh_pairs":$lPairs,"exact_sec":$eSec%.3f,"exact_pairs":"$ePairs"}""")
     }
     spark.stop()
   }
