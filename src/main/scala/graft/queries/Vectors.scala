@@ -158,6 +158,9 @@ object Vectors {
     // T=16 tables x 6 bits ≈ 4x candidate pruning at ~0.7 recall on this
     // regime, recall → 1 above ~0.8 cosine (the production near-dup zone;
     // VectorsSpec asserts planted-pair recall and the subset property).
+    // At larger corpora, bucket BITS must grow ~log N to hold occupancy
+    // constant — measured in ScaleProbe's "ann" section (recall 1 on
+    // planted pairs with near-flat cost through 100k vectors).
     "q55_neardup_scale" -> QueryDef(
       build = (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
