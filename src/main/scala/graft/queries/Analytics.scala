@@ -774,6 +774,37 @@ object Analytics {
                         AND o.o_totalprice > 300000)
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- q79: LATERAL subquery (per-row dependent top-k) ----
+    // The remaining subquery family after scalar (q24), IN (q27),
+    // correlated scalar (q39), and EXISTS (q77): a per-outer-row
+    // dependent table subquery — "top-2 nations by customers for EACH
+    // region" — which Catalyst plans as a lateral join with the rank
+    // pushed inside.
+    "q79_lateral_topk" -> QueryDef(
+      build = (spark, dir) => {
+        Tables.region(spark, dir).createOrReplaceTempView("region_q79")
+        Tables.nation(spark, dir).createOrReplaceTempView("nation_q79")
+        Tables.customer(spark, dir).createOrReplaceTempView("customer_q79")
+        spark.sql("""
+          SELECT r.r_name, l.n_name, l.n_customers
+          FROM region_q79 r, LATERAL (
+            SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+            FROM nation_q79 n JOIN customer_q79 c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n_customers DESC, n.n_name LIMIT 2) l
+          ORDER BY r.r_name, l.n_customers DESC, l.n_name""")
+      },
+      oracle = Some("""
+        SELECT r.r_name, l.n_name, l.n_customers
+        FROM region r, LATERAL (
+          SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_customers DESC, n.n_name LIMIT 2) l
+        ORDER BY r.r_name, l.n_customers DESC, l.n_name""")),
+
     // ---- q75: ordered distinct string aggregation ----
     // listagg semantics made deterministic: collect distinct, sort, join —
     // the only order-stable form of string aggregation in a parallel
