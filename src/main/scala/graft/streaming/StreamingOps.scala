@@ -138,4 +138,58 @@ object StreamingOps {
     withEventTime(df)
       .withWatermark("event_time", watermark)
       .dropDuplicates("vehicle_id", "timestamp")
+
+  /** Sliding-window speed profile (window + slide): each event lands in
+    * window/slide overlapping windows — the smoothing variant of
+    * [[tumblingSpeedProfile]]. */
+  def slidingSpeedProfile(df: DataFrame, window_ : String = "2 minutes",
+      slide: String = "1 minute", watermark: String = "4 minutes"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_, slide), col("direction"))
+      .agg(count(lit(1)).as("n_events"), avg(col("speed_kmh")).as("avg_speed"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("direction"), col("n_events"), col("avg_speed"))
+
+  // ---- transformWithState: the Spark-4 arbitrary-state API --------------
+
+  final case class Odometer(
+      vehicle_id: String, n_fixes: Long, max_speed: Double, n_collisions: Long)
+
+  /** Per-vehicle running odometer on Spark 4's `transformWithState` —
+    * the successor API to flatMapGroupsWithState: typed per-key state
+    * handles (ValueState/ListState/MapState) with native TTL, timers, and
+    * schema evolution, on the RocksDB state store. Functionally this
+    * mirrors [[tripSummaries]] so the two APIs are directly comparable in
+    * the spec; state is one fixed-size row per vehicle. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (the processor API's store). */
+  class OdometerProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, GpsRecord, Odometer] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var state: ValueState[Odometer] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Odometer]("odometer",
+        Encoders.product[Odometer], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[GpsRecord],
+        timerValues: TimerValues): Iterator[Odometer] = {
+      val prev = Option(state.get()).getOrElse(Odometer(key, 0L, 0.0, 0L))
+      val next = rows.foldLeft(prev) { (acc, r) =>
+        Odometer(key, acc.n_fixes + 1, math.max(acc.max_speed, r.speed_kmh),
+          acc.n_collisions + (if (r.collision_detected) 1 else 0))
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def odometers(ds: Dataset[GpsRecord]): Dataset[Odometer] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.vehicle_id)
+      .transformWithState(new OdometerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -154,4 +154,37 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
     assert(spark.table("deduped").count() == 2)
   }
+
+  test("transformWithState odometers mirror flatMapGroupsWithState across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The processor API runs on the RocksDB state store.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[GpsRecord]
+      val q = StreamingOps.odometers(mem.toDS())
+        .writeStream.format("memory").queryName("odometers")
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(rec("v1", "2025-06-15 10:00:00", 30),
+        rec("v1", "2025-06-15 10:00:10", 50, collision = true),
+        rec("v2", "2025-06-15 10:00:00", 80))
+      q.processAllAvailable()
+      mem.addData(rec("v1", "2025-06-15 10:00:20", 70))
+      q.processAllAvailable()
+      q.stop()
+      // ValueState carried across triggers: v1's latest row covers 3 fixes.
+      val v1 = spark.table("odometers")
+        .where(col("vehicle_id") === "v1" && col("n_fixes") === 3).head()
+      assert(v1.getAs[Double]("max_speed") == 70.0)
+      assert(v1.getAs[Long]("n_collisions") == 1)
+      val v2 = spark.table("odometers").where(col("vehicle_id") === "v2").head()
+      assert(v2.getAs[Long]("n_fixes") == 1 && v2.getAs[Double]("max_speed") == 80.0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
