@@ -805,6 +805,48 @@ object Analytics {
           ORDER BY n_customers DESC, n.n_name LIMIT 2) l
         ORDER BY r.r_name, l.n_customers DESC, l.n_name""")),
 
+    // ---- q80: array-function family over grouped collections ----
+    // collect → sort → slice/reverse: the deterministic core of Spark's
+    // array function surface (collect_list alone is partition-order
+    // dependent; array_sort makes it oracle-stable).
+    "q80_array_funcs" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            slice(array_sort(collect_list(col("o_totalprice"))), 1, 3).as("low3"),
+            slice(reverse(array_sort(collect_list(col("o_totalprice")))), 1, 3).as("top3"))
+          .withColumn("spread", round(element_at(col("top3"), 1) -
+            element_at(col("low3"), 1), 2))
+          .orderBy(col("o_orderpriority")),
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               list_slice(list_sort(list(o_totalprice)), 1, 3) AS low3,
+               list_slice(list_reverse_sort(list(o_totalprice)), 1, 3) AS top3,
+               ROUND(list_reverse_sort(list(o_totalprice))[1]
+                     - list_sort(list(o_totalprice))[1], 2) AS spread
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- q81: JSON key enumeration (schema discovery over props) ----
+    // The dynamic-JSON dual of q30's typed extraction: parse the props
+    // column as a map and enumerate its keys — the profiling query run
+    // before deciding a typed schema for semi-structured columns.
+    "q81_json_keys" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.types._
+        Tables.events(spark, dir)
+          .select(col("event_type"),
+            explode(map_keys(from_json(col("props"),
+              MapType(StringType, StringType)))).as("key"))
+          .groupBy(col("event_type"), col("key"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("key"))
+      },
+      oracle = Some("""
+        WITH k AS (SELECT event_type, unnest(json_keys(props)) AS key FROM events)
+        SELECT event_type, key, COUNT(*) AS n
+        FROM k GROUP BY event_type, key ORDER BY event_type, key""")),
+
     // ---- q75: ordered distinct string aggregation ----
     // listagg semantics made deterministic: collect distinct, sort, join —
     // the only order-stable form of string aggregation in a parallel
