@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based contracts for the round-2 operators, checked against
+  * straightforward in-memory models. (Raw ScalaCheck generators sampled
+  * explicitly — the scalatest bridge artifact isn't in the offline cache.) */
+class OperatorPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("mergeInto equals the in-memory last-writer-wins model") {
+    val genCase = for {
+      baseKeys <- Gen.listOfN(12, Gen.chooseNum(0L, 19L)).map(_.distinct)
+      updKeys <- Gen.listOfN(8, Gen.chooseNum(0L, 24L)).map(_.distinct)
+    } yield (baseKeys, updKeys)
+
+    sample(genCase, 8).zipWithIndex.foreach { case ((baseKeys, updKeys), i) =>
+      val table = s"prop_merge_$i"
+      try {
+        val base = baseKeys.map(k => (k, s"base$k"))
+        val upd = updKeys.map(k => (k, s"upd$k"))
+        base.toDF("id", "v").write.format("parquet")
+          .mode("overwrite").saveAsTable(table)
+        Upsert.mergeInto(spark, table, upd.toDF("id", "v"), Seq("id"))
+        // model: updates win on their keys; untouched base rows survive
+        val model = (base.filterNot(r => updKeys.contains(r._1)) ++ upd)
+          .sortBy(_._1)
+        val got = spark.table(table).orderBy("id").as[(Long, String)].collect().toSeq
+        assert(got == model, s"case $i: base=$baseKeys upd=$updKeys")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("zValue interleave is a bijection (bits recoverable, range correct)") {
+    val bits = 8
+    val genPair = for {
+      a <- Gen.chooseNum(0L, (1L << bits) - 1)
+      b <- Gen.chooseNum(0L, (1L << bits) - 1)
+    } yield (a, b)
+    val pairs = sample(genPair, 200)
+    val out = pairs.toDF("a", "b")
+      .withColumn("z", DataLayout.zValue(col("a"), col("b"), bits))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (a, b, z) =>
+      // deinterleave: odd bit positions reconstruct a, even reconstruct b
+      var ra = 0L; var rb = 0L
+      (0 until bits).foreach { i =>
+        ra |= ((z >> (2 * i + 1)) & 1L) << i
+        rb |= ((z >> (2 * i)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"z=$z did not round-trip ($a,$b)")
+      assert(z >= 0 && z < (1L << (2 * bits)))
+    }
+    // distinct inputs -> distinct z (injectivity over the sampled set)
+    assert(out.map(_._3).distinct.length == pairs.distinct.length)
+  }
+
+  test("deterministic sample membership is stable under union with new data") {
+    // Adding rows to the dataset must not change which EXISTING rows are
+    // sampled — the property that makes hash-membership sampling safe for
+    // growing corpora (per-partition RNG sampling lacks it).
+    val d1 = (0L until 400L).toDF("doc_id")
+    val d2 = (0L until 800L).toDF("doc_id")
+    val s1 = Sampling.deterministicSample(d1, Seq("doc_id"), 0.3, seed = 11)
+      .as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(d2, Seq("doc_id"), 0.3, seed = 11)
+      .as[Long].collect().toSet
+    assert(s2.filter(_ < 400L) == s1, "existing rows' membership changed when corpus grew")
+  }
+}
