@@ -112,6 +112,32 @@ object Multimodal {
     })
   }
 
+  /** Media near-duplicate pairs: sign-LSH buckets over the per-asset
+    * feature vector (the byte-histogram stub here; a real embedding in
+    * prod) → bucket equijoin → exact cosine verify. The image-dedup
+    * operation a training pipeline runs before captioning/training — same
+    * candidates-then-verify shape as the text (q46) and embedding (q55)
+    * dedup paths, so the 100 TB posture is shared: no all-pairs stage,
+    * shuffle carries bucket ids + features only for collided candidates. */
+  def nearDupAssets(features: Dataset[MediaFeatures],
+      threshold: Double = 0.95, tables: Int = 8, bits: Int = 12): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, lshBuckets, vec64}
+    val f = features.toDF()
+      .select(col("asset_id"), col("kind"), vec64(col("feature")).as("e"))
+      .withColumn("bucket", explode(lshBuckets(col("e"), tables, bits)))
+    val a = f.select(col("bucket"), col("asset_id").as("id_a"),
+      col("kind").as("kind_a"), col("e").as("ea"))
+    val b = f.select(col("bucket"), col("asset_id").as("id_b"), col("e").as("eb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("kind_a").as("kind"),
+        cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("kind"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Deterministic per-kind feature profile — the queryable summary used by
     * the q60 corpus entry (fully ordered, reproducible). */
   def featureProfile(spark: SparkSession, n: Long): DataFrame = {

