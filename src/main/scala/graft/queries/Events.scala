@@ -245,6 +245,52 @@ object Events {
         FROM j GROUP BY cohort_day, day_offset
         ORDER BY cohort, day_offset""")),
 
+    // ---- q82: sessionization via native session_window (batch) ----
+    // Same semantics as q32's hand-rolled gaps-and-islands, computed with
+    // the built-in session_window in batch mode — and checked against the
+    // IDENTICAL oracle, proving the two formulations equivalent on this
+    // data. (One semantic edge: session_window treats an exactly-gap-sized
+    // silence as a new session, the islands form continues it; the shared
+    // oracle hash doubles as the proof that no event pair sits exactly on
+    // the 30-minute boundary.) One shuffle on user_id; session assembly is
+    // within-partition — the same scale shape as q32.
+    "q82_sessionize_native" -> QueryDef(
+      build = (spark, dir) => {
+        val perSess = Tables.events(spark, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"))
+        perSess.groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            max(col("n_events")).as("max_session_events"),
+            max(col("span_us")).as("max_session_span_us"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, event_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM marked),
+        per_sess AS (
+          SELECT user_id, sess_id, COUNT(*) AS n_events,
+                 date_diff('microsecond', MIN(ts), MAX(ts)) AS span_us
+          FROM sess GROUP BY user_id, sess_id)
+        SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               MAX(n_events) AS max_session_events,
+               MAX(span_us) AS max_session_span_us
+        FROM per_sess GROUP BY user_id ORDER BY user_id""")),
+
     // ---- q78: event-path bigrams (what users do next) ----
     // Per-user consecutive event-type transitions, counted globally: the
     // path-analysis primitive behind funnels and Markov-chain journey
