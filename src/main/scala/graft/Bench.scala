@@ -9,11 +9,13 @@ import graft.core.SparkSessionFactory
   *      no timed run pays first-touch disk IO.
   *   2. Warmup pass: execute every headline query once untimed (codegen
   *      compiled, parquet footers/file index cached, JIT warm).
-  *   3. min of 5 timed runs per query. This host shows multi-second
-  *      transient freezes under shared load; min-of-N measures the
-  *      engine's cost, not a co-tenant stall that happened to land in a
-  *      run (round-1 driver run hit 5-13x inflation on sub-second queries
-  *      from exactly this).
+  *   3. min of 5 timed runs per query, INTERLEAVED round-robin across
+  *      queries. This host shows multi-second transient freezes under
+  *      shared load; min-of-N measures the engine's cost, not a co-tenant
+  *      stall that happened to land in a run (round-1 driver run hit
+  *      5-13x inflation on sub-second queries; round-2's hit q50/q55 with
+  *      a stall long enough to cover 5 consecutive runs — interleaving
+  *      bounds the damage any one stall can do to a single query's min).
   *
   * A query that throws is recorded in an "errors" field with exit 1 —
   * never as a bogus time-until-failure sample. One JSON line on stdout.
@@ -71,14 +73,24 @@ object Bench {
       finally spark.sparkContext.clearJobGroup()
     }
 
-    val results = names.filterNot(errors.contains).map { name =>
-      val times = (1 to 5).map { _ =>
+    // Timed runs are interleaved round-robin (pass 1 runs every query
+    // once, then pass 2, ...) instead of 5 consecutive runs per query.
+    // The round-2 driver run showed why: a sustained co-tenant stall can
+    // cover ALL back-to-back samples of the query it lands on (q50/q55
+    // reported 8x/5x inflated while every neighbour was clean). With
+    // interleaving, a stall shorter than ~a full pass leaves at least one
+    // clean sample per query, and the per-query min recovers engine cost.
+    val survivors = names.filterNot(errors.contains)
+    val samples = scala.collection.mutable.Map[String, Double]()
+    (1 to 5).foreach { _ =>
+      survivors.foreach { name =>
         val t0 = System.nanoTime()
         queries(name)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(name) = math.min(sec, samples.getOrElse(name, Double.MaxValue))
       }
-      name -> times.min
     }
+    val results = survivors.map(name => name -> samples(name))
     // Ingest throughput: the reference's envelope is ingest-shaped
     // (Firehose buffers -> <=10 files per micro-batch, poller.py:20-24), so
     // measure MicroBatchPipeline end-to-end at the same batch shape:

@@ -53,7 +53,10 @@ object SparkSessionFactory {
     s"spark.sql.catalog.$catalogName.warehouse" -> warehouse,
     s"spark.sql.catalog.$catalogName.type" -> "glue",
     "spark.sql.extensions" -> "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
-    s"spark.sql.catalog.$catalogName.io-impl" -> "org.apache.iceberg.aws.s3.S3FileIO")
+    s"spark.sql.catalog.$catalogName.io-impl" -> "org.apache.iceberg.aws.s3.S3FileIO",
+    // spark_job.py:138 — the reference pins the default AWS S3 endpoint for
+    // the s3a filesystem alongside the catalog wiring.
+    "spark.hadoop.fs.s3a.endpoint" -> "s3.amazonaws.com")
 
   /** K4 namespace DDL, verbatim spark_job.py:144. */
   def namespaceDdl(catalogName: String, namespace: String): String =

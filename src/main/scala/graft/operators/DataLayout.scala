@@ -51,8 +51,16 @@ object DataLayout {
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()
     val (aMin, aMax, bMin, bMax) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val n = 1 << bits
-    val bucketA = (width_bucket(col(colA).cast("double"), lit(aMin), lit(aMax), lit(n)) - 1)
-    val bucketB = (width_bucket(col(colB).cast("double"), lit(bMin), lit(bMax), lit(n)) - 1)
+    // width_bucket returns n+1 for x == max (the upper-boundary bucket);
+    // unclamped, that bucket id is 2^bits, whose only set bit is ABOVE the
+    // `bits` interleaved by zValue — max-key rows would alias to z≈0 and
+    // land in the lowest-z file, widening its min/max stats and weakening
+    // pruning at the upper boundary. Clamp into [0, n-1].
+    def bucket(c: String, lo: Double, hi: Double) =
+      least(width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n)) - 1,
+        lit(n - 1L))
+    val bucketA = bucket(colA, aMin, aMax)
+    val bucketB = bucket(colB, bMin, bMax)
     df.withColumn("__z", zValue(bucketA, bucketB, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

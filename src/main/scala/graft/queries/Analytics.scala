@@ -713,21 +713,33 @@ object Analytics {
 
     // ---- q74: exact percentile arrays ----
     // Exact linear-interpolation quantiles (not the approx sketch — that's
-    // q28); both engines interpolate (1-d)*x[k] + d*x[k+1].
+    // q28); both engines interpolate (1-d)*x[k] + d*x[k+1]. The percentile
+    // call takes the fraction ARRAY (one sort per group, not three), then
+    // projects the elements as scalar columns: the driver's comparator
+    // hashes rows with pandas, and array cells are unhashable there
+    // (CORRECTNESS_r02 q74 err) — scalar doubles hash exactly.
     "q74_exact_percentiles" -> QueryDef(
       build = (spark, dir) => {
         Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q74")
         spark.sql("""
+          WITH q AS (
+            SELECT l_returnflag,
+                   percentile(l_quantity, array(0.25D, 0.5D, 0.75D)) AS qq,
+                   percentile(l_extendedprice, 0.5D) AS med_price
+            FROM lineitem_q74 GROUP BY l_returnflag)
           SELECT l_returnflag,
-                 percentile(l_quantity, array(0.25D, 0.5D, 0.75D)) AS q_quantity,
-                 percentile(l_extendedprice, array(0.5D)) AS med_price
-          FROM lineitem_q74
-          GROUP BY l_returnflag ORDER BY l_returnflag""")
+                 element_at(qq, 1) AS p25_qty,
+                 element_at(qq, 2) AS p50_qty,
+                 element_at(qq, 3) AS p75_qty,
+                 med_price
+          FROM q ORDER BY l_returnflag""")
       },
       oracle = Some("""
         SELECT l_returnflag,
-               quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q_quantity,
-               quantile_cont(l_extendedprice, [0.5]) AS med_price
+               quantile_cont(l_quantity, 0.25) AS p25_qty,
+               quantile_cont(l_quantity, 0.5)  AS p50_qty,
+               quantile_cont(l_quantity, 0.75) AS p75_qty,
+               quantile_cont(l_extendedprice, 0.5) AS med_price
         FROM lineitem
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -808,7 +820,10 @@ object Analytics {
     // ---- q80: array-function family over grouped collections ----
     // collect → sort → slice/reverse: the deterministic core of Spark's
     // array function surface (collect_list alone is partition-order
-    // dependent; array_sort makes it oracle-stable).
+    // dependent; array_sort makes it oracle-stable). The arrays stay in
+    // the plan; the final projection flattens them to scalar element
+    // columns because the driver's row-hash comparator cannot hash array
+    // cells (CORRECTNESS_r02 q80 err: unhashable numpy.ndarray).
     "q80_array_funcs" -> QueryDef(
       build = (spark, dir) =>
         Tables.orders(spark, dir)
@@ -816,16 +831,27 @@ object Analytics {
           .agg(count(lit(1)).as("n"),
             slice(array_sort(collect_list(col("o_totalprice"))), 1, 3).as("low3"),
             slice(reverse(array_sort(collect_list(col("o_totalprice")))), 1, 3).as("top3"))
-          .withColumn("spread", round(element_at(col("top3"), 1) -
-            element_at(col("low3"), 1), 2))
+          .select(col("o_orderpriority"), col("n"),
+            element_at(col("low3"), 1).as("low_1"),
+            element_at(col("low3"), 2).as("low_2"),
+            element_at(col("low3"), 3).as("low_3"),
+            element_at(col("top3"), 1).as("top_1"),
+            element_at(col("top3"), 2).as("top_2"),
+            element_at(col("top3"), 3).as("top_3"),
+            round(element_at(col("top3"), 1) - element_at(col("low3"), 1), 2)
+              .as("spread"))
           .orderBy(col("o_orderpriority")),
       oracle = Some("""
-        SELECT o_orderpriority, COUNT(*) AS n,
-               list_slice(list_sort(list(o_totalprice)), 1, 3) AS low3,
-               list_slice(list_reverse_sort(list(o_totalprice)), 1, 3) AS top3,
-               ROUND(list_reverse_sort(list(o_totalprice))[1]
-                     - list_sort(list(o_totalprice))[1], 2) AS spread
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+        WITH a AS (
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 list_slice(list_sort(list(o_totalprice)), 1, 3) AS low3,
+                 list_slice(list_reverse_sort(list(o_totalprice)), 1, 3) AS top3
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n,
+               low3[1] AS low_1, low3[2] AS low_2, low3[3] AS low_3,
+               top3[1] AS top_1, top3[2] AS top_2, top3[3] AS top_3,
+               ROUND(top3[1] - low3[1], 2) AS spread
+        FROM a ORDER BY o_orderpriority""")),
 
     // ---- q81: JSON key enumeration (schema discovery over props) ----
     // The dynamic-JSON dual of q30's typed extraction: parse the props

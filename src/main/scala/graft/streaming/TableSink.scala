@@ -59,6 +59,19 @@ object IdempotentParquetSink {
       stamped.write.format("parquet").option("compression", compression)
         .partitionBy(parts: _*).mode("overwrite").saveAsTable(fqn)
     } else {
+      // Idempotence only holds if the existing table is actually
+      // partitioned by batch_id (i.e. it was created by THIS sink). Against
+      // a table created by plain ParquetSink, positional insertInto with
+      // dynamic overwrite would misplace rows or clobber data silently —
+      // fail loudly instead.
+      val partCols = spark.catalog.listColumns(fqn)
+        .collect().filter(_.isPartition).map(_.name)
+      require(partCols.contains(BatchCol),
+        s"IdempotentParquetSink: existing table $fqn is not partitioned by " +
+        s"'$BatchCol' (partition spec: [${partCols.mkString(",")}]); it was " +
+        "not created by this sink and an idempotent overwrite cannot be " +
+        "guaranteed. Recreate the table via IdempotentParquetSink or use " +
+        "ParquetSink for plain appends.")
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // insertInto is positional: align to the table's column order (data

@@ -35,6 +35,9 @@ class IcebergContractSpec extends SparkSpec {
     // :137 hardcodes `spark.sql.catalog.dev.io-impl` — an evident bug (every
     // other key interpolates catalog_name); ours keys io-impl consistently.
     assert(conf("spark.sql.catalog.lake.io-impl") == "org.apache.iceberg.aws.s3.S3FileIO")
+    // :138 — the s3a filesystem endpoint the reference pins alongside the
+    // catalog (the only non-catalog key in its session builder).
+    assert(conf("spark.hadoop.fs.s3a.endpoint") == "s3.amazonaws.com")
   }
 
   test("namespace DDL matches spark_job.py:144") {

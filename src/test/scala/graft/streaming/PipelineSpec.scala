@@ -141,6 +141,22 @@ class PipelineSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("idempotent sink refuses a table it did not create") {
+    // A table created by plain ParquetSink has no batch_id partition level;
+    // a positional insertInto with dynamic overwrite against it would
+    // misplace rows silently. The sink must fail loudly instead.
+    import spark.implicits._
+    val table = "gps_idem_foreign"
+    ParquetSink.write(Seq((1L, "a")).toDF("id", "v"), table, Nil, "snappy")
+    val e = intercept[IllegalArgumentException] {
+      IdempotentParquetSink.write(Seq((2L, "b")).toDF("id", "v"), table, 0L)
+    }
+    assert(e.getMessage.contains("not partitioned by 'batch_id'"))
+    spark.catalog.refreshTable(table)
+    assert(spark.table(table).count() == 1, "failed write must not mutate the table")
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("explicit-schema read equals reference's inference read") {
     val in = tmpDir("gps-in3")
     GpsGenerator.writeJsonFiles(spark, in, 400, 2)
