@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver shells `sbt runMain graft.Bench` and parses the single JSON
+// line from stdout; sbt's default LoggedOutput prefixes every forked-run
+// line with "[info] ", which breaks that parse (BENCH_r{1,2,3}.json all
+// show parsed:null). StdoutOutput pipes the child's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

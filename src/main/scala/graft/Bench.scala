@@ -80,17 +80,29 @@ object Bench {
     // reported 8x/5x inflated while every neighbour was clean). With
     // interleaving, a stall shorter than ~a full pass leaves at least one
     // clean sample per query, and the per-query min recovers engine cost.
-    val survivors = names.filterNot(errors.contains)
+    // A query can pass warmup and still throw in a timed pass (flaky temp
+    // state, host pressure): record it in `errors`, drop it from later
+    // passes, and keep the bench alive — the JSON contract promises output
+    // with an `errors` field, never a crash.
+    val survivors = scala.collection.mutable.LinkedHashSet(
+      names.filterNot(errors.contains): _*)
     val samples = scala.collection.mutable.Map[String, Double]()
     (1 to 5).foreach { _ =>
-      survivors.foreach { name =>
+      survivors.toSeq.foreach { name =>
         val t0 = System.nanoTime()
-        queries(name)(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        samples(name) = math.min(sec, samples.getOrElse(name, Double.MaxValue))
+        try {
+          queries(name)(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          samples(name) = math.min(sec, samples.getOrElse(name, Double.MaxValue))
+        } catch { case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).take(200)
+          survivors -= name
+          samples -= name
+        }
       }
     }
-    val results = survivors.map(name => name -> samples(name))
+    val results = survivors.toSeq.map(name => name -> samples(name))
     // Ingest throughput: the reference's envelope is ingest-shaped
     // (Firehose buffers -> <=10 files per micro-batch, poller.py:20-24), so
     // measure MicroBatchPipeline end-to-end at the same batch shape:

@@ -831,15 +831,20 @@ object Analytics {
           .agg(count(lit(1)).as("n"),
             slice(array_sort(collect_list(col("o_totalprice"))), 1, 3).as("low3"),
             slice(reverse(array_sort(collect_list(col("o_totalprice")))), 1, 3).as("top3"))
+          // try_element_at, not element_at: a group with <3 rows has a
+          // short slice, and under ANSI mode element_at(arr, k) past the
+          // end throws INVALID_ARRAY_INDEX while the DuckDB oracle's
+          // list[k] yields NULL. try_element_at matches the oracle's
+          // out-of-range-is-NULL semantics on degenerate inputs.
           .select(col("o_orderpriority"), col("n"),
-            element_at(col("low3"), 1).as("low_1"),
-            element_at(col("low3"), 2).as("low_2"),
-            element_at(col("low3"), 3).as("low_3"),
-            element_at(col("top3"), 1).as("top_1"),
-            element_at(col("top3"), 2).as("top_2"),
-            element_at(col("top3"), 3).as("top_3"),
-            round(element_at(col("top3"), 1) - element_at(col("low3"), 1), 2)
-              .as("spread"))
+            try_element_at(col("low3"), lit(1)).as("low_1"),
+            try_element_at(col("low3"), lit(2)).as("low_2"),
+            try_element_at(col("low3"), lit(3)).as("low_3"),
+            try_element_at(col("top3"), lit(1)).as("top_1"),
+            try_element_at(col("top3"), lit(2)).as("top_2"),
+            try_element_at(col("top3"), lit(3)).as("top_3"),
+            round(try_element_at(col("top3"), lit(1)) -
+              try_element_at(col("low3"), lit(1)), 2).as("spread"))
           .orderBy(col("o_orderpriority")),
       oracle = Some("""
         WITH a AS (

@@ -49,6 +49,12 @@ object ParquetSink extends TableSink {
 object IdempotentParquetSink {
   val BatchCol = "batch_id"
 
+  // Tables whose batch_id partition spec has already been validated this
+  // JVM: the listColumns guard below is a driver-side catalog round-trip,
+  // pure overhead once a table is known-good — pay it once per table, not
+  // once per micro-batch.
+  private val validated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def write(df: DataFrame, fqn: String, batchId: Long,
       partitionCols: Seq[String] = Nil,
       compression: String = "snappy"): Unit = {
@@ -58,20 +64,24 @@ object IdempotentParquetSink {
     if (!spark.catalog.tableExists(fqn)) {
       stamped.write.format("parquet").option("compression", compression)
         .partitionBy(parts: _*).mode("overwrite").saveAsTable(fqn)
+      validated.add(fqn)
     } else {
       // Idempotence only holds if the existing table is actually
       // partitioned by batch_id (i.e. it was created by THIS sink). Against
       // a table created by plain ParquetSink, positional insertInto with
       // dynamic overwrite would misplace rows or clobber data silently —
-      // fail loudly instead.
-      val partCols = spark.catalog.listColumns(fqn)
-        .collect().filter(_.isPartition).map(_.name)
-      require(partCols.contains(BatchCol),
-        s"IdempotentParquetSink: existing table $fqn is not partitioned by " +
-        s"'$BatchCol' (partition spec: [${partCols.mkString(",")}]); it was " +
-        "not created by this sink and an idempotent overwrite cannot be " +
-        "guaranteed. Recreate the table via IdempotentParquetSink or use " +
-        "ParquetSink for plain appends.")
+      // fail loudly instead. Validated once per table per JVM (see above).
+      if (!validated.contains(fqn)) {
+        val partCols = spark.catalog.listColumns(fqn)
+          .collect().filter(_.isPartition).map(_.name)
+        require(partCols.contains(BatchCol),
+          s"IdempotentParquetSink: existing table $fqn is not partitioned by " +
+          s"'$BatchCol' (partition spec: [${partCols.mkString(",")}]); it was " +
+          "not created by this sink and an idempotent overwrite cannot be " +
+          "guaranteed. Recreate the table via IdempotentParquetSink or use " +
+          "ParquetSink for plain appends.")
+        validated.add(fqn)
+      }
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // insertInto is positional: align to the table's column order (data
