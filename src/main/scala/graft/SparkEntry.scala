@@ -14,7 +14,8 @@ object SparkEntry {
   /** All capability modules, in SURVEY §2 inventory order. */
   def modules: Seq[(String, QueryDef)] =
     Relational.defs ++ Analytics.defs ++ Events.defs ++ Text.defs ++
-      Curation.defs ++ Dedup.defs ++ Vectors.defs ++ Multi.defs ++ Gps.defs
+      Curation.defs ++ Training.defs ++ Dedup.defs ++ Vectors.defs ++
+      Multi.defs ++ Gps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-data assembly operators: the steps between a curated corpus
+  * and a tokenizer feed — repetition-based quality gates, incremental
+  * dedup of a new batch against an existing corpus, domain-mixture
+  * resampling toward target weights, and TF-IDF term scoring.
+  *
+  * Scale notes (100 TB posture): q83/q86 are explode → hash-partition
+  * aggregation keyed on (doc_id[, term]) — high-cardinality keys, so the
+  * shuffle spreads evenly and partial aggregation keeps the wire volume
+  * at |distinct keys|, not |tokens|; q84 is one keyed anti-join (at real
+  * scale you'd front it with a bloom filter on the corpus key set — the
+  * join stays the authority); q85 is a broadcast of a constant-size
+  * weights table plus one per-stratum window.
+  */
+object Training {
+
+  /** Engine-portable pick key (see [[Curation]]): md5 is identical in
+    * Spark and DuckDB, xxhash64 is not. */
+  private def pickKey = md5(concat(col("doc_id").cast("string"), col("text")).cast("binary"))
+  private val SqlPickKey = "md5(CONCAT(CAST(doc_id AS VARCHAR), text))"
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q83: repetition statistics (Gopher-style quality rule) ----
+    // Per document: duplicate-token fraction and the fraction of bigram
+    // slots occupied by the single most frequent word bigram — the
+    // "excessive repetition" signals used to drop boilerplate/spam before
+    // training. Tie on bigram count breaks to the lexicographically
+    // smallest gram, so the winner is engine-portable. Docs with <2
+    // tokens have no bigram and are (explicitly) out of scope.
+    "q83_repetition_stats" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+            col("toks"))
+        // Adjacent-pair bigrams, map-side: zip toks with itself shifted by
+        // one (slice is 1-based), explode, count per (doc, gram).
+        val grams = d.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
+            slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            explode(arrays_zip(col("h"), col("t"))).as("z"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            concat_ws(" ", col("z.h"), col("z.t")).as("gram"))
+          .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("cnt").desc, col("gram"))
+        grams.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+              .as("dup_token_frac"),
+            col("gram").as("top_bigram"),
+            col("cnt").as("top_bigram_n"),
+            round(col("cnt").cast("double") / (col("n_tokens") - 1), 6)
+              .as("top_bigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        n AS (SELECT doc_id, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct, toks
+              FROM t WHERE len(toks) >= 2),
+        bi AS (SELECT doc_id, n_tokens, n_distinct, toks,
+                      unnest(range(1, len(toks))) AS i
+               FROM n),
+        b AS (SELECT doc_id, n_tokens, n_distinct,
+                     toks[i] || ' ' || toks[i + 1] AS gram
+              FROM bi),
+        g AS (SELECT doc_id, n_tokens, n_distinct, gram, COUNT(*) AS cnt
+              FROM b GROUP BY ALL),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY cnt DESC, gram) AS rn FROM g)
+        SELECT doc_id, n_tokens, n_distinct,
+               ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+               gram AS top_bigram, cnt AS top_bigram_n,
+               ROUND(CAST(cnt AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_frac
+        FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
+    // ---- q84: incremental dedup of a new batch against the corpus ----
+    // The production shape of exact dedup: a new batch arrives (here:
+    // doc_id % 10 < 3), is deduped within itself (keep min doc_id per
+    // content hash), then anti-joined against the existing corpus's
+    // content-hash set. Reports the attrition per language so the ingest
+    // is auditable. At 100 TB the corpus key set is fronted by a bloom
+    // filter; the keyed anti-join below remains the exactness authority.
+    "q84_incremental_dedup" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            md5(col("text").cast("binary")).as("sig"),
+            (col("doc_id") % 10 < 3).as("is_incoming"))
+        val incoming = d.filter(col("is_incoming"))
+        val corpus = d.filter(!col("is_incoming")).select(col("sig")).distinct()
+        val batchUnique = incoming
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("sig")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+        val kept = batchUnique.join(corpus, Seq("sig"), "left_anti")
+        incoming.groupBy(col("lang")).agg(count(lit(1)).as("n_incoming"))
+          .join(batchUnique.groupBy(col("lang")).agg(count(lit(1)).as("n_batch_unique")),
+            Seq("lang"), "left")
+          .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"),
+              sum(col("n_chars")).as("chars_kept")),
+            Seq("lang"), "left")
+          .select(col("lang"), col("n_incoming"),
+            coalesce(col("n_batch_unique"), lit(0L)).as("n_batch_unique"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, lang, n_chars, md5(text) AS sig,
+                          doc_id % 10 < 3 AS is_incoming
+                   FROM documents),
+        inc AS (SELECT * FROM d WHERE is_incoming),
+        corpus AS (SELECT DISTINCT sig FROM d WHERE NOT is_incoming),
+        bu AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sig
+                 ORDER BY doc_id) AS rn FROM inc) WHERE rn = 1),
+        kept AS (SELECT * FROM bu WHERE sig NOT IN (SELECT sig FROM corpus)),
+        a AS (SELECT lang, COUNT(*) AS n_incoming FROM inc GROUP BY lang),
+        b AS (SELECT lang, COUNT(*) AS n_batch_unique FROM bu GROUP BY lang),
+        c AS (SELECT lang, COUNT(*) AS n_kept,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+              FROM kept GROUP BY lang)
+        SELECT a.lang, a.n_incoming,
+               COALESCE(b.n_batch_unique, 0) AS n_batch_unique,
+               COALESCE(c.n_kept, 0) AS n_kept,
+               COALESCE(c.chars_kept, 0) AS chars_kept
+        FROM a LEFT JOIN b USING (lang) LEFT JOIN c USING (lang)
+        ORDER BY lang""")),
+
+    // ---- q85: domain-mixture resampling toward target weights ----
+    // Given target mixture weights per language and a total document
+    // budget, take floor(weight * budget) documents per language (capped
+    // by availability), picked by the deterministic md5 key. Weights are
+    // exact decimals so floor(w * budget) is engine-portable (no double
+    // rounding at the floor boundary).
+    "q85_mixture_resample" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val budget = 200L
+        val weights = Seq(("en", "0.50"), ("de", "0.20"), ("es", "0.15"),
+            ("fr", "0.10"), ("zh", "0.05"))
+          .toDF("lang", "w")
+          .select(col("lang"),
+            floor(col("w").cast(DecimalType(6, 3)) * budget).cast("long").as("n_target"))
+        val d = Tables.documents(spark, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars"), pickKey.as("pick_key"))
+        val ranked = d.withColumn("rn", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("pick_key"), col("doc_id"))))
+          .join(broadcast(weights), Seq("lang"))
+        val picked = ranked.filter(col("rn") <= col("n_target"))
+        val avail = d.groupBy(col("lang")).agg(count(lit(1)).as("n_avail"))
+        picked.groupBy(col("lang"), col("n_target"))
+          .agg(count(lit(1)).as("n_picked"), sum(col("n_chars")).as("chars_picked"))
+          .join(avail, Seq("lang"))
+          .select(col("lang"), col("n_target"), col("n_avail"), col("n_picked"),
+            col("chars_picked"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(s"""
+        WITH w AS (SELECT * FROM (VALUES
+            ('en', CAST(0.50 AS DECIMAL(6,3))), ('de', CAST(0.20 AS DECIMAL(6,3))),
+            ('es', CAST(0.15 AS DECIMAL(6,3))), ('fr', CAST(0.10 AS DECIMAL(6,3))),
+            ('zh', CAST(0.05 AS DECIMAL(6,3)))) AS t(lang, w)),
+        tgt AS (SELECT lang, CAST(FLOOR(w * 200) AS BIGINT) AS n_target FROM w),
+        r AS (SELECT lang, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY $SqlPickKey, doc_id) AS rn
+              FROM documents),
+        picked AS (SELECT r.* , tgt.n_target
+                   FROM r JOIN tgt USING (lang) WHERE rn <= n_target),
+        avail AS (SELECT lang, COUNT(*) AS n_avail FROM documents GROUP BY lang)
+        SELECT p.lang, p.n_target, a.n_avail, COUNT(*) AS n_picked,
+               CAST(SUM(p.n_chars) AS BIGINT) AS chars_picked
+        FROM picked p JOIN avail a USING (lang)
+        GROUP BY p.lang, p.n_target, a.n_avail
+        ORDER BY lang""")),
+
+    // ---- q86: TF-IDF top terms per document ----
+    // Corpus-wide document frequency, per-document term frequency,
+    // score = tf * ln(N / df), top 3 terms for the first 10 documents.
+    // The ROUNDED score is both the output and the ranking key (with a
+    // full (score DESC, term) tie-break), so a sub-ulp libm difference
+    // between engines cannot flip the selection.
+    "q86_tfidf_topk" -> QueryDef(
+      build = (spark, dir) => {
+        val tf = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+        val scored = tf.filter(col("doc_id") < 10)
+          .join(df, Seq("term"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+              .as("tfidf"))
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("tfidf").desc, col("term"))))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn").cast("long").as("rn"), col("term"),
+            col("tf"), col("df"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      oracle = Some("""
+        WITH tf AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                    FROM documents),
+        tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY ALL),
+        dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                          ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+                   FROM tfc t JOIN dfc d USING (term), n
+                   WHERE t.doc_id < 10),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rn FROM scored)
+        SELECT doc_id, rn, term, tf, df, tfidf
+        FROM r WHERE rn <= 3 ORDER BY doc_id, rn"""))
+  )
+}

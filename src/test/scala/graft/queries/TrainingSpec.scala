@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Semantic checks for the training-data assembly queries (q83–q86) —
+  * the oracle gate proves engine-parity at sf0.01; these prove the
+  * *semantics* are the intended ones by recomputing tiny cases in plain
+  * Scala on the driver.
+  */
+class TrainingSpec extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf).collect()
+
+  private lazy val docs = spark.read
+    .parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text", "lang", "n_chars")
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("q83: repetition stats match a driver-side recount on every doc") {
+    val rows = run("q83_repetition_stats")
+    val byDoc = docs.map { case (id, text, _, _) => id -> text.trim.split(" ").toSeq }.toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = byDoc(r.getLong(0))
+      assert(r.getLong(1) == toks.size, "n_tokens")
+      assert(r.getLong(2) == toks.distinct.size, "n_distinct")
+      val grams = toks.zip(toks.tail).map { case (a, b) => s"$a $b" }
+      val top = grams.groupBy(identity).view.mapValues(_.size)
+        .toSeq.sortBy { case (g, n) => (-n, g) }.head
+      assert(r.getString(4) == top._1, s"top_bigram for doc ${r.getLong(0)}")
+      assert(r.getLong(5) == top._2, "top_bigram_n")
+      val frac = BigDecimal(top._2.toDouble / (toks.size - 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(6) - frac) < 1e-9, "top_bigram_frac")
+    }
+  }
+
+  test("q84: attrition counts are consistent and match a driver-side dedup") {
+    val rows = run("q84_incremental_dedup")
+    val incoming = docs.filter { case (id, _, _, _) => id % 10 < 3 }
+    val corpusSigs = docs.filter { case (id, _, _, _) => id % 10 >= 3 }
+      .map(_._2).toSet // exact text equality ≡ md5 equality here
+    val batchUnique = incoming.groupBy(_._2).values.map(_.minBy(_._1)).toSeq
+    val kept = batchUnique.filterNot(d => corpusSigs.contains(d._2))
+    assert(rows.map(_.getLong(1)).sum == incoming.size, "Σ n_incoming")
+    assert(rows.map(_.getLong(2)).sum == batchUnique.size, "Σ n_batch_unique")
+    assert(rows.map(_.getLong(3)).sum == kept.size, "Σ n_kept")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1),
+        s"kept ≤ batch_unique ≤ incoming violated for ${r.getString(0)}")
+    }
+  }
+
+  test("q85: every stratum picks exactly min(target, available)") {
+    val rows = run("q85_mixture_resample")
+    val targets = Map("en" -> 100L, "de" -> 40L, "es" -> 30L, "fr" -> 20L, "zh" -> 10L)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, tgt, avail, picked) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tgt == targets(lang), s"n_target for $lang")
+      assert(picked == math.min(tgt, avail), s"n_picked for $lang")
+    }
+  }
+
+  test("q86: scores recompute and rank correctly per doc") {
+    val rows = run("q86_tfidf_topk")
+    val n = docs.size.toDouble
+    val tf = docs.flatMap { case (id, text, _, _) =>
+      text.trim.split(" ").map(t => (id, t))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))), "rn follows score desc")
+    }
+    rows.foreach { r =>
+      val (id, term) = (r.getLong(0), r.getString(2))
+      assert(r.getLong(3) == tf((id, term)), "tf")
+      assert(r.getLong(4) == df(term), "df")
+      val want = BigDecimal(tf((id, term)) * math.log(n / df(term)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - want) < 1e-9, s"tfidf for ($id,$term)")
+    }
+  }
+}
