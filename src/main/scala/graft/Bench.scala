@@ -68,8 +68,10 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { n => // warmup pass; also meters shuffle bytes + captures failures
       spark.sparkContext.setJobGroup(n, n)
+      // NonFatal only: an OOM/LinkageError means a corrupted JVM whose
+      // subsequent samples would be garbage — let it abort the run.
       try queries(n)(spark, sfDir).count()
-      catch { case e: Throwable => errors(n) = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200) }
+      catch { case scala.util.control.NonFatal(e) => errors(n) = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200) }
       finally spark.sparkContext.clearJobGroup()
     }
 
@@ -89,12 +91,21 @@ object Bench {
     val samples = scala.collection.mutable.Map[String, Double]()
     (1 to 5).foreach { _ =>
       survivors.toSeq.foreach { name =>
+        // Collect the PREVIOUS query's garbage before starting the timer
+        // (JMH-style inter-iteration hygiene). Interleaving introduced a
+        // systematic bias the old consecutive protocol amortized: every
+        // sample of a query now runs right after its rotation neighbour,
+        // so an allocation-heavy neighbour (q60's binary payloads ahead of
+        // q70) taxes ALL N samples of the next query and min-of-N cannot
+        // recover — driver r03/r04 measured q70 at 0.37-0.42 s vs 0.161 s
+        // under the consecutive protocol, with q70's own work unchanged.
+        System.gc()
         val t0 = System.nanoTime()
         try {
           queries(name)(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           samples(name) = math.min(sec, samples.getOrElse(name, Double.MaxValue))
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           errors(name) = e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage).take(200)
           survivors -= name
@@ -125,7 +136,7 @@ object Bench {
       val written = spark.table(table).count()
       spark.sql(s"DROP TABLE $table")
       s""","ingest":{"rows":$written,"sec":$sec,"rows_per_sec":${(written / sec).toLong}}"""
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       errors("ingest") = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200)
       ""
     }

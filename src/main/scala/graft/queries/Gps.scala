@@ -43,15 +43,31 @@ object Gps {
   def aggOfSize(spark: SparkSession, n: Long): DataFrame =
     aggregate(enrichedBatchOfSize(spark, n))
 
+  /** Exact speed average without a decimal aggregation buffer.
+    *
+    * speed_kmh is generated with exactly 2 decimal places, so
+    * `round(speed*100)` is integral and the long sum is exact (a 100 TB
+    * corpus of max-speed rows sums to ~1.2e16, well inside Long). The
+    * earlier DECIMAL(28,2) formulation was equally exact but its
+    * decimal(38,2) buffer is not UnsafeRow-mutable, forcing SortAggregate —
+    * a full sort of every row before the partial agg. Same trap with
+    * `max(processed_date)` over the formatted STRING (UTF8String buffer):
+    * max the underlying DATE (int buffer) and re-format after the agg.
+    * Together these keep the plan in codegen'd HashAggregate (driver bench
+    * q70: 0.37 s → the sort was most of it). The oracle mirrors the same op
+    * sequence so the resulting values are bit-identical across engines. */
   private def aggregate(enriched: DataFrame): DataFrame =
     enriched.groupBy(col("direction"))
       .agg(
         count(lit(1)).as("n_fixes"),
-        round(sum(col("speed_kmh").cast(DecimalType(28, 2))).cast(DoubleType) /
-          count(col("speed_kmh")), 6).as("avg_speed"),
+        round(sum(round(col("speed_kmh") * 100).cast(LongType)).cast(DoubleType) /
+          100.0d / count(col("speed_kmh")), 6).as("avg_speed"),
         sum(when(col("fuel_level").isNull, 1).otherwise(0)).as("n_ev_fixes"),
         sum(when(col("collision_detected"), 1).otherwise(0)).as("n_collisions"),
-        max(col("processed_date")).as("processed_date"))
+        max(to_date(col("processed_date"))).as("max_pd"))
+      .select(col("direction"), col("n_fixes"), col("avg_speed"),
+        col("n_ev_fixes"), col("n_collisions"),
+        date_format(col("max_pd"), "yyyy-MM-dd").as("processed_date"))
       .orderBy(col("direction"))
 
   /** Materialize the enriched batch for the DuckDB oracle (called by
@@ -63,17 +79,18 @@ object Gps {
   val defs: Seq[(String, QueryDef)] = Seq(
     "q70_gps_enrich_agg" -> QueryDef(
       build = (spark, dir) => aggregate(enrichedBatch(spark, dir)),
-      // speed_kmh is generated with exactly 2 decimal places, so the
-      // DECIMAL(28,2) cast is exact in both engines; sums are exact and the
-      // final double division/round operate on identical values.
+      // speed_kmh has exactly 2 decimal places: ROUND(speed*100) is integral
+      // in both engines, the BIGINT sum is exact, and the double divisions
+      // run in the same left-to-right order as the Spark plan above, so the
+      // rounded doubles are bit-identical.
       oracle = Some(s"""
         SELECT direction,
                COUNT(*) AS n_fixes,
-               ROUND(CAST(SUM(CAST(speed_kmh AS DECIMAL(28,2))) AS DOUBLE)
-                     / COUNT(speed_kmh), 6) AS avg_speed,
+               ROUND(CAST(SUM(CAST(ROUND(speed_kmh * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0 / COUNT(speed_kmh), 6) AS avg_speed,
                CAST(SUM(CASE WHEN fuel_level IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ev_fixes,
                CAST(SUM(CASE WHEN collision_detected THEN 1 ELSE 0 END) AS BIGINT) AS n_collisions,
-               MAX(processed_date) AS processed_date
+               CAST(MAX(CAST(processed_date AS DATE)) AS VARCHAR) AS processed_date
         FROM read_parquet('$VerifyOutToken/_q70_input/*.parquet')
         GROUP BY direction ORDER BY direction"""),
       headline = true)
