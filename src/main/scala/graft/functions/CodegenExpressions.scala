@@ -136,6 +136,43 @@ object CodegenExpressions {
       copy(child = newChild)
   }
 
+  /** Codegen'd bloom-filter membership test over a string column.
+    *
+    * The serialized filter (`org.apache.spark.util.sketch.BloomFilter`
+    * stream format, as produced by `df.stat.bloomFilter`) rides in the
+    * expression and is deserialized once per executor instance, not per
+    * row; codegen references the live filter object directly
+    * (`ctx.addReferenceObj`), so the per-row cost is one hash probe.
+    * Membership is tested on the UTF-8 bytes — identical to what
+    * `stat.bloomFilter` inserts for string columns — and `null` input
+    * yields `null` (standard null-safe expression semantics); callers
+    * that need anti-join null parity must route null keys explicitly
+    * (see [[graft.operators.BloomFront]]).
+    */
+  final case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, StringType, "bloom_might_contain")
+    override def dataType: DataType = BooleanType
+    @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+    override protected def nullSafeEval(s: Any): Any =
+      bloom.mightContainBinary(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomFilter", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.mightContainBinary($s.getBytes());")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+      copy(child = newChild)
+  }
+
+  def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
+    GraftColumnBridge.column(BloomMightContainExpr(
+      GraftColumnBridge.expression(key), bloomBytes))
+
   def fingerprintCol(text: Column): Column =
     GraftColumnBridge.column(FingerprintExpr(GraftColumnBridge.expression(text)))
 

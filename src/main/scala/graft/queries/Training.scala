@@ -13,9 +13,9 @@ import org.apache.spark.sql.types.DecimalType
   * Scale notes (100 TB posture): q83/q86 are explode → hash-partition
   * aggregation keyed on (doc_id[, term]) — high-cardinality keys, so the
   * shuffle spreads evenly and partial aggregation keeps the wire volume
-  * at |distinct keys|, not |tokens|; q84 is one keyed anti-join (at real
-  * scale you'd front it with a bloom filter on the corpus key set — the
-  * join stays the authority); q85 is a broadcast of a constant-size
+  * at |distinct keys|, not |tokens|; q84's anti-join is fronted by a
+  * bloom filter on the corpus key set ([[graft.operators.BloomFront]] —
+  * the join stays the authority); q85 is a broadcast of a constant-size
   * weights table plus one per-stratum window.
   */
 object Training {
@@ -91,9 +91,11 @@ object Training {
     // The production shape of exact dedup: a new batch arrives (here:
     // doc_id % 10 < 3), is deduped within itself (keep min doc_id per
     // content hash), then anti-joined against the existing corpus's
-    // content-hash set. Reports the attrition per language so the ingest
-    // is auditable. At 100 TB the corpus key set is fronted by a bloom
-    // filter; the keyed anti-join below remains the exactness authority.
+    // content-hash set via [[graft.operators.BloomFront]]: a bloom filter
+    // over the corpus sigs is probed map-side so only possible members
+    // (true dups + the fpp share) reach the shuffle anti-join, which
+    // remains the exactness authority. Reports the attrition per language
+    // so the ingest is auditable.
     "q84_incremental_dedup" -> QueryDef(
       build = (spark, dir) => {
         val d = Tables.documents(spark, dir)
@@ -106,7 +108,7 @@ object Training {
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("sig")).orderBy(col("doc_id"))))
           .filter(col("rn") === 1)
-        val kept = batchUnique.join(corpus, Seq("sig"), "left_anti")
+        val kept = graft.operators.BloomFront.antiJoin(batchUnique, corpus, "sig")
         incoming.groupBy(col("lang")).agg(count(lit(1)).as("n_incoming"))
           .join(batchUnique.groupBy(col("lang")).agg(count(lit(1)).as("n_batch_unique")),
             Seq("lang"), "left")
@@ -127,7 +129,10 @@ object Training {
         corpus AS (SELECT DISTINCT sig FROM d WHERE NOT is_incoming),
         bu AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sig
                  ORDER BY doc_id) AS rn FROM inc) WHERE rn = 1),
-        kept AS (SELECT * FROM bu WHERE sig NOT IN (SELECT sig FROM corpus)),
+        -- NOT EXISTS, not NOT IN: NOT IN yields no rows if any sig were
+        -- NULL, while Spark's left_anti keeps non-matching rows.
+        kept AS (SELECT * FROM bu WHERE NOT EXISTS
+                   (SELECT 1 FROM corpus c WHERE c.sig = bu.sig)),
         a AS (SELECT lang, COUNT(*) AS n_incoming FROM inc GROUP BY lang),
         b AS (SELECT lang, COUNT(*) AS n_batch_unique FROM bu GROUP BY lang),
         c AS (SELECT lang, COUNT(*) AS n_kept,

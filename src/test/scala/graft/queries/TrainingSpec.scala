@@ -54,6 +54,35 @@ class TrainingSpec extends SparkSpec {
     }
   }
 
+  test("bloom-fronted anti-join ≡ plain left_anti on planted collisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 400 batch keys, half colliding with the corpus, plus a null key
+    // (left_anti keeps nulls; the front must route them to the keep
+    // branch, not probe the filter). High fpp + tiny filter makes false
+    // positives near-certain, exercising the join-resolves-maybes path.
+    val batch = ((0 until 400).map(i => (i.toLong, s"k$i")) :+ (999L, null))
+      .toDF("id", "sig")
+    val corpus = (0 until 200).map(i => s"k${i * 2}").toDF("sig")
+    val plain = batch.join(corpus, Seq("sig"), "left_anti")
+    for (fpp <- Seq(0.5, 0.01)) {
+      val fronted = graft.operators.BloomFront.antiJoin(batch, corpus, "sig", fpp = fpp)
+      assert(fronted.columns.toSeq == plain.columns.toSeq)
+      val a = fronted.collect().map(r => (Option(r.getString(0)), r.getLong(1))).sortBy(_._2)
+      val b = plain.collect().map(r => (Option(r.getString(0)), r.getLong(1))).sortBy(_._2)
+      assert(a.sameElements(b), s"bloom path diverged at fpp=$fpp")
+    }
+    // No false negatives: every corpus key must probe true.
+    val bf = corpus.stat.bloomFilter("sig", 200, 0.01)
+    val bytes = { val o = new java.io.ByteArrayOutputStream(); bf.writeTo(o); o.toByteArray }
+    val probed = corpus.withColumn("hit",
+      graft.functions.CodegenExpressions.bloomMightContain(col("sig"), bytes))
+    assert(probed.filter(!col("hit")).count() == 0L)
+    // Empty corpus degenerates to the batch unchanged.
+    val empty = corpus.filter(col("sig") === "nope")
+    assert(graft.operators.BloomFront.antiJoin(batch, empty, "sig").count() == batch.count())
+  }
+
   test("q85: every stratum picks exactly min(target, available)") {
     val rows = run("q85_mixture_resample")
     val targets = Map("en" -> 100L, "de" -> 40L, "es" -> 30L, "fr" -> 20L, "zh" -> 10L)
