@@ -123,6 +123,21 @@ object VectorKernels {
     * sign_ij = pmod(xxhash64(table*1024 + j, i), 2)*2 - 1; bit j of table
     * t's bucket set iff Σ_i e_i·sign_ij > 0; bucket tagged t in the high
     * bits. */
+  /** Sign-LSH bucket-bit sizing policy: bits must grow ~log N to hold
+    * per-bucket occupancy (and with it candidate-pair cost per bucket,
+    * ~occupancy²/2) constant as the corpus grows. `ceil` biases toward
+    * MORE pruning: uniform buckets land occupancy in (target/2, target].
+    * Clamped to [4, 24] — below 4 bits table collisions stop pruning at
+    * all (tiny corpora don't need LSH anyway), above 24 (16M buckets per
+    * table, occupancy ~60 at N=10^9) the recall cost of further splitting
+    * outweighs the pruning, and the id stays inside the 32-bit low field
+    * of the table-tagged bucket long. */
+  def autoLshBits(n: Long, targetPerBucket: Int = 30): Int = {
+    val raw = math.ceil(math.log(math.max(n, 1L).toDouble / targetPerBucket)
+      / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   def lshBuckets(e: ArrayData, nTables: Int, bitsPerTable: Int): ArrayData = {
     val dim = e.numElements()
     val out = new Array[Long](nTables)

@@ -158,15 +158,20 @@ object Vectors {
     // T=16 tables x 6 bits ≈ 4x candidate pruning at ~0.7 recall on this
     // regime, recall → 1 above ~0.8 cosine (the production near-dup zone;
     // VectorsSpec asserts planted-pair recall and the subset property).
-    // At larger corpora, bucket BITS must grow ~log N to hold occupancy
-    // constant — measured in ScaleProbe's "ann" section (recall 1 on
-    // planted pairs with near-flat cost through 100k vectors).
+    // Bucket BITS grow ~log N to hold occupancy constant
+    // (VectorKernels.autoLshBits, ~30 vectors/bucket — the operating
+    // point ScaleProbe's "ann" section measured: recall 1 on planted
+    // pairs with near-flat cost through 100k vectors). The corpus count
+    // feeding the policy is a metadata-cheap 0-column scan; at real scale
+    // it comes from table statistics instead.
     "q55_neardup_scale" -> QueryDef(
       build = (spark, dir) => {
+        val bits = graft.functions.VectorKernels.autoLshBits(
+          Tables.embeddings(spark, dir).count())
         val emb = Tables.embeddings(spark, dir)
           .select(col("vec_id"), vec64(col("embedding")).as("e"))
           .withColumn("nrm", norm(col("e")))
-          .withColumn("buckets", lshBuckets(col("e"), 16, 6))
+          .withColumn("buckets", lshBuckets(col("e"), 16, bits))
         val cand = emb.select(col("vec_id"), col("e"), col("nrm"),
           explode(col("buckets")).as("bucket"))
         val a = cand.select(col("bucket"), col("vec_id").as("id_a"),

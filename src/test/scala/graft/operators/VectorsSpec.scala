@@ -97,6 +97,31 @@ class VectorsSpec extends SparkSpec {
     assert(hits >= 99, s"planted near-dup recall ${hits / 100.0} at (T=16, b=6)")
   }
 
+  test("autoLshBits holds bucket occupancy near target across corpus sizes") {
+    import graft.functions.VectorKernels.autoLshBits
+    // Policy values: ceil(log2(n/30)) clamped to [4, 24].
+    assert(autoLshBits(50) == 4, "tiny corpus clamps to 4")
+    assert(autoLshBits(500) == 5)
+    assert(autoLshBits(5000) == 8)
+    assert(autoLshBits(1000000000L) == 24, "giant corpus clamps to 24")
+    // Measured occupancy at two sizes, on deterministic pseudo-random
+    // centered vectors (each component uniform in [-0.5, 0.5) keyed by
+    // (id, dim)): mean vectors per non-empty bucket must sit near the
+    // 30-vector target — the invariant that keeps per-bucket candidate
+    // cost flat as N grows.
+    for (n <- Seq(2000L, 16000L)) {
+      val bits = autoLshBits(n)
+      val e = spark.range(n).select(col("id"), array((0 until 64).map(j =>
+        pmod(xxhash64(col("id"), lit(j)), lit(1000L)).cast("double") / 1000.0 - 0.5): _*).as("e"))
+      val tables = 4
+      val nBuckets = e.withColumn("b", explode(lshBuckets(col("e"), tables, bits)))
+        .select("b").distinct().count()
+      val meanOcc = n.toDouble * tables / nBuckets
+      assert(meanOcc <= 60.0, s"n=$n bits=$bits mean occupancy $meanOcc above 2x target")
+      assert(meanOcc >= 3.75, s"n=$n bits=$bits mean occupancy $meanOcc below target/8")
+    }
+  }
+
   test("cosine expression is exact on known vectors") {
     val df = Seq((Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
       (Array(1.0f, 2.0f, 2.0f), Array(1.0f, 2.0f, 2.0f)),
