@@ -39,17 +39,80 @@ object DataLayout {
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
     }
 
+  /** Quantization bounds for [[writeClusteredZ]]: (aMin, aMax, bMin, bMax). */
+  final case class ZBounds(aMin: Double, aMax: Double, bMin: Double, bMax: Double)
+
+  /** Per-column (min, max) from parquet footer statistics — file-metadata
+    * IO on the driver, NO executor scan job. Applies when `df` is a
+    * single parquet-relation scan (optionally filtered/projected without
+    * renaming the bound columns) with numeric footer stats for every
+    * requested column in every file; anything else returns None and the
+    * caller falls back. Footer bounds may be wider than the post-filter
+    * data's true min/max — harmless for quantization (buckets get looser,
+    * never wrong). */
+  private[operators] def footerBounds(df: DataFrame, cols: Seq[String]): Option[Seq[(Double, Double)]] = {
+    import scala.jdk.CollectionConverters._
+    val plan = df.queryExecution.optimizedPlan
+    val simpleScan = plan.collectLeaves().size == 1 && plan.collect { case n => n }
+      .forall(n => n.children.isEmpty || n.nodeName == "Project" || n.nodeName == "Filter")
+    val files = if (simpleScan) df.inputFiles.toSeq else Seq.empty
+    if (files.isEmpty) return None
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def numeric(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    try {
+      val perFile = files.map { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try {
+          val chunks = reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala).toSeq
+          cols.map { c =>
+            val stats = chunks.filter(_.getPath.toDotString == c).map(_.getStatistics)
+            for {
+              _ <- Option.when(stats.nonEmpty &&
+                stats.forall(s => s != null && s.hasNonNullValue))(())
+              mins <- traverse(stats.map(s => numeric(s.genericGetMin)))
+              maxs <- traverse(stats.map(s => numeric(s.genericGetMax)))
+            } yield (mins.min, maxs.max)
+          }
+        } finally reader.close()
+      }
+      traverse(cols.indices.map(i => traverse(perFile.map(_(i))).map(b =>
+        (b.map(_._1).min, b.map(_._2).max))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
   /** Z-order-clustered write on two numeric dimensions: uniform
-    * width_bucket quantization (min/max from one metadata agg pass),
-    * Morton interleave, then the same range-partition + sort-within as
-    * [[writeClustered]]. 2-D box predicates touch O(perimeter) files
-    * instead of all of them. */
+    * width_bucket quantization, Morton interleave, then the same
+    * range-partition + sort-within as [[writeClustered]]. 2-D box
+    * predicates touch O(perimeter) files instead of all of them.
+    *
+    * Quantization bounds, in order of preference (100 TB posture: never
+    * pay a full scan for 4 scalars):
+    *  1. explicit `bounds` — from table/catalog statistics (Iceberg
+    *     manifests, ANALYZE TABLE) or domain knowledge;
+    *  2. parquet footer min/max stats ([[footerBounds]] — driver-side
+    *     metadata IO, no scan job) when `df` is a plain parquet scan;
+    *  3. a blocking min/max aggregation job — exact but a full extra pass
+    *     over the data; the fallback, not the default. */
   def writeClusteredZ(df: DataFrame, table: String,
-      colA: String, colB: String, bits: Int = 8, numFiles: Int = 8): Unit = {
-    val Array(r) = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()
-    val (aMin, aMax, bMin, bMax) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      colA: String, colB: String, bits: Int = 8, numFiles: Int = 8,
+      bounds: Option[ZBounds] = None): Unit = {
+    val ZBounds(aMin, aMax, bMin, bMax) = bounds
+      .orElse(footerBounds(df, Seq(colA, colB)).map { case Seq(a, b) =>
+        ZBounds(a._1, a._2, b._1, b._2) })
+      .getOrElse {
+        val Array(r) = df.agg(
+          min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+          min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()
+        ZBounds(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      }
     val n = 1 << bits
     // width_bucket returns n+1 for x == max (the upper-boundary bucket);
     // unclamped, that bucket id is 2^bits, whose only set bit is ABOVE the

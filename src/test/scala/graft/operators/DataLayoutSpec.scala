@@ -34,6 +34,57 @@ class DataLayoutSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS orders_clustered")
   }
 
+  test("z-bounds come from parquet footers — no extra scan job") {
+    val orders = Tables.orders(spark, sf)
+    // Footer stats give the exact global min/max of a full parquet scan.
+    val Seq((aLo, aHi), (bLo, bHi)) =
+      DataLayout.footerBounds(orders, Seq("o_custkey", "o_totalprice")).get
+    val Array(r) = orders.agg(
+      min(col("o_custkey")).cast("double"), max(col("o_custkey")).cast("double"),
+      min(col("o_totalprice")), max(col("o_totalprice"))).collect()
+    assert((aLo, aHi, bLo, bHi) ==
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // Non-scan shapes refuse footer bounds rather than risk wrong ones.
+    assert(DataLayout.footerBounds(
+      orders.withColumnRenamed("o_custkey", "ck"), Seq("ck")).isEmpty)
+    assert(DataLayout.footerBounds(
+      orders.groupBy("o_custkey").count(), Seq("o_custkey")).isEmpty)
+
+    // Job accounting: the footer path must cost exactly as many Spark jobs
+    // as caller-supplied bounds (i.e., zero extra), while the fallback
+    // pays one blocking min/max aggregation job.
+    class Counter extends org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    def jobsDuring(f: => Unit): Int = {
+      val c = new Counter
+      spark.sparkContext.addSparkListener(c)
+      // listener events are async: drain with a sleep, not waitUntilEmpty
+      try { f; Thread.sleep(1500); c.n.get }
+      finally spark.sparkContext.removeSparkListener(c)
+    }
+    try {
+      val explicit = jobsDuring(DataLayout.writeClusteredZ(orders, "z_explicit",
+        "o_custkey", "o_totalprice",
+        bounds = Some(DataLayout.ZBounds(aLo, aHi, bLo, bHi))))
+      val footer = jobsDuring(DataLayout.writeClusteredZ(orders, "z_footer",
+        "o_custkey", "o_totalprice"))
+      val fallback = jobsDuring(DataLayout.writeClusteredZ(
+        orders.withColumnRenamed("o_custkey", "ck"), "z_fallback",
+        "ck", "o_totalprice"))
+      assert(footer == explicit,
+        s"footer path ran $footer jobs vs $explicit with explicit bounds")
+      assert(fallback > explicit,
+        s"fallback ran $fallback jobs, expected more than $explicit (an extra agg pass; AQE may split it into multiple jobs)")
+      // and all three layouts hold the same rows
+      assert(spark.table("z_footer").count() == orders.count())
+    } finally Seq("z_explicit", "z_footer", "z_fallback")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("z-order clustering localizes 2-D box predicates") {
     try {
       val orders = Tables.orders(spark, sf)
