@@ -24,6 +24,8 @@ object TableSwap {
         spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
       else
         spark.sql(s"DROP TABLE $tmp")
+      // the table under this name is (or may be) a different table now
+      graft.streaming.IdempotentParquetSink.invalidate(spark, table)
     }
   }
 
@@ -36,6 +38,9 @@ object TableSwap {
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     spark.catalog.refreshTable(table)
+    // a validated-by-IdempotentParquetSink table no longer exists under
+    // this name; the rewritten one must re-earn the partition-spec guard
+    graft.streaming.IdempotentParquetSink.invalidate(spark, table)
   }
 }
 

@@ -157,6 +157,29 @@ class PipelineSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("sink validation cache is invalidated by a TableSwap drop-recreate") {
+    // Regression for the cache-staleness window: once a table passed the
+    // batch_id partition-spec guard, the per-JVM cache skipped it forever —
+    // so a TableSwap.rewrite that replaced the table with a NON-batch_id
+    // layout under the same name let the positional dynamic overwrite run
+    // unguarded. The swap must invalidate, and the next write must fail
+    // the re-run guard loudly.
+    import spark.implicits._
+    val table = "gps_idem_swapped"
+    IdempotentParquetSink.write(Seq((1L, "a")).toDF("id", "v"), table, 0L)
+    IdempotentParquetSink.write(Seq((2L, "b")).toDF("id", "v"), table, 1L) // cache hit
+    assert(spark.table(table).count() == 2)
+    graft.operators.TableSwap.rewrite(spark, table,
+      Seq((9L, "z")).toDF("id", "v")) // plain layout: no batch_id partition
+    val e = intercept[IllegalArgumentException] {
+      IdempotentParquetSink.write(Seq((3L, "c")).toDF("id", "v"), table, 2L)
+    }
+    assert(e.getMessage.contains("not partitioned by 'batch_id'"))
+    spark.catalog.refreshTable(table)
+    assert(spark.table(table).count() == 1, "guarded write must not mutate the table")
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("explicit-schema read equals reference's inference read") {
     val in = tmpDir("gps-in3")
     GpsGenerator.writeJsonFiles(spark, in, 400, 2)
