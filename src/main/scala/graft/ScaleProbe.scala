@@ -134,6 +134,54 @@ object ScaleProbe {
         else (-1.0, "skipped")
       println(f"""{"probe":"ann","vectors":$n,"lsh_sec":$lSec%.3f,"lsh_pairs":$lPairs,"exact_sec":$eSec%.3f,"exact_pairs":"$ePairs"}""")
     }
+
+    // streaming-state probe: stateful operators at bench scale on the
+    // RocksDB state store. The unit specs prove semantics at toy sizes;
+    // this measures rows/s and state footprint with a key space 4 orders
+    // of magnitude wider than the 20-vehicle fleet: vehicle_id is re-keyed
+    // to 100k synthetic vehicles, so per-key state operators maintain 100k
+    // state rows across the 32 store partitions. Input is pre-written
+    // parquet (untimed); each query runs Trigger.AvailableNow into the
+    // noop sink, so the timed span is pure source→state→emit engine work.
+    {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.core.{GpsRecord, GpsSchema}
+      val nRows = 1200000L
+      val nKeys = 100000L
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val baseDir = java.nio.file.Files.createTempDirectory("graft-stream-scale").toString
+      graft.sources.GpsGenerator.batch(spark, nRows)
+        .withColumn("vehicle_id",
+          format_string("v%06d", pmod(xxhash64(col("timestamp"), col("latitude")), lit(nKeys))))
+        .write.mode("overwrite").parquet(s"$baseDir/in")
+      def stream = spark.readStream.schema(GpsSchema.schema).parquet(s"$baseDir/in")
+      def run(op: String, mode: String = "update")(
+          build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_]): Unit = {
+        val t0 = System.nanoTime()
+        val q = build(stream).writeStream.format("noop")
+          .option("checkpointLocation", s"$baseDir/ckpt-$op")
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val so = Option(q.lastProgress).map(_.stateOperators).filter(_.nonEmpty)
+        val stateRows = so.map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
+        val stateBytes = so.map(_.map(_.memoryUsedBytes).sum).getOrElse(-1L)
+        println(f"""{"probe":"streaming","op":"$op","rows":$nRows,"keys":$nKeys,"sec":$sec%.3f,"rows_per_sec":${(nRows / sec).toLong},"state_rows":$stateRows,"state_bytes":$stateBytes}""")
+      }
+      run("transform_with_state") { df =>
+        import spark.implicits._
+        graft.streaming.StreamingOps.odometers(df.as[GpsRecord])
+      }
+      // session-window aggregation only supports append on streams
+      run("session_window", mode = "append")(df =>
+        graft.streaming.StreamingOps.vehicleSessions(df))
+      run("tumbling_window")(df => graft.streaming.StreamingOps.tumblingSpeedProfile(df))
+      run("flat_map_groups_with_state") { df =>
+        import spark.implicits._
+        graft.streaming.StreamingOps.tripSummaries(df.as[GpsRecord])
+      }
+    }
     spark.stop()
   }
 }
