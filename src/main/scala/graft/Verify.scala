@@ -8,9 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = SparkSessionFactory.localFromEnv(4, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    // q70's input is generated, not a testdata table: materialize the
-    // deterministic enriched batch so DuckDB can aggregate the same rows.
-    graft.queries.Gps.writeVerifyInput(spark, sfDir, outDir)
+    // Materialize engine-computed oracle inputs (q70's generated batch,
+    // q47's fingerprints, q49's predictions) so DuckDB can verify the
+    // relational part of those queries over identical rows.
+    graft.queries.VerifyInputs.writeAll(spark, sfDir, outDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * making its output equal to the exact q44 answer whenever LSH recall is 1
   * (asserted in DedupSpec; the DuckDB oracle below is the exact-Jaccard
   * query, so the driver's hash compare doubles as a recall=1 proof at
-  * sf0.01). q47's fingerprints have no SQL equivalent → rows-only check.
+  * sf0.01). q47's fingerprints have no SQL equivalent, but its
+  * nearest-neighbor search is oracle-checked brute-force over the
+  * Verify-materialized fingerprints (see q47's def and VerifyInputs).
   */
 object Dedup {
 
@@ -148,10 +150,25 @@ object Dedup {
       oracle = None),
 
     // ---- q47: SimHash fingerprints + Hamming nearest neighbor ----
+    // The fingerprints themselves have no SQL equivalent, so Verify
+    // materializes the Spark-computed (doc_id, simhash) pairs
+    // (VerifyInputs) and DuckDB recomputes the nearest-neighbor search
+    // BRUTE-FORCE over them — an independent algorithm proving the
+    // pigeonhole block equijoin finds exactly the all-pairs answer.
     "q47_simhash" -> QueryDef(
       build = (spark, dir) =>
         SimHash.fingerprints(
           Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3),
-      oracle = None)
+      oracle = Some(s"""
+        WITH fp AS (SELECT doc_id, simhash
+                    FROM read_parquet('${Gps.VerifyOutToken}/_q47_input/*.parquet')),
+        nn AS (SELECT a.doc_id AS id_a,
+                      CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INTEGER) AS nn_hamming
+               FROM fp a JOIN fp b ON a.doc_id <> b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+               GROUP BY a.doc_id)
+        SELECT fp.doc_id, fp.simhash, nn.nn_hamming
+        FROM fp LEFT JOIN nn ON fp.doc_id = nn.id_a
+        ORDER BY fp.doc_id"""))
   )
 }

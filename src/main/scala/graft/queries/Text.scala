@@ -214,17 +214,26 @@ object Text {
     // ---- q49: char-n-gram language ID distribution ----
     // Content-based heuristic classifier (TextFunctions.charNgramLangId).
     // The synthetic corpus text is English-ish regardless of its `lang`
-    // label, so the interesting output is the predicted distribution
-    // (rows-only check; LangIdSpec asserts real classification on planted
-    // per-language sentences).
+    // label, so the interesting output is the predicted distribution plus
+    // how often the prediction agrees with the label. The classifier has
+    // no SQL equivalent (LangIdSpec asserts real classification on
+    // planted per-language sentences); Verify materializes the
+    // Spark-computed predictions and DuckDB re-aggregates them.
     "q49_charngram_langid" -> QueryDef(
       build = (spark, dir) =>
         Tables.documents(spark, dir)
-          .select(charNgramLangId(col("text")).as("predicted"))
+          .select(col("lang"), charNgramLangId(col("text")).as("predicted"))
           .groupBy(col("predicted"))
-          .agg(count(lit(1)).as("n_docs"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang") === col("predicted"), 1L).otherwise(0L))
+              .as("n_label_match"))
           .orderBy(col("predicted")),
-      oracle = None),
+      oracle = Some(s"""
+        SELECT predicted, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN lang = predicted THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_label_match
+        FROM read_parquet('${Gps.VerifyOutToken}/_q49_input/*.parquet')
+        GROUP BY predicted ORDER BY predicted""")),
 
     // ---- q48: token counting, whitespace + BPE-ish regex ----
     // The regex pretokenizer (letter runs | digit runs | punctuation runs)

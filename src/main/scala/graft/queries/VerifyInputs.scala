@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextFunctions.{charNgramLangId, tokens}
+import graft.operators.SimHash
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Verify-time materializations for oracles over engine-specific values.
+  *
+  * Some per-row functions have no SQL equivalent DuckDB could recompute
+  * (SimHash bit votes, the char-n-gram language classifier), but
+  * everything DOWNSTREAM of them is plain relational algebra. Pattern
+  * (established by q70's generated input): Verify materializes the
+  * Spark-computed values to `<outDir>/_qNN_input`, and the oracle SQL —
+  * via the [[Gps.VerifyOutToken]] path substitution — recomputes the
+  * downstream query over the identical inputs in DuckDB. The per-row
+  * function itself stays spec-tested (SimHashExpr golden values,
+  * LangIdSpec planted sentences); the oracle proves the relational part,
+  * by a DIFFERENT algorithm where one exists (q47's pigeonhole block join
+  * vs DuckDB's brute-force all-pairs).
+  */
+object VerifyInputs {
+
+  def writeAll(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    Gps.writeVerifyInput(spark, sfDir, outDir)
+    // q47: the fingerprints; DuckDB re-derives every Hamming-≤3 nearest
+    // neighbor by brute force against the block-join's answer.
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), SimHash.simhash64(tokens(col("text"))).as("simhash"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q47_input")
+    // q49: the predictions; DuckDB re-aggregates the distribution and
+    // label-match counts.
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), charNgramLangId(col("text")).as("predicted"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q49_input")
+  }
+}
