@@ -192,7 +192,24 @@ object Vectors {
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      oracle = None,
+      // Bucket assignments are engine-specific, so Verify materializes
+      // them (_q55_input) and DuckDB independently re-runs candidate
+      // generation + exact cosine verify over the identical assignments —
+      // the benched scale path is value-checked, with only the bucketing
+      // function itself left to spec coverage (VectorsSpec recall/subset).
+      oracle = Some(s"""
+        WITH b AS (SELECT bucket, vec_id
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q55_input/*.parquet')),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+                 FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+        SELECT c.id_a, c.id_b,
+               ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.38
+        ORDER BY id_a, id_b"""),
       headline = true),
 
     // ---- q52: all-pairs embedding near-duplicates ----

@@ -34,5 +34,19 @@ object VerifyInputs {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), charNgramLangId(col("text")).as("predicted"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q49_input")
+    // q55: the (bucket, vec_id) assignments at the query's own auto-scaled
+    // bit width; DuckDB re-runs candidate generation + exact cosine verify
+    // over them (list_cosine_similarity ≡ the codegen'd dot/(na·nb) —
+    // proven bit-identical by q52's oracle), so the benched LSH scale path
+    // is value-checked end to end, not rows-only.
+    locally {
+      import graft.functions.VectorFunctions.{lshBuckets, vec64}
+      val bits = graft.functions.VectorKernels.autoLshBits(
+        Tables.embeddings(spark, sfDir).count())
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          explode(lshBuckets(vec64(col("embedding")), 16, bits)).as("bucket"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q55_input")
+    }
   }
 }
