@@ -9,13 +9,15 @@ import graft.core.SparkSessionFactory
   *      no timed run pays first-touch disk IO.
   *   2. Warmup pass: execute every headline query once untimed (codegen
   *      compiled, parquet footers/file index cached, JIT warm).
-  *   3. min of 5 timed runs per query, INTERLEAVED round-robin across
-  *      queries. This host shows multi-second transient freezes under
+  *   3. min over 3 interleaved passes x 2 back-to-back executions per
+  *      query. This host shows multi-second transient freezes under
   *      shared load; min-of-N measures the engine's cost, not a co-tenant
   *      stall that happened to land in a run (round-1 driver run hit
   *      5-13x inflation on sub-second queries; round-2's hit q50/q55 with
-  *      a stall long enough to cover 5 consecutive runs — interleaving
-  *      bounds the damage any one stall can do to a single query's min).
+  *      a stall long enough to cover 5 consecutive runs — interleaved
+  *      passes bound the damage any one stall can do to a single query's
+  *      min, while the consecutive second execution keeps each query's
+  *      generated code JIT-hot when it is sampled).
   *
   * A query that throws is recorded in an "errors" field with exit 1 —
   * never as a bogus time-until-failure sample. One JSON line on stdout.
@@ -89,22 +91,30 @@ object Bench {
     val survivors = scala.collection.mutable.LinkedHashSet(
       names.filterNot(errors.contains): _*)
     val samples = scala.collection.mutable.Map[String, Double]()
-    (1 to 5).foreach { _ =>
+    (1 to 3).foreach { _ =>
       survivors.toSeq.foreach { name =>
         // Collect the PREVIOUS query's garbage before starting the timer
-        // (JMH-style inter-iteration hygiene). Interleaving introduced a
-        // systematic bias the old consecutive protocol amortized: every
-        // sample of a query now runs right after its rotation neighbour,
-        // so an allocation-heavy neighbour (q60's binary payloads ahead of
-        // q70) taxes ALL N samples of the next query and min-of-N cannot
-        // recover — driver r03/r04 measured q70 at 0.37-0.42 s vs 0.161 s
-        // under the consecutive protocol, with q70's own work unchanged.
+        // (JMH-style inter-iteration hygiene): an allocation-heavy
+        // rotation neighbour (q60's binary payloads ahead of q70) must
+        // not tax the next query's samples.
         System.gc()
-        val t0 = System.nanoTime()
+        // Two back-to-back executions per pass, both sampled. Pure
+        // interleaving (r03/r04 protocol) made EVERY sample JIT-cold —
+        // 12 other queries run between two samples of the same query,
+        // evicting/deoptimizing its generated code — which inflated the
+        // whole bench vs the r02 consecutive protocol (driver totals
+        // 6.89 s → 10.0/9.1 s on unchanged plans; q70, the most
+        // JIT-sensitive pure-compute query, 0.161 s → 0.37-0.42 s). The
+        // second consecutive run measures steady-state engine cost, while
+        // pass-level interleaving still bounds what one co-tenant stall
+        // can do to any single query's min.
         try {
-          queries(name)(spark, sfDir).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          samples(name) = math.min(sec, samples.getOrElse(name, Double.MaxValue))
+          (1 to 2).foreach { _ =>
+            val t0 = System.nanoTime()
+            queries(name)(spark, sfDir).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            samples(name) = math.min(sec, samples.getOrElse(name, Double.MaxValue))
+          }
         } catch { case scala.util.control.NonFatal(e) =>
           errors(name) = e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage).take(200)
