@@ -138,20 +138,28 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Deterministic per-kind feature profile — the queryable summary used by
-    * the q60 corpus entry (fully ordered, reproducible). */
-  def featureProfile(spark: SparkSession, n: Long): DataFrame = {
-    val feats = extractFeatures(syntheticAssets(spark, n))
-    feats.toDF()
-      .select(col("kind"), col("n_bytes"),
+  /** Per-asset scalar feature rows (asset_id, kind, n_bytes, l2sq) — the
+    * engine-specific values (codec + histogram) reduced to plain scalars.
+    * Shared by [[featureProfile]] and the Verify-time materialization that
+    * lets DuckDB re-aggregate the q60 profile over identical inputs. */
+  def featureRows(spark: SparkSession, n: Long): DataFrame =
+    extractFeatures(syntheticAssets(spark, n)).toDF()
+      .select(col("asset_id"), col("kind"), col("n_bytes"),
         round(aggregate(transform(col("feature"), x => x * x),
           lit(0.0d), (acc, v) => acc + v), 9).as("l2sq"))
+
+  /** Deterministic per-kind feature profile — the queryable summary used by
+    * the q60 corpus entry (fully ordered, reproducible: the mean
+    * accumulates the 9-decimal per-asset l2sq as decimal, so the result is
+    * independent of partitioning and summation order). */
+  def featureProfile(spark: SparkSession, n: Long): DataFrame =
+    featureRows(spark, n)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_assets"),
-        sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("l2sq")), 9).as("avg_feature_l2sq"))
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        round((sum(col("l2sq").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+          .cast("double") / count(lit(1))), 9).as("avg_feature_l2sq"))
       .orderBy(col("kind"))
-  }
 
   // ---- STUB codec ----------------------------------------------------
 

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val BUCKETS = 1000000L
+  val BUCKETS = 1000000L
 
-  private def bucket(idCols: Seq[Column], seed: Long): Column =
+  /** The membership bucket in [0, BUCKETS) — public so Verify can
+    * materialize per-row buckets and a SQL oracle can recompute every
+    * downstream sampling decision over identical values (xxhash64 itself
+    * has no DuckDB equivalent). */
+  def bucket(idCols: Seq[Column], seed: Long): Column =
     pmod(xxhash64(lit(seed) +: idCols: _*), lit(BUCKETS))
 
   /** Keep ~`fraction` of rows, exactly reproducibly. */

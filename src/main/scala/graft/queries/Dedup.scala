@@ -100,10 +100,14 @@ object Dedup {
 
     // ---- q57: reproducible stratified sampling profile ----
     // Training-set construction: per-language fractions over documents via
-    // partition-independent hash membership (operators.Sampling). Members
-    // derive from xxhash64 (engine-specific), so no SQL oracle — instead
-    // the output CARRIES its own evidence, checkable by the driver's
-    // rows-only gate and mirrored in SamplingSpec:
+    // partition-independent hash membership (operators.Sampling). The
+    // membership bucket derives from xxhash64 (engine-specific), so Verify
+    // materializes the per-doc buckets (_q57_input) and DuckDB recomputes
+    // every downstream decision — threshold filter, per-stratum counts,
+    // achieved rate, 3σ bound, resample diff — over identical values.
+    // xxhash64 itself stays spec-tested. The output additionally CARRIES
+    // its own evidence, checked by compare.py's self-check and mirrored
+    // in SamplingSpec:
     //   resample_diff  = |sample ∆ re-sample| for an independently built
     //                    second sample, same seed — 0 row-for-row proves
     //                    reproducibility;
@@ -147,7 +151,46 @@ object Dedup {
             col("resample_diff"), col("min_id"), col("max_id"))
           .orderBy(col("lang"))
       },
-      oracle = None),
+      // Thresholds mirror the query's fracs map: (frac * 1e6).toLong.
+      // s1/s2 in DuckDB both read the SAME materialized bucket, so the
+      // oracle's resample_diff is structurally 0 — matching the engine,
+      // whose two hash evaluations must agree for the gate to pass.
+      oracle = Some(s"""
+        WITH b AS (SELECT doc_id, lang, bucket
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q57_input/*.parquet')),
+        thr AS (SELECT * FROM (VALUES ('en', 500000), ('de', 250000),
+                                      ('fr', 250000), ('es', 250000),
+                                      ('zh', 100000)) t(lang, threshold)),
+        s1 AS (SELECT b.doc_id, b.lang FROM b JOIN thr ON b.lang = thr.lang
+               WHERE b.bucket < thr.threshold),
+        diff AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS resample_diff
+                 FROM ((SELECT lang, doc_id FROM s1
+                        EXCEPT ALL SELECT lang, doc_id FROM s1)
+                       UNION ALL
+                       (SELECT lang, doc_id FROM s1
+                        EXCEPT ALL SELECT lang, doc_id FROM s1))
+                 GROUP BY lang),
+        totals AS (SELECT lang, COUNT(*) AS n_total FROM documents
+                   GROUP BY lang),
+        agg AS (SELECT lang, COUNT(*) AS n_sampled,
+                       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+                FROM s1 GROUP BY lang)
+        SELECT a.lang, t.n_total, a.n_sampled,
+               CAST(thr.threshold AS DOUBLE) / 1000000 AS target_frac,
+               ROUND(CAST(a.n_sampled AS DOUBLE) / t.n_total, 6)
+                 AS achieved_frac,
+               ABS(ROUND(CAST(a.n_sampled AS DOUBLE) / t.n_total, 6)
+                   - CAST(thr.threshold AS DOUBLE) / 1000000)
+                 <= 3.0 * sqrt((CAST(thr.threshold AS DOUBLE) / 1000000)
+                      * (1.0 - CAST(thr.threshold AS DOUBLE) / 1000000)
+                      / t.n_total) AS frac_in_bounds,
+               COALESCE(d.resample_diff, CAST(0 AS BIGINT)) AS resample_diff,
+               a.min_id, a.max_id
+        FROM agg a
+        JOIN totals t ON a.lang = t.lang
+        JOIN thr ON a.lang = thr.lang
+        LEFT JOIN diff d ON a.lang = d.lang
+        ORDER BY a.lang""")),
 
     // ---- q47: SimHash fingerprints + Hamming nearest neighbor ----
     // The fingerprints themselves have no SQL equivalent, so Verify

@@ -71,9 +71,12 @@ object Vectors {
     // Multi-table sign-LSH: candidates collide in ANY of 8 four-bit
     // tables (OR-amplification), then exact cosine re-ranks. The bucket
     // equijoin replaces the full cross product; recall < 1 by design, so
-    // no SQL oracle — the driver's rows-only check applies, and the
-    // ScalaTest spec checks recall against q50's exact answer on planted
-    // near-duplicates.
+    // the answer set is bucketing-dependent — Verify materializes the
+    // (bucket, vec_id) assignments (_q51_input) and DuckDB independently
+    // re-runs candidate generation, exact cosine re-rank, AND the exact
+    // top-5 evidence join from the raw embeddings. The ScalaTest spec
+    // additionally checks recall on planted near-duplicates, and
+    // compare.py's self-check bounds measured recall@5.
     "q51_ann_lsh" -> QueryDef(
       build = (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
@@ -98,15 +101,47 @@ object Vectors {
             round(col("cos"), 6).as("cosine"), col("in_exact_topk"))
           .orderBy(col("qid"), col("rn"))
       },
-      oracle = None),
+      oracle = Some(s"""
+        WITH b AS (SELECT bucket, vec_id
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q51_input/*.parquet')),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        cand AS (SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS vec_id
+                 FROM b qb JOIN b cb ON qb.bucket = cb.bucket
+                 WHERE qb.vec_id < 10 AND cb.vec_id != qb.vec_id),
+        s AS (SELECT c.qid, c.vec_id,
+                     list_cosine_similarity(eq.emb, ec.emb) AS cos
+              FROM cand c
+              JOIN e eq ON eq.vec_id = c.qid
+              JOIN e ec ON ec.vec_id = c.vec_id),
+        r AS (SELECT qid, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, vec_id) AS rn
+              FROM s),
+        ex AS (SELECT qid, vec_id FROM (
+                 SELECT q.vec_id AS qid, c.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+                                   c.vec_id) AS xrn
+                 FROM e q JOIN e c ON c.vec_id != q.vec_id
+                 WHERE q.vec_id < 10) WHERE xrn <= 5)
+        SELECT r.qid, r.rn, r.vec_id, ROUND(r.cos, 6) AS cosine,
+               (ex.vec_id IS NOT NULL) AS in_exact_topk
+        FROM r LEFT JOIN ex ON ex.qid = r.qid AND ex.vec_id = r.vec_id
+        WHERE r.rn <= 5 ORDER BY r.qid, r.rn""")),
 
     // ---- q54: IVF-style coarse-quantized ANN (alternate scale path) ----
     // Deterministic coarse index: the k lowest-id vectors serve as cell
     // centroids (broadcast); every vector joins its argmax-cosine cell.
     // A query probes its nprobe nearest cells and re-ranks exactly inside
     // them — the scan shrinks ~k/nprobe-fold vs brute force. Recall < 1 by
-    // design (rows-only check; VectorsSpec asserts planted-neighbor
-    // recall). At 100 TB the assignment pass is one broadcast join and the
+    // design, but every stage is plain relational algebra over the
+    // embeddings (the centroid choice is deterministic: lowest 16 ids), so
+    // the oracle recomputes the WHOLE index end-to-end in DuckDB with no
+    // materialized input — assignment argmax, probe cells, candidate
+    // equijoin, exact re-rank, and the exact-top-5 evidence join
+    // (list_cosine_similarity ≡ the codegen'd cosine, proven bit-identical
+    // by the q50/q52 gates). VectorsSpec asserts planted-neighbor recall.
+    // At 100 TB the assignment pass is one broadcast join and the
     // probe is a cell-partitioned equijoin — no all-pairs anywhere.
     "q54_ann_ivf" -> QueryDef(
       build = (spark, dir) => {
@@ -139,7 +174,44 @@ object Vectors {
             round(col("cos"), 6).as("cosine"), col("in_exact_topk"))
           .orderBy(col("qid"), col("rn"))
       },
-      oracle = None),
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, emb AS cemb
+                  FROM e ORDER BY vec_id LIMIT 16),
+        sims AS (SELECT e.vec_id, cid,
+                        list_cosine_similarity(e.emb, cemb) AS sim
+                 FROM e CROSS JOIN cents),
+        ranked AS (SELECT vec_id, cid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid) AS cr
+                   FROM sims),
+        assigned AS (SELECT vec_id, cid FROM ranked WHERE cr = 1),
+        probes AS (SELECT vec_id AS qid, cid
+                   FROM ranked WHERE vec_id < 10 AND cr <= 2),
+        cand AS (SELECT DISTINCT p.qid, a.vec_id
+                 FROM assigned a JOIN probes p ON a.cid = p.cid
+                 WHERE a.vec_id != p.qid),
+        s AS (SELECT c.qid, c.vec_id,
+                     list_cosine_similarity(eq.emb, ec.emb) AS cos
+              FROM cand c
+              JOIN e eq ON eq.vec_id = c.qid
+              JOIN e ec ON ec.vec_id = c.vec_id),
+        r AS (SELECT qid, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, vec_id) AS rn
+              FROM s),
+        ex AS (SELECT qid, vec_id FROM (
+                 SELECT q.vec_id AS qid, c.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+                                   c.vec_id) AS xrn
+                 FROM e q JOIN e c ON c.vec_id != q.vec_id
+                 WHERE q.vec_id < 10) WHERE xrn <= 5)
+        SELECT r.qid, r.rn, r.vec_id, ROUND(r.cos, 6) AS cosine,
+               (ex.vec_id IS NOT NULL) AS in_exact_topk
+        FROM r LEFT JOIN ex ON ex.qid = r.qid AND ex.vec_id = r.vec_id
+        WHERE r.rn <= 5 ORDER BY r.qid, r.rn""")),
 
     // ---- q55: LSH-bucketed near-dup (the benched scale path) ----
     // Candidate generation by multi-table sign-LSH bucket equijoin, exact

@@ -48,5 +48,26 @@ object VerifyInputs {
           explode(lshBuckets(vec64(col("embedding")), 16, bits)).as("bucket"))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q55_input")
     }
+    // q51: the 8-table/4-bit ANN bucket assignments; DuckDB re-runs
+    // candidate generation, exact cosine re-rank, and the exact-top-5
+    // evidence join (the latter from raw embeddings, fully independent).
+    locally {
+      import graft.functions.VectorFunctions.{lshBuckets, vec64}
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          explode(lshBuckets(vec64(col("embedding")), 8, 4)).as("bucket"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q51_input")
+    }
+    // q57: the per-doc xxhash64 sample buckets (seed 42, the query's own);
+    // DuckDB recomputes threshold membership, per-stratum rates, bounds,
+    // and the resample diff over identical values.
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        graft.operators.Sampling.bucket(Seq(col("doc_id")), 42L).as("bucket"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q57_input")
+    // q60: the per-asset codec/histogram scalars; DuckDB re-aggregates the
+    // per-kind profile (decimal-accumulated mean, engine-identical).
+    graft.operators.Multimodal.featureRows(spark, Multi.assetCount(sfDir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q60_input")
   }
 }
