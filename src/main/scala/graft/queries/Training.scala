@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.DecimalType
 /** Training-data assembly operators: the steps between a curated corpus
   * and a tokenizer feed — repetition-based quality gates, incremental
   * dedup of a new batch against an existing corpus, domain-mixture
-  * resampling toward target weights, and TF-IDF term scoring.
+  * resampling toward target weights, TF-IDF term scoring, and sequence
+  * packing into fixed-token-budget training rows (q87).
   *
   * Scale notes (100 TB posture): q83/q86 are explode → hash-partition
   * aggregation keyed on (doc_id[, term]) — high-cardinality keys, so the
@@ -233,6 +234,69 @@ object Training {
         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                 ORDER BY tfidf DESC, term) AS rn FROM scored)
         SELECT doc_id, rn, term, tf, df, tfidf
-        FROM r WHERE rn <= 3 ORDER BY doc_id, rn"""))
+        FROM r WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // ---- q87: sequence packing for the tokenizer feed ----
+    // Pack documents into fixed-token-budget training sequences (capacity
+    // 2048): docs are hash-sharded (ascii of the md5 pick key's first hex
+    // char — engine-portable), ordered within their shard by the pick key
+    // (a reproducible shuffle), and assigned to pack
+    // floor(exclusive_running_tokens / capacity) — greedy contiguous
+    // packing where the doc straddling a boundary stays in the pack it
+    // started in (bounded overflow: one doc's tokens past capacity).
+    //
+    // 100 TB posture: the window partitions by shard, so packing is
+    // embarrassingly parallel with NO global sort — shard count scales
+    // with the cluster (4 here for test visibility; thousands in prod)
+    // and (shard, pack_id) is globally unique. Pack assignment is a pure
+    // function of content, independent of input partitioning — the same
+    // reproducibility contract as operators.Sampling (TrainingSpec
+    // asserts invariance under repartition).
+    "q87_sequence_packing" -> QueryDef(
+      build = (spark, dir) => {
+        val capacity = 2048L
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("n_tokens"),
+            pickKey.as("pick"))
+          .withColumn("shard", (ascii(substring(col("pick"), 1, 1)) % 4).cast("long"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("pick"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        d.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("pack_id",
+            floor(col("cum").cast("double") / lit(capacity.toDouble)))
+          .groupBy(col("shard"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .withColumn("fill_frac",
+            round(col("total_tokens").cast("double") / lit(capacity.toDouble), 6))
+          .select(col("shard"), col("pack_id"), col("n_docs"),
+            col("total_tokens"), col("fill_frac"), col("min_doc"), col("max_doc"))
+          .orderBy(col("shard"), col("pack_id"))
+      },
+      oracle = Some(s"""
+        WITH d AS (SELECT doc_id,
+                          CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                            AS n_tokens,
+                          $SqlPickKey AS pick
+                   FROM documents),
+        s AS (SELECT doc_id, n_tokens, pick,
+                     CAST(ascii(substring(pick, 1, 1)) % 4 AS BIGINT) AS shard
+              FROM d),
+        c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                ORDER BY pick, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM s),
+        p AS (SELECT *, CAST(FLOOR(CAST(cum AS DOUBLE) / 2048) AS BIGINT)
+                          AS pack_id
+              FROM c)
+        SELECT shard, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 2048, 6) AS fill_frac,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id"""))
   )
 }

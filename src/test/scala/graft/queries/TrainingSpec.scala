@@ -3,7 +3,7 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.Row
 
-/** Semantic checks for the training-data assembly queries (q83–q86) —
+/** Semantic checks for the training-data assembly queries (q83–q87) —
   * the oracle gate proves engine-parity at sf0.01; these prove the
   * *semantics* are the intended ones by recomputing tiny cases in plain
   * Scala on the driver.
@@ -93,6 +93,41 @@ class TrainingSpec extends SparkSpec {
       assert(tgt == targets(lang), s"n_target for $lang")
       assert(picked == math.min(tgt, avail), s"n_picked for $lang")
     }
+  }
+
+  test("q87: packing recomputes exactly driver-side; overflow stays bounded") {
+    val rows = run("q87_sequence_packing")
+    val C = 2048L
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val items = docs.map { case (id, text, _, _) =>
+      val pick = md5hex(id.toString + text)
+      ((pick.head.toInt % 4).toLong, pick, id, text.trim.split(" ").length.toLong)
+    }
+    // Greedy contiguous packing per shard in (pick, doc_id) order: a doc
+    // lands in the pack its EXCLUSIVE running token sum falls in.
+    val expected = items.groupBy(_._1).toSeq.flatMap { case (shard, its) =>
+      var cum = 0L
+      its.sortBy(t => (t._2, t._3)).map { case (_, _, id, n) =>
+        val pack = cum / C
+        cum += n
+        (shard, pack, id, n)
+      }
+    }
+    val expStats = expected.groupBy(t => (t._1, t._2)).map { case ((sh, p), g) =>
+      (sh, p) -> ((g.size.toLong, g.map(_._4).sum, g.map(_._3).min, g.map(_._3).max))
+    }
+    assert(rows.nonEmpty && rows.length == expStats.size)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (nDocs, tot, mn, mx) = expStats(key)
+      assert(r.getLong(2) == nDocs && r.getLong(3) == tot &&
+        r.getLong(5) == mn && r.getLong(6) == mx, s"pack $key")
+    }
+    // Bounded overflow: a pack never exceeds capacity by more than the
+    // largest single document (the straddling doc stays in its pack).
+    val maxDocTokens = items.map(_._4).max
+    rows.foreach(r => assert(r.getLong(3) < C + maxDocTokens, "overflow bound"))
   }
 
   test("q86: scores recompute and rank correctly per doc") {
