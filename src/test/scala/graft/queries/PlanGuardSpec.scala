@@ -57,4 +57,18 @@ class PlanGuardSpec extends SparkSpec {
     val p = plan("q03_top_revenue_orders")
     assert(p.contains("TakeOrderedAndProject"), "top-k executes as a global sort")
   }
+
+  test("q87: packing shuffles once by shard; the pack agg reuses that partitioning") {
+    val p = plan("q87_sequence_packing")
+    assert(p.contains("hashpartitioning(shard"),
+      "packing window not partitioned by shard (global-sort packing would " +
+        "serialize the whole corpus through one partition at scale)")
+    // Exactly two exchanges (counted as tree nodes — the formatted explain
+    // repeats each node in the detail section): the shard partitioning for
+    // the window and the final presentation ORDER BY. A third would mean
+    // the (shard, pack_id) aggregation re-shuffled data already co-located
+    // by shard.
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 2,
+      "pack aggregation introduced an extra shuffle over shard-partitioned data")
+  }
 }
