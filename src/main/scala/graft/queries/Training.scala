@@ -297,6 +297,55 @@ object Training {
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 2048, 6) AS fill_frac,
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-        FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id"""))
+        FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""")),
+
+    // ---- q88: unigram LM quality scoring (CCNet-style) ----
+    // Score every document by the mean negative log-likelihood of its
+    // tokens under the corpus's own unigram distribution — the classic
+    // perplexity-bucket signal used to sort web text into quality tiers
+    // before training. MLE probabilities (the scored corpus IS the LM
+    // corpus, so no OOV); per-token nll is rounded to 9 decimals and
+    // accumulated as decimal so the per-doc mean is independent of
+    // partitioning and summation order (and of sub-ulp libm differences
+    // between engines).
+    //
+    // 100 TB posture: the unigram table is vocabulary-sized (≪ corpus) —
+    // the token→count join is a high-cardinality keyed equijoin (or a
+    // broadcast when the vocab fits), and the per-doc mean is a partial
+    // aggregation keyed on doc_id; nothing here is quadratic and no stage
+    // sees more than |tokens| rows.
+    "q88_unigram_logprob" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(trim(col("text")), " ")).as("term"))
+        val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tc"))
+        val n = toks.agg(count(lit(1)).as("n_corpus"))
+        toks.join(tf, Seq("term"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("lang"),
+            round(log(col("n_corpus").cast("double") / col("tc")), 9).as("nll"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("nll").cast(DecimalType(28, 9))).cast("double") /
+              count(lit(1)), 6).as("avg_nll"))
+          .withColumn("flagged", col("avg_nll") > lit(3.5d))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT doc_id, lang,
+                            unnest(string_split(trim(text), ' ')) AS term
+                     FROM documents),
+        tf AS (SELECT term, COUNT(*) AS tc FROM tok GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_corpus FROM tok),
+        scored AS (SELECT t.doc_id, t.lang,
+                          ROUND(LN(CAST(n.n_corpus AS DOUBLE) / f.tc), 9) AS nll
+                   FROM tok t JOIN tf f USING (term), n)
+        SELECT doc_id, lang, COUNT(*) AS n_tokens,
+               ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_nll,
+               ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,9))) AS DOUBLE)
+                     / COUNT(*), 6) > CAST(3.5 AS DOUBLE) AS flagged
+        FROM scored GROUP BY doc_id, lang ORDER BY doc_id"""))
   )
 }

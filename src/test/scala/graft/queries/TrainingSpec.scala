@@ -130,6 +130,30 @@ class TrainingSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(3) < C + maxDocTokens, "overflow bound"))
   }
 
+  test("q88: unigram nll recomputes driver-side on every doc") {
+    val rows = run("q88_unigram_logprob")
+    val toks = docs.map { case (id, text, lang, _) =>
+      (id, lang, text.trim.split(" ").toSeq)
+    }
+    val counts = toks.flatMap(_._3).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val nTotal = toks.map(_._3.size.toLong).sum.toDouble
+    assert(rows.length == docs.length)
+    val byId = toks.map(t => t._1 -> t).toMap
+    rows.foreach { r =>
+      val (id, lang, n, nll, flagged) = (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      val (_, wantLang, ts) = byId(id)
+      assert(lang == wantLang && n == ts.size, s"doc $id lang/n_tokens")
+      val per = ts.map(t => BigDecimal(math.log(nTotal / counts(t)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      val want = BigDecimal(per.sum.toDouble / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(nll - want) < 1e-9, s"avg_nll for doc $id")
+      assert(flagged == (nll > 3.5), s"flagged for doc $id")
+    }
+  }
+
   test("q86: scores recompute and rank correctly per doc") {
     val rows = run("q86_tfidf_topk")
     val n = docs.size.toDouble
