@@ -112,7 +112,9 @@ object ScaleProbe {
         .count()
     }
     def annLsh(n: Long): Long = {
-      val bits = math.max(6, (math.log(n / 30.0) / math.log(2)).ceil.toInt)
+      // The SHIPPED policy, not a local copy — the probe exists to measure
+      // the exact operating point q55 runs at.
+      val bits = graft.functions.VectorKernels.autoLshBits(n)
       val e = vecs(n).withColumn("nrm", norm(col("e")))
         .withColumn("buckets", lshBuckets(col("e"), 16, bits))
       val ex2 = e.select(col("vec_id"), col("e"), col("nrm"),

@@ -38,8 +38,14 @@ object BloomFront {
     */
   def antiJoin(batch: DataFrame, corpusKeys: DataFrame, key: String,
       expectedItems: Option[Long] = None, fpp: Double = 0.01): DataFrame = {
+    val counted = expectedItems.isEmpty
     val n = expectedItems.getOrElse(corpusKeys.count())
-    if (n == 0L) return batch
+    // Empty-corpus degenerate case: only trust an ACTUAL count. A caller
+    // estimate of 0 (stale table statistics) must not skip the join — the
+    // contract is that a bad estimate only moves the fpp, never
+    // correctness — so an estimated 0 just builds a minimal filter and
+    // the anti-join stays the authority.
+    if (counted && n == 0L) return batch
     val bloom = corpusKeys.stat.bloomFilter(key, math.max(n, 1L), fpp)
     val bytes = {
       val out = new java.io.ByteArrayOutputStream()

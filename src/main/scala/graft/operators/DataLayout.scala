@@ -55,12 +55,32 @@ object DataLayout {
     val plan = df.queryExecution.optimizedPlan
     val simpleScan = plan.collectLeaves().size == 1 && plan.collect { case n => n }
       .forall(n => n.children.isEmpty || n.nodeName == "Project" || n.nodeName == "Filter")
-    val files = if (simpleScan) df.inputFiles.toSeq else Seq.empty
+    // The requested columns must be PASSTHROUGH attributes of the scan
+    // itself: a Project that computes or renames a value onto an existing
+    // physical column's name (withColumn("x", x*100)) would otherwise
+    // pass the shape check and return footer stats for the wrong data.
+    // Same exprId as a leaf output attribute ⇔ untouched scan column.
+    val leafOut = plan.collectLeaves().flatMap(_.output)
+    val passthrough = cols.forall(c => plan.output.find(_.name == c)
+      .exists(a => leafOut.exists(l => l.exprId == a.exprId && l.name == c)))
+    val files = if (simpleScan && passthrough) df.inputFiles.toSeq else Seq.empty
     if (files.isEmpty) return None
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // Session Hadoop conf, not a bare Configuration: footer reads must see
+    // the same fs credentials/defaultFS as the scan (s3a keys etc.), or
+    // the open throws and every call silently pays the fallback scan job.
+    val conf = df.sparkSession.sessionState.newHadoopConf()
     def numeric(v: Any): Option[Double] = v match {
       case n: java.lang.Number => Some(n.doubleValue())
       case _ => None
+    }
+    // Footer min/max are raw physical values: for DECIMAL-annotated ints
+    // they are UNSCALED (off by 10^scale), for DATE/TIMESTAMP they are in
+    // storage units that differ from the engine cast. Trust only plain
+    // numeric physical types (no logical annotation, or a plain int one).
+    def plainNumeric(ch: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+      val ann = ch.getPrimitiveType.getLogicalTypeAnnotation
+      ann == null || ann.isInstanceOf[
+        org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation]
     }
     try {
       val perFile = files.map { f =>
@@ -70,9 +90,10 @@ object DataLayout {
         try {
           val chunks = reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala).toSeq
           cols.map { c =>
-            val stats = chunks.filter(_.getPath.toDotString == c).map(_.getStatistics)
+            val colChunks = chunks.filter(_.getPath.toDotString == c)
+            val stats = colChunks.map(_.getStatistics)
             for {
-              _ <- Option.when(stats.nonEmpty &&
+              _ <- Option.when(colChunks.nonEmpty && colChunks.forall(plainNumeric) &&
                 stats.forall(s => s != null && s.hasNonNullValue))(())
               mins <- traverse(stats.map(s => numeric(s.genericGetMin)))
               maxs <- traverse(stats.map(s => numeric(s.genericGetMax)))
@@ -118,10 +139,16 @@ object DataLayout {
     // unclamped, that bucket id is 2^bits, whose only set bit is ABOVE the
     // `bits` interleaved by zValue — max-key rows would alias to z≈0 and
     // land in the lowest-z file, widening its min/max stats and weakening
-    // pruning at the upper boundary. Clamp into [0, n-1].
+    // pruning at the upper boundary. Symmetrically, x < lo (stale explicit
+    // bounds whose min sits above newly arrived data) returns 0, whose
+    // -1 bucket would interleave as ALL bits set and scatter those rows to
+    // the top z range. Clamp into [0, n-1] on both ends — out-of-bounds
+    // rows degrade to the edge bucket, never to an aliased one.
     def bucket(c: String, lo: Double, hi: Double) =
-      least(width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n)) - 1,
-        lit(n - 1L))
+      greatest(
+        least(width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n)) - 1,
+          lit(n - 1L)),
+        lit(0L))
     val bucketA = bucket(colA, aMin, aMax)
     val bucketB = bucket(colB, bMin, bMax)
     df.withColumn("__z", zValue(bucketA, bucketB, bits))

@@ -320,7 +320,9 @@ object Training {
           .select(col("doc_id"), col("lang"),
             explode(split(trim(col("text")), " ")).as("term"))
         val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tc"))
-        val n = toks.agg(count(lit(1)).as("n_corpus"))
+        // Corpus size from the term frequencies (Σ tc ≡ |tokens|) — no
+        // third scan+tokenize of documents.
+        val n = tf.agg(sum(col("tc")).as("n_corpus"))
         toks.join(tf, Seq("term"))
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("lang"),

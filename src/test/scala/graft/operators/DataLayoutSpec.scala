@@ -49,6 +49,15 @@ class DataLayoutSpec extends SparkSpec {
       orders.withColumnRenamed("o_custkey", "ck"), Seq("ck")).isEmpty)
     assert(DataLayout.footerBounds(
       orders.groupBy("o_custkey").count(), Seq("o_custkey")).isEmpty)
+    // A computed column REUSING a physical column's name must also refuse:
+    // footer stats describe the stored values, not the derived ones.
+    assert(DataLayout.footerBounds(
+      orders.withColumn("o_totalprice", col("o_totalprice") * 100),
+      Seq("o_custkey", "o_totalprice")).isEmpty)
+    // Passthrough projection/filter still qualifies.
+    assert(DataLayout.footerBounds(
+      orders.filter(col("o_orderkey") > 0).select("o_custkey", "o_totalprice"),
+      Seq("o_custkey")).isDefined)
 
     // Job accounting: the footer path must cost exactly as many Spark jobs
     // as caller-supplied bounds (i.e., zero extra), while the fallback
@@ -118,5 +127,32 @@ class DataLayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS orders_z")
       spark.sql("DROP TABLE IF EXISTS orders_k")
     }
+  }
+
+  test("stale bounds clamp to edge buckets — no z aliasing on either side") {
+    try {
+      val orders = Tables.orders(spark, sf)
+      val Array(r) = orders.agg(
+        min(col("o_custkey")).cast("double"), max(col("o_custkey")).cast("double"),
+        min(col("o_totalprice")), max(col("o_totalprice"))).collect()
+      // Bounds stale on BOTH ends: min sits above a quarter of the data,
+      // max below a quarter — rows outside must degrade to the edge
+      // buckets (bucket 0 / n-1), not alias via width_bucket's 0/n+1.
+      val kLo = r.getDouble(0) + (r.getDouble(1) - r.getDouble(0)) / 4
+      val kHi = r.getDouble(1) - (r.getDouble(1) - r.getDouble(0)) / 4
+      DataLayout.writeClusteredZ(orders, "z_stale", "o_custkey", "o_totalprice",
+        bits = 8, numFiles = 8,
+        bounds = Some(DataLayout.ZBounds(kLo, kHi, r.getDouble(2), r.getDouble(3))))
+      assert(spark.table("z_stale").count() == orders.count())
+      // Below-lo rows must live in the LOW z range: the file(s) holding
+      // the global min key must not also hold top-range keys (all-bits-set
+      // aliasing would scatter them into the highest-z file).
+      val ranges = DataLayout.fileRanges(spark, "z_stale", "o_custkey").collect()
+      val minKey = ranges.map(_.getAs[Long]("k_min")).min
+      val maxKey = ranges.map(_.getAs[Long]("k_max")).max
+      val holdingMin = ranges.filter(_.getAs[Long]("k_min") == minKey)
+      assert(holdingMin.forall(_.getAs[Long]("k_max") < maxKey),
+        "rows below the stale lower bound aliased into the top-z file")
+    } finally spark.sql("DROP TABLE IF EXISTS z_stale")
   }
 }

@@ -81,6 +81,14 @@ class TrainingSpec extends SparkSpec {
     // Empty corpus degenerates to the batch unchanged.
     val empty = corpus.filter(col("sig") === "nope")
     assert(graft.operators.BloomFront.antiJoin(batch, empty, "sig").count() == batch.count())
+    // A caller ESTIMATE of 0 (stale stats) must not skip the join: the
+    // contract is that a bad estimate only moves the fpp. Duplicates must
+    // still be removed.
+    val estimatedZero = graft.operators.BloomFront
+      .antiJoin(batch, corpus, "sig", expectedItems = Some(0L))
+    val p = plain.collect().map(r => (Option(r.getString(0)), r.getLong(1))).sortBy(_._2)
+    val z = estimatedZero.collect().map(r => (Option(r.getString(0)), r.getLong(1))).sortBy(_._2)
+    assert(z.sameElements(p), "estimated-zero corpus skipped the anti-join")
   }
 
   test("q85: every stratum picks exactly min(target, available)") {
