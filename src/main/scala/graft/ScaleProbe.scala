@@ -137,6 +137,38 @@ object ScaleProbe {
       println(f"""{"probe":"ann","vectors":$n,"lsh_sec":$lSec%.3f,"lsh_pairs":$lPairs,"exact_sec":$eSec%.3f,"exact_pairs":"$ePairs"}""")
     }
 
+    // packing probe: q87's shard-parallel window-cumsum packing at probe
+    // scale. Token counts are synthesized directly (packing's cost is the
+    // per-shard sort + running sum + pack aggregation, not tokenization);
+    // 256 shards stand in for the production shard count, so each window
+    // partition holds n/256 rows and the probe measures the true parallel
+    // shape. Near-linear sec/doc ⇒ the global-sort-free packing claim
+    // holds as the corpus grows.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val shards = 256
+      def pack(n: Long): Long = {
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          (lit(20L) + pmod(xxhash64(col("id"), lit(1L)), lit(180L))).as("n_tokens"),
+          md5(col("id").cast("string").cast("binary")).as("pick"),
+          pmod(xxhash64(col("id"), lit(2L)), lit(shards.toLong)).as("shard"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("pick"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("pack_id", floor(col("cum").cast("double") / 2048.0))
+          .groupBy(col("shard"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"))
+          .count()
+      }
+      pack(1000000L) // warmup
+      Seq(1L, 4L, 16L).filter(_ <= maxScale).foreach { s =>
+        val n = 1000000L * s
+        val (sec, packs) = timed(pack(n))
+        println(f"""{"probe":"packing","scale":$s,"docs":$n,"packs":$packs,"sec":$sec%.3f,"docs_per_sec":${(n / sec).toLong}}""")
+      }
+    }
+
     // streaming-state probe: stateful operators at bench scale on the
     // RocksDB state store. The unit specs prove semantics at toy sizes;
     // this measures rows/s and state footprint with a key space 4 orders
