@@ -74,4 +74,30 @@ class OperatorPropertySpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(s2.filter(_ < 400L) == s1, "existing rows' membership changed when corpus grew")
   }
+
+  test("bloom-fronted anti-join equals the set-difference model on random cases") {
+    // Random corpus/batch overlap, duplicate batch keys, and every
+    // expectedItems regime — None (real count), a 0 estimate (stale
+    // stats), a severe under-estimate (fpp inflates), an over-estimate
+    // (wasted bits) — must all produce EXACTLY the plain-anti-join rows,
+    // multiplicity included. The estimate may only move cost, never rows.
+    val genCase = for {
+      corpusKeys <- Gen.listOfN(30, Gen.chooseNum(0, 50)).map(_.distinct)
+      batchKeys <- Gen.listOfN(25, Gen.chooseNum(0, 60))
+      est <- Gen.oneOf[Option[Long]](None, Some(0L), Some(2L), Some(1000L))
+      fpp <- Gen.oneOf(0.5, 0.03)
+    } yield (corpusKeys, batchKeys, est, fpp)
+    sample(genCase, 10).zipWithIndex.foreach { case ((ck, bk, est, fpp), i) =>
+      val corpus = ck.map(k => s"k$k").toDF("sig")
+      val batch = bk.zipWithIndex.map { case (k, j) => (j.toLong, s"k$k") }
+        .toDF("id", "sig")
+      val got = BloomFront.antiJoin(batch, corpus, "sig", est, fpp)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("sig")))
+        .sortBy(_._1).toSeq
+      val model = bk.zipWithIndex
+        .collect { case (k, j) if !ck.contains(k) => (j.toLong, s"k$k") }
+        .sortBy(_._1)
+      assert(got == model, s"case $i: est=$est fpp=$fpp corpus=$ck batch=$bk")
+    }
+  }
 }
