@@ -1,7 +1,10 @@
 package graft.queries
 
 import graft.core.Tables
+import graft.functions.VectorFunctions._
 import graft.operators.{MinHashLSH, SimHash}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-path near-duplicate detection over `documents` — the operators a
@@ -22,6 +25,90 @@ import org.apache.spark.sql.functions._
   * Verify-materialized fingerprints (see q47's def and VerifyInputs).
   */
 object Dedup {
+
+  /** Chunk-level exact dedup (the CCNet "line dedup" analog for a corpus
+    * whose documents are single-line token streams): split every document
+    * into fixed-size token chunks, hash each chunk, keep only the corpus-
+    * wide FIRST occurrence of each distinct chunk (ordered by
+    * (doc_id, chunk_idx)), and report per-document attrition.
+    *
+    * 100 TB posture: the explode produces |tokens|/W chunk rows; winner
+    * selection is one window over the high-cardinality chunk hash (a
+    * single hash-partition shuffle that spreads evenly — chunk text is
+    * near-unique), and the per-doc rollup is a second keyed partial
+    * aggregation. Nothing is quadratic and no stage holds more than one
+    * document's tokens in a row. md5 is the chunk key so the same
+    * decision is reproducible in any engine.
+    */
+  def chunkDedupStats(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val w = chunkTokens
+    val toks = df.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val chunks = toks.select(col("doc_id"), col("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / w).cast("int")),
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " ")))
+          .as(Seq("chunk_idx", "chunk")))
+    val firstWins = Window.partitionBy(md5(col("chunk").cast("binary")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks.withColumn("rn", row_number().over(firstWins))
+      .withColumn("kept", col("rn") === 1)
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), size(split(col("chunk"), " ")).cast("long"))
+          .otherwise(0L)).as("tokens_kept"))
+      .withColumn("kept_frac",
+        round(col("tokens_kept").cast("double") / col("n_tokens"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("n_kept"), col("tokens_kept"), col("kept_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SemDeDup-style semantic dedup over an embedding column: coarse
+    * k-means-like cells (deterministic centroids = the k lowest-id
+    * vectors, argmax-cosine assignment — the q54 IVF index), then inside
+    * each cell prune every vector that has cosine ≥ tau with ANY
+    * lower-id vector in the same cell. The "any earlier neighbor" rule is
+    * the parallel-deterministic form of SemDeDup's greedy keep-one: it
+    * needs no sequential pass, is independent of partitioning, and is
+    * pure relational algebra — so the whole index is recomputable by the
+    * oracle with no materialized input.
+    *
+    * 100 TB posture: assignment is one broadcast join (centroid set ≪
+    * corpus); the pairwise stage is a cell-partitioned self-equijoin —
+    * the corpus-wide cross product never exists, and cell population is
+    * bounded by growing k with the corpus (same occupancy argument as
+    * [[graft.functions.VectorFunctions]] autoLshBits). */
+  def semanticDedupStats(emb: DataFrame, k: Int, tau: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("e"))
+    val cents = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cid"),
+        cosine(col("e"), col("ce")).as("sim"))
+      .withColumn("cr", row_number().over(byVec)).filter(col("cr") === 1)
+      .select(col("cid"), col("vec_id"), col("e"))
+    val pruned = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.e"), col("b.e")) >= tau)
+      .select(col("b.cid").as("cid"), col("b.vec_id").as("vec_id"))
+      .distinct()
+    val stats = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val p = pruned.groupBy(col("cid")).agg(count(lit(1)).as("n_pruned"),
+      min(col("vec_id")).as("min_pruned"), max(col("vec_id")).as("max_pruned"))
+    stats.join(p, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_pruned"))
+      .select(col("cid"), col("n_vecs"), col("n_pruned"),
+        (col("n_vecs") - col("n_pruned")).as("n_kept"),
+        col("min_pruned"), col("max_pruned"))
+      .orderBy(col("cid"))
+  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -212,6 +299,82 @@ object Dedup {
                GROUP BY a.doc_id)
         SELECT fp.doc_id, fp.simhash, nn.nn_hamming
         FROM fp LEFT JOIN nn ON fp.doc_id = nn.id_a
-        ORDER BY fp.doc_id"""))
+        ORDER BY fp.doc_id""")),
+
+    // ---- q89: chunk-level corpus dedup (CCNet line-dedup analog) ----
+    // See chunkDedupStats. 10-token chunks; a later document loses every
+    // chunk some earlier (doc_id, chunk_idx) already contributed, and the
+    // per-doc report (surviving chunk count, surviving token fraction) is
+    // the auditable attrition a curation run logs.
+    "q89_chunk_dedup" -> QueryDef(
+      build = (spark, dir) =>
+        chunkDedupStats(Tables.documents(spark, dir), "doc_id", "text", 10),
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                   FROM documents),
+        n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+              FROM t),
+        ci AS (SELECT doc_id, n_tokens, toks,
+                      unnest(range(0, (len(toks) - 1) // 10 + 1)) AS i
+               FROM n),
+        c AS (SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_idx,
+                     array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+              FROM ci),
+        r AS (SELECT doc_id, n_tokens, chunk,
+                     ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                       ORDER BY doc_id, chunk_idx) AS rn
+              FROM c)
+        SELECT doc_id, n_tokens, COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN rn = 1
+                    THEN len(string_split(chunk, ' ')) ELSE 0 END) AS BIGINT)
+                 AS tokens_kept,
+               ROUND(CAST(SUM(CASE WHEN rn = 1
+                      THEN len(string_split(chunk, ' ')) ELSE 0 END) AS DOUBLE)
+                     / n_tokens, 6) AS kept_frac
+        FROM r GROUP BY doc_id, n_tokens ORDER BY doc_id""")),
+
+    // ---- q90: SemDeDup semantic dedup over embeddings ----
+    // See semanticDedupStats. Deterministic IVF cells (k = 16 lowest-id
+    // centroids, as q54) + within-cell cosine pruning at the corpus's
+    // q52 near-dup threshold; reports per-cell population and attrition.
+    // Every stage is relational over the raw embeddings, so the oracle
+    // rebuilds the index end-to-end in DuckDB (list_cosine_similarity ≡
+    // the codegen'd cosine, proven bit-identical by the q50/q52 gates).
+    "q90_semantic_dedup" -> QueryDef(
+      build = (spark, dir) =>
+        semanticDedupStats(
+          Tables.embeddings(spark, dir)
+            .select(col("vec_id"), vec64(col("embedding")).as("e")),
+          k = 16, tau = 0.38),
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, emb AS cemb
+                  FROM e ORDER BY vec_id LIMIT 16),
+        sims AS (SELECT e.vec_id, cid,
+                        list_cosine_similarity(e.emb, cemb) AS sim
+                 FROM e CROSS JOIN cents),
+        assigned AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS cr
+                       FROM sims) WHERE cr = 1),
+        pruned AS (SELECT DISTINCT b.cid, b.vec_id
+                   FROM assigned a JOIN assigned b
+                     ON a.cid = b.cid AND a.vec_id < b.vec_id
+                   JOIN e ea ON ea.vec_id = a.vec_id
+                   JOIN e eb ON eb.vec_id = b.vec_id
+                   WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.38),
+        s AS (SELECT cid, COUNT(*) AS n_vecs FROM assigned GROUP BY cid),
+        p AS (SELECT cid, COUNT(*) AS n_pruned, MIN(vec_id) AS min_pruned,
+                     MAX(vec_id) AS max_pruned
+              FROM pruned GROUP BY cid)
+        SELECT s.cid, s.n_vecs,
+               COALESCE(p.n_pruned, CAST(0 AS BIGINT)) AS n_pruned,
+               s.n_vecs - COALESCE(p.n_pruned, CAST(0 AS BIGINT)) AS n_kept,
+               p.min_pruned, p.max_pruned
+        FROM s LEFT JOIN p USING (cid) ORDER BY s.cid"""))
   )
 }

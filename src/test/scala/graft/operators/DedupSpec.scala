@@ -78,4 +78,59 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getAs[Int]("nn_hamming") == 0)
     assert(rows(2).isNullAt(rows(2).fieldIndex("nn_hamming")))
   }
+
+  test("chunkDedupStats: later doc loses exactly the chunks an earlier doc owns") {
+    import graft.queries.Dedup
+    // doc 1: tokens a0..a19 (2 chunks). doc 2: doc 1's first chunk verbatim
+    // + 10 fresh tokens. doc 3: fully fresh. doc 4: repeats ITS OWN first
+    // chunk (within-doc dup — earlier chunk_idx wins).
+    val c0 = (0 until 10).map(i => s"a$i").mkString(" ")
+    val c1 = (10 until 20).map(i => s"a$i").mkString(" ")
+    val fresh = (0 until 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$c0 $c1"),
+      (2L, s"$c0 $fresh"),
+      (3L, (0 until 10).map(i => s"c$i").mkString(" ")),
+      (4L, s"$fresh $fresh")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedupStats(docs, "doc_id", "text", 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_kept")))).toMap
+    // doc 2 keeps only its fresh chunk; doc 4 keeps one of its two copies.
+    // (doc 2's `fresh` chunk wins over doc 4's by doc_id order.)
+    assert(got == Map(1L -> ((2L, 20L)), 2L -> ((1L, 10L)),
+      3L -> ((1L, 10L)), 4L -> ((0L, 0L))))
+  }
+
+  test("chunkDedupStats is invariant under input repartitioning") {
+    import graft.queries.Dedup
+    val docs = Tables.documents(spark, sf).limit(100)
+    val a = Dedup.chunkDedupStats(docs, "doc_id", "text", 10)
+    val b = Dedup.chunkDedupStats(docs.repartition(17), "doc_id", "text", 10)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("semanticDedupStats prunes planted within-cell near-dups, keeps lowest id") {
+    import graft.functions.VectorFunctions._
+    import graft.queries.Dedup
+    // Three orthogonal base directions = three cells (centroids are the 3
+    // lowest ids). ids 0,1,2 are the centroids; 10,11 duplicate cell 0's
+    // direction (cos ≈ 1 ≥ tau → both pruned against vec 0); 20 lands in
+    // cell 1 (cos 0.8 with centroid 1 > 0.6 with centroid 0) but survives
+    // tau = 0.9; 30 duplicates 20 exactly → pruned against 20, proving
+    // pruning happens against cell MEMBERS, not just the centroid.
+    val v = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (10L, Array(1f, 0f, 0f, 0f)), (11L, Array(0.99f, 0.01f, 0f, 0f)),
+      (20L, Array(0.6f, 0.8f, 0f, 0f)), (30L, Array(0.6f, 0.8f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedupStats(
+        v.select(col("vec_id"), vec64(col("embedding")).as("e")), k = 3, tau = 0.9)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_pruned")))).toMap
+    // cell 0: {0,10,11} → 10,11 pruned; cell 1: {1,20,30} → only 30
+    // pruned (20 vs centroid cos = 0.8 < 0.9, 30 vs 20 cos = 1);
+    // cell 2: {2} untouched.
+    assert(got == Map(0L -> ((3L, 2L)), 1L -> ((3L, 1L)), 2L -> ((1L, 0L))))
+  }
 }

@@ -58,6 +58,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k executes as a global sort")
   }
 
+  test("q89: chunk dedup prunes the scan to (doc_id, text) only") {
+    val p = plan("q89_chunk_dedup")
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      "chunk dedup reads columns it never uses — at 100 TB that is real IO")
+  }
+
+  test("q90: semantic dedup's within-cell self-join is an equijoin, not cartesian") {
+    val p = plan("q90_semantic_dedup")
+    // The centroid assignment crossJoin is a broadcast of k rows (fine);
+    // the member-vs-member stage must join on cid, never all-pairs.
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pruning degenerated into a corpus-wide cross product")
+  }
+
   test("q87: packing shuffles once by shard; the pack agg reuses that partitioning") {
     val p = plan("q87_sequence_packing")
     assert(p.contains("hashpartitioning(shard"),
