@@ -33,6 +33,16 @@ import graft.core.SparkSessionFactory
   *     paths should find all n/2 planted pairs (recall 1); exact pays
   *     O(N²) dots, LSH stays near-linear.
   *
+  *  4. `packing` (q87's shape), `chunkdedup` (q89's shape), `semdedup`
+  *     (q90's shape): the training-assembly ops at growing scale —
+  *     packing is shard-parallel window cumsum (no global sort),
+  *     chunk dedup is linear in tokens (explode + one high-cardinality
+  *     window), semantic dedup runs at the flat-IVF optimum k ≈ √(n/2)
+  *     where assignment and within-cell work balance at O(n^1.5).
+  *
+  *  5. `streaming`: stateful operators over 1.2M events / 100k keys on
+  *     RocksDB state (rows/s + state footprint).
+  *
   * Run: `sbt "runMain graft.ScaleProbe [maxScale]"`. */
 object ScaleProbe {
 
@@ -166,6 +176,42 @@ object ScaleProbe {
         val n = 1000000L * s
         val (sec, packs) = timed(pack(n))
         println(f"""{"probe":"packing","scale":$s,"docs":$n,"packs":$packs,"sec":$sec%.3f,"docs_per_sec":${(n / sec).toLong}}""")
+      }
+    }
+
+    // chunk-dedup probe: q89's operator on the upsampled corpus. Cost is
+    // linear in tokens (chunk explode + one window over the md5 chunk
+    // key); the rotated-alphabet copies keep cross-copy chunk collisions
+    // ~zero, so work scales honestly with corpus size.
+    {
+      def chunks(s: Int): Long = graft.queries.Dedup
+        .chunkDedupStats(corpus(s), "doc_id", "text", 10)
+        .agg(sum(col("n_kept"))).head().getLong(0)
+      chunks(1) // warmup
+      Seq(1, 4, 16).filter(_ <= maxScale).foreach { s =>
+        val (sec, kept) = timed(chunks(s))
+        val docs = d0.count() * s
+        println(f"""{"probe":"chunkdedup","scale":$s,"docs":$docs,"chunks_kept":$kept,"sec":$sec%.3f,"docs_per_sec":${(docs / sec).toLong}}""")
+      }
+    }
+
+    // semantic-dedup probe: q90's operator on the planted synthetic
+    // vectors (second half clones the first at cos ≈ 0.999; tau = 0.9
+    // targets exactly those). Flat-IVF total work = n·k (assignment)
+    // + n·(n/k)/2 (within-cell pairs), minimized at k ≈ √(n/2) where
+    // both terms are O(n^1.5) — the honest flat-SemDeDup complexity
+    // (hierarchical two-level assignment would reach ~n·log n; not
+    // needed at probe scale). A linear k = n/128 rule measured 1.4×
+    // worse at 50k: the n·k assignment term dominates.
+    {
+      def semK(n: Long): Int = math.max(16, math.sqrt(n / 2.0).toInt)
+      def semdedup(n: Long): Long = graft.queries.Dedup
+        .semanticDedupStats(vecs(n), semK(n), 0.9)
+        .agg(sum(col("n_pruned"))).head().getLong(0)
+      semdedup(2000) // warmup
+      Seq(2000L, 10000L, 50000L).foreach { n =>
+        val (sec, pruned) = timed(semdedup(n))
+        println(f"""{"probe":"semdedup","vectors":$n,"cells":${semK(n)},"pruned":$pruned,"sec":$sec%.3f,"vecs_per_sec":${(n / sec).toLong}}""")
       }
     }
 

@@ -80,20 +80,34 @@ object Dedup {
     *
     * 100 TB posture: assignment is one broadcast join (centroid set ≪
     * corpus); the pairwise stage is a cell-partitioned self-equijoin —
-    * the corpus-wide cross product never exists, and cell population is
-    * bounded by growing k with the corpus (same occupancy argument as
-    * [[graft.functions.VectorFunctions]] autoLshBits). */
+    * the corpus-wide cross product never exists. Choosing k: total work
+    * is n·k (assignment) + n·(n/k)/2 (within-cell pairs), minimized at
+    * k ≈ √(n/2) where both terms are O(n^1.5) — measured in ScaleProbe
+    * "semdedup"; a hierarchical (two-level) centroid assignment would
+    * reach ~n·log n if flat assignment ever dominates at real scale. */
   def semanticDedupStats(emb: DataFrame, k: Int, tau: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col("e"))
     val cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cid"))
+    // Argmax assignment as a partial-aggregating max_by over (sim, -cid)
+    // — NOT a row_number window: the window form would shuffle |corpus|·k
+    // rows carrying the embedding array (measured 10× superlinear in
+    // ScaleProbe at 50k vectors); max_by reduces map-side to one row per
+    // vector and ships no vectors at all. (sim, -cid) lexicographic max
+    // ≡ "highest sim, ties to the lowest cid" — the same deterministic
+    // rule the oracle's window computes.
+    // Lazy localCheckpoint: the assignment feeds BOTH self-join sides and
+    // the population stats — without it each consumer recomputes the full
+    // |corpus|·k cosine assignment (measured 49 s → ~10 s at 50k vectors
+    // in ScaleProbe). Same materialize-the-assignment posture a
+    // production SemDeDup run takes (and the dupClusters precedent).
     val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("cid"),
-        cosine(col("e"), col("ce")).as("sim"))
-      .withColumn("cr", row_number().over(byVec)).filter(col("cr") === 1)
+      .select(col("vec_id"), col("cid"), cosine(col("e"), col("ce")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
+      .join(e, Seq("vec_id"))
       .select(col("cid"), col("vec_id"), col("e"))
+      .localCheckpoint(false)
     val pruned = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosine(col("a.e"), col("b.e")) >= tau)
