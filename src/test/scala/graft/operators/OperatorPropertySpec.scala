@@ -75,6 +75,82 @@ class OperatorPropertySpec extends SparkSpec {
     assert(s2.filter(_ < 400L) == s1, "existing rows' membership changed when corpus grew")
   }
 
+  test("chunkDedupStats equals the in-memory first-occurrence model") {
+    // Tiny vocabulary + short docs force heavy chunk collisions, both
+    // across documents and within one document.
+    val W = 3
+    val vocab = Seq("t0", "t1", "t2", "t3", "t4", "t5")
+    val genDocs = for {
+      nDocs <- Gen.chooseNum(1, 8)
+      docs <- Gen.listOfN(nDocs,
+        Gen.chooseNum(0, 12).flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab))))
+    } yield docs
+    sample(genDocs, 10).zipWithIndex.foreach { case (docs, ci) =>
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.queries.Dedup.chunkDedupStats(df, "doc_id", "text", W)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+      // model: split(trim(text), " ") of an empty text is [""], one token
+      val seen = scala.collection.mutable.Set[String]()
+      val model = docs.zipWithIndex.map { case (toks, i) =>
+        val eff = if (toks.isEmpty) Seq("") else toks
+        val chunks = eff.grouped(W).toSeq
+        val kept = chunks.filter(c => seen.add(c.mkString(" ")))
+        val tokensKept = kept.map(_.size.toLong).sum
+        val frac = BigDecimal(tokensKept.toDouble / eff.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (i.toLong, eff.size.toLong, chunks.size.toLong,
+          kept.size.toLong, tokensKept, frac)
+      }
+      assert(got == model, s"case $ci: docs=$docs")
+    }
+  }
+
+  test("semanticDedupStats equals the brute-force in-memory model") {
+    import graft.functions.VectorFunctions.vec64
+    // dim-5 vectors with a constant 1.0 tail (never zero-norm); cosine
+    // computed in the model with the kernel's exact op order, so doubles
+    // are bit-identical and tie-breaks agree.
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val genCase = for {
+      n <- Gen.chooseNum(3, 12)
+      vs <- Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-2, 2).map(_.toDouble)))
+      k <- Gen.chooseNum(1, n)
+      tau <- Gen.oneOf(0.5, 0.8, 0.95)
+    } yield (vs.map(_ :+ 1.0), k, tau)
+    sample(genCase, 10).zipWithIndex.foreach { case ((vs, k, tau), ci) =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), vec64(col("embedding")).as("e"))
+      val got = graft.queries.Dedup.semanticDedupStats(df, k, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+      // model: float-cast then double (mirrors the parquet-float contract)
+      val dv = vs.map(_.map(x => x.toFloat.toDouble))
+      val assign = dv.indices.map { i =>
+        i -> (0 until k).maxBy(c => (cos(dv(i), dv(c)), -c.toLong))
+      }.toMap
+      val pruned = dv.indices.filter(i => (0 until i).exists(u =>
+        assign(u) == assign(i) && cos(dv(u), dv(i)) >= tau))
+      val model = assign.values.toSeq.distinct.sorted.map { c =>
+        val members = dv.indices.filter(assign(_) == c)
+        val pr = members.filter(pruned.contains)
+        (c.toLong, members.size.toLong, pr.size.toLong,
+          (members.size - pr.size).toLong,
+          pr.headOption.map(_.toLong), pr.lastOption.map(_.toLong))
+      }
+      assert(got == model, s"case $ci: k=$k tau=$tau vs=$vs")
+    }
+  }
+
   test("bloom-fronted anti-join equals the set-difference model on random cases") {
     // Random corpus/batch overlap, duplicate batch keys, and every
     // expectedItems regime — None (real count), a 0 estimate (stale
