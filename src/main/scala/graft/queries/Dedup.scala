@@ -85,34 +85,45 @@ object Dedup {
     * k ≈ √(n/2) where both terms are O(n^1.5) — measured in ScaleProbe
     * "semdedup"; a hierarchical (two-level) centroid assignment would
     * reach ~n·log n if flat assignment ever dominates at real scale. */
-  def semanticDedupStats(emb: DataFrame, k: Int, tau: Double): DataFrame = {
+  /** The cell-assignment stage of [[semanticDedupStats]]: (cid, vec_id,
+    * e) with every vector joined to its argmax-cosine centroid (the k
+    * lowest-id vectors; ties to the lowest cid).
+    *
+    * The argmax is a partial-aggregating max_by over (sim, -cid) — NOT a
+    * row_number window: the window form would shuffle |corpus|·k rows
+    * carrying the embedding array (measured 10× superlinear in ScaleProbe
+    * at 50k vectors); max_by reduces map-side to one row per vector and
+    * ships no vectors at all. Lazily localCheckpoint'd: the assignment
+    * feeds multiple consumers (both self-join sides + stats) — without it
+    * each consumer recomputes the full |corpus|·k cosine assignment
+    * (measured 49 s → ~10 s at 50k vectors). Same materialize-the-
+    * assignment posture a production SemDeDup run takes (and the
+    * dupClusters precedent). */
+  def semanticAssign(emb: DataFrame, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("e"))
     val cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
-    // Argmax assignment as a partial-aggregating max_by over (sim, -cid)
-    // — NOT a row_number window: the window form would shuffle |corpus|·k
-    // rows carrying the embedding array (measured 10× superlinear in
-    // ScaleProbe at 50k vectors); max_by reduces map-side to one row per
-    // vector and ships no vectors at all. (sim, -cid) lexicographic max
-    // ≡ "highest sim, ties to the lowest cid" — the same deterministic
-    // rule the oracle's window computes.
-    // Lazy localCheckpoint: the assignment feeds BOTH self-join sides and
-    // the population stats — without it each consumer recomputes the full
-    // |corpus|·k cosine assignment (measured 49 s → ~10 s at 50k vectors
-    // in ScaleProbe). Same materialize-the-assignment posture a
-    // production SemDeDup run takes (and the dupClusters precedent).
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), cosine(col("e"), col("ce")).as("sim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
       .join(e, Seq("vec_id"))
       .select(col("cid"), col("vec_id"), col("e"))
       .localCheckpoint(false)
-    val pruned = assigned.as("a").join(assigned.as("b"),
+  }
+
+  /** The prune stage of [[semanticDedupStats]]: (cid, vec_id) of every
+    * vector with cosine ≥ tau to ANY lower-id vector in its cell. */
+  def semanticPruned(assigned: DataFrame, tau: Double): DataFrame =
+    assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosine(col("a.e"), col("b.e")) >= tau)
       .select(col("b.cid").as("cid"), col("b.vec_id").as("vec_id"))
       .distinct()
+
+  def semanticDedupStats(emb: DataFrame, k: Int, tau: Double): DataFrame = {
+    val assigned = semanticAssign(emb, k)
+    val pruned = semanticPruned(assigned, tau)
     val stats = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
     val p = pruned.groupBy(col("cid")).agg(count(lit(1)).as("n_pruned"),
       min(col("vec_id")).as("min_pruned"), max(col("vec_id")).as("max_pruned"))
@@ -389,6 +400,96 @@ object Dedup {
                COALESCE(p.n_pruned, CAST(0 AS BIGINT)) AS n_pruned,
                s.n_vecs - COALESCE(p.n_pruned, CAST(0 AS BIGINT)) AS n_kept,
                p.min_pruned, p.max_pruned
-        FROM s LEFT JOIN p USING (cid) ORDER BY s.cid"""))
+        FROM s LEFT JOIN p USING (cid) ORDER BY s.cid""")),
+
+    // ---- q91: the dedup funnel capstone ----
+    // The three dedup tiers chained the way a curation run stacks them,
+    // cheapest first: exact text dedup (md5 keep-lowest-id) → chunk-level
+    // dedup (drop docs keeping < 50% of their tokens after corpus-wide
+    // chunk dedup — mostly-duplicated docs) → semantic dedup (SemDeDup
+    // prune over each survivor's embedding; docs without an embedding
+    // row pass through — at sf0.1 only 2k of 5k docs have vectors, which
+    // the oracle mirrors). Output is the per-stage survivor count: the
+    // attrition report a pipeline owner actually reads. Every stage is
+    // relational, so DuckDB recomputes the whole funnel end-to-end.
+    "q91_dedup_funnel" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val s1 = docs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("text").cast("binary")))
+              .orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("text"))
+        val cs = chunkDedupStats(s1, "doc_id", "text", 10)
+        val s2 = s1.join(cs.filter(col("kept_frac") >= 0.5)
+          .select(col("doc_id")), Seq("doc_id"))
+        val emb = Tables.embeddings(spark, dir)
+          .join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+        val pruned = semanticPruned(semanticAssign(emb, 16), 0.38)
+          .select(col("vec_id").as("doc_id"))
+        val s3 = s2.join(pruned, Seq("doc_id"), "left_anti")
+        def stage(name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(name).as("stage"), col("n_docs"))
+        stage("0_input", docs)
+          .unionAll(stage("1_exact", s1))
+          .unionAll(stage("2_chunk", s2))
+          .unionAll(stage("3_semantic", s3))
+          .orderBy(col("stage"))
+      },
+      oracle = Some("""
+        WITH s1 AS (SELECT doc_id, text FROM (
+               SELECT doc_id, text,
+                      ROW_NUMBER() OVER (PARTITION BY md5(text)
+                        ORDER BY doc_id) AS rn
+               FROM documents) WHERE rn = 1),
+        t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM s1),
+        n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+              FROM t),
+        ci AS (SELECT doc_id, n_tokens, toks,
+                      unnest(range(0, (len(toks) - 1) // 10 + 1)) AS i
+               FROM n),
+        c AS (SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_idx,
+                     array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+              FROM ci),
+        r AS (SELECT doc_id, n_tokens, chunk,
+                     ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                       ORDER BY doc_id, chunk_idx) AS rn
+              FROM c),
+        cs AS (SELECT doc_id,
+                      ROUND(CAST(SUM(CASE WHEN rn = 1
+                             THEN len(string_split(chunk, ' ')) ELSE 0 END)
+                            AS DOUBLE) / n_tokens, 6) AS kept_frac
+               FROM r GROUP BY doc_id, n_tokens),
+        s2 AS (SELECT s1.doc_id FROM s1 JOIN cs USING (doc_id)
+               WHERE kept_frac >= 0.5),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings JOIN s2 ON embeddings.vec_id = s2.doc_id),
+        cents AS (SELECT vec_id AS cid, emb AS cemb
+                  FROM e ORDER BY vec_id LIMIT 16),
+        sims AS (SELECT e.vec_id, cid,
+                        list_cosine_similarity(e.emb, cemb) AS sim
+                 FROM e CROSS JOIN cents),
+        assigned AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS cr
+                       FROM sims) WHERE cr = 1),
+        pruned AS (SELECT DISTINCT b.vec_id
+                   FROM assigned a JOIN assigned b
+                     ON a.cid = b.cid AND a.vec_id < b.vec_id
+                   JOIN e ea ON ea.vec_id = a.vec_id
+                   JOIN e eb ON eb.vec_id = b.vec_id
+                   WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.38),
+        s3 AS (SELECT doc_id FROM s2 WHERE NOT EXISTS
+                 (SELECT 1 FROM pruned p WHERE p.vec_id = s2.doc_id))
+        SELECT stage, n_docs FROM (
+          SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM documents
+          UNION ALL SELECT '1_exact', COUNT(*) FROM s1
+          UNION ALL SELECT '2_chunk', COUNT(*) FROM s2
+          UNION ALL SELECT '3_semantic', COUNT(*) FROM s3)
+        ORDER BY stage"""))
   )
 }
