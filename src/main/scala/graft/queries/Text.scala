@@ -157,6 +157,10 @@ object Text {
     // at least one shingle are counted, Jaccard = |∩| / (|A|+|B|-|∩|).
     // This is the exact ground truth that q46's MinHash-LSH approximates;
     // at 100 TB you run q46 and reserve this for candidate verification.
+    // (A groupBy(shash).collect_list posting-list form — one shuffle, no
+    // sort-merge — was A/B'd at sf0.1 and measured equal-to-slower: the
+    // per-group array allocation costs more than the join's sort saves.
+    // The join form stands.)
     "q44_ngram_jaccard" -> QueryDef(
       build = (spark, dir) => {
         // spread: shingling a single-split source would serialize on one
