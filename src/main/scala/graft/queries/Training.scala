@@ -348,6 +348,72 @@ object Training {
                      / COUNT(*), 6) AS avg_nll,
                ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,9))) AS DOUBLE)
                      / COUNT(*), 6) > CAST(3.5 AS DOUBLE) AS flagged
-        FROM scored GROUP BY doc_id, lang ORDER BY doc_id"""))
+        FROM scored GROUP BY doc_id, lang ORDER BY doc_id""")),
+
+    // ---- q92: importance-based data selection (DSIR-style) ----
+    // Select the documents whose token distribution best matches a TARGET
+    // distribution: per-term importance log-ratio ln(p_target/p_raw) with
+    // add-1 smoothing (target = the English slice standing in for "the
+    // distribution we want more of"; raw = the whole corpus), per-doc
+    // score = mean log-ratio of its tokens, top 20 by (rounded score,
+    // doc_id). Same determinism discipline as q88: per-term ratio rounded
+    // to 9 decimals, decimal-accumulated, the rounded score is the rank
+    // key. Smoothing constants are exact integers (< 2^53), so both
+    // engines evaluate the identical IEEE expression tree.
+    //
+    // 100 TB posture: the log-ratio table is vocabulary-sized (≪ corpus),
+    // built from two partial-aggregated term counts; scoring is the same
+    // high-cardinality token→term equijoin + per-doc keyed agg as q88;
+    // the final top-k is an aggregate-then-limit over |docs| rows, never
+    // a global sort of tokens.
+    "q92_importance_selection" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(trim(col("text")), " ")).as("term"))
+        val raw = toks.groupBy(col("term")).agg(count(lit(1)).as("cr"))
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy(col("term")).agg(count(lit(1)).as("ct"))
+        val stats = raw.agg(sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+          .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+        val lr = raw.join(tgt, Seq("term"), "left")
+          .na.fill(0L, Seq("ct"))
+          .crossJoin(broadcast(stats))
+          .select(col("term"), round(log(
+            ((col("ct") + 1).cast("double") / (col("nt") + col("v"))) /
+              ((col("cr") + 1).cast("double") / (col("nr") + col("v")))), 9)
+            .as("lr"))
+        toks.join(lr, Seq("term"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("lr").cast(DecimalType(28, 9))).cast("double") /
+              count(lit(1)), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT doc_id, lang,
+                            unnest(string_split(trim(text), ' ')) AS term
+                     FROM documents),
+        raw AS (SELECT term, COUNT(*) AS cr FROM tok GROUP BY term),
+        tgt AS (SELECT term, COUNT(*) AS ct FROM tok WHERE lang = 'en'
+                GROUP BY term),
+        st AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
+                      (SELECT COUNT(*) FROM raw) AS v,
+                      (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt),
+        lr AS (SELECT r.term,
+                      ROUND(LN((CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                                / (st.nt + st.v)) /
+                               (CAST(r.cr + 1 AS DOUBLE)
+                                / (st.nr + st.v))), 9) AS lr
+               FROM raw r LEFT JOIN tgt t USING (term), st),
+        scored AS (SELECT k.doc_id, k.lang, COUNT(*) AS n_tokens,
+                          ROUND(CAST(SUM(CAST(l.lr AS DECIMAL(28,9)))
+                                AS DOUBLE) / COUNT(*), 6) AS score
+                   FROM tok k JOIN lr l USING (term)
+                   GROUP BY k.doc_id, k.lang)
+        SELECT doc_id, lang, n_tokens, score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 20"""))
   )
 }

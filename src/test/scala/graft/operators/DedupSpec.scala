@@ -133,4 +133,14 @@ class DedupSpec extends SparkSpec {
     // cell 2: {2} untouched.
     assert(got == Map(0L -> ((3L, 2L)), 1L -> ((3L, 1L)), 2L -> ((1L, 0L))))
   }
+
+  test("semanticDedupStats is invariant under input repartitioning") {
+    import graft.functions.VectorFunctions._
+    import graft.queries.Dedup
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), vec64(col("embedding")).as("e"))
+    val a = Dedup.semanticDedupStats(emb, k = 16, tau = 0.38)
+    val b = Dedup.semanticDedupStats(emb.repartition(17), k = 16, tau = 0.38)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
