@@ -213,6 +213,24 @@ object ScaleProbe {
         val (sec, pruned) = timed(semdedup(n))
         println(f"""{"probe":"semdedup","vectors":$n,"cells":${semK(n)},"pruned":$pruned,"sec":$sec%.3f,"vecs_per_sec":${(n / sec).toLong}}""")
       }
+      // Two-level assignment (semanticAssignTwoLevel): assignment cost
+      // n·(branch + k/branch) instead of n·k. Cell agreement with flat
+      // argmax is data-dependent (~0.5 on isotropic vectors), but planted
+      // CLONES follow near-identical argmax paths at both levels, so the
+      // pruned count should match flat's ≈ n/2 — the metric dedup cares
+      // about. 200k is probed with two-level only (flat would pay 63M
+      // assignment cosines there).
+      def semTwo(n: Long): Long = {
+        val k = semK(n)
+        val assigned = graft.queries.Dedup
+          .semanticAssignTwoLevel(vecs(n), k, math.max(4, math.sqrt(k.toDouble).toInt))
+        graft.queries.Dedup.semanticPruned(assigned, 0.9).count()
+      }
+      semTwo(2000) // warmup
+      Seq(50000L, 200000L).foreach { n =>
+        val (sec, pruned) = timed(semTwo(n))
+        println(f"""{"probe":"semdedup2","vectors":$n,"cells":${semK(n)},"pruned":$pruned,"sec":$sec%.3f,"vecs_per_sec":${(n / sec).toLong}}""")
+      }
     }
 
     // streaming-state probe: stateful operators at bench scale on the

@@ -112,6 +112,49 @@ object Dedup {
       .localCheckpoint(false)
   }
 
+  /** Two-level (hierarchical) variant of [[semanticAssign]]: vectors
+    * first pick their argmax among `branch` coarse centroids (the branch
+    * lowest-id fine centroids), then argmax only among the fine centroids
+    * mapped to that coarse cell. Assignment cost drops from n·k cosines
+    * to ~n·(branch + k/branch) — minimized at branch ≈ √k — at the price
+    * of approximation: a vector whose true fine centroid maps to a
+    * different coarse cell than the vector itself is mis-assigned. How
+    * much that matters is data-dependent: on ISOTROPIC vectors (the
+    * testdata embeddings) absolute cell agreement with flat argmax is
+    * only ~0.5, but near-DUPLICATE pairs follow near-identical argmax
+    * paths at both levels, so clone co-assignment — the property dedup
+    * actually needs — holds (DedupSpec: ≥99% planted-clone prune recall;
+    * exact equality to flat on well-separated cells). This is the
+    * documented scale path when flat assignment's n·k term dominates —
+    * with k = √(n/2) it takes total semantic-dedup cost below O(n^1.5). */
+  def semanticAssignTwoLevel(emb: DataFrame, k: Int, branch: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("e"))
+    val cents = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val coarse = e.orderBy(col("vec_id")).limit(branch)
+      .select(col("vec_id").as("gid"), col("e").as("ge"))
+    // fine centroid → coarse cell (computed over the tiny centroid set)
+    val centMap = cents.crossJoin(broadcast(coarse))
+      .select(col("cid"), cosine(col("ce"), col("ge")).as("gsim"), col("gid"))
+      .groupBy(col("cid"))
+      .agg(max_by(col("gid"), struct(col("gsim"), -col("gid"))).as("gid"))
+      .join(cents, Seq("cid"))
+    // vector → coarse cell
+    val vg = e.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), cosine(col("e"), col("ge")).as("gs"), col("gid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("gid"), struct(col("gs"), -col("gid"))).as("gid"))
+      .join(e, Seq("vec_id"))
+    // vector → fine centroid within its coarse cell only
+    vg.join(broadcast(centMap), Seq("gid"))
+      .select(col("vec_id"), col("cid"), cosine(col("e"), col("ce")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
+      .join(e, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("e"))
+      .localCheckpoint(false)
+  }
+
   /** The prune stage of [[semanticDedupStats]]: (cid, vec_id) of every
     * vector with cosine ≥ tau to ANY lower-id vector in its cell. */
   def semanticPruned(assigned: DataFrame, tau: Double): DataFrame =

@@ -134,6 +134,42 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(0L -> ((3L, 2L)), 1L -> ((3L, 1L)), 2L -> ((1L, 0L))))
   }
 
+  test("two-level assignment equals flat argmax on well-separated cells") {
+    import graft.functions.VectorFunctions._
+    import graft.queries.Dedup
+    val v = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (10L, Array(1f, 0f, 0f, 0f)), (11L, Array(0.99f, 0.01f, 0f, 0f)),
+      (20L, Array(0.6f, 0.8f, 0f, 0f)), (30L, Array(0.6f, 0.8f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), vec64(col("embedding")).as("e"))
+    val flat = Dedup.semanticAssign(v, 3).select("cid", "vec_id")
+    val two = Dedup.semanticAssignTwoLevel(v, 3, 2).select("cid", "vec_id")
+    assert(flat.exceptAll(two).isEmpty && two.exceptAll(flat).isEmpty)
+  }
+
+  test("two-level assignment keeps planted clones co-celled (prune recall holds)") {
+    import graft.functions.VectorFunctions._
+    import graft.queries.Dedup
+    // The ScaleProbe "semdedup" construction at n=2000: ids [1000, 2000)
+    // are 2%-scaled + shifted copies of id - 1000 (cos ≈ 0.999). Cell
+    // agreement with flat argmax is data-dependent on isotropic vectors,
+    // but a clone's argmax path tracks its original's at BOTH levels, so
+    // pruning at tau = 0.9 must still catch ~all 1000 planted clones.
+    val n = 2000L
+    val baseId = when(col("id") >= n / 2, col("id") - n / 2).otherwise(col("id"))
+    val scale = when(col("id") >= n / 2, lit(1.02)).otherwise(lit(1.0))
+    val shift = when(col("id") >= n / 2, lit(0.001)).otherwise(lit(0.0))
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 64).map(d =>
+        (pmod(xxhash64(baseId, lit(d), lit(7L)), lit(1000000L)).cast("double")
+          / 500000.0 - 1.0) * scale + shift): _*).as("e"))
+    val assigned = Dedup.semanticAssignTwoLevel(vecs, 31, 5)
+    val pruned = Dedup.semanticPruned(assigned, 0.9).count()
+    assert(pruned >= 990, s"two-level assignment lost planted clones: $pruned/1000")
+  }
+
   test("semanticDedupStats is invariant under input repartitioning") {
     import graft.functions.VectorFunctions._
     import graft.queries.Dedup
