@@ -164,8 +164,12 @@ object Dedup {
       .select(col("b.cid").as("cid"), col("b.vec_id").as("vec_id"))
       .distinct()
 
-  def semanticDedupStats(emb: DataFrame, k: Int, tau: Double): DataFrame = {
-    val assigned = semanticAssign(emb, k)
+  def semanticDedupStats(emb: DataFrame, k: Int, tau: Double): DataFrame =
+    semanticStats(semanticAssign(emb, k), tau)
+
+  /** Per-cell population/attrition report over any (cid, vec_id, e)
+    * assignment — shared by the flat (q90) and two-level (q93) paths. */
+  def semanticStats(assigned: DataFrame, tau: Double): DataFrame = {
     val pruned = semanticPruned(assigned, tau)
     val stats = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
     val p = pruned.groupBy(col("cid")).agg(count(lit(1)).as("n_pruned"),
@@ -533,6 +537,67 @@ object Dedup {
           UNION ALL SELECT '1_exact', COUNT(*) FROM s1
           UNION ALL SELECT '2_chunk', COUNT(*) FROM s2
           UNION ALL SELECT '3_semantic', COUNT(*) FROM s3)
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+
+    // ---- q93: two-level (hierarchical) semantic dedup ----
+    // q90's report computed over semanticAssignTwoLevel (branch = 4
+    // coarse cells over k = 16 fine centroids) — the assignment path for
+    // the n·k-bound regime. Every stage is still plain relational
+    // algebra, so the oracle rebuilds BOTH argmax levels, the
+    // centroid→coarse map, the prune, and the stats end-to-end in DuckDB
+    // with no materialized input. Cell contents differ from q90's by
+    // design (coarse quantization is approximate); the gate pins that the
+    // engine computes exactly the hierarchy it claims to.
+    "q93_semantic_dedup_2level" -> QueryDef(
+      build = (spark, dir) =>
+        semanticStats(
+          semanticAssignTwoLevel(
+            Tables.embeddings(spark, dir)
+              .select(col("vec_id"), vec64(col("embedding")).as("e")),
+            k = 16, branch = 4),
+          tau = 0.38),
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, emb AS cemb
+                  FROM e ORDER BY vec_id LIMIT 16),
+        coarse AS (SELECT vec_id AS gid, emb AS gemb
+                   FROM e ORDER BY vec_id LIMIT 4),
+        cmap AS (SELECT cid, gid FROM (
+                   SELECT c.cid, g.gid,
+                          ROW_NUMBER() OVER (PARTITION BY c.cid
+                            ORDER BY list_cosine_similarity(c.cemb, g.gemb)
+                              DESC, g.gid) AS rn
+                   FROM cents c CROSS JOIN coarse g) WHERE rn = 1),
+        vg AS (SELECT vec_id, gid FROM (
+                 SELECT e.vec_id, g.gid,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.emb, g.gemb)
+                            DESC, g.gid) AS rn
+                 FROM e CROSS JOIN coarse g) WHERE rn = 1),
+        assigned AS (SELECT vec_id, cid FROM (
+                       SELECT v.vec_id, m.cid,
+                              ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_cosine_similarity(ev.emb, c.cemb)
+                                  DESC, m.cid) AS rn
+                       FROM vg v
+                       JOIN cmap m ON m.gid = v.gid
+                       JOIN e ev ON ev.vec_id = v.vec_id
+                       JOIN cents c ON c.cid = m.cid) WHERE rn = 1),
+        pruned AS (SELECT DISTINCT b.cid, b.vec_id
+                   FROM assigned a JOIN assigned b
+                     ON a.cid = b.cid AND a.vec_id < b.vec_id
+                   JOIN e ea ON ea.vec_id = a.vec_id
+                   JOIN e eb ON eb.vec_id = b.vec_id
+                   WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.38),
+        s AS (SELECT cid, COUNT(*) AS n_vecs FROM assigned GROUP BY cid),
+        p AS (SELECT cid, COUNT(*) AS n_pruned, MIN(vec_id) AS min_pruned,
+                     MAX(vec_id) AS max_pruned
+              FROM pruned GROUP BY cid)
+        SELECT s.cid, s.n_vecs,
+               COALESCE(p.n_pruned, CAST(0 AS BIGINT)) AS n_pruned,
+               s.n_vecs - COALESCE(p.n_pruned, CAST(0 AS BIGINT)) AS n_kept,
+               p.min_pruned, p.max_pruned
+        FROM s LEFT JOIN p USING (cid) ORDER BY s.cid"""))
   )
 }
