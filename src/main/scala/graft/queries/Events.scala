@@ -318,6 +318,65 @@ object Events {
         SELECT prev_type, event_type, COUNT(*) AS n
         FROM b WHERE prev_type IS NOT NULL
         GROUP BY prev_type, event_type
-        ORDER BY n DESC, prev_type, event_type LIMIT 20"""))
+        ORDER BY n DESC, prev_type, event_type LIMIT 20""")),
+
+    // ---- q96: SCD-2 history build (gaps-and-islands) ----
+    // Collapse each user's event stream into type-II slowly-changing-
+    // dimension rows: consecutive runs of the same event_type become
+    // versioned validity intervals [valid_from, valid_to), open-ended for
+    // the current version — the standard warehouse dimension-history
+    // primitive, built with the rn-difference islands trick (one pass,
+    // two window functions over the same user partitioning).
+    //
+    // 100 TB posture: every window shares PARTITION BY user_id, so the
+    // whole query is ONE hash shuffle on the entity key + per-key sorts;
+    // runs/versions are computed without self-joins and nothing is
+    // corpus-quadratic. The user_id < 20 predicate is the demo slice
+    // (pushed to the parquet scan); the plan is key-count-invariant.
+    "q96_scd2_intervals" -> QueryDef(
+      build = (spark, dir) => {
+        val byTs = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val byTsType = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val byStart = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+        Tables.events(spark, dir)
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("grp",
+            row_number().over(byTs) - row_number().over(byTsType))
+          .groupBy(col("user_id"), col("event_type"), col("grp"))
+          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            row_number().over(byStart).cast("long").as("version"),
+            col("event_type"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("valid_from"),
+            date_format(lead(col("valid_from"), 1).over(byStart),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                   WHERE user_id < 20),
+        r AS (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS grp
+              FROM e),
+        runs AS (SELECT user_id, event_type, grp, MIN(ts) AS valid_from,
+                        COUNT(*) AS n_events
+                 FROM r GROUP BY 1, 2, 3)
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
+                 AS version,
+               event_type,
+               strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(LEAD(valid_from, 1) OVER (PARTITION BY user_id
+                 ORDER BY valid_from), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               n_events
+        FROM runs ORDER BY user_id, version"""))
   )
 }

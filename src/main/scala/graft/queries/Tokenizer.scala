@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.BpeTrainer
+
+/** Tokenizer training over `documents` — the step a training-data pipeline
+  * runs between corpus curation and pre-tokenization.
+  *
+  * q95 runs the distributed BPE trainer ([[graft.operators.BpeTrainer]])
+  * for 8 merge rounds and emits the learned merge table. The DuckDB oracle
+  * re-derives the SAME 8 rounds independently in pure SQL: symbol
+  * sequences are encoded as `||`-delimited strings (`||a||b||c||`), a
+  * greedy left-to-right pair merge is exactly `replace(s, '|l||r|',
+  * '|lr|')` on that encoding (each boundary keeps one `|` from either
+  * side, so consecutive occurrences still match — including the l == r
+  * case), and each round's argmax is recomputed from the merged strings.
+  * Both engines therefore execute the full iterative algorithm — round 6+
+  * merges multi-character symbols produced by earlier rounds, so the hash
+  * compare certifies merge APPLICATION, not just round-1 counting.
+  */
+object Tokenizer {
+
+  private val Rounds = 8
+
+  /** Unrolled n-round BPE oracle (see object doc for the encoding). */
+  private def bpeOracle(n: Int): String = {
+    val head =
+      """
+        WITH w AS (SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM (SELECT unnest(string_split(trim(text), ' ')) AS term
+                         FROM documents)
+                   WHERE length(term) >= 2 GROUP BY term),
+        v0 AS (SELECT '||' || array_to_string(string_split(word, ''), '||')
+                      || '||' AS s, freq FROM w)"""
+    val rounds = (1 to n).map { k =>
+      val prev = k - 1
+      val vNext =
+        if (k == n) "" // last round's merged strings are never re-counted
+        else s""",
+        v$k AS (SELECT replace(s, '|' || b$k.l || '||' || b$k.r || '|',
+                               '|' || b$k.l || b$k.r || '|') AS s, freq
+                FROM v$prev, b$k)"""
+      s""",
+        p$k AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+                FROM (SELECT list_filter(string_split(s, '||'),
+                                         x -> x <> '') AS syms, freq
+                      FROM v$prev),
+                     LATERAL (SELECT unnest(generate_series(1, len(syms)-1))
+                              AS i) t
+                GROUP BY 1, 2),
+        b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)$vNext"""
+    }.mkString
+    val sel = (1 to n).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
+                 l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$k"""
+    }.mkString(" UNION ALL ")
+    s"$head$rounds\nSELECT * FROM ($sel) ORDER BY rank"
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q95: distributed BPE tokenizer training (8 merges) ----
+    // 100 TB posture: one corpus-sized word-count shuffle, then every
+    // round is vocabulary-sized with a single scalar argmax to the
+    // driver — see BpeTrainer's scaladoc.
+    "q95_bpe_merges" -> QueryDef(
+      build = (spark, dir) =>
+        BpeTrainer.train(Tables.documents(spark, dir), "text", Rounds),
+      oracle = Some(bpeOracle(Rounds)))
+  )
+}

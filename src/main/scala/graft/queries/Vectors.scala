@@ -377,6 +377,46 @@ object Vectors {
                MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
                ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
                  AS avg_norm
-        FROM e GROUP BY label ORDER BY label"""))
+        FROM e GROUP BY label ORDER BY label""")),
+
+    // ---- q97: hard-negative mining ----
+    // For each query vector, the top-5 most similar vectors whose LABEL
+    // DIFFERS — the contrastive-training data op (hard negatives are the
+    // near-misses a retriever/embedding model learns the most from).
+    // Same broadcast-query + per-qid bounded window shape as q50; the
+    // label inequality is applied before the top-k so the heap ranks
+    // negatives only.
+    "q97_hard_negatives" -> QueryDef(
+      build = (spark, dir) => {
+        val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            vec64(col("embedding")).as("qe"))
+        val cand = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("label"), vec64(col("embedding")).as("e"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        cand.join(broadcast(q), col("label") =!= col("qlabel"))
+          .select(col("qid"), col("vec_id"), col("label"),
+            cosine(col("qe"), col("e")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
+            col("label").as("neg_label"), round(col("cos"), 6).as("cosine"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                          CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+        s AS (SELECT qid, vec_id, label,
+                     list_cosine_similarity(qe, e) AS cos
+              FROM q JOIN c ON label != qlabel),
+        r AS (SELECT qid, vec_id, label, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, vec_id) AS rn
+              FROM s)
+        SELECT qid, rn, vec_id, label AS neg_label, ROUND(cos, 6) AS cosine
+        FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
   )
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Properties of the round-5 retrieval/warehouse queries beyond the DuckDB
+  * hash gate: BM25 ranking sanity (q94), hard-negative label contract
+  * (q97), and SCD-2 interval-chain integrity (q96). */
+class RetrievalSpec extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q94: BM25 scores are positive and bounded by the query size") {
+    val rows = run("q94_bm25_topk").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_terms_hit") >= 1L &&
+        r.getAs[Long]("n_terms_hit") <= 4L)
+      assert(r.getAs[Double]("score") > 0d)
+    }
+    // results arrive ranked: scores non-increasing
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sortBy(-_))
+  }
+
+  test("q97: every mined negative has a label different from its query's") {
+    val qLabel = graft.core.Tables.embeddings(spark, sf)
+      .filter("vec_id < 10").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = run("q97_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("neg_label") != qLabel(r.getAs[Long]("qid")))
+    }
+  }
+
+  test("q96: SCD-2 intervals chain per user and cover every event") {
+    val rows = run("q96_scd2_intervals").collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      // versions are 1..n dense
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ==
+        (1L to sorted.length).toSeq)
+      // each version's valid_to == next version's valid_from; last is open
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"))
+          // consecutive versions always change type (runs are maximal)
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"))
+        case _ =>
+      }
+      assert(sorted.last.get(sorted.last.fieldIndex("valid_to")) == null)
+    }
+    // n_events rolls up to the slice's event count
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    val expected = graft.core.Tables.events(spark, sf)
+      .filter("user_id < 20").count()
+    assert(total == expected)
+  }
+}
