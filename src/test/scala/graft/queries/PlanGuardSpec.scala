@@ -85,4 +85,25 @@ class PlanGuardSpec extends SparkSpec {
     assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 2,
       "pack aggregation introduced an extra shuffle over shard-partitioned data")
   }
+
+  test("q96: SCD-2 runs on ONE entity-key hash shuffle (subset-clustering reuse)") {
+    val p = plan("q96_scd2_intervals")
+    // Both rn windows, the run groupBy, and the version window must all
+    // execute on hashpartitioning(user_id): partitioning by user_id
+    // satisfies clustering over (user_id, event_type) and (user_id, grp)
+    // by the subset rule. A second hash exchange would mean the islands
+    // trick re-shuffles the event stream per window at 100 TB.
+    // formatted mode lists each Exchange's partitioning on its Arguments
+    // line; exactly one hash (+ the presentation ORDER BY's range) allowed
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1,
+      "SCD-2 build re-shuffles instead of reusing the user_id partitioning")
+  }
+
+  test("q94: BM25 broadcasts the df/corpus-stats sides, never the token stream") {
+    val p = plan("q94_bm25_topk")
+    assert("BroadcastExchange".r.findAllIn(p).nonEmpty,
+      "vocabulary-sized BM25 statistics were not broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "BM25 scoring degenerated into a cross product of token rows")
+  }
 }
