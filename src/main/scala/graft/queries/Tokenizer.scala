@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.BpeTrainer
+import org.apache.spark.sql.functions._
 
 /** Tokenizer training over `documents` — the step a training-data pipeline
   * runs between corpus curation and pre-tokenization.
@@ -66,6 +67,62 @@ object Tokenizer {
     "q95_bpe_merges" -> QueryDef(
       build = (spark, dir) =>
         BpeTrainer.train(Tables.documents(spark, dir), "text", Rounds),
-      oracle = Some(bpeOracle(Rounds)))
+      oracle = Some(bpeOracle(Rounds))),
+
+    // ---- q99: BPE corpus encoding — post-merge token histogram ----
+    // Train 8 merges, ENCODE the whole corpus with them (one pass, all
+    // merges amortized per word), and report the top-20 resulting tokens
+    // by corpus occurrence count. The oracle re-trains AND re-encodes in
+    // SQL: the same unrolled rounds as q95, but the final merged symbol
+    // strings are unnested into a frequency-weighted histogram — so the
+    // hash compare certifies BpeTrainer.encode end-to-end, not just the
+    // learned merge table. (The min-word-length filter is omitted here:
+    // 1-char words carry no pairs, so training is unaffected and encoding
+    // must keep them — both engines agree by construction.)
+    "q99_bpe_encode_stats" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val merges = BpeTrainer.train(docs, "text", Rounds)
+        BpeTrainer.encode(docs, "text", merges)
+          .select(explode(col("tokens")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(20)
+      },
+      oracle = Some(bpeEncodeOracle(Rounds)))
   )
+
+  /** q99's oracle: q95's unrolled rounds, then a token histogram over the
+    * round-`n` symbol strings of ALL words (weighted by word frequency). */
+  private def bpeEncodeOracle(n: Int): String = {
+    val head =
+      """
+        WITH w AS (SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM (SELECT unnest(string_split(trim(text), ' ')) AS term
+                         FROM documents)
+                   GROUP BY term),
+        v0 AS (SELECT '||' || array_to_string(string_split(word, ''), '||')
+                      || '||' AS s, freq FROM w)"""
+    val rounds = (1 to n).map { k =>
+      val prev = k - 1
+      s""",
+        p$k AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+                FROM (SELECT list_filter(string_split(s, '||'),
+                                         x -> x <> '') AS syms, freq
+                      FROM v$prev),
+                     LATERAL (SELECT unnest(generate_series(1, len(syms)-1))
+                              AS i) t
+                GROUP BY 1, 2),
+        b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+        v$k AS (SELECT replace(s, '|' || b$k.l || '||' || b$k.r || '|',
+                               '|' || b$k.l || b$k.r || '|') AS s, freq
+                FROM v$prev, b$k)"""
+    }.mkString
+    s"""$head$rounds
+        SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_filter(string_split(s, '||'),
+                                        x -> x <> '')) AS token, freq
+              FROM v$n)
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""
+  }
 }

@@ -417,6 +417,78 @@ object Vectors {
                        ORDER BY cos DESC, vec_id) AS rn
               FROM s)
         SELECT qid, rn, vec_id, label AS neg_label, ROUND(cos, 6) AS cosine
-        FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
+        FROM r WHERE rn <= 5 ORDER BY qid, rn""")),
+
+    // ---- q98: int8-quantized KNN with exact-top-k evidence ----
+    // Symmetric per-vector int8 quantization (scale = max|x|/127,
+    // q_i = round(x_i/scale)) and cosine over the quantized vectors —
+    // the memory-bandwidth play at 100 TB: 4× smaller vectors, integer
+    // dot products, one cheap rescale. Every quantized dot/norm is a sum
+    // of EXACT small-integer products (≤ 127²·dim < 2^53), so the ranking
+    // key is bit-identical in any engine and summation order is
+    // irrelevant — quantization buys determinism, not just bandwidth.
+    // The in_exact_topk column is the recall evidence: which quantized
+    // winners the float-exact top-5 (q50's ranking) also contains.
+    "q98_quantized_knn" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), vec64(col("embedding")).as("v"))
+          .withColumn("scale",
+            array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+          .select(col("vec_id"), col("scale"),
+            transform(col("v"), x => round(x / col("scale"), 0)).as("qi"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("scale").as("qscale"),
+            col("qi").as("qqi"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
+        e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            ((dot(col("qqi"), col("qi")) * col("qscale") * col("scale")) /
+              ((sqrt(dot(col("qqi"), col("qqi"))) * col("qscale")) *
+                (sqrt(dot(col("qi"), col("qi"))) * col("scale")))).as("qcos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .join(exactTopK(spark, dir, 5), Seq("qid", "vec_id"), "left")
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
+            round(col("qcos"), 6).as("qcosine"),
+            coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      oracle = Some("""
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+        sc AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) / 127.0
+                        AS scale
+               FROM e0),
+        e AS (SELECT vec_id, scale,
+                     list_transform(v, x -> round(x / scale, 0)) AS qi
+              FROM sc),
+        q AS (SELECT vec_id AS qid, scale AS qscale, qi AS qqi FROM e
+              WHERE vec_id < 10),
+        p AS (SELECT qid, vec_id,
+                     (list_dot_product(qqi, qi) * qscale * scale)
+                     / ((sqrt(list_dot_product(qqi, qqi)) * qscale)
+                        * (sqrt(list_dot_product(qi, qi)) * scale)) AS qcos
+              FROM q JOIN e ON vec_id != qid),
+        r AS (SELECT qid, vec_id, qcos,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY qcos DESC, vec_id) AS rn
+              FROM p),
+        ex AS (SELECT qid, vec_id, TRUE AS in_exact_topk FROM (
+                 SELECT q2.qid, c2.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q2.qid
+                          ORDER BY list_cosine_similarity(q2.qe, c2.e) DESC,
+                                   c2.vec_id) AS xrn
+                 FROM (SELECT vec_id AS qid,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 10) q2
+                 JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings) c2 ON c2.vec_id != q2.qid)
+               WHERE xrn <= 5)
+        SELECT r.qid, r.rn, r.vec_id, ROUND(r.qcos, 6) AS qcosine,
+               COALESCE(ex.in_exact_topk, FALSE) AS in_exact_topk
+        FROM r LEFT JOIN ex ON r.qid = ex.qid AND r.vec_id = ex.vec_id
+        WHERE r.rn <= 5 ORDER BY r.qid, r.rn"""))
   )
 }

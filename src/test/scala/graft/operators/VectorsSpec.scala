@@ -130,4 +130,15 @@ class VectorsSpec extends SparkSpec {
       .select(round(cosine(vec64(col("a")), vec64(col("b"))), 9).as("c"))
     assert(df.as[Double].collect().toSeq == Seq(0.0, 1.0, -1.0))
   }
+
+  test("q98: int8-quantized top-5 keeps high agreement with the exact top-5") {
+    // int8 keeps ~2-3 significant digits per component; on 64-d vectors
+    // the induced cosine error is ~1e-2, so the quantized top-5 should
+    // mostly coincide with the float-exact top-5 (the in_exact_topk
+    // evidence column carries the overlap per row).
+    val rows = graft.SparkEntry.queries("q98_quantized_knn")(spark, sf).collect()
+    assert(rows.length == 50)
+    val recall = rows.count(_.getAs[Boolean]("in_exact_topk")).toDouble / rows.length
+    assert(recall >= 0.8, s"quantized recall@5 only $recall")
+  }
 }
