@@ -54,12 +54,16 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val maxScale = args.headOption.map(_.toInt).getOrElse(100)
+    // optional second arg: run only the named probe (isolated timing —
+    // concurrent runs on the same box contend for cores and skew secs)
+    val only = args.lift(1)
+    def enabled(p: String): Boolean = only.forall(_ == p)
     val spark = SparkSessionFactory.localFromEnv(32, "graft-scale-probe")
     val base = 600000L // sf0.1-equivalent
     // The FULL q70 aggregation (not groupBy.count, which would let
     // Catalyst prune most of the generated/enriched columns away).
     def runGps(n: Long): Long = graft.queries.Gps.aggOfSize(spark, n).count()
-    Seq(1L, 10L, 100L).filter(_ <= maxScale).foreach { s =>
+    if (enabled("gps")) Seq(1L, 10L, 100L).filter(_ <= maxScale).foreach { s =>
       val n = base * s
       if (s == 1L) runGps(n) // warmup once: codegen is shared across scales
       val (sec, rows) = timed(runGps(n))
@@ -94,11 +98,13 @@ object ScaleProbe {
         .filter(col("nc").cast("double") / (col("na") + col("nb") - col("nc")) >= 0.4)
         .count()
     }
+    if (enabled("dedup")) {
     lsh(1); exact(1) // warmup
     Seq(1, 2, 4, 8).filter(_ <= maxScale).foreach { s =>
       val (lSec, lPairs) = timed(lsh(s))
       val (eSec, ePairs) = timed(exact(s))
       println(f"""{"probe":"dedup","scale":$s,"docs":${d0.count() * s},"lsh_sec":$lSec%.3f,"lsh_pairs":$lPairs,"exact_sec":$eSec%.3f,"exact_pairs":$ePairs}""")
+    }
     }
 
     // ann probe: synthetic deterministic 64-d vectors
@@ -138,6 +144,7 @@ object ScaleProbe {
         .dropDuplicates("ia", "ib")
         .count()
     }
+    if (enabled("ann")) {
     annExact(2000); annLsh(2000) // warmup
     Seq(2000L, 10000L, 20000L, 100000L).foreach { n =>
       val (lSec, lPairs) = timed(annLsh(n))
@@ -145,6 +152,7 @@ object ScaleProbe {
         if (n <= 20000L) { val r = timed(annExact(n)); (r._1, r._2.toString) }
         else (-1.0, "skipped")
       println(f"""{"probe":"ann","vectors":$n,"lsh_sec":$lSec%.3f,"lsh_pairs":$lPairs,"exact_sec":$eSec%.3f,"exact_pairs":"$ePairs"}""")
+    }
     }
 
     // packing probe: q87's shard-parallel window-cumsum packing at probe
@@ -154,7 +162,7 @@ object ScaleProbe {
     // partition holds n/256 rows and the probe measures the true parallel
     // shape. Near-linear sec/doc ⇒ the global-sort-free packing claim
     // holds as the corpus grows.
-    {
+    if (enabled("packing")) {
       import org.apache.spark.sql.expressions.Window
       val shards = 256
       def pack(n: Long): Long = {
@@ -183,7 +191,7 @@ object ScaleProbe {
     // linear in tokens (chunk explode + one window over the md5 chunk
     // key); the rotated-alphabet copies keep cross-copy chunk collisions
     // ~zero, so work scales honestly with corpus size.
-    {
+    if (enabled("chunkdedup")) {
       def chunks(s: Int): Long = graft.queries.Dedup
         .chunkDedupStats(corpus(s), "doc_id", "text", 10)
         .agg(sum(col("n_kept"))).head().getLong(0)
@@ -195,6 +203,23 @@ object ScaleProbe {
       }
     }
 
+    // BPE-training probe: q95's operator on the upsampled corpus. The
+    // rotated-alphabet copies make each copy's VOCABULARY disjoint, so
+    // distinct-word count — the size of every per-round iteration table —
+    // grows linearly with scale: this probes the claim that training cost
+    // is one corpus pass + rounds × vocab-sized jobs (fixed per-round job
+    // overhead should dominate; sec should grow far slower than vocab).
+    if (enabled("bpe")) {
+      def bpe(s: Int): Long = graft.operators.BpeTrainer
+        .train(corpus(s), "text", 8).count()
+      bpe(1) // warmup
+      Seq(1, 4, 16).filter(_ <= maxScale).foreach { s =>
+        val (sec, m) = timed(bpe(s))
+        val docs = d0.count() * s
+        println(f"""{"probe":"bpe","scale":$s,"docs":$docs,"merges":$m,"sec":$sec%.3f,"docs_per_sec":${(docs / sec).toLong}}""")
+      }
+    }
+
     // semantic-dedup probe: q90's operator on the planted synthetic
     // vectors (second half clones the first at cos ≈ 0.999; tau = 0.9
     // targets exactly those). Flat-IVF total work = n·k (assignment)
@@ -203,7 +228,7 @@ object ScaleProbe {
     // (hierarchical two-level assignment would reach ~n·log n; not
     // needed at probe scale). A linear k = n/128 rule measured 1.4×
     // worse at 50k: the n·k assignment term dominates.
-    {
+    if (enabled("semdedup")) {
       def semK(n: Long): Int = math.max(16, math.sqrt(n / 2.0).toInt)
       def semdedup(n: Long): Long = graft.queries.Dedup
         .semanticDedupStats(vecs(n), semK(n), 0.9)
@@ -241,7 +266,7 @@ object ScaleProbe {
     // state rows across the 32 store partitions. Input is pre-written
     // parquet (untimed); each query runs Trigger.AvailableNow into the
     // noop sink, so the timed span is pure source→state→emit engine work.
-    {
+    if (enabled("streaming")) {
       import org.apache.spark.sql.streaming.Trigger
       import graft.core.{GpsRecord, GpsSchema}
       val nRows = 1200000L

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.BpeTrainer
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tokenizer training over `documents` — the step a training-data pipeline
@@ -89,8 +90,109 @@ object Tokenizer {
           .orderBy(col("cnt").desc, col("token"))
           .limit(20)
       },
-      oracle = Some(bpeEncodeOracle(Rounds)))
+      oracle = Some(bpeEncodeOracle(Rounds))),
+
+    // ---- q100: pretokenize-and-pack capstone ----
+    // The full pretokenization pipeline a training run feeds from: train
+    // 8 BPE merges, encode the corpus, count POST-BPE tokens per doc,
+    // and pack docs into fixed-2048-token training rows with q87's
+    // hash-sharded window-cumsum packing (no global sort). The oracle
+    // re-runs every stage in SQL — merge training, encoding (per-word
+    // final symbol counts joined back to doc token occurrences), and the
+    // packing windows — so the hash compare certifies the composition,
+    // not just the parts.
+    //
+    // 100 TB posture: q95's training posture + one corpus encode pass +
+    // q87's shard-parallel packing (the only corpus-sized shuffles are
+    // the word-count agg, the per-doc token rollup, and the shard
+    // window).
+    "q100_pretokenize_pack" -> QueryDef(
+      build = (spark, dir) => {
+        val capacity = 2048L
+        val docs = Tables.documents(spark, dir)
+        val merges = BpeTrainer.train(docs, "text", Rounds)
+        val d = BpeTrainer.encode(docs, "text", merges)
+          .select(col("doc_id"),
+            size(col("tokens")).cast("long").as("n_tokens"),
+            md5(concat(col("doc_id").cast("string"), col("text"))
+              .cast("binary")).as("pick"))
+          .withColumn("shard",
+            (ascii(substring(col("pick"), 1, 1)) % 4).cast("long"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("pick"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        d.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("pack_id",
+            floor(col("cum").cast("double") / lit(capacity.toDouble)))
+          .groupBy(col("shard"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .withColumn("fill_frac",
+            round(col("total_tokens").cast("double") / lit(capacity.toDouble), 6))
+          .select(col("shard"), col("pack_id"), col("n_docs"),
+            col("total_tokens"), col("fill_frac"), col("min_doc"),
+            col("max_doc"))
+          .orderBy(col("shard"), col("pack_id"))
+      },
+      oracle = Some(packOracle(Rounds)))
   )
+
+  /** q100's oracle: the all-words merge rounds CARRYING the word column,
+    * then per-word post-BPE symbol counts → per-doc token rollup →
+    * q87's packing windows. */
+  private def packOracle(n: Int): String = {
+    val head =
+      """
+        WITH w AS (SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM (SELECT unnest(string_split(trim(text), ' ')) AS term
+                         FROM documents)
+                   GROUP BY term),
+        v0 AS (SELECT word, '||' || array_to_string(string_split(word, ''),
+                      '||') || '||' AS s, freq FROM w)"""
+    val rounds = (1 to n).map { k =>
+      val prev = k - 1
+      s""",
+        p$k AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+                FROM (SELECT list_filter(string_split(s, '||'),
+                                         x -> x <> '') AS syms, freq
+                      FROM v$prev),
+                     LATERAL (SELECT unnest(generate_series(1, len(syms)-1))
+                              AS i) t
+                GROUP BY 1, 2),
+        b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+        v$k AS (SELECT word, replace(s, '|' || b$k.l || '||' || b$k.r || '|',
+                               '|' || b$k.l || b$k.r || '|') AS s, freq
+                FROM v$prev, b$k)"""
+    }.mkString
+    s"""$head$rounds,
+        wl AS (SELECT word, CAST(len(list_filter(string_split(s, '||'),
+                      x -> x <> '')) AS BIGINT) AS n_word_toks FROM v$n),
+        tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                FROM documents),
+        dtok AS (SELECT t.doc_id, CAST(SUM(wl.n_word_toks) AS BIGINT)
+                          AS n_tokens
+                 FROM tok t JOIN wl ON wl.word = t.term GROUP BY t.doc_id),
+        d AS (SELECT dt.doc_id, dt.n_tokens,
+                     md5(CONCAT(CAST(doc.doc_id AS VARCHAR), doc.text))
+                       AS pick
+              FROM dtok dt JOIN documents doc ON doc.doc_id = dt.doc_id),
+        sh AS (SELECT *, CAST(ascii(substring(pick, 1, 1)) % 4 AS BIGINT)
+                           AS shard FROM d),
+        c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                ORDER BY pick, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM sh),
+        p AS (SELECT *, CAST(FLOOR(CAST(cum AS DOUBLE) / 2048) AS BIGINT)
+                          AS pack_id
+              FROM c)
+        SELECT shard, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 2048, 6) AS fill_frac,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id"""
+  }
 
   /** q99's oracle: q95's unrolled rounds, then a token histogram over the
     * round-`n` symbol strings of ALL words (weighted by word frequency). */
