@@ -192,4 +192,69 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  // ---- transformWithState with EVENT-TIME TIMERS -------------------------
+
+  final case class TimedFix(vehicle_id: String, event_time: java.sql.Timestamp)
+  final case class IdleSessionState(n_fixes: Long, last_ms: Long, timer_ms: Long)
+  final case class ClosedSession(
+      vehicle_id: String, n_fixes: Long, last_fix_ms: Long, closed_at_ms: Long)
+
+  /** Idle-session close via event-time timers — the timer surface of the
+    * Spark-4 StatefulProcessor API ([[OdometerProcessor]] covers typed
+    * ValueState; this covers registerTimer/deleteTimer/handleExpiredTimer).
+    * Each key keeps one pending timer at last_fix + gap; new activity
+    * deletes and re-arms it; when the WATERMARK passes the timer, the
+    * session is emitted from `handleExpiredTimer` and state is cleared —
+    * i.e. output is produced by time passing, not by data arriving, which
+    * no aggregation/window operator can express directly.
+    *
+    * 100 TB posture: state is one constant-size row + one timer per ACTIVE
+    * key, and both are freed at expiry — idle keys cost nothing, so state
+    * tracks the active-vehicle working set, not the fleet's history.
+    */
+  class IdleSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TimedFix, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: ValueState[IdleSessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[IdleSessionState]("idle_session",
+        Encoders.product[IdleSessionState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TimedFix],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val prev = Option(state.get())
+      prev.foreach(s => getHandle.deleteTimer(s.timer_ms)) // re-arm below
+      var n = prev.map(_.n_fixes).getOrElse(0L)
+      var last = prev.map(_.last_ms).getOrElse(0L)
+      rows.foreach { r => n += 1; last = math.max(last, r.event_time.getTime) }
+      val timerMs = last + gapMs
+      getHandle.registerTimer(timerMs)
+      state.update(IdleSessionState(n, last, timerMs))
+      Iterator.empty // sessions close on inactivity, never on input
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val s = state.get()
+      state.clear()
+      Iterator.single(ClosedSession(key, s.n_fixes, s.last_ms,
+        expiredTimerInfo.getExpiryTimeInMs))
+    }
+  }
+
+  /** Close a vehicle's session after `gapMs` of event-time inactivity,
+    * driven by the watermark (10 s tolerance on the reference's string
+    * timestamps). Emits one row per closed session, in Append mode. */
+  def idleClosedSessions(ds: Dataset[GpsRecord],
+      gapMs: Long = 60000L): Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    withEventTime(ds.toDF())
+      .withWatermark("event_time", "10 seconds")
+      .select(col("vehicle_id"), col("event_time")).as[TimedFix]
+      .groupByKey(_.vehicle_id)
+      .transformWithState(new IdleSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

@@ -187,4 +187,44 @@ class StreamingOpsSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("event-time timers close idle sessions when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[GpsRecord]
+      val q = StreamingOps.idleClosedSessions(mem.toDS(), gapMs = 60000L)
+        .writeStream.format("memory").queryName("closed_sessions")
+        .outputMode(OutputMode.Append()).start()
+      // v1: three fixes ending 10:00:20 -> timer armed at 10:01:20
+      mem.addData(rec("v1", "2025-06-15 10:00:00", 30),
+        rec("v1", "2025-06-15 10:00:10", 50),
+        rec("v1", "2025-06-15 10:00:20", 70))
+      q.processAllAvailable()
+      // no watermark movement past the timer yet: nothing closed
+      assert(spark.table("closed_sessions").isEmpty)
+      // v2 activity at 10:05 pushes the watermark to 10:04:50 > 10:01:20:
+      // v1's timer fires and ONLY v1's session closes (v2's is pending)
+      mem.addData(rec("v2", "2025-06-15 10:05:00", 40))
+      q.processAllAvailable()
+      mem.addData(rec("v3", "2025-06-15 10:06:00", 40)) // advance once more
+      q.processAllAvailable()
+      q.stop()
+      val closed = spark.table("closed_sessions").collect()
+      assert(closed.map(_.getAs[String]("vehicle_id")).toSet == Set("v1"))
+      val v1 = closed.head
+      assert(v1.getAs[Long]("n_fixes") == 3L)
+      // closed exactly at last fix + gap, by the timer, not by input
+      val lastFix = java.sql.Timestamp.valueOf("2025-06-15 10:00:20").getTime
+      assert(v1.getAs[Long]("last_fix_ms") == lastFix)
+      assert(v1.getAs[Long]("closed_at_ms") == lastFix + 60000L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
