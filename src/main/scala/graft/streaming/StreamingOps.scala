@@ -257,4 +257,63 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }
+
+  // ---- transformWithState: ListState + MapState handles ------------------
+
+  final case class TrajectoryStats(
+      vehicle_id: String, n_recent: Long, n_directions: Long,
+      top_direction: String, top_direction_n: Long)
+
+  /** Per-vehicle trajectory stats on the remaining typed-state handles of
+    * the StatefulProcessor API: a BOUNDED ListState ring of the newest
+    * `recentCap` fix timestamps (appendValue + rewrite-on-overflow — the
+    * recent-window buffer pattern) and a MapState of per-direction fix
+    * counts (point updates, no read-modify-write of a whole row).
+    * Emits one stats row per key per trigger; ties on direction count
+    * break lexically so output is deterministic.
+    *
+    * 100 TB posture: list state is capped at `recentCap` entries and map
+    * state at |compass directions| per key — both constant-size, so state
+    * grows with the keyspace only, never with stream length.
+    */
+  class TrajectoryStatsProcessor(recentCap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, GpsRecord, TrajectoryStats] {
+    import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var recent: ListState[String] = _
+    @transient private var dirCounts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[String]("recent_fixes",
+        Encoders.STRING, TTLConfig.NONE)
+      dirCounts = getHandle.getMapState[String, Long]("dir_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[GpsRecord],
+        timerValues: TimerValues): Iterator[TrajectoryStats] = {
+      rows.foreach { r =>
+        recent.appendValue(r.timestamp)
+        val n = if (dirCounts.containsKey(r.direction))
+          dirCounts.getValue(r.direction) else 0L
+        dirCounts.updateValue(r.direction, n + 1)
+      }
+      val all = recent.get().toSeq
+      if (all.length > recentCap) // keep only the newest recentCap entries
+        recent.put(all.takeRight(recentCap).toArray)
+      val dirs = dirCounts.iterator().map(p => (p._1, p._2)).toSeq
+      val (topDir, topN) = dirs.minBy { case (d, n) => (-n, d) }
+      Iterator.single(TrajectoryStats(key,
+        math.min(all.length, recentCap).toLong, dirs.length.toLong,
+        topDir, topN))
+    }
+  }
+
+  def trajectoryStats(ds: Dataset[GpsRecord],
+      recentCap: Int = 5): Dataset[TrajectoryStats] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.vehicle_id)
+      .transformWithState(new TrajectoryStatsProcessor(recentCap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

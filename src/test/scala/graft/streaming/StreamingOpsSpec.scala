@@ -227,4 +227,40 @@ class StreamingOpsSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("ListState ring stays capped and MapState counts persist across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[GpsRecord]
+      val q = StreamingOps.trajectoryStats(mem.toDS(), recentCap = 3)
+        .writeStream.format("memory").queryName("traj_stats")
+        .outputMode(OutputMode.Update()).start()
+      // trigger 1: four fixes (overflows the cap-3 ring), 2 N vs 1 E + 1 S
+      mem.addData(rec("v1", "2025-06-15 10:00:00", 30, dir = "N"),
+        rec("v1", "2025-06-15 10:00:10", 30, dir = "E"),
+        rec("v1", "2025-06-15 10:00:20", 30, dir = "N"),
+        rec("v1", "2025-06-15 10:00:30", 30, dir = "S"))
+      q.processAllAvailable()
+      // trigger 2: two E fixes -> E overtakes N (3 vs 2), map persisted
+      mem.addData(rec("v1", "2025-06-15 10:00:40", 30, dir = "E"),
+        rec("v1", "2025-06-15 10:00:50", 30, dir = "E"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("traj_stats").collect()
+        .filter(_.getAs[Long]("n_directions") == 3L)
+      assert(rows.nonEmpty)
+      val last = rows.maxBy(_.getAs[Long]("top_direction_n"))
+      assert(last.getAs[Long]("n_recent") == 3L) // ring capped, not 6
+      assert(last.getAs[String]("top_direction") == "E")
+      assert(last.getAs[Long]("top_direction_n") == 3L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
