@@ -414,6 +414,65 @@ object Training {
                    FROM tok k JOIN lr l USING (term)
                    GROUP BY k.doc_id, k.lang)
         SELECT doc_id, lang, n_tokens, score
-        FROM scored ORDER BY score DESC, doc_id LIMIT 20"""))
+        FROM scored ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // ---- q101: temperature-scaled domain mixture ----
+    // The standard multi-domain re-weighting (UnifiedQA/XLM-R style):
+    // sampling weight w_i ∝ p_i^τ with τ = 0.7 flattens the raw token
+    // share so small domains are up-sampled without drowning large ones;
+    // alloc_tokens is each domain's share of a 1M-token budget. The pow
+    // input is the UNROUNDED share (rounding first would change the
+    // result); each pow is rounded to 9 dp and the normalizer is an
+    // exact-decimal sum of those rounded values, so normalization is
+    // independent of summation order in both engines.
+    //
+    // 100 TB posture: one corpus pass (per-source partial agg of token
+    // counts); everything after is |sources|-sized on the driver-free
+    // broadcast path — the weights table this feeds into a sampler (q85)
+    // is constant-size by construction.
+    "q101_mixture_temperature" -> QueryDef(
+      build = (spark, dir) => {
+        val s = Tables.documents(spark, dir)
+          .select(col("source"),
+            size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        val t = s.agg(sum(col("n_tokens")).as("total"))
+        val p = s.crossJoin(broadcast(t))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("total"), 9)
+              .as("raw_share"),
+            round(pow(col("n_tokens").cast("double") / col("total"), lit(0.7)),
+              9).as("pw"))
+        val z = p.agg(sum(col("pw").cast(DecimalType(28, 9))).cast("double")
+          .as("zsum"))
+        p.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("raw_share"),
+            round(col("pw") / col("zsum"), 6).as("temp_weight"),
+            round(col("pw") / col("zsum") * lit(1000000), 0).cast("long")
+              .as("alloc_tokens"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT source,
+                            CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                              AS n_tokens
+                     FROM documents),
+        s AS (SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+              FROM tok GROUP BY source),
+        t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s),
+        p AS (SELECT source, n_docs, n_tokens,
+                     ROUND(CAST(n_tokens AS DOUBLE) / t.total, 9) AS raw_share,
+                     ROUND(POW(CAST(n_tokens AS DOUBLE) / t.total, 0.7), 9)
+                       AS pw
+              FROM s, t),
+        z AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(28,9))) AS DOUBLE) AS zsum
+              FROM p)
+        SELECT source, n_docs, n_tokens, raw_share,
+               ROUND(pw / z.zsum, 6) AS temp_weight,
+               CAST(ROUND(pw / z.zsum * 1000000, 0) AS BIGINT) AS alloc_tokens
+        FROM p, z ORDER BY source"""))
   )
 }
