@@ -85,6 +85,59 @@ object MinHashLSH {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup pairs BETWEEN two corpora (directed: one row per
+    * (leftId, rightId) pair with exact-verified Jaccard >= threshold) —
+    * the fuzzy-decontamination shape: left = eval/benchmark set, right =
+    * training corpus. Identical banding/verification as [[nearDupPairs]],
+    * but the band equijoin crosses the two bucket sets instead of
+    * self-joining one, so the shuffle is |left|·bands + |right|·bands
+    * tiny rows and the left side (an eval set, usually minuscule) could
+    * equally be broadcast at scale. */
+  def nearDupPairsBetween(
+      left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.4): DataFrame = {
+
+    val rowsPerBand = numHashes / bands
+    def shingled(df: DataFrame, id: String, out: String): DataFrame =
+      graft.core.Tables.spread(df)
+        .select(col(id).as(out), shingles(tokens(col(textCol)), shingleN).as("sh"))
+        .filter(size(col("sh")) > 0)
+    def bucketize(withSh: DataFrame, idOut: String): DataFrame = {
+      val sig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      val bandCols: Column = array((0 until bands).map { b =>
+        val slots = (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1))
+        struct(lit(b).as("band"), xxhash64(lit(b) +: slots: _*).as("h"))
+      }: _*)
+      sig.select(col(idOut), explode(bandCols).as("bk"))
+        .select(col(idOut), col("bk.band").as("band"), col("bk.h").as("h"))
+    }
+
+    val shL = shingled(left, leftId, "left_id")
+    val shR = shingled(right, rightId, "right_id")
+    val candidates = bucketize(shL, "left_id")
+      .join(bucketize(shR, "right_id"), Seq("band", "h"))
+      .select("left_id", "right_id")
+      .dropDuplicates("left_id", "right_id")
+
+    candidates
+      .join(shL.select(col("left_id"), col("sh").as("sh_l")), "left_id")
+      .join(shR.select(col("right_id"), col("sh").as("sh_r")), "right_id")
+      .withColumn("n_common", size(array_intersect(col("sh_l"), col("sh_r"))))
+      .withColumn("jaccard", round(
+        col("n_common").cast("double") /
+          (size(col("sh_l")) + size(col("sh_r")) - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"),
+        col("n_common").cast("long").as("n_common"), col("jaccard"))
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
   /** Resolve near-dup pairs into clusters: connected components by
     * iterative min-label propagation, labels(v) ← min(labels(v),
     * min_{u~v} labels(u)) until fixpoint. Each iteration is one

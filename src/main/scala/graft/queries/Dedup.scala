@@ -598,6 +598,69 @@ object Dedup {
                COALESCE(p.n_pruned, CAST(0 AS BIGINT)) AS n_pruned,
                s.n_vecs - COALESCE(p.n_pruned, CAST(0 AS BIGINT)) AS n_kept,
                p.min_pruned, p.max_pruned
-        FROM s LEFT JOIN p USING (cid) ORDER BY s.cid"""))
+        FROM s LEFT JOIN p USING (cid) ORDER BY s.cid""")),
+
+    // ---- q102: fuzzy decontamination (cross-corpus near-dup join) ----
+    // q71 catches VERBATIM eval leakage by exact long-n-gram overlap;
+    // this catches NEAR-verbatim leakage (whitespace edits, dropped
+    // prefixes, light paraphrase) the way the public pipelines do it:
+    // MinHash/LSH near-dup join BETWEEN the eval set and the training
+    // corpus. The eval set here is the first 10 docs with their first
+    // token dropped — planted near-copies at shingle-Jaccard ~0.9 — and
+    // the oracle recomputes the exact cross-corpus Jaccard join, so the
+    // hash match doubles as an LSH recall-1 certificate at the 0.5
+    // threshold (q46's argument, across corpora).
+    //
+    // 100 TB posture: |eval|·bands + |corpus|·bands 24-byte band rows on
+    // the wire, never shingle arrays; at real scale the eval side's
+    // buckets would broadcast and the corpus side wouldn't shuffle at
+    // all.
+    "q102_fuzzy_decontamination" -> QueryDef(
+      build = (spark, dir) => {
+        val evalSet = Tables.documents(spark, dir)
+          .filter(col("doc_id") < 10)
+          .select(col("doc_id").as("eval_id"),
+            regexp_replace(trim(col("text")), "^[^ ]+ ", "").as("text"))
+        MinHashLSH.nearDupPairsBetween(
+            evalSet, "eval_id",
+            Tables.documents(spark, dir), "doc_id",
+            "text", threshold = 0.5)
+          .select(col("left_id").as("eval_id"),
+            col("right_id").as("train_id"), col("n_common"), col("jaccard"))
+          .orderBy(col("eval_id"), col("train_id"))
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT doc_id AS eval_id,
+                           regexp_replace(trim(text), '^[^ ]+ ', '') AS text
+                    FROM documents WHERE doc_id < 10),
+        shE AS (SELECT eval_id,
+                       list_distinct(list_transform(
+                         range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                         i -> string_split(trim(text), ' ')[i] || ' ' ||
+                              string_split(trim(text), ' ')[i+1] || ' ' ||
+                              string_split(trim(text), ' ')[i+2])) AS shingles
+                FROM ev),
+        shT AS (SELECT doc_id AS train_id,
+                       list_distinct(list_transform(
+                         range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                         i -> string_split(trim(text), ' ')[i] || ' ' ||
+                              string_split(trim(text), ' ')[i+1] || ' ' ||
+                              string_split(trim(text), ' ')[i+2])) AS shingles
+                FROM documents),
+        exE AS (SELECT eval_id, len(shingles) AS n_e, UNNEST(shingles) AS shingle
+                FROM shE WHERE len(shingles) > 0),
+        exT AS (SELECT train_id, len(shingles) AS n_t, UNNEST(shingles) AS shingle
+                FROM shT WHERE len(shingles) > 0),
+        pairs AS (SELECT e.eval_id, t.train_id, e.n_e, t.n_t,
+                         COUNT(*) AS n_common
+                  FROM exE e JOIN exT t ON e.shingle = t.shingle
+                  GROUP BY 1, 2, 3, 4),
+        j AS (SELECT eval_id, train_id, CAST(n_common AS BIGINT) AS n_common,
+                     ROUND(CAST(n_common AS DOUBLE)
+                           / (n_e + n_t - n_common), 6) AS jaccard
+              FROM pairs)
+        SELECT eval_id, train_id, n_common, jaccard FROM j
+        WHERE jaccard >= CAST(0.5 AS DOUBLE)
+        ORDER BY eval_id, train_id"""))
   )
 }

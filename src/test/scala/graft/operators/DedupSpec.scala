@@ -179,4 +179,19 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.semanticDedupStats(emb.repartition(17), k = 16, tau = 0.38)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("cross-corpus near-dup join recalls every planted eval near-copy") {
+    // q102's operator directly: each eval doc is a train doc minus its
+    // first token, so (eval_id, eval_id) must surface as a pair.
+    val train = Tables.documents(spark, sf).select("doc_id", "text")
+    val evalSet = train.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("eval_id"),
+        regexp_replace(trim(col("text")), "^[^ ]+ ", "").as("text"))
+    val pairs = graft.operators.MinHashLSH.nearDupPairsBetween(
+      evalSet, "eval_id", train, "doc_id", "text", threshold = 0.5).collect()
+    val selfPairs = pairs.filter(r =>
+      r.getAs[Long]("left_id") == r.getAs[Long]("right_id"))
+    assert(selfPairs.length == 10, "a planted near-copy escaped the LSH join")
+    selfPairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.8))
+  }
 }
