@@ -4,6 +4,7 @@ import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Det._
 
 /** Event-stream analytics over the `events` table (FIXTURES.md §B):
@@ -377,6 +378,64 @@ object Events {
                strftime(LEAD(valid_from, 1) OVER (PARTITION BY user_id
                  ORDER BY valid_from), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
                n_events
-        FROM runs ORDER BY user_id, version"""))
+        FROM runs ORDER BY user_id, version""")),
+
+    // ---- q103: time-series gap-fill + forward-fill ----
+    // Regularize each user's hourly value series: build the dense hourly
+    // grid between their first and last observation (sequence + explode —
+    // no calendar table needed), left-join the observed hourly means, and
+    // forward-fill gaps with last(ignoreNulls) — the standard
+    // sensor/metrics resampling op. Observed means use the exact-decimal
+    // accumulation discipline; was_gap marks carried-forward rows.
+    //
+    // 100 TB posture: grid generation is per-key (no global calendar
+    // join), and the fill window shares the grid join's user_id hash
+    // partitioning — one shuffle for join + window, then the
+    // presentation sort.
+    "q103_gap_fill_ffill" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .filter(col("user_id") < 5)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+            col("value").cast(DecimalType(28, 2)).as("v"))
+        val obs = e.groupBy(col("user_id"), col("hr"))
+          .agg(round(sum(col("v")).cast("double") / count(lit(1)), 6)
+            .as("obs_value"))
+        val grid = obs.groupBy(col("user_id"))
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("user_id", "hr"), "left")
+          .select(col("user_id"),
+            date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            last(col("obs_value"), ignoreNulls = true).over(w).as("avg_value"),
+            col("obs_value").isNull.as("was_gap"))
+          .orderBy(col("user_id"), col("hour_start"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+                          CAST(value AS DECIMAL(28,2)) AS v
+                   FROM events WHERE user_id < 5),
+        obs AS (SELECT user_id, hr,
+                       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6)
+                         AS obs_value
+                FROM e GROUP BY 1, 2),
+        bounds AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs
+                   GROUP BY 1),
+        grid AS (SELECT user_id,
+                        UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+                 FROM bounds),
+        f AS (SELECT g.user_id, g.hr,
+                     LAST_VALUE(o.obs_value IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS avg_value,
+                     o.obs_value IS NULL AS was_gap
+              FROM grid g LEFT JOIN obs o USING (user_id, hr))
+        SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               avg_value, was_gap
+        FROM f ORDER BY user_id, hour_start"""))
   )
 }
