@@ -895,6 +895,50 @@ object Analytics {
                string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
                  AS priorities,
                COUNT(DISTINCT o_orderpriority) AS n_priorities
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- q104: native recursive CTE (Spark 4 WITH RECURSIVE) ----
+    // Walk each customer's order chain (linked by LEAD over order date)
+    // from the first order, accumulating depth and exact-decimal running
+    // spend through the recursion — the linked-traversal shape (org
+    // charts, BOM explosions, graph walks) that windows cannot express
+    // when each step depends on the previous step's accumulator. Both
+    // engines execute the IDENTICAL recursive SQL text (Spark's
+    // UNION ALL recursive CTE landed in Spark 4; cyclic closures still
+    // need UNION-distinct, which q56 covers with distributed min-label
+    // propagation instead).
+    //
+    // 100 TB posture: the chain table is built with one entity-key window
+    // shuffle; each recursion level is a keyed equijoin on next_key, and
+    // depth is bounded by max orders/customer (~10 at any SF), not
+    // corpus size.
+    "q104_recursive_chain" -> QueryDef(
+      build = (spark, dir) => {
+        Tables.orders(spark, dir).createOrReplaceTempView("orders_q104")
+        spark.sql(recursiveChainSql("orders_q104"))
+      },
+      oracle = Some(recursiveChainSql("orders")))
   )
+
+  /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */
+  private def recursiveChainSql(table: String): String = s"""
+    WITH RECURSIVE nxt AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(28,2)) AS price,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_key,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM $table WHERE o_custkey < 100),
+    walk(o_custkey, o_orderkey, next_key, depth, cum) AS (
+      SELECT o_custkey, o_orderkey, next_key, CAST(1 AS BIGINT), price
+      FROM nxt WHERE rn = 1
+      UNION ALL
+      SELECT w.o_custkey, n.o_orderkey, n.next_key, w.depth + 1,
+             CAST(w.cum + n.price AS DECIMAL(28,2))
+      FROM walk w JOIN nxt n ON n.o_orderkey = w.next_key)
+    SELECT o_custkey AS custkey, MAX(depth) AS chain_len,
+           MAX_BY(o_orderkey, depth) AS last_orderkey,
+           CAST(MAX_BY(cum, depth) AS DOUBLE) AS cum_spend
+    FROM walk GROUP BY o_custkey ORDER BY custkey"""
 }
