@@ -99,6 +99,15 @@ class PlanGuardSpec extends SparkSpec {
       "SCD-2 build re-shuffles instead of reusing the user_id partitioning")
   }
 
+  test("q105: triangle counting is all keyed joins — no cartesian/nested-loop") {
+    val p = plan("q105_triangle_count")
+    // The wedge join and closing-edge semi-join must stay equijoins; a
+    // nested-loop here is the O(V²) shape degree orientation exists to
+    // prevent on power-law graphs.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle counting degenerated into an all-pairs join")
+  }
+
   test("q94: BM25 broadcasts the df/corpus-stats sides, never the token stream") {
     val p = plan("q94_bm25_topk")
     assert("BroadcastExchange".r.findAllIn(p).nonEmpty,
