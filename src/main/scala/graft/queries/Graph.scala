@@ -34,6 +34,45 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-node triangle participation over a hyperedge incidence list.
+    *
+    * @param li two columns `o` (hyperedge/container id) and `p` (node id):
+    *           nodes sharing a container get an undirected edge.
+    * @return one row per node in ≥1 triangle: (node, tri_count, d).
+    */
+  def triangleParticipation(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // distinct co-occurrence edges, canonical u < v
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val deg = pairs.select(col("u").as("node"))
+      .unionAll(pairs.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient each edge from the (degree, id)-smaller endpoint
+    val oriented = pairs
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+    val wedge = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    val tri = wedge.join(pairs,
+      pairs("u") === least(col("b"), col("c")) &&
+        pairs("v") === greatest(col("b"), col("c")), "left_semi")
+    val partTri = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+    partTri.join(deg, "node")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- q105: triangle participation in the co-purchase graph ----
@@ -46,35 +85,7 @@ object Graph {
         val li = Tables.lineitem(spark, dir)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
-        // distinct co-purchase edges, canonical u < v
-        val pairs = li.as("a")
-          .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-        val deg = pairs.select(col("u").as("node"))
-          .unionAll(pairs.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("d"))
-        // orient each edge from the (degree, id)-smaller endpoint
-        val oriented = pairs
-          .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-          .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
-          .select(
-            when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-              col("u")).otherwise(col("v")).as("s"),
-            when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-              col("v")).otherwise(col("u")).as("t"))
-        val wedge = oriented.as("e1")
-          .join(oriented.as("e2"),
-            col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-          .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-        val tri = wedge.join(pairs,
-          pairs("u") === least(col("b"), col("c")) &&
-            pairs("v") === greatest(col("b"), col("c")), "left_semi")
-        val partTri = tri.select(col("a").as("node"))
-          .unionAll(tri.select(col("b").as("node")))
-          .unionAll(tri.select(col("c").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("tri_count"))
-        partTri.join(deg, "node")
+        triangleParticipation(li)
           .select(col("node").as("partkey"), col("tri_count"),
             col("d").as("degree"))
           .orderBy(col("tri_count").desc, col("partkey").asc)
