@@ -119,6 +119,92 @@ object Graph {
             SELECT c AS node FROM tri) GROUP BY node)
         SELECT pt.node AS partkey, pt.tri_count, d.d AS degree
         FROM part_tri pt JOIN deg d ON d.node = pt.node
-        ORDER BY pt.tri_count DESC, partkey ASC LIMIT 20"""))
+        ORDER BY pt.tri_count DESC, partkey ASC LIMIT 20""")),
+
+    // ---- q106: fixed-point PageRank on the frequent-co-purchase graph ----
+    // Five damped PageRank iterations (d = 0.85) over the support>=2
+    // co-purchase graph, in SCALED-INTEGER arithmetic: ranks live as
+    // BIGINT in units of 1e-12 and every division is integer division.
+    // That is the determinism trick reproducible pipelines actually use —
+    // float PageRank is partition-order dependent (non-associative double
+    // sums), so two runs of the same job can disagree in the last ulps;
+    // fixed-point ranks are bit-identical on any engine, any partitioning,
+    // which is what lets DuckDB hash-match a 5-iteration iterative Spark
+    // job exactly. (No dangling-node term: the graph is undirected, so
+    // every node has out-degree >= 1.)
+    //
+    // 100 TB posture: each iteration is one keyed equijoin
+    // (edges ⋈ ranks on the source node) + one partial/final aggregation
+    // on the destination — rank state never leaves the cluster, the
+    // scalar (n, base) constants ride a broadcast 1-row cross join, and
+    // iteration count is fixed, so lineage depth is bounded. The same
+    // loop at 100 TB would add localCheckpoint every ~10 rounds.
+    "q106_pagerank_fixedpoint" -> QueryDef(
+      build = (spark, dir) => {
+        val SCALE = 1000000000000L
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select(col("u"), col("v"))
+        val edges = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+        val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+        val consts = deg.agg(count(lit(1)).as("n"))
+          .select(col("n"),
+            expr(s"$SCALE div n").as("r0rank"),
+            expr(s"(15 * ($SCALE div n)) div 100").as("base"))
+        var rank = deg.crossJoin(broadcast(consts))
+          .select(col("node"), col("r0rank").as("rank"))
+        for (_ <- 1 to 5) {
+          rank = edges
+            .join(rank, edges("u") === rank("node"))
+            .join(deg.select(col("node").as("dn"), col("d")), col("u") === col("dn"))
+            .groupBy(col("v").as("dst"))
+            .agg(sum(expr("rank div d")).as("contrib"))
+            .crossJoin(broadcast(consts))
+            .select(col("dst").as("node"),
+              (col("base") + expr("(85 * contrib) div 100")).as("rank"))
+        }
+        rank.join(deg, "node")
+          .select(col("node").as("partkey"), col("rank").as("rank_fp"),
+            col("d").as("degree"))
+          .orderBy(col("rank_fp").desc, col("partkey").asc)
+          .limit(20)
+      },
+      oracle = Some {
+        // CAST back to BIGINT each layer: DuckDB SUM(BIGINT) -> HUGEINT
+        // and the driver compare is dtype-strict.
+        def layer(k: Int) = s"""
+        r$k AS (
+          SELECT e.v AS node,
+                 CAST((SELECT base FROM consts)
+                   + (85 * SUM(r.rank // d.d)) // 100 AS BIGINT) AS rank
+          FROM edges e
+          JOIN r${k - 1} r ON r.node = e.u
+          JOIN deg d ON d.node = e.u
+          GROUP BY e.v)"""
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        pairs AS (
+          SELECT a.p AS u, b.p AS v
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+        deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u),
+        consts AS (
+          SELECT COUNT(*) AS n,
+                 CAST(1000000000000 // COUNT(*) AS BIGINT) AS r0rank,
+                 CAST((15 * (1000000000000 // COUNT(*))) // 100 AS BIGINT) AS base
+          FROM deg),
+        r0 AS (SELECT node, (SELECT r0rank FROM consts) AS rank FROM deg),""" +
+          (1 to 5).map(layer).mkString(",") + """
+        SELECT r5.node AS partkey, r5.rank AS rank_fp, deg.d AS degree
+        FROM r5 JOIN deg ON deg.node = r5.node
+        ORDER BY rank_fp DESC, partkey ASC LIMIT 20"""
+      })
   )
 }

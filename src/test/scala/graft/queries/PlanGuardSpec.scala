@@ -108,6 +108,15 @@ class PlanGuardSpec extends SparkSpec {
       "triangle counting degenerated into an all-pairs join")
   }
 
+  test("q106: PageRank iterations are keyed joins; only the 1-row consts broadcast") {
+    val p = plan("q106_pagerank_fixedpoint")
+    // The per-iteration edges ⋈ ranks joins must stay equijoins; the only
+    // nested-loop allowed is the broadcast of the 1-row (n, base) consts.
+    assert(!p.contains("CartesianProduct"),
+      "a PageRank iteration planned a non-broadcast cartesian join")
+    assert(p.contains("BroadcastExchange"), "consts row not broadcast")
+  }
+
   test("q94: BM25 broadcasts the df/corpus-stats sides, never the token stream") {
     val p = plan("q94_bm25_topk")
     assert("BroadcastExchange".r.findAllIn(p).nonEmpty,
