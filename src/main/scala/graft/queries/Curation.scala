@@ -26,6 +26,35 @@ object Curation {
 
   private val SqlPickKey = "md5(CONCAT(CAST(doc_id AS VARCHAR), text))"
 
+  /** q107's classifier+rollup, factored so the spec can plant versions
+    * covering all four change classes. Inputs: per-entity snapshots with
+    * columns (o_custkey, n_orders, spend:decimal). */
+  def snapshotDiff(snap1: org.apache.spark.sql.DataFrame,
+      snap2: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v1 = snap1
+      .select(col("o_custkey"), col("n_orders").as("n1"), col("spend").as("s1"))
+    val v2 = snap2
+      .select(col("o_custkey"), col("n_orders").as("n2"), col("spend").as("s2"))
+    v1.join(v2, Seq("o_custkey"), "full_outer")
+      .select(
+        when(col("n1").isNull, lit("added"))
+          .when(col("n2").isNull, lit("removed"))
+          .when(col("n1") === col("n2") && col("s1") === col("s2"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("change_type"),
+        coalesce(col("n2"), lit(0L)).minus(coalesce(col("n1"), lit(0L)))
+          .as("d_orders"),
+        coalesce(col("s2"), lit(0).cast(DecimalType(28, 2)))
+          .minus(coalesce(col("s1"), lit(0).cast(DecimalType(28, 2))))
+          .as("d_spend"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("d_orders")).as("orders_delta"),
+        sum(col("d_spend")).cast("double").as("spend_delta"))
+      .orderBy(col("change_type"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- q62: per-language quality-percentile filter ----
@@ -258,6 +287,100 @@ object Curation {
               FROM r WHERE rn <= 30 GROUP BY source),
         t AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source)
         SELECT k.source, t.n_total, k.n_kept, k.chars_kept
-        FROM k JOIN t USING (source) ORDER BY source"""))
+        FROM k JOIN t USING (source) ORDER BY source""")),
+
+    // ---- q107: snapshot CDC diff (dataset-version change audit) ----
+    // The diff a data platform runs between two versions of a derived
+    // table: here, per-customer "active account state" (order count,
+    // exact-decimal spend) over two adjacent 12-month activity windows.
+    // Sliding windows (not cumulative) so entities genuinely appear
+    // (added), lapse (removed), and shift volume (changed); the
+    // unchanged class — exact state repetition — is structurally
+    // possible but empty on this data (spend is continuous), so
+    // `CurationDiffSpec` exercises it with planted versions instead.
+    // Equality on exact decimals — no float compare in the classifier.
+    //
+    // 100 TB posture: two filtered partial→final aggs (the date predicate
+    // is pushed to the scan) + ONE keyed full-outer join on the entity
+    // key + a 4-group rollup. Nothing driver-side, both sides of the join
+    // stay sharded; this is the shape snapshot diffing keeps at any
+    // scale — never a row-level collect or a cross join of versions.
+    "q107_snapshot_diff" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        def snap(from: String, until: String) =
+          Tables.orders(spark, dir)
+            .filter(col("o_orderdate") >= to_timestamp(lit(from)) &&
+              col("o_orderdate") < to_timestamp(lit(until)))
+            .groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast(DecimalType(28, 2))).as("spend"))
+        snapshotDiff(
+          snap("1994-07-01", "1995-07-01"),
+          snap("1995-07-01", "1996-07-01"))
+      },
+      oracle = Some("""
+        WITH v1 AS (
+          SELECT o_custkey, COUNT(*) AS n1,
+                 SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS s1
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1994-07-01'
+            AND o_orderdate < TIMESTAMP '1995-07-01'
+          GROUP BY o_custkey),
+        v2 AS (
+          SELECT o_custkey, COUNT(*) AS n2,
+                 SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS s2
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+            AND o_orderdate < TIMESTAMP '1996-07-01'
+          GROUP BY o_custkey),
+        d AS (
+          SELECT CASE WHEN v1.o_custkey IS NULL THEN 'added'
+                      WHEN v2.o_custkey IS NULL THEN 'removed'
+                      WHEN v1.n1 = v2.n2 AND v1.s1 = v2.s2 THEN 'unchanged'
+                      ELSE 'changed' END AS change_type,
+                 COALESCE(v2.n2, 0) - COALESCE(v1.n1, 0) AS d_orders,
+                 COALESCE(v2.s2, CAST(0 AS DECIMAL(28,2)))
+                   - COALESCE(v1.s1, CAST(0 AS DECIMAL(28,2))) AS d_spend
+          FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey)
+        SELECT change_type, COUNT(*) AS n_customers,
+               CAST(SUM(d_orders) AS BIGINT) AS orders_delta,
+               CAST(SUM(d_spend) AS DOUBLE) AS spend_delta
+        FROM d GROUP BY change_type ORDER BY change_type""")),
+
+    // ---- q108: weighted sampling without replacement (A-ES) ----
+    // Efraimidis–Spirakis reservoir keys: each doc draws a deterministic
+    // uniform u from its md5 pick key and ranks by ln(u)/w with
+    // w = n_chars + 1 — the top-k by that key IS a weighted sample
+    // without replacement (longer docs proportionally likelier, no doc
+    // twice). The sampler every mixture-building pipeline needs once
+    // weights exist (q85/q101 produce them); hash-derived u makes the
+    // draw reproducible across engines, partitionings, and reruns.
+    // Per the q101 precedent: the transcendental (ln) is rounded to 9 dp
+    // and the rounded value is the rank key, so both engines order
+    // identically; (key, doc_id) is a total order.
+    //
+    // 100 TB posture: per-row arithmetic + ONE top-k
+    // (TakeOrderedAndProject — per-partition heaps, no global sort); the
+    // uniform comes from the row itself, so no RNG state, no driver.
+    "q108_weighted_sample" -> QueryDef(
+      build = (spark, dir) => {
+        val uInt = conv(substring(pickKey, 1, 8), 16, 10).cast("long")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            ((uInt + lit(1L)).cast("double") / lit(4294967297.0)).as("u"),
+            (col("n_chars") + lit(1L)).cast("double").as("w"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(log(col("u")) / col("w"), 9).as("sample_key"))
+          .orderBy(col("sample_key").desc, col("doc_id").asc)
+          .limit(50)
+      },
+      oracle = Some(s"""
+        SELECT doc_id, source, n_chars,
+               ROUND(LN((CAST(CONCAT('0x', substr($SqlPickKey, 1, 8)) AS BIGINT)
+                         + 1) / 4294967297.0)
+                     / (n_chars + 1), 9) AS sample_key
+        FROM documents
+        ORDER BY sample_key DESC, doc_id ASC LIMIT 50"""))
   )
 }
