@@ -436,6 +436,57 @@ object Events {
               FROM grid g LEFT JOIN obs o USING (user_id, hr))
         SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
                avg_value, was_gap
-        FROM f ORDER BY user_id, hour_start"""))
+        FROM f ORDER BY user_id, hour_start""")),
+
+    // ---- q109: context-window assembly (training-example contexts) ----
+    // For every purchase event, assemble the user's 3 most recent prior
+    // events as an ordered context — the per-example context window an
+    // agent/behavior-model training pipeline emits. Spark-side this is
+    // the NESTED formulation: window collect_list(struct) over
+    // (user_id, ts, event_id) rows, then posexplode back to flat rows —
+    // exercising array-of-struct machinery end to end. The oracle
+    // rebuilds the same rows with a flat row_number self-join (no nested
+    // types), so the hash match is a formulation-equivalence proof, not
+    // a shared plan.
+    //
+    // 100 TB posture: one (user_id) hash shuffle for the window; the
+    // context never exceeds 3 structs/row (bounded state, no skew
+    // blow-up); posexplode is map-side. The flat-join alternative the
+    // oracle uses would shuffle the event stream twice — the nested
+    // window form is the one that scales.
+    "q109_context_windows" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, -1)
+        Tables.events(spark, dir)
+          .withColumn("ctx",
+            collect_list(struct(col("ts"), col("event_id"), col("event_type")))
+              .over(w))
+          .filter(col("event_type") === "purchase" && size(col("ctx")) > 0)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            size(col("ctx")).as("n_ctx"), posexplode(col("ctx")))
+          // collect_list order is the frame order (oldest→newest), so
+          // n_ctx - pos makes 1 = the most recent prior event
+          .select(col("purchase_id"), col("user_id"),
+            (col("n_ctx") - col("pos")).cast("long").as("pos"),
+            col("col.event_id").as("ctx_event_id"),
+            col("col.event_type").as("ctx_type"))
+          .orderBy(col("purchase_id"), col("pos"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+          FROM events),
+        p AS (SELECT user_id, event_id AS purchase_id, rn
+              FROM r WHERE event_type = 'purchase')
+        SELECT p.purchase_id, p.user_id,
+               p.rn - c.rn AS pos,
+               c.event_id AS ctx_event_id, c.event_type AS ctx_type
+        FROM p JOIN r c ON c.user_id = p.user_id
+          AND c.rn BETWEEN p.rn - 3 AND p.rn - 1
+        ORDER BY purchase_id, pos"""))
   )
 }

@@ -330,6 +330,54 @@ object Text {
         SELECT doc_id,
                list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
                  x -> CAST(ascii(x) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- q110: per-document token entropy (repetitiveness signal) ----
+    // Shannon entropy of each doc's token distribution,
+    // H = ln(n) − (Σ c·ln c)/n over per-doc term counts — the standard
+    // low-entropy filter for template/boilerplate/keyword-stuffed docs
+    // (complements q83's Gopher repetition fractions and q88's
+    // corpus-level unigram NLL: entropy is per-doc, vocabulary-free).
+    // Determinism: each term's c·ln(c) is rounded to 9 dp and the per-doc
+    // sum accumulates in exact decimal, so the result is independent of
+    // summation order in both engines (the q101 transcendental-rounding
+    // precedent); ln(n) − sum/n is then identical IEEE arithmetic.
+    //
+    // 100 TB posture: map-side token explode → ONE (doc_id, token)
+    // partial→final count agg → per-doc rollup reusing the doc_id
+    // clustering (subset rule — no second exchange); bottom-k via
+    // TakeOrderedAndProject. No vocabulary table, no broadcast, nothing
+    // proportional to corpus vocabulary.
+    "q110_token_entropy" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
+              .cast(DecimalType(28, 9))).cast("double").as("sum_clnc"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            round(log(col("n_tokens").cast("double"))
+              - col("sum_clnc") / col("n_tokens"), 6).as("entropy"))
+          .orderBy(col("entropy").asc, col("doc_id").asc)
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                   FROM documents),
+        tc AS (SELECT doc_id, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        d AS (SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     COUNT(*) AS n_types,
+                     CAST(SUM(CAST(ROUND(c * LN(c), 9) AS DECIMAL(28,9)))
+                       AS DOUBLE) AS sum_clnc
+              FROM tc GROUP BY 1)
+        SELECT doc_id, n_tokens, n_types,
+               ROUND(LN(n_tokens) - sum_clnc / n_tokens, 6) AS entropy
+        FROM d ORDER BY entropy ASC, doc_id ASC LIMIT 20"""))
   )
 }
