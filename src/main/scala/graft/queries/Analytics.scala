@@ -917,7 +917,50 @@ object Analytics {
         Tables.orders(spark, dir).createOrReplaceTempView("orders_q104")
         spark.sql(recursiveChainSql("orders_q104"))
       },
-      oracle = Some(recursiveChainSql("orders")))
+      oracle = Some(recursiveChainSql("orders"))),
+
+    // ---- q111: trailing time-RANGE window (interval frame) ----
+    // Per customer, each order's trailing-30-day order count and exact
+    // spend — a RANGE frame over an integer day offset, not a ROWS
+    // frame: the frame covers a VALUE interval, so same-day peer rows
+    // are all included regardless of row order and gaps in activity
+    // shrink the frame. ROWS windows (q16/q17) can't express this.
+    // The day offset is an exact integer (datediff), identical in both
+    // engines; spend accumulates in decimal.
+    //
+    // 100 TB posture: one (custkey) hash shuffle; within a partition the
+    // range frame advances two pointers over the day-sorted rows —
+    // bounded memory per key, no per-row rescan, and AQE handles key
+    // skew. The presentation ORDER BY is the only other exchange.
+    "q111_trailing_range_window" -> QueryDef(
+      build = (spark, dir) => {
+        val dayNum = datediff(col("o_orderdate"),
+          lit(java.sql.Date.valueOf("1992-01-01"))).cast("long")
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(spark, dir)
+          .filter(col("o_custkey") < 150)
+          .select(col("o_custkey"), col("o_orderkey"),
+            dayNum.as("day_num"),
+            col("o_totalprice").cast(DecimalType(28, 2)).as("price"))
+          .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+            count(lit(1)).over(w).as("trailing_orders"),
+            sum(col("price")).over(w).cast("double").as("trailing_spend"))
+          .orderBy(col("o_custkey"), col("day_num"), col("o_orderkey"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_custkey, o_orderkey,
+                 datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS day_num,
+                 CAST(o_totalprice AS DECIMAL(28,2)) AS price
+          FROM orders WHERE o_custkey < 150)
+        SELECT o_custkey, o_orderkey, day_num,
+               COUNT(*) OVER w AS trailing_orders,
+               CAST(SUM(price) OVER w AS DOUBLE) AS trailing_spend
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, day_num, o_orderkey"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */

@@ -473,6 +473,79 @@ object Training {
         SELECT source, n_docs, n_tokens, raw_share,
                ROUND(pw / z.zsum, 6) AS temp_weight,
                CAST(ROUND(pw / z.zsum * 1000000, 0) AS BIGINT) AS alloc_tokens
-        FROM p, z ORDER BY source"""))
+        FROM p, z ORDER BY source""")),
+
+    // ---- q112: bigram-LM perplexity scoring (CCNet-style filter) ----
+    // Score every document by its mean negative log-likelihood under an
+    // add-1-smoothed bigram model trained on the corpus itself — the
+    // n-gram step past q88's unigram NLL, and the shape of the KenLM
+    // quality filter in CCNet-style pipelines (docs the corpus's own
+    // bigram statistics find surprising are noise/boilerplate/other-
+    // language candidates). P(w2|w1) = (C(w1 w2)+1)/(C(w1)+V).
+    // Determinism: −ln P is rounded to 9 dp ONCE per distinct bigram in
+    // the model table; each doc's sum over bigram occurrences
+    // accumulates those rounded values in exact decimal ⇒ independent of
+    // join/summation order in both engines.
+    //
+    // 100 TB posture: model training is one partial→final count agg per
+    // n-gram order; scoring is a keyed equijoin of doc-bigram
+    // occurrences against the model on the bigram string (big⋈big,
+    // shuffle-sharded — the model does NOT broadcast at corpus scale);
+    // V and the unigram side ride keyed joins too. Top-k via
+    // TakeOrderedAndProject.
+    "q112_bigram_nll" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val bigrams = toks.select(col("doc_id"),
+            slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
+            slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))
+          .select(col("doc_id"),
+            explode(arrays_zip(col("h"), col("t"))).as("z"))
+          .select(col("doc_id"), col("z.h").as("w1"),
+            concat_ws(" ", col("z.h"), col("z.t")).as("gram"))
+        val uni = toks.select(explode(col("toks")).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val bi = bigrams.groupBy(col("w1").as("bw1"), col("gram"))
+          .agg(count(lit(1)).as("c2"))
+        val model = bi.join(uni, col("bw1") === col("w1"))
+          .crossJoin(broadcast(vocab))
+          .select(col("gram"),
+            round(-log((col("c2") + lit(1)).cast("double") /
+              (col("c1") + col("v")).cast("double")), 9).as("nll"))
+        bigrams.join(model, "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("nll").cast(DecimalType(28, 9))).cast("double").as("sum_nll"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sum_nll") / col("n_bigrams"), 6).as("mean_nll"))
+          .orderBy(col("mean_nll").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                   FROM documents),
+        n AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS gram
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                     FROM n)),
+        uni AS (SELECT unnest(toks) AS w1 FROM n),
+        u AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
+        vocab AS (SELECT COUNT(*) AS v FROM u),
+        bi AS (SELECT w1, gram, COUNT(*) AS c2 FROM bg GROUP BY w1, gram),
+        model AS (SELECT bi.gram,
+                         ROUND(-LN((bi.c2 + 1) / CAST(u.c1 + vocab.v AS DOUBLE)), 9)
+                           AS nll
+                  FROM bi JOIN u ON u.w1 = bi.w1, vocab),
+        s AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                     CAST(SUM(CAST(m.nll AS DECIMAL(28,9))) AS DOUBLE) AS sum_nll
+              FROM bg JOIN model m ON m.gram = bg.gram
+              GROUP BY bg.doc_id)
+        SELECT doc_id, n_bigrams,
+               ROUND(sum_nll / n_bigrams, 6) AS mean_nll
+        FROM s ORDER BY mean_nll DESC, doc_id ASC LIMIT 20"""))
   )
 }
