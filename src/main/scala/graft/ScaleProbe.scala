@@ -208,6 +208,64 @@ object ScaleProbe {
       }
     }
 
+    // prefix-filter probe: the EXACT similarity join both ways — naive
+    // co-shingle all-pairs (q44's shape) vs prefix-filtered + verify
+    // (q113's operator) — in BOTH regimes. "clean": the corpus as-is
+    // (diverse vocabulary, no hot shingles) — here the naive join has no
+    // quadratic term and prefix filtering is pure overhead; the probe
+    // records that honestly. "boiler": every doc's body is lengthened 3×
+    // (two alphabet-rotated copies — disjoint vocab, so no new cross-doc
+    // collisions and natural-dup jaccard is preserved) and a shared
+    // 12-token boilerplate is appended (the every-page-shares-a-footer
+    // reality of web corpora). Each boilerplate shingle now co-occurs in
+    // ALL docs but contributes jaccard ≈ 10/(3·(n_a+n_b)) < 0.2, so the
+    // OUTPUT stays sparse while the naive join's co-element stream
+    // explodes as docs²·|boiler|; the prefix form ranks those shingles
+    // last (max df) so they never enter a prefix, and cost stays
+    // near-linear. Same pair set both ways (lossless theorem; spec +
+    // oracle certify).
+    if (enabled("prefixjoin")) {
+      import graft.functions.TextFunctions.{shingles, tokens}
+      val boiler = " terms of service apply contact us for details all rights reserved site map"
+      def ex(s: Int, addBoiler: Boolean) = {
+        val c0 = corpus(s)
+        val c = if (addBoiler) {
+          val r7 = alpha.drop(7) + alpha.take(7)
+          val r13 = alpha.drop(13) + alpha.take(13)
+          c0.select(col("doc_id"),
+            concat(col("text"), lit(" "), translate(col("text"), alpha, r7),
+              lit(" "), translate(col("text"), alpha, r13),
+              lit(boiler)).as("text"))
+        } else c0
+        graft.core.Tables.spread(c)
+          .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+          .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+          .filter(col("n_sh") > 0)
+          .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shash"))
+      }
+      def naive(e: org.apache.spark.sql.DataFrame): Long = {
+        val a = e.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shash"))
+        val b = e.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shash"))
+        a.join(b, Seq("shash")).filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter(round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")), 6) >= 0.2)
+          .count()
+      }
+      def prefix(e: org.apache.spark.sql.DataFrame): Long =
+        graft.operators.PrefixFilterJoin
+          .similarPairs(e, "doc_id", "n_sh", "shash", 0.2, 0.19).count()
+      naive(ex(1, addBoiler = false)); prefix(ex(1, addBoiler = false)) // warmup
+      for (regime <- Seq("clean", "boiler"); s <- Seq(1, 2, 4).filter(_ <= maxScale)) {
+        val e = ex(s, addBoiler = regime == "boiler")
+        val (nSec, nPairs) = timed(naive(e))
+        val (pSec, pPairs) = timed(prefix(e))
+        println(f"""{"probe":"prefixjoin","regime":"$regime","scale":$s,"naive_sec":$nSec%.3f,"prefix_sec":$pSec%.3f,"pairs_naive":$nPairs,"pairs_prefix":$pPairs}""")
+      }
+    }
+
     // triangle-counting probe: q105's degree-oriented kernel on key-shifted
     // disjoint copies of the sf co-purchase graph ("more data, same
     // structure"). Disjoint copies scale nodes/edges/triangles linearly, so

@@ -661,6 +661,56 @@ object Dedup {
               FROM pairs)
         SELECT eval_id, train_id, n_common, jaccard FROM j
         WHERE jaccard >= CAST(0.5 AS DOUBLE)
-        ORDER BY eval_id, train_id"""))
+        ORDER BY eval_id, train_id""")),
+
+    // ---- q113: prefix-filtered EXACT similarity join (PPJoin family) ----
+    // The same exact-Jaccard pair set as q44, computed the scalable way:
+    // rare-first prefix filtering prunes the candidate space losslessly
+    // (see [[graft.operators.PrefixFilterJoin]]), then candidates verify
+    // against their full shingle sets. The oracle is the brute-force
+    // all-pairs SQL — a hash match IS the losslessness certificate, the
+    // exact-join dual of q46's LSH recall-1 gate. Prefix sized at
+    // t' = 0.19 < the 0.2 output threshold because the output filter
+    // applies to the ROUNDED jaccard (a true 0.1999996 rounds up into
+    // the oracle's output; the margin keeps such pairs inside the
+    // pigeonhole guarantee).
+    "q113_prefix_filter_join" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.{shingles, tokens}
+        val d = Tables.spread(Tables.documents(spark, dir))
+          .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+          .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+          .filter(col("n_sh") > 0)
+        val ex = d.select(col("doc_id"), col("n_sh"),
+            explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), col("n_sh"),
+            xxhash64(col("shingle")).as("shash"))
+        graft.operators.PrefixFilterJoin
+          .similarPairs(ex, "doc_id", "n_sh", "shash",
+            threshold = 0.2, prefixThreshold = 0.19)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1] || ' ' ||
+                        string_split(trim(text), ' ')[i+2])) AS shingles
+          FROM documents),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+        FROM pairs
+        WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.2
+        ORDER BY doc_a, doc_b"""))
   )
 }
