@@ -90,6 +90,141 @@ object Retrieval {
         SELECT doc_id, COUNT(*) AS n_terms_hit,
                ROUND(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
                  AS score
-        FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""))
+        FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""")),
+
+    // ---- q114: hybrid retrieval — reciprocal-rank fusion ----
+    // The standard hybrid-search primitive (Cormack/Clarke/Buettcher,
+    // SIGIR'09): fuse a lexical ranking (q94's BM25) with a dense ranking
+    // (q50's cosine, query vector = embedding 0 — doc_id and vec_id share
+    // an id space in this corpus) via RRF(d) = Σ_arms 1/(60 + rank_arm(d)).
+    // Rank fusion is what makes hybrid retrieval robust: scores from the
+    // two arms are incommensurable, ranks are not.
+    //
+    // Determinism: each arm's rank key is already engine-parity-proven
+    // (q94's decimal-accumulated 6-dp score; q50's cosine + vec_id
+    // tie-break). 1/(60+r) over exact integer ranks is one IEEE division
+    // (correctly rounded, identical everywhere), rounded 9 dp and fused by
+    // EXACT decimal addition; the 9-dp fused score is the rank key with
+    // doc_id tie-break.
+    //
+    // 100 TB posture: both arms end in a top-k (corpus-sized work is
+    // exactly q94's and q50's proven shapes — broadcast stats / broadcast
+    // query side); rank assignment and the full-outer fusion join run on
+    // two k-row sets, so the fusion stage is constant-size no matter the
+    // corpus. A query BATCH adds a qid key to every stage and the fusion
+    // join becomes (qid, doc_id)-keyed — same plan, sharded by query.
+    "q114_hybrid_rrf" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.VectorFunctions.{cosine, vec64}
+        import org.apache.spark.sql.expressions.Window
+        // lexical arm: q94's scoring, kept to top 50 by (score, doc_id)
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val st = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_tokens"))
+        val tf = toks.filter(col("term").isin(QueryTerms: _*))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+        val lexTop = tf.join(broadcast(dft), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(st))
+          .select(col("doc_id"), round(
+            log(lit(1.0) + (col("n_docs") - col("dft") + lit(0.5)) /
+              (col("dft") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(K1) * (lit(1 - B) + lit(B) *
+                (col("dl").cast("double") /
+                  (col("total_tokens").cast("double") / col("n_docs"))))),
+            9).as("contrib"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("contrib").cast(DecimalType(28, 9))).cast("double"),
+            6).as("lex_score"))
+          .orderBy(col("lex_score").desc, col("doc_id")).limit(50)
+        // rank over the 50-row set only (global window is constant-size)
+        val lex = lexTop.withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("lex_score").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("lex_rank"))
+        // dense arm: q50's cosine ranking for query vector 0, top 50
+        val q0 = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+          .select(vec64(col("embedding")).as("qe"))
+        val denseTop = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(50)
+        val dense = denseTop.withColumn("dense_rank", row_number().over(
+            Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .select(col("vec_id").as("doc_id"), col("dense_rank"))
+        def rrfTerm(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column = coalesce(
+          round(lit(1.0) / (lit(60) + rank), 9).cast(DecimalType(28, 9)),
+          lit(0).cast(DecimalType(28, 9)))
+        lex.join(dense, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_score",
+            (rrfTerm(col("lex_rank")) + rrfTerm(col("dense_rank")))
+              .cast("double"))
+          .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+            col("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+      },
+      oracle = Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                     FROM documents),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+               GROUP BY doc_id),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+               WHERE term IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+               GROUP BY 1, 2),
+        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM tf
+                GROUP BY term),
+        sc AS (SELECT f.doc_id,
+                      ROUND(LN(CAST(1.0 AS DOUBLE)
+                               + (st.n_docs - d.dft + CAST(0.5 AS DOUBLE))
+                               / (d.dft + CAST(0.5 AS DOUBLE)))
+                            * (f.tf * CAST(2.2 AS DOUBLE))
+                            / (f.tf + CAST($K1 AS DOUBLE)
+                               * (CAST(${1 - B} AS DOUBLE)
+                                  + CAST($B AS DOUBLE)
+                                  * (CAST(l.dl AS DOUBLE)
+                                     / (CAST(st.total_tokens AS DOUBLE)
+                                        / st.n_docs)))), 9) AS contrib
+               FROM tf f JOIN dft d USING (term) JOIN dl l USING (doc_id), st),
+        lex_top AS (
+          SELECT doc_id,
+                 ROUND(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+                   AS lex_score
+          FROM sc GROUP BY doc_id ORDER BY lex_score DESC, doc_id LIMIT 50),
+        lex AS (SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id)
+                            AS BIGINT) AS lex_rank
+                FROM lex_top),
+        q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+               WHERE vec_id = 0),
+        dense_top AS (
+          SELECT vec_id, list_cosine_similarity(qe, CAST(embedding AS DOUBLE[]))
+                   AS cos
+          FROM embeddings, q0 WHERE vec_id != 0
+          ORDER BY cos DESC, vec_id LIMIT 50),
+        dense AS (SELECT vec_id AS doc_id,
+                         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id)
+                              AS BIGINT) AS dense_rank
+                  FROM dense_top),
+        fused AS (
+          SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank,
+                 d.dense_rank,
+                 CAST(COALESCE(CAST(ROUND(CAST(1.0 AS DOUBLE)
+                                          / (60 + l.lex_rank), 9)
+                                    AS DECIMAL(28,9)),
+                               CAST(0 AS DECIMAL(28,9)))
+                      + COALESCE(CAST(ROUND(CAST(1.0 AS DOUBLE)
+                                            / (60 + d.dense_rank), 9)
+                                      AS DECIMAL(28,9)),
+                                 CAST(0 AS DECIMAL(28,9))) AS DOUBLE)
+                   AS rrf_score
+          FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+        SELECT doc_id, lex_rank, dense_rank, rrf_score
+        FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20"""))
   )
 }

@@ -59,4 +59,34 @@ class RetrievalSpec extends SparkSpec {
       .filter("user_id < 20").count()
     assert(total == expected)
   }
+
+  test("q114: RRF scores replay from the arm ranks; fusion mixes arms") {
+    val rows = run("q114_hybrid_rrf").collect()
+    assert(rows.length == 20)
+    def rank(r: Row, c: String): Option[Long] =
+      Option(r.getAs[java.lang.Long](c)).map(_.longValue)
+    // the fused score is exactly sum of 9-dp-rounded 1/(60+rank) terms
+    rows.foreach { r =>
+      val expected = Seq(rank(r, "lex_rank"), rank(r, "dense_rank")).flatten
+        .map(k => BigDecimal(1.0 / (60 + k))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(r.getAs[Double]("rrf_score") == expected,
+        s"RRF replay diverged on doc ${r.getAs[Long]("doc_id")}")
+    }
+    // arrives ranked
+    val scores = rows.map(_.getAs[Double]("rrf_score")).toSeq
+    assert(scores == scores.sortBy(-_))
+    // fusion genuinely mixes: both-arm docs present AND each arm
+    // contributes at least one exclusive doc to the top 20
+    assert(rows.exists(r => rank(r, "lex_rank").isDefined &&
+      rank(r, "dense_rank").isDefined))
+    assert(rows.exists(r => rank(r, "lex_rank").isEmpty))
+    assert(rows.exists(r => rank(r, "dense_rank").isEmpty))
+    // every rank is a valid top-50 position
+    rows.foreach { r =>
+      Seq(rank(r, "lex_rank"), rank(r, "dense_rank")).flatten
+        .foreach(k => assert(k >= 1 && k <= 50))
+    }
+  }
 }
