@@ -5,14 +5,22 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional 3rd arg (local iteration only; the driver passes 2): a
+    // comma-separated list of query-name prefixes — run and dump only
+    // matching queries, and restrict oracle_sql.json to the same set so
+    // tools/compare.py checks just that slice.
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSeq) else None
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val spark = SparkSessionFactory.localFromEnv(4, "graft-verify")
     new java.io.File(outDir).mkdirs()
     // Materialize engine-computed oracle inputs (q70's generated batch,
     // q47's fingerprints, q49's predictions) so DuckDB can verify the
     // relational part of those queries over identical rows.
-    graft.queries.VerifyInputs.writeAll(spark, sfDir, outDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    if (only.isEmpty) graft.queries.VerifyInputs.writeAll(spark, sfDir, outDir)
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -33,6 +41,7 @@ object Verify {
     } + "\""
     val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
+      .filter(kv => selected(kv._1))
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace(graft.queries.Gps.VerifyOutToken, outAbs))}" }
       .mkString("{", ",", "}")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -20,6 +21,12 @@ object Retrieval {
   private val QueryTerms = Seq("join", "vector", "window", "slow")
   private val K1 = 1.2
   private val B = 0.75
+
+  // q115 constants (declared before `defs`: the oracle string is built
+  // eagerly during defs initialization).
+  private val MmrPool = 20
+  private val MmrK = 5
+  private val MmrLambda = 0.7
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -225,6 +232,110 @@ object Retrieval {
                    AS rrf_score
           FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
         SELECT doc_id, lex_rank, dense_rank, rrf_score
-        FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20"""))
+        FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20""")),
+
+    // ---- q115: MMR diversified re-ranking ----
+    // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): from a
+    // relevance-ranked candidate pool, greedily select k results trading
+    // relevance against redundancy to what is already selected:
+    //   pick_1 = argmax rel(d)
+    //   pick_i = argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+    // The standard diversification step between retrieval and the user (or
+    // between retrieval and a training-example sampler — diverse few-shot
+    // context assembly uses exactly this loop).
+    //
+    // Determinism: rel and all pairwise sims are rounded to 9 dp once;
+    // every MMR objective is then one IEEE expression over those rounded
+    // doubles (λ = 0.7 exact-double in both engines), rounded 9 dp, with
+    // vec_id as the total tie-break at every argmax. The greedy trace is
+    // therefore bit-identical across engines and partitionings.
+    //
+    // 100 TB posture: only candidate generation touches the corpus (q50's
+    // proven broadcast-query shape). The greedy loop runs on the constant-
+    // size candidate pool (20 rows, k=5 picks): pairwise sims are k·|pool|
+    // rows, each iteration a tiny keyed agg + TakeOrdered — constant work
+    // regardless of corpus size. A query batch adds a qid key to pool,
+    // pairs, and every argmax window.
+    "q115_mmr_rerank" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.VectorFunctions.{cosine, vec64}
+        val emb = Tables.embeddings(spark, dir)
+        val q0 = emb.filter(col("vec_id") === 0)
+          .select(vec64(col("embedding")).as("qe"))
+        val cand = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id"), col("e"),
+            round(cosine(col("qe"), col("e")), 9).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(MmrPool)
+          .localCheckpoint()
+        val pairs = cand.select(col("vec_id").as("va"), col("e").as("ea"))
+          .join(cand.select(col("vec_id").as("vb"), col("e").as("eb")),
+            col("va") =!= col("vb"))
+          .select(col("va"), col("vb"),
+            round(cosine(col("ea"), col("eb")), 9).as("s"))
+          .localCheckpoint()
+        var selected: DataFrame = cand
+          .orderBy(col("rel").desc, col("vec_id")).limit(1)
+          .select(lit(1L).as("sel_rank"), col("vec_id"), col("rel"),
+            col("rel").as("mmr"))
+          .localCheckpoint()
+        for (k <- 2 to MmrK) {
+          val selIds = selected.select(col("vec_id"))
+          val maxSim = pairs
+            .join(selIds.withColumnRenamed("vec_id", "vb"), Seq("vb"))
+            .groupBy(col("va")).agg(max(col("s")).as("max_s"))
+          val next = cand.join(selIds, Seq("vec_id"), "left_anti")
+            .join(maxSim, col("vec_id") === col("va"))
+            .select(lit(k.toLong).as("sel_rank"), col("vec_id"), col("rel"),
+              round(lit(MmrLambda) * col("rel") -
+                lit(1 - MmrLambda) * col("max_s"), 9).as("mmr"))
+            .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+          selected = selected.unionByName(next).localCheckpoint()
+        }
+        selected.orderBy(col("sel_rank"))
+      },
+      oracle = Some(mmrOracle))
   )
+
+  /** DuckDB replay of the q115 greedy trace: cand/pairs CTEs mirror the
+    * Spark expressions; each pick k is an argmax CTE over the not-yet-
+    * selected pool with the max-sim-to-selected redundancy term. */
+  private def mmrOracle: String = {
+    val steps = (2 to MmrK).map { k =>
+      val selPrev = "SELECT vec_id FROM (" +
+        (1 until k).map(i => s"SELECT vec_id FROM s$i")
+          .mkString(" UNION ALL ") + s") sel$k"
+      s"""m$k AS (
+        SELECT c.vec_id, c.rel,
+               ROUND(CAST($MmrLambda AS DOUBLE) * c.rel
+                     - CAST(${1 - MmrLambda} AS DOUBLE) * MAX(p.s), 9) AS mmr
+        FROM cand c JOIN pairs p ON p.va = c.vec_id
+        WHERE p.vb IN ($selPrev) AND c.vec_id NOT IN ($selPrev)
+        GROUP BY c.vec_id, c.rel),
+      s$k AS (SELECT CAST($k AS BIGINT) AS sel_rank, vec_id, rel, mmr
+              FROM m$k ORDER BY mmr DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n      ")
+    val unionAll = (1 to MmrK)
+      .map(i => s"SELECT sel_rank, vec_id, rel, mmr FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+                  WHERE vec_id = 0),
+      cand AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               ROUND(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])),
+                     9) AS rel
+        FROM embeddings, q0 WHERE vec_id != 0
+        ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+      pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               ROUND(list_cosine_similarity(a.e, b.e), 9) AS s
+        FROM cand a, cand b WHERE a.vec_id != b.vec_id),
+      s1 AS (SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel, rel AS mmr
+             FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+      $steps
+      SELECT sel_rank, vec_id, rel, mmr FROM ($unionAll) picks
+      ORDER BY sel_rank"""
+  }
 }

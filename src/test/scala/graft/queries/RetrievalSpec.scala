@@ -89,4 +89,45 @@ class RetrievalSpec extends SparkSpec {
         .foreach(k => assert(k >= 1 && k <= 50))
     }
   }
+
+  test("q115: the greedy MMR trace replays exactly in memory") {
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // same sequential-fold arithmetic as VectorFunctions.dot/cosine
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val vecs = graft.core.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    val cand = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, round9(cos(q, v)), v) }
+      .sortBy { case (id, rel, _) => (-rel, id) }.take(20)
+    var selected = Vector(cand.minBy { case (id, rel, _) => (-rel, id) })
+    var mmrs = Vector(selected.head._2) // rank-1 mmr = rel
+    while (selected.length < 5) {
+      val picked = selected.map(_._1).toSet
+      val next = cand.filterNot(c => picked(c._1)).map { case (id, rel, v) =>
+        val maxS = selected.map(s => round9(cos(v, s._3))).max
+        (id, rel, v, round9(0.7 * rel - 0.3 * maxS))
+      }.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      selected :+= ((next._1, next._2, next._3))
+      mmrs :+= next._4
+    }
+    val rows = run("q115_mmr_rerank").collect()
+    assert(rows.map(_.getAs[Long]("sel_rank")).toSeq == (1L to 5L))
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq ==
+      selected.map(_._1), "greedy pick sequence diverged")
+    assert(rows.map(_.getAs[Double]("mmr")).toSeq == mmrs,
+      "MMR objective values diverged")
+    // diversification is real on this corpus: the picks are not simply
+    // the top-5 by relevance
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet !=
+      cand.take(5).map(_._1).toSet,
+      "MMR never traded relevance for diversity — degenerate test corpus")
+  }
 }
