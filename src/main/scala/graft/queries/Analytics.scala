@@ -743,6 +743,64 @@ object Analytics {
         FROM lineitem
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- q116: exact percentiles via value histogram (the skew-proof
+    // scale path for q74) ----
+    // q74's percentile() sorts every group's raw values — at 100 TB a hot
+    // key with billions of rows concentrates on one task. When the value
+    // domain is bounded (l_quantity: integers 1..50), the exact quantile
+    // is computable from the per-(key, value) COUNT HISTOGRAM instead:
+    // partial aggregation collapses a hot key's billions of rows to ≤|V|
+    // histogram rows PER MAP TASK before the shuffle, so skew never
+    // concentrates. The cumulative window and the quantile lookup then run
+    // over ≤|V| rows per key.
+    //
+    // The oracle is DuckDB's own quantile_cont — the hash match proves the
+    // histogram method reproduces the textbook continuous quantile
+    // (1−d)·x[k] + d·x[k+1] bit-for-bit (d, the quantile fractions, and
+    // the quantity values are all dyadic, so every step is IEEE-exact).
+    "q116_histogram_percentiles" -> QueryDef(
+      build = (spark, dir) => {
+        val hist = Tables.lineitem(spark, dir)
+          .select(col("l_returnflag").as("flag"), col("l_quantity").as("v"))
+          .groupBy(col("flag"), col("v")).agg(count(lit(1)).as("cnt"))
+        val cum = hist
+          .withColumn("cum_hi", sum(col("cnt")).over(
+            Window.partitionBy(col("flag")).orderBy(col("v"))))
+          .withColumn("cum_lo", col("cum_hi") - col("cnt"))
+        val n = hist.groupBy(col("flag")).agg(sum(col("cnt")).as("n"))
+        val qs = hist.sparkSession.range(1)
+          .select(explode(array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+        val targets = n.crossJoin(broadcast(qs))
+          .withColumn("pos", col("q") * (col("n") - 1).cast("double"))
+          .withColumn("i0", floor(col("pos")))
+          .withColumn("i1", least(col("i0") + 1, col("n") - 1))
+          .withColumn("d", col("pos") - col("i0").cast("double"))
+        val v0 = targets.join(cum.select(col("flag"), col("v").as("v0"),
+            col("cum_lo"), col("cum_hi")), Seq("flag"))
+          .filter(col("i0") >= col("cum_lo") && col("i0") < col("cum_hi"))
+          .drop("cum_lo", "cum_hi")
+        val v1 = v0.join(cum.select(col("flag"), col("v").as("v1"),
+            col("cum_lo"), col("cum_hi")), Seq("flag"))
+          .filter(col("i1") >= col("cum_lo") && col("i1") < col("cum_hi"))
+          .withColumn("value",
+            (lit(1.0) - col("d")) * col("v0") + col("d") * col("v1"))
+        v1.groupBy(col("flag"), col("n"))
+          .agg(
+            max(when(col("q") === 0.25, col("value"))).as("p25_qty"),
+            max(when(col("q") === 0.5, col("value"))).as("p50_qty"),
+            max(when(col("q") === 0.75, col("value"))).as("p75_qty"))
+          .select(col("flag").as("l_returnflag"), col("n"),
+            col("p25_qty"), col("p50_qty"), col("p75_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(l_quantity, 0.25) AS p25_qty,
+               quantile_cont(l_quantity, 0.5)  AS p50_qty,
+               quantile_cont(l_quantity, 0.75) AS p75_qty
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- q76: unpivot (melt) — the inverse of the q20 pivot ----
     "q76_unpivot" -> QueryDef(
       build = (spark, dir) => {

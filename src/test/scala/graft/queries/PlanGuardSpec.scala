@@ -124,4 +124,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "BM25 scoring degenerated into a cross product of token rows")
   }
+
+  test("q116: the histogram agg is partial/final — skew collapses map-side") {
+    val p = plan("q116_histogram_percentiles")
+    // The whole point vs q74: the corpus-sized stage is a (key, value)
+    // COUNT with map-side combine, so a hot key's rows shrink to <=|V|
+    // histogram rows per task BEFORE any shuffle. No partial_count means
+    // the hot key's raw rows crossed the wire.
+    assert(p.contains("partial_count"),
+      "histogram count not partially aggregated before the exchange")
+    // ...and q74's skew hazard must be absent: no sort-based percentile
+    // over raw values (the only sorts allowed are over histogram rows,
+    // which live above the aggregate).
+    assert(!p.contains("percentile"),
+      "histogram path fell back to sort-based percentile aggregation")
+  }
 }
