@@ -67,4 +67,53 @@ object PrefixFilterJoin {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
+
+  /** Directional containment join: all ordered pairs (a, b), a ≠ b, with
+    * C(a→b) = |A ∩ B| / |A| ≥ threshold — the asymmetric dual of
+    * [[similarPairs]]. Jaccard misses subset duplicates (a short doc
+    * embedded verbatim in a much longer one scores |A|/|B| ≈ 0); for
+    * training-data dedup the contained side is still a duplicate and
+    * containment is the measure that catches it (PPJoin's containment
+    * variant; same pigeonhole argument on the PROBE side only).
+    *
+    * Prefix filter: if C(a→b) ≥ t then |A∩B| ≥ ⌈t·n_a⌉, so A's rare-first
+    * prefix of size n_a − ⌈t'·n_a⌉ + 1 must intersect B — otherwise all
+    * common elements would hide in A's suffix of ⌈t'·n_a⌉ − 1 slots.
+    * Only the probe side is prefix-pruned; the index side streams its
+    * FULL element rows (a containment witness can sit anywhere in B), so
+    * the candidate join is prefix(A) ⋈ elements(B). Rare-first ordering
+    * keeps boilerplate elements (max-df shingles) out of every prefix.
+    *
+    * 100 TB posture: identical to [[similarPairs]] — df is one
+    * partial→final agg, prefix ranking a per-set window, candidates and
+    * verification keyed equijoins. The index side being unpruned costs
+    * candidate fan-out proportional to the df of PREFIX elements only —
+    * which rare-first ordering minimizes by construction.
+    */
+  def containmentPairs(elements: DataFrame, idCol: String, nCol: String,
+      elemCol: String, threshold: Double, prefixThreshold: Double): DataFrame = {
+    val ex = elements.select(col(idCol).as("id"), col(nCol).as("n"),
+      col(elemCol).as("e"))
+    val df = ex.groupBy(col("e")).agg(count(lit(1)).as("dfreq"))
+    val ranked = ex.join(df, "e")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("dfreq"), col("e"))))
+    val prefix = ranked.filter(
+      col("rn") <= col("n") - ceil(col("n") * lit(prefixThreshold)) + lit(1))
+    val cand = prefix.select(col("id").as("doc_a"), col("e"))
+      .join(ex.select(col("id").as("doc_b"), col("e")), Seq("e"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val ea = ex.select(col("id").as("doc_a"), col("n").as("n_a"), col("e"))
+    val eb = ex.select(col("id").as("doc_b"), col("e"))
+    cand.join(ea, "doc_a")
+      .join(eb, Seq("doc_b", "e"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("n_a"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
+  }
 }

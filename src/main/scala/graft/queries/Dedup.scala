@@ -711,6 +711,59 @@ object Dedup {
                ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
         FROM pairs
         WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.2
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- q117: containment join — the asymmetric subset-duplicate
+    // detector ----
+    // Jaccard (q44/q113) misses a short doc copied verbatim into a much
+    // longer one: |A∩B|/|A∪B| ≈ |A|/|B| → 0 as B grows, yet the contained
+    // doc is exactly the duplicate a training-data dedup pass must drop.
+    // Containment C(a→b) = |A∩B|/|A| is the measure that catches it —
+    // directional, so a pair can appear in one direction only (small ⊂
+    // large, never the reverse at the same threshold). Computed with the
+    // probe-side-only prefix filter (see
+    // [[graft.operators.PrefixFilterJoin.containmentPairs]]); oracle is
+    // the brute-force all-pairs SQL — a hash match certifies the pruning
+    // lossless, like q113's. t' = 0.49 < 0.5 for the rounded-threshold
+    // margin.
+    "q117_containment_join" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.{shingles, tokens}
+        val d = Tables.spread(Tables.documents(spark, dir))
+          .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+          .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+          .filter(col("n_sh") > 0)
+        val ex = d.select(col("doc_id"), col("n_sh"),
+            explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), col("n_sh"),
+            xxhash64(col("shingle")).as("shash"))
+        graft.operators.PrefixFilterJoin
+          .containmentPairs(ex, "doc_id", "n_sh", "shash",
+            threshold = 0.5, prefixThreshold = 0.49)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1] || ' ' ||
+                        string_split(trim(text), ' ')[i+2])) AS shingles
+          FROM documents),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, COUNT(*) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle
+                             AND a.doc_id != b.doc_id
+          GROUP BY 1, 2, 3)
+        SELECT doc_a, doc_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / n_a, 6) AS containment
+        FROM pairs
+        WHERE ROUND(CAST(n_common AS DOUBLE) / n_a, 6) >= 0.5
         ORDER BY doc_a, doc_b"""))
   )
 }

@@ -41,4 +41,47 @@ class PrefixFilterJoinSpec extends SparkSpec {
     assert(candPairs < allPairs / 2,
       s"prefix candidates $candPairs not < half of co-shingled pairs $allPairs")
   }
+
+  test("containment catches a planted subset-dup that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = 10 elements, all contained in doc 2's 100: C(1→2) = 1.0
+    // but Jaccard = 10/100 = 0.1 — below any sane near-dup threshold.
+    val rows = ((1L to 10L).map(e => (1L, 10L, e)) ++
+      (1L to 100L).map(e => (2L, 100L, e))).toDF("id", "n", "e")
+    val contained = PrefixFilterJoin
+      .containmentPairs(rows, "id", "n", "e", 0.8, 0.79).collect()
+    assert(contained.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSeq == Seq((1L, 2L, 10L, 1.0)),
+      "subset dup not caught, or phantom/reverse-direction pair emitted")
+    val jaccard = PrefixFilterJoin
+      .similarPairs(rows, "id", "n", "e", 0.8, 0.79).collect()
+    assert(jaccard.isEmpty, "Jaccard unexpectedly caught the subset pair " +
+      "— the planted asymmetry is broken")
+  }
+
+  test("q117's probe-side prefix is lossless vs the brute-force containment join") {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val ex = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("shash"))
+    val brute = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+        col("shash"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("shash")), Seq("shash"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("n_a"), 6))
+      .filter(col("containment") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .collect().map(_.toSeq)
+    val pruned = graft.SparkEntry.queries("q117_containment_join")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(brute.nonEmpty, "degenerate fixture: no containment pairs")
+    assert(pruned.toSeq == brute.toSeq,
+      "prefix-filtered containment diverged from brute force")
+  }
 }
