@@ -381,6 +381,67 @@ object Curation {
                          + 1) / 4294967297.0)
                      / (n_chars + 1), 9) AS sample_key
         FROM documents
-        ORDER BY sample_key DESC, doc_id ASC LIMIT 50"""))
+        ORDER BY sample_key DESC, doc_id ASC LIMIT 50""")),
+
+    // ---- q118: per-source data cards ----
+    // The "datasheet" a dataset release ships per source/subset
+    // (Gebru et al., "Datasheets for Datasets"): volume, language
+    // breadth, length distribution, exact-dup rate, dominant language.
+    // Running it per release turns curation drift (a source suddenly
+    // shrinking, a language mix flipping, dup rate spiking) into a
+    // diffable table instead of a surprise downstream.
+    //
+    // 100 TB posture: one pass of per-source aggregation. The multi-
+    // DISTINCT agg expands to (source, lang)/(source, sig) partial
+    // dedup shuffles — each keyed on a high-cardinality composite, so
+    // a giant source never concentrates; the length percentiles group
+    // ≤|sources| sorted sets (per-source value lists — the bounded-
+    // domain histogram form is q116 when a source is truly hot); the
+    // top-lang window runs over |sources|·|langs| aggregated rows.
+    "q118_source_datacards" -> QueryDef(
+      build = (spark, dir) => {
+        val base = Tables.documents(spark, dir)
+          .select(col("source"), col("lang"), col("n_chars"),
+            md5(col("text")).as("sig"))
+        base.createOrReplaceTempView("docs_q118")
+        val agg = base.sparkSession.sql("""
+          SELECT source, COUNT(*) AS n_docs,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 SUM(n_chars) AS total_chars,
+                 percentile(n_chars, 0.5D) AS p50_chars,
+                 percentile(n_chars, 0.9D) AS p90_chars,
+                 ROUND(1.0D - CAST(COUNT(DISTINCT sig) AS DOUBLE)
+                       / COUNT(*), 6) AS dup_rate
+          FROM docs_q118 GROUP BY source""")
+        val top = base.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("c").desc, col("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        agg.join(top, Seq("source")).orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH base AS (SELECT source, lang, n_chars, md5(text) AS sig
+                      FROM documents),
+        agg AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                 quantile_cont(n_chars, 0.5) AS p50_chars,
+                 quantile_cont(n_chars, 0.9) AS p90_chars,
+                 ROUND(1.0 - CAST(COUNT(DISTINCT sig) AS DOUBLE)
+                       / COUNT(*), 6) AS dup_rate
+          FROM base GROUP BY source),
+        lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        top AS (SELECT source, lang AS top_lang,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY c DESC, lang) AS rn
+                FROM lc)
+        SELECT a.source, a.n_docs, a.n_langs, a.total_chars,
+               a.p50_chars, a.p90_chars, a.dup_rate, t.top_lang
+        FROM agg a JOIN top t ON a.source = t.source AND t.rn = 1
+        ORDER BY a.source"""))
   )
 }
