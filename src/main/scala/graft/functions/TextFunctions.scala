@@ -28,6 +28,45 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     CodegenExpressions.fingerprintCol(text)
 
+  /** Content-defined chunk boundary positions (FastCDC/rsync family):
+    * 1-based positions i ∈ [w, len] where the w-char window ending at i
+    * hashes into the cut class (md5 hex leading '0' → P = 1/16, mean
+    * chunk ≈ 16 + w/2 chars), plus the end-of-text sentinel. Boundaries
+    * depend only on the local w chars, never on the offset — so an edit
+    * re-chunks O(1) chunks and every chunk after the edit window is
+    * byte-identical (shift-resistant dedup, unlike fixed-size chunking
+    * where one inserted byte shifts every later chunk). Whole computation
+    * is one per-row expression tree (filter over a position sequence) —
+    * no char-level row explosion. Empty text → [ ] (caller treats the
+    * doc as chunkless); len < w → just the sentinel (one whole-doc chunk).
+    */
+  def cdcBoundaries(text: Column, w: Int): Column = {
+    val len = length(text)
+    val hashCuts = filter(
+      when(len >= w, sequence(lit(w), len)).otherwise(array().cast("array<int>")),
+      i => substring(md5(text.substr(i - lit(w - 1), lit(w))), 1, 1) === "0")
+    // last cut == len ⇔ array_max == len (cuts ascend); array_max is
+    // null-safe on the empty array, unlike ANSI element_at(-1)
+    when(len === 0, array().cast("array<int>"))
+      .otherwise(
+        when(array_max(hashCuts) === len, hashCuts)
+          .otherwise(concat(hashCuts, array(len))))
+  }
+
+  /** Content-defined chunks as array<struct<idx int, ch string>> — the
+    * text split at [[cdcBoundaries]]. */
+  def cdcChunks(text: Column, w: Int): Column = {
+    val bs = cdcBoundaries(text, w)
+    // sequence(1, 0) would DESCEND, not come back empty — guard size 0
+    when(size(bs) === 0, array().cast("array<struct<idx:int,ch:string>>"))
+      .otherwise(transform(sequence(lit(1), size(bs)), j =>
+        struct(j.as("idx"),
+          text.substr(
+            when(j === 1, lit(0)).otherwise(element_at(bs, j - 1)) + 1,
+            element_at(bs, j) -
+              when(j === 1, lit(0)).otherwise(element_at(bs, j - 1))).as("ch"))))
+  }
+
   /** Count of tokens present in `words`. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))

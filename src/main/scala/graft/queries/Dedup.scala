@@ -764,6 +764,77 @@ object Dedup {
                ROUND(CAST(n_common AS DOUBLE) / n_a, 6) AS containment
         FROM pairs
         WHERE ROUND(CAST(n_common AS DOUBLE) / n_a, 6) >= 0.5
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- q119: content-defined chunking (CDC) + cross-doc chunk
+    // sharing ----
+    // Fixed-size chunking (q89's 10-token blocks) breaks under edits: one
+    // inserted token shifts every later block, so an edited near-copy
+    // shares almost nothing. Content-defined chunking (the rsync /
+    // LBFS / FastCDC family) cuts where a rolling w-char window hashes
+    // into a fixed class — boundaries are content-local, so an edit
+    // re-chunks O(1) chunks and everything after the edit window stays
+    // byte-identical. This is how storage dedup and long-document
+    // near-dup both survive insertions.
+    //
+    // Per doc: chunk count, mean chunk length, and how many chunks also
+    // appear (byte-identical) in ANOTHER doc — the cross-doc reuse signal
+    // a chunk-level dedup pass would act on.
+    //
+    // 100 TB posture: boundary detection is a per-row expression tree
+    // (one corpus pass, no char-level row explosion — see
+    // [[graft.functions.TextFunctions.cdcBoundaries]]); the sharing join
+    // is chunk-hash keyed (high-cardinality, skew-free); per-doc rollup
+    // is one keyed agg. Nothing is quadratic and no stage ships text
+    // larger than the chunks themselves.
+    "q119_cdc_chunking" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.cdcChunks
+        val chunks = Tables.spread(Tables.documents(spark, dir))
+          .select(col("doc_id"), explode(cdcChunks(col("text"), 8)).as("c"))
+          .select(col("doc_id"), md5(col("c.ch")).as("sig"),
+            length(col("c.ch")).as("clen"))
+        val shared = chunks.groupBy(col("sig"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        chunks.join(shared, "sig")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            round(sum(col("clen")).cast("double") / count(lit(1)), 6)
+              .as("avg_chunk_len"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+            round(sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("double")
+              / count(lit(1)), 6).as("shared_frac"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH b0 AS (
+          SELECT doc_id, text, len(text) AS L,
+                 list_filter(range(8, len(text) + 1),
+                   i -> substr(md5(substr(text, i - 7, 8)), 1, 1) = '0') AS hc
+          FROM documents WHERE len(text) > 0),
+        bs AS (
+          SELECT doc_id, text,
+                 CASE WHEN len(hc) > 0 AND hc[-1] = L THEN hc
+                      ELSE list_append(hc, L) END AS b
+          FROM b0),
+        ch AS (
+          SELECT doc_id,
+                 substr(text,
+                        (CASE WHEN j = 1 THEN 0 ELSE b[j - 1] END) + 1,
+                        cur - (CASE WHEN j = 1 THEN 0 ELSE b[j - 1] END))
+                   AS chunk
+          FROM (SELECT doc_id, text, b, UNNEST(b) AS cur,
+                       generate_subscripts(b, 1) AS j
+                FROM bs)),
+        sg AS (SELECT doc_id, md5(chunk) AS sig, len(chunk) AS clen FROM ch),
+        sh AS (SELECT sig, COUNT(DISTINCT doc_id) AS nd FROM sg GROUP BY sig)
+        SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               ROUND(CAST(SUM(clen) AS DOUBLE) / COUNT(*), 6) AS avg_chunk_len,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared,
+               ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS shared_frac
+        FROM sg s JOIN sh USING (sig)
+        GROUP BY s.doc_id ORDER BY s.doc_id"""))
   )
 }
