@@ -489,6 +489,81 @@ object Vectors {
         SELECT r.qid, r.rn, r.vec_id, ROUND(r.qcos, 6) AS qcosine,
                COALESCE(ex.in_exact_topk, FALSE) AS in_exact_topk
         FROM r LEFT JOIN ex ON r.qid = ex.qid AND r.vec_id = ex.vec_id
-        WHERE r.rn <= 5 ORDER BY r.qid, r.rn"""))
+        WHERE r.rn <= 5 ORDER BY r.qid, r.rn""")),
+
+    // ---- q120: greedy k-center coreset selection (diversity sampling) ----
+    // Gonzalez's farthest-point traversal: seed with the lowest id, then
+    // repeatedly pick the vector FARTHEST (cosine distance) from every-
+    // thing already selected. The resulting set 2-approximates the
+    // optimal k-center cover — the standard coreset / diverse-subset
+    // selector for training data ("pick k maximally-different examples"),
+    // the corpus-wide dual of q115's per-query MMR.
+    //
+    // Scale shape: the state is ONE running min-dist column. Each pick
+    // adds one center, and the update is a single map pass
+    // d ← least(d, dist(x, new_center)) with the 1-row center broadcast —
+    // never a k-way min recomputation, never a shuffle. Each argmax is a
+    // TakeOrdered (per-partition heads). k picks = k linear passes, the
+    // textbook cost of exact farthest-point traversal.
+    //
+    // Determinism: per-pair distance round(1 − cosine, 9) over exact
+    // float→double casts; LEAST of rounded doubles; vec_id tie-break at
+    // every argmax — the traversal is bit-identical across engines.
+    "q120_kcenter_coreset" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+        val c1 = emb.orderBy(col("vec_id")).limit(1).localCheckpoint()
+        var centers = c1.select(lit(1L).as("sel_rank"), col("vec_id"),
+          lit(null).cast("double").as("dist"))
+        var state = emb
+          .crossJoin(broadcast(c1.select(col("e").as("ce"))))
+          .select(col("vec_id"), col("e"),
+            round(lit(1.0) - cosine(col("e"), col("ce")), 9).as("d"))
+        for (k <- 2 to 5) {
+          val next = state.orderBy(col("d").desc, col("vec_id")).limit(1)
+            .localCheckpoint()
+          centers = centers.unionByName(next.select(
+            lit(k.toLong).as("sel_rank"), col("vec_id"),
+            col("d").as("dist")))
+          state = state
+            .crossJoin(broadcast(next.select(col("e").as("ce"))))
+            .select(col("vec_id"), col("e"),
+              least(col("d"),
+                round(lit(1.0) - cosine(col("e"), col("ce")), 9)).as("d"))
+        }
+        centers.orderBy(col("sel_rank"))
+      },
+      oracle = Some(kcenterOracle))
   )
+
+  /** DuckDB replay of the q120 farthest-point traversal: one (center,
+    * min-dist-update) CTE pair per pick, mirroring the incremental
+    * least() update the Spark side does. */
+  private def kcenterOracle: String = {
+    val steps = (2 to 5).map { k =>
+      s"""c$k AS (SELECT vec_id, v, d FROM d${k - 1}
+              ORDER BY d DESC, vec_id LIMIT 1),
+      d$k AS (SELECT s.vec_id, s.v,
+                     LEAST(s.d, ROUND(1.0 - list_cosine_similarity(s.v, c$k.v),
+                                      9)) AS d
+              FROM d${k - 1} s, c$k)"""
+    }.mkString(",\n      ")
+    val unions = (2 to 5)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS sel_rank, vec_id, d AS dist FROM c$k")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+      d1 AS (SELECT e.vec_id, e.v,
+                    ROUND(1.0 - list_cosine_similarity(e.v, c1.v), 9) AS d
+             FROM e, c1),
+      $steps
+      SELECT sel_rank, vec_id, dist FROM (
+        SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+               CAST(NULL AS DOUBLE) AS dist FROM c1
+        UNION ALL $unions) picks
+      ORDER BY sel_rank"""
+  }
 }

@@ -141,4 +141,39 @@ class VectorsSpec extends SparkSpec {
     val recall = rows.count(_.getAs[Boolean]("in_exact_topk")).toDouble / rows.length
     assert(recall >= 0.8, s"quantized recall@5 only $recall")
   }
+
+  test("q120: the farthest-point traversal replays exactly in memory") {
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      round9(1.0 - dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val vecs = graft.core.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .sortBy(_._1)
+    var centers = Vector(vecs.head._1)
+    var dists = Vector[Double]()
+    var d = vecs.map { case (id, v) => id -> dist(v, vecs.head._2) }.toMap
+    val byId = vecs.toMap
+    while (centers.length < 5) {
+      val (nid, nd) = d.toSeq.minBy { case (id, dd) => (-dd, id) }
+      centers :+= nid; dists :+= nd
+      d = d.map { case (id, dd) =>
+        id -> math.min(dd, dist(byId(id), byId(nid))) }
+    }
+    val rows = graft.SparkEntry.queries("q120_kcenter_coreset")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == centers,
+      "traversal pick sequence diverged")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("dist")))
+    assert(rows.tail.map(_.getAs[Double]("dist")).toSeq == dists,
+      "pick distances diverged")
+    // farthest-point invariant: covering radius never increases
+    assert(dists == dists.sorted.reverse,
+      "picked distances increased — not a farthest-point traversal")
+  }
 }
