@@ -274,6 +274,39 @@ object Relational {
         SELECT COUNT(*) AS n_pairs,
                MIN(r_name || '/' || n_name) AS first_pair,
                MAX(r_name || '/' || n_name) AS last_pair
-        FROM region CROSS JOIN nation"""))
+        FROM region CROSS JOIN nation""")),
+
+    // ---- q121: salted skew join, oracle-certified lossless ----
+    // The manual skew path for when AQE can't help (streaming joins,
+    // broadcast-ineligible build sides, skew known up front): each
+    // big-side row gets a deterministic salt, the small side is
+    // replicated `salts` times, and the join key becomes (key, salt) —
+    // one hot orderkey spreads over 8 reducers instead of parking a
+    // 100 TB partition on one executor
+    // (see [[graft.operators.SkewJoin.saltedJoin]]).
+    //
+    // The oracle is the PLAIN join — the hash match is the certificate
+    // that salting is a pure physical rewrite with zero semantic drift
+    // (same rows, same aggregates, bit-identical decimals), the same
+    // proof shape as q113/q117's losslessness gates.
+    "q121_salted_join" -> QueryDef(
+      build = (spark, dir) => {
+        val big = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val small = Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.operators.SkewJoin
+          .saltedJoin(big, small, Seq("l_orderkey"), salts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               ${Det.sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
