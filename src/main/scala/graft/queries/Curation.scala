@@ -442,6 +442,74 @@ object Curation {
         SELECT a.source, a.n_docs, a.n_langs, a.total_chars,
                a.p50_chars, a.p90_chars, a.dup_rate, t.top_lang
         FROM agg a JOIN top t ON a.source = t.source AND t.rn = 1
-        ORDER BY a.source"""))
+        ORDER BY a.source""")),
+
+    // ---- q122: exact-K proportional allocation (largest remainder) ----
+    // "Give me exactly 100 docs, split across languages proportionally to
+    // their share" — q63 fixes k PER stratum, q85 floors per-stratum
+    // targets (total can undershoot); this is the third allocator: the
+    // Hamilton / largest-remainder method guarantees Σalloc = K exactly
+    // while staying within one doc of true proportionality (quota rule).
+    // Eval-set construction and per-domain token budgeting both need this
+    // exact-total form.
+    //
+    // Determinism: quotas are computed in INTEGER arithmetic only —
+    // floor = (K·n_i) div N, remainder = (K·n_i) mod N — so allocation is
+    // bit-exact in any engine; the leftover seats go to the largest
+    // remainders with a lang tie-break, and the member pick is the md5
+    // key (engine-portable, reproducible).
+    //
+    // 100 TB posture: stratum stats are one partial→final agg; the
+    // allocation table is |strata| rows (broadcast); the pick is one
+    // per-stratum window over key-partitioned data. The only global
+    // window orders |strata| aggregated rows — constant-size.
+    "q122_largest_remainder_alloc" -> QueryDef(
+      build = (spark, dir) => {
+        val strata = Tables.documents(spark, dir)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val tot = strata.agg(sum(col("n_docs")).as("n_total"))
+        val quotas = strata.crossJoin(broadcast(tot))
+          .withColumn("fl", expr("(100 * n_docs) div n_total"))
+          .withColumn("rem", expr("(100 * n_docs) % n_total"))
+        val leftover = quotas.agg((lit(100L) - sum(col("fl"))).as("leftover"))
+        val alloc = quotas.crossJoin(broadcast(leftover))
+          .withColumn("xrn", row_number().over(
+            Window.orderBy(col("rem").desc, col("lang"))))
+          .withColumn("alloc",
+            (col("fl") + when(col("xrn") <= col("leftover"), 1L)
+              .otherwise(0L)).cast("long"))
+          .select(col("lang"), col("n_docs"), col("alloc"))
+        val ranked = Tables.documents(spark, dir)
+          .select(col("lang"), col("doc_id"), pickKey.as("pick_key"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("pick_key"), col("doc_id"))).cast("long"))
+        ranked.join(broadcast(alloc), Seq("lang"))
+          .filter(col("rk") <= col("alloc"))
+          .select(col("lang"), col("n_docs"), col("alloc"), col("rk"),
+            col("doc_id"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      oracle = Some(s"""
+        WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY lang),
+        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM s),
+        q AS (SELECT lang, n_docs,
+                     (100 * n_docs) // n_total AS fl,
+                     (100 * n_docs) % n_total AS rem
+              FROM s, t),
+        l AS (SELECT CAST(100 - SUM(fl) AS BIGINT) AS leftover FROM q),
+        a AS (SELECT lang, n_docs,
+                     CAST(fl + CASE WHEN ROW_NUMBER() OVER
+                                      (ORDER BY rem DESC, lang) <= leftover
+                               THEN 1 ELSE 0 END AS BIGINT) AS alloc
+              FROM q, l),
+        r AS (SELECT lang, doc_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY $SqlPickKey, doc_id) AS BIGINT) AS rk
+              FROM documents)
+        SELECT r.lang, a.n_docs, a.alloc, r.rk, r.doc_id
+        FROM r JOIN a USING (lang) WHERE r.rk <= a.alloc
+        ORDER BY lang, rk"""))
   )
 }
