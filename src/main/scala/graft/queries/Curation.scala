@@ -510,6 +510,61 @@ object Curation {
               FROM documents)
         SELECT r.lang, a.n_docs, a.alloc, r.rk, r.doc_id
         FROM r JOIN a USING (lang) WHERE r.rk <= a.alloc
-        ORDER BY lang, rk"""))
+        ORDER BY lang, rk""")),
+
+    // ---- q123: pairwise source-overlap audit ----
+    // Vocabulary Jaccard between every pair of sources — the audit that
+    // catches two crawl snapshots (or two vendors) shipping the same
+    // content under different names before dedup spends a corpus pass on
+    // it. Token-set overlap is the cheap corpus-level screen; doc-level
+    // dedup (q46/q113) then targets the flagged pairs.
+    //
+    // 100 TB posture: the corpus-sized stage is the DISTINCT
+    // (source, token) projection — keyed partial agg, skew-free. The
+    // pair join is posting-list shaped: a token contributes at most
+    // |sources|² pair rows regardless of how many docs contain it, so
+    // cost is |vocab|·S² with S = #sources (constant), never doc².
+    "q123_source_overlap" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val st = Tables.documents(spark, dir)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .distinct()
+        val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_toks"))
+        val inter = st.select(col("source").as("source_a"), col("tok"))
+          .join(st.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("n_toks").as("n_a"))), Seq("source_a"))
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("n_toks").as("n_b"))), Seq("source_b"))
+          .withColumn("jaccard", round(col("n_common").cast("double")
+            / (col("n_a") + col("n_b") - col("n_common")), 6))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            col("n_common"), col("jaccard"))
+          .orderBy(col("jaccard").desc, col("source_a"), col("source_b"))
+      },
+      oracle = Some("""
+        WITH st AS (SELECT DISTINCT source, tok FROM (
+               SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents) u),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_toks
+                  FROM st GROUP BY source),
+        inter AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT i.source_a, i.source_b, sa.n_toks AS n_a, sb.n_toks AS n_b,
+               i.n_common,
+               ROUND(CAST(i.n_common AS DOUBLE)
+                     / (sa.n_toks + sb.n_toks - i.n_common), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.source_a = sa.source
+        JOIN sizes sb ON i.source_b = sb.source
+        ORDER BY jaccard DESC, source_a, source_b"""))
   )
 }
