@@ -1,0 +1,434 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus mining & selection operators — the layer between raw curation
+  * (queries/Curation) and training-set assembly (queries/Training):
+  * clustering the corpus (q124), carving leakage-safe splits (q125),
+  * Pareto-selecting documents under competing quality criteria (q126),
+  * sliding-window repeated-substring detection (q127, the ExactSubstr
+  * signal), and positional phrase search over an inverted index (q128).
+  *
+  * Every operator is pure relational algebra with engine-portable keys
+  * (md5 / scaled integers), so each gate is fully DuckDB-replayable —
+  * including the iterative k-means, which follows q106's fixed-point
+  * determinism recipe.
+  */
+object Mining {
+
+  /** Component quantization scale for fixed-point k-means. */
+  private val KmScale = 1000000L
+
+  /** floor-quantized integer copy of a double vector: floor(x*1e6).
+    * floor (not round) because IEEE floor is identical in every engine,
+    * while round-half ties differ between HALF_UP and HALF_EVEN
+    * implementations. */
+  private def quant(v: Column): Column =
+    transform(v, x => floor(x * KmScale).cast("long"))
+
+  /** Integer squared-L2 distance between two equal-length long arrays.
+    * Exact: components ≤ 1e6 in magnitude, so Σ(diff²) ≤ 64·4e12 ≪ 2^63.
+    * Higher-order-function form is fine here (distance rows are k per
+    * vector and k is small); the 100 TB hot-path form would be a codegen
+    * kernel next to [[graft.functions.VectorKernels]]. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** One Lloyd assignment pass: each vector to its min-sqDist centroid
+    * (ties → lowest cid). Returns (vec_id, cid, dist).
+    *
+    * 100 TB posture: centroids broadcast (k rows), assignment is one
+    * map-side pass with a partial-aggregating min_by — no vector ever
+    * shuffles, the reduce state is one (cid, dist) pair per vector. */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), sqDist(col("v"), col("cv")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
+        min(struct(col("d"), col("cid"))).getField("d").as("dist"))
+
+  /** Lloyd centroid update in exact integer arithmetic: component-wise
+    * floor(mean). Sums stay < 2^53 (|comp| ≤ 1e6, count ≤ 2^43 before
+    * the double-exactness bound binds), so the double division is exact
+    * and floor is engine-portable.
+    *
+    * 100 TB posture: the dim-explode produces n·d rows but they partial-
+    * aggregate map-side onto k·d groups — the shuffle carries k·d
+    * (cid, dim, sum, count) tuples, not vectors. */
+  private def updateCentroids(e: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(e, "vec_id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("comp"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("comp")))),
+        s => s.getField("comp")).as("cv"))
+
+  /** Fixed-point k-means over an embedding table: deterministic init
+    * (the k lowest-id vectors), `iters` Lloyd rounds in scaled-integer
+    * arithmetic (q106's determinism recipe — float centroids are
+    * partition-order dependent, integer ones are bit-identical on any
+    * engine), then a per-cluster report: population, exact integer
+    * inertia, id range. */
+  def kmeansStats(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), quant(col("e")).as("v"))
+      .localCheckpoint(false)
+    val init = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var cents = init
+    var assigned = assign(e, cents)
+    for (_ <- 2 to iters) {
+      cents = updateCentroids(e, assigned)
+      assigned = assign(e, cents)
+    }
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist")).as("inertia"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .orderBy(col("cid"))
+  }
+
+  /** 2-criteria skyline (Pareto frontier; Börzsönyi et al., ICDE'01)
+    * with a lossless grid prune. A row is IN the skyline iff no other
+    * row is ≥ in both criteria and > in at least one.
+    *
+    * Scale shape: the naive skyline is an all-pairs dominance test. The
+    * grid prune removes — before any pairwise work — every point whose
+    * occupancy cell has a non-empty cell strictly NE of it: any point
+    * there strictly dominates the whole SW cell (bucket ranges are
+    * half-open, so strictly-higher bucket ⇒ strictly-higher value).
+    * The prune is LOSSLESS for the final answer: no skyline point is
+    * ever pruned (pruned ⇒ dominated), and every dominated survivor is
+    * dominated by some skyline point (follow the dominance chain up; it
+    * ends at an undominated point, which survives). So the pairwise
+    * check runs only on the near-frontier band — at 100 TB the
+    * all-pairs stage sees thousands of rows, not billions; the grid
+    * pass is one agg + one broadcast of ≤ cells² pairs. */
+  def skyline(points: DataFrame, xCol: String, yCol: String,
+      cells: Int = 16): DataFrame = {
+    val p = points.withColumn("x", col(xCol)).withColumn("y", col(yCol))
+    val bounds = p.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    // integer division (div, not /): buckets must be DISCRETE cells for
+    // the occupancy grid — Spark's `/` on longs returns double.
+    val b = p.crossJoin(broadcast(bounds))
+      .withColumn("bx", expr(s"(x - xmin) * $cells div (xmax - xmin + 1)"))
+      .withColumn("by", expr(s"(y - ymin) * $cells div (ymax - ymin + 1)"))
+      .drop("xmin", "xmax", "ymin", "ymax")
+    val occ = b.select(col("bx"), col("by")).distinct()
+    val dominatedCells = occ.as("c").join(broadcast(occ.as("d")),
+        col("d.bx") > col("c.bx") && col("d.by") > col("c.by"), "left_semi")
+    val survivors = b.join(broadcast(dominatedCells),
+        Seq("bx", "by"), "left_anti")
+      .drop("bx", "by")
+      .localCheckpoint(false)
+    survivors.as("p").join(survivors.as("q"),
+        col("q.x") >= col("p.x") && col("q.y") >= col("p.y") &&
+          (col("q.x") > col("p.x") || col("q.y") > col("p.y")), "left_anti")
+      .drop("x", "y")
+  }
+
+  /** Tokens of `text`, the corpus-wide convention (trim + single-space
+    * split — matches the q89/q91 oracles). */
+  private def toks(textCol: Column): Column = split(trim(textCol), " ")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q124: fixed-point k-means corpus clustering ----
+    // Two Lloyd rounds, k = 8, over the embeddings table. Integer
+    // arithmetic end-to-end (floor-quantized components, floor-mean
+    // centroid updates, exact integer inertia) means DuckDB replays the
+    // ENTIRE iterative computation — init, both assignments, the
+    // centroid update — and hash-matches bit-for-bit: the q106 recipe
+    // applied to clustering. The report is what a mixture-balancing or
+    // SemDeDup-cell-sizing pass reads: per-cluster population and
+    // inertia.
+    "q124_kmeans_fixedpoint" -> QueryDef(
+      build = (spark, dir) =>
+        kmeansStats(
+          Tables.embeddings(spark, dir)
+            .select(col("vec_id"), vec64(col("embedding")).as("e")),
+          k = 8, iters = 2),
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        d1 AS (
+          SELECT e.vec_id, c.cid,
+                 CAST(list_sum(list_transform(list_zip(e.v, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))
+                   AS BIGINT) AS d
+          FROM e CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        comp AS (
+          SELECT a1.cid, t.i,
+                 CAST(floor(CAST(SUM(t.x) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS comp
+          FROM a1 JOIN e USING (vec_id),
+               LATERAL (SELECT UNNEST(e.v) AS x,
+                               generate_subscripts(e.v, 1) AS i) t
+          GROUP BY a1.cid, t.i),
+        c1 AS (SELECT cid, list(comp ORDER BY i) AS cv FROM comp GROUP BY cid),
+        d2 AS (
+          SELECT e.vec_id, c.cid,
+                 CAST(list_sum(list_transform(list_zip(e.v, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))
+                   AS BIGINT) AS d
+          FROM e CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cid, d FROM (
+                 SELECT vec_id, cid, d,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d, cid) AS rn
+                 FROM d2) WHERE rn = 1)
+        SELECT cid, COUNT(*) AS n_vecs,
+               CAST(SUM(d) AS BIGINT) AS inertia,
+               MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+        FROM a2 GROUP BY cid ORDER BY cid""")),
+
+    // ---- q125: leakage-safe grouped train/val/test split ----
+    // The split every supervised pipeline needs and naive row-hash
+    // splits get wrong: assignment is a function of the GROUP (source),
+    // never the row, so all documents from one source land in one split
+    // — near-duplicates within a source can't straddle train and eval.
+    // The bucket is md5-derived (engine-portable, seedable by prefixing
+    // the key), 80/10/10. `leaked_sources` — sources observed in more
+    // than one split — is carried as a self-certifying evidence column
+    // and must be 0.
+    //
+    // 100 TB posture: one scan, one keyed agg; the split decision is a
+    // per-row expression (no join against a source directory needed).
+    "q125_grouped_split" -> QueryDef(
+      build = (spark, dir) => {
+        val bucket = conv(substring(
+            md5(col("source").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100
+        val docs = Tables.documents(spark, dir)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+        val leaked = docs.groupBy(col("source"))
+          .agg(countDistinct(col("split")).as("nspl"))
+          .filter(col("nspl") > 1)
+          .agg(count(lit(1)).as("leaked_sources"))
+        docs.groupBy(col("split"))
+          .agg(countDistinct(col("source")).as("n_sources"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"))
+          .crossJoin(broadcast(leaked))
+          .withColumn("pct_docs", round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+          .select(col("split"), col("n_sources"), col("n_docs"),
+            col("n_chars_total"), col("pct_docs"), col("leaked_sources"))
+          .orderBy(col("split"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT *,
+                 CASE WHEN CAST(CONCAT('0x', substr(md5(source), 1, 8))
+                             AS BIGINT) % 100 < 80 THEN 'train'
+                      WHEN CAST(CONCAT('0x', substr(md5(source), 1, 8))
+                             AS BIGINT) % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents),
+        leaked AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS leaked_sources FROM (
+            SELECT source FROM d GROUP BY source
+            HAVING COUNT(DISTINCT split) > 1)),
+        agg AS (
+          SELECT split, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+          FROM d GROUP BY split)
+        SELECT split, n_sources, n_docs, n_chars_total,
+               ROUND(CAST(n_docs AS DOUBLE)
+                     / SUM(n_docs) OVER (), 6) AS pct_docs,
+               leaked_sources
+        FROM agg CROSS JOIN leaked ORDER BY split""")),
+
+    // ---- q126: skyline (Pareto-optimal document selection) ----
+    // "Give me every document no other document beats on BOTH length
+    // and lexical diversity" — the selection shape quality-filter
+    // tuning actually wants (no weighted scalarization to tune).
+    // Criteria are exact integers: token count and floor-scaled
+    // distinct-token fraction. The engine runs the grid-pruned plan
+    // (see [[skyline]]); the oracle is the brute-force NOT EXISTS
+    // dominance test over ALL documents — a hash match certifies the
+    // prune lossless.
+    "q126_skyline_docs" -> QueryDef(
+      build = (spark, dir) => {
+        val t = Tables.documents(spark, dir)
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+            expr("size(array_distinct(tk)) * CAST(1000000 AS BIGINT) div size(tk)")
+              .as("distinct_scaled"))
+          .filter(col("n_tokens") > 0)
+        skyline(t, "n_tokens", "distinct_scaled")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(len(list_distinct(string_split(trim(text), ' ')))
+                        * 1000000 // len(string_split(trim(text), ' '))
+                   AS BIGINT) AS distinct_scaled
+          FROM documents
+          WHERE len(string_split(trim(text), ' ')) > 0)
+        SELECT doc_id, n_tokens, distinct_scaled FROM t p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t q
+          WHERE q.n_tokens >= p.n_tokens
+            AND q.distinct_scaled >= p.distinct_scaled
+            AND (q.n_tokens > p.n_tokens
+                 OR q.distinct_scaled > p.distinct_scaled))
+        ORDER BY doc_id""")),
+
+    // ---- q127: sliding-window repeated-substring detection ----
+    // The ExactSubstr signal (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better"): fixed-size TOKEN windows at every
+    // offset (stride 1), so verbatim reuse is caught at any alignment —
+    // the failure mode q89's disjoint chunks have (one inserted token
+    // shifts every later chunk boundary). Reports, per document, how
+    // much of it is corpus-repeated text: windows whose exact string
+    // occurs anywhere else in the corpus (another doc OR another offset
+    // of the same doc).
+    //
+    // 100 TB posture: |tokens| window rows (stride 1 is W× q89's row
+    // count — the price of alignment-invariance), each carried as a
+    // 16-byte md5; occurrence counting is one high-cardinality keyed
+    // agg (near-unique keys → skew-free), per-doc rollup a second.
+    // Nothing quadratic; the production form dedups against a window
+    // count table incrementally, as q84 does for whole docs.
+    "q127_repeated_windows" -> QueryDef(
+      build = (spark, dir) => {
+        val W = 15
+        val t = Tables.spread(Tables.documents(spark, dir))
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(col("doc_id"), col("tk"),
+            size(col("tk")).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") >= W)
+        val wins = t.select(col("doc_id"), col("n_tokens"),
+          posexplode(transform(sequence(lit(0), (size(col("tk")) - W).cast("int")),
+            i => md5(array_join(slice(col("tk"), i + 1, lit(W)), " ")
+              .cast("binary")))).as(Seq("off", "sig")))
+        val occ = wins.groupBy(col("sig")).agg(count(lit(1)).as("nocc"))
+        wins.join(occ, "sig")
+          .groupBy(col("doc_id"), col("n_tokens"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("nocc") > 1, 1L).otherwise(0L)).as("n_repeated"))
+          .withColumn("repeated_frac",
+            round(col("n_repeated").cast("double") / col("n_windows"), 6))
+          .filter(col("n_repeated") > 0)
+          .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+            col("n_repeated"), col("repeated_frac"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS tk,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+          WHERE len(string_split(trim(text), ' ')) >= 15),
+        w AS (
+          SELECT doc_id, n_tokens,
+                 md5(array_to_string(tk[(i+1):(i+15)], ' ')) AS sig
+          FROM (SELECT doc_id, n_tokens, tk,
+                       UNNEST(range(0, len(tk) - 15 + 1)) AS i
+                FROM t)),
+        occ AS (SELECT sig, COUNT(*) AS nocc FROM w GROUP BY sig),
+        agg AS (
+          SELECT doc_id, n_tokens, COUNT(*) AS n_windows,
+                 CAST(SUM(CASE WHEN nocc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeated
+          FROM w JOIN occ USING (sig)
+          GROUP BY doc_id, n_tokens)
+        SELECT doc_id, n_tokens, n_windows, n_repeated,
+               ROUND(CAST(n_repeated AS DOUBLE) / n_windows, 6)
+                 AS repeated_frac
+        FROM agg WHERE n_repeated > 0 ORDER BY doc_id""")),
+
+    // ---- q128: positional phrase search over an inverted index ----
+    // Exact multi-token phrase occurrence via positional-posting
+    // intersection — the retrieval primitive behind phrase queries and
+    // "verbatim quote" contamination audits (q71 finds shared long
+    // n-grams; this finds EVERY aligned occurrence of GIVEN phrases
+    // with their offsets). Phrases: the first 5 tokens of docs 0-2 —
+    // corpus-derived, so the query is scale-invariant and each phrase
+    // has ≥1 guaranteed self-match at offset 0.
+    //
+    // The join is the textbook position-algebra form: postings(term,
+    // doc, pos) ⋈ phrase terms(term, idx) on term, grouped by (phrase,
+    // doc, pos - idx); a group with all |phrase| positions present is
+    // an aligned occurrence. At most one posting exists per (doc, pos),
+    // so COUNT(*) = |phrase| is exact.
+    //
+    // 100 TB posture: the phrase side is tiny and broadcast; the
+    // postings side never shuffles more than rows matching phrase
+    // TERMS (the term equijoin is the pushdown — selective terms prune
+    // at the scan in a real inverted store). The candidate agg is keyed
+    // on (phrase, doc, start): high-cardinality, skew-free.
+    "q128_phrase_search" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val phrases = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("phrase_id"),
+            slice(toks(col("text")), 1, 5).as("terms"))
+          .select(col("phrase_id"),
+            array_join(col("terms"), " ").as("phrase"), col("terms"))
+        val terms = phrases.select(col("phrase_id"), col("phrase"),
+          posexplode(col("terms")).as(Seq("idx", "term")))
+        val postings = Tables.spread(docs)
+          .select(col("doc_id"), posexplode(toks(col("text")))
+            .as(Seq("pos", "term")))
+        postings.join(broadcast(terms), "term")
+          .groupBy(col("phrase_id"), col("phrase"), col("doc_id"),
+            (col("pos") - col("idx")).as("start_pos"))
+          .agg(count(lit(1)).as("nhit"))
+          .filter(col("nhit") === 5 && col("start_pos") >= 0)
+          .select(col("phrase_id"), col("phrase"), col("doc_id"),
+            col("start_pos").cast("long").as("start_pos"))
+          .orderBy(col("phrase_id"), col("doc_id"), col("start_pos"))
+      },
+      oracle = Some("""
+        WITH ph AS (
+          SELECT doc_id AS phrase_id,
+                 array_to_string(string_split(trim(text), ' ')[1:5], ' ')
+                   AS phrase,
+                 string_split(trim(text), ' ')[1:5] AS terms
+          FROM documents WHERE doc_id < 3),
+        pt AS (
+          SELECT phrase_id, phrase,
+                 UNNEST(terms) AS term,
+                 generate_subscripts(terms, 1) - 1 AS idx
+          FROM ph),
+        po AS (
+          SELECT doc_id,
+                 UNNEST(string_split(trim(text), ' ')) AS term,
+                 generate_subscripts(string_split(trim(text), ' '), 1) - 1
+                   AS pos
+          FROM documents),
+        cand AS (
+          SELECT phrase_id, phrase, doc_id, pos - idx AS start_pos,
+                 COUNT(*) AS nhit
+          FROM po JOIN pt USING (term)
+          GROUP BY 1, 2, 3, 4)
+        SELECT phrase_id, phrase, doc_id,
+               CAST(start_pos AS BIGINT) AS start_pos
+        FROM cand WHERE nhit = 5 AND start_pos >= 0
+        ORDER BY phrase_id, doc_id, start_pos"""))
+  )
+}
