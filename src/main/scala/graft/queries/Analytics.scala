@@ -1019,6 +1019,99 @@ object Analytics {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, day_num, o_orderkey"""))
+  ) ++ Seq(
+
+    // ---- q131: incremental agg-state merge (materialized-view
+    // maintenance) ----
+    // The mergeable-state property every incremental pipeline rests on,
+    // exercised end-to-end: per-(priority, month) order stats are
+    // computed as two independent partial states (orders before vs
+    // after a date pivot — the "stored MV" and the "arriving batch"),
+    // merged with the state-combine functions (Σn, Σsum — exact
+    // DECIMAL — min-of-mins, max-of-maxes), and certified against a
+    // direct full-table aggregation by in-row drift columns that must
+    // all be zero. The month key cuts ACROSS the date pivot, so every
+    // group genuinely has state on both sides — the merge is never
+    // vacuous.
+    //
+    // 100 TB posture: this is exactly why stored aggregate state beats
+    // re-scanning — the delta batch is the only thing read at refresh
+    // time; the merge is |groups|-sized. Works for any commutative
+    // monoid state (count/sum/min/max here; sketches — q28's HLL — at
+    // the approximate tier). AVG derives from (n, sum) at read time —
+    // never stored, never drifts.
+    "q131_incremental_state_merge" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir).select(
+          col("o_orderpriority").as("priority"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          col("o_totalprice"),
+          col("o_orderdate"))
+        def state(df: DataFrame): DataFrame =
+          df.groupBy(col("priority"), col("mo")).agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(28, 2))).as("s"),
+            min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+        val pivot = "1999-01-01"
+        val stored = state(o.filter(col("o_orderdate") < lit(pivot)))
+        val delta = state(o.filter(col("o_orderdate") >= lit(pivot)))
+        val merged = stored.unionAll(delta)
+          .groupBy(col("priority"), col("mo"))
+          .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+            min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+        val direct = state(o).select(col("priority"), col("mo"),
+          col("n").as("dn"), col("s").as("ds"),
+          col("mn").as("dmn"), col("mx").as("dmx"))
+        merged.join(direct, Seq("priority", "mo"))
+          .select(col("priority"), col("mo"),
+            col("n").cast("long").as("n"),
+            col("s").cast(DoubleType).as("sum_total"),
+            col("mn").as("min_total"), col("mx").as("max_total"),
+            (col("n") - col("dn")).cast("long").as("n_drift"),
+            (col("s") - col("ds")).cast(DoubleType).as("sum_drift"),
+            when(col("mn") === col("dmn") && col("mx") === col("dmx"), 0L)
+              .otherwise(1L).as("minmax_drift"))
+          .orderBy(col("priority"), col("mo"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS priority, month(o_orderdate) AS mo,
+                 o_totalprice, o_orderdate
+          FROM orders),
+        stored AS (
+          SELECT priority, mo, COUNT(*) AS n,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+                 MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+          FROM o WHERE o_orderdate < TIMESTAMP '1999-01-01'
+          GROUP BY priority, mo),
+        delta AS (
+          SELECT priority, mo, COUNT(*) AS n,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+                 MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+          FROM o WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          GROUP BY priority, mo),
+        merged AS (
+          SELECT priority, mo, SUM(n) AS n, SUM(s) AS s,
+                 MIN(mn) AS mn, MAX(mx) AS mx
+          FROM (SELECT * FROM stored UNION ALL SELECT * FROM delta)
+          GROUP BY priority, mo),
+        direct AS (
+          SELECT priority, mo, COUNT(*) AS dn,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS ds,
+                 MIN(o_totalprice) AS dmn, MAX(o_totalprice) AS dmx
+          FROM o GROUP BY priority, mo)
+        SELECT m.priority, CAST(m.mo AS BIGINT) AS mo,
+               CAST(m.n AS BIGINT) AS n,
+               CAST(m.s AS DOUBLE) AS sum_total,
+               m.mn AS min_total, m.mx AS max_total,
+               CAST(m.n - d.dn AS BIGINT) AS n_drift,
+               CAST(m.s - d.ds AS DOUBLE) AS sum_drift,
+               CAST(CASE WHEN m.mn = d.dmn AND m.mx = d.dmx
+                         THEN 0 ELSE 1 END AS BIGINT) AS minmax_drift
+        FROM merged m JOIN direct d
+          ON m.priority = d.priority AND m.mo = d.mo
+        ORDER BY m.priority, m.mo"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */

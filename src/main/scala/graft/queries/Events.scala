@@ -487,6 +487,105 @@ object Events {
                c.event_id AS ctx_event_id, c.event_type AS ctx_type
         FROM p JOIN r c ON c.user_id = p.user_id
           AND c.rn BETWEEN p.rn - 3 AND p.rn - 1
-        ORDER BY purchase_id, pos"""))
+        ORDER BY purchase_id, pos""")),
+
+    // ---- q132: event-sequence pattern match (MATCH_RECOGNIZE-style) ----
+    // Regex over each user's ordered event-type string: conversions =
+    // non-overlapping `v[^pe]*p` matches (a view leading to a purchase
+    // with no error and no earlier purchase between — the negative
+    // condition q33's ordered-subsequence funnel cannot express), plus
+    // `ee+` error bursts. SQL MATCH_RECOGNIZE compiled to the portable
+    // form: encode each event type as one char (first letters are
+    // distinct here; a dictionary join generalizes), assemble per-user
+    // strings, count with the engine's regex — leftmost, non-overlapping
+    // scan semantics agree between Java regex and RE2 for patterns
+    // without backtracking ambiguity like these.
+    //
+    // 100 TB posture: one entity-key shuffle (collect_list over the
+    // user partition); per-user strings are bounded by per-user event
+    // counts — the same memory contract every sessionization op here
+    // already carries. The regex runs once per user, codegen'd.
+    "q132_event_pattern_match" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch"))
+          .groupBy(col("user_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+            x => x.getField("ch")), "").as("s"))
+          .select(col("user_id"),
+            length(col("s")).cast("long").as("n_events"),
+            regexp_count(col("s"), lit("v[^pe]*p")).cast("long")
+              .as("conversions"),
+            regexp_count(col("s"), lit("ee+")).cast("long").as("error_bursts"))
+          .orderBy(col("user_id")),
+      oracle = Some("""
+        WITH s AS (
+          SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), ''
+                   ORDER BY ts, event_id) AS s
+          FROM events GROUP BY user_id)
+        SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(s, 'v[^pe]*p')) AS BIGINT)
+                 AS conversions,
+               CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
+                 AS error_bursts
+        FROM s ORDER BY user_id""")),
+
+    // ---- q133: robust outlier detection via median/MAD ----
+    // Per-event-type robust dispersion: median (exact interpolated
+    // percentile, the q74-proven cross-engine form), MAD = median of
+    // absolute deviations, and the |x − med| > 3·MAD outlier census —
+    // the robust dual of z-scores (mean/stddev are themselves dragged
+    // by the outliers they're meant to find; the median/MAD pair has a
+    // 50% breakdown point). All arithmetic is exact IEEE on identical
+    // inputs: interpolation is (a+b)/2 on doubles, abs/compare/3·MAD
+    // are single ops — no rounding needed anywhere.
+    //
+    // 100 TB posture: two keyed aggregations over the same event_type
+    // partitioning (median, then MAD over deviations) plus a broadcast
+    // of the |types|-row median table; for bounded-cardinality value
+    // domains the q116 histogram form replaces the per-key sort.
+    "q133_mad_outliers" -> QueryDef(
+      build = (spark, dir) => {
+        Tables.events(spark, dir).createOrReplaceTempView("events_q133")
+        spark.sql("""
+          WITH med AS (
+            SELECT event_type, percentile(value, 0.5D) AS med
+            FROM events_q133 GROUP BY event_type),
+          dev AS (
+            SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+            FROM events_q133 e JOIN med m ON e.event_type = m.event_type),
+          mad AS (
+            SELECT event_type, percentile(dev, 0.5D) AS mad
+            FROM dev GROUP BY event_type)
+          SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 MIN(d.med) AS med, MIN(m.mad) AS mad,
+                 CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers,
+                 MAX(CASE WHEN d.dev > 3 * m.mad THEN d.value END)
+                   AS max_outlier
+          FROM dev d JOIN mad m ON d.event_type = m.event_type
+          GROUP BY d.event_type ORDER BY d.event_type""")
+      },
+      oracle = Some("""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type),
+        dev AS (
+          SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+          FROM events e JOIN med m ON e.event_type = m.event_type),
+        mad AS (
+          SELECT event_type, quantile_cont(dev, 0.5) AS mad
+          FROM dev GROUP BY event_type)
+        SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(d.med) AS med, MIN(m.mad) AS mad,
+               CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers,
+               MAX(CASE WHEN d.dev > 3 * m.mad THEN d.value END)
+                 AS max_outlier
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type ORDER BY d.event_type"""))
   )
 }

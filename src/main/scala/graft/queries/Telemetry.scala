@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.sources.GpsGenerator
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Spatial telemetry analytics over the reference's GPS domain
+  * (producer fleet fixes — the same deterministic batch q70 enriches):
+  * grid-bucketed proximity joins (q129) and trip segmentation with
+  * geodesic path accumulation (q130).
+  *
+  * Both oracles read the `_q70_input` parquet the Verify harness
+  * materializes (the [[Gps.VerifyOutToken]] mechanism), so DuckDB sees
+  * the exact same fixes.
+  *
+  * Determinism contract for the geodesic column: latitude/longitude are
+  * generated with exactly 6 decimal places, so the scaled-microdegree
+  * copies are exact integers and every FILTER decision is integer
+  * arithmetic — engine-portable by construction. The haversine
+  * distance itself is descriptive output only (never a predicate),
+  * computed with the identical left-associated expression tree in both
+  * engines and rounded; a sub-ulp libm difference would need the true
+  * value within ~1e-12 of a rounding boundary to surface, checked
+  * empirically at both gate SFs.
+  */
+object Telemetry {
+
+  /** Proximity radius: 0.1° in microdegrees (~11.1 km of latitude). */
+  private val RadiusU = 100000L
+
+  /** Haversine great-circle km. The expression tree (association order,
+    * literal placement) mirrors the oracle SQL token-for-token so both
+    * engines run the identical IEEE op sequence. */
+  private def havKm(lat1: Column, lon1: Column,
+      lat2: Column, lon2: Column): Column = {
+    val rlat1 = radians(lat1); val rlat2 = radians(lat2)
+    val sLat = sin((rlat2 - rlat1) / 2)
+    val sLon = sin((radians(lon2) - radians(lon1)) / 2)
+    lit(2 * 6371.0088) *
+      asin(sqrt(sLat * sLat + cos(rlat1) * cos(rlat2) * sLon * sLon))
+  }
+
+  /** All unordered fix pairs within `radiusU` microdegrees (planar
+    * metric on the 6-dp scaled integers — exact in any engine; the
+    * production geodesic form swaps the cell function for geohash with
+    * antimeridian wrap, same join shape).
+    *
+    * Grid candidate join: each probe row replicates into its 3×3 cell
+    * neighborhood and equijoins build rows on the cell key — a pair
+    * within r is always in same-or-adjacent cells (|Δ| ≤ r ⇒ cell
+    * indices differ ≤ 1 under any monotone integral division), and each
+    * pair is produced exactly once (the build row sits in exactly one
+    * of the probe's nine cells; `ts_a < ts_b` kills the mirror).
+    *
+    * 100 TB posture: candidates shuffle on the cell key (skew-free for
+    * near-uniform spatial data; a hot cell — a depot — gets the q121
+    * salt treatment), the exact integer distance filter runs before any
+    * trig, and the all-pairs explosion never materializes: cost is
+    * Σ_cell |probe∩9-neighborhood|·|build∩cell|, linear for bounded
+    * density. The oracle is the 1-D latitude-band BRUTE-FORCE dual
+    * (three hash joins, no 2-D cells) — the hash match certifies the
+    * grid lossless, q113/q117's proof shape. */
+  def proximityPairs(fixes: DataFrame, radiusU: Long = RadiusU): DataFrame = {
+    val g = fixes.select(
+      col("timestamp").as("ts"), col("vehicle_id"),
+      round(col("latitude") * 1000000).cast(LongType).as("lat_u"),
+      round(col("longitude") * 1000000).cast(LongType).as("lon_u"),
+      col("latitude"), col("longitude"))
+      .withColumn("cx", expr(s"lat_u div $radiusU"))
+      .withColumn("cy", expr(s"lon_u div $radiusU"))
+    val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probe = g.withColumn("o", explode(offs))
+      .select(col("ts").as("ts_a"), col("vehicle_id").as("vehicle_a"),
+        col("lat_u").as("alat"), col("lon_u").as("alon"),
+        col("latitude").as("alatd"), col("longitude").as("alond"),
+        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
+    val build = g.select(col("ts").as("ts_b"), col("vehicle_id").as("vehicle_b"),
+      col("lat_u").as("blat"), col("lon_u").as("blon"),
+      col("latitude").as("blatd"), col("longitude").as("blond"),
+      col("cx"), col("cy"))
+    val d2 = (col("alat") - col("blat")) * (col("alat") - col("blat")) +
+      (col("alon") - col("blon")) * (col("alon") - col("blon"))
+    probe.join(build,
+        col("jx") === col("cx") && col("jy") === col("cy") &&
+          col("ts_a") < col("ts_b"))
+      .filter(d2 <= radiusU * radiusU)
+      .select(col("ts_a"), col("ts_b"), col("vehicle_a"), col("vehicle_b"),
+        d2.as("dist2_u"),
+        round(havKm(col("alatd"), col("alond"), col("blatd"), col("blond")), 3)
+          .as("dist_km"))
+      .orderBy(col("ts_a"), col("ts_b"))
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q129: grid-bucketed spatial proximity self-join ----
+    // "Which fixes were within ~11 km of each other?" — the spatial
+    // primitive behind convoy detection, depot discovery, and
+    // co-location audits. See [[proximityPairs]] for the lossless-grid
+    // argument; the oracle reproduces every pair by latitude-band brute
+    // force and the hash match certifies the 2-D grid drops nothing.
+    "q129_spatial_proximity_join" -> QueryDef(
+      build = (spark, dir) =>
+        proximityPairs(GpsGenerator.batch(spark, Gps.inputRows(dir))),
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT "timestamp" AS ts, vehicle_id,
+                 CAST(round(latitude * 1000000) AS BIGINT) AS lat_u,
+                 CAST(round(longitude * 1000000) AS BIGINT) AS lon_u,
+                 radians(latitude) AS rlat, radians(longitude) AS rlon
+          FROM read_parquet('${Gps.VerifyOutToken}/_q70_input/*.parquet')),
+        gb AS (SELECT *, lat_u // 100000 AS band FROM g),
+        cand AS (
+          SELECT a.ts ats, b.ts bts, a.vehicle_id av, b.vehicle_id bv,
+                 a.lat_u alat, a.lon_u alon, b.lat_u blat, b.lon_u blon,
+                 a.rlat arlat, b.rlat brlat, a.rlon arlon, b.rlon brlon
+          FROM gb a JOIN gb b ON b.band = a.band - 1 AND a.ts < b.ts
+          UNION ALL
+          SELECT a.ts, b.ts, a.vehicle_id, b.vehicle_id,
+                 a.lat_u, a.lon_u, b.lat_u, b.lon_u,
+                 a.rlat, b.rlat, a.rlon, b.rlon
+          FROM gb a JOIN gb b ON b.band = a.band AND a.ts < b.ts
+          UNION ALL
+          SELECT a.ts, b.ts, a.vehicle_id, b.vehicle_id,
+                 a.lat_u, a.lon_u, b.lat_u, b.lon_u,
+                 a.rlat, b.rlat, a.rlon, b.rlon
+          FROM gb a JOIN gb b ON b.band = a.band + 1 AND a.ts < b.ts)
+        SELECT ats AS ts_a, bts AS ts_b, av AS vehicle_a, bv AS vehicle_b,
+               (alat-blat)*(alat-blat) + (alon-blon)*(alon-blon) AS dist2_u,
+               ROUND(2 * 6371.0088 * asin(sqrt(
+                 sin((brlat-arlat)/2)*sin((brlat-arlat)/2)
+                 + cos(arlat)*cos(brlat)*sin((brlon-arlon)/2)*sin((brlon-arlon)/2))), 3)
+                 AS dist_km
+        FROM cand
+        WHERE (alat-blat)*(alat-blat) + (alon-blon)*(alon-blon)
+                <= ${RadiusU * RadiusU}
+        ORDER BY ts_a, ts_b""")),
+
+    // ---- q130: trip segmentation + geodesic path accumulation ----
+    // Split each vehicle's fix stream into trips at >60 s silence, then
+    // per-trip stats: fix count, great-circle path length (haversine
+    // legs rounded to 4 dp — 0.1 m — then EXACT decimal accumulation,
+    // the Det.dsum recipe, so the double-valued sum is engine-
+    // identical), and the q70 integer-cents exact speed average. The
+    // telemetry dual of q32's event sessionization.
+    //
+    // 100 TB posture: every window shares PARTITION BY vehicle_id — the
+    // whole query is ONE entity-key shuffle plus per-key sorts (the
+    // q96 SCD-2 shape); trips never cross vehicles so no global pass
+    // exists anywhere.
+    "q130_trip_segmentation" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("vehicle_id")).orderBy(col("sec"))
+        val wt = Window.partitionBy(col("vehicle_id"), col("trip_seq"))
+          .orderBy(col("sec"))
+        GpsGenerator.batch(spark, Gps.inputRows(dir))
+          .select(col("vehicle_id"), col("timestamp").as("ts"),
+            unix_timestamp(col("timestamp")).as("sec"),
+            col("latitude"), col("longitude"), col("speed_kmh"))
+          .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+          .withColumn("new_trip",
+            when(col("gap").isNull || col("gap") > 60L, 1L).otherwise(0L))
+          .withColumn("trip_seq", sum(col("new_trip"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("plat", lag(col("latitude"), 1).over(wt))
+          .withColumn("plon", lag(col("longitude"), 1).over(wt))
+          .withColumn("leg", when(col("plat").isNull, lit(0.0))
+            .otherwise(round(
+              havKm(col("plat"), col("plon"), col("latitude"), col("longitude")),
+              4)))
+          .groupBy(col("vehicle_id"), col("trip_seq"))
+          .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+            count(lit(1)).as("n_fixes"),
+            sum(col("leg").cast(DecimalType(28, 4))).cast(DoubleType)
+              .as("path_km"),
+            round(sum(round(col("speed_kmh") * 100).cast(LongType))
+              .cast(DoubleType) / 100.0d / count(col("speed_kmh")), 6)
+              .as("avg_speed"))
+          .orderBy(col("vehicle_id"), col("trip_seq"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT vehicle_id, "timestamp" AS ts,
+                 epoch(CAST("timestamp" AS TIMESTAMP)) AS sec,
+                 latitude, longitude, speed_kmh
+          FROM read_parquet('${Gps.VerifyOutToken}/_q70_input/*.parquet')),
+        f AS (
+          SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                           OR sec - lag(sec) OVER w > 60
+                         THEN 1 ELSE 0 END AS new_trip
+          FROM g WINDOW w AS (PARTITION BY vehicle_id ORDER BY sec)),
+        t AS (
+          SELECT *, SUM(new_trip) OVER (PARTITION BY vehicle_id ORDER BY sec
+                      ROWS UNBOUNDED PRECEDING) AS trip_seq
+          FROM f),
+        l AS (
+          SELECT *, lag(latitude) OVER wt AS plat,
+                    lag(longitude) OVER wt AS plon
+          FROM t WINDOW wt AS (PARTITION BY vehicle_id, trip_seq
+                               ORDER BY sec)),
+        legs AS (
+          SELECT *, CASE WHEN plat IS NULL THEN 0.0 ELSE
+            round(2 * 6371.0088 * asin(sqrt(
+              sin((radians(latitude)-radians(plat))/2)
+                * sin((radians(latitude)-radians(plat))/2)
+              + cos(radians(plat))*cos(radians(latitude))
+                * sin((radians(longitude)-radians(plon))/2)
+                * sin((radians(longitude)-radians(plon))/2))), 4) END AS leg
+          FROM l)
+        SELECT vehicle_id, CAST(trip_seq AS BIGINT) AS trip_seq,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_fixes,
+               CAST(SUM(CAST(leg AS DECIMAL(28,4))) AS DOUBLE) AS path_km,
+               ROUND(CAST(SUM(CAST(ROUND(speed_kmh * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0 / COUNT(speed_kmh), 6) AS avg_speed
+        FROM legs GROUP BY vehicle_id, trip_seq
+        ORDER BY vehicle_id, trip_seq"""))
+  )
+}
