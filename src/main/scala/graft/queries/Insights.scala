@@ -1,0 +1,280 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import Det._
+
+/** Product/ops analytics depth: activity metrics (q134), trend fitting
+  * (q135), entity resolution (q136), equi-depth binning (q137), and
+  * forensic digit audits (q138). Each is the portable, shuffle-lean
+  * form of a metric real dashboards and data-quality suites compute —
+  * and each is fully DuckDB-replayable (engine-deterministic arithmetic
+  * throughout: exact integer/decimal accumulation, double formulas with
+  * mirrored expression trees, rounded once at the end).
+  */
+object Insights {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q134: trailing 7-day active users (DAU/WAU/stickiness) ----
+    // The activity primitive behind every engagement dashboard. The
+    // scalable form: COUNT(DISTINCT) over a sliding frame is
+    // inexpressible as a window function without quadratic recount;
+    // instead each (user, active-day) — already deduped, |user-days| ≪
+    // |events| — CONTRIBUTES to the 7 trailing windows it belongs to,
+    // and each window is one distinct-count over its contributions.
+    // Trailing windows are defined for every day with ≥1 contribution
+    // (including up to 6 days past the last event; DAU is 0 there).
+    //
+    // 100 TB posture: the event-scale stage is the (user, day) distinct
+    // — a keyed partial agg; the explode is ×7 on the much smaller
+    // user-day set; the final distinct-count shuffles (window-day, user)
+    // pairs. No per-window rescan, no cross join against a calendar.
+    "q134_rolling_active_users" -> QueryDef(
+      build = (spark, dir) => {
+        val ud = Tables.events(spark, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val wau = ud
+          .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
+            col("d"))
+          .select(col("user_id"), date_add(col("d"), col("i")).as("wd"))
+          .groupBy(col("wd"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        val dau = ud.groupBy(col("d").as("wd"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        wau.join(dau, Seq("wd"), "left")
+          .withColumn("dau", coalesce(col("dau"), lit(0L)))
+          .select(date_format(col("wd"), "yyyy-MM-dd").as("active_day"),
+            col("dau"), col("wau"),
+            round(col("dau").cast(DoubleType) / col("wau"), 6)
+              .as("stickiness"))
+          .orderBy(col("active_day"))
+      },
+      oracle = Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        ex AS (
+          SELECT user_id, d + CAST(t.i AS INTEGER) AS wd
+          FROM ud CROSS JOIN (SELECT UNNEST(range(0, 7)) AS i) t),
+        wau AS (SELECT wd, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+                FROM ex GROUP BY wd),
+        dau AS (SELECT d AS wd, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+                FROM ud GROUP BY d)
+        SELECT strftime(w.wd, '%Y-%m-%d') AS active_day,
+               COALESCE(dau.dau, 0) AS dau, w.wau,
+               ROUND(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / w.wau, 6)
+                 AS stickiness
+        FROM wau w LEFT JOIN dau ON w.wd = dau.wd
+        ORDER BY active_day""")),
+
+    // ---- q135: grouped OLS trend fit from mergeable sums ----
+    // Per-priority least-squares fit of order value over time, computed
+    // entirely from the six monoid sums (n, Σx, Σx², Σy, Σxy, Σy²) —
+    // the form that (a) needs ONE partial→final aggregation pass, (b)
+    // is incrementally maintainable (q131's merge applies verbatim),
+    // and (c) is engine-portable: x is an integer day offset, the y
+    // sums accumulate in exact DECIMAL, and the closed-form slope/
+    // intercept/R² run as identical IEEE double expressions in both
+    // engines, rounded once.
+    "q135_grouped_ols_trend" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir).select(
+          col("o_orderpriority").as("priority"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("x"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("y"))
+        val s = o.groupBy(col("priority")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y")).as("sy"),
+          sum(col("y") * col("x").cast(DecimalType(18, 0))).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast(DoubleType)
+        val sxD = col("sx").cast(DoubleType); val sxxD = col("sxx").cast(DoubleType)
+        val syD = col("sy").cast(DoubleType); val sxyD = col("sxy").cast(DoubleType)
+        val syyD = col("syy").cast(DoubleType)
+        val num = nD * sxyD - sxD * syD
+        val den = nD * sxxD - sxD * sxD
+        s.select(col("priority"), col("n"),
+            round(num / den, 6).as("slope"),
+            round((syD - num / den * sxD) / nD, 6).as("intercept"),
+            round(num * num / (den * (nD * syyD - syD * syD)), 6).as("r2"))
+          .orderBy(col("priority"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT o_orderpriority AS priority, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(x * x) AS sxx,
+                 SUM(y) AS sy, SUM(y * CAST(x AS DECIMAL(18,0))) AS sxy,
+                 SUM(y * y) AS syy
+          FROM (SELECT o_orderpriority,
+                       datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                         AS x,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS y
+                FROM orders)
+          GROUP BY o_orderpriority)
+        SELECT priority, CAST(n AS BIGINT) AS n,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS slope,
+               ROUND((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS intercept,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS r2
+        FROM s ORDER BY priority""")),
+
+    // ---- q136: entity resolution via lossless pigeonhole blocking ----
+    // Near-duplicate entity names at edit distance ≤ 1. Fixed-length
+    // names make the pigeonhole exact: one substitution lives in one
+    // half of the string, so every distance-1 pair agrees on the first
+    // OR the second half — block on both halves, union, verify with
+    // exact levenshtein (the q47 SimHash block-join shape applied to
+    // edit distance; PassJoin generalizes to k > 1 with k+1 segments).
+    // A pair of DISTINCT names can never match on both halves (that
+    // would make the strings equal), so the union is duplicate-free by
+    // construction — no distinct needed.
+    //
+    // 100 TB posture: candidates are per-block equijoins (each name
+    // emits 2 block rows); the brute-force oracle is the losslessness
+    // certificate, the all-pairs form never runs in the engine.
+    "q136_pigeonhole_fuzzy_match" -> QueryDef(
+      build = (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name"))
+        val blocks = c
+          .select(col("c_custkey"), col("c_name"),
+            substring(col("c_name"), 1, 9).as("blk"), lit(0).as("side"))
+          .unionAll(c.select(col("c_custkey"), col("c_name"),
+            substring(col("c_name"), 10, 9).as("blk"), lit(1).as("side")))
+        val a = blocks.select(col("c_custkey").as("ka"), col("c_name").as("na"),
+          col("blk"), col("side"))
+        val b = blocks.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+          col("blk"), col("side"))
+        val pairs = a.join(b, Seq("blk", "side"))
+          .filter(col("ka") < col("kb"))
+          .filter(levenshtein(col("na"), col("nb")) <= 1)
+        pairs.select(col("ka").as("c_custkey"), col("na").as("c_name"),
+            col("nb").as("other"))
+          .unionAll(pairs.select(col("kb"), col("nb"), col("na")))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(lit(1)).as("n_matches"), min(col("other")).as("first_match"))
+          .orderBy(col("c_custkey"))
+      },
+      oracle = Some("""
+        WITH c AS (SELECT c_custkey, c_name FROM customer),
+        p AS (
+          SELECT a.c_custkey AS ka, a.c_name AS na,
+                 b.c_custkey AS kb, b.c_name AS nb
+          FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+          WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        sym AS (
+          SELECT ka AS c_custkey, na AS c_name, nb AS other FROM p
+          UNION ALL
+          SELECT kb, nb, na FROM p)
+        SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_matches,
+               MIN(other) AS first_match
+        FROM sym GROUP BY c_custkey, c_name
+        ORDER BY c_custkey""")),
+
+    // ---- q137: equi-depth decile binning (NTILE parity) ----
+    // Per-priority value deciles with per-bin stats — the feature-
+    // binning / price-banding primitive. NTILE semantics (bucket sizes
+    // differ by at most one, earlier buckets larger) are ANSI-specified
+    // and engine-identical given a TOTAL order, so the window carries
+    // the o_orderkey tie-break; sums accumulate in exact decimal.
+    //
+    // 100 TB posture: one entity-key shuffle + per-key sort; for
+    // skew-proof binning over a bounded value domain the q116 histogram
+    // form computes the same cutpoints without a global per-key sort.
+    "q137_decile_binning" -> QueryDef(
+      build = (spark, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(spark, dir)
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy(col("o_orderpriority"), col("decile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderpriority"), col("decile"))
+      },
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT o_orderpriority, o_totalprice,
+                 NTILE(10) OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS decile
+          FROM orders)
+        SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+               ${Det.sqlSum("o_totalprice", 2)} AS total
+        FROM d GROUP BY o_orderpriority, decile
+        ORDER BY o_orderpriority, decile""")),
+
+    // ---- q138: Benford first-digit audit ----
+    // The forensic data-quality screen: observed first-significant-
+    // digit frequencies of order values vs the Benford expectation
+    // n·log10(1 + 1/d), with per-digit χ² contributions. The digit is
+    // extracted from the INTEGER cents string — log10-free, so no
+    // engine's libm can misplace a power-of-ten boundary; the expected
+    // counts and χ² terms are double formulas with mirrored expression
+    // trees, rounded once. One partial→final agg over 9 groups.
+    "q138_benford_audit" -> QueryDef(
+      build = (spark, dir) => {
+        val freq = Tables.orders(spark, dir)
+          .select(substring(round(col("o_totalprice") * 100).cast(LongType)
+            .cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        val tot = freq.agg(sum(col("n_obs")).as("n_total"))
+        val expRaw = col("n_total").cast(DoubleType) *
+          log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
+        val obsD = col("n_obs").cast(DoubleType)
+        freq.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"),
+            round(expRaw, 4).as("expected"),
+            round((obsD - expRaw) * (obsD - expRaw) / expRaw, 6)
+              .as("chi2_term"))
+          .orderBy(col("digit"))
+      },
+      oracle = Some("""
+        WITH freq AS (
+          SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 COUNT(*) AS n_obs
+          FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM freq)
+        SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+               ROUND(CAST(n_total AS DOUBLE)
+                     * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4)
+                 AS expected,
+               ROUND((CAST(n_obs AS DOUBLE)
+                      - CAST(n_total AS DOUBLE)
+                        * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                     * (CAST(n_obs AS DOUBLE)
+                        - CAST(n_total AS DOUBLE)
+                          * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                     / (CAST(n_total AS DOUBLE)
+                        * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
+                 AS chi2_term
+        FROM freq CROSS JOIN tot
+        ORDER BY digit"""))
+  )
+}

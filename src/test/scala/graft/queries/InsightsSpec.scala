@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Semantic checks for the analytics-depth queries (q134–q138): each
+  * answer recomputed in plain Scala on the driver. q136's model is the
+  * brute-force all-pairs edit-distance scan — certifying the pigeonhole
+  * half-block join lossless by a third algorithm (the oracle already
+  * brute-forces in SQL; this one shares no engine).
+  */
+class InsightsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf).collect()
+
+  // ---- q134: rolling 7-day distinct actives ----
+
+  test("q134: DAU/WAU match a driver-side rolling-distinct replay") {
+    val ud = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) d").distinct()
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val dau = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet.size.toLong).toMap
+    val wau = ud.flatMap { case (u, d) => (0 to 6).map(i => (d.plusDays(i), u)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet.size.toLong).toMap
+    val got = run("q134_rolling_active_users").map(r =>
+      (java.time.LocalDate.parse(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == wau.keySet)
+    got.foreach { case (d, gd, gw) =>
+      assert(gw == wau(d), s"wau $d")
+      assert(gd == dau.getOrElse(d, 0L), s"dau $d")
+    }
+    // trailing coverage: a window day past the last active day has dau 0
+    val lastActive = dau.keySet.max
+    assert(got.filter(_._1.isAfter(lastActive)).forall(_._2 == 0L))
+  }
+
+  // ---- q135: OLS from sums vs a direct least-squares replay ----
+
+  test("q135: slope/intercept/r2 match a direct OLS computation") {
+    val rows = graft.core.Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority",
+        "CAST(datediff(o_orderdate, '1995-01-01') AS LONG) x", "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = run("q135_grouped_ols_trend").map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val n = rs.size.toDouble
+      val xs = rs.map(_._2.toDouble); val ys = rs.map(_._3)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = rs.map(r => r._2 * r._3).sum
+      val syy = ys.map(y => y * y).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val (gn, gs, gi, gr) = got(p)
+      assert(gn == rs.size)
+      assert(math.abs(gs - num / den) < 1e-4, s"$p slope")
+      assert(math.abs(gi - (sy - num / den * sx) / n) < 1e-2, s"$p intercept")
+      assert(math.abs(gr - num * num / (den * (n * syy - sy * sy))) < 1e-4,
+        s"$p r2")
+      assert(gr >= 0 && gr <= 1, s"$p r2 range")
+    }
+  }
+
+  // ---- q136: pigeonhole block join vs brute-force all-pairs ----
+
+  test("q136: blocked fuzzy match equals brute-force edit distance") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val names = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val model = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka != kb && lev(na, nb) <= 1
+    } yield (ka, (nb: String))).groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).min)).toMap
+    val got = run("q136_pigeonhole_fuzzy_match").map(r =>
+      r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got == model)
+    assert(got.nonEmpty, "digit-structured names must produce matches")
+  }
+
+  // ---- q137: NTILE replay ----
+
+  test("q137: decile sizes and bounds match the ANSI NTILE definition") {
+    val rows = graft.core.Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val got = run("q137_decile_binning").map(r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val n = sorted.size; val q = n / 10; val rem = n % 10
+      var idx = 0
+      (1 to 10).foreach { b =>
+        val sz = q + (if (b <= rem) 1 else 0)
+        val bucket = sorted.slice(idx, idx + sz); idx += sz
+        val (gn, glo, ghi) = got((p, b.toLong))
+        assert(gn == sz, s"$p decile $b size")
+        assert(glo == bucket.map(_._2).min && ghi == bucket.map(_._2).max,
+          s"$p decile $b bounds")
+      }
+    }
+  }
+
+  // ---- q138: Benford replay ----
+
+  test("q138: digit frequencies and chi2 terms match a driver replay") {
+    val cents = graft.core.Tables.orders(spark, sf)
+      .selectExpr("CAST(round(o_totalprice * 100) AS LONG) c").collect()
+      .map(_.getLong(0))
+    val freq = cents.groupBy(_.toString.head.asDigit.toLong).view
+      .mapValues(_.size.toLong).toMap
+    val n = cents.length.toDouble
+    val got = run("q138_benford_audit").map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == freq.keySet)
+    got.foreach { case (d, (obs, exp, chi)) =>
+      assert(obs == freq(d))
+      val e = n * math.log10(1.0 + 1.0 / d)
+      assert(math.abs(exp - e) < 1e-3, s"digit $d expected")
+      assert(math.abs(chi - (obs - e) * (obs - e) / e) < 1e-4, s"digit $d chi2")
+    }
+    assert(got.values.map(_._1).sum == cents.length, "digits partition orders")
+  }
+}
