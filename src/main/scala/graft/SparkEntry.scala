@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.defs ++ Analytics.defs ++ Events.defs ++ Text.defs ++
       Curation.defs ++ Training.defs ++ Dedup.defs ++ Vectors.defs ++
       Retrieval.defs ++ Tokenizer.defs ++ Graph.defs ++ Mining.defs ++
-      Telemetry.defs ++ Insights.defs ++ Multi.defs ++ Gps.defs
+      Telemetry.defs ++ Insights.defs ++ StreamingGate.defs ++
+      Multi.defs ++ Gps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** The Structured Streaming surface as an ORACLE-BACKED gate query.
+  *
+  * Every streaming operator here is spec-tested (StreamingOpsSpec), but
+  * specs assert against in-process expectations — this query instead
+  * runs a REAL `readStream` micro-batch pipeline (file source →
+  * event-time watermark → tumbling-window aggregation → append-mode
+  * memory sink, Trigger.AvailableNow) and exposes its emitted result to
+  * the DuckDB oracle. The bridge is the watermark-trim law: in append
+  * mode a window is emitted iff its END ≤ final watermark, and with
+  * AvailableNow the final watermark is max(event_time) − delay — a pure
+  * function of the data, which the oracle replays in SQL. Hash match ⇒
+  * the streaming path (source chunking, state store, watermark
+  * advancement, append emission) produced exactly the windows the
+  * relational semantics promise.
+  *
+  * Boundary note: emission compares millisecond-truncated times; the
+  * gate data's max event time sits minutes away from any hour boundary,
+  * so ≤-vs-< and ms-vs-µs ambiguities cannot flip a window (asserted
+  * empirically at both gate SFs).
+  */
+object StreamingGate {
+
+  /** events.parquet schema with ts as raw NANOS (read as long — the
+    * file source gets an explicit schema, so no inference pass). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Run the streamed hourly profile to completion and return the
+    * emitted (watermark-trimmed) result, fully ordered. */
+  def streamedHourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "q139_sink_" + System.nanoTime()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("q139_ckpt").toString
+    // the file source requires a DIRECTORY (it watches for arriving
+    // files); stage the table file behind a symlink in a temp dir —
+    // exactly how a notification-fed landing prefix looks in production
+    val srcDir = java.nio.file.Files.createTempDirectory("q139_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .parquet(srcDir.toString)
+        .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+          col("event_type"), col("value"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(28, 2))).as("sdec"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(NanosKey, v)
+      case None    => spark.conf.unset(NanosKey)
+    }
+    spark.table(sink)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("n"),
+        col("sdec").cast(DoubleType).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q139: streamed watermarked hourly profile, oracle-backed ----
+    // q31's hourly profile recomputed by the streaming engine itself;
+    // the oracle rebuilds the same windows in batch SQL and applies the
+    // watermark-trim law (window_end ≤ max(ts) − 1 h). See the object
+    // scaladoc for why the trim is a pure function of the data.
+    //
+    // 100 TB posture: this IS the production shape — a file-notification
+    // source feeding a watermarked shuffle-partitioned window agg with
+    // incremental state; the memory sink stands in for the Iceberg
+    // table sink (TableSink), which the streaming specs exercise.
+    "q139_streamed_hourly_profile" -> QueryDef(
+      build = (spark, dir) => streamedHourlyProfile(spark, dir),
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, value
+          FROM events),
+        m AS (SELECT max(tsu) AS mx FROM e),
+        w AS (
+          SELECT date_trunc('hour', tsu) AS ws, event_type,
+                 COUNT(*) AS n,
+                 ${Det.sqlSum("value", 2)} AS sum_value
+          FROM e GROUP BY 1, 2)
+        SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               w.event_type, w.n, w.sum_value
+        FROM w CROSS JOIN m
+        WHERE w.ws + INTERVAL 1 HOUR <= m.mx - INTERVAL 1 HOUR
+        ORDER BY hour_start, event_type"""))
+  )
+}

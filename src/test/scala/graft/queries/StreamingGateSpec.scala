@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The streamed gate query vs its batch dual: the append-mode emission
+  * must equal the batch window aggregation restricted by the
+  * watermark-trim law (window_end ≤ max(event_time) − delay), and the
+  * trimmed windows must be exactly the trailing ones.
+  */
+class StreamingGateSpec extends SparkSpec {
+
+  test("q139: streamed emission ≡ watermark-trimmed batch windows") {
+    val streamed = graft.SparkEntry.queries("q139_streamed_hourly_profile")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    val ev = graft.core.Tables.events(spark, sf)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+          .cast("double").as("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+
+    val hourUs = 3600L * 1000000
+    val kept = batch.filter { case (ws, _, _, _) =>
+      ws.getTime * 1000 + hourUs <= maxUs - hourUs }
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val model = kept.map { case (ws, t, n, s) => (fmt.format(ws), t, n, s) }
+      .sortBy(r => (r._1, r._2)).toSeq
+
+    assert(streamed.toSeq == model)
+    // the trim is non-vacuous and strictly trailing: something was
+    // trimmed, and every trimmed window starts after every kept one
+    val trimmed = batch.length - kept.length
+    assert(trimmed > 0, "watermark must hold back the trailing windows")
+    val lastKept = kept.map(_._1.getTime).max
+    batch.filter { case (ws, _, _, _) =>
+      ws.getTime * 1000 + hourUs > maxUs - hourUs }
+      .foreach { case (ws, _, _, _) =>
+        assert(ws.getTime >= lastKept, "trimmed windows are the tail") }
+  }
+}
