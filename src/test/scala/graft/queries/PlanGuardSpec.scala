@@ -139,4 +139,47 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("percentile"),
       "histogram path fell back to sort-based percentile aggregation")
   }
+
+  test("q129: the spatial grid join is an equijoin — never nested-loop") {
+    val p = plan("q129_spatial_proximity_join")
+    // A cartesian/nested-loop here is the all-pairs O(N²) the cell
+    // bucketing exists to avoid; the candidate join must key on the
+    // (cell-x, cell-y) pair.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "spatial join degenerated into an all-pairs comparison")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no keyed join found in the grid path")
+  }
+
+  test("q130: trip build runs on ONE vehicle-key hash shuffle") {
+    val p = plan("q130_trip_segmentation")
+    // Both windows ((vehicle_id) and (vehicle_id, trip_seq)) and the trip
+    // groupBy must reuse hashpartitioning(vehicle_id) by the subset rule —
+    // a second hash exchange would re-shuffle the fix stream per stage.
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1,
+      "trip segmentation re-shuffles instead of reusing vehicle_id partitioning")
+  }
+
+  test("q134: active-user distincts are partial-aggregated before any exchange") {
+    val p = plan("q134_rolling_active_users")
+    // The event-scale stage is the (user, day) distinct; without map-side
+    // partial aggregation the raw event stream crosses the wire.
+    assert(p.contains("partial"), "no map-side partial aggregation in DAU/WAU")
+    assert(!p.contains("CartesianProduct"),
+      "window contribution explode degenerated into a calendar cross join")
+  }
+
+  test("q136: deletion-neighborhood match joins on the block key — no cartesian") {
+    val p = plan("q136_pigeonhole_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy matching degenerated into the all-pairs edit-distance scan")
+  }
+
+  test("q137: decile binning reuses the priority partitioning for the bin agg") {
+    val p = plan("q137_decile_binning")
+    // NTILE's window partitions by o_orderpriority; the (priority, decile)
+    // groupBy is satisfied by the same partitioning (subset rule).
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1,
+      "bin aggregation re-shuffles data already co-located by priority")
+  }
 }
