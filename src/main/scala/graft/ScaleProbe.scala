@@ -75,6 +75,28 @@ object ScaleProbe {
       println(f"""{"probe":"gps","scale":$s,"rows":$n,"groups":$rows,"sec":$sec%.3f,"rows_per_sec":${(n / sec).toLong}}""")
     }
 
+    // spatial probe: q129's grid proximity join under CONSTANT DENSITY —
+    // the honest growth model (a bigger fleet covers more geography, so
+    // per-cell occupancy stays fixed). The generator's area is fixed, so
+    // density scales with n; shrinking the radius by 1/√s restores
+    // constant expected neighbors per point. Linear sec/scale here means
+    // the grid join carries no hidden quadratic term; the same probe run
+    // at FIXED radius would measure the density-squared candidate growth
+    // a real deployment avoids by partitioning geography.
+    if (enabled("spatial")) {
+      def pairs(n: Long, r: Long): Long = graft.queries.Telemetry
+        .proximityPairs(graft.sources.GpsGenerator.batch(spark, n), r).count()
+      pairs(600000L, 100000L) // warmup: shared codegen
+      Seq(1, 2, 4).filter(_ <= maxScale).foreach { s =>
+        val n = 600000L * s
+        val r = math.round(100000.0 / math.sqrt(s.toDouble))
+        System.gc() // Bench-style inter-scale hygiene: earlier scales'
+        // shuffle garbage otherwise lands in this scale's measurement
+        val (sec, p) = timed(pairs(n, r))
+        println(f"""{"probe":"spatial","scale":$s,"fixes":$n,"radius_u":$r,"pairs":$p,"sec":$sec%.3f,"fixes_per_sec":${(n / sec).toLong}}""")
+      }
+    }
+
     // dedup probe: salted upsampling of the documents corpus
     import org.apache.spark.sql.functions._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
