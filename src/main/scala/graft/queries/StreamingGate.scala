@@ -85,6 +85,52 @@ object StreamingGate {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Run the streamed view→purchase interval join to completion and
+    * return the emitted matches, fully ordered. Two independent
+    * file-source streams over the same staged landing dir, each
+    * watermarked, joined on user + a 2-hour event-time interval. */
+  def streamedIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "q140_sink_" + System.nanoTime()
+    val ckpt = java.nio.file.Files.createTempDirectory("q140_ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("q140_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def side(tpe: String, pfx: String): DataFrame = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir.toString)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pfx}_user"),
+        col("event_id").as(s"${pfx}_id"),
+        timestamp_micros(expr("ts div 1000")).as(s"${pfx}_time"))
+      .withWatermark(s"${pfx}_time", "4 hours")
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = side("view", "v").join(side("purchase", "p"),
+          col("v_user") === col("p_user") &&
+            col("p_time") >= col("v_time") &&
+            col("p_time") <= col("v_time") + expr("INTERVAL 120 MINUTES"))
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("p_id").as("purchase_id"),
+          (unix_micros(col("p_time")) - unix_micros(col("v_time")))
+            .as("gap_us"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(NanosKey, v)
+      case None    => spark.conf.unset(NanosKey)
+    }
+    spark.table(sink)
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- q139: streamed watermarked hourly profile, oracle-backed ----
@@ -113,6 +159,31 @@ object StreamingGate {
                w.event_type, w.n, w.sum_value
         FROM w CROSS JOIN m
         WHERE w.ws + INTERVAL 1 HOUR <= m.mx - INTERVAL 1 HOUR
-        ORDER BY hour_start, event_type"""))
+        ORDER BY hour_start, event_type""")),
+
+    // ---- q140: streamed stream-stream interval join, oracle-backed ----
+    // view→purchase attribution (purchase within 2 h of a view by the
+    // same user) computed by TWO watermarked streams joined on
+    // user + an event-time interval — the stream-stream join the
+    // streaming specs exercise, now facing the batch oracle. For an
+    // INNER interval join, append mode emits every match exactly once
+    // (state eviction only discards rows no FUTURE input can match), so
+    // the drained emission equals the batch range join with no trim —
+    // the join-completeness dual of q139's watermark-trim law.
+    "q140_streamed_interval_join" -> QueryDef(
+      build = (spark, dir) => streamedIntervalJoin(spark, dir),
+      oracle = Some("""
+        WITH v AS (
+          SELECT user_id, event_id AS vid, CAST(ts AS TIMESTAMP) AS vt
+          FROM events WHERE event_type = 'view'),
+        p AS (
+          SELECT user_id, event_id AS pid, CAST(ts AS TIMESTAMP) AS pt
+          FROM events WHERE event_type = 'purchase')
+        SELECT v.user_id AS user_id, v.vid AS view_id, p.pid AS purchase_id,
+               CAST(epoch_us(p.pt - v.vt) AS BIGINT) AS gap_us
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.pt >= v.vt AND p.pt <= v.vt + INTERVAL 120 MINUTE
+        ORDER BY v.user_id, view_id, purchase_id"""))
   )
 }

@@ -45,4 +45,27 @@ class StreamingGateSpec extends SparkSpec {
       .foreach { case (ws, _, _, _) =>
         assert(ws.getTime >= lastKept, "trimmed windows are the tail") }
   }
+
+  test("q140: streamed interval join ≡ the batch range join, untrimmed") {
+    val streamed = graft.SparkEntry.queries("q140_streamed_interval_join")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = ev.filter(_._3 == "view")
+    val purchases = ev.filter(_._3 == "purchase")
+    val twoH = 120L * 60 * 1000000
+    val model = (for {
+      (vu, vid, _, vt) <- views
+      (pu, pid, _, pt) <- purchases
+      if vu == pu && pt >= vt && pt <= vt + twoH
+    } yield (vu, vid, pid, pt - vt)).sortBy(t => (t._1, t._2, t._3)).toSeq
+
+    // inner stream-stream joins emit every match: NO trim, unlike q139
+    assert(streamed.toSeq == model)
+    assert(model.nonEmpty, "the gate data must contain attributable pairs")
+  }
 }
