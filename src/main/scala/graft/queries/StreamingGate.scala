@@ -131,6 +131,47 @@ object StreamingGate {
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
+  /** Run the streamed per-user session build to completion and return
+    * the emitted (watermark-closed) sessions, fully ordered. */
+  def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "q141_sink_" + System.nanoTime()
+    val ckpt = java.nio.file.Files.createTempDirectory("q141_ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("q141_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .parquet(srcDir.toString)
+        .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+          col("user_id"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(session_window(col("event_time"), "30 minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(NanosKey, v)
+      case None    => spark.conf.unset(NanosKey)
+    }
+    spark.table(sink)
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- q139: streamed watermarked hourly profile, oracle-backed ----
@@ -184,6 +225,50 @@ object StreamingGate {
         FROM v JOIN p
           ON v.user_id = p.user_id
          AND p.pt >= v.vt AND p.pt <= v.vt + INTERVAL 120 MINUTE
-        ORDER BY v.user_id, view_id, purchase_id"""))
+        ORDER BY v.user_id, view_id, purchase_id""")),
+
+    // ---- q141: streamed native session windows, oracle-backed ----
+    // Per-user 30-min-gap sessions built by the streaming engine's
+    // session_window (merge-on-arrival state), drained via AvailableNow.
+    // The session trim law (measured, then encoded): a session is
+    // emitted ⟺ its END (last event + gap) ≤ final watermark =
+    // max(event_time) − delay — a session above that line could still
+    // be EXTENDED by in-delay data, so the engine correctly withholds
+    // it. The oracle rebuilds sessions relationally (q82's gaps-and-
+    // islands, on µs-truncated times) and applies the same law.
+    // Completes the streaming triad: q139 windows, q140 joins, q141
+    // custom session state.
+    "q141_streamed_sessions" -> QueryDef(
+      build = (spark, dir) => streamedSessions(spark, dir),
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
+          FROM events),
+        m AS (SELECT max(tsu) AS mx FROM e),
+        marked AS (
+          SELECT user_id, event_id, tsu,
+                 CASE WHEN LAG(tsu) OVER w IS NULL
+                        OR date_diff('microsecond', LAG(tsu) OVER w, tsu)
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        sess AS (
+          SELECT user_id, tsu,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY tsu, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_id
+          FROM marked),
+        per_sess AS (
+          SELECT user_id,
+                 epoch_us(MIN(tsu)) AS start_us,
+                 epoch_us(MAX(tsu)) + 1800000000 AS end_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM sess GROUP BY user_id, sess_id)
+        SELECT p.user_id, p.start_us, p.end_us, p.n_events
+        FROM per_sess p CROSS JOIN m
+        WHERE p.end_us <= epoch_us(m.mx) - 3600000000
+        ORDER BY p.user_id, p.start_us"""))
   )
 }

@@ -68,4 +68,31 @@ class StreamingGateSpec extends SparkSpec {
     assert(streamed.toSeq == model)
     assert(model.nonEmpty, "the gate data must contain attributable pairs")
   }
+
+  test("q141: streamed sessions ≡ batch session_window under the trim law") {
+    val streamed = graft.SparkEntry.queries("q141_streamed_sessions")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val ev = graft.core.Tables.events(spark, sf)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val batch = ev
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("s"),
+        unix_micros(col("sw.end")).as("e"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val hourUs = 3600L * 1000000
+    val model = batch.filter(_._3 <= maxUs - hourUs)
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed.toSeq == model)
+    // the trim withholds exactly the still-extendable tail sessions
+    val withheld = batch.length - model.size
+    assert(withheld > 0, "some trailing session must be inside the delay")
+    batch.filter(_._3 > maxUs - hourUs).foreach { s =>
+      assert(s._3 > maxUs - hourUs, "withheld sessions end inside the delay")
+    }
+  }
 }
