@@ -1111,7 +1111,45 @@ object Analytics {
                          THEN 0 ELSE 1 END AS BIGINT) AS minmax_drift
         FROM merged m JOIN direct d
           ON m.priority = d.priority AND m.mo = d.mo
-        ORDER BY m.priority, m.mo"""))
+        ORDER BY m.priority, m.mo""")),
+
+    // ---- q142: bag-semantics set operations (INTERSECT/EXCEPT ALL) ----
+    // q19 covers the DISTINCT set ops; these are the multiset duals —
+    // per-element multiplicity min(cntA, cntB) for INTERSECT ALL and
+    // max(cntA − cntB, 0) for EXCEPT ALL (ANSI bag semantics, identical
+    // in both engines). The sum-of-keys checksum is carried per op so
+    // the hash compare certifies MULTIPLICITIES, not just cardinality —
+    // the distinct forms would produce different checksums.
+    //
+    // 100 TB posture: both ops hash-partition on the element and reduce
+    // to per-key counters (Spark plans exactly that under the hood) —
+    // never a sort, never row-by-row bag subtraction.
+    "q142_bag_set_ops" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+        val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        Seq(("except_all", f.exceptAll(op)),
+          ("intersect_all", f.intersectAll(op)))
+          .map { case (nm, df) =>
+            df.agg(count(lit(1)).as("n"),
+                coalesce(sum(col("o_custkey")), lit(0L)).as("key_checksum"))
+              .select(lit(nm).as("op"), col("n"), col("key_checksum"))
+          }.reduce(_ unionAll _).orderBy(col("op"))
+      },
+      oracle = Some("""
+        SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) AS key_checksum
+        FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              EXCEPT ALL
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        UNION ALL
+        SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT)
+        FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              INTERSECT ALL
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        ORDER BY op"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */

@@ -205,6 +205,76 @@ object Graph {
         SELECT r5.node AS partkey, r5.rank AS rank_fp, deg.d AS degree
         FROM r5 JOIN deg ON deg.node = r5.node
         ORDER BY rank_fp DESC, partkey ASC LIMIT 20"""
+      }),
+
+    // ---- q143: k-core peeling (3 rounds, k = 100) ----
+    // Iterative degeneracy peeling over the co-purchase graph: each
+    // round drops nodes with degree < k, then edges touching a dropped
+    // node — the dense-subgraph extractor behind community seeds and
+    // spam-cluster mining. Like q106, the iteration count is FIXED so
+    // the whole computation unrolls into relational algebra both
+    // engines run verbatim (a convergence loop is the same plan with a
+    // data-dependent round count); per-round survivor/edge counts make
+    // the cascade itself the gated output.
+    //
+    // 100 TB posture: each round is one degree aggregation (keyed
+    // partial agg) + two semi-joins on the endpoint — all hash-
+    // partitioned on the node key, no broadcast of anything
+    // graph-sized, nothing quadratic; rounds chain through
+    // localCheckpoint-free lazy plans (3 rounds ⇒ depth is bounded).
+    "q143_kcore_peeling" -> QueryDef(
+      build = (spark, dir) => {
+        val k = 100
+        val pairs = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+          .alias("a").join(
+            Tables.lineitem(spark, dir)
+              .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+              .distinct().alias("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v"))
+          .distinct()
+        var edges = pairs
+        val rounds = (1 to 3).map { r =>
+          val deg = edges.select(col("u").as("n"))
+            .unionAll(edges.select(col("v").as("n")))
+            .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          val surv = deg.filter(col("d") >= k).select(col("n"))
+          edges = edges
+            .join(surv.select(col("n").as("u")), Seq("u"), "left_semi")
+            .join(surv.select(col("n").as("v")), Seq("v"), "left_semi")
+          surv.agg(count(lit(1)).as("n_nodes"))
+            .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+            .select(lit(r.toLong).as("peel_round"), col("n_nodes"), col("n_edges"))
+        }
+        rounds.reduce(_ unionAll _).orderBy(col("peel_round"))
+      },
+      oracle = Some {
+        def layer(r: Int) = s"""
+        d$r AS (SELECT n, COUNT(*) AS d FROM (
+                  SELECT u AS n FROM e${r - 1}
+                  UNION ALL SELECT v FROM e${r - 1}) GROUP BY n),
+        s$r AS (SELECT n FROM d$r WHERE d >= 100),
+        e$r AS (SELECT u, v FROM e${r - 1}
+                WHERE u IN (SELECT n FROM s$r)
+                  AND v IN (SELECT n FROM s$r))"""
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e0 AS (
+          SELECT a.p AS u, b.p AS v
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p),""" +
+          (1 to 3).map(layer).mkString(",") + """
+        SELECT CAST(1 AS BIGINT) AS peel_round,
+               CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS n_edges
+        UNION ALL SELECT CAST(2 AS BIGINT), CAST((SELECT COUNT(*) FROM s2) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+        UNION ALL SELECT CAST(3 AS BIGINT), CAST((SELECT COUNT(*) FROM s3) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+        ORDER BY peel_round"""
       })
   )
 }
