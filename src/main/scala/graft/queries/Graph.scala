@@ -235,6 +235,13 @@ object Graph {
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .select(col("a.p").as("u"), col("b.p").as("v"))
           .distinct()
+        // deliberately NO checkpoint: the six count actions share
+        // lineage, and Spark's shuffle-output reuse already skips the
+        // recomputation a checkpoint would buy (measured at sf0.1:
+        // lazy 15.2 s vs 21.4 s base-checkpoint vs 26.8 s per-round
+        // eager — materialization copies cost more than they save at
+        // 3 rounds; a convergence-length loop WOULD checkpoint, as
+        // q56's label propagation does)
         var edges = pairs
         val rounds = (1 to 3).map { r =>
           val deg = edges.select(col("u").as("n"))
