@@ -282,6 +282,127 @@ object Insights {
                         * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
                  AS chi2_term
         FROM freq CROSS JOIN tot
-        ORDER BY digit"""))
+        ORDER BY digit""")),
+
+    // ---- q144: χ² test of independence (event type × weekday) ----
+    // The contingency-table screen behind "does behavior depend on the
+    // day?": observed cell counts vs the independence expectation
+    // row·col/N, with per-cell χ² contributions. All counts are exact
+    // integers (weekday from ISO day-of-week so both engines agree on
+    // Monday=0); expected/χ² are mirrored double formulas rounded once.
+    // One partial→final agg over |types|·7 cells, row/col margins are
+    // broadcast-sized.
+    "q144_chi2_independence" -> QueryDef(
+      build = (spark, dir) => {
+        val cells = Tables.events(spark, dir)
+          .select(col("event_type"), weekday(col("ts")).cast("long").as("dow"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n_obs"))
+        val rowT = cells.groupBy(col("event_type"))
+          .agg(sum(col("n_obs")).as("rt"))
+        val colT = cells.groupBy(col("dow")).agg(sum(col("n_obs")).as("ct"))
+        val tot = cells.agg(sum(col("n_obs")).as("n_total"))
+        val e = col("rt").cast(DoubleType) * col("ct").cast(DoubleType) /
+          col("n_total").cast(DoubleType)
+        val o = col("n_obs").cast(DoubleType)
+        cells.join(rowT, "event_type").join(colT, "dow")
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"), col("dow"), col("n_obs"),
+            round(e, 4).as("expected"),
+            round((o - e) * (o - e) / e, 6).as("chi2_term"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT event_type, CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS BIGINT)
+                   AS dow,
+                 COUNT(*) AS n_obs
+          FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, SUM(n_obs) AS rt FROM cells GROUP BY 1),
+        ct AS (SELECT dow, SUM(n_obs) AS ct FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(n_obs) AS n_total FROM cells)
+        SELECT c.event_type, c.dow, CAST(c.n_obs AS BIGINT) AS n_obs,
+               ROUND(CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                     / CAST(tot.n_total AS DOUBLE), 4) AS expected,
+               ROUND((CAST(c.n_obs AS DOUBLE)
+                      - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                        / CAST(tot.n_total AS DOUBLE))
+                     * (CAST(c.n_obs AS DOUBLE)
+                        - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                          / CAST(tot.n_total AS DOUBLE))
+                     / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                        / CAST(tot.n_total AS DOUBLE)), 6) AS chi2_term
+        FROM cells c JOIN rt ON c.event_type = rt.event_type
+                     JOIN ct ON c.dow = ct.dow
+                     CROSS JOIN tot
+        ORDER BY c.event_type, c.dow""")),
+
+    // ---- q145: two-sample Kolmogorov–Smirnov in exact integers ----
+    // Distribution drift detection (click values vs purchase values):
+    // D = sup |F_A − F_B| over the pooled sample. The whole computation
+    // is EXACT integer arithmetic — at each distinct value the ECDF gap
+    // |cA·nB − cB·nA| is an integer, its max is an integer, and only
+    // the final D = max/(nA·nB) touches doubles (one deterministic
+    // division, rounded once). No FP comparison ever decides anything.
+    //
+    // 100 TB posture: ties collapse in the per-value partial agg first
+    // (the q116 histogram move), so the ordered cumulative pass runs
+    // over |distinct values| rows, not |events| — and for bounded value
+    // domains that is histogram-sized. The unpartitioned window is the
+    // demo form; the production form range-partitions the sorted values
+    // and prefix-sums partition totals (two passes, no single-node
+    // bottleneck).
+    "q145_ks_two_sample" -> QueryDef(
+      build = (spark, dir) => {
+        val tagged = Tables.events(spark, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("value"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
+          .groupBy(col("value"))
+          .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+        val w = Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = tagged
+          .withColumn("cuma", sum(col("ca")).over(w))
+          .withColumn("cumb", sum(col("cb")).over(w))
+        val tot = tagged.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("value"), col("na"), col("nb"),
+            abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+              .as("gap_num"))
+          .orderBy(col("gap_num").desc, col("value"))
+          .limit(1)
+          .select(col("na"), col("nb"), col("gap_num"),
+            round(col("gap_num").cast(DoubleType) /
+              (col("na") * col("nb")).cast(DoubleType), 9).as("d_stat"),
+            col("value").as("at_value"))
+      },
+      oracle = Some("""
+        WITH tagged AS (
+          SELECT value,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS ca,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS cb
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY value),
+        cum AS (
+          SELECT value,
+                 SUM(ca) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cuma,
+                 SUM(cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumb
+          FROM tagged),
+        tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM tagged)
+        SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+               CAST(abs(cuma * nb - cumb * na) AS BIGINT) AS gap_num,
+               ROUND(CAST(abs(cuma * nb - cumb * na) AS DOUBLE)
+                     / CAST(na * nb AS DOUBLE), 9) AS d_stat,
+               value AS at_value
+        FROM cum CROSS JOIN tot
+        ORDER BY gap_num DESC, value LIMIT 1"""))
   )
 }

@@ -137,4 +137,51 @@ class InsightsSpec extends SparkSpec {
     }
     assert(got.values.map(_._1).sum == cents.length, "digits partition orders")
   }
+
+  // ---- q144: chi-square independence replay ----
+
+  test("q144: contingency cells and chi2 terms match a driver replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(weekday(ts) AS LONG) dow").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val cells = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rt = ev.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = ev.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = ev.length.toDouble
+    val got = run("q144_chi2_independence").map(r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == cells.keySet)
+    got.foreach { case ((t, d), (obs, exp, chi)) =>
+      assert(obs == cells((t, d)))
+      val e = rt(t).toDouble * ct(d) / n
+      assert(math.abs(exp - e) < 1e-3, s"($t,$d) expected")
+      assert(math.abs(chi - (obs - e) * (obs - e) / e) < 1e-4, s"($t,$d) chi2")
+    }
+    assert(got.values.map(_._1).sum == ev.length, "cells partition events")
+  }
+
+  // ---- q145: exact-integer KS replay ----
+
+  test("q145: the KS statistic matches a direct two-sample computation") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = ev.filter(_._1 == "click").map(_._2).sorted
+    val b = ev.filter(_._1 == "purchase").map(_._2).sorted
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val points = (a ++ b).distinct.sorted
+    val gaps = points.map { v =>
+      val cA = a.count(_ <= v).toLong; val cB = b.count(_ <= v).toLong
+      (math.abs(cA * nb - cB * na), v)
+    }
+    val (maxGap, atV) = gaps.maxBy(g => (g._1, -g._2.compareTo(Double.NaN)))
+    val bestV = gaps.filter(_._1 == maxGap).map(_._2).min
+    val r = run("q145_ks_two_sample").head
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(r.getLong(2) == maxGap, "integer sup gap")
+    assert(r.getDouble(4) == bestV, "argmax value (min tie-break)")
+    assert(math.abs(r.getDouble(3) - maxGap.toDouble / (na * nb)) < 1e-9)
+    assert(maxGap > 0, "distinct samples must show a nonzero gap")
+  }
 }
