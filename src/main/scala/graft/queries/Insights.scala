@@ -403,6 +403,99 @@ object Insights {
                      / CAST(na * nb AS DOUBLE), 9) AS d_stat,
                value AS at_value
         FROM cum CROSS JOIN tot
-        ORDER BY gap_num DESC, value LIMIT 1"""))
+        ORDER BY gap_num DESC, value LIMIT 1""")),
+
+    // ---- q146: weighted median (exact, integer threshold test) ----
+    // Per-returnflag quantity-weighted median price — the "median
+    // dollar" (which price level splits the SHIPPED VOLUME in half),
+    // not the median row. Definition: smallest value whose cumulative
+    // weight reaches half the total, decided by the INTEGER test
+    // 2·cumw ≥ W — no FP division anywhere. One entity-key window +
+    // a min-over-qualifying-rows agg; ties in the value collapse
+    // harmlessly (consecutive identical values pass or fail together).
+    "q146_weighted_median" -> QueryDef(
+      build = (spark, dir) => {
+        val li = Tables.lineitem(spark, dir).select(
+          col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("price"),
+          round(col("l_quantity")).cast(LongType).as("w"))
+        val win = Window.partitionBy(col("flag"))
+          .orderBy(col("price"), col("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.withColumn("cumw", sum(col("w")).over(win))
+          .withColumn("wtot", sum(col("w"))
+            .over(Window.partitionBy(col("flag"))))
+          .filter(lit(2L) * col("cumw") >= col("wtot"))
+          .groupBy(col("flag"))
+          .agg(min(col("price")).as("weighted_median"),
+            min(col("wtot")).as("total_weight"))
+          .orderBy(col("flag"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_returnflag AS flag, l_extendedprice AS price,
+                 CAST(round(l_quantity) AS BIGINT) AS w
+          FROM lineitem),
+        cum AS (
+          SELECT flag, price,
+                 SUM(w) OVER (PARTITION BY flag ORDER BY price, w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumw,
+                 SUM(w) OVER (PARTITION BY flag) AS wtot
+          FROM li)
+        SELECT flag, MIN(price) AS weighted_median,
+               CAST(MIN(wtot) AS BIGINT) AS total_weight
+        FROM cum WHERE 2 * cumw >= wtot
+        GROUP BY flag ORDER BY flag""")),
+
+    // ---- q147: Gini coefficient (exact integer numerator) ----
+    // Revenue-concentration inequality per priority, from the rank
+    // formulation G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending
+    // values: with x in integer CENTS both numerator and denominator
+    // are exact integers (ties contribute identically under any
+    // within-tie order, so the arbitrary tie-break cannot change the
+    // sum), and only the final ratio touches doubles — rounded once.
+    // One entity-key window + one agg; the rank never leaves its
+    // partition.
+    "q147_gini_concentration" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir).select(
+          col("o_orderpriority").as("priority"),
+          round(col("o_totalprice") * 100).cast(LongType).as("cents"),
+          col("o_orderkey"))
+        val rk = Window.partitionBy(col("priority"))
+          .orderBy(col("cents"), col("o_orderkey"))
+        o.withColumn("i", row_number().over(rk).cast(LongType))
+          .groupBy(col("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sx"),
+            sum(col("i") * col("cents")).as("six"))
+          .select(col("priority"), col("n"),
+            col("sx").as("total_cents"),
+            round((lit(2L) * col("six") - (col("n") + 1L) * col("sx"))
+              .cast(DoubleType) /
+              (col("n") * col("sx")).cast(DoubleType), 9).as("gini"))
+          .orderBy(col("priority"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 o_orderkey
+          FROM orders),
+        r AS (
+          SELECT priority, cents,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY priority
+                   ORDER BY cents, o_orderkey) AS BIGINT) AS i
+          FROM o),
+        s AS (
+          SELECT priority, COUNT(*) AS n, SUM(cents) AS sx,
+                 SUM(i * cents) AS six
+          FROM r GROUP BY priority)
+        SELECT priority, CAST(n AS BIGINT) AS n,
+               CAST(sx AS BIGINT) AS total_cents,
+               ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE), 9) AS gini
+        FROM s ORDER BY priority"""))
   )
 }

@@ -184,4 +184,54 @@ class InsightsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - maxGap.toDouble / (na * nb)) < 1e-9)
     assert(maxGap > 0, "distinct samples must show a nonzero gap")
   }
+
+  // ---- q146: weighted median replay ----
+
+  test("q146: weighted median satisfies the half-weight definition") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "l_extendedprice",
+        "CAST(round(l_quantity) AS LONG) w").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val got = run("q146_weighted_median")
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      val wtot = rows.map(_._3).sum
+      val sorted = rows.sortBy(_._2)
+      var cum = 0L
+      val wm = sorted.find { r => cum += r._3; 2 * cum >= wtot }.get._2
+      val (gm, gw) = got(flag)
+      assert(gw == wtot, s"$flag total weight")
+      assert(gm == wm, s"$flag weighted median")
+      // definitional check: weight below < half, weight up to wm >= half
+      val below = rows.filter(_._2 < wm).map(_._3).sum
+      val upto = rows.filter(_._2 <= wm).map(_._3).sum
+      assert(2 * below < wtot && 2 * upto >= wtot, s"$flag half-weight")
+    }
+  }
+
+  // ---- q147: Gini replay ----
+
+  test("q147: Gini matches the mean-absolute-difference definition") {
+    val o = graft.core.Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "CAST(round(o_totalprice*100) AS LONG) c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = run("q147_gini_concentration")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    o.groupBy(_._1).foreach { case (p, rows) =>
+      val xs = rows.map(_._2).sorted
+      val n = xs.length
+      // independent definition: G = sum|xi - xj| / (2 n^2 mu)
+      val sx = xs.map(BigInt(_)).sum
+      val mad = (for (a <- xs; b <- xs) yield (BigInt(a) - BigInt(b)).abs).sum
+      // Σᵢⱼ|xᵢ−xⱼ| = 2·Σᵢ(2i−n−1)x₍ᵢ₎ for sorted x, so the rank form
+      // equals MAD/(2·n·Σx) EXACTLY — the two definitions must agree
+      // to double precision.
+      val gDef = mad.toDouble / (2.0 * n.toDouble * sx.toDouble)
+      val (gn, gsx, gg) = got(p)
+      assert(gn == n && BigInt(gsx) == sx)
+      assert(math.abs(gg - gDef) < 1e-6, s"$p gini $gg vs $gDef")
+      assert(gg >= 0 && gg < 1, s"$p gini range")
+    }
+  }
 }
