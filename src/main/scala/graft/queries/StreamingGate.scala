@@ -131,6 +131,91 @@ object StreamingGate {
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
+  /** Typed rows for the q148 custom-state processor. */
+  final case class EventIn(user_id: Long, event_id: Long, ts_us: Long,
+    cents: Long)
+  final case class RunningOut(user_id: Long, event_id: Long,
+    running_n: Long, running_cents: Long)
+
+  /** Per-user running (count, spend) via Spark 4's StatefulProcessor —
+    * ONE fixed-size ValueState row per user; each batch's rows are
+    * sorted (event-time, id) locally before folding, so emissions are
+    * deterministic under the single-drain contract (one staged file ⇒
+    * one micro-batch ⇒ the per-key iterator holds the user's whole
+    * history). Value is integer CENTS, so the running sum is exact. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventIn, RunningOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.OutputMode
+    @transient private var state: ValueState[RunningOut] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningOut]("running",
+        Encoders.product[RunningOut], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+        timerValues: TimerValues): Iterator[RunningOut] = {
+      val prev = Option(state.get())
+        .getOrElse(RunningOut(key, 0L, 0L, 0L))
+      var n = prev.running_n; var c = prev.running_cents
+      val out = rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).map { r =>
+        n += 1; c += r.cents
+        RunningOut(key, r.event_id, n, c)
+      }
+      if (out.nonEmpty) state.update(out.last)
+      out.iterator
+    }
+  }
+
+  /** Run the streamed running-totals processor to completion. */
+  def streamedRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "q148_sink_" + System.nanoTime()
+    val ckpt = java.nio.file.Files.createTempDirectory("q148_ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("q148_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevNanos = spark.conf.getOption(NanosKey)
+    val prevProv = spark.conf.getOption(ProviderKey)
+    spark.conf.set(NanosKey, "true")
+    spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .parquet(srcDir.toString)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[EventIn]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      prevProv match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+    }
+    spark.table(sink)
+      .orderBy(col("user_id"), col("running_n"))
+  }
+
   /** Run the streamed per-user session build to completion and return
     * the emitted (watermark-closed) sessions, fully ordered. */
   def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
@@ -269,6 +354,31 @@ object StreamingGate {
         SELECT p.user_id, p.start_us, p.end_us, p.n_events
         FROM per_sess p CROSS JOIN m
         WHERE p.end_us <= epoch_us(m.mx) - 3600000000
-        ORDER BY p.user_id, p.start_us"""))
+        ORDER BY p.user_id, p.start_us""")),
+
+    // ---- q148: streamed custom-state running totals, oracle-backed ----
+    // The CUSTOM StatefulProcessor path (Spark 4 transformWithState:
+    // typed ValueState on RocksDB) as a gate query: per-user running
+    // event count and exact integer-cents spend, emitted per event.
+    // Update-mode emission with TimeMode.None has no watermark trim —
+    // under the single-drain contract the emitted set ≡ the batch
+    // cumulative window, row for row, which the oracle replays. The
+    // fourth streaming law: state-fold completeness.
+    "q148_streamed_running_totals" -> QueryDef(
+      build = (spark, dir) => streamedRunningTotals(spark, dir),
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events)
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+               CAST(SUM(cents) OVER (PARTITION BY user_id
+                 ORDER BY tsu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS running_cents
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        ORDER BY user_id, running_n"""))
   )
 }

@@ -95,4 +95,24 @@ class StreamingGateSpec extends SparkSpec {
       assert(s._3 > maxUs - hourUs, "withheld sessions end inside the delay")
     }
   }
+
+  test("q148: custom-state running totals ≡ the batch cumulative window") {
+    val streamed = graft.SparkEntry.queries("q148_streamed_running_totals")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val model = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      var n = 0L; var c = 0L
+      rows.sortBy(r => (r._3, r._2)).map { r =>
+        n += 1; c += r._4; (u, r._2, n, c)
+      }
+    }.sortBy(t => (t._1, t._3))
+    assert(streamed.toSeq == model)
+    // state-fold completeness: one emission per input event, none lost
+    assert(streamed.length == ev.length)
+  }
 }
