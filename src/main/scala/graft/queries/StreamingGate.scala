@@ -216,6 +216,48 @@ object StreamingGate {
       .orderBy(col("user_id"), col("running_n"))
   }
 
+  /** Run the duplicate-delivery dedup pipeline: the staged landing dir
+    * holds the SAME events file TWICE (an S3-notification replay — the
+    * reference's SQS source is at-least-once), streamed through
+    * `dropDuplicates(event_id)`; the emitted set must equal the
+    * single-copy table. Returns the post-dedup per-type aggregate. */
+  def streamedReplayDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "q149_sink_" + System.nanoTime()
+    val ckpt = java.nio.file.Files.createTempDirectory("q149_ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("q149_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events_replay.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .parquet(srcDir.toString)
+        .dropDuplicates("event_id")
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(NanosKey, v)
+      case None    => spark.conf.unset(NanosKey)
+    }
+    spark.table(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("event_type"))
+  }
+
   /** Run the streamed per-user session build to completion and return
     * the emitted (watermark-closed) sessions, fully ordered. */
   def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
@@ -379,6 +421,25 @@ object StreamingGate {
                  AS BIGINT) AS running_cents
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
-        ORDER BY user_id, running_n"""))
+        ORDER BY user_id, running_n""")),
+
+    // ---- q149: streamed at-least-once → exactly-once dedup ----
+    // The reference's delivery contract made a gate: its SQS source is
+    // at-least-once (SURVEY §2 O2), so the pipeline must tolerate
+    // replayed file notifications. The staged landing dir holds the
+    // SAME events file twice; `dropDuplicates(event_id)` state must
+    // collapse the replay so the emitted set equals the SINGLE-copy
+    // table — the oracle aggregates the raw events once, and n ≡
+    // n_distinct in-row certifies no duplicate survived. The fifth
+    // streaming law: duplicate-delivery idempotence.
+    "q149_streamed_replay_dedup" -> QueryDef(
+      build = (spark, dir) => streamedReplayDedup(spark, dir),
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_total
+        FROM events
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -115,4 +115,22 @@ class StreamingGateSpec extends SparkSpec {
     // state-fold completeness: one emission per input event, none lost
     assert(streamed.length == ev.length)
   }
+
+  test("q149: a replayed delivery collapses to exactly-once") {
+    val got = graft.SparkEntry.queries("q149_streamed_replay_dedup")(
+      spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val model = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { rows =>
+        (rows.size.toLong, rows.map(_._2).distinct.size.toLong,
+          rows.map(_._3).sum)
+      }.toMap
+    assert(got == model)
+    // the in-row certificate: every surviving row is unique
+    got.values.foreach { case (n, nd, _) => assert(n == nd) }
+  }
 }
