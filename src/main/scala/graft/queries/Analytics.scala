@@ -1149,7 +1149,100 @@ object Analytics {
         FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
               INTERSECT ALL
               SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-        ORDER BY op"""))
+        ORDER BY op""")),
+
+    // ---- q150: point-in-time dimension lookup over SCD-2 history ----
+    // The warehouse capstone tying q96 (SCD-2 interval build) to q36
+    // (interval join): per-customer priority REGIMES (runs of
+    // o_orderpriority over order date, rn-difference islands, keyed
+    // tie-break so same-day run starts version deterministically), then
+    // every order of the demo slice looks up the regime valid the DAY
+    // BEFORE its date — "what state was this customer in when the
+    // order arrived" — with NULL for pre-history. Intervals partition
+    // [first_from, ∞) per customer (same-day starts yield empty
+    // [d, d) intervals that can never match), so the lookup is
+    // provably unique — no row multiplication.
+    //
+    // 100 TB posture: history build is q96's ONE entity-key shuffle;
+    // the lookup is a custkey equijoin with the interval predicate as
+    // a post-filter — never a cross join; version count per key is
+    // bounded by regime changes, not orders.
+    "q150_point_in_time_join" -> QueryDef(
+      build = (spark, dir) => {
+        val byDate = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val byDatePrio = Window.partitionBy(col("o_custkey"), col("o_orderpriority"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val o = Tables.orders(spark, dir).filter(col("o_custkey") < 50)
+        val runs = o
+          .withColumn("grp",
+            row_number().over(byDate) - row_number().over(byDatePrio))
+          .groupBy(col("o_custkey"), col("o_orderpriority"), col("grp"))
+          .agg(min(col("o_orderdate")).as("valid_from"),
+            min(col("o_orderkey")).as("first_key"),
+            count(lit(1)).as("n_orders"))
+        val byStart = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("valid_from"), col("first_key"))
+        val dim = runs.select(col("o_custkey").as("d_cust"),
+          row_number().over(byStart).cast("long").as("version"),
+          col("o_orderpriority").as("regime"),
+          col("valid_from"),
+          lead(col("valid_from"), 1).over(byStart).as("valid_to"))
+        val facts = o.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"),
+          (col("o_orderdate") - expr("INTERVAL 1 DAY")).as("lookup_ts"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        facts.join(dim,
+            col("o_custkey") === col("d_cust") &&
+              col("valid_from") <= col("lookup_ts") &&
+              (col("valid_to").isNull || col("lookup_ts") < col("valid_to")),
+            "left")
+          .select(col("o_orderkey"), col("o_custkey"), col("order_date"),
+            col("version"), col("regime").as("prior_regime"),
+            when(col("regime").isNull, lit(null).cast("long"))
+              .otherwise(when(col("regime") === col("o_orderpriority"), 0L)
+                .otherwise(1L)).as("regime_changed"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        WITH o AS (SELECT * FROM orders WHERE o_custkey < 50),
+        r AS (
+          SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+               - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                   ORDER BY o_orderdate, o_orderkey) AS grp
+          FROM o),
+        runs AS (
+          SELECT o_custkey, o_orderpriority, grp,
+                 MIN(o_orderdate) AS valid_from,
+                 MIN(o_orderkey) AS first_key,
+                 COUNT(*) AS n_orders
+          FROM r GROUP BY 1, 2, 3),
+        dim AS (
+          SELECT o_custkey AS d_cust,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY valid_from, first_key) AS BIGINT) AS version,
+                 o_orderpriority AS regime, valid_from,
+                 LEAD(valid_from, 1) OVER (PARTITION BY o_custkey
+                   ORDER BY valid_from, first_key) AS valid_to
+          FROM runs),
+        facts AS (
+          SELECT o_orderkey, o_custkey, o_orderpriority,
+                 o_orderdate - INTERVAL 1 DAY AS lookup_ts,
+                 strftime(o_orderdate, '%Y-%m-%d') AS order_date
+          FROM o)
+        SELECT f.o_orderkey, f.o_custkey, f.order_date,
+               d.version, d.regime AS prior_regime,
+               CASE WHEN d.regime IS NULL THEN NULL
+                    WHEN d.regime = f.o_orderpriority
+                    THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+                 AS regime_changed
+        FROM facts f LEFT JOIN dim d
+          ON f.o_custkey = d.d_cust
+         AND d.valid_from <= f.lookup_ts
+         AND (d.valid_to IS NULL OR f.lookup_ts < d.valid_to)
+        ORDER BY f.o_orderkey"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */

@@ -58,4 +58,44 @@ class GraphExtraSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q150: point-in-time lookup matches a driver-side as-of replay") {
+    val o: Seq[(Long, Long, String, Long)] = graft.core.Tables
+      .orders(spark, sf)
+      .filter("o_custkey < 50")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderpriority",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) dt").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val dayUs = 86400L * 1000000
+    // regimes: runs of priority per customer ordered (date, orderkey)
+    val model = o.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._1))
+      val runs = sorted.foldLeft(Vector.empty[(String, Long, Long)]) {
+        case (acc, r) =>
+          if (acc.nonEmpty && acc.last._1 == r._3) acc
+          else acc :+ ((r._3, r._4, r._1)) // (priority, valid_from, first_key)
+      }.sortBy(v => (v._2, v._3))
+      val versions = runs.zipWithIndex.map { case ((p, from, _), i) =>
+        val to = if (i + 1 < runs.size) Some(runs(i + 1)._2) else None
+        (i + 1L, p, from, to)
+      }
+      rows.map { r =>
+        val ts = r._4 - dayUs
+        val hit = versions.filter(v => v._3 <= ts && v._4.forall(ts < _))
+        assert(hit.size <= 1, "intervals must partition the timeline")
+        val ver = hit.headOption.map(_._1)
+        val reg = hit.headOption.map(_._2)
+        (r._1, ver, reg, reg.map(g => if (g == r._3) 0L else 1L))
+      }
+    }.sortBy(_._1)
+    val got = run("q150_point_in_time_join").map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }.toSeq
+    assert(got == model)
+    assert(got.exists(_._2.isEmpty), "each customer's first order pre-dates history")
+    assert(got.exists(_._4.contains(1L)), "some lookups cross a regime change")
+  }
 }
