@@ -456,25 +456,56 @@ object Analytics {
     // The approximate aggregations a 100 TB profile pass runs instead of
     // exact distinct/sort: HyperLogLog++ count-distinct and Greenwald-
     // Khanna percentiles are one-pass, bounded-memory, mergeable sketches.
-    // Both algorithms are deterministic for a given input (no RNG), but
-    // their estimates are engine-specific => rows-only driver check; the
-    // query carries its own ground truth and relative-error columns so the
-    // output is self-validating (spec asserts the bounds).
+    // Both are deterministic for a given input (no RNG) but their point
+    // estimates are engine-specific, so the estimates themselves can never
+    // hash-match DuckDB. The gate instead emits what IS cross-engine
+    // checkable: the exact ground truth (DuckDB recomputes count-distinct
+    // and continuous quantiles independently — the q74 precedent shows the
+    // (1−d)·x[k] + d·x[k+1] interpolation hash-matches bit-for-bit) plus
+    // in-row |approx − exact|/exact ≤ rtol verdict columns, computed over
+    // the engine's sketch output INSIDE the query. The oracle asserts the
+    // verdicts are all 1: a sketch drifting out of its error bound flips a
+    // verdict to 0 and fails the standard rows+hash machinery — no
+    // rows-only special case needed. Bounds: HLL rsd=0.02 checked at 5%
+    // (2.5σ headroom); GK accuracy=10000 ⇒ rank error ≤ n/10000, checked
+    // at 1% of the value.
     "q28_sketch_aggs" -> QueryDef(
       build = (spark, dir) => {
         val l = Tables.lineitem(spark, dir)
+        val fracs = "array(0.25D, 0.5D, 0.75D, 0.95D)"
+        def verdict(i: Int, name: String) =
+          (abs(element_at(col("gk"), i) - element_at(col("ex"), i)) /
+            element_at(col("ex"), i) <= lit(0.01)).cast("int").as(name)
         l.agg(
             countDistinct(col("l_orderkey")).as("exact_orders"),
             approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("hll_orders"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-            expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
-          .select(col("exact_orders"), col("hll_orders"),
-            round(abs(col("hll_orders") - col("exact_orders")) /
-              col("exact_orders"), 4).as("hll_rel_err"),
-            round(col("p50_approx"), 2).as("p50_approx"),
-            round(col("p50_exact").cast("double"), 2).as("p50_exact"))
+            expr(s"percentile_approx(l_extendedprice, $fracs, 10000)").as("gk"),
+            expr(s"percentile(l_extendedprice, $fracs)").as("ex"))
+          .select(
+            col("exact_orders"),
+            (abs(col("hll_orders") - col("exact_orders")) / col("exact_orders")
+              <= lit(0.05)).cast("int").as("hll_within_5pct"),
+            element_at(col("ex"), 1).as("p25_exact"),
+            element_at(col("ex"), 2).as("p50_exact"),
+            element_at(col("ex"), 3).as("p75_exact"),
+            element_at(col("ex"), 4).as("p95_exact"),
+            verdict(1, "p25_within_1pct"),
+            verdict(2, "p50_within_1pct"),
+            verdict(3, "p75_within_1pct"),
+            verdict(4, "p95_within_1pct"))
       },
-      oracle = None),
+      oracle = Some("""
+        SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+               CAST(1 AS INTEGER) AS hll_within_5pct,
+               quantile_cont(l_extendedprice, 0.25) AS p25_exact,
+               quantile_cont(l_extendedprice, 0.5)  AS p50_exact,
+               quantile_cont(l_extendedprice, 0.75) AS p75_exact,
+               quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+               CAST(1 AS INTEGER) AS p25_within_1pct,
+               CAST(1 AS INTEGER) AS p50_within_1pct,
+               CAST(1 AS INTEGER) AS p75_within_1pct,
+               CAST(1 AS INTEGER) AS p95_within_1pct
+        FROM lineitem""")),
 
     // ---- q61: supplier-nation market share (TPC-H Q8 shape) ----
     // Conditional aggregation over the deep join: one nation's share of

@@ -86,9 +86,11 @@ def check_q57(df):
     assert df["frac_in_bounds"].all(), "q57: stratum rate outside 3-sigma"
 
 def check_q28(df):
-    assert (df["hll_rel_err"].abs() <= 0.05).all(), "q28: HLL error > 5%"
-    p50_rel = ((df["p50_approx"] - df["p50_exact"]) / df["p50_exact"]).abs()
-    assert (p50_rel <= 0.01).all(), "q28: GK p50 error > 1%"
+    # q28 is oracle-backed now (verdict columns hash-compared vs literal 1);
+    # this secondary check just re-reads the verdicts for a clearer message.
+    for c in ["hll_within_5pct", "p25_within_1pct", "p50_within_1pct",
+              "p75_within_1pct", "p95_within_1pct"]:
+        assert (df[c] == 1).all(), f"q28: {c} sketch error out of bound"
 
 def check_ann(bound):
     def check(df):
