@@ -18,8 +18,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Materialize engine-computed oracle inputs (q70's generated batch,
     // q47's fingerprints, q49's predictions) so DuckDB can verify the
-    // relational part of those queries over identical rows.
-    if (only.isEmpty) graft.queries.VerifyInputs.writeAll(spark, sfDir, outDir)
+    // relational part of those queries over identical rows. A filtered
+    // run still needs them when any SELECTED query's oracle references
+    // the materialized parquet (the __VERIFY_OUT__ token) — otherwise
+    // e.g. `Verify ... q129` would pass here and fail in DuckDB on a
+    // missing _q70_input table.
+    val needsInputs = only.isEmpty || SparkEntry.oracleSql.exists {
+      case (name, sql) =>
+        selected(name) && sql.contains(graft.queries.Gps.VerifyOutToken)
+    }
+    if (needsInputs) graft.queries.VerifyInputs.writeAll(spark, sfDir, outDir)
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

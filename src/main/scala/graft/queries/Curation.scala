@@ -244,7 +244,7 @@ object Curation {
           .orderBy(col("eval_id"), col("train_id"))
       },
       oracle = Some("""
-        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         sh AS (SELECT doc_id,
                       list_distinct(list_transform(
                         range(1, greatest(len(toks) - 3, 1)),
@@ -549,7 +549,10 @@ object Curation {
       },
       oracle = Some("""
         WITH st AS (SELECT DISTINCT source, tok FROM (
-               SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+               -- \s+ split mirrors TextFunctions.tokens exactly; the
+               -- single-space form only agreed because the corpus never
+               -- contains whitespace runs (ADVICE r5).
+               SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
                FROM documents) u),
         sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_toks
                   FROM st GROUP BY source),

@@ -194,10 +194,10 @@ object Dedup {
         WITH sh AS (
           SELECT doc_id,
                  list_distinct(list_transform(
-                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
-                   i -> string_split(trim(text), ' ')[i] || ' ' ||
-                        string_split(trim(text), ' ')[i+1] || ' ' ||
-                        string_split(trim(text), ' ')[i+2])) AS shingles
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
           FROM documents),
         ex AS (
           SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
@@ -230,10 +230,10 @@ object Dedup {
         WITH RECURSIVE sh AS (
           SELECT doc_id,
                  list_distinct(list_transform(
-                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
-                   i -> string_split(trim(text), ' ')[i] || ' ' ||
-                        string_split(trim(text), ' ')[i+1] || ' ' ||
-                        string_split(trim(text), ' ')[i+2])) AS shingles
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
           FROM documents),
         ex AS (
           SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
@@ -635,17 +635,17 @@ object Dedup {
                     FROM documents WHERE doc_id < 10),
         shE AS (SELECT eval_id,
                        list_distinct(list_transform(
-                         range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
-                         i -> string_split(trim(text), ' ')[i] || ' ' ||
-                              string_split(trim(text), ' ')[i+1] || ' ' ||
-                              string_split(trim(text), ' ')[i+2])) AS shingles
+                         range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                         i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                              string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                              string_split_regex(trim(text), '\s+')[i+2])) AS shingles
                 FROM ev),
         shT AS (SELECT doc_id AS train_id,
                        list_distinct(list_transform(
-                         range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
-                         i -> string_split(trim(text), ' ')[i] || ' ' ||
-                              string_split(trim(text), ' ')[i+1] || ' ' ||
-                              string_split(trim(text), ' ')[i+2])) AS shingles
+                         range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                         i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                              string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                              string_split_regex(trim(text), '\s+')[i+2])) AS shingles
                 FROM documents),
         exE AS (SELECT eval_id, len(shingles) AS n_e, UNNEST(shingles) AS shingle
                 FROM shE WHERE len(shingles) > 0),
@@ -694,10 +694,10 @@ object Dedup {
         WITH sh AS (
           SELECT doc_id,
                  list_distinct(list_transform(
-                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
-                   i -> string_split(trim(text), ' ')[i] || ' ' ||
-                        string_split(trim(text), ' ')[i+1] || ' ' ||
-                        string_split(trim(text), ' ')[i+2])) AS shingles
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
           FROM documents),
         ex AS (
           SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
@@ -746,10 +746,10 @@ object Dedup {
         WITH sh AS (
           SELECT doc_id,
                  list_distinct(list_transform(
-                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
-                   i -> string_split(trim(text), ' ')[i] || ' ' ||
-                        string_split(trim(text), ' ')[i+1] || ' ' ||
-                        string_split(trim(text), ' ')[i+2])) AS shingles
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
           FROM documents),
         ex AS (
           SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle

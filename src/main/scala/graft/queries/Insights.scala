@@ -173,9 +173,15 @@ object Insights {
           col("i"), col("blk"))
         val b = blocks.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
           col("i"), col("blk"))
+        // distinct: a pair at distance 1 meets in exactly one block, but
+        // IDENTICAL names (distance 0) share all |name| blocks and would
+        // be counted |name| times while the all-pairs oracle counts them
+        // once. The corpus's key-derived names are unique today; the
+        // dedup makes the gate hold if a generator change drops that.
         val pairs = a.join(b, Seq("i", "blk"))
           .filter(col("ka") < col("kb"))
           .filter(levenshtein(col("na"), col("nb")) <= 1)
+          .select(col("ka"), col("na"), col("kb"), col("nb")).distinct()
         pairs.select(col("ka").as("c_custkey"), col("na").as("c_name"),
             col("nb").as("other"))
           .unionAll(pairs.select(col("kb"), col("nb"), col("na")))

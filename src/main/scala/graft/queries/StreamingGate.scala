@@ -39,25 +39,49 @@ object StreamingGate {
 
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Per-run staging for a streaming gate: fresh checkpoint + landing
+    * dirs (the file source watches a DIRECTORY — stage the table file
+    * behind symlinks, exactly how a notification-fed landing prefix
+    * looks in production) and a memory-sink name FIXED per gate. The
+    * previous run's sink table is dropped on entry and the temp dirs are
+    * deleted in `cleanup()`, so repeated Verify/Bench invocations in one
+    * process hold at most one result per gate in driver memory and leave
+    * no checkpoint litter (the nanoTime-suffixed names used before round
+    * 6 accumulated both for the life of the JVM). */
+  private final class GateRun(spark: SparkSession, gate: String,
+      links: Seq[(String, String)]) {
+    val sink: String = gate + "_sink"
+    spark.catalog.dropTempView(sink) // previous run's result, if any
+    val ckpt: String =
+      java.nio.file.Files.createTempDirectory(gate + "_ckpt").toString
+    private val srcPath = java.nio.file.Files.createTempDirectory(gate + "_src")
+    val srcDir: String = srcPath.toString
+    links.foreach { case (name, target) =>
+      java.nio.file.Files.createSymbolicLink(
+        srcPath.resolve(name), java.nio.file.Paths.get(target))
+    }
+    /** Delete the temp dirs (symlinks only — never their targets). The
+      * sink table stays readable until the NEXT run of the same gate. */
+    def cleanup(): Unit = Seq(java.nio.file.Paths.get(ckpt), srcPath)
+      .foreach { root =>
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+  }
+
   /** Run the streamed hourly profile to completion and return the
     * emitted (watermark-trimmed) result, fully ordered. */
   def streamedHourlyProfile(spark: SparkSession, dir: String): DataFrame = {
-    val sink = "q139_sink_" + System.nanoTime()
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("q139_ckpt").toString
-    // the file source requires a DIRECTORY (it watches for arriving
-    // files); stage the table file behind a symlink in a temp dir —
-    // exactly how a notification-fed landing prefix looks in production
-    val srcDir = java.nio.file.Files.createTempDirectory("q139_src")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val run = new GateRun(spark, "q139",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
     val prev = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
     try {
       val q = spark.readStream
         .schema(eventsSchema)
-        .parquet(srcDir.toString)
+        .parquet(run.srcDir)
         .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
           col("event_type"), col("value"))
         .withWatermark("event_time", "1 hour")
@@ -66,17 +90,20 @@ object StreamingGate {
           sum(col("value").cast(DecimalType(28, 2))).as("sdec"))
         .writeStream
         .format("memory")
-        .queryName(sink)
+        .queryName(run.sink)
         .outputMode("append")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", run.ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-    } finally prev match {
-      case Some(v) => spark.conf.set(NanosKey, v)
-      case None    => spark.conf.unset(NanosKey)
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
     }
-    spark.table(sink)
+    spark.table(run.sink)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("hour_start"),
@@ -90,15 +117,11 @@ object StreamingGate {
     * file-source streams over the same staged landing dir, each
     * watermarked, joined on user + a 2-hour event-time interval. */
   def streamedIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val sink = "q140_sink_" + System.nanoTime()
-    val ckpt = java.nio.file.Files.createTempDirectory("q140_ckpt").toString
-    val srcDir = java.nio.file.Files.createTempDirectory("q140_src")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val run = new GateRun(spark, "q140",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
     def side(tpe: String, pfx: String): DataFrame = spark.readStream
       .schema(eventsSchema)
-      .parquet(srcDir.toString)
+      .parquet(run.srcDir)
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pfx}_user"),
         col("event_id").as(s"${pfx}_id"),
@@ -117,17 +140,20 @@ object StreamingGate {
             .as("gap_us"))
         .writeStream
         .format("memory")
-        .queryName(sink)
+        .queryName(run.sink)
         .outputMode("append")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", run.ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-    } finally prev match {
-      case Some(v) => spark.conf.set(NanosKey, v)
-      case None    => spark.conf.unset(NanosKey)
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
     }
-    spark.table(sink)
+    spark.table(run.sink)
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
@@ -170,12 +196,8 @@ object StreamingGate {
   /** Run the streamed running-totals processor to completion. */
   def streamedRunningTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sink = "q148_sink_" + System.nanoTime()
-    val ckpt = java.nio.file.Files.createTempDirectory("q148_ckpt").toString
-    val srcDir = java.nio.file.Files.createTempDirectory("q148_src")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val run = new GateRun(spark, "q148",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
     val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
     val prevNanos = spark.conf.getOption(NanosKey)
     val prevProv = spark.conf.getOption(ProviderKey)
@@ -185,7 +207,7 @@ object StreamingGate {
     try {
       val q = spark.readStream
         .schema(eventsSchema)
-        .parquet(srcDir.toString)
+        .parquet(run.srcDir)
         .select(col("user_id"), col("event_id"),
           expr("ts div 1000").as("ts_us"),
           round(col("value") * 100).cast("long").as("cents"))
@@ -196,12 +218,12 @@ object StreamingGate {
           org.apache.spark.sql.streaming.OutputMode.Update())
         .writeStream
         .format("memory")
-        .queryName(sink)
+        .queryName(run.sink)
         .outputMode("update")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", run.ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
     } finally {
       prevNanos match {
         case Some(v) => spark.conf.set(NanosKey, v)
@@ -211,8 +233,9 @@ object StreamingGate {
         case Some(v) => spark.conf.set(ProviderKey, v)
         case None    => spark.conf.unset(ProviderKey)
       }
+      run.cleanup()
     }
-    spark.table(sink)
+    spark.table(run.sink)
       .orderBy(col("user_id"), col("running_n"))
   }
 
@@ -222,35 +245,32 @@ object StreamingGate {
     * `dropDuplicates(event_id)`; the emitted set must equal the
     * single-copy table. Returns the post-dedup per-type aggregate. */
   def streamedReplayDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sink = "q149_sink_" + System.nanoTime()
-    val ckpt = java.nio.file.Files.createTempDirectory("q149_ckpt").toString
-    val srcDir = java.nio.file.Files.createTempDirectory("q149_src")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events_replay.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val run = new GateRun(spark, "q149", Seq(
+      "events.parquet" -> s"$dir/events.parquet",
+      "events_replay.parquet" -> s"$dir/events.parquet"))
     val prev = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
     try {
       val q = spark.readStream
         .schema(eventsSchema)
-        .parquet(srcDir.toString)
+        .parquet(run.srcDir)
         .dropDuplicates("event_id")
         .writeStream
         .format("memory")
-        .queryName(sink)
+        .queryName(run.sink)
         .outputMode("append")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", run.ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-    } finally prev match {
-      case Some(v) => spark.conf.set(NanosKey, v)
-      case None    => spark.conf.unset(NanosKey)
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
     }
-    spark.table(sink)
+    spark.table(run.sink)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("event_id")).as("n_distinct"),
@@ -261,18 +281,14 @@ object StreamingGate {
   /** Run the streamed per-user session build to completion and return
     * the emitted (watermark-closed) sessions, fully ordered. */
   def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
-    val sink = "q141_sink_" + System.nanoTime()
-    val ckpt = java.nio.file.Files.createTempDirectory("q141_ckpt").toString
-    val srcDir = java.nio.file.Files.createTempDirectory("q141_src")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val run = new GateRun(spark, "q141",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
     val prev = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
     try {
       val q = spark.readStream
         .schema(eventsSchema)
-        .parquet(srcDir.toString)
+        .parquet(run.srcDir)
         .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
           col("user_id"))
         .withWatermark("event_time", "1 hour")
@@ -281,17 +297,20 @@ object StreamingGate {
         .agg(count(lit(1)).as("n_events"))
         .writeStream
         .format("memory")
-        .queryName(sink)
+        .queryName(run.sink)
         .outputMode("append")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", run.ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-    } finally prev match {
-      case Some(v) => spark.conf.set(NanosKey, v)
-      case None    => spark.conf.unset(NanosKey)
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
     }
-    spark.table(sink)
+    spark.table(run.sink)
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("end_us"),

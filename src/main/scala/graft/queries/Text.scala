@@ -23,7 +23,7 @@ object Text {
 
   private def sqlStopCount(set: Seq[String]): String = {
     val list = set.map(s => s"'$s'").mkString(", ")
-    s"len(list_filter(string_split(trim(text), ' '), x -> x IN ($list)))"
+    s"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ($list)))"
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -44,12 +44,12 @@ object Text {
       },
       oracle = Some("""
         SELECT doc_id,
-               len(string_split(trim(text), ' ')) AS n_tokens,
-               len(list_distinct(string_split(trim(text), ' '))) AS n_distinct,
-               ROUND(CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
-                     / len(string_split(trim(text), ' ')), 6) AS ttr,
-               ROUND(CAST(n_chars - (len(string_split(trim(text), ' ')) - 1) AS DOUBLE)
-                     / len(string_split(trim(text), ' ')), 6) AS avg_token_len
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+               ROUND(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                     / len(string_split_regex(trim(text), '\s+')), 6) AS ttr,
+               ROUND(CAST(n_chars - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE)
+                     / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
         FROM documents ORDER BY doc_id""")),
 
     // ---- q41: quality scoring (length/stopword/diversity heuristics) ----
@@ -75,11 +75,11 @@ object Text {
       oracle = Some(s"""
         WITH t AS (
           SELECT doc_id, source,
-                 CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n_tok,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
                  CAST(${sqlStopCount(EN)} AS DOUBLE) AS n_stop,
-                 CAST(len(list_filter(string_split(trim(text), ' '),
+                 CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
                       x -> length(x) < 3)) AS DOUBLE) AS n_short,
-                 CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE) AS n_dist
+                 CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_dist
           FROM documents)
         SELECT doc_id, source,
                ROUND(n_stop / n_tok, 6) AS stop_ratio,
@@ -148,7 +148,7 @@ object Text {
         SELECT COUNT(*) AS n_docs,
                COUNT(DISTINCT md5(text)) AS n_exact_distinct,
                COUNT(DISTINCT md5(list_aggr(list_sort(list_distinct(
-                 string_split(trim(text), ' '))), 'string_agg', ' ')))
+                 string_split_regex(trim(text), '\s+'))), 'string_agg', ' ')))
                  AS n_bow_distinct
         FROM documents""")),
 
@@ -195,10 +195,10 @@ object Text {
         WITH sh AS (
           SELECT doc_id,
                  list_distinct(list_transform(
-                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
-                   i -> string_split(trim(text), ' ')[i] || ' ' ||
-                        string_split(trim(text), ' ')[i+1] || ' ' ||
-                        string_split(trim(text), ' ')[i+2])) AS shingles
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
           FROM documents),
         ex AS (
           SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
@@ -257,7 +257,7 @@ object Text {
       },
       oracle = Some("""
         SELECT doc_id,
-               len(string_split(trim(text), ' ')) AS ws_tokens,
+               len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
                  AS bpe_tokens,
                len(list_distinct(regexp_extract_all(text,
@@ -299,14 +299,14 @@ object Text {
       oracle = Some(s"""
         WITH scored AS (
           SELECT doc_id, lang, text,
-                 ROUND(LEAST(CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
-                       (CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
-                        / len(string_split(trim(text), ' '))) * 0.3 +
-                       (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
+                 ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                       (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                        / len(string_split_regex(trim(text), '\\s+'))) * 0.3 +
+                       (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
                             x -> length(x) < 3)) AS DOUBLE)
-                        / len(string_split(trim(text), ' '))) * 0.2 +
+                        / len(string_split_regex(trim(text), '\\s+'))) * 0.2 +
                        LEAST((CAST(${sqlStopCount(EN)} AS DOUBLE)
-                        / len(string_split(trim(text), ' '))) * 10.0, 1.0) * 0.2, 6)
+                        / len(string_split_regex(trim(text), '\\s+'))) * 10.0, 1.0) * 0.2, 6)
                    AS quality
           FROM documents),
         kept AS (
@@ -352,7 +352,7 @@ object Text {
       build = (spark, dir) => {
         import org.apache.spark.sql.types.DecimalType
         Tables.documents(spark, dir)
-          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
@@ -367,7 +367,7 @@ object Text {
           .limit(20)
       },
       oracle = Some("""
-        WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
                    FROM documents),
         tc AS (SELECT doc_id, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
         d AS (SELECT doc_id,
