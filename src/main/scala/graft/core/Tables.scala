@@ -20,11 +20,16 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and truncate to micros with integer
-    * division — the same ns→µs truncation DuckDB applies, so event-time
-    * values agree across engines to the microsecond.
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) depending on the generator version. NANOS is
+    * rejected by Spark's vectorized reader ([PARQUET_TYPE_ILLEGAL]), so it
+    * is read as raw nanos (legacy.parquet.nanosAsLong) and truncated to
+    * micros with integer division — the same ns→µs truncation DuckDB
+    * applies, so event-time values agree across engines to the
+    * microsecond. MICROS reads natively (as TIMESTAMP_NTZ when
+    * isAdjustedToUTC=false) and only needs a cast to the session-UTC
+    * TIMESTAMP type every downstream query expects; the legacy flag is a
+    * no-op for it. `events()` dispatches on the post-read column type.
     *
     * The legacy conf has no per-read DataFrameReader option, so it is set
     * on the session only for the duration of this call and then restored —
@@ -50,8 +55,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = eventsRaw(s, d)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -27,17 +27,42 @@ import org.apache.spark.sql.types._
   */
 object StreamingGate {
 
-  /** events.parquet schema with ts as raw NANOS (read as long — the
-    * file source gets an explicit schema, so no inference pass). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** events.parquet has shipped with ts as either TIMESTAMP(NANOS) (read
+    * as a raw long under nanosAsLong) or TIMESTAMP(MICROS) (read natively
+    * as NTZ). The streaming file source needs an explicit schema whose ts
+    * type matches the file, so probe the footer once per gate via a batch
+    * schema read and derive (schema, event-time column, µs column) from
+    * the observed type. Both forms truncate to the same microsecond
+    * values, so gate results are era-independent. */
+  private final case class EventsEra(schema: StructType,
+      eventTime: Column, tsMicros: Column)
+
+  private def eventsEra(spark: SparkSession, dir: String): EventsEra = {
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    val tsType =
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      finally prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    tsType match {
+      case LongType => EventsEra(schema,
+        timestamp_micros(expr("ts div 1000")), expr("ts div 1000"))
+      case _ => EventsEra(schema,
+        col("ts").cast("timestamp"),
+        unix_micros(col("ts").cast("timestamp")))
+    }
+  }
 
   /** Per-run staging for a streaming gate: fresh checkpoint + landing
     * dirs (the file source watches a DIRECTORY — stage the table file
@@ -76,13 +101,14 @@ object StreamingGate {
   def streamedHourlyProfile(spark: SparkSession, dir: String): DataFrame = {
     val run = new GateRun(spark, "q139",
       Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
     val prev = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
     try {
       val q = spark.readStream
-        .schema(eventsSchema)
+        .schema(era.schema)
         .parquet(run.srcDir)
-        .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+        .select(era.eventTime.as("event_time"),
           col("event_type"), col("value"))
         .withWatermark("event_time", "1 hour")
         .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -119,13 +145,14 @@ object StreamingGate {
   def streamedIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val run = new GateRun(spark, "q140",
       Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
     def side(tpe: String, pfx: String): DataFrame = spark.readStream
-      .schema(eventsSchema)
+      .schema(era.schema)
       .parquet(run.srcDir)
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pfx}_user"),
         col("event_id").as(s"${pfx}_id"),
-        timestamp_micros(expr("ts div 1000")).as(s"${pfx}_time"))
+        era.eventTime.as(s"${pfx}_time"))
       .withWatermark(s"${pfx}_time", "4 hours")
     val prev = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
@@ -198,6 +225,7 @@ object StreamingGate {
     import spark.implicits._
     val run = new GateRun(spark, "q148",
       Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
     val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
     val prevNanos = spark.conf.getOption(NanosKey)
     val prevProv = spark.conf.getOption(ProviderKey)
@@ -206,10 +234,10 @@ object StreamingGate {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = spark.readStream
-        .schema(eventsSchema)
+        .schema(era.schema)
         .parquet(run.srcDir)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"),
+          era.tsMicros.as("ts_us"),
           round(col("value") * 100).cast("long").as("cents"))
         .as[EventIn]
         .groupByKey(_.user_id)
@@ -248,11 +276,12 @@ object StreamingGate {
     val run = new GateRun(spark, "q149", Seq(
       "events.parquet" -> s"$dir/events.parquet",
       "events_replay.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
     val prev = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
     try {
       val q = spark.readStream
-        .schema(eventsSchema)
+        .schema(era.schema)
         .parquet(run.srcDir)
         .dropDuplicates("event_id")
         .writeStream
@@ -283,13 +312,14 @@ object StreamingGate {
   def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
     val run = new GateRun(spark, "q141",
       Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
     val prev = spark.conf.getOption(NanosKey)
     spark.conf.set(NanosKey, "true")
     try {
       val q = spark.readStream
-        .schema(eventsSchema)
+        .schema(era.schema)
         .parquet(run.srcDir)
-        .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+        .select(era.eventTime.as("event_time"),
           col("user_id"))
         .withWatermark("event_time", "1 hour")
         .groupBy(session_window(col("event_time"), "30 minutes"),
