@@ -182,4 +182,86 @@ class PlanGuardSpec extends SparkSpec {
     assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1,
       "bin aggregation re-shuffles data already co-located by priority")
   }
+
+  // ---- round 6: the remaining headline queries, regression-proofed ----
+
+  test("q30: JSON extract reads only (event_type, props) and partial-aggregates") {
+    val p = plan("q30_events_json_extract")
+    assert(p.contains("ReadSchema: struct<event_type:string,props:string>"),
+      "scan reads columns the JSON profile never uses — raw IO at any scale")
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+  }
+
+  test("q44: the shingle self-join keys on the xxhash64 projection, map-side") {
+    val p = plan("q44_ngram_jaccard")
+    // The 8-byte hash must be computed BELOW the join (in a Project feeding
+    // it) so the exchange ships longs, not ~25-byte trigram strings, and the
+    // join compares longs. Either join-key order puts `shash` in the keys.
+    assert(p.contains("xxhash64"), "shingle hash projection missing from the plan")
+    assert("keys \\[1\\]: \\[shash".r.findAllIn(p.toLowerCase).size >= 2,
+      "co-shingle join does not key on the hashed-shingle projection")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "co-shingle join degenerated into an all-pairs comparison")
+    assert(p.contains("partial_count"),
+      "intersection count not partially aggregated before the exchange")
+  }
+
+  test("q46: MinHash-LSH plans keyed joins only — the O(N²) it exists to avoid") {
+    val p = plan("q46_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate generation degenerated into an all-pairs join")
+    // candidate-pair dedup is a keys-only HashAggregate split around its
+    // exchange (partial below, final above) — one node means raw
+    // band-bucket pairs crossed the wire undeduplicated
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "candidate dedup not split partial/final around the exchange")
+  }
+
+  test("q50: brute-force KNN broadcasts the query side and heap-prunes top-k") {
+    val p = plan("q50_knn_bruteforce")
+    // The corpus×queries product is intentional (that's what brute force
+    // means) — the scale contract is (a) the SMALL query side is the
+    // broadcast build side, so the corpus never shuffles, and (b) top-k
+    // prunes with per-partition heaps before any exchange.
+    assert(p.contains("BroadcastExchange"), "query side not broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "KNN planned a shuffled cartesian instead of a broadcast product")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k materializes full per-query score partitions")
+  }
+
+  test("q59: curation's per-source top-k prunes partials before the exchange") {
+    val p = plan("q59_corpus_curation")
+    // WindowGroupLimit must appear BOTH below the exchange (per-partition
+    // heap) and above it (final) — one occurrence means full partitions
+    // crossed the wire.
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "rank window lacks the partial/final WindowGroupLimit pair")
+  }
+
+  test("q60: multimodal profile stays a typed partition-local pipeline") {
+    val p = plan("q60_multimodal_profile")
+    // Decode/feature/resize run as MapPartitions over the asset objects;
+    // only the aggregated profile rows may reach an exchange. A join or
+    // non-partial aggregation here would ship raw payload bytes.
+    assert(p.contains("MapPartitions"), "media kernel not partition-local")
+    assert(p.contains("partial_count"), "profile agg not split partial/final")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "payload-bearing rows routed through a join")
+  }
+
+  test("q65: chunking is map-side — the only exchange is the presentation sort") {
+    val p = plan("q65_doc_chunking")
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 1,
+      "document chunking shuffles chunk rows before the final ORDER BY")
+  }
+
+  test("q70: GPS enrichment aggregates partial/final with no extra exchange") {
+    val p = plan("q70_gps_enrich_agg")
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+    // generator → project → partial agg → exchange → final agg → sort
+    // exchange: anything more means the synthetic fix stream re-shuffled.
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 2,
+      "enrichment pipeline shuffles more than (agg, presentation-sort)")
+  }
 }
