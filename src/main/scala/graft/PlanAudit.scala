@@ -10,7 +10,12 @@ object PlanAudit {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSessionFactory.local(4, "graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.headlines
+    // q139 (streaming headline) is excluded by default: building it runs
+    // a REAL streaming pipeline eagerly, and the resulting plan is just
+    // the memory-sink scan — the streaming plan itself is in the
+    // checkpoint's offsets/metadata, not explain() territory.
+    val names = if (args.nonEmpty) args.toSeq
+      else SparkEntry.headlines.filterNot(_.startsWith("q139"))
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -280,11 +280,58 @@ object ScaleProbe {
         graft.operators.PrefixFilterJoin
           .similarPairs(e, "doc_id", "n_sh", "shash", 0.2, 0.19).count()
       naive(ex(1, addBoiler = false)); prefix(ex(1, addBoiler = false)) // warmup
-      for (regime <- Seq("clean", "boiler"); s <- Seq(1, 2, 4).filter(_ <= maxScale)) {
+      // boiler runs one doubling past the measured crossover (s=8, 40k
+      // docs, mass/n ≈ 2e5) to catch the router flipping to prefix; the
+      // naive arm is skipped there — ×4.7/doubling extrapolates it to
+      // ~7 min, which is the not-runnable regime the router exists for.
+      for (regime <- Seq("clean", "boiler");
+           s <- (if (regime == "boiler") Seq(1, 2, 4, 8) else Seq(1, 2, 4))
+             .filter(_ <= maxScale)) {
         val e = ex(s, addBoiler = regime == "boiler")
-        val (nSec, nPairs) = timed(naive(e))
+        val runNaive = regime == "clean" || s <= 4
+        val (nSec, nPairs) =
+          if (runNaive) timed(naive(e)) else (-1.0, -1L)
         val (pSec, pPairs) = timed(prefix(e))
-        println(f"""{"probe":"prefixjoin","regime":"$regime","scale":$s,"naive_sec":$nSec%.3f,"prefix_sec":$pSec%.3f,"pairs_naive":$nPairs,"pairs_prefix":$pPairs}""")
+        // the q44 router end-to-end: stat pass + whichever form it picks
+        // (mass/n is regime-dependent, so "clean" must route naive and a
+        // sufficiently large "boiler" must flip to prefix)
+        val nDocs = e.select(col("doc_id")).distinct().count()
+        var route = ""
+        val (aSec, aPairs) = timed {
+          val (r, pairs) = graft.operators.NgramJaccard
+            .similarPairsAuto(e, nDocs, 0.2)
+          route = r
+          pairs.count()
+        }
+        val mpd = graft.operators.NgramJaccard.massPerDoc(e, nDocs)
+        println(f"""{"probe":"prefixjoin","regime":"$regime","scale":$s,"naive_sec":$nSec%.3f,"prefix_sec":$pSec%.3f,"pairs_naive":$nPairs,"pairs_prefix":$pPairs,"auto_route":"$route","auto_sec":$aSec%.3f,"auto_pairs":$aPairs,"mass_per_doc":$mpd%.1f}""")
+      }
+    }
+
+    // skew-join probe: q121's auto-sized salting under escalating hot-key
+    // mass. 90% of big-side rows share ONE key (the viral-document /
+    // null-ish-default shape); scale multiplies total rows, so the hot
+    // key's mass grows with s while the even-partition share grows
+    // equally — autoSalts tracks ceil(hot/even) ≈ 0.9·parts regardless,
+    // and the probe records the chosen count plus salted-vs-plain wall
+    // time and the losslessness count check at each mass.
+    if (enabled("skewjoin")) {
+      def bigOf(s: Int) = spark.range(base / 4 * s)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100000).as("k"),
+          col("id").as("payload"))
+      val small = spark.range(100000)
+        .select(col("id").as("k"), (col("id") * 3).as("attr"))
+      def agg(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(col("k")).agg(sum(col("payload") + col("attr")).as("v"))
+          .agg(count(lit(1)) + sum(col("v"))).head.getLong(0)
+      agg(bigOf(1).join(small, Seq("k"))) // warmup
+      for (s <- Seq(1, 4, 10).filter(_ <= maxScale)) {
+        val big = bigOf(s)
+        val salts = graft.operators.SkewJoin.autoSalts(big, Seq("k"))
+        val (plainSec, plainV) = timed(agg(big.join(small, Seq("k"))))
+        val (saltSec, saltV) = timed(agg(
+          graft.operators.SkewJoin.autoSaltedJoin(big, small, Seq("k"))))
+        println(f"""{"probe":"skewjoin","scale":$s,"rows":${base / 4 * s},"auto_salts":$salts,"plain_sec":$plainSec%.3f,"salted_sec":$saltSec%.3f,"lossless":${plainV == saltV}}""")
       }
     }
 
@@ -414,6 +461,75 @@ object ScaleProbe {
       run("flat_map_groups_with_state") { df =>
         import spark.implicits._
         graft.streaming.StreamingOps.tripSummaries(df.as[GpsRecord])
+      }
+    }
+
+    // streaming state at 10x keys: 1M vehicles, eviction cadence vs
+    // watermark delay. The round-5 session probe peaked at 135 MB state
+    // for 898 open sessions at 100k keys on ONE drained batch — which
+    // never exercises eviction (the watermark only advances at batch
+    // boundaries). Here the time-ordered input is staged as 8 files and
+    // drained with maxFilesPerTrigger=1, so the watermark advances 8
+    // times and RocksDB actually evicts closed sessions mid-stream. The
+    // sweep over watermark delays shows the scale contract: state is
+    // bounded by sessions OPEN WITHIN THE DELAY HORIZON (shorter delay →
+    // earlier eviction → lower peak), not by total keys seen — the
+    // property that keeps a 100 TB/day stream's store from growing
+    // without bound.
+    if (enabled("streamstate10x")) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.core.GpsSchema
+      val nRows = 2400000L
+      val nKeys = 1000000L
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val baseDir = java.nio.file.Files.createTempDirectory("graft-stream-10x").toString
+      val srcDir = java.nio.file.Paths.get(baseDir, "in")
+      java.nio.file.Files.createDirectories(srcDir)
+      val keyed = graft.sources.GpsGenerator.batch(spark, nRows)
+        .withColumn("vehicle_id",
+          format_string("v%07d", pmod(xxhash64(col("timestamp"), col("latitude")), lit(nKeys))))
+      // 8 time-ordered slices (timestamps are monotone in the generator's
+      // row id — one fix per second), staged with increasing mtimes so
+      // the file source drains them in event-time order
+      val slices = 8
+      val epochCol = unix_timestamp(col("timestamp"))
+      val bounds = keyed.agg(min(epochCol), max(epochCol)).head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = math.max(1L, (hi - lo + 1) / slices)
+      (0 until slices).foreach { i =>
+        val sliceDir = java.nio.file.Paths.get(baseDir, s"slice-$i")
+        keyed.filter(epochCol >= lo + i * span &&
+            (epochCol < lo + (i + 1) * span || i == slices - 1))
+          .coalesce(1).write.parquet(sliceDir.toString)
+        val part = java.nio.file.Files.list(sliceDir)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = srcDir.resolve(f"slice-$i%02d.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      for (delay <- Seq("1 minute", "10 minutes", "60 minutes")) {
+        val tag = delay.replace(" ", "")
+        val t0 = System.nanoTime()
+        val q = spark.readStream.schema(GpsSchema.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .transform(df => graft.streaming.StreamingOps
+            .vehicleSessions(df, gap = "5 minutes", watermark = delay))
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$baseDir/ckpt-$tag")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progress = q.recentProgress.toSeq
+          .filter(_.stateOperators.nonEmpty)
+        def per(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+          progress.map(_.stateOperators.map(f).sum)
+        val removed = per(_.numRowsRemoved)
+        val stateRows = per(_.numRowsTotal)
+        val peakBytes = per(_.memoryUsedBytes).foldLeft(0L)(math.max)
+        println(f"""{"probe":"streamstate10x","keys":$nKeys,"rows":$nRows,"watermark":"$delay","sec":$sec%.3f,"rows_per_sec":${(nRows / sec).toLong},"batches":${progress.size},"evicted_total":${removed.sum},"evicted_per_batch":[${removed.mkString(",")}],"state_rows_per_batch":[${stateRows.mkString(",")}],"final_state_rows":${stateRows.lastOption.getOrElse(-1L)},"peak_state_bytes":$peakBytes}""")
       }
     }
     spark.stop()

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram Jaccard similarity join with corpus-statistics routing.
+  *
+  * Two exact physical forms exist for "all pairs with Jaccard ≥ t over
+  * hashed shingle sets", with opposite scaling regimes (measured in
+  * `ScaleProbe` "prefixjoin", tabulated in BASELINE.md):
+  *
+  *  - NAIVE co-shingle self-join: explode → equijoin on the 8-byte
+  *    shingle hash → per-pair intersection count. Cost is the co-element
+  *    stream Σ_s df(s)·(df(s)−1)/2 — linear on diverse vocabulary, but
+  *    docs²·|boilerplate| once hot shingles (shared footers) appear.
+  *    Wins outright below the crossover: 3.0 s vs 23.0 s at 20k clean
+  *    docs.
+  *  - PREFIX-FILTERED (PPJoin-style, [[PrefixFilterJoin.similarPairs]]):
+  *    rare-first prefixes keep max-df shingles out of every prefix, so
+  *    hot shingles never generate candidates; near-linear in the boiler
+  *    regime (×1.7 per doubling vs the naive ×4.7) at the price of a df
+  *    rank + window pass that is pure overhead on clean corpora.
+  *
+  * The right form is a property of the DATA, not the query — so this
+  * operator measures the data and routes. The statistic is exactly the
+  * naive join's cost driver, candidate co-occurrences per doc:
+  *
+  *   mass/n  =  Σ_s df(s)·(df(s)−1)/2  /  n_docs
+  *
+  * Both forms' costs are ~affine in n at fixed mass/n (naive ≈ a·mass +
+  * b·n, prefix ≈ c·n), so the crossover sits at a CONSTANT mass/n ratio
+  * independent of corpus size. The round-6 probe run brackets it:
+  * boiler at 5k docs (mass/n = 28.3k) has naive ahead 17.6 s vs 39.3 s,
+  * boiler at 10k docs (mass/n = 55.8k) has prefix ahead 38.5 s vs
+  * 60.2 s, and the prefix arm is near-FLAT across scales while naive
+  * grows ×3.4 per doubling. [[CrossoverMassPerDoc]] = 4e4 splits that
+  * bracket.
+  *
+  * The df aggregation that funds the decision is one partial/final count
+  * over the exploded hash stream — map-side combine collapses each
+  * partition to its distinct-shingle rows, so the stat pass is a small
+  * fraction of either join form (and at 100 TB it is the same df pass
+  * the prefix form needs anyway). The 1-row collect is bounded.
+  *
+  * Both forms emit identical rows (PrefixFilterJoin's lossless theorem,
+  * certified by q113's brute-force oracle and NgramJaccardSpec's planted
+  * corpus) — routing can never change a result, only a plan.
+  */
+object NgramJaccard {
+
+  /** Naive-join candidate co-occurrences per doc at the measured
+    * clean/boiler crossover (BASELINE.md "prefixjoin" table). */
+  val CrossoverMassPerDoc = 4e4
+
+  /** The naive join's cost driver, measured: candidate co-occurrences
+    * per doc, Σ_s df(s)·(df(s)−1)/2 / n. One partial/final count over
+    * the hash stream + a 1-row collect. */
+  def massPerDoc(ex: DataFrame, nDocs: Long): Double = {
+    if (nDocs == 0) return 0.0
+    val mass = ex.groupBy(col("shash"))
+      .agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - lit(1)) / lit(2)).as("mass"))
+      .head.getDouble(0)
+    mass / nDocs
+  }
+
+  /** `ex` columns: doc_id, n_sh (distinct-shingle count), shash (one row
+    * per distinct shingle hash per doc). Returns ("naive" | "prefix",
+    * unordered pair DataFrame [doc_a, doc_b, n_common, jaccard]). */
+  def similarPairsAuto(ex: DataFrame, nDocs: Long, threshold: Double,
+      crossover: Double = CrossoverMassPerDoc): (String, DataFrame) = {
+    if (massPerDoc(ex, nDocs) > crossover)
+      ("prefix", PrefixFilterJoin.similarPairs(
+        ex, "doc_id", "n_sh", "shash", threshold, threshold * 0.95))
+    else ("naive", naivePairs(ex, threshold))
+  }
+
+  /** The naive co-shingle equijoin on the hashed-shingle projection. */
+  def naivePairs(ex: DataFrame, threshold: Double): DataFrame = {
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shash"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shash"))
+    a.join(b, Seq("shash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+}

@@ -42,4 +42,37 @@ object SkewJoin {
       explode(array((0 until salts).map(i => lit(i)): _*)))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Salt count sized from the DATA instead of guessed: one partial/final
+    * count-by-key over the big side (map-side combine collapses the hot
+    * key before the stat itself can skew), then
+    *
+    *   salts = ceil(hottest-key rows / even-partition rows), clamped to
+    *   [1, maxSalts]
+    *
+    * — i.e. just enough replication that the hottest key's rows spread
+    * back down to one even partition's worth per reducer, and exactly 1
+    * (a plain join modulo a constant-zero salt column) when no key
+    * exceeds an even share. Replication cost on the small side scales
+    * with the skew that is actually present, not with a worst-case
+    * constant: a uniform 100 TB join pays nothing, and the same call
+    * survives the day one key goes viral. The 2-value collect is bounded.
+    */
+  def autoSalts(big: DataFrame, keys: Seq[String], maxSalts: Int = 64): Int = {
+    val stats = big.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("hot"), sum(col("cnt")).as("total"))
+      .head
+    if (stats.isNullAt(0)) return 1 // empty big side
+    val (hot, total) = (stats.getLong(0), stats.getLong(1))
+    val parts = big.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val even = math.max(1L, total / math.max(1, parts))
+    math.min(maxSalts.toLong, math.max(1L, (hot + even - 1) / even)).toInt
+  }
+
+  /** [[saltedJoin]] with the salt count sized by [[autoSalts]]. */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      joinType: String = "inner", maxSalts: Int = 64): DataFrame =
+    saltedJoin(big, small, keys, autoSalts(big, keys, maxSalts), joinType)
 }

@@ -1,0 +1,412 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset mixing, splitting, and schedule construction — the operators
+  * that turn a CURATED corpus into a TRAINING RUN's actual input stream
+  * (domain reweighting, hash-based splits, vocabulary truncation,
+  * importance resampling, collocation mining, canonicalization).
+  * Complements Curation (filtering/scoring) and Training (packing/BPE):
+  * those decide what to keep and how to tokenize; these decide how much
+  * of it each consumer sees, and in what proportion.
+  *
+  * Every query is exact-deterministic (integer or exact-decimal
+  * arithmetic, algebraic forms instead of per-row double accumulation)
+  * so the DuckDB oracle hash-matches bit-for-bit — including the
+  * resampling and coverage queries, whose selection arithmetic is pure
+  * integer division.
+  */
+object Mixing {
+
+  /** Single-space tokenization, the corpus-wide convention shared with
+    * the oracles (string_split(trim(text), ' ')). */
+  private def toks(textCol: Column): Column = split(trim(textCol), " ")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q151: leave-one-out target encoding with smoothing ----
+    // The categorical-feature encoder that avoids self-leakage: each
+    // row's priority is encoded as the mean total price of OTHER rows
+    // in its class, blended toward the global mean by pseudo-count m
+    // (m = 10). Per-row form: (S_p − x + m·g) / (n_p − 1 + m).
+    //
+    // Determinism: every per-class statistic (S_p exact decimal, n_p,
+    // min/max x) is aggregation-safe, and the per-priority OUTPUT stats
+    // are computed ALGEBRAICALLY from them — the mean of the per-row
+    // encoding is (n_p·S_p − S_p + n_p·m·g) / (n_p·(n_p − 1 + m)), and
+    // its min/max are reached at max/min x (the encoding is decreasing
+    // in x) — so no double is ever accumulated row-by-row in either
+    // engine.
+    //
+    // 100 TB posture: two partial/final aggregations (one global 1-row,
+    // broadcast; one per-class) — the fact table is touched once, no
+    // per-row join, no window.
+    "q151_target_encoding" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+        val m = lit(10.0)
+        val g = o.agg(
+          (sum(col("o_totalprice").cast(DecimalType(28, 2))).cast(DoubleType) /
+            count(lit(1))).as("g"))
+        val per = o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(28, 2)))
+              .cast(DoubleType).as("s"),
+            min(col("o_totalprice")).as("xmin"),
+            max(col("o_totalprice")).as("xmax"))
+        per.crossJoin(broadcast(g))
+          .select(col("o_orderpriority"), col("n"),
+            round((col("n") * col("s") - col("s") + col("n") * m * col("g")) /
+              (col("n") * (col("n") - 1 + m)), 6).as("enc_avg"),
+            round((col("s") - col("xmax") + m * col("g")) /
+              (col("n") - 1 + m), 6).as("enc_min"),
+            round((col("s") - col("xmin") + m * col("g")) /
+              (col("n") - 1 + m), 6).as("enc_max"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS g
+          FROM orders),
+        per AS (
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                 MIN(o_totalprice) AS xmin, MAX(o_totalprice) AS xmax
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority, n,
+               ROUND((n * s - s + n * 10.0 * g.g) / (n * (n - 1 + 10.0)), 6)
+                 AS enc_avg,
+               ROUND((s - xmax + 10.0 * g.g) / (n - 1 + 10.0), 6) AS enc_min,
+               ROUND((s - xmin + 10.0 * g.g) / (n - 1 + 10.0), 6) AS enc_max
+        FROM per CROSS JOIN g
+        ORDER BY o_orderpriority""")),
+
+    // ---- q152: sqrt-scaled domain mixture weights ----
+    // The domain-rebalancing recipe for multi-source corpora: raw token
+    // share per source, then weight ∝ share^α with α = 1/2 (sqrt is
+    // IEEE-exact, unlike libm pow, so both engines bit-agree) —
+    // upsamples small domains, damps the dominant one. Output:
+    // per-source exact token counts, the normalized mixture weight, and
+    // the per-source token budget of a 1M-token epoch.
+    //
+    // 100 TB posture: one pass over documents into a partial/final agg
+    // keyed by source (a handful of groups), then per-group arithmetic
+    // against the broadcast 1-row totals.
+    "q152_domain_mixture" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("source"),
+            size(toks(col("text"))).cast(LongType).as("n_tok"))
+        val per = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        val tot = per.agg(sum(col("tokens")).as("total"),
+          Det.dsum(sqrt(col("tokens").cast(DoubleType)), 6).as("sq_sum"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            round(col("tokens").cast(DoubleType) / col("total"), 6).as("raw_share"),
+            round(sqrt(col("tokens").cast(DoubleType)) / col("sq_sum"), 6).as("weight"),
+            round(sqrt(col("tokens").cast(DoubleType)) / col("sq_sum") * 1000000, 2)
+              .as("epoch_tokens"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+                   AS BIGINT) AS tokens
+          FROM documents GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+                 CAST(SUM(CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(18,6)))
+                   AS DOUBLE) AS sq_sum
+          FROM per)
+        SELECT source, n_docs, tokens,
+               ROUND(CAST(tokens AS DOUBLE) / total, 6) AS raw_share,
+               ROUND(sqrt(CAST(tokens AS DOUBLE)) / sq_sum, 6) AS weight,
+               ROUND(sqrt(CAST(tokens AS DOUBLE)) / sq_sum * 1000000, 2)
+                 AS epoch_tokens
+        FROM per CROSS JOIN tot
+        ORDER BY source""")),
+
+    // ---- q153: content-hash train/val/test split ----
+    // Leakage-free deterministic splitting: the split is a pure function
+    // of the CONTENT (md5), so byte-identical texts land in the same
+    // split by construction, assignment survives re-ingestion and
+    // renumbering, and no coordination or shuffle is needed — the
+    // map-side property that makes the split free at 100 TB. Bucket =
+    // first two md5 hex chars as an integer (0–255): <204 train (~80%),
+    // <230 val (~10%), rest test. Engine-portable by construction: md5
+    // agrees everywhere and the hex→int decode is strpos arithmetic.
+    "q153_hash_split" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+        val bucket =
+          (expr("instr('0123456789abcdef', substring(md5(cast(text as binary)), 1, 1))") - 1) * 16 +
+          (expr("instr('0123456789abcdef', substring(md5(cast(text as binary)), 2, 1))") - 1)
+        val splitCol = when(bucket < 204, "train")
+          .when(bucket < 230, "val").otherwise("test")
+        d.select(splitCol.as("split"),
+            size(toks(col("text"))).cast(LongType).as("n_tok"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+          .orderBy(col("split"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+                   AS bucket,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+          FROM documents)
+        SELECT CASE WHEN bucket < 204 THEN 'train'
+                    WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+        FROM b GROUP BY 1 ORDER BY split""")),
+
+    // ---- q154: vocabulary coverage thresholds ----
+    // How many token TYPES cover 50/90/95/99% of corpus token mass —
+    // the statistic behind vocab-size and min-frequency truncation
+    // decisions. Pure integer: types ordered (count DESC, token ASC),
+    // cumulative token mass in a window, threshold test as
+    // cum·100 ≥ pct·total (no division anywhere).
+    //
+    // 100 TB posture: the corpus-sized stage is the (token → count)
+    // partial/final agg; the unpartitioned window runs over TYPES
+    // (vocabulary-sized, ~√corpus by Heaps' law) — the same
+    // deliberately-single-partition ranking the BPE merge table uses.
+    "q154_vocab_coverage" -> QueryDef(
+      build = (spark, dir) => {
+        val tok = Tables.documents(spark, dir)
+          .select(explode(toks(col("text"))).as("t"))
+          .filter(length(col("t")) > 0)
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c").desc, col("t").asc)
+        val cum = tok.select(col("c"),
+          sum(col("c")).over(w).as("cum"),
+          row_number().over(w).cast(LongType).as("rank"))
+        val tot = tok.agg(sum(col("c")).as("total"),
+          count(lit(1)).as("n_types"))
+        cum.crossJoin(broadcast(tot))
+          .select(explode(array(Seq(50, 90, 95, 99).map(lit): _*)).as("pct"),
+            col("rank"), col("cum"), col("total"), col("n_types"))
+          .filter(col("cum") * 100 >= col("pct") * col("total"))
+          .groupBy(col("pct"))
+          .agg(min(col("rank")).as("types_needed"),
+            min(col("n_types")).as("total_types"),
+            min(col("total")).as("total_tokens"))
+          .orderBy(col("pct"))
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT t, COUNT(*) AS c FROM (
+            SELECT UNNEST(string_split(trim(text), ' ')) AS t FROM documents)
+          WHERE len(t) > 0 GROUP BY t),
+        cum AS (
+          SELECT c,
+                 CAST(SUM(c) OVER (ORDER BY c DESC, t ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rank
+          FROM tok),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                       COUNT(*) AS n_types FROM tok)
+        SELECT pct, MIN(rank) AS types_needed,
+               MIN(n_types) AS total_types, MIN(total) AS total_tokens
+        FROM cum CROSS JOIN tot
+        CROSS JOIN (SELECT UNNEST([50, 90, 95, 99]) AS pct) p
+        WHERE cum * 100 >= pct * total
+        GROUP BY pct ORDER BY pct""")),
+
+    // ---- q155: systematic importance resampling ----
+    // Weight-proportional resampling WITHOUT randomness: k = 500 evenly
+    // spaced points over the cumulative weight axis (weights = exact
+    // token counts, points at (2i+1)·W/(2k)); each doc is drawn with
+    // multiplicity = #points inside its cumulative interval. Guarantees
+    // Σ multiplicity = k exactly, every doc with weight ≥ W/k is
+    // sampled, and expected multiplicity ∝ weight — the deterministic
+    // dual of weighted reservoir sampling, reproducible across engines
+    // because the point-count formula is pure integer division:
+    // m(c) = (2kc − W) div 2W + 1 for 2kc ≥ W, else 0.
+    //
+    // 100 TB posture: the global prefix sum is built scale-safely —
+    // per-shard window (keyed shuffle) + a shard-offset table computed
+    // from per-shard totals (shard-count-sized, broadcast back), never
+    // a single-partition window over raw docs.
+    "q155_systematic_resample" -> QueryDef(
+      build = (spark, dir) => {
+        val k = 500L
+        val shardSize = 1000L
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            size(toks(col("text"))).cast(LongType).as("w"),
+            expr(s"doc_id div $shardSize").as("shard"))
+        // two-pass distributed prefix sum over doc_id order
+        val within = d.withColumn("wcum",
+          sum(col("w")).over(
+            Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
+        val offsets = d.groupBy(col("shard"))
+          .agg(sum(col("w")).as("stot"))
+          .withColumn("offset",
+            coalesce(sum(col("stot")).over(
+              Window.orderBy(col("shard"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("shard"), col("offset"))
+        val cum = within.join(broadcast(offsets), "shard")
+          .withColumn("cum", col("wcum") + col("offset"))
+        val tot = d.agg(sum(col("w")).as("total"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("m_hi", when(col("cum") * 2 * k >= col("total"),
+            expr(s"(2 * $k * cum - total) div (2 * total)") + 1)
+            .otherwise(lit(0L)))
+          .withColumn("m_lo", when((col("cum") - col("w")) * 2 * k >= col("total"),
+            expr(s"(2 * $k * (cum - w) - total) div (2 * total)") + 1)
+            .otherwise(lit(0L)))
+          .withColumn("mult", col("m_hi") - col("m_lo"))
+          .groupBy(col("source"))
+          .agg(sum(col("mult")).as("n_sampled"),
+            count(when(col("mult") > 0, 1)).as("n_docs_hit"),
+            sum(col("w")).as("weight_mass"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
+          FROM documents),
+        cum AS (
+          SELECT doc_id, source, w,
+                 CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum
+          FROM d),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM d),
+        mm AS (
+          SELECT source, w,
+                 (CASE WHEN cum * 1000 >= total
+                   THEN (1000 * cum - total) // (2 * total) + 1 ELSE 0 END)
+                 - (CASE WHEN (cum - w) * 1000 >= total
+                   THEN (1000 * (cum - w) - total) // (2 * total) + 1
+                   ELSE 0 END) AS mult
+          FROM cum CROSS JOIN tot)
+        SELECT source, CAST(SUM(mult) AS BIGINT) AS n_sampled,
+               COUNT(CASE WHEN mult > 0 THEN 1 END) AS n_docs_hit,
+               CAST(SUM(w) AS BIGINT) AS weight_mass
+        FROM mm GROUP BY source ORDER BY source""")),
+
+    // ---- q156: PMI collocations, integer-exact ----
+    // Top bigram collocations by pointwise mutual information. PMI's
+    // log is libm territory (engines may differ in the last ulp), so
+    // the SCORE is the exact integer ratio c_ab·N·10⁴ div (c_a·c_b) —
+    // monotone in PMI, bit-identical everywhere, and long-safe
+    // (c_ab·N·10⁴ ≤ ~1e17 at sf0.1 corpus sizes). Min pair count 5,
+    // top 20 by (ratio DESC, bigram ASC) — a total order, so LIMIT is
+    // deterministic.
+    //
+    // 100 TB posture: adjacent pairs come from a map-side array
+    // transform (no self-join); bigram and unigram counts are
+    // partial/final aggs; unigram counts join back on the
+    // vocabulary-sized side; top-20 is TakeOrderedAndProject.
+    "q156_pmi_collocations" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), toks(col("text")).as("ts"))
+          .filter(size(col("ts")) > 1)
+        val uni = docs.select(explode(col("ts")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val nTok = uni.agg(sum(col("c")).as("n_tok"))
+        val pairs = docs.select(explode(expr(
+            "transform(slice(ts, 1, size(ts) - 1), " +
+              "(x, i) -> struct(x AS a, element_at(ts, i + 2) AS b))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        pairs
+          .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+          .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+          .crossJoin(broadcast(nTok))
+          .select(concat(col("a"), lit(" "), col("b")).as("bigram"),
+            col("c_ab"),
+            expr("(c_ab * n_tok * 10000) div (c_a * c_b)").as("pmi_ratio_e4"))
+          .orderBy(col("pmi_ratio_e4").desc, col("bigram"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH docs AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS ts
+          FROM documents WHERE len(string_split(trim(text), ' ')) > 1),
+        uni AS (
+          SELECT t, COUNT(*) AS c FROM (
+            SELECT UNNEST(ts) AS t FROM docs) GROUP BY 1),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+        pairs AS (
+          SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM (
+            SELECT UNNEST(list_transform(range(1, len(ts)),
+              i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+            FROM docs)
+          GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        SELECT pairs.a || ' ' || pairs.b AS bigram, c_ab,
+               c_ab * n_tok * 10000 // (ua.c * ub.c) AS pmi_ratio_e4
+        FROM pairs
+        JOIN uni ua ON pairs.a = ua.t
+        JOIN uni ub ON pairs.b = ub.t
+        CROSS JOIN n
+        ORDER BY pmi_ratio_e4 DESC, bigram LIMIT 20""")),
+
+    // ---- q157: normalization collision profile ----
+    // The canonicalization step ahead of exact dedup: lowercase, strip
+    // non-alphanumerics, collapse spaces — then measure what it does:
+    // docs changed, distinct texts before/after, and how many
+    // normalized groups MERGE previously-distinct raw texts (each such
+    // group is a dup cluster plain exact dedup would miss). All counts
+    // integer-exact over md5 identities.
+    //
+    // 100 TB posture: normalization is map-side; the collision profile
+    // is a (norm-hash → distinct raw-hash) partial/final agg chain —
+    // keyed shuffles of 32-byte hashes, never of text.
+    "q157_normalize_collisions" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+        val norm = trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        val base = d.select(md5(col("text").cast(BinaryType)).as("raw_h"),
+          md5(norm.cast(BinaryType)).as("norm_h"),
+          (norm =!= col("text")).cast(LongType).as("changed"))
+        val collisions = base.groupBy(col("norm_h"))
+          .agg(countDistinct(col("raw_h")).as("n_raw"))
+          .agg(count(when(col("n_raw") > 1, 1)).as("merge_groups"),
+            coalesce(sum(when(col("n_raw") > 1, col("n_raw"))), lit(0L))
+              .as("merged_raw_texts"))
+        base.agg(count(lit(1)).as("n_docs"),
+            sum(col("changed")).as("n_changed"),
+            countDistinct(col("raw_h")).as("distinct_raw"),
+            countDistinct(col("norm_h")).as("distinct_norm"))
+          .crossJoin(broadcast(collisions))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT md5(text) AS raw_h,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_h,
+                 CASE WHEN trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) <> text
+                   THEN 1 ELSE 0 END AS changed
+          FROM documents),
+        grp AS (
+          SELECT norm_h, COUNT(DISTINCT raw_h) AS n_raw
+          FROM base GROUP BY 1),
+        coll AS (
+          SELECT COUNT(CASE WHEN n_raw > 1 THEN 1 END) AS merge_groups,
+                 CAST(COALESCE(SUM(CASE WHEN n_raw > 1 THEN n_raw END), 0)
+                   AS BIGINT) AS merged_raw_texts
+          FROM grp)
+        SELECT COUNT(*) AS n_docs, CAST(SUM(changed) AS BIGINT) AS n_changed,
+               COUNT(DISTINCT raw_h) AS distinct_raw,
+               COUNT(DISTINCT norm_h) AS distinct_norm,
+               MIN(merge_groups) AS merge_groups,
+               MIN(merged_raw_texts) AS merged_raw_texts
+        FROM base CROSS JOIN coll"""))
+  )
+}

@@ -281,9 +281,15 @@ object Relational {
     // broadcast-ineligible build sides, skew known up front): each
     // big-side row gets a deterministic salt, the small side is
     // replicated `salts` times, and the join key becomes (key, salt) —
-    // one hot orderkey spreads over 8 reducers instead of parking a
-    // 100 TB partition on one executor
+    // one hot orderkey spreads over `salts` reducers instead of parking
+    // a 100 TB partition on one executor
     // (see [[graft.operators.SkewJoin.saltedJoin]]).
+    //
+    // Since round 6 the salt count is SIZED FROM THE DATA
+    // ([[graft.operators.SkewJoin.autoSalts]]: one count-by-key agg,
+    // salts = hottest key / even partition share, clamped) instead of a
+    // guessed constant — uniform data degenerates to the plain join
+    // (salts=1), real skew gets exactly the spread it needs.
     //
     // The oracle is the PLAIN join — the hash match is the certificate
     // that salting is a pure physical rewrite with zero semantic drift
@@ -296,7 +302,7 @@ object Relational {
         val small = Tables.orders(spark, dir)
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
         graft.operators.SkewJoin
-          .saltedJoin(big, small, Seq("l_orderkey"), salts = 8)
+          .autoSaltedJoin(big, small, Seq("l_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_items"),
             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)

@@ -360,7 +360,13 @@ object StreamingGate {
     // source feeding a watermarked shuffle-partitioned window agg with
     // incremental state; the memory sink stands in for the Iceberg
     // table sink (TableSink), which the streaming specs exercise.
+    //
+    // Headline since round 6: the bench's only streaming row, so the
+    // full stream-pipeline cost (checkpoint + state store + source
+    // listing + watermark machinery, not just the agg) is tracked
+    // round-over-round like every batch headliner.
     "q139_streamed_hourly_profile" -> QueryDef(
+      headline = true,
       build = (spark, dir) => streamedHourlyProfile(spark, dir),
       oracle = Some(s"""
         WITH e AS (

@@ -161,6 +161,14 @@ object Text {
     // sort-merge — was A/B'd at sf0.1 and measured equal-to-slower: the
     // per-group array allocation costs more than the join's sort saves.
     // The join form stands.)
+    //
+    // Since round 6 the physical form is chosen by NgramJaccard's
+    // df-statistics router: the naive co-shingle join below the measured
+    // hot-shingle crossover (mass/n = 4e4; this corpus sits orders of
+    // magnitude under it), PrefixFilterJoin past it (the boiler/
+    // shared-footer regime where the naive co-element stream grows
+    // docs²·|boilerplate|). Both forms are exact — routing can change
+    // the plan, never the rows.
     "q44_ngram_jaccard" -> QueryDef(
       build = (spark, dir) => {
         // spread: shingling a single-split source would serialize on one
@@ -178,18 +186,9 @@ object Text {
         // would catch one — the gate doubles as the collision check.
         val ex = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
           .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shash"))
-        val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shash"))
-        val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shash"))
-        a.join(b, Seq("shash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-          .agg(count(lit(1)).as("n_common"))
-          .withColumn("jaccard",
-            round(col("n_common").cast("double") /
-              (col("n_a") + col("n_b") - col("n_common")), 6))
-          .filter(col("jaccard") >= 0.2)
-          .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
+        val (_, pairs) = graft.operators.NgramJaccard
+          .similarPairsAuto(ex, sized.count(), 0.2)
+        pairs.orderBy(col("doc_a"), col("doc_b"))
       },
       oracle = Some("""
         WITH sh AS (

@@ -43,6 +43,36 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.count() == 8000)
   }
 
+  test("autoSalts: uniform keys degenerate to 1, a hot key sizes to its share") {
+    // uniform: no key exceeds an even partition share -> plain join
+    val uniform = spark.range(4000).select((col("id") % 1000).as("k"))
+    assert(SkewJoin.autoSalts(uniform, Seq("k")) == 1)
+    // one key owns half the rows: with 4 shuffle partitions an even share
+    // is total/4, so the hot key needs ceil(half / quarter) = 2 salts
+    // (hot key -1 sits outside the id range, so its count is exactly 4000)
+    val skewed = spark.range(8000)
+      .select(when(col("id") % 2 === 0, lit(-1L)).otherwise(col("id")).as("k"))
+    assert(SkewJoin.autoSalts(skewed, Seq("k")) == 2)
+    // clamp honored
+    assert(SkewJoin.autoSalts(
+      spark.range(8000).select(lit(1L).as("k")), Seq("k"), maxSalts = 3) == 3)
+  }
+
+  test("autoSaltedJoin equals the plain join under 10x hot-key mass") {
+    // the q121 certificate shape at deliberately inflated skew: the hot
+    // key's mass is ~10x the SkewJoinSpec baseline (180k of 200k rows)
+    val big = spark.range(200000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val small = spark.range(100).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("name"))
+    val n = SkewJoin.autoSalts(big, Seq("k"))
+    assert(n > 1, "10x hot-key mass must trigger salting")
+    val plain = big.join(small, Seq("k"))
+    val salted = SkewJoin.autoSaltedJoin(big, small, Seq("k"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("works on real tables: orders x customer") {
     val o = Tables.orders(spark, sf).select("o_custkey", "o_orderkey")
     val c = Tables.customer(spark, sf).select("c_custkey", "c_name")
