@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus risk accounting — the statistics a data team reads BEFORE
+  * committing a training mix: out-of-vocabulary exposure (hapax docs),
+  * marginal novelty per source, length-distribution shape, the token
+  * mass dedup would reclaim, and recency weighting. Complements Mixing
+  * (which constructs the mix) with the diagnostics that justify it.
+  *
+  * Determinism contract as everywhere: integer or dyadic-exact
+  * arithmetic only — including q162's exponential decay, which is made
+  * bit-exact by keeping weights as integer ppm of a power of two
+  * rather than calling libm pow.
+  */
+object CorpusStats {
+
+  private def toks(textCol: Column): Column = split(trim(textCol), " ")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- q158: rare-token exposure per source ----
+    // Tokens in the BOTTOM DECILE of corpus doc-frequency are where
+    // tokenizers fragment and models memorize; a source whose docs are
+    // dense in them is an OOV/PII risk concentrator. Rarity is defined
+    // RELATIVE to the corpus (rank by df ASC, keep the first
+    // ⌈n_types/10⌉ types — a pure-integer cut, so the set is never
+    // vacuously empty the way an absolute df=1 hapax rule is on a
+    // closed synthetic vocabulary). Output per source: rare-token
+    // occurrences owned and docs containing ≥1 rare token.
+    //
+    // 100 TB posture: (token → doc-count) partial/final agg, a
+    // vocabulary-sized ranking window, then a semi-join of the rare set
+    // (broadcast-sized by construction: |V|/10) back to per-doc rows.
+    "q158_rare_token_exposure" -> QueryDef(
+      build = (spark, dir) => {
+        val ex = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(toks(col("text")))).as("t"))
+          .filter(length(col("t")) > 0)
+        val df = ex.groupBy(col("t")).agg(count(lit(1)).as("n_docs_with"))
+        val ranked = df.select(col("t"), col("n_docs_with"),
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n_docs_with").asc, col("t").asc))
+            .cast(LongType).as("rnk"))
+        val nTypes = df.agg(count(lit(1)).as("n_types"))
+        val rare = ranked.crossJoin(broadcast(nTypes))
+          .filter(col("rnk") * 10 <= col("n_types") + 9) // rnk <= ceil(n/10)
+          .select(col("t"))
+        val docsHit = ex.join(rare, Seq("t"), "left_semi")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_rare_in_doc"))
+        docsHit.groupBy(col("source"))
+          .agg(sum(col("n_rare_in_doc")).as("rare_tokens"),
+            count(lit(1)).as("docs_with_rare"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH ex AS (
+          SELECT DISTINCT doc_id, source, t FROM (
+            SELECT doc_id, source,
+                   UNNEST(string_split(trim(text), ' ')) AS t
+            FROM documents)
+          WHERE len(t) > 0),
+        df AS (
+          SELECT t, COUNT(*) AS n_docs_with FROM ex GROUP BY t),
+        ranked AS (
+          SELECT t, ROW_NUMBER() OVER (ORDER BY n_docs_with ASC, t ASC)
+                   AS rnk
+          FROM df),
+        nt AS (SELECT COUNT(*) AS n_types FROM df),
+        rare AS (
+          SELECT t FROM ranked CROSS JOIN nt WHERE rnk * 10 <= n_types + 9),
+        hit AS (
+          SELECT doc_id, source, COUNT(*) AS n_rare_in_doc
+          FROM ex SEMI JOIN rare USING (t)
+          GROUP BY 1, 2)
+        SELECT source, CAST(SUM(n_rare_in_doc) AS BIGINT) AS rare_tokens,
+               COUNT(*) AS docs_with_rare
+        FROM hit GROUP BY source ORDER BY source""")),
+
+    // ---- q159: marginal shingle novelty per source ----
+    // "What does each source ADD?" — credit every distinct 3-gram
+    // shingle to its FIRST source (min source name, deterministic), so
+    // per-source novelty = shingles no earlier-ordered source contains.
+    // The greedy-marginal view behind source selection: a source whose
+    // novelty/total ratio is tiny is near-redundant with the mix before
+    // it.
+    //
+    // 100 TB posture: (shingle-hash → min(source)) partial/final agg —
+    // min() is the same map-side-collapsing shape as count, so hot
+    // shingles never concentrate; novelty attribution is a second agg
+    // over vocabulary-sized rows.
+    "q159_source_novelty" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.shingles
+        val sh = Tables.spread(Tables.documents(spark, dir))
+          .select(col("source"),
+            explode(shingles(toks(col("text")), 3)).as("g"))
+          .select(col("source"), xxhash64(col("g")).as("gh"))
+          .distinct()
+        val owned = sh.groupBy(col("gh"))
+          .agg(min(col("source")).as("first_source"),
+            count(lit(1)).as("n_sources"))
+        val perSource = sh.groupBy(col("source"))
+          .agg(count(lit(1)).as("distinct_shingles"))
+        owned.groupBy(col("first_source").as("source"))
+          .agg(count(lit(1)).as("novel_shingles"),
+            count(when(col("n_sources") === 1, 1)).as("exclusive_shingles"))
+          .join(perSource, "source")
+          .select(col("source"), col("distinct_shingles"),
+            col("novel_shingles"), col("exclusive_shingles"),
+            expr("novel_shingles * 1000000 div distinct_shingles")
+              .as("novelty_ppm"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH sh0 AS (
+          SELECT source,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1] || ' ' ||
+                        string_split(trim(text), ' ')[i+2])) AS gs
+          FROM documents),
+        sh AS (
+          -- grouping by the shingle STRING where Spark groups by its
+          -- xxhash64: identical partitions (counts are hash-invariant),
+          -- and DuckDB needs no shuffle-width trick
+          SELECT DISTINCT source, g AS gh FROM (
+            SELECT source, UNNEST(gs) AS g FROM sh0)),
+        owned AS (
+          SELECT gh, MIN(source) AS first_source, COUNT(*) AS n_sources
+          FROM sh GROUP BY gh),
+        per AS (
+          SELECT source, COUNT(*) AS distinct_shingles
+          FROM sh GROUP BY source)
+        SELECT o.first_source AS source, per.distinct_shingles,
+               COUNT(*) AS novel_shingles,
+               COUNT(CASE WHEN o.n_sources = 1 THEN 1 END)
+                 AS exclusive_shingles,
+               COUNT(*) * 1000000 // per.distinct_shingles AS novelty_ppm
+        FROM owned o JOIN per ON o.first_source = per.source
+        GROUP BY 1, 2 ORDER BY source""")),
+
+    // ---- q160: log2 length histogram per source ----
+    // Doc length distribution in power-of-two buckets — the shape that
+    // drives packing efficiency and truncation loss. The bucket is
+    // length(bin(n)) = ⌊log2 n⌋ + 1: both engines render identical
+    // minimal binary strings, so the bucketing is integer-exact with
+    // no libm log anywhere.
+    "q160_length_log2_histogram" -> QueryDef(
+      build = (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("source"),
+            size(toks(col("text"))).cast(LongType).as("n_tok"))
+          .filter(col("n_tok") > 0)
+          .select(col("source"), length(bin(col("n_tok"))).as("log2_bucket"),
+            col("n_tok"))
+          .groupBy(col("source"), col("log2_bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+            min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+          .orderBy(col("source"), col("log2_bucket")),
+      oracle = Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+          FROM documents
+          WHERE len(string_split(trim(text), ' ')) > 0)
+        SELECT source, CAST(len(bin(n_tok)) AS INT) AS log2_bucket,
+               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+               MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+        FROM d GROUP BY 1, 2 ORDER BY source, log2_bucket""")),
+
+    // ---- q161: dedup reclaim accounting ----
+    // The budget view of exact dedup: per source, total token mass vs
+    // the mass after keep-one-per-distinct-text, and the inflation
+    // ratio in ppm. The "how much disk/compute does dedup buy" number
+    // that decides whether the dedup stage runs at all.
+    //
+    // 100 TB posture: group by (source, text-hash) with SUM/COUNT
+    // partials — text itself never shuffles, and the per-group token
+    // count rides the same agg (all copies of a text have equal token
+    // counts, so keep-one mass = group mass div copies).
+    "q161_dedup_reclaim" -> QueryDef(
+      build = (spark, dir) => {
+        val grp = Tables.documents(spark, dir)
+          .select(col("source"), md5(col("text").cast(BinaryType)).as("h"),
+            size(toks(col("text"))).cast(LongType).as("n_tok"))
+          .groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("copies"), sum(col("n_tok")).as("mass"))
+        grp.groupBy(col("source"))
+          .agg(sum(col("mass")).as("total_tokens"),
+            sum(expr("mass div copies")).as("kept_tokens"),
+            sum(col("copies")).as("n_docs"),
+            count(lit(1)).as("n_distinct"))
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            col("total_tokens"), col("kept_tokens"),
+            (col("total_tokens") - col("kept_tokens")).as("reclaimed_tokens"),
+            expr("total_tokens * 1000000 div kept_tokens").as("inflation_ppm"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH grp AS (
+          SELECT source, md5(text) AS h, COUNT(*) AS copies,
+                 CAST(SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+                   AS BIGINT) AS mass
+          FROM documents GROUP BY 1, 2)
+        SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_distinct,
+               CAST(SUM(mass) AS BIGINT) AS total_tokens,
+               CAST(SUM(mass // copies) AS BIGINT) AS kept_tokens,
+               CAST(SUM(mass) - SUM(mass // copies) AS BIGINT)
+                 AS reclaimed_tokens,
+               CAST(SUM(mass) AS BIGINT) * 1000000
+                 // CAST(SUM(mass // copies) AS BIGINT) AS inflation_ppm
+        FROM grp GROUP BY source ORDER BY source""")),
+
+    // ---- q162: dyadic-exact recency decay scoring ----
+    // Exponential time-decay weighting of events (half-life 7 days)
+    // with NO libm: the weight is the integer 1e6 ppm halved once per
+    // whole 7-day age step — 1000000 >> k — so every weight is exact,
+    // sums are exact integers, and both engines agree to the bit. Age
+    // is measured back from the corpus max event time (data-derived,
+    // not wall-clock). Output: per event_type, raw count vs decayed
+    // mass — the recency-weighted activity ranking.
+    //
+    // 100 TB posture: the max-ts anchor is a 1-row agg broadcast back;
+    // the weighting is map-side integer arithmetic feeding one
+    // partial/final agg.
+    "q162_recency_decay" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val anchor = e.agg(max(col("us")).as("max_us"))
+        e.crossJoin(broadcast(anchor))
+          .select(col("event_type"),
+            expr("(max_us - us) div 604800000000").as("k"))
+          // cap at 20: 1e6 < 2^20, so deeper halvings are 0 ppm anyway
+          // and the shift stays in int range
+          .select(col("event_type"),
+            expr("1000000 div shiftleft(1, cast(least(k, 20) as int))")
+              .as("w_ppm"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("w_ppm")).as("decayed_ppm"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        anchor AS (SELECT MAX(us) AS max_us FROM e)
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(1000000 // (1 << CAST(LEAST(
+                 (max_us - us) // 604800000000, 20) AS INT)))
+                 AS BIGINT) AS decayed_ppm
+        FROM e CROSS JOIN anchor
+        GROUP BY event_type ORDER BY event_type"""))
+  )
+}

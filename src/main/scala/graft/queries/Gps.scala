@@ -60,12 +60,18 @@ object Gps {
     enriched.groupBy(col("direction"))
       .agg(
         count(lit(1)).as("n_fixes"),
-        round(sum(round(col("speed_kmh") * 100).cast(LongType)).cast(DoubleType) /
-          100.0d / count(col("speed_kmh")), 6).as("avg_speed"),
+        // mean speed as INTEGER micro-km/h: cents-sum·10⁴ div n. The
+        // round(double,6) form this replaces is 1-ulp-hazardous when the
+        // exact cents/n quotient lands on a half-microunit — Spark rounds
+        // the exact decimal HALF_UP while DuckDB rounds the float product,
+        // and the sf0.1 sweep caught q130's twin doing exactly that.
+        // Integer division is boundary-free in both engines.
+        expr("(sum(cast(round(speed_kmh * 100) as bigint)) * 10000) " +
+          "div count(speed_kmh)").as("avg_speed_ukmh"),
         sum(when(col("fuel_level").isNull, 1).otherwise(0)).as("n_ev_fixes"),
         sum(when(col("collision_detected"), 1).otherwise(0)).as("n_collisions"),
         max(to_date(col("processed_date"))).as("max_pd"))
-      .select(col("direction"), col("n_fixes"), col("avg_speed"),
+      .select(col("direction"), col("n_fixes"), col("avg_speed_ukmh"),
         col("n_ev_fixes"), col("n_collisions"),
         date_format(col("max_pd"), "yyyy-MM-dd").as("processed_date"))
       .orderBy(col("direction"))
@@ -80,14 +86,14 @@ object Gps {
     "q70_gps_enrich_agg" -> QueryDef(
       build = (spark, dir) => aggregate(enrichedBatch(spark, dir)),
       // speed_kmh has exactly 2 decimal places: ROUND(speed*100) is integral
-      // in both engines, the BIGINT sum is exact, and the double divisions
-      // run in the same left-to-right order as the Spark plan above, so the
-      // rounded doubles are bit-identical.
+      // in both engines, the BIGINT sum is exact, and the mean is reported
+      // as integer micro-km/h via integer division — no double rounding
+      // boundary anywhere (see aggregate()).
       oracle = Some(s"""
         SELECT direction,
                COUNT(*) AS n_fixes,
-               ROUND(CAST(SUM(CAST(ROUND(speed_kmh * 100) AS BIGINT)) AS DOUBLE)
-                     / 100.0 / COUNT(speed_kmh), 6) AS avg_speed,
+               CAST(SUM(CAST(ROUND(speed_kmh * 100) AS BIGINT)) AS BIGINT)
+                 * 10000 // COUNT(speed_kmh) AS avg_speed_ukmh,
                CAST(SUM(CASE WHEN fuel_level IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ev_fixes,
                CAST(SUM(CASE WHEN collision_detected THEN 1 ELSE 0 END) AS BIGINT) AS n_collisions,
                CAST(MAX(CAST(processed_date AS DATE)) AS VARCHAR) AS processed_date

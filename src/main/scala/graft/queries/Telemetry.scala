@@ -176,9 +176,13 @@ object Telemetry {
             count(lit(1)).as("n_fixes"),
             sum(col("leg").cast(DecimalType(28, 4))).cast(DoubleType)
               .as("path_km"),
-            round(sum(round(col("speed_kmh") * 100).cast(LongType))
-              .cast(DoubleType) / 100.0d / count(col("speed_kmh")), 6)
-              .as("avg_speed"))
+            // integer micro-km/h: the round(double,6) form differed from
+            // DuckDB by 1 ulp on 2 of 27,655 sf0.1 trips whose exact
+            // cents/n quotient hit a half-microunit (Spark HALF_UP on the
+            // exact decimal vs DuckDB's float rounding); integer division
+            // has no boundary
+            expr("(sum(cast(round(speed_kmh * 100) as bigint)) * 10000) " +
+              "div count(speed_kmh)").as("avg_speed_ukmh"))
           .orderBy(col("vehicle_id"), col("trip_seq"))
       },
       oracle = Some(s"""
@@ -214,8 +218,8 @@ object Telemetry {
                MIN(ts) AS start_ts, MAX(ts) AS end_ts,
                CAST(COUNT(*) AS BIGINT) AS n_fixes,
                CAST(SUM(CAST(leg AS DECIMAL(28,4))) AS DOUBLE) AS path_km,
-               ROUND(CAST(SUM(CAST(ROUND(speed_kmh * 100) AS BIGINT)) AS DOUBLE)
-                     / 100.0 / COUNT(speed_kmh), 6) AS avg_speed
+               CAST(SUM(CAST(ROUND(speed_kmh * 100) AS BIGINT)) AS BIGINT)
+                 * 10000 // COUNT(speed_kmh) AS avg_speed_ukmh
         FROM legs GROUP BY vehicle_id, trip_seq
         ORDER BY vehicle_id, trip_seq"""))
   )

@@ -101,21 +101,20 @@ class TelemetrySpec extends SparkSpec {
           BigDecimal(havKm(p._3, p._4, c._3, c._4))
             .setScale(4, BigDecimal.RoundingMode.HALF_UP)
         }.sum.toString).toDouble
-        val avg = BigDecimal(
-          t.map(r => math.round(r._5 * 100)).sum.toDouble / 100.0 / t.size)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // integer micro-km/h, the exact form the query emits
+        val avg = (t.map(r => math.round(r._5 * 100)).sum * 10000L) / t.size
         (vid, (i + 1).toLong, t.head._1, t.last._1, t.size.toLong, path, avg)
       }
     }.sortBy(t => (t._1, t._2))
     val got = run("q130_trip_segmentation").map(x => (x.getString(0),
       x.getLong(1), x.getString(2), x.getString(3), x.getLong(4),
-      x.getDouble(5), x.getDouble(6))).toSeq
+      x.getDouble(5), x.getLong(6))).toSeq
     assert(got.size == model.size)
     got.zip(model).foreach { case (g, m) =>
       assert(g._1 == m._1 && g._2 == m._2 && g._3 == m._3 && g._4 == m._4
         && g._5 == m._5, s"trip identity: $g vs $m")
       assert(math.abs(g._6 - m._6) < 1e-9, s"path_km: $g vs $m")
-      assert(math.abs(g._7 - m._7) < 1e-9, s"avg_speed: $g vs $m")
+      assert(g._7 == m._7, s"avg_speed_ukmh: $g vs $m")
     }
     // segmentation sanity: no intra-trip gap exceeds 60 s, every
     // inter-trip gap does
