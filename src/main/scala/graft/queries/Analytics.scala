@@ -1052,6 +1052,45 @@ object Analytics {
         ORDER BY o_custkey, day_num, o_orderkey"""))
   ) ++ Seq(
 
+    // ---- q165: equi-width price histogram, integer-exact ----
+    // The fixed-bucket dual of q116's equi-count histogram: 20 buckets
+    // of equal WIDTH over [min, max] o_totalprice in exact cents —
+    // bucket = (cents − min)·20 div (max − min + 1), pure integer, so
+    // empty buckets vanish identically in both engines and no rounding
+    // boundary exists. The shape behind range-partition pruning and
+    // data-layout decisions (q116's equi-count answers quantiles;
+    // equi-width answers "where does the mass sit on the axis").
+    //
+    // 100 TB posture: the min/max bounds are a 1-row partial/final agg
+    // broadcast back; bucketing is map-side arithmetic feeding one
+    // partial/final count — two passes, no window, no sort.
+    "q165_equiwidth_histogram" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+          .select(round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+        val bounds = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        o.crossJoin(broadcast(bounds))
+          .select(expr("((cents - lo) * 20) div (hi - lo + 1)").as("bucket"),
+            col("cents"), col("lo"), col("hi"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("cents")).as("min_cents"),
+            max(col("cents")).as("max_cents"),
+            sum(col("cents")).as("cents_total"))
+          .orderBy(col("bucket"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o)
+        SELECT ((cents - lo) * 20) // (hi - lo + 1) AS bucket,
+               COUNT(*) AS n_orders,
+               MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+               CAST(SUM(cents) AS BIGINT) AS cents_total
+        FROM o CROSS JOIN b
+        GROUP BY 1 ORDER BY bucket""")),
+
     // ---- q131: incremental agg-state merge (materialized-view
     // maintenance) ----
     // The mergeable-state property every incremental pipeline rests on,

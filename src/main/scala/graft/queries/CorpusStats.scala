@@ -261,6 +261,64 @@ object CorpusStats {
                  (max_us - us) // 604800000000, 20) AS INT)))
                  AS BIGINT) AS decayed_ppm
         FROM e CROSS JOIN anchor
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q163: source-pair shingle Jaccard matrix ----
+    // Pairwise content overlap BETWEEN sources (q159 credits novelty to
+    // the first source; this shows the full symmetric picture): Jaccard
+    // over distinct 3-gram shingle sets per source pair, in integer ppm.
+    //
+    // 100 TB posture: the (source, shingle-hash) distinct stream has
+    // ≤|sources| rows per shingle, so the self-join on the hash has
+    // BOUNDED fan-out (≤ |sources|² per shingle, |sources| a handful) —
+    // this is the all-pairs the doc-level operators must avoid, made
+    // safe because one side of the cardinality is a constant.
+    "q163_source_jaccard_matrix" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.shingles
+        val sh = Tables.spread(Tables.documents(spark, dir))
+          .select(col("source"), explode(shingles(toks(col("text")), 3)).as("g"))
+          .select(col("source"), xxhash64(col("g")).as("gh"))
+          .distinct()
+        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("source").as("src_a"), col("gh"))
+          .join(sh.select(col("source").as("src_b"), col("gh")), Seq("gh"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("src_a"),
+            col("n").as("n_a"))), "src_a")
+          .join(broadcast(sizes.select(col("source").as("src_b"),
+            col("n").as("n_b"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("n_common"),
+            expr("n_common * 1000000 div (n_a + n_b - n_common)")
+              .as("jaccard_ppm"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      oracle = Some("""
+        WITH sh0 AS (
+          SELECT source,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1] || ' ' ||
+                        string_split(trim(text), ' ')[i+2])) AS gs
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT source, g FROM (
+            SELECT source, UNNEST(gs) AS g FROM sh0)),
+        sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+               n_common * 1000000 // (sa.n + sb.n - n_common) AS jaccard_ppm
+        FROM inter
+        JOIN sizes sa ON src_a = sa.source
+        JOIN sizes sb ON src_b = sb.source
+        ORDER BY src_a, src_b"""))
   )
 }

@@ -282,6 +282,52 @@ object Graph {
         UNION ALL SELECT CAST(3 AS BIGINT), CAST((SELECT COUNT(*) FROM s3) AS BIGINT),
                CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
         ORDER BY peel_round"""
-      })
+      }),
+
+    // ---- q164: degree-capped co-supply projection ----
+    // Bipartite projection supplier→supplier through shared parts: the
+    // co-occurrence graph build every recommender/affinity pipeline
+    // starts from. The scale hazard is the hot right-node: a part
+    // supplied by d suppliers emits d² pairs, so a single viral node
+    // quadratically floods the projection. The cap (parts with ≤ 32
+    // suppliers; the df-cap trick from text co-occurrence) bounds
+    // per-part fan-out at a constant, making the projection linear in
+    // |edges| — and the dropped hot parts are REPORTED (n_parts_capped
+    // in every row) rather than silently vanishing. Top 20 pairs by
+    // shared-part count, full tie-break on ids.
+    "q164_cosupply_projection" -> QueryDef(
+      build = (spark, dir) => {
+        val ps = Tables.lineitem(spark, dir)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+          .distinct()
+        val deg = ps.groupBy(col("p")).agg(count(lit(1)).as("d"))
+        val capped = deg.agg(
+          count(when(col("d") > 32, 1)).as("n_parts_capped"))
+        val kept = ps.join(deg.filter(col("d") <= 32).select(col("p")),
+          Seq("p"), "left_semi")
+        kept.select(col("p"), col("s").as("s_a"))
+          .join(kept.select(col("p"), col("s").as("s_b")), Seq("p"))
+          .filter(col("s_a") < col("s_b"))
+          .groupBy(col("s_a"), col("s_b"))
+          .agg(count(lit(1)).as("shared_parts"))
+          .crossJoin(broadcast(capped))
+          .orderBy(col("shared_parts").desc, col("s_a"), col("s_b"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        deg AS (SELECT p, COUNT(*) AS d FROM ps GROUP BY p),
+        capped AS (
+          SELECT COUNT(CASE WHEN d > 32 THEN 1 END) AS n_parts_capped
+          FROM deg),
+        kept AS (
+          SELECT ps.p, ps.s FROM ps SEMI JOIN
+            (SELECT p FROM deg WHERE d <= 32) k USING (p))
+        SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS shared_parts,
+               (SELECT n_parts_capped FROM capped) AS n_parts_capped
+        FROM kept a JOIN kept b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+        ORDER BY shared_parts DESC, s_a, s_b LIMIT 20"""))
   )
 }

@@ -295,7 +295,63 @@ object Retrieval {
         }
         selected.orderBy(col("sel_rank"))
       },
-      oracle = Some(mmrOracle))
+      oracle = Some(mmrOracle)),
+
+    // ---- q166: inverted-index posting-list statistics ----
+    // The index-build diagnostic behind every sparse retriever: per
+    // token, postings are the sorted doc-id list; the delta-gap
+    // distribution decides compressibility (small gaps → tight
+    // varint/PFOR blocks) and the df distribution decides skip-list
+    // depth. Tokens are bucketed by ⌊log2 df⌋+1 (length(bin(df)) —
+    // integer, no libm) and each bucket reports token count, posting
+    // mass, and exact integer gap stats (sum, max, floor-avg).
+    //
+    // 100 TB posture: the (token → sorted postings) window partitions
+    // by token — the natural index-build shuffle, one pass; gap
+    // arithmetic is in-partition; the bucket rollup is vocabulary-
+    // sized. No driver-side index materialization anywhere.
+    "q166_posting_stats" -> QueryDef(
+      build = (spark, dir) => {
+        val ex = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(split(trim(col("text")), " "))).as("t"))
+          .filter(length(col("t")) > 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("t")).orderBy(col("doc_id"))
+        val posted = ex.select(col("t"), col("doc_id"),
+          (col("doc_id") - lag(col("doc_id"), 1).over(w)).as("gap"),
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("t")))
+            .as("df"))
+        posted.groupBy(length(bin(col("df"))).as("df_log2_bucket"))
+          .agg(countDistinct(col("t")).as("n_tokens"),
+            count(lit(1)).as("postings"),
+            coalesce(sum(col("gap")), lit(0L)).as("gap_sum"),
+            coalesce(max(col("gap")), lit(0L)).as("gap_max"),
+            expr("case when count(gap) = 0 then 0L " +
+              "else sum(gap) div count(gap) end").as("gap_avg_floor"))
+          .orderBy(col("df_log2_bucket"))
+      },
+      oracle = Some("""
+        WITH ex AS (
+          SELECT DISTINCT doc_id, t FROM (
+            SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS t
+            FROM documents)
+          WHERE len(t) > 0),
+        posted AS (
+          SELECT t, doc_id,
+                 doc_id - lag(doc_id) OVER (PARTITION BY t ORDER BY doc_id)
+                   AS gap,
+                 COUNT(*) OVER (PARTITION BY t) AS df
+          FROM ex)
+        SELECT CAST(len(bin(df)) AS INT) AS df_log2_bucket,
+               COUNT(DISTINCT t) AS n_tokens, COUNT(*) AS postings,
+               CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS gap_sum,
+               CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS gap_max,
+               CASE WHEN COUNT(gap) = 0 THEN 0
+                    ELSE CAST(SUM(gap) AS BIGINT) // COUNT(gap) END
+                 AS gap_avg_floor
+        FROM posted GROUP BY 1 ORDER BY df_log2_bucket"""))
   )
 
   /** DuckDB replay of the q115 greedy trace: cand/pairs CTEs mirror the
