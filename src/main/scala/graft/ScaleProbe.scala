@@ -335,6 +335,56 @@ object ScaleProbe {
       }
     }
 
+    // heavy-hitters probe: q167's CMS-guided exact mining vs the naive
+    // full GROUP BY, in the regime the sketch exists for — a sea of
+    // mostly-UNIQUE items (90% singletons) with 10 planted hot keys
+    // owning 10% of rows. The naive form shuffles the whole |V|≈0.9·N
+    // item domain to count it; the sketch path shuffles only candidate
+    // OCCURRENCES (the hot 10% + the fpp share, ~zero at eps=1e-4),
+    // because the CMS aggregate itself merges map-side (counter-matrix
+    // addition) and the probe filter runs before any exchange.
+    if (enabled("heavyhitters")) {
+      // wall-clock at local[32] hides the story (RAM-speed shuffle), so
+      // the probe ALSO meters shuffle write bytes — the quantity that
+      // rules at 100 TB, where the |V|-sized exchange is disk + network
+      val shuffled = new java.util.concurrent.atomic.LongAdder
+      val meter = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            shuffled.add(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(meter)
+      def metered(f: => Long): (Double, Long, Long) = {
+        Thread.sleep(300) // drain in-flight TaskEnd events (Bench's recipe)
+        shuffled.reset()
+        val (sec, r) = timed(f)
+        Thread.sleep(300)
+        (sec, r, shuffled.sum())
+      }
+      def items(s: Int) = {
+        val n = 2000000L * s
+        spark.range(n).select(
+          when(col("id") % 10 === 0,
+            concat(lit("h"), expr("(id div 10) % 10")))
+            .otherwise(concat(lit("u"), col("id"))).as("item"))
+      }
+      def naive(s: Int): Long = {
+        val n = 2000000L * s
+        items(s).groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > n / 200).count()
+      }
+      def cms(s: Int): Long =
+        graft.operators.HeavyHitters.exact(items(s), "item", 200).count()
+      naive(1); cms(1) // warmup
+      for (s <- Seq(1, 2, 4).filter(_ <= maxScale)) {
+        val (nSec, nHeavy, nBytes) = metered(naive(s))
+        val (cSec, cHeavy, cBytes) = metered(cms(s))
+        println(f"""{"probe":"heavyhitters","scale":$s,"rows":${2000000L * s},"naive_sec":$nSec%.3f,"naive_shuffle_mb":${nBytes / 1048576},"cms_sec":$cSec%.3f,"cms_shuffle_mb":${cBytes / 1048576},"heavies_naive":$nHeavy,"heavies_cms":$cHeavy}""")
+      }
+      spark.sparkContext.removeSparkListener(meter)
+    }
+
     // triangle-counting probe: q105's degree-oriented kernel on key-shifted
     // disjoint copies of the sf co-purchase graph ("more data, same
     // structure"). Disjoint copies scale nodes/edges/triangles linearly, so

@@ -319,6 +319,39 @@ object CorpusStats {
         FROM inter
         JOIN sizes sa ON src_a = sa.source
         JOIN sizes sb ON src_b = sb.source
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // ---- q167: sketch-guided exact heavy hitters ----
+    // [[graft.operators.HeavyHitters]]: Count-Min candidate generation +
+    // exact verification, over a deterministic Zipf domain (item
+    // N div (id+1) — item v owns ≈ N/v − N/(v+1) rows, the harmonic
+    // skew a hot-key distribution actually looks like; ~890 distinct
+    // items at N = 200k, 7 true heavies at k = 50). The corpus tables
+    // can't gate this operator honestly — their generators are uniform
+    // (31 token types, all "heavy") — so the domain is constructed,
+    // like q70's generator, identically in both engines from pure
+    // integer arithmetic.
+    //
+    // The oracle is the PLAIN exact GROUP BY/HAVING: the hash match is
+    // the certificate that the sketch phase changed the COST, not the
+    // ANSWER (CMS over-estimates only ⇒ recall 1; exact verify kills
+    // its false positives) — the same proof shape as q121's salting
+    // and q113's prefix filter.
+    "q167_heavy_hitters" -> QueryDef(
+      build = (spark, dir) => {
+        val n = 200000L
+        val items = spark.range(n)
+          .select(concat(lit("i"), expr(s"$n div (id + 1)")).as("item"))
+        graft.operators.HeavyHitters.exact(items, "item", k = 50)
+          .orderBy(col("cnt").desc, col("item"))
+      },
+      oracle = Some("""
+        WITH items AS (
+          SELECT 'i' || CAST(200000 // (id + 1) AS VARCHAR) AS item
+          FROM range(200000) t(id))
+        SELECT item, COUNT(*) AS cnt
+        FROM items GROUP BY item
+        HAVING COUNT(*) > 200000 // 50
+        ORDER BY cnt DESC, item"""))
   )
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact() equals the plain group-by on a planted skew, any k") {
+    // 10k rows: "hot" owns 4k, "warm" 1k, 100 uniques own the rest
+    val items = spark.range(10000).select(
+      when(col("id") < 4000, "hot")
+        .when(col("id") < 5000, "warm")
+        .otherwise(concat(lit("u"), col("id") % 100)).as("item"))
+    for (k <- Seq(2, 5, 100)) {
+      val got = HeavyHitters.exact(items, "item", k)
+        .as[(String, Long)].collect().toMap
+      val want = items.groupBy("item").count()
+        .filter(col("count") > lit(10000L / k))
+        .as[(String, Long)].collect().toMap
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("the sketch actually prunes: candidates ~ heavies, not the domain") {
+    // Zipf-ish: ~890 distinct items, a handful heavy at k=50
+    val n = 200000L
+    val items = spark.range(n)
+      .select(concat(lit("i"), expr(s"$n div (id + 1)")).as("item"))
+    val distinctItems = items.distinct().count()
+    val cand = HeavyHitters.candidateCount(items, "item", 50)
+    assert(cand < distinctItems / 10,
+      s"CMS pruned nothing: $cand candidates of $distinctItems distinct")
+    assert(HeavyHitters.exact(items, "item", 50).count() >= 5)
+  }
+
+  test("empty input yields an empty result, not a crash") {
+    val empty = spark.range(0).select(concat(lit("x"), col("id")).as("item"))
+    assert(HeavyHitters.exact(empty, "item", 10).count() == 0)
+  }
+}
