@@ -307,6 +307,46 @@ object StreamingGate {
       .orderBy(col("event_type"))
   }
 
+  /** Run the streamed stream-static enrichment to completion: events
+    * stream inner-joined to the broadcast customer dim on user_id =
+    * c_custkey (stateless — the static side is re-planned per batch),
+    * aggregated after drain. */
+  def streamedStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q168",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = spark.readStream
+        .schema(era.schema)
+        .parquet(run.srcDir)
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .join(dim, col("user_id") === col("c_custkey"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .groupBy(col("c_mktsegment").as("mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("mktsegment"), col("event_type"))
+  }
+
   /** Run the streamed per-user session build to completion and return
     * the emitted (watermark-closed) sessions, fully ordered. */
   def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
@@ -496,5 +536,30 @@ object StreamingGate {
                  AS cents_total
         FROM events
         GROUP BY event_type ORDER BY event_type"""))
-  )
+  ) :+ (
+
+    // ---- q168: streamed stream-static broadcast enrichment ----
+    // The remaining streaming join class after q140's stream-stream
+    // interval join: a STREAM joined to a STATIC reference table (the
+    // production "enrich events against a dimension" pattern — the
+    // static side re-reads per micro-batch, no state store involved).
+    // The dim is the customer table joined on user_id = c_custkey
+    // (inner, stateless ⇒ append emits each match exactly once), rolled
+    // up per (mktsegment, event_type) with integer cents. The sixth
+    // streaming law: stream-static completeness — the drained emission
+    // equals the batch join bit-for-bit, which is exactly what the
+    // oracle computes.
+    //
+    // 100 TB posture: the static side carries an explicit broadcast()
+    // hint, so the event stream never shuffles for the join — per-batch
+    // cost is map-side probe + the segment-keyed agg.
+    "q168_streamed_static_enrich" -> QueryDef(
+      build = (spark, dir) => streamedStaticEnrich(spark, dir),
+      oracle = Some("""
+        SELECT c.c_mktsegment AS mktsegment, e.event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_total
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY mktsegment, event_type""")))
 }
