@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -337,6 +338,66 @@ object CorpusStats {
     // ANSWER (CMS over-estimates only ⇒ recall 1; exact verify kills
     // its false positives) — the same proof shape as q121's salting
     // and q113's prefix filter.
+    "q169_exact_auc" -> QueryDef(
+      build = (spark, dir) => {
+        // ---- exact integer AUC (Mann-Whitney rank-sum) ----
+        // The eval metric behind every binary quality filter, computed
+        // with NO floating-point comparison anywhere: the score is an
+        // integer quantization (Σ ⌊xᵢ²·10⁴⌋ over the embedding — floor
+        // of a deterministic IEEE product, identical in both engines),
+        // ties are collapsed by a per-score partial agg (q145's
+        // distinct-value move), and the tie-corrected U statistic comes
+        // out of the classic identity 2U = Σ_s (2·nPos_s·cumNegBelow_s
+        // + nPos_s·nNeg_s) — all integers, AUC reported as
+        // (2U·10⁶) div (2·nPos·nNeg) ppm.
+        //
+        // 100 TB posture: the event-scale stage is the per-score
+        // partial/final agg; the ordered pass runs over DISTINCT scores
+        // (the same production range-partition+prefix-sum note as
+        // q145 applies past memory scale).
+        val quant = expr("aggregate(embedding, 0L, (acc, x) -> " +
+          "acc + cast(floor(cast(x as double) * cast(x as double) * 10000) as long))")
+        val s = Tables.embeddings(spark, dir)
+          .select(quant.as("score"),
+            when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        val g = s.groupBy(col("score"))
+          .agg(sum(col("pos")).as("np"),
+            (count(lit(1)) - sum(col("pos"))).as("nn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val c = g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+        c.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            sum(col("np") * col("cumneg") * 2 + col("np") * col("nn")).as("u2"))
+          .select(col("n_pos"), col("n_neg"), col("u2"),
+            expr("(u2 * 1000000) div (2 * n_pos * n_neg)").as("auc_ppm"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     * 10000) AS BIGINT))) AS BIGINT) AS score,
+                 CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+          FROM embeddings),
+        g AS (
+          SELECT score, CAST(SUM(pos) AS BIGINT) AS np,
+                 CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn
+          FROM s GROUP BY score),
+        c AS (
+          SELECT np, nn,
+                 CAST(COALESCE(SUM(nn) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cumneg
+          FROM g),
+        t AS (
+          SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+                 CAST(SUM(nn) AS BIGINT) AS n_neg,
+                 CAST(SUM(np * cumneg * 2 + np * nn) AS BIGINT) AS u2
+          FROM c)
+        SELECT n_pos, n_neg, u2,
+               (u2 * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
+        FROM t""")),
+
     "q167_heavy_hitters" -> QueryDef(
       build = (spark, dir) => {
         val n = 200000L

@@ -264,4 +264,58 @@ class PlanGuardSpec extends SparkSpec {
     assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 2,
       "enrichment pipeline shuffles more than (agg, presentation-sort)")
   }
+
+  // ---- round-6 additions: the new modules' scale-critical properties ----
+
+  test("q155: the doc-scale prefix-sum window partitions by shard") {
+    val p = plan("q155_systematic_resample")
+    // the two-pass form: raw docs flow through a SHARD-partitioned
+    // window; only the shard-count-sized offset table may use an
+    // unpartitioned window. A doc-scale global window would serialize
+    // the corpus through one partition.
+    assert(p.contains("hashpartitioning(shard"),
+      "cumulative weights not computed per-shard")
+  }
+
+  test("q153: the hash split is map-side — only the split agg shuffles") {
+    val p = plan("q153_hash_split")
+    // md5-bucket assignment must not shuffle raw docs: one partial/final
+    // agg exchange + the presentation sort, nothing else.
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 2,
+      "content-hash splitting shuffles more than (agg, sort)")
+    assert(p.contains("partial_count"), "split agg not partial/final")
+  }
+
+  test("q163: the source-pair join stays keyed — never cartesian") {
+    val p = plan("q163_source_jaccard_matrix")
+    assert(!p.contains("CartesianProduct"),
+      "source overlap degenerated into a cross product")
+  }
+
+  test("q164: the co-supply pair join is keyed — the only nested-loop is the 1-row stats broadcast") {
+    val p = plan("q164_cosupply_projection")
+    assert(!p.contains("CartesianProduct"),
+      "bipartite projection planned a shuffled cartesian")
+    // the supplier-pair self-join on partkey must be a hash/merge join;
+    // the one BroadcastNestedLoopJoin allowed is the n_parts_capped
+    // 1-row annotation (q106's consts-broadcast policy)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no keyed join in the projection")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "more nested-loop joins than the 1-row stats broadcast explains")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 pairs executes as a global sort")
+  }
+
+  test("q161: dedup reclaim never shuffles text — hashes only") {
+    val p = plan("q161_dedup_reclaim")
+    // every Exchange's input row must carry the md5/source/count columns,
+    // never the raw text — the formatted detail block for an Exchange is
+    // "(N) Exchange\nInput [k]: [...]"
+    val exchanges = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[(.*?)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, "no exchange details found in formatted plan")
+    exchanges.foreach(in =>
+      assert(!in.contains("text#"), s"raw text crosses an exchange: [$in]"))
+  }
 }
