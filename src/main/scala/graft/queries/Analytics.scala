@@ -350,7 +350,15 @@ object Analytics {
             (col("l_quantity") * col("l_quantity")).as("q_sq"),
             pmod(col("l_linenumber"), lit(3)).as("ln_mod3"),
             round(col("l_extendedprice") / 1000.0, 2).as("price_k"))
-          .orderBy(col("l_orderkey"), col("l_linenumber")),
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+          // lineitem (dup keys with differing payloads — 824 reachable
+          // tied groups at sf0.1), so the sort must be total over the
+          // OUTPUT tuple space or within-tie row order is engine luck:
+          // q_sq is strictly monotone in quantity (determining abs/ceil/
+          // floor/sqrt), price_k covers the price column; remaining ties
+          // are identical output rows
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("q_sq"), col("price_k")),
       oracle = Some("""
         SELECT l_orderkey, l_linenumber,
                ABS(l_quantity - 25.0) AS abs_dev,
@@ -362,7 +370,7 @@ object Analytics {
                ROUND(l_extendedprice / 1000.0, 2) AS price_k
         FROM lineitem
         WHERE l_orderkey < 1000
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, q_sq, price_k""")),
 
     // ---- q24: scalar subquery (broadcast, no driver collect) ----
     "q24_scalar_subquery" -> QueryDef(
@@ -1090,6 +1098,80 @@ object Analytics {
                CAST(SUM(cents) AS BIGINT) AS cents_total
         FROM o CROSS JOIN b
         GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- q170: zone-map pruning effectiveness by layout ----
+    // WHY data layout matters at 100 TB, measured: simulate 128-row
+    // blocks with min/max zone maps (what parquet row groups and
+    // Iceberg manifests actually store) under two physical orders —
+    // clustered by l_shipdate vs scattered by orderkey-hash — and count
+    // how many blocks a 30-day ship-date range predicate must read.
+    // Clustering concentrates the range into few blocks (prune ratio →
+    // ~1); scattering smears it so nearly every block overlaps (prune →
+    // 0). Pure integer: block id = (rank−1) div 128, overlap test on
+    // exact DATE-typed min/max, ppm by integer division.
+    //
+    // 100 TB posture: each layout is one ordered window (the sort IS
+    // the thing being measured) + a block-keyed agg; the final rollup
+    // is blocks-count-sized. This is the measurement DataLayout's range
+    // clustering optimizes for.
+    "q170_zonemap_pruning" -> QueryDef(
+      build = (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        def rollup(layout: String, blocked: org.apache.spark.sql.DataFrame) =
+          blocked.groupBy(col("blk"))
+            .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+            .agg(count(lit(1)).as("n_blocks"),
+              count(when(col("hi") < to_timestamp(lit("1995-03-01")) ||
+                col("lo") > to_timestamp(lit("1995-03-31")), 1)).as("pruned"))
+            .select(lit(layout).as("layout"), col("n_blocks"), col("pruned"),
+              expr("pruned * 1000000 div n_blocks").as("prune_ppm"))
+        // clustered: 128-row blocks in shipdate order. (l_orderkey,
+        // l_linenumber) is NOT unique in the synthetic lineitem, so the
+        // tie-break is only total up to duplicate keys — harmless HERE
+        // because tied rows share the leading l_shipdate, and min/max
+        // per block is invariant under permuting equal dates.
+        val clustered = li.select(col("l_shipdate"),
+          expr("(row_number() over (order by l_shipdate, l_orderkey, " +
+            "l_linenumber) - 1) div 128").as("blk"))
+        // scattered: blocks assigned DIRECTLY by a shared LCG mix mod the
+        // block count — no sort, so non-unique keys can't make the layout
+        // engine-dependent (identical rows land in identical blocks)
+        val nb = li.agg(((count(lit(1)) + 127) / 128).cast("long").as("nb"))
+        val scattered = li.crossJoin(broadcast(nb))
+          .select(col("l_shipdate"),
+            expr("((l_orderkey * 1103515245 + l_linenumber * 12345) " +
+              "% 1000003) % nb").as("blk"))
+        rollup("clustered", clustered)
+          .unionByName(rollup("scattered", scattered))
+          .orderBy(col("layout"))
+      },
+      oracle = Some("""
+        WITH nb AS (
+          SELECT (COUNT(*) + 127) // 128 AS nb FROM lineitem),
+        ranked AS (
+          SELECT l_shipdate,
+                 (ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey,
+                    l_linenumber) - 1) // 128 AS blk_c,
+                 ((l_orderkey * 1103515245 + l_linenumber * 12345)
+                    % 1000003) % (SELECT nb FROM nb) AS blk_s
+          FROM lineitem),
+        c AS (
+          SELECT 'clustered' AS layout, COUNT(*) AS n_blocks,
+                 COUNT(CASE WHEN hi < TIMESTAMP '1995-03-01'
+                       OR lo > TIMESTAMP '1995-03-31' THEN 1 END) AS pruned
+          FROM (SELECT blk_c, MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
+                FROM ranked GROUP BY blk_c)),
+        s AS (
+          SELECT 'scattered' AS layout, COUNT(*) AS n_blocks,
+                 COUNT(CASE WHEN hi < TIMESTAMP '1995-03-01'
+                       OR lo > TIMESTAMP '1995-03-31' THEN 1 END) AS pruned
+          FROM (SELECT blk_s, MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
+                FROM ranked GROUP BY blk_s))
+        SELECT layout, n_blocks, pruned,
+               pruned * 1000000 // n_blocks AS prune_ppm
+        FROM (SELECT * FROM c UNION ALL SELECT * FROM s)
+        ORDER BY layout""")),
 
     // ---- q131: incremental agg-state merge (materialized-view
     // maintenance) ----

@@ -69,7 +69,10 @@ object Relational {
                   col("l_shipdate") < ts("2000-02-01") &&
                   col("l_quantity") >= 48.0)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          // include l_quantity: (l_orderkey, l_linenumber) alone is not
+          // unique in the synthetic lineitem, and a LIMIT across a tie
+          // boundary would otherwise be engine-dependent
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
           .limit(200),
       oracle = Some("""
         SELECT l_orderkey, l_linenumber, l_quantity
@@ -77,7 +80,7 @@ object Relational {
         WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '2000-02-01 00:00:00'
           AND l_quantity >= 48.0
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber, l_quantity
         LIMIT 200""")),
 
     // ---- q03: TPC-H Q3 style: 3-way join + agg + top-k ----
