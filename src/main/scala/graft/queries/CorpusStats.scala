@@ -398,6 +398,68 @@ object CorpusStats {
                (u2 * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
         FROM t""")),
 
+    // ---- q171: per-class one-vs-rest AUC, integer-exact ----
+    // q169's tie-corrected Mann-Whitney machinery swept over every
+    // label as the positive class — the per-class eval view (which
+    // classes does the score separate?). Same integer contract: one
+    // per-(class, score) agg, cumulative negatives inside a
+    // class-partitioned window (scale-safe: the window partitions by
+    // class, ordered over distinct scores), AUC in ppm by integer
+    // division.
+    "q171_per_class_auc" -> QueryDef(
+      build = (spark, dir) => {
+        val quant = expr("aggregate(embedding, 0L, (acc, x) -> " +
+          "acc + cast(floor(cast(x as double) * cast(x as double) * 10000) as long))")
+        val base = Tables.embeddings(spark, dir)
+          .select(quant.as("score"), col("label"))
+        val classes = base.select(col("label").as("cls")).distinct()
+        val s = base.crossJoin(classes)
+          .select(col("cls"), col("score"),
+            when(col("label") === col("cls"), 1L).otherwise(0L).as("pos"))
+        val g = s.groupBy(col("cls"), col("score"))
+          .agg(sum(col("pos")).as("np"),
+            (count(lit(1)) - sum(col("pos"))).as("nn"))
+        val w = Window.partitionBy(col("cls")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+          .groupBy(col("cls"))
+          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            sum(col("np") * col("cumneg") * 2 + col("np") * col("nn")).as("u2"))
+          .select(col("cls"), col("n_pos"), col("n_neg"),
+            expr("(u2 * 1000000) div (2 * n_pos * n_neg)").as("auc_ppm"))
+          .orderBy(col("cls"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     * 10000) AS BIGINT))) AS BIGINT) AS score,
+                 label
+          FROM embeddings),
+        classes AS (SELECT DISTINCT label AS cls FROM base),
+        s AS (
+          SELECT cls, score,
+                 CASE WHEN label = cls THEN 1 ELSE 0 END AS pos
+          FROM base CROSS JOIN classes),
+        g AS (
+          SELECT cls, score, CAST(SUM(pos) AS BIGINT) AS np,
+                 CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn
+          FROM s GROUP BY cls, score),
+        c AS (
+          SELECT cls, np, nn,
+                 CAST(COALESCE(SUM(nn) OVER (PARTITION BY cls ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cumneg
+          FROM g),
+        t AS (
+          SELECT cls, CAST(SUM(np) AS BIGINT) AS n_pos,
+                 CAST(SUM(nn) AS BIGINT) AS n_neg,
+                 CAST(SUM(np * cumneg * 2 + np * nn) AS BIGINT) AS u2
+          FROM c GROUP BY cls)
+        SELECT cls, n_pos, n_neg,
+               (u2 * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
+        FROM t ORDER BY cls""")),
+
     "q167_heavy_hitters" -> QueryDef(
       build = (spark, dir) => {
         val n = 200000L
