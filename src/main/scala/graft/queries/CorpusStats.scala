@@ -460,6 +460,124 @@ object CorpusStats {
                (u2 * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
         FROM t ORDER BY cls""")),
 
+    // ---- q172: per-user inter-arrival cadence, log2 histogram ----
+    // The arrival-process shape behind capacity planning and bot
+    // detection: per-user event gaps (event-time, µs), bucketed by
+    // ⌊log2 gap_seconds⌋+1 via length(bin(s)) — the q160 no-libm trick
+    // on the time axis — rolled up per event type of the LATER event.
+    // Integer end-to-end.
+    //
+    // 100 TB posture: one user-keyed window (the sessionization
+    // shuffle), then a partial/final (type, bucket) agg — gaps never
+    // leave their user partition unaggregated.
+    "q172_cadence_histogram" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        e.withColumn("gap_s",
+            ((col("us") - lag(col("us"), 1).over(w)) / lit(1000000L))
+              .cast(LongType))
+          .filter(col("gap_s").isNotNull)
+          .select(col("event_type"),
+            when(col("gap_s") <= 0, lit(0))
+              .otherwise(length(bin(col("gap_s")))).as("gap_log2_bucket"))
+          .groupBy(col("event_type"), col("gap_log2_bucket"))
+          .agg(count(lit(1)).as("n_gaps"))
+          .orderBy(col("event_type"), col("gap_log2_bucket"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        g AS (
+          SELECT event_type,
+                 (us - lag(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id)) // 1000000 AS gap_s
+          FROM e)
+        SELECT event_type,
+               CASE WHEN gap_s <= 0 THEN 0
+                    ELSE CAST(len(bin(gap_s)) AS INT) END AS gap_log2_bucket,
+               COUNT(*) AS n_gaps
+        FROM g WHERE gap_s IS NOT NULL
+        GROUP BY 1, 2 ORDER BY event_type, gap_log2_bucket""")),
+
+    // ---- q173: per-source split-half drift (exact KS) ----
+    // Data-quality monitoring per segment: within each source, compare
+    // the token-length distribution of the doc_id-even half against the
+    // odd half with q145's EXACT integer KS machinery — per-value ECDF
+    // gap |cA·nB − cB·nA|, integer max per source, one final ppm
+    // division. A stable generator should drift ~0; a pipeline change
+    // that shifts one source's length profile shows up as that source's
+    // D_ppm jumping.
+    //
+    // 100 TB posture: per-(source, length) tie collapse first (the
+    // event-scale stage, partial/final), then source-partitioned
+    // cumulative windows over DISTINCT lengths.
+    "q173_split_half_drift" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("source"),
+            size(toks(col("text"))).cast(LongType).as("len"),
+            // source ≡ doc_id % 20 in the generator, so raw parity is
+            // DEGENERATE (one empty half per source); (doc_id div 20) is
+            // the row-within-source index and its parity splits every
+            // source exactly in half
+            when(expr("(doc_id div 20) % 2") === 0, 1L).otherwise(0L)
+              .as("in_a"))
+        val g = d.groupBy(col("source"), col("len"))
+          .agg(sum(col("in_a")).as("ca"),
+            (count(lit(1)) - sum(col("in_a"))).as("cb"))
+        val w = Window.partitionBy(col("source")).orderBy(col("len"))
+        val tot = d.groupBy(col("source"))
+          .agg(sum(col("in_a")).as("na"),
+            (count(lit(1)) - sum(col("in_a"))).as("nb"))
+        g.select(col("source"), col("len"),
+            sum(col("ca")).over(w).as("cuma"),
+            sum(col("cb")).over(w).as("cumb"))
+          .join(tot, "source")
+          .select(col("source"), col("na"), col("nb"),
+            abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("gap"))
+          .groupBy(col("source"), col("na"), col("nb"))
+          .agg(max(col("gap")).as("d_num"))
+          .select(col("source"), col("na"), col("nb"), col("d_num"),
+            expr("d_num * 1000000 div (na * nb)").as("d_ppm"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS len,
+                 CASE WHEN (doc_id // 20) % 2 = 0 THEN 1 ELSE 0 END AS in_a
+          FROM documents),
+        g AS (
+          SELECT source, len, CAST(SUM(in_a) AS BIGINT) AS ca,
+                 CAST(COUNT(*) - SUM(in_a) AS BIGINT) AS cb
+          FROM d GROUP BY 1, 2),
+        tot AS (
+          SELECT source, CAST(SUM(in_a) AS BIGINT) AS na,
+                 CAST(COUNT(*) - SUM(in_a) AS BIGINT) AS nb
+          FROM d GROUP BY 1),
+        c AS (
+          SELECT g.source,
+                 CAST(SUM(ca) OVER (PARTITION BY g.source ORDER BY len
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+                 CAST(SUM(cb) OVER (PARTITION BY g.source ORDER BY len
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+          FROM g),
+        m AS (
+          SELECT c.source, tot.na, tot.nb,
+                 CAST(MAX(ABS(cuma * tot.nb - cumb * tot.na)) AS BIGINT)
+                   AS d_num
+          FROM c JOIN tot ON c.source = tot.source
+          GROUP BY 1, 2, 3)
+        SELECT source, na, nb, d_num,
+               d_num * 1000000 // (na * nb) AS d_ppm
+        FROM m ORDER BY source""")),
+
     "q167_heavy_hitters" -> QueryDef(
       build = (spark, dir) => {
         val n = 200000L
