@@ -586,6 +586,91 @@ object Events {
                MAX(CASE WHEN d.dev > 3 * m.mad THEN d.value END)
                  AS max_outlier
         FROM dev d JOIN mad m ON d.event_type = m.event_type
-        GROUP BY d.event_type ORDER BY d.event_type"""))
+        GROUP BY d.event_type ORDER BY d.event_type""")),
+
+    // ---- q174: time-bounded strict funnel ----
+    // q33 answers "did the user EVER convert after signup"; real funnel
+    // analytics bound each step: first signup s, then the first view v
+    // with s < v ≤ s+1h, then the first purchase p with v < p ≤ v+1h.
+    // Each stage is one conditional-min aggregation over the user's
+    // events keyed against the PREVIOUS stage's anchor — the sequential
+    // dependence is resolved by three keyed per-user aggs, not a
+    // per-row path search. All event-time arithmetic in integer µs.
+    //
+    // 100 TB posture: three passes over the (already user-bucketed)
+    // event stream, each a partial/final agg + a user-keyed join of a
+    // 1-column anchor — no window over raw events, no cross join, and
+    // each stage's anchor table is |users|-sized.
+    "q174_timed_funnel" -> QueryDef(
+      build = (spark, dir) => {
+        val hourUs = 3600L * 1000000L
+        val e = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val s1 = e.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "signup", col("us"))).as("s_us"))
+          .filter(col("s_us").isNotNull)
+        val s2 = e.join(s1, "user_id")
+          .groupBy(col("user_id"), col("s_us"))
+          .agg(min(when(col("event_type") === "view" &&
+            col("us") > col("s_us") && col("us") <= col("s_us") + hourUs,
+            col("us"))).as("v_us"))
+        val s3 = e.join(s2.filter(col("v_us").isNotNull)
+            .select(col("user_id"), col("v_us")), "user_id")
+          .groupBy(col("user_id"), col("v_us"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("us") > col("v_us") && col("us") <= col("v_us") + hourUs,
+            col("us"))).as("p_us"))
+        val stage2 = s2.agg(
+          count(lit(1)).as("n_signup"),
+          count(col("v_us")).as("n_viewed_1h"))
+        val stage3 = s3.agg(
+          count(col("p_us")).as("n_purchased_1h"),
+          coalesce(sum(col("p_us") - col("v_us")), lit(0L)).as("view_to_buy_us"))
+        stage2.crossJoin(broadcast(stage3))
+          .select(col("n_signup"), col("n_viewed_1h"), col("n_purchased_1h"),
+            expr("n_viewed_1h * 1000000 div n_signup").as("view_rate_ppm"),
+            expr("case when n_viewed_1h = 0 then 0 else " +
+              "n_purchased_1h * 1000000 div n_viewed_1h end").as("buy_rate_ppm"),
+            col("view_to_buy_us"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        s1 AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN us END) AS s_us
+          FROM e GROUP BY user_id
+          HAVING MIN(CASE WHEN event_type = 'signup' THEN us END) IS NOT NULL),
+        s2 AS (
+          SELECT e.user_id, s_us,
+                 MIN(CASE WHEN event_type = 'view' AND us > s_us
+                      AND us <= s_us + 3600000000 THEN us END) AS v_us
+          FROM e JOIN s1 ON e.user_id = s1.user_id
+          GROUP BY e.user_id, s_us),
+        s3 AS (
+          SELECT e.user_id, v_us,
+                 MIN(CASE WHEN event_type = 'purchase' AND us > v_us
+                      AND us <= v_us + 3600000000 THEN us END) AS p_us
+          FROM e JOIN (SELECT user_id, v_us FROM s2 WHERE v_us IS NOT NULL) v
+            ON e.user_id = v.user_id
+          GROUP BY e.user_id, v_us),
+        a2 AS (
+          SELECT COUNT(*) AS n_signup,
+                 CAST(COUNT(v_us) AS BIGINT) AS n_viewed_1h FROM s2),
+        a3 AS (
+          SELECT CAST(COUNT(p_us) AS BIGINT) AS n_purchased_1h,
+                 CAST(COALESCE(SUM(p_us - v_us), 0) AS BIGINT)
+                   AS view_to_buy_us
+          FROM s3)
+        SELECT n_signup, n_viewed_1h, n_purchased_1h,
+               n_viewed_1h * 1000000 // n_signup AS view_rate_ppm,
+               CASE WHEN n_viewed_1h = 0 THEN 0
+                    ELSE n_purchased_1h * 1000000 // n_viewed_1h END
+                 AS buy_rate_ppm,
+               view_to_buy_us
+        FROM a2 CROSS JOIN a3"""))
   )
 }
