@@ -671,6 +671,96 @@ object Events {
                     ELSE n_purchased_1h * 1000000 // n_viewed_1h END
                  AS buy_rate_ppm,
                view_to_buy_us
-        FROM a2 CROSS JOIN a3"""))
+        FROM a2 CROSS JOIN a3""")),
+
+    // ---- q175: conversion-lag quartiles, exact type-1 ----
+    // The latency distribution behind q174's funnel: view→purchase lag
+    // (integer µs) for 1h-converters, quartiles by the TYPE-1 (no
+    // interpolation) definition — the value at rank ⌈q·n⌉ in the sorted
+    // multiset, selected by pure integer rank arithmetic, so no
+    // interpolation-formula or FP-average difference between engines
+    // can exist. Rank ties on equal lags pick the same VALUE whatever
+    // the tie order (sorted by lag first).
+    //
+    // 100 TB posture: lags live on the |converters|-sized derived
+    // table (three keyed aggs away from the event stream, as q174);
+    // the ranking window runs there, never over raw events.
+    "q175_conversion_lag_quartiles" -> QueryDef(
+      build = (spark, dir) => {
+        val hourUs = 3600L * 1000000L
+        val e = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val s1 = e.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "signup", col("us"))).as("s_us"))
+          .filter(col("s_us").isNotNull)
+        val s2 = e.join(s1, "user_id")
+          .groupBy(col("user_id"), col("s_us"))
+          .agg(min(when(col("event_type") === "view" &&
+            col("us") > col("s_us") && col("us") <= col("s_us") + hourUs,
+            col("us"))).as("v_us"))
+          .filter(col("v_us").isNotNull)
+        val lags = e.join(s2.select(col("user_id"), col("v_us")), "user_id")
+          .groupBy(col("user_id"), col("v_us"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("us") > col("v_us") && col("us") <= col("v_us") + hourUs,
+            col("us"))).as("p_us"))
+          .filter(col("p_us").isNotNull)
+          .select(col("user_id"), (col("p_us") - col("v_us")).as("lag_us"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("lag_us"), col("user_id"))
+        val ranked = lags
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(lags.agg(count(lit(1)).as("n"))))
+        ranked.agg(
+            min(col("n")).as("n_converters"),
+            max(when(col("rn") === expr("(25 * n + 99) div 100"),
+              col("lag_us"))).as("p25_lag_us"),
+            max(when(col("rn") === expr("(50 * n + 99) div 100"),
+              col("lag_us"))).as("p50_lag_us"),
+            max(when(col("rn") === expr("(75 * n + 99) div 100"),
+              col("lag_us"))).as("p75_lag_us"),
+            max(col("lag_us")).as("max_lag_us"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        s1 AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN us END) AS s_us
+          FROM e GROUP BY user_id
+          HAVING MIN(CASE WHEN event_type = 'signup' THEN us END) IS NOT NULL),
+        s2 AS (
+          SELECT e.user_id, s_us,
+                 MIN(CASE WHEN event_type = 'view' AND us > s_us
+                      AND us <= s_us + 3600000000 THEN us END) AS v_us
+          FROM e JOIN s1 ON e.user_id = s1.user_id
+          GROUP BY e.user_id, s_us),
+        lags AS (
+          SELECT e.user_id, MIN(CASE WHEN event_type = 'purchase'
+                   AND us > v_us AND us <= v_us + 3600000000 THEN us END)
+                   - v_us AS lag_us
+          FROM e JOIN (SELECT user_id, v_us FROM s2 WHERE v_us IS NOT NULL) v
+            ON e.user_id = v.user_id
+          GROUP BY e.user_id, v_us
+          HAVING MIN(CASE WHEN event_type = 'purchase'
+                   AND us > v_us AND us <= v_us + 3600000000 THEN us END)
+                   IS NOT NULL),
+        ranked AS (
+          SELECT lag_us,
+                 ROW_NUMBER() OVER (ORDER BY lag_us, user_id) AS rn,
+                 (SELECT COUNT(*) FROM lags) AS n
+          FROM lags)
+        SELECT CAST(MIN(n) AS BIGINT) AS n_converters,
+               MAX(CASE WHEN rn = (25 * n + 99) // 100 THEN lag_us END)
+                 AS p25_lag_us,
+               MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN lag_us END)
+                 AS p50_lag_us,
+               MAX(CASE WHEN rn = (75 * n + 99) // 100 THEN lag_us END)
+                 AS p75_lag_us,
+               MAX(lag_us) AS max_lag_us
+        FROM ranked"""))
   )
 }
