@@ -7,21 +7,26 @@ import graft.core.SparkSessionFactory
   * notes. First row carries JVM/codegen warmup, as documented there.
   *
   * Run: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.QueryTime q115,q116"`
+  * An optional second arg repeats the whole pass N times (pass 1 is the
+  * cold row; later passes approximate the bench's warm protocol).
   */
 object QueryTime {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val prefixes = if (args.nonEmpty) args(0).split(",").toSeq else Seq("q")
+    val passes = if (args.length > 1) args(1).toInt else 1
     val spark = SparkSessionFactory.local(32, "graft-query-time")
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.modules
+    val picked = SparkEntry.modules
       .filter { case (n, _) => prefixes.exists(n.startsWith) }
-      .foreach { case (name, d) =>
+    (1 to passes).foreach { pass =>
+      picked.foreach { case (name, d) =>
         val t0 = System.nanoTime()
         val rows = d.build(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"query":"$name","rows":$rows,"sec":$sec%.3f}""")
+        println(f"""{"query":"$name","pass":$pass,"rows":$rows,"sec":$sec%.3f}""")
       }
+    }
     spark.stop()
   }
 }

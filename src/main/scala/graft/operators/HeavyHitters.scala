@@ -36,12 +36,20 @@ object HeavyHitters {
     * Returns [item, cnt], unordered. `eps`/`confidence` size the sketch
     * (width 2/eps counters × ⌈ln(1/(1−confidence))⌉ rows); they trade
     * candidate false positives (shuffled through the verify agg) against
-    * sketch bytes — never correctness. */
+    * sketch bytes — never correctness.
+    *
+    * NULL items are excluded up front: `count_min_sketch` skips nulls
+    * (so a null could never be a candidate) and `estimateCount` throws
+    * on one — whereas SQL GROUP BY counts NULL as a group. The
+    * bit-for-bit GROUP BY/HAVING equivalence therefore holds over the
+    * non-null domain; callers who need NULL as a countable item must
+    * encode it (e.g. coalesce to a sentinel) before calling. */
   def exact(items: DataFrame, itemCol: String, k: Int,
       eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = items.sparkSession
     val it = items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
     val row = it.agg(count(lit(1)).as("n"),
       count_min_sketch(col("item"), lit(eps), lit(confidence), lit(42))
         .as("cms")).head
@@ -67,6 +75,7 @@ object HeavyHitters {
   def candidateCount(items: DataFrame, itemCol: String, k: Int,
       eps: Double = 1e-4, confidence: Double = 0.99): Long = {
     val it = items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
     val row = it.agg(count(lit(1)).as("n"),
       count_min_sketch(col("item"), lit(eps), lit(confidence), lit(42))
         .as("cms")).head

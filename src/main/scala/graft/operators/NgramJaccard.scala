@@ -36,11 +36,13 @@ import org.apache.spark.sql.functions._
   * grows ×3.4 per doubling. [[CrossoverMassPerDoc]] = 4e4 splits that
   * bracket.
   *
-  * The df aggregation that funds the decision is one partial/final count
-  * over the exploded hash stream — map-side combine collapses each
-  * partition to its distinct-shingle rows, so the stat pass is a small
-  * fraction of either join form (and at 100 TB it is the same df pass
-  * the prefix form needs anyway). The 1-row collect is bounded.
+  * Since round 7 the decision is funded by ONE action over the hash
+  * stream ([[sampledStats]]): mass on a 1/64 hash-class sample of the
+  * vocabulary (unbiased, ~1/64 the df shuffle) and the doc count as an
+  * exact Σ 1/n_sh in the same aggregation — the round-6 form's three
+  * lineage recomputes (count, df shuffle, join) are down to two (stat
+  * map pass + join), and its +3.5 MB stat shuffle to ~kB. The 1-row
+  * collect is bounded.
   *
   * Both forms emit identical rows (PrefixFilterJoin's lossless theorem,
   * certified by q113's brute-force oracle and NgramJaccardSpec's planted
@@ -52,24 +54,79 @@ object NgramJaccard {
     * clean/boiler crossover (BASELINE.md "prefixjoin" table). */
   val CrossoverMassPerDoc = 4e4
 
-  /** The naive join's cost driver, measured: candidate co-occurrences
-    * per doc, Σ_s df(s)·(df(s)−1)/2 / n. One partial/final count over
-    * the hash stream + a 1-row collect. */
+  /** The naive join's cost driver, exact: candidate co-occurrences per
+    * doc, Σ_s df(s)·(df(s)−1)/2 / n. One partial/final count over the
+    * hash stream + a 1-row collect. df is cast to double before the
+    * product (overflows long near df ~ 3e9; the statistic tolerates FP)
+    * and the empty-stream sum coalesces to 0 instead of NULL. */
   def massPerDoc(ex: DataFrame, nDocs: Long): Double = {
     if (nDocs == 0) return 0.0
     val mass = ex.groupBy(col("shash"))
       .agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * (col("df") - lit(1)) / lit(2)).as("mass"))
+      .agg(coalesce(sum(col("df").cast("double") *
+        (col("df") - lit(1)).cast("double") / 2.0), lit(0.0)).as("mass"))
       .head.getDouble(0)
     mass / nDocs
   }
 
+  /** Both routing inputs — n_docs and mass — from ONE action over `ex`
+    * with a near-zero shuffle, so routing costs a map pass instead of a
+    * df-shuffle plus a separate count (the round-6 form triggered three
+    * full lineage recomputes; this is one).
+    *
+    *  - mass is estimated on a deterministic 1/sampleMod hash-class
+    *    sample of the shingle VOCABULARY (`shash % mod == 0` keeps or
+    *    drops each distinct shingle with its whole df group), scaled by
+    *    sampleMod — unbiased under xxhash64 uniformity. Only sampled
+    *    groups ship in the shuffle; everything else collapses map-side
+    *    into one null-key partial row per partition, so the stat
+    *    shuffle is ~1/sampleMod of the full df shuffle. Sampling
+    *    variance can only misroute near the crossover, where by
+    *    definition both exact forms cost about the same.
+    *  - n_docs = Σ_rows 1/n_sh is EXACT (each doc contributes n_sh
+    *    rows of weight 1/n_sh), accumulated over the same groups in
+    *    the same pass — no separate count action.
+    *
+    * Returns (nDocs, massEstimate); (0, 0) on an empty stream. */
+  def sampledStats(ex: DataFrame, sampleMod: Int = 64): (Double, Double) = {
+    val r = ex
+      .select(
+        when(pmod(col("shash"), lit(sampleMod.toLong)) === 0, col("shash")).as("k"),
+        col("n_sh"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("df"), sum(lit(1.0) / col("n_sh")).as("inv"))
+      .agg(
+        coalesce(sum(when(col("k").isNotNull,
+          col("df").cast("double") * (col("df") - lit(1)).cast("double") / 2.0)
+          .otherwise(lit(0.0))), lit(0.0)).as("mass_sample"),
+        coalesce(sum(col("inv")), lit(0.0)).as("n_docs"))
+      .head
+    (r.getDouble(1), r.getDouble(0) * sampleMod)
+  }
+
   /** `ex` columns: doc_id, n_sh (distinct-shingle count), shash (one row
     * per distinct shingle hash per doc). Returns ("naive" | "prefix",
-    * unordered pair DataFrame [doc_a, doc_b, n_common, jaccard]). */
+    * unordered pair DataFrame [doc_a, doc_b, n_common, jaccard]).
+    * Exact-statistic form: callers that already hold nDocs and want the
+    * full-vocabulary mass (ScaleProbe calibration). Query paths should
+    * prefer [[similarPairsAutoSampled]], whose statistic is one action. */
   def similarPairsAuto(ex: DataFrame, nDocs: Long, threshold: Double,
       crossover: Double = CrossoverMassPerDoc): (String, DataFrame) = {
     if (massPerDoc(ex, nDocs) > crossover)
+      ("prefix", PrefixFilterJoin.similarPairs(
+        ex, "doc_id", "n_sh", "shash", threshold, threshold * 0.95))
+    else ("naive", naivePairs(ex, threshold))
+  }
+
+  /** [[similarPairsAuto]] with the routing statistic from
+    * [[sampledStats]]: one action, ~1/sampleMod stat shuffle, no
+    * separate doc count. Routing can change the plan, never the rows —
+    * both forms are exact. */
+  def similarPairsAutoSampled(ex: DataFrame, threshold: Double,
+      crossover: Double = CrossoverMassPerDoc,
+      sampleMod: Int = 64): (String, DataFrame) = {
+    val (nDocs, mass) = sampledStats(ex, sampleMod)
+    if (nDocs > 0 && mass / nDocs > crossover)
       ("prefix", PrefixFilterJoin.similarPairs(
         ex, "doc_id", "n_sh", "shash", threshold, threshold * 0.95))
     else ("naive", naivePairs(ex, threshold))

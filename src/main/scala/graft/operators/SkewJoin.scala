@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner/left equijoin of `big ⋈ small` on `keys`, with the big side's
-    * hot keys spread over `salts` reducers. The salt derives from
-    * xxhash64 over the big side's whole row, so plans stay deterministic
-    * across retries and cluster layouts (no rand()). */
+    * hot keys spread over `salts` reducers. The salt mixes xxhash64 over
+    * the row's columns with a per-row component (partition id << 33 +
+    * partition-local counter, via monotonically_increasing_id) — content
+    * alone is NOT enough: a hot key whose rows are byte-identical
+    * (exactly the null-ish-default-id case salting exists for) would
+    * collapse onto one salt and not spread at all. The per-row component
+    * is deterministic per file split (same split, same row order → same
+    * ids on retry), so recomputed map outputs stay consistent — the
+    * hazard rand() has and this does not. */
   private val SupportedJoinTypes = Set("inner", "left", "leftouter")
 
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
@@ -35,12 +41,18 @@ object SkewJoin {
     // semi/anti flip which side survives. Big side must be the left side.
     require(SupportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left joins with the big table on the left; got '$joinType'")
+    // The working column must not shadow a real one on either side (the
+    // join would silently equate them); uniquify instead of hard-coding.
+    val saltCol = Iterator.iterate("__salt")(_ + "_")
+      .dropWhile(n => big.columns.contains(n) || small.columns.contains(n))
+      .next()
     val saltOfRow: Column =
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salts)).cast("int")
-    val b = big.withColumn("__salt", saltOfRow)
-    val s = small.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id() +: big.columns.map(col).toSeq: _*),
+        lit(salts)).cast("int")
+    val b = big.withColumn(saltCol, saltOfRow)
+    val s = small.withColumn(saltCol,
       explode(array((0 until salts).map(i => lit(i)): _*)))
-    b.join(s, keys :+ "__salt", joinType).drop("__salt")
+    b.join(s, keys :+ saltCol, joinType).drop(saltCol)
   }
 
   /** Salt count sized from the DATA instead of guessed: one partial/final

@@ -322,22 +322,7 @@ object CorpusStats {
         JOIN sizes sb ON src_b = sb.source
         ORDER BY src_a, src_b""")),
 
-    // ---- q167: sketch-guided exact heavy hitters ----
-    // [[graft.operators.HeavyHitters]]: Count-Min candidate generation +
-    // exact verification, over a deterministic Zipf domain (item
-    // N div (id+1) — item v owns ≈ N/v − N/(v+1) rows, the harmonic
-    // skew a hot-key distribution actually looks like; ~890 distinct
-    // items at N = 200k, 7 true heavies at k = 50). The corpus tables
-    // can't gate this operator honestly — their generators are uniform
-    // (31 token types, all "heavy") — so the domain is constructed,
-    // like q70's generator, identically in both engines from pure
-    // integer arithmetic.
-    //
-    // The oracle is the PLAIN exact GROUP BY/HAVING: the hash match is
-    // the certificate that the sketch phase changed the COST, not the
-    // ANSWER (CMS over-estimates only ⇒ recall 1; exact verify kills
-    // its false positives) — the same proof shape as q121's salting
-    // and q113's prefix filter.
+    // ---- q169: exact integer AUC (Mann-Whitney rank-sum) ----
     "q169_exact_auc" -> QueryDef(
       build = (spark, dir) => {
         // ---- exact integer AUC (Mann-Whitney rank-sum) ----
@@ -578,6 +563,22 @@ object CorpusStats {
                d_num * 1000000 // (na * nb) AS d_ppm
         FROM m ORDER BY source""")),
 
+    // ---- q167: sketch-guided exact heavy hitters ----
+    // [[graft.operators.HeavyHitters]]: Count-Min candidate generation +
+    // exact verification, over a deterministic Zipf domain (item
+    // N div (id+1) — item v owns ≈ N/v − N/(v+1) rows, the harmonic
+    // skew a hot-key distribution actually looks like; ~890 distinct
+    // items at N = 200k, 7 true heavies at k = 50). The corpus tables
+    // can't gate this operator honestly — their generators are uniform
+    // (31 token types, all "heavy") — so the domain is constructed,
+    // like q70's generator, identically in both engines from pure
+    // integer arithmetic.
+    //
+    // The oracle is the PLAIN exact GROUP BY/HAVING: the hash match is
+    // the certificate that the sketch phase changed the COST, not the
+    // ANSWER (CMS over-estimates only ⇒ recall 1; exact verify kills
+    // its false positives) — the same proof shape as q121's salting
+    // and q113's prefix filter.
     "q167_heavy_hitters" -> QueryDef(
       build = (spark, dir) => {
         val n = 200000L

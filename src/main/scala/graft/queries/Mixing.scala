@@ -34,13 +34,19 @@ object Mixing {
     // in its class, blended toward the global mean by pseudo-count m
     // (m = 10). Per-row form: (S_p − x + m·g) / (n_p − 1 + m).
     //
-    // Determinism: every per-class statistic (S_p exact decimal, n_p,
-    // min/max x) is aggregation-safe, and the per-priority OUTPUT stats
-    // are computed ALGEBRAICALLY from them — the mean of the per-row
-    // encoding is (n_p·S_p − S_p + n_p·m·g) / (n_p·(n_p − 1 + m)), and
-    // its min/max are reached at max/min x (the encoding is decreasing
-    // in x) — so no double is ever accumulated row-by-row in either
-    // engine.
+    // Determinism: every per-class statistic is an exact INTEGER in
+    // cents (totalprice has 2 decimals), and the per-priority OUTPUT
+    // stats are computed ALGEBRAICALLY from them with g = S_tot/n_tot
+    // cleared from the denominators, then reported in integer
+    // micro-dollars via `div` — the q70/q130 rule: no round(double, 6)
+    // on a derived quotient, so the Spark-HALF_UP-vs-DuckDB half-even
+    // boundary is unreachable by construction. (The mean of the
+    // per-row encoding is ((n_p−1)·S_p·n_tot + m·n_p·S_tot) /
+    // (n_p·(n_p−1+m)·n_tot); min/max are reached at max/min x since
+    // the encoding is decreasing in x.) Intermediates live in
+    // DECIMAL(38,0) / HUGEINT: ~1e26 at sf0.1, within both engines'
+    // exact range (at petabyte row counts, drop the micro-dollar scale
+    // factor a few orders to stay under 38 digits).
     //
     // 100 TB posture: two partial/final aggregations (one global 1-row,
     // broadcast; one per-class) — the fact table is touched once, no
@@ -48,51 +54,63 @@ object Mixing {
     "q151_target_encoding" -> QueryDef(
       build = (spark, dir) => {
         val o = Tables.orders(spark, dir)
-        val m = lit(10.0)
-        val g = o.agg(
-          (sum(col("o_totalprice").cast(DecimalType(28, 2))).cast(DoubleType) /
-            count(lit(1))).as("g"))
+          .select(col("o_orderpriority"),
+            (col("o_totalprice") * 100).cast(DecimalType(18, 0)).as("cents"))
         val per = o.groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast(DecimalType(28, 2)))
-              .cast(DoubleType).as("s"),
-            min(col("o_totalprice")).as("xmin"),
-            max(col("o_totalprice")).as("xmax"))
-        per.crossJoin(broadcast(g))
+            sum(col("cents")).cast(DecimalType(38, 0)).as("s"),
+            min(col("cents")).as("xmin"),
+            max(col("cents")).as("xmax"))
+        val tot = o.agg(count(lit(1)).as("n_tot"),
+          sum(col("cents")).cast(DecimalType(38, 0)).as("s_tot"))
+        per.crossJoin(broadcast(tot))
           .select(col("o_orderpriority"), col("n"),
-            round((col("n") * col("s") - col("s") + col("n") * m * col("g")) /
-              (col("n") * (col("n") - 1 + m)), 6).as("enc_avg"),
-            round((col("s") - col("xmax") + m * col("g")) /
-              (col("n") - 1 + m), 6).as("enc_min"),
-            round((col("s") - col("xmin") + m * col("g")) /
-              (col("n") - 1 + m), 6).as("enc_max"))
+            expr("""CAST(((n - 1) * s * n_tot + 10 * n * s_tot) * 10000
+                    div (n * (n + 9) * n_tot) AS BIGINT)""").as("enc_avg_micro"),
+            expr("""CAST(((s - xmax) * n_tot + 10 * s_tot) * 10000
+                    div ((n + 9) * n_tot) AS BIGINT)""").as("enc_min_micro"),
+            expr("""CAST(((s - xmin) * n_tot + 10 * s_tot) * 10000
+                    div ((n + 9) * n_tot) AS BIGINT)""").as("enc_max_micro"))
           .orderBy(col("o_orderpriority"))
       },
       oracle = Some("""
-        WITH g AS (
-          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / COUNT(*) AS g
+        WITH o AS (
+          SELECT o_orderpriority,
+                 CAST(o_totalprice * 100 AS HUGEINT) AS cents
           FROM orders),
         per AS (
-          SELECT o_orderpriority, COUNT(*) AS n,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
-                 MIN(o_totalprice) AS xmin, MAX(o_totalprice) AS xmax
-          FROM orders GROUP BY 1)
+          SELECT o_orderpriority, COUNT(*) AS n, SUM(cents) AS s,
+                 MIN(cents) AS xmin, MAX(cents) AS xmax
+          FROM o GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_tot, SUM(cents) AS s_tot FROM o)
         SELECT o_orderpriority, n,
-               ROUND((n * s - s + n * 10.0 * g.g) / (n * (n - 1 + 10.0)), 6)
-                 AS enc_avg,
-               ROUND((s - xmax + 10.0 * g.g) / (n - 1 + 10.0), 6) AS enc_min,
-               ROUND((s - xmin + 10.0 * g.g) / (n - 1 + 10.0), 6) AS enc_max
-        FROM per CROSS JOIN g
+               CAST(((n - 1) * s * n_tot + 10 * n * s_tot) * 10000
+                 // (n * (n + 9) * n_tot) AS BIGINT) AS enc_avg_micro,
+               CAST(((s - xmax) * n_tot + 10 * s_tot) * 10000
+                 // ((n + 9) * n_tot) AS BIGINT) AS enc_min_micro,
+               CAST(((s - xmin) * n_tot + 10 * s_tot) * 10000
+                 // ((n + 9) * n_tot) AS BIGINT) AS enc_max_micro
+        FROM per CROSS JOIN tot
         ORDER BY o_orderpriority""")),
 
     // ---- q152: sqrt-scaled domain mixture weights ----
     // The domain-rebalancing recipe for multi-source corpora: raw token
-    // share per source, then weight ∝ share^α with α = 1/2 (sqrt is
-    // IEEE-exact, unlike libm pow, so both engines bit-agree) —
-    // upsamples small domains, damps the dominant one. Output:
-    // per-source exact token counts, the normalized mixture weight, and
-    // the per-source token budget of a 1M-token epoch.
+    // share per source, then weight ∝ share^α with α = 1/2 — upsamples
+    // small domains, damps the dominant one. Output: per-source exact
+    // token counts, the normalized mixture weight in ppm, and the
+    // per-source token budget of a 1G-token epoch.
+    //
+    // Determinism (the q70/q130 rule — no round(double, 6) on derived
+    // quotients): the ONLY double op is sqrt, which IEEE requires
+    // correctly rounded, so both engines compute the identical double;
+    // it is immediately quantized to integer micro-units via floor
+    // (floor, not cast: DuckDB's double→int cast rounds, Spark's
+    // truncates — floor is the same function in both). Every
+    // downstream quantity — the normalizer Σ⌊√tokens·10⁶⌋, the ppm
+    // weight, the epoch budget — is then pure integer arithmetic with
+    // `div`. Quantizing √tokens at 1e-6 relative shifts a mixture
+    // weight by < 1e-9 absolute, immaterial for mixing, and makes the
+    // half-unit rounding boundary unreachable instead of unlikely.
     //
     // 100 TB posture: one pass over documents into a partial/final agg
     // keyed by source (a handful of groups), then per-group arithmetic
@@ -104,14 +122,20 @@ object Mixing {
             size(toks(col("text"))).cast(LongType).as("n_tok"))
         val per = d.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+          .withColumn("sq_micro",
+            floor(sqrt(col("tokens").cast(DoubleType)) * 1e6).cast(LongType))
         val tot = per.agg(sum(col("tokens")).as("total"),
-          Det.dsum(sqrt(col("tokens").cast(DoubleType)), 6).as("sq_sum"))
+          sum(col("sq_micro")).as("sq_sum"))
+        // numerators widened to DECIMAL(38,0): sq_micro·1e9 passes long
+        // range (9.2e18) already at ~1e13 tokens per source
         per.crossJoin(broadcast(tot))
           .select(col("source"), col("n_docs"), col("tokens"),
-            round(col("tokens").cast(DoubleType) / col("total"), 6).as("raw_share"),
-            round(sqrt(col("tokens").cast(DoubleType)) / col("sq_sum"), 6).as("weight"),
-            round(sqrt(col("tokens").cast(DoubleType)) / col("sq_sum") * 1000000, 2)
-              .as("epoch_tokens"))
+            expr("CAST(tokens AS DECIMAL(38,0)) * 1000000 div total")
+              .as("raw_share_ppm"),
+            expr("CAST(sq_micro AS DECIMAL(38,0)) * 1000000 div sq_sum")
+              .as("weight_ppm"),
+            expr("CAST(sq_micro AS DECIMAL(38,0)) * 1000000000 div sq_sum")
+              .as("epoch_tokens_1g"))
           .orderBy(col("source"))
       },
       oracle = Some("""
@@ -120,17 +144,22 @@ object Mixing {
                  CAST(SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
                    AS BIGINT) AS tokens
           FROM documents GROUP BY 1),
+        q AS (
+          SELECT *, CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS sq_micro
+          FROM per),
         tot AS (
           SELECT CAST(SUM(tokens) AS BIGINT) AS total,
-                 CAST(SUM(CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(18,6)))
-                   AS DOUBLE) AS sq_sum
-          FROM per)
+                 CAST(SUM(sq_micro) AS BIGINT) AS sq_sum
+          FROM q)
         SELECT source, n_docs, tokens,
-               ROUND(CAST(tokens AS DOUBLE) / total, 6) AS raw_share,
-               ROUND(sqrt(CAST(tokens AS DOUBLE)) / sq_sum, 6) AS weight,
-               ROUND(sqrt(CAST(tokens AS DOUBLE)) / sq_sum * 1000000, 2)
-                 AS epoch_tokens
-        FROM per CROSS JOIN tot
+               CAST(CAST(tokens AS HUGEINT) * 1000000 // total AS BIGINT)
+                 AS raw_share_ppm,
+               CAST(CAST(sq_micro AS HUGEINT) * 1000000 // sq_sum AS BIGINT)
+                 AS weight_ppm,
+               CAST(CAST(sq_micro AS HUGEINT) * 1000000000 // sq_sum AS BIGINT)
+                 AS epoch_tokens_1g
+        FROM q CROSS JOIN tot
         ORDER BY source""")),
 
     // ---- q153: content-hash train/val/test split ----

@@ -186,8 +186,11 @@ object Text {
         // would catch one — the gate doubles as the collision check.
         val ex = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
           .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shash"))
+        // One-action routing stat (round 7): n_docs and sampled mass in a
+        // single near-zero-shuffle aggregation — no separate count, no
+        // full df shuffle inside the timed span.
         val (_, pairs) = graft.operators.NgramJaccard
-          .similarPairsAuto(ex, sized.count(), 0.2)
+          .similarPairsAutoSampled(ex, 0.2)
         pairs.orderBy(col("doc_a"), col("doc_b"))
       },
       oracle = Some("""

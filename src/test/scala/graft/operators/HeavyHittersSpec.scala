@@ -38,4 +38,24 @@ class HeavyHittersSpec extends SparkSpec {
     val empty = spark.range(0).select(concat(lit("x"), col("id")).as("item"))
     assert(HeavyHitters.exact(empty, "item", 10).count() == 0)
   }
+
+  test("NULL items are excluded, not crashed on, and don't inflate n") {
+    // 4k nulls + 3k "hot" + 3k uniques. The documented contract: the
+    // result equals the plain group-by over the NON-NULL domain — nulls
+    // neither throw in the CMS probe nor count toward the n/k threshold.
+    val items = spark.range(10000).select(
+      when(col("id") < 4000, lit(null).cast("string"))
+        .when(col("id") < 7000, lit("hot"))
+        .otherwise(concat(lit("u"), col("id"))).as("item"))
+    val got = HeavyHitters.exact(items, "item", 2)
+      .as[(String, Long)].collect().toMap
+    // non-null n = 6000; threshold 3000; "hot" has exactly 3000 -> NOT
+    // strictly greater. With nulls wrongly included (n = 10000 -> 5000)
+    // the answer is the same empty set, so ALSO check k=3: threshold
+    // 2000 (non-null) admits "hot"; a null-inflated 3333 would not.
+    assert(got.isEmpty)
+    val got3 = HeavyHitters.exact(items, "item", 3)
+      .as[(String, Long)].collect().toMap
+    assert(got3 == Map("hot" -> 3000L))
+  }
 }

@@ -43,6 +43,32 @@ class NgramJaccardSpec extends SparkSpec {
     assert(m == 18.0 / 4)
   }
 
+  test("sampledStats: n_docs exact at any sampleMod; mass exact at mod 1") {
+    val run = "alpha beta gamma delta epsilon"
+    val docs = (0L until 4L).map(i =>
+      (i, s"u${i}a u${i}b u${i}c $run u${i}d u${i}e"))
+    val e = ex(docs)
+    // sampleMod = 1 samples the whole vocabulary -> both stats exact.
+    val (n1, m1) = NgramJaccard.sampledStats(e, sampleMod = 1)
+    assert(math.abs(n1 - 4.0) < 1e-9)
+    assert(math.abs(m1 - 18.0) < 1e-9)
+    // n_docs is the exact sum of 1/n_sh regardless of the mass sample.
+    val (n64, _) = NgramJaccard.sampledStats(e, sampleMod = 64)
+    assert(math.abs(n64 - 4.0) < 1e-9)
+    // Empty stream -> (0, 0), no NPE from a NULL sum.
+    val (n0, m0) = NgramJaccard.sampledStats(e.filter(col("doc_id") < 0))
+    assert(n0 == 0.0 && m0 == 0.0)
+  }
+
+  test("sampled routing: naive under the crossover, prefix when forced over it") {
+    val e = ex(planted)
+    val (clean, _) = NgramJaccard.similarPairsAutoSampled(e, 0.2, sampleMod = 1)
+    assert(clean == "naive")
+    val (hot, _) =
+      NgramJaccard.similarPairsAutoSampled(e, 0.2, crossover = 0.1, sampleMod = 1)
+    assert(hot == "prefix")
+  }
+
   test("routing: diverse vocabulary stays naive, hot-shingle mass flips to prefix") {
     val e = ex(planted)
     val (cleanRoute, _) = NgramJaccard.similarPairsAuto(e, 6, 0.2)

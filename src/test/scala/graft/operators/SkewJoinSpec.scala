@@ -30,17 +30,41 @@ class SkewJoinSpec extends SparkSpec {
     assert(out.where(col("name").isNull).count() == 1)
   }
 
+  /** Non-empty output partitions of the join — the join shuffles by
+    * (key, salt), so this observes the spread the salt actually bought
+    * without re-deriving the operator's internal formula. */
+  private def occupiedPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.rdd.mapPartitions(it => Iterator(if (it.hasNext) 1 else 0)).collect().sum
+
   test("salt actually spreads a hot key across partitions") {
     val big = spark.range(8000).select(lit(1L).as("k"), col("id").as("payload"))
     val small = Seq((1L, "dim")).toDF("k", "name")
     val salted = SkewJoin.saltedJoin(big, small, Seq("k"), salts = 8)
-    // Count distinct salts the hot key was spread over (re-derive the salt
-    // the same way the operator does).
-    val spread = big
-      .withColumn("__salt", pmod(xxhash64(col("k"), col("payload")), lit(8)))
-      .select("__salt").distinct().count()
-    assert(spread == 8)
     assert(salted.count() == 8000)
+    assert(occupiedPartitions(salted) >= 4,
+      "hot key stayed on ~one reducer despite salts = 8")
+  }
+
+  test("BYTE-IDENTICAL hot-key rows still spread (per-row salt component)") {
+    // The null-ish-default-id shape: every hot row is the same bytes, so a
+    // content-only salt would collapse them onto one reducer.
+    val big = spark.range(8000).select(lit(1L).as("k"), lit(0L).as("payload"))
+    val small = Seq((1L, "dim")).toDF("k", "name")
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), salts = 8)
+    assert(salted.count() == 8000)
+    assert(occupiedPartitions(salted) >= 4,
+      "identical rows collapsed onto one salt — per-row component missing")
+  }
+
+  test("a pre-existing __salt column is preserved, not clobbered or joined on") {
+    val big = spark.range(100)
+      .select((col("id") % 5).as("k"), lit(42).as("__salt"), col("id").as("payload"))
+    val small = Seq((0L, "d0"), (1L, "d1"), (2L, "d2"), (3L, "d3"), (4L, "d4"))
+      .toDF("k", "name")
+    val out = SkewJoin.saltedJoin(big, small, Seq("k"), salts = 4)
+    val plain = big.join(small, Seq("k"))
+    assert(out.columns.count(_ == "__salt") == 1)
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
   }
 
   test("autoSalts: uniform keys degenerate to 1, a hot key sizes to its share") {

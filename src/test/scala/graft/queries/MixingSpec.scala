@@ -36,9 +36,11 @@ class MixingSpec extends SparkSpec {
 
   test("q151: per-class encoding stats are ordered enc_min <= enc_avg <= enc_max") {
     run("q151_target_encoding").collect().foreach { r =>
-      val (mn, av, mx) = (r.getAs[Double]("enc_min"),
-        r.getAs[Double]("enc_avg"), r.getAs[Double]("enc_max"))
-      assert(mn <= av && av <= mx, s"$r")
+      val (mn, av, mx) = (r.getAs[Long]("enc_min_micro"),
+        r.getAs[Long]("enc_avg_micro"), r.getAs[Long]("enc_max_micro"))
+      // integer micro-dollar units since round 7; div truncation can put
+      // avg below min by at most 1 micro-unit, hence the +-1 slack
+      assert(mn - 1 <= av && av <= mx + 1, s"$r")
     }
   }
 
@@ -66,16 +68,18 @@ class MixingSpec extends SparkSpec {
 
   test("q152: mixture weights sum to ~1 and sqrt-damp the dominant source") {
     val rows = run("q152_domain_mixture").collect()
-    val wsum = rows.map(_.getAs[Double]("weight")).sum
-    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    // ppm units since round 7; div truncation loses < 1 ppm per source
+    val wsum = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(wsum > 1000000L - rows.length && wsum <= 1000000L,
+      s"weights sum to $wsum ppm")
     // sqrt scaling compresses shares: every weight sits between its raw
     // share and the uniform share on the side toward uniform
     rows.foreach { r =>
-      val raw = r.getAs[Double]("raw_share")
-      val w = r.getAs[Double]("weight")
-      val uniform = 1.0 / rows.length
-      if (raw > uniform) assert(w <= raw + 1e-9 && w >= uniform - 1e-9)
-      else assert(w >= raw - 1e-9 && w <= uniform + 1e-9)
+      val raw = r.getAs[Long]("raw_share_ppm")
+      val w = r.getAs[Long]("weight_ppm")
+      val uniform = 1000000L / rows.length
+      if (raw > uniform) assert(w <= raw + 1 && w >= uniform - 1)
+      else assert(w >= raw - 1 && w <= uniform + 1)
     }
   }
 }
