@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * equivalent of a batched Pandas UDF: one JVM-side batch per partition, no
   * per-row closure dispatch, no serialization across a Python boundary).
   *
-  * ── STUB BOUNDARY ──────────────────────────────────────────────────────
-  * This container has no image/audio codecs, so `FakeCodec` stands in for
-  * the real decoder: it derives deterministic "pixels"/"samples" from the
-  * payload bytes. Every Spark-side contract — schemas, binary transport,
-  * partition sizing, batch shape, feature layout — is real and tested;
-  * swapping `FakeCodec` for e.g. javax.imageio / a JNI codec changes no
-  * plan shape. The stub functions are the ONLY non-production code here.
+  * ── CODEC BOUNDARY ─────────────────────────────────────────────────────
+  * IMAGES ARE REAL since round 7: payloads are actual PNGs written and
+  * decoded by the JDK's own `javax.imageio` codec ([[ImageCodec]]) — no
+  * external library, runs on any executor. Audio/video still go through
+  * `FakeCodec` (this container genuinely has no audio/video codecs): it
+  * derives deterministic "samples" from a keystream. Every Spark-side
+  * contract — schemas, binary transport, partition sizing, batch shape,
+  * feature layout — is identical across both arms; swapping `FakeCodec`
+  * for a JNI codec changes no plan shape. The audio/video stub functions
+  * are the ONLY non-production code here.
   * ───────────────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -39,7 +42,8 @@ object Multimodal {
 
   // ---- deterministic synthetic corpus --------------------------------
 
-  /** Deterministic fake media corpus keyed by id — payload bytes are a
+  /** Deterministic media corpus keyed by id — image payloads are REAL
+    * PNGs (keystream pixels through the JDK encoder), audio/video are a
     * xxhash64 keystream, so any executor regenerates identical assets
     * (no driver materialization; scales to any n). */
   def syntheticAssets(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaAsset] = {
@@ -49,27 +53,33 @@ object Multimodal {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
       val meta = kind match {
-        case "image" => MediaMeta(kind, "fake-img", 64 + (id % 4).toInt * 32,
+        case "image" => MediaMeta(kind, "png", 64 + (id % 4).toInt * 32,
           64 + (id % 3).toInt * 32, 0, 1)
         case "audio" => MediaMeta(kind, "fake-pcm", 0, 0, 16000, 4 + (id % 4).toInt)
         case _       => MediaMeta(kind, "fake-vid", 64, 64, 0, 8 + (id % 8).toInt)
       }
-      MediaAsset(id, meta, FakeCodec.encode(id, seed, meta))
+      val payload =
+        if (kind == "image") ImageCodec.encodePng(id, seed, meta.width, meta.height)
+        else FakeCodec.encode(id, seed, meta)
+      MediaAsset(id, meta, payload)
     })
   }
 
   // ---- operators (partition-local, batch-shaped) ---------------------
 
-  /** Decode + feature-extract in one partition pass: 256-bin byte histogram
-    * normalized to unit L1 — the stub feature. Real pipelines put the
-    * expensive codec call exactly here, amortized per partition. */
+  /** Decode + feature-extract in one partition pass: 256-bin histogram of
+    * decoded pixel/sample values, normalized to unit L1. Images run the
+    * REAL ImageIO decode; audio/video the keystream stub. Real pipelines
+    * put the expensive codec call exactly here, amortized per partition. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       val hist = new Array[Int](256) // reused per partition — no per-row alloc
       it.map { a =>
         java.util.Arrays.fill(hist, 0)
-        val decoded = FakeCodec.decode(a.payload)
+        val decoded =
+          if (a.meta.kind == "image") ImageCodec.decode(a.payload).gray
+          else FakeCodec.decode(a.payload)
         var i = 0
         while (i < decoded.length) { hist(decoded(i) & 0xff) += 1; i += 1 }
         val total = math.max(decoded.length, 1).toFloat
@@ -99,16 +109,15 @@ object Multimodal {
     })
   }
 
-  /** Resize stub for images: recompute payload for the new dimensions
-    * (deterministic), keeping the metadata contract honest. */
+  /** REAL image resize: decode the PNG, nearest-neighbor resample the
+    * raster, re-encode — partition-local, deterministic (pure integer
+    * index arithmetic, no rendering pipeline). Non-images pass through. */
   def resize(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
       if (a.meta.kind != "image") a
-      else {
-        val meta = a.meta.copy(width = w, height = h)
-        a.copy(meta = meta, payload = FakeCodec.encode(a.asset_id, 42L, meta))
-      }
+      else a.copy(meta = a.meta.copy(width = w, height = h),
+        payload = ImageCodec.resizePng(a.payload, w, h))
     })
   }
 
@@ -161,18 +170,147 @@ object Multimodal {
           .cast("double") / count(lit(1))), 9).as("avg_feature_l2sq"))
       .orderBy(col("kind"))
 
-  // ---- STUB codec ----------------------------------------------------
+  // ---- REAL image codec (JDK javax.imageio — no external dep) --------
 
-  /** Deterministic stand-in for real media codecs (see STUB BOUNDARY). */
-  object FakeCodec {
-    /** xxhash-keystream payload: size derives from metadata, bytes from
-      * (id, seed, block). */
-    def encode(id: Long, seed: Long, meta: MediaMeta): Array[Byte] = {
-      val size = meta.kind match {
-        case "image" => meta.width * meta.height
-        case "audio" => meta.sampleRate / 100 * meta.nFrames
-        case _       => meta.width * meta.height * meta.nFrames
+  /** Image encode/decode/resize on the JDK's own ImageIO codecs
+    * (PNG/JPEG/BMP/GIF readers ship in every JDK). All entry points are
+    * partition-local pure functions over byte arrays — executor-safe
+    * (headless, no disk cache), deterministic (fixed encoder, integer
+    * nearest-neighbor resampling). */
+  object ImageCodec {
+    // Executor-side static init: never touch a display, never spill
+    // codec scratch to disk.
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+
+    final case class Decoded(width: Int, height: Int, gray: Array[Byte])
+
+    /** Keystream pixels for (id, seed) through the REAL PNG encoder. */
+    def encodePng(id: Long, seed: Long, w: Int, h: Int): Array[Byte] =
+      encodeGrayPng(w, h, FakeCodec.keystream(id, seed, w * h))
+
+    /** Encode gray samples (row-major, w*h bytes) as a spec-valid PNG.
+      *
+      * Hand-built container (signature + IHDR + one zlib IDAT of
+      * filter-0 scanlines + IEND) with NO_COMPRESSION deflate blocks:
+      * keystream pixels are incompressible anyway, and the stored-block
+      * writer runs at memcpy speed, so CORPUS GENERATION doesn't tax the
+      * benched decode path — the q44 lesson (don't let scaffolding cost
+      * sit inside the timed span) applied here. The DECODER is the full
+      * JDK ImageIO codec, which reads these PNGs like any other; the
+      * MultimodalSpec round-trip (ImageIO decode of this writer's output
+      * equals the planted raster) is the cross-check that the container
+      * is honest. */
+    def encodeGrayPng(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+      require(gray.length == w * h, s"raster ${gray.length} != ${w}x$h")
+      // filter byte 0 in front of every scanline
+      val raw = new Array[Byte]((w + 1) * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(gray, y * w, raw, y * (w + 1) + 1, w)
+        y += 1
       }
+      val deflater = new java.util.zip.Deflater(
+        java.util.zip.Deflater.NO_COMPRESSION)
+      deflater.setInput(raw); deflater.finish()
+      val idat = new java.io.ByteArrayOutputStream(raw.length + raw.length / 1024 + 64)
+      val buf = new Array[Byte](16384)
+      while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream(idat.size + 64)
+      Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+        .foreach(out.write)
+      def chunk(tag: String, body: Array[Byte]): Unit = {
+        def be32(v: Long): Unit = {
+          out.write((v >>> 24).toInt & 0xff); out.write((v >>> 16).toInt & 0xff)
+          out.write((v >>> 8).toInt & 0xff); out.write(v.toInt & 0xff)
+        }
+        be32(body.length.toLong)
+        val tagB = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tagB); crc.update(body)
+        out.write(tagB); out.write(body, 0, body.length)
+        be32(crc.getValue)
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte)  // bit depth
+        .put(0.toByte)  // color type: grayscale
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no-interlace
+      chunk("IHDR", ihdr.array)
+      chunk("IDAT", idat.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Reused per-thread PNG reader: `ImageIO.read` re-runs the SPI
+      * registry scan and reader construction on EVERY call — per-asset
+      * overhead that dominates small-image decode in a tight partition
+      * loop. ImageReader instances aren't thread-safe; thread-local
+      * reuse inside a partition iterator is. */
+    private val pngReader =
+      new ThreadLocal[javax.imageio.ImageReader] {
+        override def initialValue(): javax.imageio.ImageReader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      }
+
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+
+    /** Decode any ImageIO-supported container to gray samples (gray
+      * sources verbatim; color sources via the JDK's colorspace op).
+      * PNG takes the reused-reader fast path; other containers go
+      * through the generic SPI lookup. */
+    def decode(payload: Array[Byte]): Decoded = {
+      val img =
+        if (isPng(payload)) {
+          val r = pngReader.get()
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try { r.setInput(iis, true, true); r.read(0) }
+          finally { r.setInput(null); iis.close() }
+        } else javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+        else {
+          val conv = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          new java.awt.image.ColorConvertOp(null).filter(img, conv)
+          conv
+        }
+      val gray = new Array[Byte](w * h)
+      g.getRaster.getDataElements(0, 0, w, h, gray)
+      Decoded(w, h, gray)
+    }
+
+    /** Decode → integer nearest-neighbor resample → re-encode. */
+    def resizePng(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val d = decode(payload)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = (y.toLong * d.height / h).toInt * d.width
+        val dstRow = y * w
+        var x = 0
+        while (x < w) {
+          out(dstRow + x) = d.gray(srcRow + (x.toLong * d.width / w).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      encodeGrayPng(w, h, out)
+    }
+  }
+
+  // ---- STUB codec (audio/video only — see CODEC BOUNDARY) ------------
+
+  /** Deterministic stand-in for audio/video codecs. */
+  object FakeCodec {
+    /** xxhash-style keystream: `size` bytes derived from (id, seed). */
+    def keystream(id: Long, seed: Long, size: Int): Array[Byte] = {
       val out = new Array[Byte](size)
       var block = 0L
       var i = 0
@@ -184,6 +322,16 @@ object Multimodal {
         block += 1
       }
       out
+    }
+
+    /** Keystream payload sized from metadata. */
+    def encode(id: Long, seed: Long, meta: MediaMeta): Array[Byte] = {
+      val size = meta.kind match {
+        case "image" => meta.width * meta.height
+        case "audio" => meta.sampleRate / 100 * meta.nFrames
+        case _       => meta.width * meta.height * meta.nFrames
+      }
+      keystream(id, seed, size)
     }
 
     /** "Decode": identity over the fake container (a real codec would

@@ -45,15 +45,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize rewrites image dims and payload size; non-images untouched") {
+  test("resize really resamples the raster; non-images untouched") {
     val a = syntheticAssets(spark, 30)
     val resized = resize(a, 32, 32).cache()
     resized.filter(_.meta.kind == "image").collect().foreach { img =>
       assert(img.meta.width == 32 && img.meta.height == 32)
-      assert(img.payload.length == 32 * 32)
+      val d = ImageCodec.decode(img.payload)
+      assert(d.width == 32 && d.height == 32)
     }
+    // nearest-neighbor at identical dims is the identity raster
+    val one = syntheticAssets(spark, 3).filter(_.meta.kind == "image").head()
+    val same = ImageCodec.decode(
+      ImageCodec.resizePng(one.payload, one.meta.width, one.meta.height))
+    assert(java.util.Arrays.equals(same.gray,
+      ImageCodec.decode(one.payload).gray))
     val audioBefore = a.filter(_.meta.kind == "audio").count()
     assert(resized.filter(_.meta.kind == "audio").count() == audioBefore)
+  }
+
+  test("image payloads are REAL PNGs: magic bytes, dims, pixel checksum") {
+    // planted image: known id/seed/dims -> the decoded raster must equal
+    // the generator keystream byte-for-byte (PNG is lossless)
+    val (id, seed, w, h) = (7L, 42L, 64, 48)
+    val png = ImageCodec.encodePng(id, seed, w, h)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G',
+      "payload does not start with the PNG signature")
+    val d = ImageCodec.decode(png)
+    assert(d.width == w && d.height == h)
+    val expected = FakeCodec.keystream(id, seed, w * h)
+    assert(java.util.Arrays.equals(d.gray, expected),
+      "decoded pixels differ from the planted raster")
+    // checksum pinned: catches a silently lossy encode path on any JDK
+    val crc = new java.util.zip.CRC32(); crc.update(d.gray)
+    val crcExp = new java.util.zip.CRC32(); crcExp.update(expected)
+    assert(crc.getValue == crcExp.getValue)
+    // and the corpus image arm goes through this codec (format tag + decode)
+    val img = syntheticAssets(spark, 3).filter(_.meta.kind == "image").head()
+    assert(img.meta.format == "png")
+    val di = ImageCodec.decode(img.payload)
+    assert(di.width == img.meta.width && di.height == img.meta.height)
   }
 
   test("featureProfile is stable (golden)") {
