@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,6 +20,52 @@ import org.apache.spark.sql.types._
 object CorpusStats {
 
   private def toks(textCol: Column): Column = split(trim(textCol), " ")
+
+  /** Integer score quantization shared by the AUC gates: Σ ⌊xᵢ²·10⁴⌋
+    * over the embedding — floor of a deterministic IEEE product,
+    * identical in both engines. */
+  private[queries] def l2QuantScore: Column =
+    expr("aggregate(embedding, 0L, (acc, x) -> " +
+      "acc + cast(floor(cast(x as double) * cast(x as double) * 10000) as long))")
+
+  /** THE tie-corrected Mann-Whitney rank-sum kernel — the single
+    * implementation behind q169 (global) and q171 (per-class), so the
+    * two gates cannot drift independently (RankSumSpec pins q171's
+    * binary case ≡ q169 on top).
+    *
+    * Input: rows of [groupCols..., score: long, pos: 0/1 long]. Ties
+    * collapse via a per-(group, score) partial agg BEFORE the ordered
+    * window (the q145 distinct-value move), cumulative negatives run
+    * inside the (optionally group-partitioned) window over DISTINCT
+    * scores, and the tie-corrected U comes from the integer identity
+    * 2U = Σ_s (2·np_s·cumNegBelow_s + np_s·nn_s). Output:
+    * [groupCols..., n_pos, n_neg, u2, auc_ppm] — one row per group
+    * (one row total when groupCols is empty), AUC in ppm by integer
+    * division, no floating point anywhere.
+    *
+    * 100 TB posture: the event-scale stage is the per-score
+    * partial/final agg; the ordered pass runs over DISTINCT scores
+    * only (range-partition + prefix-sum past memory scale, per the
+    * q145 production note), and per-class windows partition by class. */
+  private[queries] def rankSumAuc(scored: DataFrame, groupCols: String*): DataFrame = {
+    val g = scored.groupBy((groupCols :+ "score").map(col): _*)
+      .agg(sum(col("pos")).as("np"),
+        (count(lit(1)) - sum(col("pos"))).as("nn"))
+    val w = (if (groupCols.isEmpty) Window.orderBy(col("score"))
+             else Window.partitionBy(groupCols.map(col): _*).orderBy(col("score")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+    val aggs = Seq(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+      sum(col("np") * col("cumneg") * 2 + col("np") * col("nn")).as("u2"))
+    val t =
+      if (groupCols.isEmpty) c.agg(aggs.head, aggs.tail: _*)
+      else c.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // degenerate group (no positives or no negatives): AUC undefined —
+    // NULL, matching DuckDB, instead of an ANSI divide-by-zero throw
+    t.withColumn("auc_ppm", expr(
+      "CASE WHEN n_pos > 0 AND n_neg > 0 " +
+        "THEN (u2 * 1000000) div (2 * n_pos * n_neg) END"))
+  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -323,39 +369,17 @@ object CorpusStats {
         ORDER BY src_a, src_b""")),
 
     // ---- q169: exact integer AUC (Mann-Whitney rank-sum) ----
+    // The eval metric behind every binary quality filter, computed with
+    // NO floating-point comparison anywhere — see [[rankSumAuc]] (the
+    // shared kernel; q171 is the same kernel per class) and
+    // [[l2QuantScore]] for the integer contract.
     "q169_exact_auc" -> QueryDef(
       build = (spark, dir) => {
-        // ---- exact integer AUC (Mann-Whitney rank-sum) ----
-        // The eval metric behind every binary quality filter, computed
-        // with NO floating-point comparison anywhere: the score is an
-        // integer quantization (Σ ⌊xᵢ²·10⁴⌋ over the embedding — floor
-        // of a deterministic IEEE product, identical in both engines),
-        // ties are collapsed by a per-score partial agg (q145's
-        // distinct-value move), and the tie-corrected U statistic comes
-        // out of the classic identity 2U = Σ_s (2·nPos_s·cumNegBelow_s
-        // + nPos_s·nNeg_s) — all integers, AUC reported as
-        // (2U·10⁶) div (2·nPos·nNeg) ppm.
-        //
-        // 100 TB posture: the event-scale stage is the per-score
-        // partial/final agg; the ordered pass runs over DISTINCT scores
-        // (the same production range-partition+prefix-sum note as
-        // q145 applies past memory scale).
-        val quant = expr("aggregate(embedding, 0L, (acc, x) -> " +
-          "acc + cast(floor(cast(x as double) * cast(x as double) * 10000) as long))")
         val s = Tables.embeddings(spark, dir)
-          .select(quant.as("score"),
+          .select(l2QuantScore.as("score"),
             when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
-        val g = s.groupBy(col("score"))
-          .agg(sum(col("pos")).as("np"),
-            (count(lit(1)) - sum(col("pos"))).as("nn"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("score"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val c = g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
-        c.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-            sum(col("np") * col("cumneg") * 2 + col("np") * col("nn")).as("u2"))
-          .select(col("n_pos"), col("n_neg"), col("u2"),
-            expr("(u2 * 1000000) div (2 * n_pos * n_neg)").as("auc_ppm"))
+        rankSumAuc(s)
+          .select(col("n_pos"), col("n_neg"), col("u2"), col("auc_ppm"))
       },
       oracle = Some("""
         WITH s AS (
@@ -384,34 +408,19 @@ object CorpusStats {
         FROM t""")),
 
     // ---- q171: per-class one-vs-rest AUC, integer-exact ----
-    // q169's tie-corrected Mann-Whitney machinery swept over every
-    // label as the positive class — the per-class eval view (which
-    // classes does the score separate?). Same integer contract: one
-    // per-(class, score) agg, cumulative negatives inside a
-    // class-partitioned window (scale-safe: the window partitions by
-    // class, ordered over distinct scores), AUC in ppm by integer
-    // division.
+    // [[rankSumAuc]] — q169's kernel — swept over every label as the
+    // positive class via a class-partitioned window (the per-class eval
+    // view: which classes does the score separate?).
     "q171_per_class_auc" -> QueryDef(
       build = (spark, dir) => {
-        val quant = expr("aggregate(embedding, 0L, (acc, x) -> " +
-          "acc + cast(floor(cast(x as double) * cast(x as double) * 10000) as long))")
         val base = Tables.embeddings(spark, dir)
-          .select(quant.as("score"), col("label"))
+          .select(l2QuantScore.as("score"), col("label"))
         val classes = base.select(col("label").as("cls")).distinct()
         val s = base.crossJoin(classes)
           .select(col("cls"), col("score"),
             when(col("label") === col("cls"), 1L).otherwise(0L).as("pos"))
-        val g = s.groupBy(col("cls"), col("score"))
-          .agg(sum(col("pos")).as("np"),
-            (count(lit(1)) - sum(col("pos"))).as("nn"))
-        val w = Window.partitionBy(col("cls")).orderBy(col("score"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
-          .groupBy(col("cls"))
-          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-            sum(col("np") * col("cumneg") * 2 + col("np") * col("nn")).as("u2"))
-          .select(col("cls"), col("n_pos"), col("n_neg"),
-            expr("(u2 * 1000000) div (2 * n_pos * n_neg)").as("auc_ppm"))
+        rankSumAuc(s, "cls")
+          .select(col("cls"), col("n_pos"), col("n_neg"), col("auc_ppm"))
           .orderBy(col("cls"))
       },
       oracle = Some("""
