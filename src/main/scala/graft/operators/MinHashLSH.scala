@@ -23,54 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** Near-dup pairs with exact-verified Jaccard >= `threshold`.
-    * Input must have an id column and a text column. */
-  def nearDupPairs(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleN: Int = 3,
-      numHashes: Int = 64,
-      bands: Int = 32,
-      threshold: Double = 0.4): DataFrame = {
-
-    val rowsPerBand = numHashes / bands
-    // Shingling is the compute-heavy stage and its output feeds THREE
-    // consumers (signature, both verification sides), each of which
-    // re-evaluates the kernel. Spreading the input across cores when it
-    // arrives under-parallelized (a small parquet = one split that would
-    // serialize all three evaluations on one core) bounds that cost; the
-    // repartition exchange itself is computed once and reused by all
-    // branches (ReuseExchange). At real scale the file splits already
-    // provide parallelism and the guard makes this a no-op.
-    val withSh = graft.core.Tables.spread(docs)
-      .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol)), shingleN).as("sh"))
+  /** (doc_id, sh) distinct-shingle projection — the tokenize→shingle
+    * kernel shared by the batch paths and the streaming candidate
+    * pipeline (StreamingGate q176), so they cannot drift. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame =
+    graft.core.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        shingles(tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 
-    val sig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-
-    // band hash b = xxhash64(b, sig[b*r], ..., sig[b*r + r-1]).
-    // Bucket rows carry ONLY (doc_id, band, h): the shingle sets are
-    // re-joined after pair dedup, so the band-join shuffle moves
-    // |docs|·bands 24-byte rows, not full shingle arrays.
-    val bandCols: Column = array((0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+  /** Array of (band, h) structs over a minhash signature column:
+    * h = xxhash64(band, sig[band·r], …, sig[band·r + r−1]). */
+  def bandStructs(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slots: _*).as("h"))
     }: _*)
+  }
 
-    val buckets = sig
-      .select(col("doc_id"), explode(bandCols).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
-
-    val a = buckets.select(col("band"), col("h"), col("doc_id").as("doc_a"))
-    val b = buckets.select(col("band"), col("h"), col("doc_id").as("doc_b"))
-
-    val candidates = a.join(b, Seq("band", "h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-
-    // Exact verification: fetch each side's shingle set by id equijoin.
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against the shingle projection — the verify stage shared by the
+    * batch self-join and the streaming candidate state. Returns the
+    * final fully-ordered pair schema. */
+  def verifyCandidates(candidates: DataFrame, withSh: DataFrame,
+      threshold: Double): DataFrame = {
     val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     candidates
@@ -83,6 +62,49 @@ object MinHashLSH {
       .select(col("doc_a"), col("doc_b"),
         col("n_common").cast("long").as("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-dup pairs with exact-verified Jaccard >= `threshold`.
+    * Input must have an id column and a text column. */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.4): DataFrame = {
+
+    // Shingling is the compute-heavy stage and its output feeds THREE
+    // consumers (signature, both verification sides), each of which
+    // re-evaluates the kernel. `shingled` spreads the input across cores
+    // when it arrives under-parallelized (a small parquet = one split
+    // that would serialize all three evaluations on one core); the
+    // repartition exchange itself is computed once and reused by all
+    // branches (ReuseExchange). At real scale the file splits already
+    // provide parallelism and the guard makes this a no-op.
+    val withSh = shingled(docs, idCol, textCol, shingleN)
+
+    val sig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // band hash b = xxhash64(b, sig[b*r], ..., sig[b*r + r-1]).
+    // Bucket rows carry ONLY (doc_id, band, h): the shingle sets are
+    // re-joined after pair dedup, so the band-join shuffle moves
+    // |docs|·bands 24-byte rows, not full shingle arrays.
+    val buckets = sig
+      .select(col("doc_id"), explode(bandStructs(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
+
+    val a = buckets.select(col("band"), col("h"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("h"), col("doc_id").as("doc_b"))
+
+    val candidates = a.join(b, Seq("band", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    // Exact verification: fetch each side's shingle set by id equijoin.
+    verifyCandidates(candidates, withSh, threshold)
   }
 
   /** Near-dup pairs BETWEEN two corpora (directed: one row per
@@ -102,24 +124,15 @@ object MinHashLSH {
       bands: Int = 32,
       threshold: Double = 0.4): DataFrame = {
 
-    val rowsPerBand = numHashes / bands
-    def shingled(df: DataFrame, id: String, out: String): DataFrame =
-      graft.core.Tables.spread(df)
-        .select(col(id).as(out), shingles(tokens(col(textCol)), shingleN).as("sh"))
-        .filter(size(col("sh")) > 0)
-    def bucketize(withSh: DataFrame, idOut: String): DataFrame = {
-      val sig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-      val bandCols: Column = array((0 until bands).map { b =>
-        val slots = (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1))
-        struct(lit(b).as("band"), xxhash64(lit(b) +: slots: _*).as("h"))
-      }: _*)
-      sig.select(col(idOut), explode(bandCols).as("bk"))
+    def shingledAs(df: DataFrame, id: String, out: String): DataFrame =
+      shingled(df, id, textCol, shingleN).withColumnRenamed("doc_id", out)
+    def bucketize(withSh: DataFrame, idOut: String): DataFrame =
+      withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+        .select(col(idOut), explode(bandStructs(col("sig"), numHashes, bands)).as("bk"))
         .select(col(idOut), col("bk.band").as("band"), col("bk.h").as("h"))
-    }
 
-    val shL = shingled(left, leftId, "left_id")
-    val shR = shingled(right, rightId, "right_id")
+    val shL = shingledAs(left, leftId, "left_id")
+    val shR = shingledAs(right, rightId, "right_id")
     val candidates = bucketize(shL, "left_id")
       .join(bucketize(shR, "right_id"), Seq("band", "h"))
       .select("left_id", "right_id")

@@ -307,6 +307,135 @@ object StreamingGate {
       .orderBy(col("event_type"))
   }
 
+  /** Typed rows for the q176 streaming LSH candidate processor. */
+  final case class BucketDoc(band: Int, h: Long, doc_id: Long)
+  final case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Per-(band, h) bucket membership as ListState: each arriving doc is
+    * paired against every doc already IN the bucket (earlier
+    * micro-batches via state, earlier rows of the same batch via the
+    * local fold), then appended. Pair emission is therefore exactly
+    * "band collision", discovered the moment the second member arrives —
+    * the streaming form of the batch band self-join, and the emitted SET
+    * is independent of how the corpus is split into micro-batches.
+    * Duplicate discoveries across bands collapse post-sink, mirroring
+    * the batch dropDuplicates.
+    *
+    * 100 TB posture: state per bucket is doc IDS ONLY (8 bytes/doc/band
+    * in RocksDB) — signatures and shingle sets never enter state; exact
+    * verification joins the corpus AFTER the drain, exactly like the
+    * batch path (in production: foreachBatch join against the corpus
+    * table). */
+  class NearDupCandidateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long), BucketDoc, CandPair] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var seen: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Long]("seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BucketDoc],
+        timerValues: TimerValues): Iterator[CandPair] = {
+      val arrived = rows.map(_.doc_id).toArray.distinct.sorted
+      val members = scala.collection.mutable.ArrayBuffer[Long]()
+      seen.get().foreach(members += _)
+      val out = scala.collection.mutable.ArrayBuffer[CandPair]()
+      arrived.foreach { d =>
+        members.foreach { p =>
+          if (p != d) out += CandPair(math.min(p, d), math.max(p, d))
+        }
+        members += d
+        seen.appendValue(d)
+      }
+      out.iterator
+    }
+  }
+
+  /** Run the streamed fuzzy (MinHash-LSH) near-dup pipeline to
+    * completion: `docs` (id, text) is staged as THREE parquet batch
+    * files (doc_id mod 3, ascending mtimes) consumed one per micro-batch
+    * (maxFilesPerTrigger = 1, AvailableNow), each doc's band hashes
+    * computed in-stream with the SAME kernels as batch q46
+    * ([[graft.operators.MinHashLSH.bandStructs]]), candidates discovered
+    * across batches by [[NearDupCandidateProcessor]] state, and the
+    * drained candidate set exact-verified with
+    * [[graft.operators.MinHashLSH.verifyCandidates]]. Because candidate
+    * discovery is collision-complete regardless of the batch split, the
+    * result equals batch `nearDupPairs` — which is what lets q46's
+    * exact-SQL oracle gate the STREAMING engine (state store, RocksDB,
+    * multi-batch drain) end to end. */
+  def streamedNearDupPairs(spark: SparkSession, docs: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{minhashSignature, shingles, tokens}
+    val (numHashes, bands) = (64, 32)
+    val run = new GateRun(spark, "q176", Seq.empty)
+    // stage the 3-way batch split (plain columnar files, like a
+    // notification-fed landing prefix receiving the corpus in chunks)
+    val staged = docs.select(col("doc_id").cast(LongType).as("doc_id"),
+      col("text").cast(StringType).as("text"))
+    (0 until 3).foreach { k =>
+      val tmp = java.nio.file.Paths.get(run.srcDir, s"_stage$k")
+      staged.filter(pmod(col("doc_id"), lit(3)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = java.nio.file.Paths.get(run.srcDir, s"batch$k.parquet")
+      java.nio.file.Files.move(part, dst)
+      // ascending mtimes pin the batch order (the RESULT is order-
+      // independent; this keeps the drain sequence deterministic)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+      java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val buckets = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(run.srcDir)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", minhashSignature(col("sh"), numHashes))
+        .select(col("doc_id"),
+          explode(graft.operators.MinHashLSH.bandStructs(
+            col("sig"), numHashes, bands)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.h").as("h"), col("doc_id"))
+        .as[BucketDoc]
+      val q = buckets
+        .groupByKey(r => (r.band, r.h))
+        .transformWithState(new NearDupCandidateProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+      run.cleanup()
+    }
+    graft.operators.MinHashLSH.verifyCandidates(
+      spark.table(run.sink).dropDuplicates("doc_a", "doc_b"),
+      graft.operators.MinHashLSH.shingled(staged, "doc_id", "text", 3),
+      threshold)
+  }
+
   /** Run the streamed stream-static enrichment to completion: events
     * stream inner-joined to the broadcast customer dim on user_id =
     * c_custkey (stateless — the static side is re-planned per batch),
@@ -561,5 +690,47 @@ object StreamingGate {
                CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
                  AS cents_total
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        GROUP BY 1, 2 ORDER BY mktsegment, event_type""")))
+        GROUP BY 1, 2 ORDER BY mktsegment, event_type"""))
+  ) :+ (
+
+    // ---- q176: streamed fuzzy (MinHash-LSH) near-dup detection ----
+    // q149 gates EXACT streaming dedup (replayed event ids); this gates
+    // the FUZZY form the LLM-dedup family needs online: near-duplicate
+    // documents flagged across micro-batches through
+    // transformWithState — per-(band, hash) bucket membership in
+    // RocksDB ListState, candidates emitted the moment the second
+    // member of a colliding pair arrives, exact Jaccard verification
+    // after the drain (the batch-q46 kernels, shared code). The law:
+    // candidate discovery is collision-complete regardless of the
+    // micro-batch split, so the drained result EQUALS batch q46 — and
+    // the oracle is q46's exact-SQL pair set verbatim (threshold 0.4;
+    // at 32 bands × 2 rows band recall at 0.4 is ~0.996 and every
+    // emitted pair is exactly verified, so LSH output ≡ the exact set
+    // on this corpus, as q46's own green gate already certifies).
+    "q176_streamed_neardup" -> QueryDef(
+      build = (spark, dir) => streamedNearDupPairs(spark,
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))),
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
+          FROM documents),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+        FROM pairs
+        WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.4
+        ORDER BY doc_a, doc_b""")))
 }

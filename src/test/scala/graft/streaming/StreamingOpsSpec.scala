@@ -263,4 +263,33 @@ class StreamingOpsSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("streamed fuzzy near-dup equals batch LSH and crosses micro-batches") {
+    import spark.implicits._
+    // doc_id mod 3 is the gate's batch split: (0, 1) land in DIFFERENT
+    // micro-batches (the cross-batch discovery the state exists for),
+    // (3, 6) in the SAME one; 12/13/14 are disjoint-vocab singletons.
+    val shared = (0 until 30).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (0L, shared + " tail0 tail00"),
+      (1L, shared + " tail1 tail11 tail111"),
+      (3L, shared + " same3 same33"),
+      (6L, shared + " same6 same66 same666"),
+      (12L, (0 until 25).map(w => s"a$w").mkString(" ")),
+      (13L, (0 until 25).map(w => s"b$w").mkString(" ")),
+      (14L, (0 until 25).map(w => s"c$w").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val streamed = graft.queries.StreamingGate
+      .streamedNearDupPairs(spark, docs).collect().toSeq
+    val batch = graft.operators.MinHashLSH
+      .nearDupPairs(docs, "doc_id", "text").collect().toSeq
+    assert(batch.nonEmpty, "planted near-dups not found by the batch path")
+    assert(streamed == batch,
+      "streamed pair set differs from the batch LSH dual")
+    val ids = streamed.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.contains((0L, 1L)), "cross-micro-batch pair missed")
+    assert(ids.contains((3L, 6L)), "same-micro-batch pair missed")
+    assert(!ids.exists { case (a, b) => a >= 12 || b >= 12 })
+  }
 }
