@@ -526,6 +526,61 @@ object ScaleProbe {
     // earlier eviction → lower peak), not by total keys seen — the
     // property that keeps a 100 TB/day stream's store from growing
     // without bound.
+    // streamfixed: split q139's headline number into FIXED streaming
+    // machinery vs MARGINAL per-row cost. The q139 pipeline shape
+    // (file source → event-time watermark → hourly tumbling window agg →
+    // append drain, AvailableNow) runs at 0× / 1× / 10× the sf0.1 event
+    // count: the 0-row run IS the fixed cost (checkpoint init, source
+    // listing, state-store bring-up, empty drain), marginal sec/row is
+    // the 1×→10× slope, and a re-run against the SAME checkpoint with no
+    // new files measures restart cost — the part a long-lived production
+    // stream pays once, not per trigger.
+    if (enabled("streamfixed")) {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{DoubleType => DT, LongType => LT,
+        StringType => ST, StructField => SF, StructType => STt, TimestampType => TT}
+      val schema = STt(Seq(SF("event_time", TT), SF("event_type", ST), SF("value", DT)))
+      for (n <- Seq(0L, 100000L, 1000000L)) {
+        val baseDir = java.nio.file.Files
+          .createTempDirectory(s"graft-streamfixed-$n").toString
+        val srcDir = java.nio.file.Paths.get(baseDir, "in")
+        java.nio.file.Files.createDirectories(srcDir)
+        // deterministic week-long event stream (one parquet file, like
+        // the gate's staged landing dir); generation is untimed
+        if (n > 0) {
+          val df = spark.range(n).select(
+            timestamp_micros(lit(1700000000000000L) +
+              pmod(col("id") * 7919L, lit(604800L)) * 1000000L).as("event_time"),
+            concat(lit("t"), pmod(col("id"), lit(5))).as("event_type"),
+            (pmod(col("id") * 31L, lit(10000L)).cast("double") / 100.0).as("value"))
+          val tmp = java.nio.file.Paths.get(baseDir, "gen")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.move(part, srcDir.resolve("events.parquet"))
+        }
+        def drain(ckpt: String): Double = {
+          val t0 = System.nanoTime()
+          val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+            .withWatermark("event_time", "1 hour")
+            .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2))).as("sdec"))
+            .writeStream.format("noop")
+            .option("checkpointLocation", s"$baseDir/$ckpt")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // min of two fresh-checkpoint drains: the first data-bearing run
+        // in the JVM also pays pipeline codegen, which is warmup, not
+        // per-row cost
+        val cold = math.min(drain("ckpt-a"), drain("ckpt-b"))
+        val resume = drain("ckpt-b") // same ckpt, no new files
+        println(f"""{"probe":"streamfixed","rows":$n,"cold_sec":$cold%.3f,"resume_sec":$resume%.3f}""")
+      }
+    }
+
     if (enabled("streamstate10x")) {
       import org.apache.spark.sql.streaming.Trigger
       import graft.core.GpsSchema
