@@ -175,8 +175,12 @@ object Text {
         // core before the join exchange (no-op at real scale).
         val d = Tables.spread(Tables.documents(spark, dir))
           .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        // No n_sh > 0 filter: explode already drops empty/null shingle
+        // arrays, and Catalyst would push the filter's size(shinglesexpr)
+        // predicate BELOW the spread exchange — re-running the shingle
+        // kernel once more per side on the un-spread input (the r6 plan
+        // showed it in Filter(2) on both join sides).
         val sized = d.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-          .filter(col("n_sh") > 0)
         // Join on the shingle's 64-bit hash, not the string: the hash
         // projection runs map-side before the join exchange, so the shuffle
         // ships 8-byte longs instead of ~25-byte text trigrams and the join
@@ -188,9 +192,11 @@ object Text {
           .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("shash"))
         // One-action routing stat (round 7): n_docs and sampled mass in a
         // single near-zero-shuffle aggregation — no separate count, no
-        // full df shuffle inside the timed span.
+        // full df shuffle inside the timed span. The hash stream is
+        // persisted across the stat and both join sides (see
+        // similarPairsAutoSampledCached) so the shingle map runs once.
         val (_, pairs) = graft.operators.NgramJaccard
-          .similarPairsAutoSampled(ex, 0.2)
+          .similarPairsAutoSampledCached(ex, 0.2)
         pairs.orderBy(col("doc_a"), col("doc_b"))
       },
       oracle = Some("""
