@@ -385,6 +385,45 @@ object ScaleProbe {
       spark.sparkContext.removeSparkListener(meter)
     }
 
+    // multipattern probe: q177's claim measured. The naive blocklist scan
+    // is one replace-count expression PER pattern — each rescans the
+    // document, so per-row cost grows linearly with |patterns|. The
+    // Aho–Corasick path scans each document once whatever |patterns| is.
+    // Corpus fixed (100k docs × 64 tokens, id-deterministic); |patterns|
+    // grows 16 → 64 → 256; both arms produce identical per-pattern totals
+    // (patterns are constructed borderless: "wX wY" with X ≠ Y).
+    if (enabled("multipattern")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.range(100000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 64).map(k =>
+          concat(lit("w"), (col("id") * 31 + lit(k * 7)) % 1000)): _*)
+          .as("text"))
+        .localCheckpoint() // freeze: both arms scan identical bytes
+      // adjacent generated tokens differ by exactly 7 (mod 1000), so the
+      // even-index patterns genuinely occur in the corpus (the verify arm
+      // of the probe); odd-index ones are misses (the common case for a
+      // real blocklist). X ≠ Y keeps every pattern borderless.
+      def pats(p: Int): Seq[String] = (0 until p).map { i =>
+        val x = (i * 131) % 1000
+        val y = if (i % 2 == 0) (x + 7) % 1000
+        else if ((i * 197) % 1000 == x) (x + 1) % 1000 else (i * 197) % 1000
+        s"w$x w$y"
+      }
+      def total(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(explode(col("pattern_hits")).as("c"))
+          .agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
+      total(graft.operators.MultiPatternMatch
+        .withMatchCounts(docs, "text", pats(16))) // warmup
+      for (p <- Seq(16, 64, 256)) {
+        val ps = pats(p)
+        val (nSec, nTot) = timed(total(
+          graft.operators.MultiPatternMatch.naiveMatchCounts(docs, "text", ps)))
+        val (aSec, aTot) = timed(total(
+          graft.operators.MultiPatternMatch.withMatchCounts(docs, "text", ps)))
+        println(f"""{"probe":"multipattern","n_patterns":$p,"naive_sec":$nSec%.3f,"ac_sec":$aSec%.3f,"matches_naive":$nTot,"matches_ac":$aTot}""")
+      }
+    }
+
     // triangle-counting probe: q105's degree-oriented kernel on key-shifted
     // disjoint copies of the sf co-purchase graph ("more data, same
     // structure"). Disjoint copies scale nodes/edges/triangles linearly, so

@@ -568,6 +568,58 @@ object Curation {
         FROM inter i
         JOIN sizes sa ON i.source_a = sa.source
         JOIN sizes sb ON i.source_b = sb.source
-        ORDER BY jaccard DESC, source_a, source_b"""))
+        ORDER BY jaccard DESC, source_a, source_b""")),
+
+    // ---- q179: curation funnel with single-pass accounting ----
+    // The audit table every production pipeline publishes next to its
+    // corpus: per funnel stage, how many documents it removed and how
+    // much text that was ("first rejecting stage wins" attribution).
+    // Exercises [[graft.operators.CurationPipeline]] — stages are
+    // MARKED, not filtered, so survivorship AND the full audit come out
+    // of ONE aggregation over one scan instead of one count() per stage
+    // re-executing the lineage prefix (N scans of 100 TB for an N-stage
+    // funnel). The dedup stage's keep-one window orders already-dropped
+    // rows last, so a length- or language-rejected row can never be the
+    // kept representative of a duplicate group — the subtle bug the
+    // operator's Stage contract exists to prevent, and exactly what the
+    // oracle's (d2 IS NOT NULL) window key replays.
+    //
+    // 100 TB posture: per-row predicates are map-side; the only
+    // corpus-scale shuffle is the dedup window's hash partition on
+    // md5(text) (near-unique key, even spread); the audit agg is
+    // |stages|-cardinality. Stage names are chosen to sort in funnel
+    // order with "kept" last.
+    "q179_curation_accounting" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.CurationPipeline
+        import graft.operators.CurationPipeline.Stage
+        val stages = Seq(
+          Stage("a_too_short", _ => col("n_chars") >= 80),
+          Stage("b_lang", _ => col("lang").isin("de", "en", "es", "fr")),
+          CurationPipeline.dedupKeepOne("c_exact_dup",
+            md5(col("text").cast("binary")), col("doc_id")))
+        CurationPipeline.accounting(
+          Tables.documents(spark, dir), stages, col("n_chars"))
+      },
+      oracle = Some("""
+        WITH m1 AS (SELECT doc_id, lang, n_chars, text,
+                           CASE WHEN n_chars < 80 THEN 'a_too_short' END AS d1
+                    FROM documents),
+        m2 AS (SELECT *,
+                      CASE WHEN d1 IS NOT NULL THEN d1
+                           WHEN lang NOT IN ('de', 'en', 'es', 'fr')
+                             THEN 'b_lang' END AS d2
+               FROM m1),
+        m3 AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY md5(text)
+                        ORDER BY (d2 IS NOT NULL), doc_id) AS rn
+               FROM m2),
+        m4 AS (SELECT CASE WHEN d2 IS NOT NULL THEN d2
+                           WHEN rn > 1 THEN 'c_exact_dup' END AS ds, n_chars
+               FROM m3)
+        SELECT COALESCE(ds, 'kept') AS stage,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM m4 GROUP BY 1 ORDER BY stage"""))
   )
 }

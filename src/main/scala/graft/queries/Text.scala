@@ -26,6 +26,14 @@ object Text {
     s"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ($list)))"
   }
 
+  /** q177's blocklist: literal phrases over the fixture vocabulary, every
+    * one borderless (spec-verified) so automaton occurrence counts equal
+    * the oracle's non-overlapping replace-counts. Declared before `defs`
+    * (the oracle SQL interpolates it at object init). */
+  val BlocklistPatterns: Seq[String] = Seq(
+    "spark", "customer", "data line", "slow small", "merge part",
+    "big join", "vector", "filter key", "query row", "line")
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- q40: token statistics per document ----
@@ -386,6 +394,49 @@ object Text {
               FROM tc GROUP BY 1)
         SELECT doc_id, n_tokens, n_types,
                ROUND(LN(n_tokens) - sum_clnc / n_tokens, 6) AS entropy
-        FROM d ORDER BY entropy ASC, doc_id ASC LIMIT 20"""))
+        FROM d ORDER BY entropy ASC, doc_id ASC LIMIT 20""")),
+
+    // ---- q177: multi-pattern blocklist scan (Aho–Corasick) ----
+    // Per blocklist phrase: how many documents contain it and how many
+    // total occurrences exist — the blocklist-filtering / safety-term
+    // audit primitive. The engine path scans each document ONCE through
+    // a driver-built Aho–Corasick automaton (O(len + matches) per row,
+    // independent of pattern count); the oracle computes the same counts
+    // with one rescan per pattern (replace-count), which is what the
+    // automaton replaces at real blocklist sizes (10^4+ phrases). The
+    // two agree because every gate pattern is borderless (no proper
+    // prefix = suffix ⇒ overlapping occurrences impossible) —
+    // MultiPatternMatchSpec proves borderlessness and path equality.
+    //
+    // 100 TB posture: the automaton (Σ pattern lengths) ships once per
+    // executor in the closure; the scan is map-side; the only shuffle is
+    // the |patterns|-cardinality count aggregation. Pattern count scales
+    // without re-reading the corpus — see ScaleProbe "multipattern".
+    "q177_blocklist_scan" -> QueryDef(
+      build = (spark, dir) => {
+        val pats = BlocklistPatterns
+        graft.operators.MultiPatternMatch
+          .withMatchCounts(Tables.documents(spark, dir), "text", pats)
+          .select(col("doc_id"), posexplode(col("pattern_hits")))
+          .toDF("doc_id", "pid", "cnt")
+          .groupBy(col("pid"))
+          .agg(count(when(col("cnt") > 0, 1)).as("n_docs"),
+            sum(col("cnt")).as("n_matches"))
+          .select(
+            element_at(array(pats.map(lit): _*), col("pid").cast("int") + 1)
+              .as("pattern"),
+            col("n_docs"), col("n_matches"))
+          .orderBy(col("pattern"))
+      },
+      oracle = Some(s"""
+        WITH p AS (SELECT * FROM (VALUES ${BlocklistPatterns.map(p => s"('$p')").mkString(", ")}) t(pattern)),
+        m AS (SELECT p.pattern,
+                     (LENGTH(d.text) - LENGTH(REPLACE(d.text, p.pattern, '')))
+                       // LENGTH(p.pattern) AS cnt
+              FROM documents d CROSS JOIN p)
+        SELECT pattern,
+               COUNT(CASE WHEN cnt > 0 THEN 1 END) AS n_docs,
+               CAST(SUM(cnt) AS BIGINT) AS n_matches
+        FROM m GROUP BY pattern ORDER BY pattern"""))
   )
 }

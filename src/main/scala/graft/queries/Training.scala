@@ -546,6 +546,86 @@ object Training {
               GROUP BY bg.doc_id)
         SELECT doc_id, n_bigrams,
                ROUND(sum_nll / n_bigrams, 6) AS mean_nll
+        FROM s ORDER BY mean_nll DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- q178: interpolated Kneser–Ney bigram scoring ----
+    // The production n-gram smoothing (what KenLM builds) to q112's
+    // add-1: absolute discount D=0.75 on the bigram MLE, with the
+    // discounted mass re-spent on the CONTINUATION unigram — how many
+    // distinct contexts a word follows, not how often it occurs.
+    //   P(w2|w1) = (C(w1w2) − D)/C(w1·) + D·N1+(w1·)/C(w1·) · N1+(·w2)/T
+    // where C(w1·) = Σ_w C(w1 w), N1+(w1·)/N1+(·w2) = distinct
+    // successor/predecessor type counts, T = total bigram types. Scoring
+    // the training corpus itself ⇒ every scored bigram has C ≥ 1 > D, so
+    // no backoff-only branch is reachable (documented contract).
+    // Determinism: all five model statistics are exact integers; −ln of
+    // the mirrored double formula is rounded ONCE per distinct bigram at
+    // 9 dp (continuous value — the q112 class, not the integer-ratio
+    // class); doc sums accumulate the rounded values in exact decimal.
+    //
+    // 100 TB posture: identical shape to q112 — model = two keyed count
+    // aggs off one shared bigram agg plus a 1-row type count; scoring =
+    // big⋈big equijoin on the gram string, shuffle-sharded (the model
+    // never broadcasts at corpus scale); top-k via TakeOrderedAndProject.
+    "q178_kneser_ney_nll" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val bigr = toks.select(col("doc_id"),
+            slice(col("toks"), lit(1), size(col("toks")) - 1).as("h"),
+            slice(col("toks"), lit(2), size(col("toks")) - 1).as("t"))
+          .select(col("doc_id"), explode(arrays_zip(col("h"), col("t"))).as("z"))
+          .select(col("doc_id"), col("z.h").as("w1"), col("z.t").as("w2"),
+            concat_ws(" ", col("z.h"), col("z.t")).as("gram"))
+        val bi = bigr.groupBy(col("w1"), col("w2"), col("gram"))
+          .agg(count(lit(1)).as("c2"))
+        val ctx = bi.groupBy(col("w1").as("cw1"))
+          .agg(sum(col("c2")).as("ctx1"), count(lit(1)).as("n1f"))
+        val back = bi.groupBy(col("w2").as("bw2"))
+          .agg(count(lit(1)).as("n1b"))
+        val types = bi.agg(count(lit(1)).as("tt"))
+        val model = bi.join(ctx, col("w1") === col("cw1"))
+          .join(back, col("w2") === col("bw2"))
+          .crossJoin(broadcast(types))
+          .select(col("gram"), round(-log(
+            (col("c2").cast("double") - lit(0.75)) / col("ctx1") +
+              lit(0.75) * col("n1f").cast("double") / col("ctx1") *
+              (col("n1b").cast("double") / col("tt"))), 9).as("nll"))
+        bigr.join(model, "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("nll").cast(DecimalType(28, 9))).cast("double").as("sum_nll"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sum_nll") / col("n_bigrams"), 6).as("mean_nll"))
+          .orderBy(col("mean_nll").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                   FROM documents),
+        n AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+                      toks[i] || ' ' || toks[i + 1] AS gram
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                     FROM n)),
+        bi AS (SELECT w1, w2, gram, COUNT(*) AS c2 FROM bg GROUP BY 1, 2, 3),
+        ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS ctx1, COUNT(*) AS n1f
+                FROM bi GROUP BY w1),
+        bk AS (SELECT w2, COUNT(*) AS n1b FROM bi GROUP BY w2),
+        ty AS (SELECT COUNT(*) AS tt FROM bi),
+        model AS (SELECT bi.gram,
+                         ROUND(-LN((CAST(bi.c2 AS DOUBLE) - 0.75) / ctx.ctx1
+                           + 0.75 * CAST(ctx.n1f AS DOUBLE) / ctx.ctx1
+                           * (CAST(bk.n1b AS DOUBLE) / ty.tt)), 9) AS nll
+                  FROM bi JOIN ctx ON ctx.w1 = bi.w1
+                          JOIN bk ON bk.w2 = bi.w2, ty),
+        s AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                     CAST(SUM(CAST(m.nll AS DECIMAL(28,9))) AS DOUBLE) AS sum_nll
+              FROM bg JOIN model m ON m.gram = bg.gram
+              GROUP BY bg.doc_id)
+        SELECT doc_id, n_bigrams,
+               ROUND(sum_nll / n_bigrams, 6) AS mean_nll
         FROM s ORDER BY mean_nll DESC, doc_id ASC LIMIT 20"""))
   )
 }
