@@ -603,6 +603,77 @@ object CorpusStats {
         SELECT item, COUNT(*) AS cnt
         FROM items GROUP BY item
         HAVING COUNT(*) > 200000 // 50
-        ORDER BY cnt DESC, item"""))
+        ORDER BY cnt DESC, item""")),
+
+    // ---- q181: distinctive terms per source (log-odds, Dirichlet prior) ----
+    // Monroe/Colaresi/Quinn "Fightin' Words": for each source, which
+    // tokens are over-represented vs the REST of the corpus, scored by
+    // the z-statistic of the log-odds-ratio delta with an informative
+    // Dirichlet prior (α0 = 500 distributed ∝ global frequency). The
+    // prior is what makes this the right tool over raw TF-IDF: rare
+    // tokens get shrunk toward the corpus rate instead of dominating
+    // the ranking by luck. Top-3 per source by (z DESC, token ASC).
+    // Determinism: all counts exact integers; the z formula is a
+    // mirrored double expression tree rounded ONCE at 6 dp (continuous
+    // value — the q112 class); ordering uses the rounded z plus a full
+    // token tie-break.
+    //
+    // 100 TB posture: token×source and global counts are partial→final
+    // aggs; joins are vocabulary-sized keyed equijoins (the constant
+    // |sources| and 1-row total broadcast); top-3 is a per-source
+    // window over |vocab|·|sources| rows, far below corpus scale.
+    "q181_distinctive_terms" -> QueryDef(
+      build = (spark, dir) => {
+        val tok = Tables.documents(spark, dir)
+          .select(col("source"), explode(toks(col("text"))).as("t"))
+        val bySrc = tok.groupBy(col("source"), col("t"))
+          .agg(count(lit(1)).as("ysi"))
+        val glob = tok.groupBy(col("t")).agg(count(lit(1)).as("yi"))
+        val perSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("stot"))
+        val total = tok.agg(count(lit(1)).as("ntot"))
+        val z = bySrc.join(glob, "t").join(perSrc, "source")
+          .crossJoin(broadcast(total))
+          .withColumn("ai", lit(500.0) * col("yi") / col("ntot"))
+          .withColumn("yri", col("yi") - col("ysi"))
+          .withColumn("nr", col("ntot") - col("stot"))
+          .withColumn("z", round(
+            (log((col("ysi") + col("ai")) /
+                (col("stot") - col("ysi") + lit(500.0) - col("ai"))) -
+              log((col("yri") + col("ai")) /
+                (col("nr") - col("yri") + lit(500.0) - col("ai")))) /
+              sqrt(lit(1.0) / (col("ysi") + col("ai")) +
+                lit(1.0) / (col("yri") + col("ai"))), 6))
+        z.withColumn("rn", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("z").desc, col("t").asc)))
+          .filter(col("rn") <= 3)
+          .select(col("source"), col("t").as("token"),
+            col("ysi").as("n_in_source"), col("z"))
+          .orderBy(col("source"), col("z").desc, col("token"))
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS t
+                     FROM documents),
+        bs AS (SELECT source, t, COUNT(*) AS ysi FROM tok GROUP BY 1, 2),
+        g AS (SELECT t, COUNT(*) AS yi FROM tok GROUP BY t),
+        ps AS (SELECT source, COUNT(*) AS stot FROM tok GROUP BY source),
+        nn AS (SELECT COUNT(*) AS ntot FROM tok),
+        j AS (SELECT bs.source, bs.t, bs.ysi, ps.stot, nn.ntot,
+                     500.0 * g.yi / nn.ntot AS ai,
+                     g.yi - bs.ysi AS yri,
+                     nn.ntot - ps.stot AS nr
+              FROM bs JOIN g ON g.t = bs.t
+                      JOIN ps ON ps.source = bs.source, nn),
+        z AS (SELECT source, t, ysi,
+                     ROUND((LN((ysi + ai) / (stot - ysi + 500.0 - ai))
+                          - LN((yri + ai) / (nr - yri + 500.0 - ai)))
+                       / SQRT(1.0 / (ysi + ai) + 1.0 / (yri + ai)), 6) AS z
+              FROM j),
+        r AS (SELECT source, t, ysi, z,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY z DESC, t) AS rn
+              FROM z)
+        SELECT source, t AS token, ysi AS n_in_source, z
+        FROM r WHERE rn <= 3 ORDER BY source, z DESC, token"""))
   )
 }

@@ -502,6 +502,71 @@ object Insights {
                CAST(sx AS BIGINT) AS total_cents,
                ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
                      / CAST(n * sx AS DOUBLE), 9) AS gini
-        FROM s ORDER BY priority"""))
+        FROM s ORDER BY priority""")),
+
+    // ---- q182: tie-aware Spearman rank correlation per source ----
+    // Monotone association between document length (chars) and token
+    // count per source — the robust correlation real data-quality
+    // dashboards use (Pearson is ruined by heavy tails; ranks are
+    // not). Tie-aware form = Pearson over AVERAGE ranks; to keep every
+    // intermediate exact we carry 2·avgrank, an integer: for a tie
+    // group of size c starting at min-rank a, avgrank = a + (c−1)/2 ⇒
+    // 2·avgrank = 2a + c − 1. All five sums are exact integers; one
+    // mirrored double formula, rounded once at 6 dp, at the very end.
+    //
+    // 100 TB posture: two windows per variable keyed on (source[, x]) —
+    // the same per-entity-key shuffles as every ranking op here; the
+    // final agg is |sources|-cardinality. Long sums hold to ~1e6 rows
+    // per source (4n³ < 2⁶³); production would lift the products to
+    // decimal(38,0), noted here rather than paid at this SF.
+    "q182_spearman_corr" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("source"), col("n_chars").cast(LongType).as("x"),
+            size(split(trim(col("text")), " ")).cast(LongType).as("y"))
+        val r = d
+          .withColumn("rx", lit(2) * rank().over(
+              Window.partitionBy(col("source")).orderBy(col("x"))) +
+            count(lit(1)).over(
+              Window.partitionBy(col("source"), col("x"))) - 1)
+          .withColumn("ry", lit(2) * rank().over(
+              Window.partitionBy(col("source")).orderBy(col("y"))) +
+            count(lit(1)).over(
+              Window.partitionBy(col("source"), col("y"))) - 1)
+        r.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+            sum(col("rx") * col("rx")).as("sxx"),
+            sum(col("ry") * col("ry")).as("syy"),
+            sum(col("rx") * col("ry")).as("sxy"))
+          .select(col("source"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)),
+              6).as("rho"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+                          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS y
+                   FROM documents),
+        r AS (SELECT source,
+                     2 * RANK() OVER (PARTITION BY source ORDER BY x)
+                       + COUNT(*) OVER (PARTITION BY source, x) - 1 AS rx,
+                     2 * RANK() OVER (PARTITION BY source ORDER BY y)
+                       + COUNT(*) OVER (PARTITION BY source, y) - 1 AS ry
+              FROM d),
+        a AS (SELECT source, COUNT(*) AS n,
+                     CAST(SUM(rx) AS BIGINT) AS sx,
+                     CAST(SUM(ry) AS BIGINT) AS sy,
+                     CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+                     CAST(SUM(ry * ry) AS BIGINT) AS syy,
+                     CAST(SUM(rx * ry) AS BIGINT) AS sxy
+              FROM r GROUP BY source)
+        SELECT source, n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+        FROM a ORDER BY source"""))
   )
 }

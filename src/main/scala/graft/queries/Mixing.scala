@@ -436,6 +436,70 @@ object Mixing {
                COUNT(DISTINCT norm_h) AS distinct_norm,
                MIN(merge_groups) AS merge_groups,
                MIN(merged_raw_texts) AS merged_raw_texts
-        FROM base CROSS JOIN coll"""))
+        FROM base CROSS JOIN coll""")),
+
+    // ---- q180: size-balanced shard assignment ----
+    // Assign documents (in doc_id order) to K = 8 contiguous output
+    // shards balanced by BYTES, not document count — the physical
+    // sharding step before a training corpus is written (equal-sized
+    // shards ⇒ no straggler file, uniform download/packing units).
+    // shard(doc) = ((cum_chars_inclusive − 1) · K) div total — pure
+    // integer division over the exact prefix sum, so every engine
+    // derives the identical split; each shard's byte total deviates
+    // from the ideal total/K by at most one document. The audit row per
+    // shard reports the signed ppm deviation from ideal, again integer.
+    //
+    // 100 TB posture: the global prefix sum is the q155 two-pass form —
+    // per-shard-key window + a broadcast offset table from per-shard
+    // totals — never a single-partition window over raw docs; the rest
+    // is one K-cardinality agg.
+    "q180_balanced_shards" -> QueryDef(
+      build = (spark, dir) => {
+        val k = 8L
+        val shardSize = 1000L
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("n_chars").cast(LongType).as("w"),
+            expr(s"doc_id div $shardSize").as("pshard"))
+        val within = d.withColumn("wcum",
+          sum(col("w")).over(
+            Window.partitionBy(col("pshard")).orderBy(col("doc_id"))))
+        val offsets = d.groupBy(col("pshard"))
+          .agg(sum(col("w")).as("stot"))
+          .withColumn("offset",
+            coalesce(sum(col("stot")).over(
+              Window.orderBy(col("pshard"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pshard"), col("offset"))
+        val tot = d.agg(sum(col("w")).as("total"))
+        within.join(broadcast(offsets), "pshard")
+          .withColumn("cum", col("wcum") + col("offset"))
+          .crossJoin(broadcast(tot))
+          .withColumn("shard_id", expr(s"((cum - 1) * $k) div total"))
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("w")).as("shard_chars"),
+            max(col("total")).as("total"))
+          .select(col("shard_id"), col("n_docs"), col("shard_chars"),
+            expr(s"((shard_chars * $k - total) * 1000000) div total")
+              .as("dev_ppm"))
+          .orderBy(col("shard_id"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+                   FROM documents),
+        cum AS (SELECT doc_id, w,
+                       CAST(SUM(w) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM d),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM d),
+        a AS (SELECT ((cum - 1) * 8) // total AS shard_id, w, total
+              FROM cum CROSS JOIN tot),
+        g AS (SELECT shard_id, COUNT(*) AS n_docs,
+                     CAST(SUM(w) AS BIGINT) AS shard_chars,
+                     MAX(total) AS total
+              FROM a GROUP BY shard_id)
+        SELECT shard_id, n_docs, shard_chars,
+               ((shard_chars * 8 - total) * 1000000) // total AS dev_ppm
+        FROM g ORDER BY shard_id"""))
   )
 }
