@@ -567,6 +567,56 @@ object Insights {
                ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
                  / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
                       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
-        FROM a ORDER BY source"""))
+        FROM a ORDER BY source""")),
+
+    // ---- q183: k-anonymity audit over a quasi-identifier ----
+    // The privacy-governance dual of q64's PII scrub: before a table
+    // ships, measure how re-identifiable its quasi-identifier
+    // combinations are. QI = (nation, market segment, 1000-unit balance
+    // band — floor of a deterministic IEEE division, identical in both
+    // engines); for each k ∈ {2, 5, 10} report how many QI groups fall
+    // below k members and what fraction of ROWS that exposes (integer
+    // ppm). A group of size < k means any one of its rows narrows to
+    // fewer than k candidates under linkage attack — the k-anonymity
+    // failure condition.
+    //
+    // 100 TB posture: one hash-partition agg on the QI key builds the
+    // group-size table (|groups| ≪ |rows|); the k thresholds are a
+    // 3-row broadcast; everything after runs at group cardinality.
+    "q183_k_anonymity" -> QueryDef(
+      build = (spark, dir) => {
+        val g = Tables.customer(spark, dir)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).as("bal_band"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = g.agg(sum(col("cnt")).as("ntot"))
+        val ks = spark.range(1)
+          .select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"))
+        g.crossJoin(broadcast(ks))
+          .groupBy(col("k"))
+          .agg(count(when(col("cnt") < col("k"), 1)).as("groups_at_risk"),
+            coalesce(sum(when(col("cnt") < col("k"), col("cnt"))), lit(0L))
+              .as("rows_at_risk"))
+          .crossJoin(broadcast(tot))
+          .select(col("k"), col("groups_at_risk"), col("rows_at_risk"),
+            expr("(rows_at_risk * 1000000) div ntot").as("risk_ppm"))
+          .orderBy(col("k"))
+      },
+      oracle = Some("""
+        WITH g AS (SELECT c_nationkey, c_mktsegment,
+                          FLOOR(c_acctbal / 1000) AS bal_band,
+                          COUNT(*) AS cnt
+                   FROM customer GROUP BY 1, 2, 3),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ntot FROM g),
+        ks AS (SELECT CAST(k AS BIGINT) AS k
+               FROM (VALUES (2), (5), (10)) t(k)),
+        a AS (SELECT k,
+                     COUNT(CASE WHEN cnt < k THEN 1 END) AS groups_at_risk,
+                     CAST(COALESCE(SUM(CASE WHEN cnt < k THEN cnt END), 0)
+                       AS BIGINT) AS rows_at_risk
+              FROM g CROSS JOIN ks GROUP BY k)
+        SELECT k, groups_at_risk, rows_at_risk,
+               (rows_at_risk * 1000000) // ntot AS risk_ppm
+        FROM a CROSS JOIN tot ORDER BY k"""))
   )
 }

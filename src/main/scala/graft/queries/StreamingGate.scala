@@ -732,5 +732,70 @@ object StreamingGate {
                ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
         FROM pairs
         WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.4
-        ORDER BY doc_a, doc_b""")))
+        ORDER BY doc_a, doc_b""")) ) :+ (
+
+    // ---- q184: streamed dedup with BOUNDED state (within-watermark) ----
+    // q149's duplicate-delivery idempotence law, re-proven on the API
+    // production actually runs: `dropDuplicatesWithinWatermark`. Plain
+    // dropDuplicates keeps EVERY key ever seen — state grows without
+    // bound over an unbounded stream, the one thing you cannot ship at
+    // 100 TB/day. The within-watermark form expires a key's state once
+    // the watermark passes its event time + delay, making state
+    // O(keys per window). The law that makes the drain a pure function
+    // of the data: replayed twins carry IDENTICAL event times, so with
+    // delay ≥ span/2 (45 d ≥ the fixture's 30 d span; watermark after
+    // the worst-case first batch is max(ts) − delay ≤ ts + delay for
+    // every ts) no original's state can expire before its twin arrives
+    // ⇒ the drained emission ≡ the single-copy distinct, exactly what
+    // the oracle aggregates. Eighth streaming law: bounded-state dedup
+    // completeness under the delay-covers-span condition.
+    "q184_streamed_watermark_dedup" -> QueryDef(
+      build = (spark, dir) => streamedWatermarkDedup(spark, dir),
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_total
+        FROM events
+        GROUP BY event_type ORDER BY event_type""")))
+
+  /** q184: the q149 replay harness with watermarked, bounded-state
+    * dedup. See the QueryDef comment for the delay-covers-span law. */
+  def streamedWatermarkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q184", Seq(
+      "events.parquet" -> s"$dir/events.parquet",
+      "events_replay.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = spark.readStream
+        .schema(era.schema)
+        .parquet(run.srcDir)
+        .select(col("event_id"), era.eventTime.as("event_time"),
+          col("event_type"), col("value"))
+        .withWatermark("event_time", "45 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(round(col("value") * 100).cast("long")).as("cents_total"))
+      .orderBy(col("event_type"))
+  }
 }
