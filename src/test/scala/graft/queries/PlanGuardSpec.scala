@@ -318,4 +318,53 @@ class PlanGuardSpec extends SparkSpec {
     exchanges.foreach(in =>
       assert(!in.contains("text#"), s"raw text crosses an exchange: [$in]"))
   }
+
+  // ---- round-7 additions ----
+
+  test("q177: blocklist scan is map-side — only the pattern agg and sort shuffle") {
+    val p = plan("q177_blocklist_scan")
+    // the automaton scan + posexplode are map-side; after them only the
+    // |patterns|-cardinality count agg and the presentation sort may
+    // exchange. A join here would mean the pattern table shuffled docs.
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 2,
+      "blocklist scan shuffles more than (agg, sort)")
+    assert(!p.contains("Join"), "pattern lookup planned as a join")
+  }
+
+  test("q179: funnel accounting marks in one pass — dedup window keyed, one agg chain") {
+    val p = plan("q179_curation_accounting")
+    assert(!p.contains("CartesianProduct"), "funnel planned a cross product")
+    // one dedup-key window + one partial/final agg + presentation sort:
+    // at most 3 exchanges. Per-stage recounting would multiply these.
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size <= 3,
+      "funnel accounting shuffles more than (window, agg, sort)")
+    assert("Window".r.findAllIn(p).nonEmpty, "dedup keep-one window missing")
+  }
+
+  test("q180: the byte-balance prefix-sum window partitions by shard") {
+    val p = plan("q180_balanced_shards")
+    // q155's two-pass law: raw docs only ever flow through a
+    // SHARD-partitioned window; the unpartitioned window is reserved
+    // for the shard-count-sized offset table.
+    assert(p.contains("hashpartitioning(pshard"),
+      "cumulative bytes not computed per-shard")
+  }
+
+  test("q181: distinctive-terms joins stay keyed; nested-loop only for the 1-row total") {
+    val p = plan("q181_distinctive_terms")
+    assert(!p.contains("CartesianProduct"),
+      "log-odds stats joined as a cross product")
+    // one node = two mentions in formatted output (tree + detail block),
+    // same counting as the q164 guard
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "more nested-loop joins than the 1-row total broadcast explains")
+  }
+
+  test("q182: Spearman rank windows are keyed by source") {
+    val p = plan("q182_spearman_corr")
+    assert(p.contains("hashpartitioning(source"),
+      "rank windows not partitioned by source")
+    assert(!p.contains("SinglePartition, ENSURE_REQUIREMENTS"),
+      "a doc-scale window serialized through one partition")
+  }
 }
