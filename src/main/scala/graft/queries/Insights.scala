@@ -617,6 +617,104 @@ object Insights {
               FROM g CROSS JOIN ks GROUP BY k)
         SELECT k, groups_at_risk, rows_at_risk,
                (rows_at_risk * 1000000) // ntot AS risk_ppm
-        FROM a CROSS JOIN tot ORDER BY k"""))
+        FROM a CROSS JOIN tot ORDER BY k""")),
+
+    // ---- q185: time-weighted average (step-function hold) ----
+    // The TWAP primitive behind billing meters, price feeds and
+    // telemetry gauges: each observation holds until the next one, so
+    // the mean weights every value by its HOLD DURATION, not its sample
+    // count (a sensor that reports once an hour then bursts 100× in a
+    // minute must not let the burst dominate). Exact arithmetic end to
+    // end: durations in integer µs from the lead() successor (full
+    // (ts, event_id) tie-break — without it, equal timestamps would
+    // make interval pairing engine-dependent), values as integer cents,
+    // Σ(cents·Δµs) div Σ(Δµs) one integer division. Long-safe at this
+    // span: Σ(cents·Δ) ≤ max_cents · total_span ≈ 1e5 · 2.6e12 < 2⁶³.
+    //
+    // 100 TB posture: one event-type-keyed window shuffle + the
+    // |types|-cardinality agg; production time-partitions the window
+    // and stitches the one boundary row per partition (the q145 note's
+    // range-partition recipe).
+    "q185_time_weighted_avg" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("us"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        e.withColumn("nxt", lead(col("us"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .withColumn("dur", col("nxt") - col("us"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dur")).as("span_us"),
+            sum(col("dur") * col("cents")).as("wsum"))
+          .select(col("event_type"), col("n_intervals"), col("span_us"),
+            expr("wsum div span_us").as("twap_cents"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_type, event_id,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        i AS (SELECT event_type, us, cents,
+                     lead(us) OVER (PARTITION BY event_type
+                       ORDER BY us, event_id) AS nxt
+              FROM e),
+        g AS (SELECT event_type, COUNT(*) AS n_intervals,
+                     CAST(SUM(nxt - us) AS BIGINT) AS span_us,
+                     CAST(SUM((nxt - us) * cents) AS BIGINT) AS wsum
+              FROM i WHERE nxt IS NOT NULL GROUP BY event_type)
+        SELECT event_type, n_intervals, span_us,
+               wsum // span_us AS twap_cents
+        FROM g ORDER BY event_type""")),
+
+    // ---- q186: next-event transition matrix (first-order Markov) ----
+    // The user-journey transition structure: per user, each event's
+    // successor type (full (µs, event_id) tie-break), counted into a
+    // |types|² matrix with integer-ppm row-conditional probabilities —
+    // P(next | current) is what journey dashboards, anomaly detectors
+    // and session simulators consume. Complements q132 (pattern match)
+    // and q172 (gap sizes): this is WHERE journeys go, not when.
+    //
+    // 100 TB posture: one user-keyed window shuffle at event scale;
+    // the matrix itself is |types|² rows, so the row-total window and
+    // ppm division run at matrix cardinality.
+    "q186_transition_matrix" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val m = e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        m.withColumn("row_total",
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("(n * 1000000) div row_total").as("p_ppm"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                   FROM events),
+        s AS (SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS to_type
+              FROM e),
+        m AS (SELECT from_type, to_type, COUNT(*) AS n
+              FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, to_type, n,
+                     CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                       AS row_total
+              FROM m)
+        SELECT from_type, to_type, n,
+               (n * 1000000) // row_total AS p_ppm
+        FROM t ORDER BY from_type, to_type"""))
   )
 }
