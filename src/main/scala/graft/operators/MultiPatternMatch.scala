@@ -125,10 +125,14 @@ object MultiPatternMatch {
     * equality witness and the scale probe's naive arm. */
   def naiveMatchCounts(docs: DataFrame, textCol: String,
       patterns: Seq[String], outCol: String = "pattern_hits"): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be non-empty strings")
+    // coalesce: NULL text counts zero occurrences, matching the
+    // automaton path row-for-row
     val counts: Seq[Column] = patterns.map { p =>
-      ((length(col(textCol)) -
+      coalesce(((length(col(textCol)) -
         length(replace(col(textCol), lit(p), lit("")))) /
-        lit(p.length)).cast("long")
+        lit(p.length)).cast("long"), lit(0L))
     }
     docs.withColumn(outCol, array(counts: _*))
   }

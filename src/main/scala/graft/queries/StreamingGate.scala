@@ -184,6 +184,82 @@ object StreamingGate {
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
+  /** q187: LEFT OUTER stream-stream interval join. Outer (null-matched)
+    * rows can only emit once the watermark PROVES no future purchase can
+    * match — state eviction is the emission trigger, which in a finite
+    * drain means the last real view rows would sit in state forever. The
+    * harness therefore stages a far-future SENTINEL view (event_id −1,
+    * max(ts) + 10 days) as a SECOND file with `maxFilesPerTrigger = 1`:
+    * batch 1 carries the corpus (inner matches emit), batch 2's sentinel
+    * advances the watermark past every real view's join window, and the
+    * engine's no-data flush evicts + emits every remaining unmatched
+    * view. The law (measured at both SFs, then encoded): the drained
+    * emission, sentinel row excluded, equals the BATCH left interval
+    * join exactly. */
+  def streamedOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q187",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      // sentinels: one view + one purchase (user −1, matching each other
+      // so the pair is droppable post-sink) 10 days past the corpus max,
+      // appended as a SECOND file in the landing dir (later mtime ⇒
+      // second micro-batch under maxFilesPerTrigger = 1). BOTH sides
+      // need one: each side's watermark is computed after its
+      // event_type filter, so a view-only sentinel would advance only
+      // the view clock and the global (min) watermark would stall.
+      val maxUs = graft.core.Tables.events(spark, dir)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val sentinelUs = maxUs + 10L * 24 * 3600 * 1000000L
+      val tsExpr = era.schema("ts").dataType match {
+        case LongType => lit(sentinelUs * 1000L) // nanos-as-long era
+        case dt       => timestamp_micros(lit(sentinelUs)).cast(dt)
+      }
+      spark.range(1).select(explode(array(lit("view"), lit("purchase")))
+          .as("event_type"))
+        .select(lit(-1L).as("event_id"), tsExpr.as("ts"),
+          lit(-1L).as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("append").parquet(run.srcDir)
+      def side(tpe: String, pfx: String): DataFrame = spark.readStream
+        .schema(era.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.srcDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user"),
+          col("event_id").as(s"${pfx}_id"),
+          era.eventTime.as(s"${pfx}_time"))
+        .withWatermark(s"${pfx}_time", "4 hours")
+      val q = side("view", "v").join(side("purchase", "p"),
+          col("v_user") === col("p_user") &&
+            col("p_time") >= col("v_time") &&
+            col("p_time") <= col("v_time") + expr("INTERVAL 120 MINUTES"),
+          "left_outer")
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("p_id").as("purchase_id"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .filter(col("view_id") =!= -1L)
+      .orderBy(col("user_id"), col("view_id"),
+        col("purchase_id").asc_nulls_first)
+  }
+
   /** Typed rows for the q148 custom-state processor. */
   final case class EventIn(user_id: Long, event_id: Long, ts_us: Long,
     cents: Long)
@@ -757,7 +833,33 @@ object StreamingGate {
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                  AS cents_total
         FROM events
-        GROUP BY event_type ORDER BY event_type""")))
+        GROUP BY event_type ORDER BY event_type"""))) :+ (
+
+    // ---- q187: streamed LEFT OUTER interval join, oracle-backed ----
+    // Completes the streaming-join family (q140 inner, q168
+    // stream-static): views that found NO purchase within 2 h emit with
+    // a NULL purchase_id — but only when the watermark proves no future
+    // match exists, so emission is state EVICTION, the hairiest
+    // semantics in Structured Streaming. The sentinel-flush harness
+    // (see streamedOuterJoin) advances both side clocks past every real
+    // join window; the measured-then-encoded law: the drained emission,
+    // sentinel excluded, equals the batch LEFT interval join exactly —
+    // ninth streaming law: outer-join eviction completeness under a
+    // clock that covers the corpus.
+    "q187_streamed_outer_join" -> QueryDef(
+      build = (spark, dir) => streamedOuterJoin(spark, dir),
+      oracle = Some("""
+        WITH v AS (SELECT user_id, event_id AS view_id,
+                          CAST(ts AS TIMESTAMP) AS vt
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS purchase_id,
+                     CAST(ts AS TIMESTAMP) AS pt
+              FROM events WHERE event_type = 'purchase')
+        SELECT v.user_id, v.view_id, p.purchase_id
+        FROM v LEFT JOIN p
+          ON p.user_id = v.user_id
+         AND p.pt >= v.vt AND p.pt <= v.vt + INTERVAL 120 MINUTES
+        ORDER BY v.user_id, v.view_id, p.purchase_id ASC NULLS FIRST""")))
 
   /** q184: the q149 replay harness with watermarked, bounded-state
     * dedup. See the QueryDef comment for the delay-covers-span law. */

@@ -25,4 +25,48 @@ object JsonBatchReader {
       inferSchema: Boolean = false): DataFrame =
     read(spark, paths,
       if (inferSchema) None else Some(graft.core.GpsSchema.schema))
+
+  /** Marker column for [[readAccounted]]'s malformed-line capture. */
+  val CorruptCol = "_corrupt_record"
+
+  /** PERMISSIVE read with EXPLICIT corrupt-record capture — §1.3's
+    * schema tolerance made auditable. The reference's schemaless
+    * `spark.read.json` silently nulls every field of a malformed line
+    * (PERMISSIVE default with no corrupt column in the inferred
+    * schema), which at ingest scale means data loss nobody can see.
+    * Here malformed lines keep their RAW text in [[CorruptCol]] so the
+    * pipeline can split good rows from a quarantine stream and publish
+    * reject counts per batch — the at-least-once contract extended to
+    * "and nothing vanishes silently".
+    *
+    * Spark restriction documented upstream: a query may not reference
+    * ONLY the corrupt column; [[splitAccounted]] always carries the
+    * full row alongside it. */
+  def readAccounted(spark: SparkSession, paths: Seq[String],
+      schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema already contains $CorruptCol")
+    spark.read
+      .option("multiline", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema.add(CorruptCol, org.apache.spark.sql.types.StringType))
+      .json(paths: _*)
+  }
+
+  /** (good rows without the marker, quarantine rows with the raw line).
+    *
+    * The parsed batch is CACHED first: Spark disallows any query whose
+    * pruned scan references only the corrupt column
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. the
+    * quarantine side's count()); the documented recipe is to cache the
+    * parsed result and query that. Ingest batches are bounded (≤10
+    * files per micro-batch, poller.py:20-24), so the cache is a
+    * batch-sized working set, not a corpus-sized one. */
+  def splitAccounted(df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val parsed = df.cache()
+    (parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      parsed.filter(col(CorruptCol).isNotNull))
+  }
 }

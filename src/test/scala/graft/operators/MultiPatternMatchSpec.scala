@@ -42,11 +42,14 @@ class MultiPatternMatchSpec extends SparkSpec {
     assert(counts.toSeq == Seq(1L, 1L))
   }
 
-  test("null text yields zero counts, not a crash") {
+  test("null text yields zero counts on BOTH paths, not a crash") {
     val docs = Seq((1L, null: String), (2L, "ab")).toDF("doc_id", "text")
     val m = MultiPatternMatch.withMatchCounts(docs, "text", Seq("ab"))
       .select("doc_id", "pattern_hits").as[(Long, Seq[Long])].collect().toMap
     assert(m(1L) == Seq(0L) && m(2L) == Seq(1L))
+    val nv = MultiPatternMatch.naiveMatchCounts(docs, "text", Seq("ab"))
+      .select("doc_id", "pattern_hits").as[(Long, Seq[Long])].collect().toMap
+    assert(nv == m, "null-text semantics diverge between paths")
   }
 
   test("gate blocklist is borderless — the oracle-equivalence precondition") {
