@@ -761,6 +761,173 @@ object Events {
                MAX(CASE WHEN rn = (75 * n + 99) // 100 THEN lag_us END)
                  AS p75_lag_us,
                MAX(lag_us) AS max_lag_us
-        FROM ranked"""))
+        FROM ranked""")),
+
+    // ---- q188: peak session concurrency (sweep line) ----
+    // "How many sessions were live AT ONCE, per day" — the capacity
+    // metric load tests and infra sizing start from, and a classic
+    // interval problem relational engines usually punt on. Sessions are
+    // q82's gaps-and-islands (gap > 30 min, (ts, event_id) tie-break);
+    // each [first, last] interval becomes a +1/−1 delta pair, collapsed
+    // per INSTANT first (s starts, e ends) so the running sum never
+    // depends on intra-instant row order: with closed intervals, starts
+    // at t count before ends at t, so live(t) = cum_net(t) + e(t) —
+    // exact integers end to end, no tie hazard by construction.
+    //
+    // 100 TB posture: sessionization is the per-user keyed window;
+    // instants are ≤ 2·sessions rows, collapsed by a keyed agg; the
+    // global prefix sum is PAID in the scale-safe two-pass form (the
+    // q155/q180 recipe): instants flow through a DAY-sharded window,
+    // and only the day-count-sized net-offset table uses an
+    // unpartitioned window — at billions of sessions no corpus-scale
+    // rowset ever serializes through one partition.
+    "q188_peak_concurrency" -> QueryDef(
+      build = (spark, dir) => {
+        val wl = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val e = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+        val sess = e
+          .withColumn("new_sess",
+            when(lag(col("us"), 1).over(wl).isNull ||
+              col("us") - lag(col("us"), 1).over(wl) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_sess")).over(
+            wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("us")).as("a"), max(col("us")).as("b"))
+        val pts = sess.select(col("a").as("us"), lit(1L).as("s"), lit(0L).as("e"))
+          .unionAll(sess.select(col("b").as("us"), lit(0L).as("s"), lit(1L).as("e")))
+          .groupBy(col("us"))
+          .agg(sum(col("s")).as("s"), sum(col("e")).as("e"))
+          .withColumn("pshard", expr("us div 86400000000"))
+        // two-pass distributed prefix sum over instant order (q155 form)
+        val within = pts.withColumn("wcum",
+          sum(col("s") - col("e")).over(
+            Window.partitionBy(col("pshard")).orderBy(col("us"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val offsets = pts.groupBy(col("pshard"))
+          .agg(sum(col("s") - col("e")).as("net"))
+          .withColumn("offset",
+            coalesce(sum(col("net")).over(
+              Window.orderBy(col("pshard"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pshard"), col("offset"))
+        within.join(broadcast(offsets), "pshard")
+          .withColumn("live", col("wcum") + col("offset") + col("e"))
+          .select(date_format(timestamp_micros(col("us")), "yyyy-MM-dd").as("day"),
+            col("live"), col("s"))
+          .groupBy(col("day"))
+          .agg(max(col("live")).as("peak_concurrent"),
+            sum(col("s")).as("sessions_started"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                   FROM events),
+        m AS (SELECT user_id, event_id, us,
+                     CASE WHEN LAG(us) OVER w IS NULL
+                            OR us - LAG(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sx AS (SELECT user_id, us,
+                      SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM m),
+        sess AS (SELECT user_id, sid, MIN(us) AS a, MAX(us) AS b
+                 FROM sx GROUP BY 1, 2),
+        pts AS (SELECT us, CAST(SUM(s) AS BIGINT) AS s,
+                       CAST(SUM(e) AS BIGINT) AS e
+                FROM (SELECT a AS us, 1 AS s, 0 AS e FROM sess
+                      UNION ALL
+                      SELECT b AS us, 0 AS s, 1 AS e FROM sess)
+                GROUP BY us),
+        liv AS (SELECT us, s, e,
+                       CAST(SUM(s - e) OVER (ORDER BY us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) + e AS live
+                FROM pts)
+        SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+               CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+               CAST(SUM(s) AS BIGINT) AS sessions_started
+        FROM liv GROUP BY 1 ORDER BY day""")),
+
+    // ---- q189: ingestion coverage gaps against a calendar spine ----
+    // The monitoring question behind every data-freshness SLA: which
+    // hours of the expected range produced NO data, per stream — and
+    // how long was the worst outage. A spine of integer hour indexes
+    // (µs div 3600000000 — no timezone, no timestamp arithmetic) spans
+    // the corpus range; each event type anti-joins its active hours,
+    // and the missing set's longest consecutive run comes from the
+    // gaps-and-islands rank difference. Exact integers end to end;
+    // types with full coverage report zeros (the left join keeps them).
+    //
+    // 100 TB posture: the event-scale stage is one (type, hour) distinct
+    // — a keyed partial agg; the spine is |hours|·|types| rows (720·5
+    // here, ~9k/year per stream — trivial by construction), so the
+    // anti-join, islands window and final joins all run at spine
+    // cardinality, broadcast-sized.
+    "q189_coverage_gaps" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+        val act = e.distinct()
+        val b = e.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        val types = e.select(col("event_type")).distinct()
+        val spine = types.crossJoin(broadcast(b))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"))).as("h"))
+        val miss = spine.join(act, Seq("event_type", "h"), "left_anti")
+        val runs = miss
+          .withColumn("grp", col("h") - row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("h"))))
+          .groupBy(col("event_type"), col("grp"))
+          .agg(count(lit(1)).as("run"))
+        val perType = miss.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_missing"))
+          .join(runs.groupBy(col("event_type"))
+            .agg(max(col("run")).as("longest")), Seq("event_type"))
+        types.crossJoin(broadcast(b))
+          .join(perType, Seq("event_type"), "left_outer")
+          .select(col("event_type"),
+            (col("hi") - col("lo") + 1).as("n_hours_spine"),
+            coalesce(col("n_missing"), lit(0L)).as("n_hours_missing"),
+            coalesce(col("longest"), lit(0L)).as("longest_gap_hours"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_type,
+                          epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+                   FROM events),
+        b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM e),
+        t AS (SELECT DISTINCT event_type FROM e),
+        act AS (SELECT DISTINCT event_type, h FROM e),
+        spine AS (SELECT t.event_type, unnest(range(b.lo, b.hi + 1)) AS h
+                  FROM t, b),
+        miss AS (SELECT s.event_type, s.h
+                 FROM spine s LEFT JOIN act a
+                   ON a.event_type = s.event_type AND a.h = s.h
+                 WHERE a.h IS NULL),
+        isl AS (SELECT event_type, h,
+                       h - ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY h) AS grp
+                FROM miss),
+        runs AS (SELECT event_type, grp, COUNT(*) AS run
+                 FROM isl GROUP BY 1, 2),
+        pt AS (SELECT m.event_type,
+                      COUNT(*) AS n_missing,
+                      (SELECT CAST(MAX(run) AS BIGINT) FROM runs r
+                       WHERE r.event_type = m.event_type) AS longest
+               FROM miss m GROUP BY m.event_type)
+        SELECT t.event_type,
+               (b.hi - b.lo + 1) AS n_hours_spine,
+               CAST(COALESCE(pt.n_missing, 0) AS BIGINT) AS n_hours_missing,
+               CAST(COALESCE(pt.longest, 0) AS BIGINT) AS longest_gap_hours
+        FROM t CROSS JOIN b LEFT JOIN pt ON pt.event_type = t.event_type
+        ORDER BY t.event_type"""))
   )
 }

@@ -360,6 +360,14 @@ class PlanGuardSpec extends SparkSpec {
       "more nested-loop joins than the 1-row total broadcast explains")
   }
 
+  test("q188: the sweep-line prefix sum partitions by day shard") {
+    val p = plan("q188_peak_concurrency")
+    // the q155/q180 two-pass law: instants flow through a DAY-sharded
+    // window; only the day-count-sized offset table may be unpartitioned
+    assert(p.contains("hashpartitioning(pshard"),
+      "sweep-line cumsum not computed per-shard")
+  }
+
   test("q182: Spearman rank windows are keyed by source") {
     val p = plan("q182_spearman_corr")
     assert(p.contains("hashpartitioning(source"),
