@@ -176,4 +176,57 @@ class OperatorPropertySpec extends SparkSpec {
       assert(got == model, s"case $i: est=$est fpp=$fpp corpus=$ck batch=$bk")
     }
   }
+
+  test("Aho-Corasick scan equals the brute-force substring count model, any patterns") {
+    // model: count every occurrence INCLUDING overlapping ones — the
+    // documented automaton semantics, over random small-alphabet texts
+    // where overlaps and shared prefixes/suffixes actually happen
+    def brute(text: String, p: String): Long =
+      (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    val genCase = for {
+      text <- Gen.listOfN(60, Gen.oneOf('a', 'b', ' ')).map(_.mkString)
+      pats <- Gen.listOfN(6,
+        Gen.chooseNum(1, 4).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')).map(_.mkString)))
+        .map(_.distinct)
+    } yield (text, pats)
+    sample(genCase, 60).zipWithIndex.foreach { case ((text, pats), i) =>
+      val got = MultiPatternMatch.build(pats).scan(text).toSeq
+      val model = pats.map(brute(text, _))
+      assert(got == model, s"case $i: text='$text' pats=$pats")
+    }
+  }
+
+  test("funnel accounting partitions the input exactly, any predicate stack") {
+    import graft.operators.CurationPipeline.Stage
+    val genCase = for {
+      rows <- Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 9L)))
+      t1 <- Gen.chooseNum(0L, 400L)
+      keepMod <- Gen.chooseNum(2L, 5L)
+    } yield (rows.zipWithIndex.map { case ((v, g), id) => (id.toLong, v, g) }, t1, keepMod)
+    sample(genCase, 12).zipWithIndex.foreach { case ((rows, t1, keepMod), i) =>
+      val df = rows.toDF("id", "v", "g")
+      val stages = Seq(
+        Stage("s1", _ => col("v") >= t1),
+        Stage("s2", _ => col("g") % keepMod =!= 0L),
+        CurationPipeline.dedupKeepOne("s3", col("g"), col("id")))
+      val acc = CurationPipeline.accounting(df, stages, col("v"))
+        .as[(String, Long, Long)].collect()
+      // exact partition: per-stage doc counts sum to the input size and
+      // the char sums to the input total
+      assert(acc.map(_._2).sum == rows.size, s"case $i rows split: $acc")
+      assert(acc.map(_._3).sum == rows.map(_._2).sum, s"case $i mass split: $acc")
+      // model the first-failure attribution row-by-row (sequential replay)
+      val afterS1 = rows.map { case (id, v, g) => (id, v, g, if (v >= t1) null else "s1") }
+      val afterS2 = afterS1.map { case (id, v, g, d) =>
+        (id, v, g, if (d != null) d else if (g % keepMod == 0L) "s2" else null) }
+      val keepers = afterS2.filter(_._4 == null).groupBy(_._3)
+        .map { case (_, grp) => grp.minBy(_._1)._1 }.toSet
+      val model = afterS2.map { case (id, v, g, d) =>
+        if (d != null) d else if (keepers(id)) "kept" else "s3" }
+        .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+      assert(acc.map(r => r._1 -> r._2).toMap == model, s"case $i: $acc vs $model")
+    }
+  }
 }
