@@ -43,15 +43,29 @@ object MicroBatchPipeline {
       // after a crash between table write and checkpoint commit replaces
       // its own partition instead of double-appending. Default false keeps
       // the reference's plain-append table layout.
-      idempotentCommit: Boolean = false)
+      idempotentCommit: Boolean = false,
+      // Some(table) => malformed JSON lines are captured (PERMISSIVE +
+      // explicit _corrupt_record, JsonBatchReader.readAccounted's
+      // streaming twin) and appended to that quarantine table with their
+      // batch id, instead of flowing into the main table as all-null
+      // rows — the reference's silent-loss behavior (§1.3) made
+      // auditable. None (default) keeps the original schema and plan.
+      quarantineTable: Option[String] = None)
 
   /** Start the stream: JSON file source (explicit schema — no inference
     * double-read) → enrichment → create-or-append sink. */
   def start(spark: SparkSession, config: Config,
       sink: TableSink = ParquetSink): StreamingQuery = {
+    val corruptCol = graft.sources.JsonBatchReader.CorruptCol
+    val schema =
+      if (config.quarantineTable.isDefined)
+        GpsSchema.schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+      else GpsSchema.schema
     val source = spark.readStream
-      .schema(GpsSchema.schema)
+      .schema(schema)
       .option("multiline", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
       .option("maxFilesPerTrigger", config.maxFilesPerTrigger)
       .json(config.inputDir)
 
@@ -62,7 +76,23 @@ object MicroBatchPipeline {
     source.writeStream
       .option("checkpointLocation", config.checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+      .foreachBatch { (raw: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        // quarantine split: batch-sized cache (the corrupt-column query
+        // restriction recipe, see JsonBatchReader.splitAccounted)
+        val staged = if (config.quarantineTable.isDefined) raw.cache() else raw
+        val batch = config.quarantineTable match {
+          case Some(_) =>
+            staged.filter(col(corruptCol).isNull).drop(corruptCol)
+          case None => staged
+        }
+        config.quarantineTable.foreach { qt =>
+          val bad = staged.filter(col(corruptCol).isNotNull)
+            .select(col(corruptCol).as("raw_line"),
+              lit(batchId).as("batch_id"))
+          if (!bad.isEmpty)
+            bad.write.format("parquet").mode("append").saveAsTable(qt)
+        }
         if (!batch.isEmpty) {
           val enriched = config.clockEpochSec match {
             // Injected clock => deterministic column-DSL path (golden tests).
@@ -78,6 +108,7 @@ object MicroBatchPipeline {
             // The view lives in the batch's (cloned) session catalog.
             batch.sparkSession.catalog.dropTempView("temp_view") // spark_job.py:68-69
         }
+        if (config.quarantineTable.isDefined) staged.unpersist()
         ()
       }
       .start()

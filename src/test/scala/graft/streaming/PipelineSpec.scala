@@ -52,6 +52,42 @@ class PipelineSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("quarantine path: malformed lines reach the quarantine table, never the main table") {
+    val in = tmpDir("gps-quar-in")
+    val table = "gps_quarantine_main"
+    val qt = "gps_quarantine_bad"
+    GpsGenerator.writeJsonFiles(spark, s"$in/good", n = 200, files = 1)
+    val badLines = Seq(
+      """{"vehicle_id": "veh_7", "timestamp": BROKEN}""",
+      "not json at all")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in).resolve("bad.json"),
+      badLines.mkString("\n").getBytes("UTF-8"))
+    try {
+      MicroBatchPipeline.runAvailable(spark, MicroBatchPipeline.Config(
+        inputDir = s"$in/{good/*,*.json}", checkpointDir = tmpDir("gps-quar-ckpt"),
+        table = table, clockEpochSec = Some(1750000000L),
+        quarantineTable = Some(qt)))
+      spark.catalog.refreshTable(qt)
+      assert(spark.table(table).count() == 200,
+        "malformed lines leaked into the main table (or good rows lost)")
+      val bad = spark.table(qt).select(col("raw_line"))
+        .collect().map(_.getString(0)).toSet
+      assert(bad == badLines.toSet, s"quarantine content: $bad")
+      // without quarantine, the same input silently nulls the bad rows in
+      val table2 = "gps_quarantine_off"
+      MicroBatchPipeline.runAvailable(spark, MicroBatchPipeline.Config(
+        inputDir = s"$in/{good/*,*.json}", checkpointDir = tmpDir("gps-quar-ckpt2"),
+        table = table2, clockEpochSec = Some(1750000000L)))
+      assert(spark.table(table2).where(col("vehicle_id").isNull).count() == 2,
+        "expected the reference's silent-null behavior without a quarantine")
+      spark.sql(s"DROP TABLE $table2")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $qt")
+    }
+  }
+
   test("checkpoint gives exactly-once across restarts; new files append once") {
     val in = tmpDir("gps-in2")
     val ckpt = tmpDir("gps-ckpt2")
