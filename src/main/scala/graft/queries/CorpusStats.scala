@@ -407,6 +407,67 @@ object CorpusStats {
                (u2 * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
         FROM t""")),
 
+    // ---- q190: decile lift (gains table), integer-exact ----
+    // The model-eval companion to q169's AUC: rank the population by
+    // the quantized score, cut into 10 equal-count deciles, and report
+    // how concentrated the positives are at the top — cumulative lift
+    // in integer ppm ((cum_pos/cum_n)/(P/N), cross-multiplied before
+    // ONE integer division, so no rational ever rounds). Ties in score
+    // break by vec_id, so decile assignment is engine-identical.
+    //
+    // 100 TB posture: the one event-scale op is the global rank — at
+    // real scale a range repartition on score + per-shard offsets (the
+    // q155 two-pass recipe, as in q74/q116's exact percentiles); the
+    // decile agg and cumulative windows run on 10 rows.
+    "q190_decile_lift" -> QueryDef(
+      build = (spark, dir) => {
+        val s = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), l2QuantScore.as("score"),
+            when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        val ranked = s.withColumn("rn", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id"))))
+        val tot = s.agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        val wc = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_d"), sum(col("pos")).as("pos_d"),
+            max(col("n")).as("n"), max(col("p")).as("p"))
+          .withColumn("cum_n", sum(col("n_d")).over(wc))
+          .withColumn("cum_pos", sum(col("pos_d")).over(wc))
+          .select(col("decile"), col("n_d"), col("pos_d"), col("cum_pos"),
+            expr("(cum_pos * n * 1000000) div (cum_n * p)")
+              .as("cum_lift_ppm"))
+          .orderBy(col("decile"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     * 10000) AS BIGINT))) AS BIGINT) AS score,
+                 CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+          FROM embeddings),
+        r AS (SELECT pos,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rn
+              FROM s),
+        t AS (SELECT COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS p FROM s),
+        d AS (SELECT ((rn - 1) * 10) // n + 1 AS decile, pos, n, p
+              FROM r CROSS JOIN t),
+        g AS (SELECT decile, COUNT(*) AS n_d,
+                     CAST(SUM(pos) AS BIGINT) AS pos_d,
+                     MAX(n) AS n, MAX(p) AS p
+              FROM d GROUP BY decile),
+        c AS (SELECT decile, n_d, pos_d, n, p,
+                     CAST(SUM(n_d) OVER w AS BIGINT) AS cum_n,
+                     CAST(SUM(pos_d) OVER w AS BIGINT) AS cum_pos
+              FROM g WINDOW w AS (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT decile, n_d, pos_d, cum_pos,
+               (cum_pos * n * 1000000) // (cum_n * p) AS cum_lift_ppm
+        FROM c ORDER BY decile""")),
+
     // ---- q171: per-class one-vs-rest AUC, integer-exact ----
     // [[rankSumAuc]] — q169's kernel — swept over every label as the
     // positive class via a class-partitioned window (the per-class eval

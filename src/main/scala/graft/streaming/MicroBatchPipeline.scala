@@ -73,7 +73,21 @@ object MicroBatchPipeline {
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
 
-    source.writeStream
+    // Inline ingest metrics (Dataset.observe): per-batch row and
+    // malformed-line counts ride the StreamingQueryProgress events —
+    // the ops dashboard feed — without any extra pass over the data.
+    val observed = {
+      import org.apache.spark.sql.functions.{count, lit, sum, when, col}
+      val metrics =
+        if (config.quarantineTable.isDefined)
+          Seq(count(lit(1)).as("rows_in"),
+            sum(when(col(corruptCol).isNotNull, 1L).otherwise(0L))
+              .as("rows_bad"))
+        else Seq(count(lit(1)).as("rows_in"))
+      source.observe("ingest_metrics", metrics.head, metrics.tail: _*)
+    }
+
+    observed.writeStream
       .option("checkpointLocation", config.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (raw: org.apache.spark.sql.DataFrame, batchId: Long) =>

@@ -88,6 +88,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("observed ingest metrics ride the streaming progress events") {
+    val in = tmpDir("gps-obs-in")
+    val table = "gps_obs_main"
+    val qt = "gps_obs_bad"
+    GpsGenerator.writeJsonFiles(spark, s"$in/good", n = 100, files = 1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in).resolve("bad.json"),
+      "broken {".getBytes("UTF-8"))
+    try {
+      val q = MicroBatchPipeline.start(spark, MicroBatchPipeline.Config(
+        inputDir = s"$in/{good/*,*.json}", checkpointDir = tmpDir("gps-obs-ckpt"),
+        table = table, clockEpochSec = Some(1750000000L),
+        processingInterval = None, quarantineTable = Some(qt)))
+      q.awaitTermination()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest_metrics")))
+      assert(metrics.nonEmpty, "no observed metrics in progress events")
+      assert(metrics.map(_.getAs[Long]("rows_in")).sum == 101)
+      assert(metrics.map(_.getAs[Long]("rows_bad")).sum == 1)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $qt")
+    }
+  }
+
   test("checkpoint gives exactly-once across restarts; new files append once") {
     val in = tmpDir("gps-in2")
     val ckpt = tmpDir("gps-ckpt2")
