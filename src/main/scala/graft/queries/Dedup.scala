@@ -214,6 +214,53 @@ object Dedup {
         ORDER BY doc_a, doc_b"""),
       headline = true),
 
+    // ---- q191: incremental LSH index maintenance ≡ one-shot batch ----
+    // The ingest-time fuzzy-dedup contract ([[graft.operators
+    // .IncrementalLsh]]): the corpus arrives as TWO append batches
+    // (even doc_ids, then odd); each append computes signatures for its
+    // OWN docs only and emits exactly the pairs whose second member it
+    // carries (new×index cross + new×new self). The union of the two
+    // emissions must equal the one-shot q46 self-join — same banding ⇒
+    // identical candidate set, partitioned by which batch completed
+    // each pair — so the oracle is q46's exact-Jaccard SQL verbatim.
+    // Batch dual of the q176 streaming law, with the index as a TABLE
+    // instead of operator state.
+    "q191_incremental_lsh" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.IncrementalLsh
+        val docs = Tables.documents(spark, dir)
+        val b0 = IncrementalLsh.bucketRows(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        val b1 = IncrementalLsh.bucketRows(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        val cands = IncrementalLsh.appendCandidates(b0.limit(0), b0)
+          .unionAll(IncrementalLsh.appendCandidates(b0, b1))
+        MinHashLSH.verifyCandidates(cands,
+          MinHashLSH.shingled(docs, "doc_id", "text"), threshold = 0.4)
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
+          FROM documents),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+        FROM pairs
+        WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.4
+        ORDER BY doc_a, doc_b""")),
+
     // ---- q56: near-dup pairs → connected-component clusters ----
     // Distributed min-label propagation over the q46 pair graph; the
     // oracle recomputes components with a recursive CTE (reachability
