@@ -138,6 +138,63 @@ object StreamingGate {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** q192: q139's pipeline against the PRODUCTION sink — a parquet
+    * FILE sink with its `_spark_metadata` commit log — instead of the
+    * memory sink, then read back through that log. The memory sink
+    * commits rows driver-side; the file sink commits by atomically
+    * recording finished files in the metadata log, and an
+    * exactly-once read MUST go through the log (stray/partial task
+    * files are invisible to it). Same watermark-trim law and oracle
+    * as q139, so the gate proves sink choice does not change emitted
+    * rows — the durable-commit leg of the streaming contract (the
+    * reference's Iceberg append, in the format this environment can
+    * execute). Result is eagerly localCheckpoint-ed so the temp sink
+    * dir can be deleted before returning. */
+  def streamedFileSink(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q192",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val outDir = java.nio.file.Files.createTempDirectory("q192_sink")
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = spark.readStream
+        .schema(era.schema)
+        .parquet(run.srcDir)
+        .select(era.eventTime.as("event_time"),
+          col("event_type"), col("value"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(28, 2))).as("sdec"))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir.toString)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      spark.read.parquet(outDir.toString)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"),
+          col("event_type"), col("n"),
+          col("sdec").cast(DoubleType).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+        .localCheckpoint()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+      java.nio.file.Files.walk(outDir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Run the streamed view→purchase interval join to completion and
     * return the emitted matches, fully ordered. Two independent
     * file-source streams over the same staged landing dir, each
@@ -859,7 +916,33 @@ object StreamingGate {
         FROM v LEFT JOIN p
           ON p.user_id = v.user_id
          AND p.pt >= v.vt AND p.pt <= v.vt + INTERVAL 120 MINUTES
-        ORDER BY v.user_id, v.view_id, p.purchase_id ASC NULLS FIRST""")))
+        ORDER BY v.user_id, v.view_id, p.purchase_id ASC NULLS FIRST"""))) :+ (
+
+    // ---- q192: streamed windows through the PRODUCTION file sink ----
+    // q139's law re-proven against the parquet FILE sink and its
+    // `_spark_metadata` commit log (the durable exactly-once commit
+    // path — what the reference's Iceberg append is in this
+    // environment's executable format), read back THROUGH the log.
+    // Same watermark-trim oracle as q139: sink choice must not change
+    // the emitted rows. Tenth streaming law: sink-independence of
+    // emission.
+    "q192_streamed_file_sink" -> QueryDef(
+      build = (spark, dir) => streamedFileSink(spark, dir),
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, value
+          FROM events),
+        m AS (SELECT max(tsu) AS mx FROM e),
+        w AS (
+          SELECT date_trunc('hour', tsu) AS ws, event_type,
+                 COUNT(*) AS n,
+                 ${Det.sqlSum("value", 2)} AS sum_value
+          FROM e GROUP BY 1, 2)
+        SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               w.event_type, w.n, w.sum_value
+        FROM w CROSS JOIN m
+        WHERE w.ws + INTERVAL 1 HOUR <= m.mx - INTERVAL 1 HOUR
+        ORDER BY hour_start, event_type""")))
 
   /** q184: the q149 replay harness with watermarked, bounded-state
     * dedup. See the QueryDef comment for the delay-covers-span law. */
