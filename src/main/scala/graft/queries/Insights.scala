@@ -715,6 +715,69 @@ object Insights {
               FROM m)
         SELECT from_type, to_type, n,
                (n * 1000000) // row_total AS p_ppm
-        FROM t ORDER BY from_type, to_type"""))
+        FROM t ORDER BY from_type, to_type""")),
+
+    // ---- q194: 3-sigma control chart on daily volumes, integer-exact ----
+    // The SPC primitive behind volume-anomaly alerting ("did any day's
+    // event count breach the 3σ band?") with ZERO floating point: the
+    // flag condition |n_d − μ| > 3σ cross-multiplies to
+    // (D·n_d − S)² > 9·(D·Σn² − S²) — every term an exact integer
+    // (D days, S = Σn, population variance), so engines can never
+    // disagree at a boundary. Per stream: days observed, total volume,
+    // breach count, and the worst day (max squared deviation, date
+    // tie-break — an integer argmax).
+    //
+    // 100 TB posture: the event-scale stage is the (type, day) count —
+    // one keyed partial agg; the control-limit join, flagging, and
+    // argmax window all run at |types|·|days| rows.
+    "q194_control_chart" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.events(spark, dir)
+          .select(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"))
+        val t = d.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("dd"), sum(col("n")).as("s"),
+            sum(col("n") * col("n")).as("ss"))
+        val j = d.join(t, "event_type")
+          .withColumn("dev2",
+            (col("dd") * col("n") - col("s")) *
+              (col("dd") * col("n") - col("s")))
+          .withColumn("flag",
+            col("dev2") > lit(9L) * (col("dd") * col("ss") - col("s") * col("s")))
+        j.withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("dev2").desc, col("day"))))
+          .groupBy(col("event_type"))
+          .agg(max(col("dd")).as("n_days"), max(col("s")).as("total_events"),
+            count(when(col("flag"), 1)).as("n_breaches"),
+            max(when(col("rn") === 1, col("day"))).as("worst_day"),
+            max(when(col("rn") === 1, col("dev2"))).as("worst_dev2"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT event_type,
+                          strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, COUNT(*) AS dd,
+                     CAST(SUM(n) AS BIGINT) AS s,
+                     CAST(SUM(n * n) AS BIGINT) AS ss
+              FROM d GROUP BY event_type),
+        j AS (SELECT d.event_type, d.day, t.dd, t.s, t.ss,
+                     (t.dd * d.n - t.s) * (t.dd * d.n - t.s) AS dev2
+              FROM d JOIN t ON t.event_type = d.event_type),
+        r AS (SELECT *,
+                     dev2 > 9 * (dd * ss - s * s) AS flag,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY dev2 DESC, day) AS rn
+              FROM j)
+        SELECT event_type, MAX(dd) AS n_days, MAX(s) AS total_events,
+               COUNT(CASE WHEN flag THEN 1 END) AS n_breaches,
+               MAX(CASE WHEN rn = 1 THEN day END) AS worst_day,
+               CAST(MAX(CASE WHEN rn = 1 THEN dev2 END) AS BIGINT)
+                 AS worst_dev2
+        FROM r GROUP BY event_type ORDER BY event_type"""))
   )
 }

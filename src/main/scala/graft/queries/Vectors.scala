@@ -534,7 +534,74 @@ object Vectors {
         }
         centers.orderBy(col("sel_rank"))
       },
-      oracle = Some(kcenterOracle))
+      oracle = Some(kcenterOracle)),
+
+    // ---- q193: per-class embedding centroid drift, integer-exact ----
+    // The embedding-pipeline monitoring metric: did the vector
+    // distribution MOVE between two cohorts (here the deterministic
+    // vec_id-parity halves — in production, yesterday vs today)?
+    // Per label: quantize each coordinate to integer 1e-4 units
+    // (floor of a deterministic IEEE product, the q169 recipe), build
+    // each half's per-dimension centroid as truncated integer division
+    // s div n, and report the L1 distance between the two centroids in
+    // quant units — exact integers end to end, no FP mean ever
+    // compared. A drifting class shows a large l1_drift_q; the parity
+    // split of an i.i.d. fixture shows small sampling noise.
+    //
+    // 100 TB posture: the event-scale stage is the (label, half, dim)
+    // keyed partial agg over exploded coordinates (64·|vecs| rows,
+    // map-side combined); the centroid join and L1 run at
+    // |labels|·|dims| rows.
+    "q193_embedding_drift" -> QueryDef(
+      build = (spark, dir) => {
+        val base = Tables.embeddings(spark, dir)
+          .select(col("label"), (col("vec_id") % 2).as("half"),
+            col("embedding"))
+        val q = base
+          .select(col("label"), col("half"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("label"), col("half"), col("dim"),
+            expr("cast(floor(cast(x as double) * 10000) as bigint)").as("q"))
+        val sums = q.groupBy(col("label"), col("half"), col("dim"))
+          .agg(sum(col("q")).as("s"))
+        val cnts = base.groupBy(col("label"), col("half"))
+          .agg(count(lit(1)).as("n"))
+        val m = sums.join(cnts, Seq("label", "half"))
+          .select(col("label"), col("half"), col("dim"),
+            expr("s div n").as("m"), col("n"))
+        val a = m.filter(col("half") === 0)
+          .select(col("label"), col("dim"), col("m").as("m0"), col("n").as("n0"))
+        val b = m.filter(col("half") === 1)
+          .select(col("label"), col("dim"), col("m").as("m1"), col("n").as("n1"))
+        a.join(b, Seq("label", "dim"))
+          .groupBy(col("label"))
+          .agg(max(col("n0")).as("n_a"), max(col("n1")).as("n_b"),
+            sum(abs(col("m0") - col("m1"))).as("l1_drift_q"))
+          .orderBy(col("label"))
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT label, vec_id % 2 AS half, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS dim
+          FROM embeddings),
+        q AS (
+          SELECT label, half, dim,
+                 CAST(floor(CAST(embedding[dim] AS DOUBLE) * 10000)
+                   AS BIGINT) AS q
+          FROM x),
+        s AS (SELECT label, half, dim, CAST(SUM(q) AS BIGINT) AS s
+              FROM q GROUP BY 1, 2, 3),
+        c AS (SELECT label, vec_id % 2 AS half, COUNT(*) AS n
+              FROM embeddings GROUP BY 1, 2),
+        m AS (SELECT s.label, s.half, s.dim, s.s // c.n AS m, c.n
+              FROM s JOIN c ON c.label = s.label AND c.half = s.half),
+        a AS (SELECT label, dim, m AS m0, n AS n0 FROM m WHERE half = 0),
+        b AS (SELECT label, dim, m AS m1, n AS n1 FROM m WHERE half = 1)
+        SELECT a.label, CAST(MAX(n0) AS BIGINT) AS n_a,
+               CAST(MAX(n1) AS BIGINT) AS n_b,
+               CAST(SUM(ABS(m0 - m1)) AS BIGINT) AS l1_drift_q
+        FROM a JOIN b ON b.label = a.label AND b.dim = a.dim
+        GROUP BY a.label ORDER BY a.label"""))
   )
 
   /** DuckDB replay of the q120 farthest-point traversal: one (center,
