@@ -468,6 +468,83 @@ object CorpusStats {
                (cum_pos * n * 1000000) // (cum_n * p) AS cum_lift_ppm
         FROM c ORDER BY decile""")),
 
+    // ---- q195: Zipf slope of the bigram distribution per source ----
+    // How "natural" is each source's token statistics? Natural-language
+    // n-gram frequencies follow rank^(−s) with s ≈ 1; templated or
+    // machine-generated text bends the curve. Per source: OLS slope of
+    // ln(freq) on ln(rank) over the bigram rank-frequency table
+    // (rank by count DESC with bigram tie-break ⇒ engine-identical
+    // ranks). Determinism: ln terms rounded once at 9 dp per point
+    // (continuous, the q112 class), the five regression sums
+    // accumulated in exact decimal, ONE mirrored final division
+    // rounded at 6 dp — the q135 grouped-OLS recipe on log-log axes.
+    //
+    // 100 TB posture: bigram counting is the map-side explode + keyed
+    // partial agg every n-gram op here uses; the rank window runs at
+    // |distinct bigrams per source| (vocabulary-, not corpus-, sized);
+    // regression sums are one more keyed agg.
+    "q195_zipf_slope" -> QueryDef(
+      build = (spark, dir) => {
+        val toks2 = Tables.documents(spark, dir)
+          .select(col("source"), toks(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 2)
+        val bi = toks2.select(col("source"),
+            explode(expr(
+              "transform(slice(ts, 1, size(ts) - 1), " +
+                "(x, i) -> concat(x, ' ', element_at(ts, i + 2)))")).as("gram"))
+          .groupBy(col("source"), col("gram"))
+          .agg(count(lit(1)).as("c"))
+        val ranked = bi.withColumn("r", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("c").desc, col("gram"))))
+          .select(col("source"),
+            round(log(col("r").cast(DoubleType)), 9).as("x"),
+            round(log(col("c").cast(DoubleType)), 9).as("y"))
+          .withColumn("xy", round(col("x") * col("y"), 9))
+          .withColumn("xx", round(col("x") * col("x"), 9))
+        ranked.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(col("x").cast(DecimalType(28, 9))).cast(DoubleType).as("sx"),
+            sum(col("y").cast(DecimalType(28, 9))).cast(DoubleType).as("sy"),
+            sum(col("xy").cast(DecimalType(28, 9))).cast(DoubleType).as("sxy"),
+            sum(col("xx").cast(DecimalType(28, 9))).cast(DoubleType).as("sxx"))
+          .select(col("source"), col("n_grams"),
+            round((col("n_grams") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_grams") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("zipf_slope"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT source, string_split(trim(text), ' ') AS ts
+                   FROM documents),
+        n AS (SELECT source, ts FROM t WHERE len(ts) >= 2),
+        bg AS (SELECT source, ts[i] || ' ' || ts[i + 1] AS gram
+               FROM (SELECT source, ts, unnest(range(1, len(ts))) AS i
+                     FROM n)),
+        bi AS (SELECT source, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        rk AS (SELECT source, c,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY c DESC, gram) AS r
+               FROM bi),
+        pt AS (SELECT source,
+                      ROUND(LN(CAST(r AS DOUBLE)), 9) AS x,
+                      ROUND(LN(CAST(c AS DOUBLE)), 9) AS y
+               FROM rk),
+        p2 AS (SELECT source, x, y,
+                      ROUND(x * y, 9) AS xy, ROUND(x * x, 9) AS xx
+               FROM pt),
+        a AS (SELECT source, COUNT(*) AS n_grams,
+                     CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST(xy AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+                     CAST(SUM(CAST(xx AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+              FROM p2 GROUP BY source)
+        SELECT source, n_grams,
+               ROUND((n_grams * sxy - sx * sy)
+                 / (n_grams * sxx - sx * sx), 6) AS zipf_slope
+        FROM a ORDER BY source"""))
+    ,
+
     // ---- q171: per-class one-vs-rest AUC, integer-exact ----
     // [[rankSumAuc]] — q169's kernel — swept over every label as the
     // positive class via a class-partitioned window (the per-class eval

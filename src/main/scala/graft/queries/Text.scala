@@ -412,7 +412,11 @@ object Text {
     // executor in the closure; the scan is map-side; the only shuffle is
     // the |patterns|-cardinality count aggregation. Pattern count scales
     // without re-reading the corpus — see ScaleProbe "multipattern".
+    // HEADLINE SINCE ROUND 7: tracks the automaton-scan cost
+    // round-over-round (BENCH totals grow by its ~0.3 s by
+    // construction, like q139's addition in round 6).
     "q177_blocklist_scan" -> QueryDef(
+      headline = true,
       build = (spark, dir) => {
         val pats = BlocklistPatterns
         graft.operators.MultiPatternMatch
