@@ -1394,7 +1394,114 @@ object Analytics {
           ON f.o_custkey = d.d_cust
          AND d.valid_from <= f.lookup_ts
          AND (d.valid_to IS NULL OR f.lookup_ts < d.valid_to)
-        ORDER BY f.o_orderkey"""))
+        ORDER BY f.o_orderkey""")),
+
+    // ---- q196: referential-integrity audit (dbt-style FK tests) ----
+    // The relationship tests every warehouse runs before trusting a
+    // join: for each declared FK edge, how many child rows exist and
+    // how many are ORPHANS (no matching parent — rows a later inner
+    // join would silently drop). Shape per edge: one left-anti join on
+    // the key, i.e. the exact plan the violation would corrupt. The
+    // fixture is referentially clean, so the audit's zeros are the
+    // assertion — any generator or ingest regression that breaks an
+    // edge flips a hashed value.
+    //
+    // 100 TB posture: each edge is a keyed anti-join (broadcast when
+    // the parent is dimension-sized, shuffle otherwise — Catalyst's
+    // call); the four audits share nothing, so AQE runs them as
+    // independent subtrees of one union.
+    "q196_fk_integrity" -> QueryDef(
+      build = (spark, dir) => {
+        def audit(edge: String, child: DataFrame, childKey: String,
+            parent: DataFrame, parentKey: String): DataFrame = {
+          val orphans = child.join(parent,
+            child(childKey) === parent(parentKey), "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            .select(lit(edge).as("fk_edge"), col("n_child"),
+              col("n_orphans"),
+              expr("(n_orphans * 1000000) div n_child").as("orphan_ppm"))
+        }
+        val o = Tables.orders(spark, dir)
+        val l = Tables.lineitem(spark, dir)
+        audit("lineitem.l_orderkey->orders", l, "l_orderkey",
+            o, "o_orderkey")
+          .unionAll(audit("lineitem.l_partkey->part", l, "l_partkey",
+            Tables.part(spark, dir), "p_partkey"))
+          .unionAll(audit("lineitem.l_suppkey->supplier", l, "l_suppkey",
+            Tables.supplier(spark, dir), "s_suppkey"))
+          .unionAll(audit("orders.o_custkey->customer", o, "o_custkey",
+            Tables.customer(spark, dir), "c_custkey"))
+          .orderBy(col("fk_edge"))
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+                 (SELECT COUNT(*) FROM lineitem) AS n_child,
+                 (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_orphans
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part',
+                 (SELECT COUNT(*) FROM lineitem),
+                 (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+          UNION ALL
+          SELECT 'lineitem.l_suppkey->supplier',
+                 (SELECT COUNT(*) FROM lineitem),
+                 (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+          UNION ALL
+          SELECT 'orders.o_custkey->customer',
+                 (SELECT COUNT(*) FROM orders),
+                 (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+               CAST(n_orphans AS BIGINT) AS n_orphans,
+               (CAST(n_orphans AS BIGINT) * 1000000) // n_child AS orphan_ppm
+        FROM a ORDER BY fk_edge""")),
+
+    // ---- q197: cohort revenue triangle (LTV accumulation) ----
+    // The lifetime-value view finance teams read: customers grouped by
+    // FIRST-order month, revenue laid out by months-since-first —
+    // the revenue dual of q68's retention cohorts. Month arithmetic is
+    // pure integers (y·12+m), cents exact; months_since = order month
+    // index − cohort month index. One customer-keyed window for the
+    // cohort assignment, one keyed agg for the triangle.
+    "q197_cohort_revenue_triangle" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderdate"),
+            round(col("o_totalprice") * 100).cast(LongType).as("cents"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .as("mi"))
+        val w = Window.partitionBy(col("o_custkey"))
+        val c = o.withColumn("m0", min(col("mi")).over(w))
+          .withColumn("cohort_start", min(col("o_orderdate")).over(w))
+        c.groupBy(
+            date_format(col("cohort_start"), "yyyy-MM").as("cohort_month"),
+            (col("mi") - col("m0")).cast(LongType).as("months_since"))
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            sum(col("cents")).as("revenue_cents"))
+          .orderBy(col("cohort_month"), col("months_since"))
+      },
+      oracle = Some("""
+        WITH o AS (SELECT o_custkey, o_orderdate,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                          year(o_orderdate) * 12 + month(o_orderdate) AS mi
+                   FROM orders),
+        c AS (SELECT *,
+                     MIN(mi) OVER (PARTITION BY o_custkey) AS m0,
+                     MIN(o_orderdate) OVER (PARTITION BY o_custkey)
+                       AS cohort_start
+              FROM o)
+        SELECT strftime(cohort_start, '%Y-%m') AS cohort_month,
+               mi - m0 AS months_since,
+               COUNT(*) AS n_orders,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM c GROUP BY 1, 2 ORDER BY cohort_month, months_since"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */
