@@ -1501,7 +1501,104 @@ object Analytics {
                COUNT(*) AS n_orders,
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
                CAST(SUM(cents) AS BIGINT) AS revenue_cents
-        FROM c GROUP BY 1, 2 ORDER BY cohort_month, months_since"""))
+        FROM c GROUP BY 1, 2 ORDER BY cohort_month, months_since""")),
+
+    // ---- q198: Pareto revenue concentration, integer-exact ----
+    // The 80/20 question finance asks first: how few customers carry
+    // 80% of revenue? Customers ranked by exact revenue cents
+    // (custkey tie-break), cumulative share tested with the
+    // cross-multiplied integer condition 5·cum ≥ 4·total (no FP
+    // percentage ever compared); output the count and ppm of customers
+    // needed for the 80% band plus the top-decile revenue share.
+    //
+    // 100 TB posture: per-customer revenue is a keyed agg; the rank
+    // and running sum operate at |customers| — the q155 two-pass
+    // range-partition recipe at real scale, as q74/q116 document; the
+    // final reduction is one row.
+    "q198_pareto_concentration" -> QueryDef(
+      build = (spark, dir) => {
+        val rev = Tables.orders(spark, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast(LongType))
+            .as("cents"))
+        val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+        val r = rev
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("cum", sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = rev.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
+        r.crossJoin(broadcast(tot))
+          .select(col("rn"), col("cum"), col("n"), col("t"))
+          .agg(max(col("n")).as("n_customers"),
+            max(col("t")).as("total_cents"),
+            min(when(col("cum") * 5 >= col("t") * 4, col("rn")))
+              .as("n_for_80pct"),
+            max(when(col("rn") * 10 <= col("n"), col("cum")))
+              .as("top_decile_cents"))
+          .select(col("n_customers"), col("total_cents"),
+            col("n_for_80pct"),
+            expr("(n_for_80pct * 1000000) div n_customers")
+              .as("pct80_ppm"),
+            expr("(top_decile_cents * 1000000) div total_cents")
+              .as("top_decile_share_ppm"))
+      },
+      oracle = Some("""
+        WITH rev AS (SELECT o_custkey,
+                            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS cents
+                     FROM orders GROUP BY o_custkey),
+        r AS (SELECT o_custkey, cents,
+                     ROW_NUMBER() OVER w AS rn,
+                     CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM rev WINDOW w AS (ORDER BY cents DESC, o_custkey)),
+        t AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS t
+              FROM rev),
+        a AS (SELECT MAX(t.n) AS n_customers, MAX(t.t) AS total_cents,
+                     CAST(MIN(CASE WHEN cum * 5 >= t.t * 4 THEN rn END)
+                       AS BIGINT) AS n_for_80pct,
+                     CAST(MAX(CASE WHEN rn * 10 <= t.n THEN cum END)
+                       AS BIGINT) AS top_decile_cents
+              FROM r CROSS JOIN t)
+        SELECT n_customers, total_cents, n_for_80pct,
+               (n_for_80pct * 1000000) // n_customers AS pct80_ppm,
+               (top_decile_cents * 1000000) // total_cents
+                 AS top_decile_share_ppm
+        FROM a""")),
+
+    // ---- q199: market-basket part pairs ----
+    // Which parts sell TOGETHER — the co-occurrence support table
+    // recommendation and placement decisions start from. Within-order
+    // part pairs (a < b, parts deduped per order first so quantity
+    // splits don't double-count a pair), support counted, top-20 by
+    // (support DESC, pair) — a total order, so LIMIT is deterministic.
+    //
+    // 100 TB posture: the pair fan-out is bounded by ORDER SIZE (≤7
+    // lineitems here; baskets are small everywhere), so the self-join
+    // on orderkey is a keyed equijoin with per-key fanout ≤ |basket|²,
+    // never a corpus-scale cross; support counting is a keyed partial
+    // agg and top-20 is TakeOrderedAndProject.
+    "q199_basket_pairs" -> QueryDef(
+      build = (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val a = li.select(col("ok"), col("pk").as("part_a"))
+        val b = li.select(col("ok").as("ok2"), col("pk").as("part_b"))
+        a.join(b, col("ok") === col("ok2") && col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem)
+        SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
+        FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        ORDER BY support DESC, part_a, part_b LIMIT 20"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */
