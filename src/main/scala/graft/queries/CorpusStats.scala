@@ -545,6 +545,55 @@ object CorpusStats {
         FROM a ORDER BY source"""))
     ,
 
+    // ---- q200: global corpus data card ----
+    // The one-row corpus summary a dataset release ships next to its
+    // README (the global dual of q118's per-source cards): document,
+    // token, vocabulary, dedup, event and embedding totals in one
+    // place, every figure an exact integer. Each domain is touched
+    // once: documents feed a token explode → two aggs (doc-level and
+    // vocab-level), events and embeddings one agg each, stitched by
+    // 1-row cross joins.
+    "q200_corpus_data_card" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+        val docAgg = d.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          (count(lit(1)) - countDistinct(md5(col("text").cast("binary"))))
+            .as("exact_dup_docs"))
+        val tok = d.select(explode(toks(col("text"))).as("t"))
+        val tokAgg = tok.agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("t")).as("n_vocab"))
+        val evAgg = Tables.events(spark, dir).agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        val emAgg = Tables.embeddings(spark, dir).agg(
+          count(lit(1)).as("n_vectors"),
+          countDistinct(col("label")).as("n_classes"))
+        docAgg.crossJoin(tokAgg).crossJoin(evAgg).crossJoin(emAgg)
+      },
+      oracle = Some("""
+        WITH d AS (SELECT COUNT(*) AS n_docs,
+                          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                          CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                            AS exact_dup_docs
+                   FROM documents),
+        t AS (SELECT COUNT(*) AS n_tokens,
+                     CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab
+              FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+                    FROM documents)),
+        e AS (SELECT COUNT(*) AS n_events,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events),
+        v AS (SELECT COUNT(*) AS n_vectors,
+                     CAST(COUNT(DISTINCT label) AS BIGINT) AS n_classes
+              FROM embeddings)
+        SELECT * FROM d CROSS JOIN t CROSS JOIN e CROSS JOIN v""")),
+
     // ---- q171: per-class one-vs-rest AUC, integer-exact ----
     // [[rankSumAuc]] — q169's kernel — swept over every label as the
     // positive class via a class-partitioned window (the per-class eval
