@@ -467,6 +467,30 @@ object ScaleProbe {
       }
     }
 
+    // bpe merge-count probe: the axis that binds at production vocab
+    // sizes (32k–100k merges) is MERGE COUNT, not corpus size — the
+    // sequential trainer pays one vocab-sized Spark job + driver barrier
+    // per merge, so wall time is linear in merges with a large constant
+    // (pure scheduling). Batched training (top-m symbol-disjoint merges
+    // per job, BpeTrainer batchSize) amortizes ~batchSize merges into
+    // each job: wall time vs merge count should flatten toward
+    // merges/batchSize rounds. seq=1 rows are the naive arm; batch=64
+    // rows are the scale arm at 64/256/1024 merges.
+    if (enabled("bpemerges")) {
+      // sf0.1 documents exhausts all pairs after ~90 merges (small
+      // synthetic vocabulary); the alphabet-rotated corpus(16) multiplies
+      // pair diversity 16x so the 256/1024-merge rows measure real work.
+      def bpeN(s: Int, n: Int, m: Int): Long = graft.operators.BpeTrainer
+        .train(corpus(s), "text", n, batchSize = m).count()
+      bpeN(1, 8, 1) // warmup
+      Seq((1, 8, 1), (1, 64, 1), (1, 64, 64),
+        (16, 256, 1), (16, 256, 64), (16, 1024, 64)).foreach {
+        case (s, n, m) =>
+          val (sec, got) = timed(bpeN(s, n, m))
+          println(f"""{"probe":"bpemerges","corpus_scale":$s,"merges_asked":$n,"batch":$m,"merges_done":$got,"sec":$sec%.3f,"merges_per_sec":${(got / sec).toLong}}""")
+      }
+    }
+
     // semantic-dedup probe: q90's operator on the planted synthetic
     // vectors (second half clones the first at cos ≈ 0.999; tau = 0.9
     // targets exactly those). Flat-IVF total work = n·k (assignment)
