@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   *
   * ── CODEC BOUNDARY ─────────────────────────────────────────────────────
   * IMAGES ARE REAL since round 7: payloads are actual PNGs written and
-  * decoded by the JDK's own `javax.imageio` codec ([[ImageCodec]]) — no
-  * external library, runs on any executor. Audio/video still go through
-  * `FakeCodec` (this container genuinely has no audio/video codecs): it
-  * derives deterministic "samples" from a keystream. Every Spark-side
-  * contract — schemas, binary transport, partition sizing, batch shape,
-  * feature layout — is identical across both arms; swapping `FakeCodec`
-  * for a JNI codec changes no plan shape. The audio/video stub functions
-  * are the ONLY non-production code here.
+  * decoded by the JDK's own `javax.imageio` codec ([[ImageCodec]]).
+  * AUDIO IS REAL since round 8: payloads are actual WAV containers
+  * (RIFF/WAVE, 16-bit mono PCM) written and decoded by the JDK's own
+  * `javax.sound.sampled` codec ([[AudioCodec]]) — no external library,
+  * runs on any executor. Only VIDEO still goes through `FakeCodec` (this
+  * container genuinely has no video codec): it derives deterministic
+  * "frames" from a keystream. Every Spark-side contract — schemas, binary
+  * transport, partition sizing, batch shape, feature layout — is identical
+  * across all arms; swapping `FakeCodec` for a JNI video codec changes no
+  * plan shape. The video stub functions are the ONLY non-production code
+  * here.
   * ───────────────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -55,12 +58,16 @@ object Multimodal {
       val meta = kind match {
         case "image" => MediaMeta(kind, "png", 64 + (id % 4).toInt * 32,
           64 + (id % 3).toInt * 32, 0, 1)
-        case "audio" => MediaMeta(kind, "fake-pcm", 0, 0, 16000, 4 + (id % 4).toInt)
+        case "audio" => MediaMeta(kind, "wav", 0, 0, 16000, 4 + (id % 4).toInt)
         case _       => MediaMeta(kind, "fake-vid", 64, 64, 0, 8 + (id % 8).toInt)
       }
-      val payload =
-        if (kind == "image") ImageCodec.encodePng(id, seed, meta.width, meta.height)
-        else FakeCodec.encode(id, seed, meta)
+      val payload = kind match {
+        case "image" => ImageCodec.encodePng(id, seed, meta.width, meta.height)
+        // nFrames 10 ms chunks at sampleRate Hz, 16-bit mono
+        case "audio" => AudioCodec.encodeWav(id, seed, meta.sampleRate,
+          meta.sampleRate / 100 * meta.nFrames)
+        case _ => FakeCodec.encode(id, seed, meta)
+      }
       MediaAsset(id, meta, payload)
     })
   }
@@ -77,9 +84,11 @@ object Multimodal {
       val hist = new Array[Int](256) // reused per partition — no per-row alloc
       it.map { a =>
         java.util.Arrays.fill(hist, 0)
-        val decoded =
-          if (a.meta.kind == "image") ImageCodec.decode(a.payload).gray
-          else FakeCodec.decode(a.payload)
+        val decoded = a.meta.kind match {
+          case "image" => ImageCodec.decode(a.payload).gray
+          case "audio" => AudioCodec.decode(a.payload).pcm
+          case _       => FakeCodec.decode(a.payload)
+        }
         var i = 0
         while (i < decoded.length) { hist(decoded(i) & 0xff) += 1; i += 1 }
         val total = math.max(decoded.length, 1).toFloat
@@ -305,9 +314,79 @@ object Multimodal {
     }
   }
 
-  // ---- STUB codec (audio/video only — see CODEC BOUNDARY) ------------
+  // ---- REAL audio codec (JDK javax.sound.sampled — no external dep) --
 
-  /** Deterministic stand-in for audio/video codecs. */
+  /** Audio encode/decode on the JDK's own WAVE codec (`javax.sound.
+    * sampled.AudioSystem` reads and writes RIFF/WAVE with PCM payloads in
+    * every JDK — the same zero-external-jar move that made images real).
+    * All entry points are partition-local pure functions over byte
+    * arrays: executor-safe (no audio device is ever opened — only the
+    * container codec runs), deterministic (fixed 16-bit little-endian
+    * mono PCM encoding). */
+  object AudioCodec {
+
+    final case class DecodedAudio(sampleRate: Int, channels: Int, pcm: Array[Byte]) {
+      /** PCM frame count (16-bit samples per channel). */
+      def nSamples: Int = pcm.length / 2 / channels
+      /** Signed 16-bit little-endian sample i (first channel). */
+      def sample(i: Int): Int =
+        ((pcm(2 * i * channels + 1).toInt << 8) | (pcm(2 * i * channels) & 0xff)).toShort.toInt
+    }
+
+    /** `nSamples` keystream samples for (id, seed) through the REAL JDK
+      * WAVE writer. */
+    def encodeWav(id: Long, seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] =
+      encodePcmWav(FakeCodec.keystream(id, seed, nSamples * 2), sampleRate)
+
+    /** Wrap raw 16-bit little-endian mono PCM bytes in a WAV container
+      * via `AudioSystem.write` (the real codec, not a hand-rolled
+      * header). */
+    def encodePcmWav(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+      require(pcm.length % 2 == 0, "16-bit PCM needs an even byte count")
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, (pcm.length / 2).toLong)
+      val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
+      try javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      finally ais.close()
+      out.toByteArray
+    }
+
+    /** Decode any AudioSystem-supported container to raw 16-bit
+      * little-endian PCM bytes plus its format metadata. */
+    def decode(payload: Array[Byte]): DecodedAudio = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+        val out = new java.io.ByteArrayOutputStream(
+          math.max(64, ais.available()))
+        val buf = new Array[Byte](8192)
+        var n = ais.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = ais.read(buf) }
+        val raw = out.toByteArray
+        // normalize to little-endian (WAV already is; belt-and-braces
+        // for other containers the SPI may hand us)
+        if (fmt.isBigEndian) {
+          var i = 0
+          while (i + 1 < raw.length) {
+            val t = raw(i); raw(i) = raw(i + 1); raw(i + 1) = t; i += 2
+          }
+        }
+        DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, raw)
+      } finally ais.close()
+    }
+  }
+
+  // ---- STUB codec (video only — see CODEC BOUNDARY) ------------------
+
+  /** Deterministic stand-in for the video codec (also the keystream
+    * generator the real image/audio arms draw their planted samples
+    * from). */
   object FakeCodec {
     /** xxhash-style keystream: `size` bytes derived from (id, seed). */
     def keystream(id: Long, seed: Long, size: Int): Array[Byte] = {
@@ -324,18 +403,13 @@ object Multimodal {
       out
     }
 
-    /** Keystream payload sized from metadata. */
-    def encode(id: Long, seed: Long, meta: MediaMeta): Array[Byte] = {
-      val size = meta.kind match {
-        case "image" => meta.width * meta.height
-        case "audio" => meta.sampleRate / 100 * meta.nFrames
-        case _       => meta.width * meta.height * meta.nFrames
-      }
-      keystream(id, seed, size)
-    }
+    /** Keystream "video" payload sized from metadata (nFrames w×h
+      * frames). */
+    def encode(id: Long, seed: Long, meta: MediaMeta): Array[Byte] =
+      keystream(id, seed, meta.width * meta.height * meta.nFrames)
 
     /** "Decode": identity over the fake container (a real codec would
-      * produce pixels/samples here). */
+      * produce frames here). */
     def decode(payload: Array[Byte]): Array[Byte] = payload
   }
 }

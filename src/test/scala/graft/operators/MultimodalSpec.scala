@@ -86,6 +86,35 @@ class MultimodalSpec extends SparkSpec {
     assert(di.width == img.meta.width && di.height == img.meta.height)
   }
 
+  test("audio payloads are REAL WAVs: RIFF magic, sample count, PCM checksum") {
+    // planted audio: known id/seed/samples -> the decoded PCM must equal
+    // the generator keystream byte-for-byte (WAV PCM is lossless)
+    val (id, seed, rate, nSamples) = (11L, 42L, 16000, 640)
+    val wav = AudioCodec.encodeWav(id, seed, rate, nSamples)
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F',
+      "payload does not start with the RIFF signature")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val d = AudioCodec.decode(wav)
+    assert(d.sampleRate == rate && d.channels == 1)
+    assert(d.nSamples == nSamples, s"decoded ${d.nSamples} samples, planted $nSamples")
+    val expected = FakeCodec.keystream(id, seed, nSamples * 2)
+    assert(java.util.Arrays.equals(d.pcm, expected),
+      "decoded PCM differs from the planted samples")
+    // checksum pinned: catches a silently lossy/resampling path on any JDK
+    val crc = new java.util.zip.CRC32(); crc.update(d.pcm)
+    val crcExp = new java.util.zip.CRC32(); crcExp.update(expected)
+    assert(crc.getValue == crcExp.getValue)
+    // signed little-endian sample accessor agrees with manual decoding
+    assert(d.sample(0) ==
+      (((expected(1).toInt << 8) | (expected(0) & 0xff)).toShort.toInt))
+    // and the corpus audio arm goes through this codec (format tag + decode)
+    val au = syntheticAssets(spark, 3).filter(_.meta.kind == "audio").head()
+    assert(au.meta.format == "wav")
+    val da = AudioCodec.decode(au.payload)
+    assert(da.sampleRate == au.meta.sampleRate)
+    assert(da.nSamples == au.meta.sampleRate / 100 * au.meta.nFrames)
+  }
+
   test("featureProfile is stable (golden)") {
     val p1 = featureProfile(spark, 500).collect()
     val p2 = featureProfile(spark, 500).collect()
