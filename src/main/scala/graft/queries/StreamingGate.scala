@@ -252,9 +252,18 @@ object StreamingGate {
     * engine's no-data flush evicts + emits every remaining unmatched
     * view. The law (measured at both SFs, then encoded): the drained
     * emission, sentinel row excluded, equals the BATCH left interval
-    * join exactly. */
-  def streamedOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val run = new GateRun(spark, "q187",
+    * join exactly.
+    *
+    * q201 runs the SAME harness with `joinType = "full_outer"`: BOTH
+    * sides emit null-matched evictions (views with no purchase in
+    * window AND purchases no view window covers), so the drain law is
+    * the union of q187's and its mirror — the full-outer drain equals
+    * the BATCH full interval join exactly. The sentinel recipe already
+    * advances both side clocks (each side's watermark is post-filter),
+    * so purchase-side eviction needs no new machinery. */
+  def streamedOuterJoin(spark: SparkSession, dir: String,
+      joinType: String = "left_outer", gate: String = "q187"): DataFrame = {
+    val run = new GateRun(spark, gate,
       Seq("events.parquet" -> s"$dir/events.parquet"))
     val era = eventsEra(spark, dir)
     val prev = spark.conf.getOption(NanosKey)
@@ -293,9 +302,10 @@ object StreamingGate {
           col("v_user") === col("p_user") &&
             col("p_time") >= col("v_time") &&
             col("p_time") <= col("v_time") + expr("INTERVAL 120 MINUTES"),
-          "left_outer")
-        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
-          col("p_id").as("purchase_id"))
+          joinType)
+        // v_user is null on purchase-side evictions (full_outer only)
+        .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+          col("v_id").as("view_id"), col("p_id").as("purchase_id"))
         .writeStream
         .format("memory")
         .queryName(run.sink)
@@ -311,9 +321,11 @@ object StreamingGate {
       }
       run.cleanup()
     }
+    // sentinels are the user −1 pair (they match each other, so they
+    // never surface as null-matched rows on either side)
     spark.table(run.sink)
-      .filter(col("view_id") =!= -1L)
-      .orderBy(col("user_id"), col("view_id"),
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"), col("view_id").asc_nulls_first,
         col("purchase_id").asc_nulls_first)
   }
 
@@ -942,7 +954,38 @@ object StreamingGate {
                w.event_type, w.n, w.sum_value
         FROM w CROSS JOIN m
         WHERE w.ws + INTERVAL 1 HOUR <= m.mx - INTERVAL 1 HOUR
-        ORDER BY hour_start, event_type""")))
+        ORDER BY hour_start, event_type"""))) :+ (
+
+    // ---- q201: streamed FULL OUTER interval join, oracle-backed ----
+    // The last member of the streaming-join family (q140 inner, q168
+    // stream-static, q187 left outer): BOTH sides emit null-matched
+    // evictions — views that found no purchase within 2 h AND purchases
+    // that no view's window covers. Each direction's emission trigger
+    // is state eviction on ITS side's watermark; the q187 sentinel
+    // already advances both side clocks (each side's watermark is
+    // computed after its event_type filter), so the same flush recipe
+    // drains both eviction streams. The measured-then-encoded law: the
+    // drained emission, sentinel pair excluded, equals the batch FULL
+    // interval join exactly — eleventh streaming law: two-sided
+    // outer-join eviction completeness under a clock that covers the
+    // corpus.
+    "q201_streamed_full_outer_join" -> QueryDef(
+      build = (spark, dir) =>
+        streamedOuterJoin(spark, dir, "full_outer", "q201"),
+      oracle = Some("""
+        WITH v AS (SELECT user_id, event_id AS view_id,
+                          CAST(ts AS TIMESTAMP) AS vt
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS purchase_id,
+                     CAST(ts AS TIMESTAMP) AS pt
+              FROM events WHERE event_type = 'purchase')
+        SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+               v.view_id, p.purchase_id
+        FROM v FULL JOIN p
+          ON p.user_id = v.user_id
+         AND p.pt >= v.vt AND p.pt <= v.vt + INTERVAL 120 MINUTES
+        ORDER BY user_id, view_id ASC NULLS FIRST,
+                 purchase_id ASC NULLS FIRST""")))
 
   /** q184: the q149 replay harness with watermarked, bounded-state
     * dedup. See the QueryDef comment for the delay-covers-span law. */

@@ -6,6 +6,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
+/** Typed row for the full-outer interval-join case (top-level: local
+  * case classes can't derive a product Encoder). */
+final case class JoinEv(user: Long, id: Long, t: java.sql.Timestamp)
+
 class StreamingOpsSpec extends SparkSpec {
 
   private def rec(vid: String, ts: String, speed: Double,
@@ -90,6 +94,51 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("collision_speed") == 80.0)
     assert(rows.head.getAs[java.sql.Timestamp]("braking_time").toString
       .startsWith("2025-06-15 10:03:00"))
+  }
+
+  test("full-outer interval join emits BOTH sides' evictions once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[JoinEv]
+    val purchases = MemoryStream[JoinEv]
+    val v = views.toDF().select(col("user").as("v_user"),
+      col("id").as("v_id"), col("t").as("v_time"))
+      .withWatermark("v_time", "0 seconds")
+    val p = purchases.toDF().select(col("user").as("p_user"),
+      col("id").as("p_id"), col("t").as("p_time"))
+      .withWatermark("p_time", "0 seconds")
+    val q = v.join(p, col("v_user") === col("p_user") &&
+        col("p_time") >= col("v_time") &&
+        col("p_time") <= col("v_time") + expr("INTERVAL 10 MINUTES"),
+        "full_outer")
+      .select(coalesce(col("v_user"), col("p_user")).as("user"),
+        col("v_id"), col("p_id"))
+      .writeStream.format("memory").queryName("fo_join")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: one matched pair (u1), one matchless view (u2), one
+    // matchless purchase (u3)
+    views.addData(JoinEv(1, 10, ts("2025-06-15 10:00:00")),
+      JoinEv(2, 20, ts("2025-06-15 10:00:00")))
+    purchases.addData(JoinEv(1, 11, ts("2025-06-15 10:05:00")),
+      JoinEv(3, 31, ts("2025-06-15 10:07:00")))
+    q.processAllAvailable()
+    // batch 2: far-future rows on BOTH sides push both watermarks past
+    // every batch-1 join window -> the engine must evict and emit the
+    // null-matched rows from EACH side (the q201 sentinel-flush shape)
+    views.addData(JoinEv(99, 990, ts("2025-06-15 12:00:00")))
+    purchases.addData(JoinEv(99, 991, ts("2025-06-15 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fo_join")
+      .filter(col("user") < 99) // the clock-advancing pair stays in state
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(rows == Set(
+      (1L, Some(10L), Some(11L)),  // matched within the 10-min window
+      (2L, Some(20L), None),       // view-side eviction
+      (3L, None, Some(31L))))      // purchase-side eviction
   }
 
   test("stream-static join enriches a live stream with a dimension table") {
