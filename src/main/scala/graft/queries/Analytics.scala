@@ -1511,21 +1511,25 @@ object Analytics {
     // percentage ever compared); output the count and ppm of customers
     // needed for the 80% band plus the top-decile revenue share.
     //
-    // 100 TB posture: per-customer revenue is a keyed agg; the rank
-    // and running sum operate at |customers| — the q155 two-pass
-    // range-partition recipe at real scale, as q74/q116 document; the
-    // final reduction is one row.
+    // 100 TB posture (REAL two-pass since round 8): per-customer
+    // revenue is a keyed agg; the rank AND running sum at |customers|
+    // come from `GlobalRank.withRankAndPrefix` — cents-keyed tie-break
+    // window + range-correlated sharded offset table + keyed equijoin,
+    // no single-partition window over customer rows (within a cents
+    // tie group the running sum is offset + rank·cents exactly, custkey
+    // order being immaterial to the sum); the final reduction is one
+    // row. Note the tie-break id is custkey only WITHIN equal cents, so
+    // the emitted (rn, cum) pairs match the global-sort form row-for-row.
     "q198_pareto_concentration" -> QueryDef(
       build = (spark, dir) => {
         val rev = Tables.orders(spark, dir)
           .groupBy(col("o_custkey"))
           .agg(sum(round(col("o_totalprice") * 100).cast(LongType))
             .as("cents"))
-        val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-        val r = rev
-          .withColumn("rn", row_number().over(w).cast(LongType))
-          .withColumn("cum", sum(col("cents")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // shardDiv 2^20: per-customer cents spread over a wide range;
+        // keeps the offset table at value-range/2^20 rows
+        val r = graft.operators.GlobalRank
+          .withRankAndPrefix(rev, "cents", "o_custkey", shardDiv = 1048576L)
         val tot = rev.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
         r.crossJoin(broadcast(tot))
           .select(col("rn"), col("cum"), col("n"), col("t"))

@@ -415,17 +415,18 @@ object CorpusStats {
     // ONE integer division, so no rational ever rounds). Ties in score
     // break by vec_id, so decile assignment is engine-identical.
     //
-    // 100 TB posture: the one event-scale op is the global rank — at
-    // real scale a range repartition on score + per-shard offsets (the
-    // q155 two-pass recipe, as in q74/q116's exact percentiles); the
-    // decile agg and cumulative windows run on 10 rows.
+    // 100 TB posture (REAL two-pass since round 8 — no corpus-scale
+    // global sort): rn comes from `GlobalRank.withRankAndPrefix` —
+    // score-keyed tie-break window + range-correlated sharded offset
+    // table + keyed equijoin on score (see the operator's scaladoc);
+    // the decile agg and cumulative windows then run on 10 rows.
     "q190_decile_lift" -> QueryDef(
       build = (spark, dir) => {
         val s = Tables.embeddings(spark, dir)
           .select(col("vec_id"), l2QuantScore.as("score"),
             when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
-        val ranked = s.withColumn("rn", row_number().over(
-          Window.orderBy(col("score").desc, col("vec_id"))))
+        val ranked = graft.operators.GlobalRank
+          .withRankAndPrefix(s, "score", "vec_id").drop("cum")
         val tot = s.agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
         val wc = Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

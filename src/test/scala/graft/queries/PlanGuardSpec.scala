@@ -375,4 +375,99 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SinglePartition, ENSURE_REQUIREMENTS"),
       "a doc-scale window serialized through one partition")
   }
+
+  // ---- round-8 additions: the q190-q201 tail ----
+
+  /** Input column lists of every SinglePartition exchange in a
+    * formatted plan — the q161 technique specialized: the guard is that
+    * ROW-SCALE columns never funnel through one partition; bounded
+    * offset/reduction tables may. */
+  private def singlePartitionInputs(p: String): Seq[String] =
+    ("\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]\\s*" +
+      "\\nArguments: SinglePartition").r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+
+  test("q190: the gains-table rank is two-pass — population rows never hit one partition") {
+    val p = plan("q190_decile_lift")
+    // GlobalRank: score-keyed tie-break window + sharded offset table
+    assert(p.contains("hashpartitioning(score"),
+      "per-score tie-break window not keyed by score")
+    // SinglePartition exchanges may carry only the bounded offset /
+    // 1-row / 10-decile tables — never a population row (vec_id)
+    singlePartitionInputs(p).foreach(in =>
+      assert(!in.contains("vec_id#"),
+        s"population rows serialized through one partition: [$in]"))
+  }
+
+  test("q198: the Pareto prefix sum is two-pass — customer rows never hit one partition") {
+    val p = plan("q198_pareto_concentration")
+    assert(p.contains("hashpartitioning(cents"),
+      "per-cents tie-break window not keyed by the revenue value")
+    singlePartitionInputs(p).foreach(in =>
+      assert(!in.contains("o_custkey#"),
+        s"customer rows serialized through one partition: [$in]"))
+  }
+
+  test("q191: incremental LSH stays keyed joins with pushed-down scans") {
+    val p = plan("q191_incremental_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "append-only signature matching degenerated into an all-pairs join")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      "incremental split not pushed to the parquet scans")
+  }
+
+  test("q196: FK orphan checks are keyed ANTI-joins; cross only for 1-row totals") {
+    val p = plan("q196_fk_integrity")
+    // four FK edges, each an anti-join (never a filtered outer or a
+    // cartesian probe)
+    assert("Join type: LeftAnti".r.findAllIn(p).size >= 4,
+      "FK orphan probes lost their anti-join shape")
+    assert(!p.contains("CartesianProduct"),
+      "an FK audit arm planned a shuffled cartesian")
+    // the only cross joins allowed are the per-FK 1-row denominator
+    // broadcasts (one detail line per node)
+    assert("Join type: Cross".r.findAllIn(p).size <= 5,
+      "more cross joins than the 1-row denominator broadcasts explain")
+  }
+
+  test("q197: the cohort triangle shuffles the order stream ONCE, by customer") {
+    val p = plan("q197_cohort_revenue_triangle")
+    // cohort window runs on the o_custkey shuffle; after it only the
+    // (cohort, months)-sized agg exchange + presentation sort remain
+    assert("Arguments: hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1,
+      "cohort assignment re-shuffles the order stream")
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 2,
+      "more hash shuffles than (customer window, cohort-cell agg)")
+  }
+
+  test("q199: basket pairs stay bounded — keyed aggs, broadcast probe, heap top-k") {
+    val p = plan("q199_basket_pairs")
+    assert(!p.contains("CartesianProduct"),
+      "pair expansion planned a cartesian over line items")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top pairs executes as a global sort")
+    // the pair-count agg must be partial/final split around its exchange
+    assert(p.contains("partial_count"),
+      "pair counting not partially aggregated before the exchange")
+  }
+
+  test("q200: the data card reduces per domain — raw text never crosses an exchange") {
+    val p = plan("q200_corpus_data_card")
+    assert(!p.contains("CartesianProduct"),
+      "a domain reduction planned a shuffled cartesian")
+    val exchanges = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[(.*?)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, "no exchange details found in formatted plan")
+    exchanges.foreach(in =>
+      assert(!in.contains("text#") || in.contains("md5"),
+        s"raw text crosses an exchange: [$in]"))
+  }
+
+  test("q193: centroid drift aggregates on (label, half) keys — never cartesian") {
+    val p = plan("q193_embedding_drift")
+    assert(p.contains("hashpartitioning(label"),
+      "centroid accumulation not keyed by (label, half)")
+    assert(!p.contains("CartesianProduct"),
+      "cohort comparison degenerated into a cross product")
+  }
 }
