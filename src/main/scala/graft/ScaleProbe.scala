@@ -402,12 +402,20 @@ object ScaleProbe {
       // adjacent generated tokens differ by exactly 7 (mod 1000), so the
       // even-index patterns genuinely occur in the corpus (the verify arm
       // of the probe); odd-index ones are misses (the common case for a
-      // real blocklist). X ≠ Y keeps every pattern borderless.
+      // real blocklist). Borderlessness (naive replace-counts ≡ automaton
+      // overlap-counts) is ASSERTED below, not argued: "wX wY" has a
+      // border whenever Y's digit string is a proper prefix of X's (e.g.
+      // "w123 w12"), which X ≠ Y alone does not rule out.
       def pats(p: Int): Seq[String] = (0 until p).map { i =>
         val x = (i * 131) % 1000
         val y = if (i % 2 == 0) (x + 7) % 1000
         else if ((i * 197) % 1000 == x) (x + 1) % 1000 else (i * 197) % 1000
         s"w$x w$y"
+      }
+      Seq(16, 64, 256).foreach { p =>
+        val bad = pats(p).filterNot(graft.operators.MultiPatternMatch.borderless)
+        require(bad.isEmpty,
+          s"generator produced bordered patterns (naive/AC totals would diverge): $bad")
       }
       def total(df: org.apache.spark.sql.DataFrame): Long =
         df.select(explode(col("pattern_hits")).as("c"))

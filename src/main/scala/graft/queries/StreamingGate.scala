@@ -263,6 +263,16 @@ object StreamingGate {
     * so purchase-side eviction needs no new machinery. */
   def streamedOuterJoin(spark: SparkSession, dir: String,
       joinType: String = "left_outer", gate: String = "q187"): DataFrame = {
+    // PRECONDITION (sentinel-flush): the staged corpus must be ONE
+    // parquet file so every real event lands in micro-batch 1 under
+    // maxFilesPerTrigger = 1. A multi-file corpus would deliver later
+    // files AFTER the sentinel batch advanced the watermark, and their
+    // rows would be dropped as late — fail fast instead of silently
+    // shrinking the drain if the fixture ever splits.
+    require(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(dir, "events.parquet")),
+      s"$dir/events.parquet must be a single parquet file for the " +
+        "sentinel-flush drain (coalesce the fixture to one file)")
     val run = new GateRun(spark, gate,
       Seq("events.parquet" -> s"$dir/events.parquet"))
     val era = eventsEra(spark, dir)

@@ -69,4 +69,15 @@ object JsonBatchReader {
     (parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
       parsed.filter(col(CorruptCol).isNotNull))
   }
+
+  /** [[splitAccounted]] with a bounded cache lifetime: runs `f` over the
+    * (good, quarantine) split and unpersists the batch-sized cache in a
+    * `finally` — so callers can't leak a pinned block per batch (the
+    * split form above leaves unpersisting to the caller, which
+    * MicroBatchPipeline used to reimplement inline just to get the
+    * unpersist right). */
+  def withSplitAccounted[T](df: DataFrame)(f: (DataFrame, DataFrame) => T): T = {
+    val (good, bad) = splitAccounted(df)
+    try f(good, bad) finally { df.unpersist(); () }
+  }
 }

@@ -92,37 +92,48 @@ object MicroBatchPipeline {
       .trigger(trigger)
       .foreachBatch { (raw: org.apache.spark.sql.DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.{col, lit}
-        // quarantine split: batch-sized cache (the corrupt-column query
-        // restriction recipe, see JsonBatchReader.splitAccounted)
-        val staged = if (config.quarantineTable.isDefined) raw.cache() else raw
-        val batch = config.quarantineTable match {
-          case Some(_) =>
-            staged.filter(col(corruptCol).isNull).drop(corruptCol)
-          case None => staged
-        }
-        config.quarantineTable.foreach { qt =>
-          val bad = staged.filter(col(corruptCol).isNotNull)
-            .select(col(corruptCol).as("raw_line"),
-              lit(batchId).as("batch_id"))
-          if (!bad.isEmpty)
-            bad.write.format("parquet").mode("append").saveAsTable(qt)
-        }
-        if (!batch.isEmpty) {
-          val enriched = config.clockEpochSec match {
-            // Injected clock => deterministic column-DSL path (golden tests).
-            case Some(_) => Enrichment.enrich(batch, config.clockEpochSec)
-            case None    => Enrichment.enrichSql(batch, config.sqlQuery)
+        def writeMain(batch: org.apache.spark.sql.DataFrame): Unit =
+          if (!batch.isEmpty) {
+            val enriched = config.clockEpochSec match {
+              // Injected clock => deterministic column-DSL path (golden tests).
+              case Some(_) => Enrichment.enrich(batch, config.clockEpochSec)
+              case None    => Enrichment.enrichSql(batch, config.sqlQuery)
+            }
+            if (config.idempotentCommit)
+              IdempotentParquetSink.write(enriched, config.table, batchId,
+                config.partitionCols, config.compression)
+            else
+              sink.write(enriched, config.table, config.partitionCols, config.compression)
+            if (config.sqlQuery.isDefined && config.clockEpochSec.isEmpty)
+              // The view lives in the batch's (cloned) session catalog.
+              batch.sparkSession.catalog.dropTempView("temp_view") // spark_job.py:68-69
           }
-          if (config.idempotentCommit)
-            IdempotentParquetSink.write(enriched, config.table, batchId,
-              config.partitionCols, config.compression)
-          else
-            sink.write(enriched, config.table, config.partitionCols, config.compression)
-          if (config.sqlQuery.isDefined && config.clockEpochSec.isEmpty)
-            // The view lives in the batch's (cloned) session catalog.
-            batch.sparkSession.catalog.dropTempView("temp_view") // spark_job.py:68-69
+        config.quarantineTable match {
+          case Some(qt) =>
+            // the shared split helper owns the batch-sized cache (the
+            // corrupt-column query restriction recipe) and unpersists it
+            // when both writes are done
+            graft.sources.JsonBatchReader.withSplitAccounted(raw) { (good, badRows) =>
+              val bad = badRows.select(col(corruptCol).as("raw_line"))
+              if (!bad.isEmpty) {
+                if (config.idempotentCommit)
+                  // same replay contract as the main table: a crash
+                  // between this write and the checkpoint commit replays
+                  // the batch, and the batch_id partition overwrite
+                  // replaces the same quarantine rows instead of
+                  // double-appending them
+                  IdempotentParquetSink.write(bad, qt, batchId)
+                else
+                  // plain-append mode keeps the reference's
+                  // at-least-once table semantics on BOTH tables;
+                  // batch_id still recorded so replays are attributable
+                  bad.withColumn("batch_id", lit(batchId))
+                    .write.format("parquet").mode("append").saveAsTable(qt)
+              }
+              writeMain(good)
+            }
+          case None => writeMain(raw)
         }
-        if (config.quarantineTable.isDefined) staged.unpersist()
         ()
       }
       .start()

@@ -88,6 +88,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quarantine replay under idempotentCommit replaces, never double-appends") {
+    val in = tmpDir("gps-quar-idem-in")
+    val table = "gps_quar_idem_main"
+    val qt = "gps_quar_idem_bad"
+    GpsGenerator.writeJsonFiles(spark, s"$in/good", n = 50, files = 1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in).resolve("bad.json"),
+      "not json at all".getBytes("UTF-8"))
+    def run(ckpt: String): Unit =
+      MicroBatchPipeline.runAvailable(spark, MicroBatchPipeline.Config(
+        inputDir = s"$in/{good/*,*.json}", checkpointDir = ckpt,
+        table = table, clockEpochSec = Some(1750000000L),
+        idempotentCommit = true, quarantineTable = Some(qt)))
+    try {
+      run(tmpDir("gps-quar-idem-ckpt1"))
+      // simulate the crash-after-write-before-commit replay: a FRESH
+      // checkpoint re-delivers the same files as the same batch ids —
+      // the batch_id partition overwrite must replace, not append, on
+      // BOTH tables (this is the quarantine half of the contract)
+      run(tmpDir("gps-quar-idem-ckpt2"))
+      spark.catalog.refreshTable(qt)
+      spark.catalog.refreshTable(table)
+      assert(spark.table(table).count() == 50, "main table double-appended")
+      assert(spark.table(qt).count() == 1, "quarantine table double-appended")
+      assert(spark.table(qt).columns.contains("batch_id"),
+        "quarantine rows lost their batch attribution")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $qt")
+    }
+  }
+
   test("observed ingest metrics ride the streaming progress events") {
     val in = tmpDir("gps-obs-in")
     val table = "gps_obs_main"
