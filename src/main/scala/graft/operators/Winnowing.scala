@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+  * MOSS local-fingerprinting algorithm), the classic robust alternative
+  * to MinHash for SUBSTRING-level overlap: hash every k-gram of the
+  * token stream, slide a window over `w` consecutive k-gram hashes, and
+  * keep each window's minimum (ties broken by earliest position). The
+  * guarantee that makes it an overlap DETECTOR rather than a sampler:
+  * any shared token run of length >= w + k - 1 between two documents
+  * contributes at least one IDENTICAL (hash, aligned-content)
+  * fingerprint to both — no luck involved, unlike mod-p hash sampling.
+  *
+  * Engine-portability: the k-gram hash is the first 10 hex chars of
+  * md5 parsed as a 40-bit integer (md5 is byte-identical across
+  * engines; xxhash64 is not), and the (hash, position) tie-break is
+  * packed into one orderable long `hash * 2^20 + pos` so a single
+  * windowed MIN selects both — the same expression a SQL oracle can
+  * run verbatim. Documents are capped at 2^20 k-grams by that packing
+  * (a million tokens; chunk longer docs upstream).
+  *
+  * 100 TB posture: everything through fingerprint emission is
+  * partition-local per document (split → gram → hash → windowed min
+  * within the doc partition); cross-document work joins on the
+  * fingerprint hash only — banded, never all-pairs, with an over-common
+  * fingerprint cap (MOSS's stop-fingerprint rule) bounding join fan-out
+  * exactly like q46's LSH band cap. */
+object Winnowing {
+
+  private val PosBits = 1048576L // 2^20
+
+  /** (doc_id, fp, pos): the winnowed fingerprint set per document.
+    * `fp` is the 40-bit k-gram hash, `pos` the 0-based gram position
+    * whose window selected it. */
+  def fingerprints(docs: DataFrame, docIdCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val toks = split(trim(col(textCol)), " ")
+    val grams = docs
+      .select(col(docIdCol).as("doc_id"),
+        (size(toks) - (k - 1)).as("gcount"),
+        posexplode(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .withColumnRenamed("pos", "gpos")
+      .withColumnRenamed("col", "gram")
+    val packed = grams.select(col("doc_id"), col("gcount"), col("gpos"),
+      (conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long")
+        * PosBits + col("gpos")).as("v"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("gpos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    packed
+      .withColumn("selv", min(col("v")).over(win))
+      .filter(col("gpos") <= col("gcount") - w) // complete windows only
+      .select(col("doc_id"), expr(s"selv div $PosBits").as("fp"),
+        expr(s"selv % $PosBits").as("pos")) // exact integer decode
+      .distinct()
+  }
+
+  /** Document pairs sharing >= `minShared` fingerprints, via a
+    * fingerprint-hash equijoin. Fingerprints appearing in more than
+    * `maxDocsPerFp` documents are dropped first (stop-fingerprints):
+    * they carry no discriminative signal and their pair fan-out is
+    * quadratic — the same cap discipline as LSH band buckets. */
+  def sharedPairs(fps: DataFrame, minShared: Long = 2,
+      maxDocsPerFp: Long = 50): DataFrame = {
+    val kept = fps.select(col("doc_id"), col("fp")).distinct()
+      .withColumn("n_docs", count(lit(1)).over(
+        Window.partitionBy(col("fp"))))
+      .filter(col("n_docs") <= maxDocsPerFp)
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

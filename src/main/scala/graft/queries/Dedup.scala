@@ -882,6 +882,58 @@ object Dedup {
                ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                      / COUNT(*), 6) AS shared_frac
         FROM sg s JOIN sh USING (sig)
-        GROUP BY s.doc_id ORDER BY s.doc_id"""))
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
+    // ---- q202: winnowing fingerprint overlap (the MOSS algorithm) ----
+    // Substring-level near-dup detection via local fingerprinting
+    // ([[graft.operators.Winnowing]]): hash every 3-gram, keep each
+    // 4-window's minimum (hash, pos) — any shared token run of >= 6
+    // tokens yields a shared fingerprint BY CONSTRUCTION (the winnowing
+    // guarantee), which MinHash's random sampling cannot promise. Pairs
+    // sharing >= 3 fingerprints emit with their shared count.
+    // Determinism: the k-gram hash is md5-derived (engine-portable) and
+    // the (hash, pos) tie-break is packed into one integer, so Spark's
+    // windowed MIN and the oracle's are the same comparison.
+    //
+    // 100 TB posture: fingerprinting is partition-local per doc; the
+    // only cross-doc work is the fingerprint-hash equijoin with MOSS's
+    // over-common-fingerprint cap (<= 50 docs/fp) bounding fan-out —
+    // q46's band-bucket discipline applied to substring overlap.
+    "q202_winnowing_overlap" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.Winnowing
+        val fps = Winnowing.fingerprints(
+          Tables.documents(spark, dir), "doc_id", "text", k = 3, w = 4)
+        Winnowing.sharedPairs(fps, minShared = 3, maxDocsPerFp = 50)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i - 1 AS gpos,
+                     array_to_string(toks[i:i+2], ' ') AS gram,
+                     len(toks) - 2 AS gcount
+              FROM t, LATERAL (SELECT unnest(generate_series(1,
+                     len(toks) - 2)) AS i) u
+              WHERE len(toks) >= 3),
+        v AS (SELECT doc_id, gpos, gcount,
+                     ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576
+                       + gpos AS v
+              FROM g),
+        s AS (SELECT doc_id, gcount, gpos,
+                     MIN(v) OVER (PARTITION BY doc_id ORDER BY gpos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selv
+              FROM v),
+        f AS (SELECT DISTINCT doc_id, selv // 1048576 AS fp
+              FROM s WHERE gpos <= gcount - 4),
+        kept AS (SELECT doc_id, fp FROM (
+                   SELECT doc_id, fp,
+                          COUNT(*) OVER (PARTITION BY fp) AS n_docs
+                   FROM f) WHERE n_docs <= 50)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ORDER BY doc_a, doc_b"""))
   )
 }

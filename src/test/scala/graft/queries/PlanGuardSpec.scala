@@ -463,6 +463,15 @@ class PlanGuardSpec extends SparkSpec {
         s"raw text crosses an exchange: [$in]"))
   }
 
+  test("q202: winnowing pairs join on the fingerprint hash — never all-pairs") {
+    val p = plan("q202_winnowing_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fingerprint overlap degenerated into an all-pairs comparison")
+    // fingerprint emission is doc-partitioned window work
+    assert(p.contains("hashpartitioning(doc_id"),
+      "winnowing window not partitioned by document")
+  }
+
   test("q193: centroid drift aggregates on (label, half) keys — never cartesian") {
     val p = plan("q193_embedding_drift")
     assert(p.contains("hashpartitioning(label"),
