@@ -1602,7 +1602,60 @@ object Analytics {
         SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
         FROM li a JOIN li b ON b.ok = a.ok AND a.pk < b.pk
         GROUP BY 1, 2
-        ORDER BY support DESC, part_a, part_b LIMIT 20"""))
+        ORDER BY support DESC, part_a, part_b LIMIT 20""")),
+
+    // ---- q204: exact equi-depth price histogram (16 buckets) ----
+    // The optimizer-statistics primitive (equi-HEIGHT histograms are
+    // what engines keep per column): 16 buckets of EQUAL ROW COUNT over
+    // lineitem price cents, each with its exact row count, price range,
+    // and revenue mass — no approx_percentile, no sampling. Bucket 1 is
+    // the most expensive line items (rank descends). Tie-break: rows
+    // with identical cents order by an md5 row key; exact duplicates
+    // of (cents, key) could interleave, but bucket AGGREGATES are
+    // invariant under any interleaving of identical rows, so the output
+    // is deterministic.
+    //
+    // 100 TB posture: the rank is `GlobalRank.withRankAndPrefix` —
+    // the q190/q198 two-pass shape (cents-keyed tie-break window +
+    // range-correlated sharded offsets + keyed equijoin), so line items
+    // never serialize through one partition; the bucket agg is 16 rows.
+    "q204_equidepth_histogram" -> QueryDef(
+      build = (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select(
+            round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+            md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"))).as("pick"))
+        val ranked = graft.operators.GlobalRank
+          .withRankAndPrefix(li, "cents", "pick", shardDiv = 1048576L)
+        val tot = li.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("bucket", expr("((rn - 1) * 16) div n + 1"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("cents")).as("min_cents"),
+            max(col("cents")).as("max_cents"),
+            sum(col("cents")).as("bucket_cents"))
+          .orderBy(col("bucket"))
+      },
+      oracle = Some("""
+        WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS cents,
+                           md5(CONCAT(CAST(l_orderkey AS VARCHAR), '|',
+                             CAST(l_linenumber AS VARCHAR), '|',
+                             CAST(l_partkey AS VARCHAR), '|',
+                             CAST(l_suppkey AS VARCHAR))) AS pick
+                    FROM lineitem),
+        r AS (SELECT cents,
+                     ROW_NUMBER() OVER (ORDER BY cents DESC, pick) AS rn
+              FROM li),
+        t AS (SELECT COUNT(*) AS n FROM li)
+        SELECT ((rn - 1) * 16) // n + 1 AS bucket,
+               COUNT(*) AS n_rows,
+               MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+               CAST(SUM(cents) AS BIGINT) AS bucket_cents
+        FROM r CROSS JOIN t
+        GROUP BY 1 ORDER BY bucket"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */

@@ -441,6 +441,82 @@ object Text {
         SELECT pattern,
                COUNT(CASE WHEN cnt > 0 THEN 1 END) AS n_docs,
                CAST(SUM(cnt) AS BIGINT) AS n_matches
-        FROM m GROUP BY pattern ORDER BY pattern"""))
+        FROM m GROUP BY pattern ORDER BY pattern""")),
+
+    // ---- q203: n-gram repetition score (the Gopher repetition class) ----
+    // Looping/templated text is the classic LLM-corpus poison: score
+    // each doc by its duplicate-trigram fraction (1 − distinct/total,
+    // in integer ppm — the exact-ratio rule, no FP division) and roll up
+    // per source: docs over the 500k-ppm repetition bar, the corpus-wide
+    // duplicate fraction (sums cross-multiplied BEFORE one integer
+    // division), and the worst doc per source (max ppm, doc_id
+    // tie-break via a min over the argmax set — engine-identical).
+    //
+    // 100 TB posture: trigram stats are a per-doc map-side
+    // aggregate-of-array (no explode ever leaves the row — the distinct
+    // count runs on the sorted gram array inside one expression), so
+    // the only shuffle is the |sources|-cardinality rollup.
+    "q203_repetition_score" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = split(trim(col("text")), " ")
+        val grams = transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+        val d = Tables.documents(spark, dir)
+          .filter(size(toks) >= 3)
+          .select(col("doc_id"), col("source"),
+            size(grams).cast("long").as("total"),
+            size(array_distinct(grams)).cast("long").as("dist"))
+          .withColumn("rep_ppm",
+            expr("((total - dist) * 1000000) div total"))
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rep_ppm") > 500000L, 1L).otherwise(0L))
+              .as("n_loopy"),
+            sum(col("total")).as("grams_total"),
+            sum(col("total") - col("dist")).as("grams_dup"),
+            max(col("rep_ppm")).as("worst_ppm"))
+          .withColumn("corpus_dup_ppm",
+            expr("(grams_dup * 1000000) div grams_total"))
+          .join(d.groupBy(col("source"))
+            .agg(max(col("rep_ppm")).as("m"))
+            .join(d, Seq("source"))
+            .filter(col("rep_ppm") === col("m"))
+            .groupBy(col("source"))
+            .agg(min(col("doc_id")).as("worst_doc")), Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_loopy"),
+            col("corpus_dup_ppm"), col("worst_ppm"), col("worst_doc"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, source,
+                          string_split(trim(text), ' ') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, source,
+                     list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) AS grams
+              FROM t WHERE len(toks) >= 3),
+        d AS (SELECT doc_id, source,
+                     CAST(len(grams) AS BIGINT) AS total,
+                     CAST(len(list_distinct(grams)) AS BIGINT) AS dist
+              FROM g),
+        r AS (SELECT *, ((total - dist) * 1000000) // total AS rep_ppm
+              FROM d),
+        agg AS (SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(CASE WHEN rep_ppm > 500000 THEN 1 ELSE 0
+                         END) AS BIGINT) AS n_loopy,
+                       CAST(SUM(total) AS BIGINT) AS grams_total,
+                       CAST(SUM(total - dist) AS BIGINT) AS grams_dup,
+                       MAX(rep_ppm) AS worst_ppm
+                FROM r GROUP BY source),
+        w AS (SELECT r.source, MIN(r.doc_id) AS worst_doc
+              FROM r JOIN (SELECT source, MAX(rep_ppm) AS m FROM r
+                           GROUP BY source) mx
+                ON mx.source = r.source AND r.rep_ppm = mx.m
+              GROUP BY r.source)
+        SELECT a.source, a.n_docs, a.n_loopy,
+               (a.grams_dup * 1000000) // a.grams_total AS corpus_dup_ppm,
+               a.worst_ppm, w.worst_doc
+        FROM agg a JOIN w ON w.source = a.source
+        ORDER BY a.source"""))
   )
 }
