@@ -138,6 +138,62 @@ object StreamingGate {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** q206: MULTIPLE STATEFUL OPERATORS in one streaming query — the
+    * q140 interval join feeding a downstream hourly window aggregation
+    * (Spark's chained-stateful support): purchases matched to a view
+    * within 2 h, then per purchase-hour pair counts + exact gap sums.
+    * Emission is doubly gated: the join emits a pair only when both
+    * sides' watermarks allow it, and the agg emits a window only when
+    * the JOIN'S OUTPUT watermark (the input watermark minus the join's
+    * 2 h state-retention delay) passes the window end. The
+    * measured-then-encoded law lives in the q206 QueryDef's oracle. */
+  def streamedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q206",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    def side(tpe: String, pfx: String): DataFrame = spark.readStream
+      .schema(era.schema)
+      .parquet(run.srcDir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pfx}_user"),
+        col("event_id").as(s"${pfx}_id"),
+        era.eventTime.as(s"${pfx}_time"))
+      .withWatermark(s"${pfx}_time", "4 hours")
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = side("view", "v").join(side("purchase", "p"),
+          col("v_user") === col("p_user") &&
+            col("p_time") >= col("v_time") &&
+            col("p_time") <= col("v_time") + expr("INTERVAL 120 MINUTES"))
+        .select(col("p_time"),
+          (unix_micros(col("p_time")) - unix_micros(col("v_time")))
+            .as("gap_us"))
+        .groupBy(window(col("p_time"), "1 hour"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("gap_us")).as("gap_us_sum"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("n_pairs"), col("gap_us_sum"))
+      .orderBy(col("hour_start"))
+  }
+
   /** q192: q139's pipeline against the PRODUCTION sink — a parquet
     * FILE sink with its `_spark_metadata` commit log — instead of the
     * memory sink, then read back through that log. The memory sink
@@ -965,6 +1021,40 @@ object StreamingGate {
         FROM w CROSS JOIN m
         WHERE w.ws + INTERVAL 1 HOUR <= m.mx - INTERVAL 1 HOUR
         ORDER BY hour_start, event_type"""))) :+ (
+
+    // ---- q206: chained stateful operators (join -> window agg) ----
+    // TWO stateful operators in ONE streaming query — the q140 interval
+    // join feeding an hourly window aggregation. The emission law,
+    // measured at sf0.1 (444 vs 448 batch rows — exactly the 4
+    // pair-bearing trailing hours withheld) then encoded: the agg's
+    // effective watermark is the JOIN'S OUTPUT watermark = global input
+    // watermark (min of both sides' max-event − 4 h delay) MINUS the
+    // join's 2 h state-retention delay, so the drain emits exactly the
+    // windows whose end <= min(max_view, max_purchase) − 6 h, with
+    // counts and exact integer gap sums equal to the batch join+agg.
+    // Twelfth streaming law: watermark propagation through chained
+    // stateful operators.
+    "q206_streamed_join_agg" -> QueryDef(
+      build = (spark, dir) => streamedJoinAgg(spark, dir),
+      oracle = Some("""
+        WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vt
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pt
+              FROM events WHERE event_type = 'purchase'),
+        m AS (SELECT least((SELECT max(vt) FROM v),
+                           (SELECT max(pt) FROM p))
+                - INTERVAL 6 HOURS AS wout),
+        j AS (SELECT p.pt, epoch_us(p.pt) - epoch_us(v.vt) AS gap_us
+              FROM v JOIN p
+                ON p.user_id = v.user_id
+               AND p.pt >= v.vt AND p.pt <= v.vt + INTERVAL 120 MINUTES)
+        SELECT strftime(date_trunc('hour', pt), '%Y-%m-%d %H:%M:%S')
+                 AS hour_start,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(gap_us) AS BIGINT) AS gap_us_sum
+        FROM j CROSS JOIN m
+        WHERE date_trunc('hour', pt) + INTERVAL 1 HOUR <= m.wout
+        GROUP BY 1 ORDER BY hour_start"""))) :+ (
 
     // ---- q201: streamed FULL OUTER interval join, oracle-backed ----
     // The last member of the streaming-join family (q140 inner, q168
