@@ -136,8 +136,97 @@ object Tokenizer {
             col("max_doc"))
           .orderBy(col("shard"), col("pack_id"))
       },
-      oracle = Some(packOracle(Rounds)))
+      oracle = Some(packOracle(Rounds))),
+
+    // ---- q205: tokenizer fertility per source ----
+    // The metric that decides whether a tokenizer fits a corpus slice:
+    // post-BPE tokens per 1000 words and chars per 1000 tokens, per
+    // source (integer-exact — cross-multiplied before ONE integer
+    // division). High fertility on a source means its text fragments
+    // into many tokens per word — the training-cost signal mixture
+    // design reads before weighting sources. The oracle re-trains the
+    // same 8 merge rounds in SQL (the q100 word-carrying form), then
+    // rolls the per-word token counts up through each source's word
+    // occurrences.
+    //
+    // 100 TB posture: q95's training posture + ONE corpus encode pass;
+    // the rollup is a |sources|-cardinality keyed agg (per-doc token
+    // counts come from the same word join the q100 capstone uses).
+    "q205_bpe_fertility" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val merges = BpeTrainer.train(docs, "text", Rounds)
+        val words = split(trim(col("text")), " ")
+        BpeTrainer.encode(docs, "text", merges)
+          .select(col("source"),
+            size(col("tokens")).cast("long").as("n_tokens"),
+            size(words).cast("long").as("n_words"),
+            aggregate(transform(words, w => length(w).cast("long")),
+              lit(0L), (a, x) => a + x).as("n_chars"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"))
+          .withColumn("tokens_per_kword",
+            expr("(n_tokens * 1000) div n_words"))
+          .withColumn("chars_per_ktoken",
+            expr("(n_chars * 1000) div n_tokens"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(fertilityOracle(Rounds)))
   )
+
+  /** q205's oracle: the q100 word-carrying merge rounds → per-word
+    * post-BPE token counts → per-source rollup over word occurrences. */
+  private def fertilityOracle(n: Int): String = {
+    val head =
+      """
+        WITH w AS (SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM (SELECT unnest(string_split(trim(text), ' ')) AS term
+                         FROM documents)
+                   GROUP BY term),
+        v0 AS (SELECT word, '||' || array_to_string(string_split(word, ''),
+                      '||') || '||' AS s, freq FROM w)"""
+    val rounds = (1 to n).map { k =>
+      val prev = k - 1
+      s""",
+        p$k AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+                FROM (SELECT list_filter(string_split(s, '||'),
+                                         x -> x <> '') AS syms, freq
+                      FROM v$prev),
+                     LATERAL (SELECT unnest(generate_series(1, len(syms)-1))
+                              AS i) t
+                GROUP BY 1, 2),
+        b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+        v$k AS (SELECT word, replace(s, '|' || b$k.l || '||' || b$k.r || '|',
+                               '|' || b$k.l || b$k.r || '|') AS s, freq
+                FROM v$prev, b$k)"""
+    }.mkString
+    s"""$head$rounds,
+        wl AS (SELECT word, CAST(len(list_filter(string_split(s, '||'),
+                      x -> x <> '')) AS BIGINT) AS n_word_toks,
+                      CAST(length(word) AS BIGINT) AS n_word_chars
+               FROM v$n),
+        tok AS (SELECT doc_id, source,
+                       unnest(string_split(trim(text), ' ')) AS term
+                FROM documents),
+        dtok AS (SELECT t.doc_id, t.source,
+                        CAST(COUNT(*) AS BIGINT) AS n_words,
+                        CAST(SUM(wl.n_word_toks) AS BIGINT) AS n_tokens,
+                        CAST(SUM(wl.n_word_chars) AS BIGINT) AS n_chars
+                 FROM tok t JOIN wl ON wl.word = t.term
+                 GROUP BY t.doc_id, t.source)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               (CAST(SUM(n_tokens) AS BIGINT) * 1000)
+                 // CAST(SUM(n_words) AS BIGINT) AS tokens_per_kword,
+               (CAST(SUM(n_chars) AS BIGINT) * 1000)
+                 // CAST(SUM(n_tokens) AS BIGINT) AS chars_per_ktoken
+        FROM dtok GROUP BY source ORDER BY source"""
+  }
 
   /** q100's oracle: the all-words merge rounds CARRYING the word column,
     * then per-word post-BPE symbol counts → per-doc token rollup →
