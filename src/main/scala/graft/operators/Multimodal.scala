@@ -166,6 +166,62 @@ object Multimodal {
         round(aggregate(transform(col("feature"), x => x * x),
           lit(0.0d), (acc, v) => acc + v), 9).as("l2sq"))
 
+  /** Per-asset integer DSP stats over REAL decoded PCM — the audio
+    * analysis a curation pipeline runs before filtering a speech corpus
+    * (silence/noise screens): sample count, zero-crossing count (sign
+    * changes between adjacent samples — the classic voicing/noise
+    * discriminator), total energy (sum of squared 16-bit samples; fits a
+    * long through ~2^33 samples per asset), and peak amplitude. All
+    * integer arithmetic on decoded samples — no FP enters, so the rows
+    * are bit-deterministic and DuckDB can re-aggregate them exactly.
+    * Partition-local: decode + stats in one iterator pass, like
+    * [[extractFeatures]]. */
+  def audioStatRows(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    syntheticAssets(spark, n)
+      .filter(_.meta.kind == "audio")
+      .mapPartitions(_.map { a =>
+        val d = AudioCodec.decode(a.payload)
+        val ns = d.nSamples
+        var zc = 0L
+        var sumSq = 0L
+        var maxAbs = 0L
+        var prev = 0
+        var i = 0
+        while (i < ns) {
+          val s = d.sample(i)
+          sumSq += s.toLong * s.toLong
+          val abs = math.abs(s.toLong)
+          if (abs > maxAbs) maxAbs = abs
+          if (i > 0 && ((s < 0 && prev >= 0) || (s >= 0 && prev < 0))) zc += 1
+          prev = s
+          i += 1
+        }
+        (a.asset_id, a.meta.nFrames.toLong, ns.toLong, zc, sumSq, maxAbs)
+      })
+      .toDF("asset_id", "n_chunks", "n_samples", "zero_crossings",
+        "sum_sq", "max_abs")
+  }
+
+  /** Per-chunk-count audio profile over [[audioStatRows]] — grouped by
+    * asset duration class (chunk count), all integer: zero-crossing rate
+    * in ppm of adjacent-sample pairs, mean per-sample energy, peak. */
+  def audioProfile(spark: SparkSession, n: Long): DataFrame =
+    audioStatRows(spark, n)
+      .groupBy(col("n_chunks"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_samples")).as("total_samples"),
+        sum(col("zero_crossings")).as("total_zc"),
+        sum(col("sum_sq")).as("total_sq"),
+        max(col("max_abs")).as("peak_abs"))
+      .withColumn("zc_ppm",
+        expr("(total_zc * 1000000) div (total_samples - n_assets)"))
+      .withColumn("mean_energy",
+        expr("total_sq div total_samples"))
+      .select(col("n_chunks"), col("n_assets"), col("total_samples"),
+        col("zc_ppm"), col("mean_energy"), col("peak_abs"))
+      .orderBy(col("n_chunks"))
+
   /** Deterministic per-kind feature profile — the queryable summary used by
     * the q60 corpus entry (fully ordered, reproducible: the mean
     * accumulates the 9-decimal per-asset l2sq as decimal, so the result is

@@ -862,6 +862,69 @@ object CorpusStats {
                        ORDER BY z DESC, t) AS rn
               FROM z)
         SELECT source, t AS token, ysi AS n_in_source, z
-        FROM r WHERE rn <= 3 ORDER BY source, z DESC, token"""))
+        FROM r WHERE rn <= 3 ORDER BY source, z DESC, token""")),
+
+    // ---- q207: mutual information of the (lang × source) table ----
+    // The information-theoretic counterpart of q144's χ²: how many nats
+    // does knowing a document's source tell you about its language?
+    // Per-cell PMI ln(p(x,y)/(p(x)p(y))) quantized ONCE to integer
+    // nano-nats (ln is the q112 continuous class — one 9-dp rounding,
+    // mirrored expression trees), after which every downstream value —
+    // the n_xy-weighted contribution and the corpus MI — is pure
+    // integer arithmetic (`div` by N at the very end).
+    //
+    // 100 TB posture: one (lang, source)-keyed partial/final agg over
+    // documents; margins and N are |langs|+|sources|+1 broadcast-sized
+    // rows joined back to the cell table.
+    "q207_mutual_information" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir).select(col("lang"), col("source"))
+        val cells = d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_xy"))
+        val mx = d.groupBy(col("lang")).agg(count(lit(1)).as("n_x"))
+        val my = d.groupBy(col("source")).agg(count(lit(1)).as("n_y"))
+        val tot = d.agg(count(lit(1)).as("n"))
+        val joined = cells
+          .join(broadcast(mx), Seq("lang"))
+          .join(broadcast(my), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("pmi_nano",
+            round(log(col("n_xy").cast("double") * col("n").cast("double")
+              / (col("n_x").cast("double") * col("n_y").cast("double")))
+              * 1e9, 0).cast("long"))
+        // total MI in nano-nats: integer-weighted sum over cells div N
+        // (weighted sum accumulated in DECIMAL(38,0) — n_xy·pmi_nano
+        // products pass long range around 1e12-row corpora)
+        val total = joined
+          .agg(sum(col("n_xy").cast(DecimalType(38, 0)) * col("pmi_nano"))
+            .as("wsum"), max(col("n")).as("nn"))
+          .select(expr("CAST(wsum div nn AS BIGINT)").as("total_mi_nano"))
+        joined
+          .crossJoin(broadcast(total))
+          .select(col("lang"), col("source"), col("n_xy"),
+            col("pmi_nano"), col("total_mi_nano"))
+          .orderBy(col("lang"), col("source"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT lang, source FROM documents),
+        cells AS (SELECT lang, source, COUNT(*) AS n_xy
+                  FROM d GROUP BY 1, 2),
+        mx AS (SELECT lang, COUNT(*) AS n_x FROM d GROUP BY 1),
+        my AS (SELECT source, COUNT(*) AS n_y FROM d GROUP BY 1),
+        t AS (SELECT COUNT(*) AS n FROM d),
+        j AS (SELECT c.lang, c.source, c.n_xy,
+                     CAST(round(ln(CAST(c.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE)
+                       / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+                       * 1e9) AS BIGINT) AS pmi_nano,
+                     t.n
+              FROM cells c
+              JOIN mx ON mx.lang = c.lang
+              JOIN my ON my.source = c.source
+              CROSS JOIN t),
+        tm AS (SELECT CAST(SUM(CAST(n_xy AS HUGEINT) * pmi_nano)
+                 // MAX(n) AS BIGINT) AS total_mi_nano FROM j)
+        SELECT j.lang, j.source, j.n_xy, j.pmi_nano, tm.total_mi_nano
+        FROM j CROSS JOIN tm
+        ORDER BY j.lang, j.source"""))
   )
 }

@@ -500,61 +500,6 @@ object Mixing {
               FROM a GROUP BY shard_id)
         SELECT shard_id, n_docs, shard_chars,
                ((shard_chars * 8 - total) * 1000000) // total AS dev_ppm
-        FROM g ORDER BY shard_id""")),
-
-    // ---- q207: largest-remainder seat allocation for the mixture ----
-    // Turning target mixture proportions into an INTEGER sample budget:
-    // allocate exactly N = 100,000 training slots across sources
-    // proportional to doc counts with the largest-remainder method
-    // (Hamilton's method — the apportionment standard): base quota
-    // floor(N·c/T) per source, then the R = N − Σbase leftover seats go
-    // to the largest remainders (N·c mod T, source tie-break). The
-    // emitted quotas sum to N EXACTLY — what a per-source FP-rounded
-    // rate can never promise. Pure integer arithmetic throughout.
-    //
-    // 100 TB posture: one |sources|-cardinality keyed agg over the
-    // corpus; everything after runs on the bounded source table (the
-    // remainder-rank window is |sources| rows — bounded, not
-    // corpus-scale).
-    "q207_largest_remainder_alloc" -> QueryDef(
-      build = (spark, dir) => {
-        val budget = 100000L
-        val c = Tables.documents(spark, dir)
-          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-        val t = c.agg(sum(col("n_docs")).as("total"))
-        val q = c.crossJoin(broadcast(t))
-          .withColumn("base", expr(s"($budget * n_docs) div total"))
-          .withColumn("rem", expr(s"($budget * n_docs) % total"))
-        val r = q.agg((lit(budget) - sum(col("base"))).as("leftover"))
-        val wr = Window.orderBy(col("rem").desc, col("source"))
-        q.crossJoin(broadcast(r))
-          .withColumn("rrank", row_number().over(wr).cast(LongType))
-          .withColumn("extra",
-            when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
-          .select(col("source"), col("n_docs"), col("base"), col("rem"),
-            col("extra"), (col("base") + col("extra")).as("alloc"),
-            expr(s"((base + extra) * 1000000) div $budget").as("alloc_ppm"))
-          .orderBy(col("source"))
-      },
-      oracle = Some("""
-        WITH c AS (SELECT source, COUNT(*) AS n_docs
-                   FROM documents GROUP BY source),
-        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
-        q AS (SELECT source, n_docs,
-                     (100000 * n_docs) // total AS base,
-                     (100000 * n_docs) % total AS rem
-              FROM c CROSS JOIN t),
-        r AS (SELECT 100000 - CAST(SUM(base) AS BIGINT) AS leftover FROM q),
-        k AS (SELECT q.*, r.leftover,
-                     ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank
-              FROM q CROSS JOIN r)
-        SELECT source, n_docs, base, rem,
-               CAST(CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS BIGINT)
-                 AS extra,
-               base + (CASE WHEN rrank <= leftover THEN 1 ELSE 0 END)
-                 AS alloc,
-               ((base + (CASE WHEN rrank <= leftover THEN 1 ELSE 0 END))
-                 * 1000000) // 100000 AS alloc_ppm
-        FROM k ORDER BY source"""))
+        FROM g ORDER BY shard_id"""))
   )
 }

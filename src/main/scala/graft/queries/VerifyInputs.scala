@@ -69,5 +69,9 @@ object VerifyInputs {
     // per-kind profile (decimal-accumulated mean, engine-identical).
     graft.operators.Multimodal.featureRows(spark, Multi.assetCount(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q60_input")
+    // q208: the per-asset integer PCM stats (real WAV decode); DuckDB
+    // re-aggregates the per-duration profile over identical rows.
+    graft.operators.Multimodal.audioStatRows(spark, Multi.assetCount(sfDir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q208_input")
   }
 }

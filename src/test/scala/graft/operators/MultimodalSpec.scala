@@ -115,6 +115,26 @@ class MultimodalSpec extends SparkSpec {
     assert(da.nSamples == au.meta.sampleRate / 100 * au.meta.nFrames)
   }
 
+  test("audio DSP stats match a scalar reference on the decoded PCM") {
+    val rows = audioStatRows(spark, 30).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows.nonEmpty)
+    syntheticAssets(spark, 30).filter(_.meta.kind == "audio").collect()
+      .foreach { a =>
+        val d = AudioCodec.decode(a.payload)
+        val samples = (0 until d.nSamples).map(d.sample)
+        val zc = samples.sliding(2).count {
+          case Seq(p, s) => (s < 0 && p >= 0) || (s >= 0 && p < 0)
+          case _ => false
+        }
+        val sumSq = samples.map(s => s.toLong * s.toLong).sum
+        val maxAbs = samples.map(s => math.abs(s.toLong)).max
+        assert(rows(a.asset_id) ==
+          ((d.nSamples.toLong, zc.toLong, sumSq, maxAbs)), s"asset ${a.asset_id}")
+      }
+  }
+
   test("featureProfile is stable (golden)") {
     val p1 = featureProfile(spark, 500).collect()
     val p2 = featureProfile(spark, 500).collect()
