@@ -499,6 +499,37 @@ object ScaleProbe {
       }
     }
 
+    // global-rank probe: the q190/q198 two-pass (rank, prefix-sum)
+    // operator vs the naive global-sort window. The naive form funnels
+    // EVERY row through one partition (SinglePartition exchange + sort)
+    // — the serialization that caps any cluster at one core; the
+    // two-pass form does a value-keyed window + sharded offsets + keyed
+    // equijoin. Rows carry Zipf-ish integer values (heavy ties — the
+    // adversarial case for the tie-break window).
+    if (enabled("globalrank")) {
+      import org.apache.spark.sql.expressions.Window
+      def data(n: Long) = spark.range(n).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(100000L)) *
+          pmod(xxhash64(col("id"), lit(1)), lit(64L))).as("v"))
+      def naive(n: Long): Long = {
+        val w = Window.orderBy(col("v").desc, col("id"))
+        data(n).withColumn("rn", row_number().over(w))
+          .withColumn("cum", sum(col("v")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .agg(max(col("cum"))).head.getLong(0)
+      }
+      def twoPass(n: Long): Long = graft.operators.GlobalRank
+        .withRankAndPrefix(data(n), "v", "id", shardDiv = 65536L)
+        .agg(max(col("cum"))).head.getLong(0)
+      naive(100000L); twoPass(100000L) // warmup
+      Seq(1000000L, 4000000L, 16000000L).foreach { n =>
+        val (nSec, nTot) = timed(naive(n))
+        val (tSec, tTot) = timed(twoPass(n))
+        require(nTot == tTot, s"rank forms disagree at n=$n: $nTot vs $tTot")
+        println(f"""{"probe":"globalrank","rows":$n,"naive_sec":$nSec%.3f,"twopass_sec":$tSec%.3f,"total":$tTot}""")
+      }
+    }
+
     // semantic-dedup probe: q90's operator on the planted synthetic
     // vectors (second half clones the first at cos ≈ 0.999; tau = 0.9
     // targets exactly those). Flat-IVF total work = n·k (assignment)

@@ -479,4 +479,49 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "cohort comparison degenerated into a cross product")
   }
+
+  test("q203: repetition stats stay on the row — every hash exchange is source-keyed") {
+    val p = plan("q203_repetition_score")
+    // the trigram distinct count runs INSIDE one array expression, so
+    // nothing larger than (source, scalars) rows may ever shuffle
+    val hashes = "Arguments: hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashes.nonEmpty && hashes.forall(_ == "source"),
+      s"a non-source hash exchange appeared (grams left the row): $hashes")
+    assert(!p.contains("CartesianProduct"), "rollup planned a cross product")
+  }
+
+  test("q204: the histogram rank is two-pass — line items never hit one partition") {
+    val p = plan("q204_equidepth_histogram")
+    assert(p.contains("hashpartitioning(cents"),
+      "per-cents tie-break window not keyed by the value")
+    singlePartitionInputs(p).foreach(in =>
+      assert(!in.contains("pick#"),
+        s"line-item rows serialized through one partition: [$in]"))
+  }
+
+  test("q205: fertility rollup joins stay keyed — never cartesian") {
+    val p = plan("q205_bpe_fertility")
+    assert(!p.contains("CartesianProduct"),
+      "fertility rollup planned a cross product")
+    assert(p.contains("hashpartitioning(source"),
+      "per-source rollup not keyed by source")
+  }
+
+  test("q207: MI cells join broadcast margins; nested-loop only for the 1-row total") {
+    val p = plan("q207_mutual_information")
+    assert(!p.contains("CartesianProduct"),
+      "contingency margins joined as a shuffled cross product")
+    // three 1-row broadcasts (N into cells, N into the MI total's input,
+    // the MI total back onto cells) × two formatted mentions per node
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 6,
+      "more nested-loop joins than the 1-row N/total broadcasts explain")
+  }
+
+  test("q208: audio DSP is a typed partition-local pipeline — no joins, partial agg") {
+    val p = plan("q208_audio_profile")
+    assert(p.contains("MapPartitions"), "PCM kernel not partition-local")
+    assert(!p.contains("Join"), "payload-bearing rows routed through a join")
+    assert(p.contains("partial_count"), "profile agg not split partial/final")
+  }
 }
