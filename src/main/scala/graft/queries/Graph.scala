@@ -328,6 +328,79 @@ object Graph {
                (SELECT n_parts_capped FROM capped) AS n_parts_capped
         FROM kept a JOIN kept b ON a.p = b.p AND a.s < b.s
         GROUP BY 1, 2
-        ORDER BY shared_parts DESC, s_a, s_b LIMIT 20"""))
+        ORDER BY shared_parts DESC, s_a, s_b LIMIT 20""")),
+
+    // ---- q209: HITS hubs & authorities on the supplier→part graph ----
+    // The OTHER classic link-analysis fixed point (Kleinberg 1999),
+    // genuinely different from q106's PageRank: two mutually-recursive
+    // scores on a DIRECTED bipartite graph — authority(part) = Σ
+    // hub(supplier) over its suppliers, hub(supplier) = Σ
+    // authority(part) over its parts. Three iterations in q106's
+    // scaled-integer discipline (scores in 1e-9 units), with per-round
+    // MAX-normalization (a·SCALE div max — integer division against the
+    // broadcast 1-row max, the fixed-point substitute for the usual L2
+    // norm, whose sqrt would re-introduce FP): bit-identical on any
+    // engine and partitioning, which is what lets DuckDB hash-match a
+    // 6-join iterative job.
+    //
+    // 100 TB posture: per iteration, one keyed equijoin + partial/final
+    // agg per side; the normalizing max is a 1-row broadcast. Fixed
+    // iteration count bounds lineage (localCheckpoint every ~10 rounds
+    // at real scale, as q106 documents).
+    "q209_hits_fixedpoint" -> QueryDef(
+      build = (spark, dir) => {
+        val SCALE = 1000000000L
+        val edges = Tables.lineitem(spark, dir)
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+          .distinct()
+        var hub = edges.select(col("s")).distinct()
+          .select(col("s"), lit(SCALE).as("h"))
+        var auth: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 3) {
+          val araw = edges.join(hub, "s")
+            .groupBy(col("p")).agg(sum(col("h")).as("araw"))
+          val amax = araw.agg(max(col("araw")).as("amax"))
+          auth = araw.crossJoin(broadcast(amax))
+            .select(col("p"),
+              expr(s"CAST(CAST(araw AS DECIMAL(38,0)) * $SCALE div amax AS BIGINT)")
+                .as("a"))
+          val hraw = edges.join(auth, "p")
+            .groupBy(col("s")).agg(sum(col("a")).as("hraw"))
+          val hmax = hraw.agg(max(col("hraw")).as("hmax"))
+          hub = hraw.crossJoin(broadcast(hmax))
+            .select(col("s"),
+              expr(s"CAST(CAST(hraw AS DECIMAL(38,0)) * $SCALE div hmax AS BIGINT)")
+                .as("h"))
+        }
+        val indeg = edges.groupBy(col("p")).agg(count(lit(1)).as("n_suppliers"))
+        auth.join(indeg, "p")
+          .select(col("p").as("partkey"), col("a").as("authority_fp"),
+            col("n_suppliers"))
+          .orderBy(col("authority_fp").desc, col("partkey").asc)
+          .limit(20)
+      },
+      oracle = Some {
+        def layer(k: Int): String = s"""
+        ar$k AS (SELECT e.p, CAST(SUM(h.h) AS BIGINT) AS araw
+                 FROM edges e JOIN h${k - 1} h ON h.s = e.s GROUP BY e.p),
+        a$k AS (SELECT p, CAST(CAST(araw AS HUGEINT) * 1000000000
+                   // (SELECT MAX(araw) FROM ar$k) AS BIGINT) AS a
+                FROM ar$k),
+        hr$k AS (SELECT e.s, CAST(SUM(a.a) AS BIGINT) AS hraw
+                 FROM edges e JOIN a$k a ON a.p = e.p GROUP BY e.s),
+        h$k AS (SELECT s, CAST(CAST(hraw AS HUGEINT) * 1000000000
+                   // (SELECT MAX(hraw) FROM hr$k) AS BIGINT) AS h
+                FROM hr$k)"""
+        """
+        WITH edges AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                       FROM lineitem),
+        h0 AS (SELECT DISTINCT s, CAST(1000000000 AS BIGINT) AS h
+               FROM edges),""" +
+          (1 to 3).map(layer).mkString(",") + """,
+        indeg AS (SELECT p, COUNT(*) AS n_suppliers FROM edges GROUP BY p)
+        SELECT a3.p AS partkey, a3.a AS authority_fp, indeg.n_suppliers
+        FROM a3 JOIN indeg ON indeg.p = a3.p
+        ORDER BY authority_fp DESC, partkey ASC LIMIT 20"""
+      })
   )
 }

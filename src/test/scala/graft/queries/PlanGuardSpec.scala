@@ -518,6 +518,18 @@ class PlanGuardSpec extends SparkSpec {
       "more nested-loop joins than the 1-row N/total broadcasts explain")
   }
 
+  test("q209: HITS iterations are keyed joins; nested-loop only for 1-row normalizers") {
+    val p = plan("q209_hits_fixedpoint")
+    assert(!p.contains("CartesianProduct"),
+      "a HITS iteration planned a shuffled cartesian")
+    // six 1-row max-normalizer broadcasts (3 rounds × 2 sides), two
+    // formatted mentions per node
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 12,
+      "more nested-loop joins than the per-round max broadcasts explain")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 authorities executes as a global sort")
+  }
+
   test("q208: audio DSP is a typed partition-local pipeline — no joins, partial agg") {
     val p = plan("q208_audio_profile")
     assert(p.contains("MapPartitions"), "PCM kernel not partition-local")
