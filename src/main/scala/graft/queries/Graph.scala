@@ -357,8 +357,14 @@ object Graph {
           .select(col("s"), lit(SCALE).as("h"))
         var auth: org.apache.spark.sql.DataFrame = null
         for (_ <- 1 to 3) {
+          // localCheckpoint per round: each raw-score table feeds BOTH
+          // its normalizing max and the normalized output — without the
+          // cut, the shared subtree is duplicated per use and the
+          // iterative lineage recomputes upstream rounds exponentially
+          // (the plan audit counted 31 nested-loop nodes before this)
           val araw = edges.join(hub, "s")
             .groupBy(col("p")).agg(sum(col("h")).as("araw"))
+            .localCheckpoint()
           val amax = araw.agg(max(col("araw")).as("amax"))
           auth = araw.crossJoin(broadcast(amax))
             .select(col("p"),
@@ -366,6 +372,7 @@ object Graph {
                 .as("a"))
           val hraw = edges.join(auth, "p")
             .groupBy(col("s")).agg(sum(col("a")).as("hraw"))
+            .localCheckpoint()
           val hmax = hraw.agg(max(col("hraw")).as("hmax"))
           hub = hraw.crossJoin(broadcast(hmax))
             .select(col("s"),
