@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Graph analytics over relation-derived graphs.
   *
@@ -408,6 +409,78 @@ object Graph {
         SELECT a3.p AS partkey, a3.a AS authority_fp, indeg.n_suppliers
         FROM a3 JOIN indeg ON indeg.p = a3.p
         ORDER BY authority_fp DESC, partkey ASC LIMIT 20"""
-      })
+      }),
+
+    // ---- q210: degree assortativity of the co-purchase graph ----
+    // Newman's degree-correlation coefficient — do hubs connect to hubs
+    // (assortative, r > 0) or to leaves (disassortative, r < 0)? The
+    // network-structure scalar that q105 (triangles), q143 (k-core) and
+    // q106/q209 (centrality) don't capture. Pearson correlation of
+    // endpoint degrees over the symmetrized edge list: all six moment
+    // sums are EXACT integers (decimal-accumulated), then ONE mirrored
+    // double formula rounded once at 6 dp — the q135 grouped-OLS
+    // recipe. (Integer→double casts are exact below 2^53; at 100 TB
+    // edge counts, rescale degrees before the final formula.)
+    //
+    // 100 TB posture: the degree table joins back to edges by node key
+    // (two keyed equijoins on a by-construction-deduplicated edge
+    // list); the moment reduction is one partial/final agg to one row.
+    "q210_degree_assortativity" -> QueryDef(
+      build = (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select(col("u"), col("v"))
+        val edges = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+        val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+        val dd = DecimalType(38, 0)
+        val m = edges
+          .join(deg.select(col("node").as("u"), col("d").as("x")), Seq("u"))
+          .join(deg.select(col("node").as("v"), col("d").as("y")), Seq("v"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(dd)).as("sx"),
+            sum(col("y").cast(dd)).as("sy"),
+            sum((col("x") * col("y")).cast(dd)).as("sxy"),
+            sum((col("x") * col("x")).cast(dd)).as("sx2"),
+            sum((col("y") * col("y")).cast(dd)).as("sy2"))
+        m.select(col("n").as("n_edges"),
+          round(
+            ((col("n").cast(dd) * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType))
+              / sqrt((col("n").cast(dd) * col("sx2") - col("sx") * col("sx"))
+                .cast(DoubleType)
+                * (col("n").cast(dd) * col("sy2") - col("sy") * col("sy"))
+                  .cast(DoubleType)), 6)
+            .as("assortativity"))
+      },
+      oracle = Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        pairs AS (SELECT a.p AS u, b.p AS v
+                  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+                  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        edges AS (SELECT u, v FROM pairs
+                  UNION ALL SELECT v AS u, u AS v FROM pairs),
+        deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u),
+        m AS (SELECT COUNT(*) AS n,
+                     SUM(CAST(dx.d AS HUGEINT)) AS sx,
+                     SUM(CAST(dy.d AS HUGEINT)) AS sy,
+                     SUM(CAST(dx.d * dy.d AS HUGEINT)) AS sxy,
+                     SUM(CAST(dx.d * dx.d AS HUGEINT)) AS sx2,
+                     SUM(CAST(dy.d * dy.d AS HUGEINT)) AS sy2
+              FROM edges e
+              JOIN deg dx ON dx.node = e.u
+              JOIN deg dy ON dy.node = e.v)
+        SELECT CAST(n AS BIGINT) AS n_edges,
+               ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(CAST(n AS HUGEINT) * sx2 - sx * sx AS DOUBLE)
+                            * CAST(CAST(n AS HUGEINT) * sy2 - sy * sy
+                              AS DOUBLE)), 6) AS assortativity
+        FROM m"""))
   )
 }
