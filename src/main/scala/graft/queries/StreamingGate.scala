@@ -194,6 +194,56 @@ object StreamingGate {
       .orderBy(col("hour_start"))
   }
 
+  /** q211: dropDuplicatesWithinWatermark chained INTO a window
+    * aggregation (the dedup-then-count shape every exactly-once metrics
+    * pipeline wants), fed a corpus that arrives TWICE: the landing dir
+    * stages two names for the same events file, maxFilesPerTrigger = 1,
+    * so batch 2 replays every row. Batch-2 rows at or above the
+    * watermark hit live dedup state (all dups — dropped); rows below it
+    * are dropped as late before dedup. Either way the duplicate
+    * delivery contributes NOTHING, and the agg emits the deduped hourly
+    * counts for windows the final watermark passed. */
+  def streamedDedupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q211",
+      Seq("events_a.parquet" -> s"$dir/events.parquet",
+        "events_b.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = spark.readStream
+        .schema(era.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.srcDir)
+        .select(era.eventTime.as("event_time"),
+          col("event_id"), col("event_type"))
+        .withWatermark("event_time", "4 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** q192: q139's pipeline against the PRODUCTION sink — a parquet
     * FILE sink with its `_spark_metadata` commit log — instead of the
     * memory sink, then read back through that log. The memory sink
@@ -1021,6 +1071,31 @@ object StreamingGate {
         FROM w CROSS JOIN m
         WHERE w.ws + INTERVAL 1 HOUR <= m.mx - INTERVAL 1 HOUR
         ORDER BY hour_start, event_type"""))) :+ (
+
+    // ---- q211: chained stateful operators (dedup -> window agg) ----
+    // The dedup-then-count shape every exactly-once metrics pipeline
+    // wants, with the corpus DELIVERED TWICE (two staged names for the
+    // same file, maxFilesPerTrigger = 1). The measured-then-encoded
+    // law: the duplicate delivery contributes NOTHING (at-or-above the
+    // watermark its rows hit live dedup state; below it they are
+    // dropped as late before dedup), and — unlike q206's join —
+    // dropDuplicatesWithinWatermark adds NO output-watermark delay, so
+    // the agg emits exactly the windows with end <= max(ts) − 4 h with
+    // single-delivery counts. Thirteenth streaming law: replay
+    // immunity composed through chained stateful operators.
+    "q211_streamed_dedup_agg" -> QueryDef(
+      build = (spark, dir) => streamedDedupAgg(spark, dir),
+      oracle = Some("""
+        WITH e AS (SELECT event_id, event_type,
+                          CAST(ts AS TIMESTAMP) AS et
+                   FROM events),
+        m AS (SELECT max(et) - INTERVAL 4 HOURS AS wm FROM e)
+        SELECT strftime(date_trunc('hour', et), '%Y-%m-%d %H:%M:%S')
+                 AS hour_start,
+               event_type, COUNT(*) AS n
+        FROM e CROSS JOIN m
+        WHERE date_trunc('hour', et) + INTERVAL 1 HOUR <= m.wm
+        GROUP BY 1, 2 ORDER BY hour_start, event_type"""))) :+ (
 
     // ---- q206: chained stateful operators (join -> window agg) ----
     // TWO stateful operators in ONE streaming query — the q140 interval
