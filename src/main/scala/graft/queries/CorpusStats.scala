@@ -925,6 +925,97 @@ object CorpusStats {
                  // MAX(n) AS BIGINT) AS total_mi_nano FROM j)
         SELECT j.lang, j.source, j.n_xy, j.pmi_nano, tm.total_mi_nano
         FROM j CROSS JOIN tm
-        ORDER BY j.lang, j.source"""))
+        ORDER BY j.lang, j.source""")),
+
+    // ---- q212: Heaps-law vocabulary growth curve + exponent ----
+    // How fast does the vocabulary grow as the corpus grows? Natural
+    // text follows Heaps' law V(N) ≈ K·N^β with β ≈ 0.4–0.6; templated
+    // corpora saturate early. The curve is sampled WITHOUT any
+    // corpus-ordered prefix scan: V(t) = tokens whose FIRST occurrence
+    // (min doc_id — one keyed agg) falls before doc threshold t, and
+    // N(t) = token mass below t — both conditional counts against a
+    // broadcast 10-row threshold table (doc_id < 2^k, k = 3..12,
+    // capped at the corpus size). β is the log-log OLS slope over the
+    // sampled points (q195's recipe: ln rounded once at 9 dp, decimal
+    // sums, one final division rounded at 6 dp).
+    //
+    // 100 TB posture: one token-level keyed agg (first occurrence) +
+    // two broadcast-threshold conditional aggs; the regression runs on
+    // <= 10 rows. No window ever sees corpus-scale data.
+    "q212_heaps_law" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val thresholds = spark.range(1).select(explode(array(
+          Seq(8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+            .map(lit): _*)).as("t"))
+        val nd = docs.agg(count(lit(1)).as("n_docs_total"))
+        val tdf = thresholds.crossJoin(broadcast(nd))
+          .filter(col("t") <= col("n_docs_total")).select(col("t"))
+        val firstDoc = docs
+          .select(col("doc_id"), explode(split(trim(col("text")), " "))
+            .as("token"))
+          .groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+        val vocab = firstDoc.crossJoin(broadcast(tdf))
+          .filter(col("fd") < col("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("vocab"))
+        val mass = docs
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+          .crossJoin(broadcast(tdf))
+          .filter(col("doc_id") < col("t"))
+          .groupBy(col("t")).agg(sum(col("n_tok")).as("n_tokens"))
+        val pts = vocab.join(mass, Seq("t"))
+          .withColumn("x", round(log(col("n_tokens").cast(DoubleType)), 9))
+          .withColumn("y", round(log(col("vocab").cast(DoubleType)), 9))
+          .withColumn("xy", round(col("x") * col("y"), 9))
+          .withColumn("xx", round(col("x") * col("x"), 9))
+        val beta = pts.agg(count(lit(1)).as("k"),
+            sum(col("x").cast(DecimalType(28, 9))).cast(DoubleType).as("sx"),
+            sum(col("y").cast(DecimalType(28, 9))).cast(DoubleType).as("sy"),
+            sum(col("xy").cast(DecimalType(28, 9))).cast(DoubleType).as("sxy"),
+            sum(col("xx").cast(DecimalType(28, 9))).cast(DoubleType).as("sxx"))
+          .select(round((col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("heaps_beta"))
+        pts.crossJoin(broadcast(beta))
+          .select(col("t").as("doc_threshold"), col("n_tokens"),
+            col("vocab"), col("heaps_beta"))
+          .orderBy(col("doc_threshold"))
+      },
+      oracle = Some("""
+        WITH th0 AS (SELECT * FROM (VALUES (8), (16), (32), (64), (128),
+                       (256), (512), (1024), (2048), (4096)) v(t)),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        th AS (SELECT CAST(t AS BIGINT) AS t FROM th0 CROSS JOIN nd
+               WHERE t <= nd.n),
+        fd AS (SELECT term, MIN(doc_id) AS fd
+               FROM (SELECT doc_id,
+                            unnest(string_split(trim(text), ' ')) AS term
+                     FROM documents)
+               GROUP BY term),
+        vocab AS (SELECT th.t, COUNT(*) AS vocab
+                  FROM fd CROSS JOIN th WHERE fd.fd < th.t GROUP BY th.t),
+        mass AS (SELECT th.t,
+                        CAST(SUM(CAST(len(string_split(trim(d.text), ' '))
+                          AS BIGINT)) AS BIGINT) AS n_tokens
+                 FROM documents d CROSS JOIN th
+                 WHERE d.doc_id < th.t GROUP BY th.t),
+        pts AS (SELECT v.t, m.n_tokens, v.vocab,
+                       ROUND(LN(CAST(m.n_tokens AS DOUBLE)), 9) AS x,
+                       ROUND(LN(CAST(v.vocab AS DOUBLE)), 9) AS y
+                FROM vocab v JOIN mass m ON m.t = v.t),
+        p2 AS (SELECT *, ROUND(x * y, 9) AS xy, ROUND(x * x, 9) AS xx
+               FROM pts),
+        b AS (SELECT COUNT(*) AS k,
+                     CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST(xy AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+                     CAST(SUM(CAST(xx AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+              FROM p2),
+        bb AS (SELECT ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                 AS heaps_beta FROM b)
+        SELECT p2.t AS doc_threshold, p2.n_tokens, p2.vocab, bb.heaps_beta
+        FROM p2 CROSS JOIN bb
+        ORDER BY doc_threshold"""))
   )
 }
