@@ -57,6 +57,12 @@ object ScaleProbe {
     ((System.nanoTime() - t0) / 1e9, r)
   }
 
+  private def timed2[T](f: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
   def main(args: Array[String]): Unit = {
     val maxScale = args.headOption.map(_.toInt).getOrElse(100)
     // optional second arg: run only the named probe (isolated timing —
@@ -496,6 +502,40 @@ object ScaleProbe {
         case (s, n, m) =>
           val (sec, got) = timed(bpeN(s, n, m))
           println(f"""{"probe":"bpemerges","corpus_scale":$s,"merges_asked":$n,"batch":$m,"merges_done":$got,"sec":$sec%.3f,"merges_per_sec":${(got / sec).toLong}}""")
+      }
+    }
+
+    // winnowing probe: q202's fingerprint pairing vs the same pairing
+    // over ALL k-gram hashes (no winnowing — what you'd shuffle without
+    // the windowed-min selection). Winnowing keeps ~2/(w+1) of gram
+    // positions (~0.4 at w=4) BEFORE dedup and far fewer after (repeated
+    // grams collapse), so the equijoin's input — the thing that scales —
+    // shrinks by the measured factor while the substring guarantee holds.
+    if (enabled("winnowing")) {
+      def fpPairs(s: Int): (Long, Long) = {
+        val fps = graft.operators.Winnowing
+          .fingerprints(corpus(s), "doc_id", "text", 3, 4)
+        (fps.count(),
+          graft.operators.Winnowing.sharedPairs(fps, 3, 50).count())
+      }
+      def allPairs(s: Int): (Long, Long) = {
+        val toks = split(trim(col("text")), " ")
+        val grams = corpus(s).select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(toks) - 3),
+            i => struct(concat_ws(" ", slice(toks, i + 1, lit(3))).as("g"))))
+            .as("p"))
+          .select(col("doc_id"),
+            expr("conv(substring(md5(p.g), 1, 10), 16, 10)").cast("long")
+              .as("fp"))
+        (grams.count(),
+          graft.operators.Winnowing.sharedPairs(
+            grams.select(col("doc_id"), col("fp")), 3, 50).count())
+      }
+      fpPairs(1); allPairs(1) // warmup
+      Seq(1, 2, 4).foreach { s =>
+        val (wSec, (wFps, wPairs)) = timed2(fpPairs(s))
+        val (aSec, (aFps, aPairs)) = timed2(allPairs(s))
+        println(f"""{"probe":"winnowing","scale":$s,"win_fps":$wFps,"win_pairs":$wPairs,"win_sec":$wSec%.3f,"all_grams":$aFps,"all_pairs":$aPairs,"all_sec":$aSec%.3f}""")
       }
     }
 

@@ -34,29 +34,45 @@ object Winnowing {
 
   /** (doc_id, fp, pos): the winnowed fingerprint set per document.
     * `fp` is the 40-bit k-gram hash, `pos` the 0-based gram position
-    * whose window selected it. */
+    * whose window selected it.
+    *
+    * ENTIRELY map-side: the windowed min runs INSIDE the per-row gram
+    * array (`array_min` over array slices), so selection happens before
+    * anything is exploded — no doc-keyed shuffle, no per-doc sort, and
+    * the only rows that ever leave the scan task are the already-
+    * winnowed fingerprints (~2/(w+1) of gram positions before the
+    * in-array dedup, fewer after). The round-8 probe measured the
+    * doc-keyed Window formulation of the same math at 6.4/7.4/8.2 s
+    * vs 4.2/5.4/6.4 s for this form (scales 1/2/4, identical output):
+    * ~1.35x end-to-end locally, and the Window form additionally
+    * shuffles EVERY gram hash by doc_id (2.6x the winnowed row count)
+    * where this form shuffles nothing before the pairing join. */
   def fingerprints(docs: DataFrame, docIdCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
     val toks = split(trim(col(textCol)), " ")
-    val grams = docs
-      .select(col(docIdCol).as("doc_id"),
-        (size(toks) - (k - 1)).as("gcount"),
-        posexplode(transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .withColumnRenamed("pos", "gpos")
-      .withColumnRenamed("col", "gram")
-    val packed = grams.select(col("doc_id"), col("gcount"), col("gpos"),
-      (conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long")
-        * PosBits + col("gpos")).as("v"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("gpos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    packed
-      .withColumn("selv", min(col("v")).over(win))
-      .filter(col("gpos") <= col("gcount") - w) // complete windows only
+    // packed (hash, pos) per gram position, as one in-row array
+    val vs = transform(sequence(lit(0), size(toks) - k),
+      i => conv(substring(md5(concat_ws(" ",
+        slice(toks, i + 1, lit(k)))), 1, 10), 16, 10).cast("long")
+        * PosBits + i)
+    // Per window start, the min packed value; dedup within the row.
+    // CRITICAL: `vs` must be LET-BOUND via a lambda variable — if the
+    // raw expression tree were referenced inside the window transform's
+    // lambda, Catalyst would inline it and re-evaluate the entire md5
+    // pass once PER WINDOW POSITION (O(n^2 * w) md5 calls; measured
+    // 165 s vs 4 s on the probe corpus). Wrapping it in a 1-element
+    // array and binding it to `arr` forces single evaluation per row.
+    val sels = array_distinct(flatten(transform(array(vs), arr =>
+      transform(sequence(lit(0), size(arr) - w),
+        i => array_min(slice(arr, i + 1, lit(w)))))))
+    docs
+      .filter(size(toks) >= k + w - 1) // at least one complete window
+      .select(col(docIdCol).as("doc_id"), explode(sels).as("selv"))
       .select(col("doc_id"), expr(s"selv div $PosBits").as("fp"),
         expr(s"selv % $PosBits").as("pos")) // exact integer decode
-      .distinct()
+    // no cross-row distinct needed: array_distinct dedups within the
+    // doc and doc_id separates rows across docs
   }
 
   /** Document pairs sharing >= `minShared` fingerprints, via a

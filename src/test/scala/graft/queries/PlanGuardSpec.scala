@@ -467,9 +467,14 @@ class PlanGuardSpec extends SparkSpec {
     val p = plan("q202_winnowing_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "fingerprint overlap degenerated into an all-pairs comparison")
-    // fingerprint emission is doc-partitioned window work
-    assert(p.contains("hashpartitioning(doc_id"),
-      "winnowing window not partitioned by document")
+    // fingerprint SELECTION is in-row (map-side): no exchange keyed on
+    // doc_id ALONE may exist (the pre-round-8 Window formulation
+    // shuffled every gram by document); the (doc_id, fp) distinct and
+    // fp-keyed pairing exchanges are the legitimate ones
+    assert(!"hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r.findFirstIn(p).isDefined,
+      "winnowing selection regressed to a doc-keyed Window shuffle")
+    assert(p.contains("hashpartitioning(fp"),
+      "pairing does not key on the fingerprint hash")
   }
 
   test("q193: centroid drift aggregates on (label, half) keys — never cartesian") {
