@@ -1655,7 +1655,115 @@ object Analytics {
                MIN(cents) AS min_cents, MAX(cents) AS max_cents,
                CAST(SUM(cents) AS BIGINT) AS bucket_cents
         FROM r CROSS JOIN t
-        GROUP BY 1 ORDER BY bucket"""))
+        GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- q213: Kaplan–Meier survival of time-to-second-order ----
+    // The censoring-aware answer to "how long until a customer comes
+    // back?" — naive averages over repeat buyers only are biased
+    // optimistic because one-order customers haven't finished waiting.
+    // Subjects: every customer; event = second order at t = days between
+    // first and second order; censored at t = days from first order to
+    // the corpus max date for single-order customers. Standard KM
+    // conventions: deaths precede censorings at equal t, survival
+    // S(t) = prod(1 - d/n_risk) over event times.
+    // Determinism: the product is exp(sum ln((n−d)/n)) — each ln term
+    // rounded once at 9 dp (continuous, the q112/q195 class), summed in
+    // exact decimal, ONE exp at the end rounded to integer ppm; if any
+    // factor hits zero (n_risk = d at the last event time) a windowed
+    // dead-flag pins survival to exactly 0 from there on (SUM-over-NULL
+    // would silently skip the -inf term in both engines).
+    //
+    // 100 TB posture: the (first, second) order dates come from one
+    // customer-keyed window (hash-partitioned); the life table then has
+    // |distinct durations| rows — bounded by the date-range day count,
+    // not the population — so the ordered cumulative windows run on a
+    // few thousand rows at any SF.
+    "q213_kaplan_meier" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir).select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("d"), col("o_orderkey"))
+        val dmax = o.agg(max(col("d")).as("dmax"))
+        val wr = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("d"), col("o_orderkey"))
+        val cust = o.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 2)
+          .groupBy(col("o_custkey"))
+          .agg(max(when(col("rn") === 1, col("d"))).as("d1"),
+            max(when(col("rn") === 2, col("d"))).as("d2"))
+        val subj = cust.crossJoin(broadcast(dmax))
+          .select(
+            when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+              .otherwise(datediff(col("dmax"), col("d1")))
+              .cast(LongType).as("t"),
+            when(col("d2").isNotNull, 1L).otherwise(0L).as("event"))
+        val tot = subj.agg(count(lit(1)).as("n"))
+        val tbl = subj.groupBy(col("t"))
+          .agg(sum(col("event")).as("d_t"),
+            (count(lit(1)) - sum(col("event"))).as("c_t"))
+        val wPrior = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl.crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("n") -
+            coalesce(sum(col("d_t") + col("c_t")).over(wPrior), lit(0L)))
+          .filter(col("d_t") > 0)
+          .withColumn("lnterm",
+            when(col("n_risk") === col("d_t"), lit(null))
+              .otherwise(round(log((col("n_risk") - col("d_t"))
+                .cast(DoubleType) / col("n_risk")), 9)))
+          .withColumn("dead",
+            max(when(col("lnterm").isNull, 1).otherwise(0)).over(wCum))
+          .withColumn("lnsum",
+            sum(col("lnterm").cast(DecimalType(28, 9))).over(wCum))
+          .select(col("t"), col("n_risk"), col("d_t"), col("c_t"),
+            when(col("dead") === 1, 0L)
+              .otherwise(round(exp(col("lnsum").cast(DoubleType)) * 1e6)
+                .cast(LongType)).as("surv_ppm"))
+          .orderBy(col("t"))
+      },
+      oracle = Some("""
+        WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                          o_orderkey FROM orders),
+        mx AS (SELECT MAX(d) AS dmax FROM o),
+        r AS (SELECT o_custkey, d,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY d, o_orderkey) AS rn
+              FROM o),
+        cust AS (SELECT o_custkey,
+                        MAX(CASE WHEN rn = 1 THEN d END) AS d1,
+                        MAX(CASE WHEN rn = 2 THEN d END) AS d2
+                 FROM r WHERE rn <= 2 GROUP BY o_custkey),
+        subj AS (SELECT CASE WHEN d2 IS NOT NULL
+                               THEN date_diff('day', d1, d2)
+                             ELSE date_diff('day', d1, dmax) END AS t,
+                        CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+                 FROM cust CROSS JOIN mx),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+        tbl AS (SELECT t, CAST(SUM(event) AS BIGINT) AS d_t,
+                       CAST(COUNT(*) - SUM(event) AS BIGINT) AS c_t
+                FROM subj GROUP BY t),
+        rk AS (SELECT t, d_t, c_t,
+                      n - CAST(COALESCE(SUM(d_t + c_t) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS n_risk
+               FROM tbl CROSS JOIN tot),
+        ev AS (SELECT t, n_risk, d_t, c_t,
+                      CASE WHEN n_risk = d_t THEN NULL
+                           ELSE ROUND(ln(CAST(n_risk - d_t AS DOUBLE)
+                             / n_risk), 9) END AS lnterm
+               FROM rk WHERE d_t > 0),
+        cm AS (SELECT t, n_risk, d_t, c_t,
+                      SUM(CAST(lnterm AS DECIMAL(28,9))) OVER w AS lnsum,
+                      MAX(CASE WHEN lnterm IS NULL THEN 1 ELSE 0 END)
+                        OVER w AS dead
+               FROM ev WINDOW w AS (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT t, n_risk, d_t, c_t,
+               CASE WHEN dead = 1 THEN 0
+                    ELSE CAST(ROUND(exp(CAST(lnsum AS DOUBLE)) * 1000000)
+                      AS BIGINT) END AS surv_ppm
+        FROM cm ORDER BY t"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */

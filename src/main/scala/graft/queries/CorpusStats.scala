@@ -1016,6 +1016,67 @@ object CorpusStats {
                  AS heaps_beta FROM b)
         SELECT p2.t AS doc_threshold, p2.n_tokens, p2.vocab, bb.heaps_beta
         FROM p2 CROSS JOIN bb
-        ORDER BY doc_threshold"""))
+        ORDER BY doc_threshold""")),
+
+    // ---- q214: quantile normalization of doc length across sources ----
+    // The feature-engineering primitive that makes per-source quality
+    // scores comparable before mixing: map each document's WITHIN-SOURCE
+    // length rank onto the GLOBAL length distribution (the bioinformatics
+    // quantile-normalization recipe), so every source ends up with the
+    // same marginal distribution and a threshold like "drop the shortest
+    // 10%" means the same thing everywhere. Mapping is integer-exact:
+    // within-source rank r of n_s maps to the global value at rank
+    // ((2r−1)·N) div (2·n_s) + 1 — the (r−0.5)/n_s quantile — with
+    // (value DESC, doc_id) tie-breaks identical in both engines.
+    //
+    // 100 TB posture: within-source ranks are a source-keyed window;
+    // the global rank table comes from `GlobalRank` (two-pass — no
+    // corpus-scale global sort, see q190/q204); the lookup is a keyed
+    // equijoin on the unique global rank; the rollup is |sources| rows.
+    "q214_quantile_normalize" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val ranked = graft.operators.GlobalRank
+          .withRankAndPrefix(docs, "n_chars", "doc_id").drop("cum")
+          .select(col("rn").as("g"), col("n_chars").as("norm_chars"))
+        val ws = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val wn = Window.partitionBy(col("source"))
+        val tot = docs.agg(count(lit(1)).as("n"))
+        val tgt = docs
+          .withColumn("r", row_number().over(ws).cast(LongType))
+          .withColumn("n_s", count(lit(1)).over(wn))
+          .crossJoin(broadcast(tot))
+          .withColumn("g", expr("((2*r - 1) * n) div (2 * n_s) + 1"))
+        tgt.join(ranked, Seq("g"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(n_chars) div count(1)").as("mean_raw"),
+            expr("sum(norm_chars) div count(1)").as("mean_norm"),
+            min(col("norm_chars")).as("min_norm"),
+            max(col("norm_chars")).as("max_norm"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        g AS (SELECT n_chars AS norm_chars,
+                     ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS g
+              FROM d),
+        t AS (SELECT COUNT(*) AS n FROM d),
+        s AS (SELECT doc_id, source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS r,
+                     COUNT(*) OVER (PARTITION BY source) AS n_s
+              FROM d),
+        m AS (SELECT source, n_chars,
+                     ((2*r - 1) * n) // (2 * n_s) + 1 AS g
+              FROM s CROSS JOIN t),
+        j AS (SELECT source, n_chars, norm_chars FROM m JOIN g USING (g))
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS mean_raw,
+               CAST(SUM(norm_chars) AS BIGINT) // COUNT(*) AS mean_norm,
+               MIN(norm_chars) AS min_norm, MAX(norm_chars) AS max_norm
+        FROM j GROUP BY source ORDER BY source"""))
   )
 }

@@ -620,6 +620,95 @@ object Curation {
         SELECT COALESCE(ds, 'kept') AS stage,
                COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS n_chars
-        FROM m4 GROUP BY 1 ORDER BY stage"""))
+        FROM m4 GROUP BY 1 ORDER BY stage""")),
+
+    // ---- q216: information-gain best split (decision-stump search) ----
+    // The supervised-filter primitive (and the inner loop of every GBDT
+    // library): among all thresholds t on doc length, which split
+    // "n_chars <= t" best separates English from non-English docs, by
+    // information gain IG(t) = H(S) − (nL/N)·H(L) − (nR/N)·H(R)?
+    // Determinism: each ln is rounded once at 9 dp (continuous, the
+    // q112/q207 class); the entropy/gain combination is pure IEEE double
+    // arithmetic on identical inputs (bit-deterministic in both
+    // engines), rounded once at 6 dp; 0·ln0 handled by an exact CASE.
+    // Top 10 by (gain DESC, threshold) — complete tie-break.
+    //
+    // 100 TB posture: one value-keyed histogram agg (shuffle =
+    // |distinct lengths|, not |docs|); the cumulative window and gain
+    // arithmetic run on the value-domain-sized histogram (hundreds of
+    // rows at any SF); top-k is TakeOrdered, never a global sort.
+    "q216_info_gain_split" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("n_chars").cast("long").as("v"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        val hist = docs.groupBy(col("v"))
+          .agg(count(lit(1)).as("c"), sum(col("pos")).as("cp"))
+        val tot = docs.agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        val wv = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def ln9(x: org.apache.spark.sql.Column) = round(log(x), 9)
+        def h(a: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          when(a === 0 || a === n, lit(0.0))
+            .otherwise(-(a.cast("double") / n * ln9(a.cast("double") / n)
+              + (n - a).cast("double") / n * ln9((n - a).cast("double") / n)))
+        hist.crossJoin(broadcast(tot))
+          .withColumn("nl", sum(col("c")).over(wv))
+          .withColumn("pl", sum(col("cp")).over(wv))
+          .filter(col("nl") < col("n"))
+          .withColumn("nr", col("n") - col("nl"))
+          .withColumn("pr", col("p") - col("pl"))
+          .select(col("v").as("threshold"), col("nl").as("n_left"),
+            col("pl").as("pos_left"), col("nr").as("n_right"),
+            col("pr").as("pos_right"),
+            round(h(col("p"), col("n"))
+              - col("nl").cast("double") / col("n") * h(col("pl"), col("nl"))
+              - col("nr").cast("double") / col("n") * h(col("pr"), col("nr")),
+              6).as("gain"))
+          .orderBy(col("gain").desc, col("threshold")).limit(10)
+      },
+      oracle = Some("""
+        WITH d AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+                   FROM documents),
+        h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+                     CAST(SUM(pos) AS BIGINT) AS cp
+              FROM d GROUP BY v),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(pos) AS BIGINT) AS p FROM d),
+        cum AS (SELECT v, n, p,
+                       CAST(SUM(c) OVER w AS BIGINT) AS nl,
+                       CAST(SUM(cp) OVER w AS BIGINT) AS pl
+                FROM h CROSS JOIN t
+                WINDOW w AS (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        f AS (SELECT v AS threshold, nl, pl, n - nl AS nr, p - pl AS pr,
+                     n, p
+              FROM cum WHERE nl < n)
+        SELECT threshold, nl AS n_left, pl AS pos_left, nr AS n_right,
+               pr AS pos_right,
+               ROUND(
+                 (CASE WHEN p = 0 OR p = n THEN 0.0
+                       ELSE -(CAST(p AS DOUBLE)/n
+                           * ROUND(ln(CAST(p AS DOUBLE)/n), 9)
+                         + CAST(n - p AS DOUBLE)/n
+                           * ROUND(ln(CAST(n - p AS DOUBLE)/n), 9)) END)
+                 - CAST(nl AS DOUBLE)/n
+                   * (CASE WHEN pl = 0 OR pl = nl THEN 0.0
+                           ELSE -(CAST(pl AS DOUBLE)/nl
+                               * ROUND(ln(CAST(pl AS DOUBLE)/nl), 9)
+                             + CAST(nl - pl AS DOUBLE)/nl
+                               * ROUND(ln(CAST(nl - pl AS DOUBLE)/nl), 9))
+                      END)
+                 - CAST(nr AS DOUBLE)/n
+                   * (CASE WHEN pr = 0 OR pr = nr THEN 0.0
+                           ELSE -(CAST(pr AS DOUBLE)/nr
+                               * ROUND(ln(CAST(pr AS DOUBLE)/nr), 9)
+                             + CAST(nr - pr AS DOUBLE)/nr
+                               * ROUND(ln(CAST(nr - pr AS DOUBLE)/nr), 9))
+                      END)
+               , 6) AS gain
+        FROM f ORDER BY gain DESC, threshold LIMIT 10"""))
   )
 }

@@ -928,6 +928,205 @@ object Events {
                CAST(COALESCE(pt.n_missing, 0) AS BIGINT) AS n_hours_missing,
                CAST(COALESCE(pt.longest, 0) AS BIGINT) AS longest_gap_hours
         FROM t CROSS JOIN b LEFT JOIN pt ON pt.event_type = t.event_type
-        ORDER BY t.event_type"""))
+        ORDER BY t.event_type""")),
+
+    // ---- q215: Bradley–Terry preference strengths (MM fixed point) ----
+    // The preference-model primitive behind RLHF reward data: fit item
+    // strengths from PAIRWISE comparisons, not absolute scores. Matches:
+    // within each (user, hour) cell the event types present are compared
+    // by their max value — higher value wins, exact-equal ties are
+    // discarded (double comparison is bit-deterministic on parquet
+    // values in both engines). Fit: 3 rounds of Hunter's MM update
+    // p_i ← W_i / Σ_j n_ij/(p_i+p_j), renormalized to mean 1e6, in
+    // scaled-integer fixed point (every division a truncating `div`,
+    // mirrored — the q106/q209 discipline, but a RATIO update, not a
+    // linear matvec).
+    //
+    // 100 TB posture: the only corpus-scale work is the (user, hour,
+    // type) keyed agg and the within-cell self-equijoin (fan-out
+    // bounded by |types|² per cell); everything downstream lives on
+    // |types| and |types|² rows. Each MM round is localCheckpoint'd
+    // (the q209 lineage lesson).
+    "q215_bradley_terry" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+            col("event_type"))
+          .agg(max(col("value")).as("v"))
+        val a = ev.select(col("user_id"), col("h"),
+          col("event_type").as("ta"), col("v").as("va"))
+        val b = ev.select(col("user_id"), col("h"),
+          col("event_type").as("tb"), col("v").as("vb"))
+        val m = a.join(b, Seq("user_id", "h"))
+          .filter(col("ta") < col("tb") && col("va") =!= col("vb"))
+          .select(
+            when(col("va") > col("vb"), col("ta")).otherwise(col("tb"))
+              .as("winner"),
+            when(col("va") > col("vb"), col("tb")).otherwise(col("ta"))
+              .as("loser"))
+        val wij = m.groupBy(col("winner"), col("loser"))
+          .agg(count(lit(1)).as("w"))
+        val nij = wij.select(col("winner").as("i"), col("loser").as("j"),
+            col("w").as("n0"))
+          .unionAll(wij.select(col("loser").as("i"), col("winner").as("j"),
+            col("w").as("n0")))
+          .groupBy(col("i"), col("j")).agg(sum(col("n0")).as("n_ij"))
+        val wins = wij.groupBy(col("winner")).agg(sum(col("w")).as("w"))
+          .withColumnRenamed("winner", "item")
+        var p = ev.select(col("event_type").as("item")).distinct()
+          .withColumn("p", lit(1000000L))
+        for (_ <- 1 to 3) {
+          val d = nij
+            .join(p.select(col("item").as("i"), col("p").as("pi")), Seq("i"))
+            .join(p.select(col("item").as("j"), col("p").as("pj")), Seq("j"))
+            .groupBy(col("i"))
+            .agg(sum(expr("(n_ij * 1000000000000) div (pi + pj)")).as("s"))
+            .withColumnRenamed("i", "item")
+          val u = wins.join(d, Seq("item"))
+            .select(col("item"), expr("(w * 1000000000000) div s").as("praw"))
+          val t = u.agg(sum(col("praw")).as("sp"), count(lit(1)).as("k"))
+          p = u.crossJoin(broadcast(t))
+            .select(col("item"),
+              expr("(praw * (k * 1000000)) div sp").as("p"))
+            .localCheckpoint()
+        }
+        val nm = nij.groupBy(col("i")).agg(sum(col("n_ij")).as("n_matches"))
+          .withColumnRenamed("i", "item")
+        wins.join(nm, Seq("item")).join(p, Seq("item"))
+          .select(col("item").as("event_type"), col("n_matches"),
+            col("w").as("n_wins"), col("p").as("strength_ppm"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                 event_type, MAX(value) AS v
+          FROM events GROUP BY 1, 2, 3),
+        m AS (
+          SELECT CASE WHEN a.v > b.v THEN a.event_type
+                      ELSE b.event_type END AS winner,
+                 CASE WHEN a.v > b.v THEN b.event_type
+                      ELSE a.event_type END AS loser
+          FROM ev a JOIN ev b
+            ON a.user_id = b.user_id AND a.h = b.h
+               AND a.event_type < b.event_type
+          WHERE a.v <> b.v),
+        wij AS (SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS w
+                FROM m GROUP BY 1, 2),
+        nij AS (SELECT i, j, CAST(SUM(n0) AS BIGINT) AS n_ij FROM (
+                  SELECT winner AS i, loser AS j, w AS n0 FROM wij
+                  UNION ALL SELECT loser, winner, w FROM wij)
+                GROUP BY 1, 2),
+        wins AS (SELECT winner AS item, CAST(SUM(w) AS BIGINT) AS w
+                 FROM wij GROUP BY 1),
+        p0 AS (SELECT DISTINCT event_type AS item,
+                      CAST(1000000 AS BIGINT) AS p FROM ev),
+        d1 AS (SELECT n.i AS item,
+                      CAST(SUM((n.n_ij * 1000000000000) // (pi.p + pj.p))
+                        AS BIGINT) AS s
+               FROM nij n JOIN p0 pi ON pi.item = n.i
+                          JOIN p0 pj ON pj.item = n.j GROUP BY 1),
+        u1 AS (SELECT w.item, (w.w * 1000000000000) // d1.s AS praw
+               FROM wins w JOIN d1 USING (item)),
+        t1 AS (SELECT CAST(SUM(praw) AS BIGINT) AS sp, COUNT(*) AS k
+               FROM u1),
+        p1 AS (SELECT item, (praw * (k * 1000000)) // sp AS p
+               FROM u1 CROSS JOIN t1),
+        d2 AS (SELECT n.i AS item,
+                      CAST(SUM((n.n_ij * 1000000000000) // (pi.p + pj.p))
+                        AS BIGINT) AS s
+               FROM nij n JOIN p1 pi ON pi.item = n.i
+                          JOIN p1 pj ON pj.item = n.j GROUP BY 1),
+        u2 AS (SELECT w.item, (w.w * 1000000000000) // d2.s AS praw
+               FROM wins w JOIN d2 USING (item)),
+        t2 AS (SELECT CAST(SUM(praw) AS BIGINT) AS sp, COUNT(*) AS k
+               FROM u2),
+        p2 AS (SELECT item, (praw * (k * 1000000)) // sp AS p
+               FROM u2 CROSS JOIN t2),
+        d3 AS (SELECT n.i AS item,
+                      CAST(SUM((n.n_ij * 1000000000000) // (pi.p + pj.p))
+                        AS BIGINT) AS s
+               FROM nij n JOIN p2 pi ON pi.item = n.i
+                          JOIN p2 pj ON pj.item = n.j GROUP BY 1),
+        u3 AS (SELECT w.item, (w.w * 1000000000000) // d3.s AS praw
+               FROM wins w JOIN d3 USING (item)),
+        t3 AS (SELECT CAST(SUM(praw) AS BIGINT) AS sp, COUNT(*) AS k
+               FROM u3),
+        p3 AS (SELECT item, (praw * (k * 1000000)) // sp AS p
+               FROM u3 CROSS JOIN t3),
+        nm AS (SELECT i AS item, CAST(SUM(n_ij) AS BIGINT) AS n_matches
+               FROM nij GROUP BY 1)
+        SELECT w.item AS event_type, nm.n_matches, w.w AS n_wins,
+               p3.p AS strength_ppm
+        FROM wins w JOIN nm USING (item) JOIN p3 USING (item)
+        ORDER BY event_type""")),
+
+    // ---- q217: multi-touch conversion attribution ----
+    // The credit-assignment dual of q33/q174's funnels: funnels COUNT
+    // stage progressions; attribution DIVIDES each conversion's credit
+    // across the touchpoints that preceded it. For every purchase, the
+    // touches are the same user's non-purchase events in the trailing
+    // 24 h; three standard models side by side per event type:
+    // linear (1/cnt each, integer micro-credit via truncating div —
+    // exact and mirrored), first-touch, and last-touch (earliest/latest
+    // by (ts, event_id) — complete tie-break).
+    //
+    // 100 TB posture: the conversion↔touch pairing is a user-keyed
+    // equijoin + time-range filter (q36's interval-join shape, never
+    // cross-user); the per-conversion windows partition on conv_id
+    // (bounded group = touches per conversion-day); output is |types|.
+    "q217_touch_attribution" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"),
+            col("user_id"), col("event_type"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("conv_id"),
+            col("us").as("cus"))
+        val tch = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_id").as("touch_id"),
+            col("us").as("tus"), col("event_type"))
+        val j = conv.join(tch, Seq("user_id"))
+          .filter(col("tus") <= col("cus") &&
+            col("tus") > col("cus") - lit(86400000000L))
+        val wCnt = Window.partitionBy(col("conv_id"))
+        val wF = Window.partitionBy(col("conv_id"))
+          .orderBy(col("tus"), col("touch_id"))
+        val wL = Window.partitionBy(col("conv_id"))
+          .orderBy(col("tus").desc, col("touch_id").desc)
+        j.withColumn("cnt", count(lit(1)).over(wCnt))
+          .withColumn("rf", row_number().over(wF))
+          .withColumn("rl", row_number().over(wL))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(expr("1000000 div cnt")).as("linear_credit_micro"),
+            sum(when(col("rf") === 1, 1L).otherwise(0L)).as("first_touch"),
+            sum(when(col("rl") === 1, 1L).otherwise(0L)).as("last_touch"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                           user_id, event_type FROM events),
+        conv AS (SELECT user_id, event_id AS conv_id, us AS cus
+                 FROM ev WHERE event_type = 'purchase'),
+        tch AS (SELECT user_id, event_id AS touch_id, us AS tus, event_type
+                FROM ev WHERE event_type <> 'purchase'),
+        j AS (SELECT c.conv_id, t.event_type, t.tus, t.touch_id
+              FROM conv c JOIN tch t ON c.user_id = t.user_id
+              WHERE t.tus <= c.cus AND t.tus > c.cus - 86400000000),
+        r AS (SELECT conv_id, event_type,
+                     COUNT(*) OVER (PARTITION BY conv_id) AS cnt,
+                     ROW_NUMBER() OVER (PARTITION BY conv_id
+                       ORDER BY tus, touch_id) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY conv_id
+                       ORDER BY tus DESC, touch_id DESC) AS rl
+              FROM j)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(1000000 // cnt) AS BIGINT) AS linear_credit_micro,
+               CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS first_touch,
+               CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS last_touch
+        FROM r GROUP BY event_type ORDER BY event_type"""))
   )
 }

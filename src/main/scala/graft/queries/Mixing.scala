@@ -500,6 +500,65 @@ object Mixing {
               FROM a GROUP BY shard_id)
         SELECT shard_id, n_docs, shard_chars,
                ((shard_chars * 8 - total) * 1000000) // total AS dev_ppm
-        FROM g ORDER BY shard_id"""))
+        FROM g ORDER BY shard_id""")),
+
+    // ---- q218: rendezvous-hash resharding audit (32 → 33 shards) ----
+    // The data-placement question behind every shard-count change: how
+    // much data MOVES? Naive `hash mod N` resharding moves ~(N−1)/N of
+    // all keys (a full regrind at 100 TB); rendezvous (HRW) hashing —
+    // every key goes to argmax_i h(key, i) — moves only the keys the
+    // NEW shard now wins, ~1/(N+1), and provably moves them nowhere
+    // else. This query measures both facts exactly: per old shard, the
+    // moved fraction in ppm and the moved-to-new count (equal to moved
+    // — the no-collateral-movement property as output evidence).
+    // Determinism: md5-derived 40-bit shard affinities with the shard
+    // index packed into the low 6 bits, so ONE integer max is the
+    // argmax with a deterministic tie-break (the Winnowing packing).
+    //
+    // 100 TB posture: the double argmax is ONE in-row array expression
+    // per key — no explode, no join, no shuffle until the |shards|-
+    // sized rollup; the map pass is 65 md5s per key, embarrassingly
+    // parallel.
+    "q218_rendezvous_resharding" -> QueryDef(
+      build = (spark, dir) => {
+        def shardOf(n: Int): Column =
+          array_max(transform(sequence(lit(0), lit(n - 1)),
+            i => conv(substring(md5(concat(col("key").cast("string"),
+              lit("#"), i.cast("string"))), 1, 10), 16, 10).cast("long")
+              * 64 + i)) % 64
+        Tables.orders(spark, dir).select(col("o_orderkey").as("key"))
+          .select(col("key"), shardOf(32).as("old_shard"),
+            shardOf(33).as("new_shard"))
+          .groupBy(col("old_shard"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("new_shard") =!= col("old_shard"), 1L)
+              .otherwise(0L)).as("n_moved"),
+            sum(when(col("new_shard") =!= col("old_shard") &&
+              col("new_shard") === 32, 1L).otherwise(0L))
+              .as("n_moved_to_new"))
+          .withColumn("moved_ppm",
+            expr("(n_moved * 1000000) div n_keys"))
+          .orderBy(col("old_shard"))
+      },
+      oracle = Some("""
+        WITH k AS (SELECT o_orderkey AS key FROM orders),
+        h AS (SELECT key,
+                list_max(list_transform(range(0, 32), i ->
+                  ('0x' || substr(md5(CAST(key AS VARCHAR) || '#' ||
+                    CAST(i AS VARCHAR)), 1, 10))::BIGINT * 64 + i)) % 64
+                  AS old_shard,
+                list_max(list_transform(range(0, 33), i ->
+                  ('0x' || substr(md5(CAST(key AS VARCHAR) || '#' ||
+                    CAST(i AS VARCHAR)), 1, 10))::BIGINT * 64 + i)) % 64
+                  AS new_shard
+              FROM k)
+        SELECT old_shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN new_shard <> old_shard THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_moved,
+               CAST(SUM(CASE WHEN new_shard <> old_shard AND new_shard = 32
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new,
+               (CAST(SUM(CASE WHEN new_shard <> old_shard THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000) // COUNT(*) AS moved_ppm
+        FROM h GROUP BY old_shard ORDER BY old_shard"""))
   )
 }

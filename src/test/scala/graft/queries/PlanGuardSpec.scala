@@ -541,4 +541,68 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Join"), "payload-bearing rows routed through a join")
     assert(p.contains("partial_count"), "profile agg not split partial/final")
   }
+
+  test("q213: KM subjects come from a customer-keyed window; only the life table is serial") {
+    val p = plan("q213_kaplan_meier")
+    assert(p.contains("hashpartitioning(o_custkey"),
+      "first/second-order window not customer-keyed")
+    // the ordered survival windows may only see the duration-keyed life
+    // table (t, d_t, c_t) — never a per-customer subject row
+    singlePartitionInputs(p).foreach(in =>
+      assert(!in.contains("o_custkey#") && !in.contains("event#"),
+        s"per-customer rows serialized through one partition: [$in]"))
+  }
+
+  test("q214: quantile normalization is two-pass — doc rows never hit one partition") {
+    val p = plan("q214_quantile_normalize")
+    assert(p.contains("hashpartitioning(source"),
+      "within-source rank window not source-keyed")
+    assert(p.contains("hashpartitioning(n_chars"),
+      "global tie-break window not value-keyed (GlobalRank bypassed?)")
+    singlePartitionInputs(p).foreach(in =>
+      assert(!in.contains("doc_id#"),
+        s"doc rows serialized through one partition: [$in]"))
+  }
+
+  test("q215: BT matches pair within (user, hour) cells; MM rounds never cartesian") {
+    val p = plan("q215_bradley_terry")
+    assert(p.contains("hashpartitioning(user_id"),
+      "match extraction not keyed by user — cross-user pairing would be quadratic")
+    assert(!p.contains("CartesianProduct"),
+      "an MM round planned a shuffled cartesian")
+  }
+
+  test("q216: split search shuffles the length histogram, never the corpus") {
+    val p = plan("q216_info_gain_split")
+    assert(p.contains("hashpartitioning(v"),
+      "length histogram not value-keyed")
+    assert(p.contains("partial_count"), "histogram agg not split partial/final")
+    // the cumulative/gain window sees only histogram rows (v, c, cp) —
+    // per-document label rows must never cross one partition
+    singlePartitionInputs(p).foreach(in =>
+      assert(!in.contains("pos#"),
+        s"per-doc label rows serialized through one partition: [$in]"))
+  }
+
+  test("q217: attribution pairs conversions with touches user-keyed, windows per conversion") {
+    val p = plan("q217_touch_attribution")
+    // the pairing must be a keyed equijoin on user_id — broadcast (the
+    // conversion side is the smaller stream) or shuffled are both fine
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("hashpartitioning(user_id") || p.contains("SortMergeJoin"),
+      "conversion-touch pairing not a keyed equijoin")
+    assert(p.contains("hashpartitioning(conv_id"),
+      "credit windows not keyed by conversion")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "attribution degenerated into cross-user pairing")
+  }
+
+  test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
+    val p = plan("q218_rendezvous_resharding")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      "the 65-way shard argmax left the row")
+    assert(p.contains("partial_count"), "shard rollup not split partial/final")
+    assert(p.contains("hashpartitioning(old_shard"),
+      "rollup not keyed by shard")
+  }
 }
