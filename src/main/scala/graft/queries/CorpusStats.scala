@@ -1077,6 +1077,204 @@ object CorpusStats {
                CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS mean_raw,
                CAST(SUM(norm_chars) AS BIGINT) // COUNT(*) AS mean_norm,
                MIN(norm_chars) AS min_norm, MAX(norm_chars) AS max_norm
-        FROM j GROUP BY source ORDER BY source"""))
+        FROM j GROUP BY source ORDER BY source""")),
+
+    // ---- q220: greedy max-coverage source selection (submodular) ----
+    // The coverage-based data-selection primitive: pick k sources that
+    // together cover the most distinct trigram shingles — the greedy
+    // (1−1/e)-approximation to the NP-hard max-coverage problem, the
+    // standard recipe for "which corpora add the most new content?".
+    // Four rounds; each round scores every remaining source by its
+    // MARGINAL coverage (shingles not covered by earlier picks), takes
+    // the argmax with a source-name tie-break, and adds its shingles
+    // to the covered set. Deterministic: counts + lexicographic ties.
+    //
+    // 100 TB posture: the (source, shingle) support table is one
+    // explode + distinct (q163's shape); each round is an anti-join
+    // against the covered set (shingle-keyed) + a |sources| agg +
+    // a 1-row argmax — k rounds, never any cross product; per-round
+    // results are localCheckpoint'd (the q209 lineage discipline).
+    "q220_greedy_coverage" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.shingles
+        val sh = Tables.spread(Tables.documents(spark, dir))
+          .select(col("source"),
+            explode(shingles(toks(col("text")), 3)).as("g"))
+          .distinct()
+        var selected = sh.select(col("source"), lit(0L).as("marginal"),
+          lit(0).as("round")).limit(0)
+        var covered = sh.select(col("g")).limit(0)
+        for (r <- 1 to 4) {
+          val marg = sh
+            .join(selected.select(col("source")), Seq("source"), "left_anti")
+            .join(covered, Seq("g"), "left_anti")
+            .groupBy(col("source")).agg(count(lit(1)).as("marginal"))
+          val top = marg.orderBy(col("marginal").desc, col("source"))
+            .limit(1).select(col("source"), col("marginal"),
+              lit(r).as("round")).localCheckpoint()
+          selected = selected.unionByName(top)
+          covered = covered
+            .unionAll(sh.join(broadcast(top.select(col("source"))),
+              Seq("source")).select(col("g")))
+            .distinct().localCheckpoint()
+        }
+        val univ = sh.agg(countDistinct(col("g")).as("u"))
+        val wr = Window.orderBy(col("round"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        selected.crossJoin(broadcast(univ))
+          .withColumn("cum_covered", sum(col("marginal")).over(wr))
+          .select(col("round"), col("source"), col("marginal"),
+            col("cum_covered"),
+            expr("(cum_covered * 1000000) div u").as("covered_ppm"))
+          .orderBy(col("round"))
+      },
+      oracle = Some("""
+        WITH sh0 AS (
+          SELECT source,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1] || ' ' ||
+                        string_split(trim(text), ' ')[i+2])) AS gs
+          FROM documents),
+        sh AS (SELECT DISTINCT source, UNNEST(gs) AS g
+               FROM sh0 WHERE len(gs) > 0),
+        univ AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS u FROM sh),
+        m1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+               FROM sh GROUP BY 1),
+        s1 AS (SELECT source, c FROM m1 ORDER BY c DESC, source LIMIT 1),
+        c1 AS (SELECT DISTINCT g FROM sh JOIN s1 USING (source)),
+        m2 AS (SELECT sh.source, CAST(COUNT(*) AS BIGINT) AS c FROM sh
+               WHERE sh.source NOT IN (SELECT source FROM s1)
+                 AND sh.g NOT IN (SELECT g FROM c1)
+               GROUP BY 1),
+        s2 AS (SELECT source, c FROM m2 ORDER BY c DESC, source LIMIT 1),
+        c2 AS (SELECT g FROM c1
+               UNION SELECT g FROM sh JOIN s2 USING (source)),
+        m3 AS (SELECT sh.source, CAST(COUNT(*) AS BIGINT) AS c FROM sh
+               WHERE sh.source NOT IN (SELECT source FROM s1
+                       UNION ALL SELECT source FROM s2)
+                 AND sh.g NOT IN (SELECT g FROM c2)
+               GROUP BY 1),
+        s3 AS (SELECT source, c FROM m3 ORDER BY c DESC, source LIMIT 1),
+        c3 AS (SELECT g FROM c2
+               UNION SELECT g FROM sh JOIN s3 USING (source)),
+        m4 AS (SELECT sh.source, CAST(COUNT(*) AS BIGINT) AS c FROM sh
+               WHERE sh.source NOT IN (SELECT source FROM s1
+                       UNION ALL SELECT source FROM s2
+                       UNION ALL SELECT source FROM s3)
+                 AND sh.g NOT IN (SELECT g FROM c3)
+               GROUP BY 1),
+        s4 AS (SELECT source, c FROM m4 ORDER BY c DESC, source LIMIT 1),
+        sel AS (SELECT 1 AS round, source, c FROM s1
+                UNION ALL SELECT 2, source, c FROM s2
+                UNION ALL SELECT 3, source, c FROM s3
+                UNION ALL SELECT 4, source, c FROM s4),
+        cum AS (SELECT round, source, c AS marginal,
+                       CAST(SUM(c) OVER (ORDER BY round
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum_covered
+                FROM sel)
+        SELECT round, source, marginal, cum_covered,
+               (cum_covered * 1000000) // u AS covered_ppm
+        FROM cum CROSS JOIN univ ORDER BY round""")),
+
+    // ---- q221: portable HyperLogLog distinct-token estimate ----
+    // The cardinality sketch, built from relational primitives with
+    // ENGINE-EXACT parity — unlike q28's built-in approx sketches
+    // (rows-only check), this one hash-matches the oracle bit for bit:
+    // register = top 8 bits of the md5-derived 40-bit token hash,
+    // rho = leading-zero rank of the low 32 bits via length(bin(x))
+    // (identical no-leading-zeros semantics in both engines), estimate
+    // = alpha·m²/Σ2^(−M_j) with the alpha·m² product embedded as ONE
+    // double literal and every 2^(−M) term a dyadic rational — the
+    // whole float pipeline is exact, so Spark and DuckDB agree on
+    // every bit, including the small-range linear-counting branch.
+    // Output reports the exact distinct count next to the estimate
+    // with its signed error in ppm.
+    //
+    // 100 TB posture: this is THE mergeable distinct sketch — the
+    // (source, register) max-agg is one keyed partial/final agg
+    // (shuffle = |sources|·256 rows whatever the corpus size), and
+    // register maxima merge associatively across any partitioning;
+    // the exact count sits beside it as the gate's ground truth.
+    "q221_portable_hll" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.shingles
+        // trigram shingles, not unigrams: the synthetic vocab is ~31
+        // tokens/source (degenerate for a sketch); shingles give the
+        // thousands-per-source cardinality that exercises the raw
+        // harmonic-mean branch with realistic register saturation
+        val tok = Tables.spread(Tables.documents(spark, dir))
+          .select(col("source"),
+            explode(shingles(toks(col("text")), 3)).as("t"))
+          .distinct()
+        val regs = tok
+          .select(col("source"),
+            conv(substring(md5(col("t")), 1, 10), 16, 10).cast("long")
+              .as("h"))
+          .select(col("source"), expr("h div 4294967296").as("reg"),
+            expr("h % 4294967296").as("rest"))
+          .withColumn("rho", when(col("rest") === 0, lit(33))
+            .otherwise(lit(33) - length(bin(col("rest")))))
+          .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("m"))
+        val hll = regs.groupBy(col("source"))
+          .agg(count(lit(1)).as("present"),
+            sum(pow(lit(2.0), -col("m"))).as("s_present"))
+          .withColumn("s",
+            col("s_present") + (lit(256L) - col("present")).cast("double"))
+          .withColumn("v", lit(256L) - col("present"))
+          .withColumn("e_raw", lit(47072.71267120224) / col("s"))
+          .withColumn("n_hll",
+            when(col("e_raw") <= 640.0 && col("v") > 0,
+              round(lit(256.0) * log(lit(256.0) / col("v").cast("double"))))
+            .otherwise(round(col("e_raw"))).cast("long"))
+        val ex = tok.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+        ex.join(hll.select(col("source"), col("n_hll")), Seq("source"))
+          .select(col("source"), col("n_exact"), col("n_hll"),
+            expr("((n_hll - n_exact) * 1000000) div n_exact").as("err_ppm"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH sh0 AS (
+          SELECT source,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1] || ' ' ||
+                        string_split(trim(text), ' ')[i+2])) AS gs
+          FROM documents),
+        tok AS (SELECT DISTINCT source, UNNEST(gs) AS t
+                FROM sh0 WHERE len(gs) > 0),
+        h AS (SELECT source,
+                     ('0x' || substr(md5(t), 1, 10))::BIGINT AS h
+              FROM tok),
+        r AS (SELECT source, h // 4294967296 AS reg,
+                     h % 4294967296 AS rest FROM h),
+        r2 AS (SELECT source, reg,
+                      CASE WHEN rest = 0 THEN 33
+                           ELSE 33 - length(bin(rest)) END AS rho
+               FROM r),
+        m AS (SELECT source, reg, MAX(rho) AS mx FROM r2 GROUP BY 1, 2),
+        a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS present,
+                     SUM(power(2.0, -mx)) AS s_present
+              FROM m GROUP BY 1),
+        e AS (SELECT source,
+                     s_present + CAST(256 - present AS DOUBLE) AS s,
+                     256 - present AS v
+              FROM a),
+        f AS (SELECT source, v, 47072.71267120224 / s AS e_raw FROM e),
+        g AS (SELECT source,
+                     CASE WHEN e_raw <= 640.0 AND v > 0
+                          THEN CAST(ROUND(256.0 * ln(256.0 /
+                            CAST(v AS DOUBLE))) AS BIGINT)
+                          ELSE CAST(ROUND(e_raw) AS BIGINT) END AS n_hll
+              FROM f),
+        ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+               FROM tok GROUP BY 1)
+        SELECT ex.source, ex.n_exact, g.n_hll,
+               ((g.n_hll - ex.n_exact) * 1000000) // ex.n_exact AS err_ppm
+        FROM ex JOIN g ON g.source = ex.source
+        ORDER BY ex.source"""))
   )
 }

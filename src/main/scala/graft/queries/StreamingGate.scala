@@ -244,6 +244,57 @@ object StreamingGate {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** q219: a UNION of two file-source streams over the same landing
+    * dir, where side B shifts every event time back 6 h in-stream, so
+    * the two sources' event-time maxima differ by exactly 6 h. Each
+    * branch carries its own 4 h watermark; under Spark's default
+    * min-policy the GLOBAL watermark is the LAGGING branch's, so
+    * append-mode emission is bounded by min(maxA, maxB) − 4 h =
+    * max(ts) − 10 h — while the counts inside every emitted window
+    * include BOTH branches' rows. The slowest source gates emission
+    * for everyone; the oracle replays that in SQL. */
+  def streamedUnionWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q219",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    def src(): DataFrame = spark.readStream
+      .schema(era.schema)
+      .parquet(run.srcDir)
+      .select(era.eventTime.as("event_time"), col("event_type"))
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val a = src().withWatermark("event_time", "4 hours")
+      val b = src()
+        .select((col("event_time") - expr("INTERVAL 6 HOURS"))
+          .as("event_time"), col("event_type"))
+        .withWatermark("event_time", "4 hours")
+      val q = a.unionAll(b)
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** q192: q139's pipeline against the PRODUCTION sink — a parquet
     * FILE sink with its `_spark_metadata` commit log — instead of the
     * memory sink, then read back through that log. The memory sink
@@ -1094,6 +1145,31 @@ object StreamingGate {
                  AS hour_start,
                event_type, COUNT(*) AS n
         FROM e CROSS JOIN m
+        WHERE date_trunc('hour', et) + INTERVAL 1 HOUR <= m.wm
+        GROUP BY 1, 2 ORDER BY hour_start, event_type"""))) :+ (
+
+    // ---- q219: two-source union under the min-watermark policy ----
+    // The multi-source coordination law: a union of two streams whose
+    // event-time maxima differ by 6 h (side B is shifted in-stream)
+    // emits only windows the LAGGING side's watermark has passed —
+    // global watermark = min over sources of (max_event − delay) =
+    // max(ts) − 10 h — while emitted counts include BOTH sides' rows.
+    // Fourteenth streaming law: the slowest source gates emission for
+    // the whole union (the back-pressure fact every multi-topic
+    // ingest pipeline lives with).
+    "q219_streamed_union_watermark" -> QueryDef(
+      build = (spark, dir) => streamedUnionWatermark(spark, dir),
+      oracle = Some("""
+        WITH e0 AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS et
+                    FROM events),
+        u AS (SELECT event_type, et FROM e0
+              UNION ALL
+              SELECT event_type, et - INTERVAL 6 HOURS FROM e0),
+        m AS (SELECT max(et) - INTERVAL 10 HOURS AS wm FROM e0)
+        SELECT strftime(date_trunc('hour', et), '%Y-%m-%d %H:%M:%S')
+                 AS hour_start,
+               event_type, COUNT(*) AS n
+        FROM u CROSS JOIN m
         WHERE date_trunc('hour', et) + INTERVAL 1 HOUR <= m.wm
         GROUP BY 1, 2 ORDER BY hour_start, event_type"""))) :+ (
 

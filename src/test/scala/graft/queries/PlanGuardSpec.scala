@@ -597,6 +597,26 @@ class PlanGuardSpec extends SparkSpec {
       "attribution degenerated into cross-user pairing")
   }
 
+  test("q220: greedy coverage rounds stay keyed — never cartesian") {
+    val p = plan("q220_greedy_coverage")
+    // per-round anti-joins are checkpoint-truncated out of the final
+    // plan; what remains must still be keyed + 1-row broadcasts only
+    assert(!p.contains("CartesianProduct"),
+      "coverage selection planned a shuffled cross product")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "more nested-loop joins than the 1-row universe broadcast explains")
+  }
+
+  test("q221: the HLL register table aggregates keyed with partial max") {
+    val p = plan("q221_portable_hll")
+    assert(p.contains("hashpartitioning(source"),
+      "register agg not keyed by source")
+    assert(p.contains("partial_max"),
+      "register maxima not combined map-side before the exchange")
+    assert(!p.contains("CartesianProduct"),
+      "sketch pipeline planned a cross product")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
