@@ -1763,7 +1763,56 @@ object Analytics {
                CASE WHEN dead = 1 THEN 0
                     ELSE CAST(ROUND(exp(CAST(lnsum AS DOUBLE)) * 1000000)
                       AS BIGINT) END AS surv_ppm
-        FROM cm ORDER BY t"""))
+        FROM cm ORDER BY t""")),
+
+    // ---- q222: analytic rank-function breadth on keyed windows ----
+    // The remaining ANSI window rank family in one gate: rank /
+    // dense_rank / percent_rank / cume_dist over a TIES-bearing
+    // ordering (the $50k price bucket — tied rows must share values),
+    // plus ntile(7) over the fully tie-broken ordering (ntile assigns
+    // by ROW position, so determinism requires the unique order).
+    // percent_rank/cume_dist are emitted as RAW doubles: both engines
+    // compute the same integer-ratio division in IEEE doubles —
+    // bit-identical with no rounding step at all.
+    //
+    // 100 TB posture: both windows partition on the customer key
+    // (high-cardinality, hash-distributed, bounded partitions); the
+    // custkey filter prunes at the scan.
+    "q222_window_rank_funcs" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+          .filter(col("o_custkey") < 200)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+          .withColumn("bucket", expr("cents div 5000000"))
+        val wt = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("bucket"))
+        val wu = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("cents"), col("o_orderkey"))
+        o.select(col("o_orderkey"), col("o_custkey"),
+            rank().over(wt).cast(LongType).as("rnk"),
+            dense_rank().over(wt).cast(LongType).as("drnk"),
+            percent_rank().over(wt).as("prnk"),
+            cume_dist().over(wt).as("cdist"),
+            ntile(7).over(wu).cast(LongType).as("tile"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      oracle = Some("""
+        WITH o AS (SELECT o_orderkey, o_custkey,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders WHERE o_custkey < 200),
+        b AS (SELECT o_orderkey, o_custkey, cents,
+                     cents // 5000000 AS bucket FROM o)
+        SELECT o_orderkey, o_custkey,
+               rank() OVER wt AS rnk,
+               dense_rank() OVER wt AS drnk,
+               percent_rank() OVER wt AS prnk,
+               cume_dist() OVER wt AS cdist,
+               ntile(7) OVER wu AS tile
+        FROM b
+        WINDOW wt AS (PARTITION BY o_custkey ORDER BY bucket),
+               wu AS (PARTITION BY o_custkey ORDER BY cents, o_orderkey)
+        ORDER BY o_custkey, o_orderkey"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */

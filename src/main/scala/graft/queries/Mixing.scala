@@ -559,6 +559,104 @@ object Mixing {
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new,
                (CAST(SUM(CASE WHEN new_shard <> old_shard THEN 1 ELSE 0 END)
                  AS BIGINT) * 1000000) // COUNT(*) AS moved_ppm
-        FROM h GROUP BY old_shard ORDER BY old_shard"""))
+        FROM h GROUP BY old_shard ORDER BY old_shard""")),
+
+    // ---- q223: IPF raking of the (lang × source) table ----
+    // Iterative proportional fitting — the survey-weighting / data-
+    // balancing primitive: per-cell weights that pull BOTH marginals
+    // of the corpus toward uniform (every lang the same weighted mass,
+    // every source the same), without touching the joint structure.
+    // Two full IPF rounds (rows then columns, twice) in integer ppm:
+    // targets G = (N·1e6) div L and H = (N·1e6) div S, scale factors
+    // and weights all truncating `div` — exact and mirrored. Output
+    // carries the residual marginal deviations: after the final
+    // column step source margins sit within truncation of H while
+    // lang margins show the (converging) residual.
+    //
+    // 100 TB posture: ONE keyed cell agg touches the corpus; all four
+    // scaling steps live on the |langs|·|sources| cell table with
+    // broadcast margin joins.
+    "q223_ipf_raking" -> QueryDef(
+      build = (spark, dir) => {
+        val cells = Tables.documents(spark, dir)
+          .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        val tot = cells.agg(sum(col("n")).as("nn"),
+          countDistinct(col("lang")).as("ll"),
+          countDistinct(col("source")).as("ss"))
+        var w = cells.crossJoin(broadcast(tot))
+          .withColumn("w", lit(1000000L))
+        for (_ <- 1 to 2) {
+          val tl = w.groupBy(col("lang")).agg(sum(expr("n * w")).as("t"))
+          w = w.join(broadcast(tl), Seq("lang"))
+            .withColumn("w", expr(
+              "(w * ((((nn * 1000000) div ll) * 1000000) div t)) div 1000000"))
+            .drop("t")
+          val ts = w.groupBy(col("source")).agg(sum(expr("n * w")).as("t"))
+          w = w.join(broadcast(ts), Seq("source"))
+            .withColumn("w", expr(
+              "(w * ((((nn * 1000000) div ss) * 1000000) div t)) div 1000000"))
+            .drop("t")
+            // each round's margin totals derive from w itself, so the
+            // uncut lineage doubles per round (the q209 lesson: 4 rounds
+            // = 2^4 copies of the base scan in one plan)
+            .localCheckpoint()
+        }
+        val devL = w.groupBy(col("lang")).agg(sum(expr("n * w")).as("tl"))
+        val devS = w.groupBy(col("source")).agg(sum(expr("n * w")).as("ts"))
+        w.join(broadcast(devL), Seq("lang"))
+          .join(broadcast(devS), Seq("source"))
+          .select(col("lang"), col("source"), col("n"), col("w").as("w_ppm"),
+            expr("((tl - (nn * 1000000) div ll) * 1000000) div ((nn * 1000000) div ll)")
+              .as("lang_dev_ppm"),
+            expr("((ts - (nn * 1000000) div ss) * 1000000) div ((nn * 1000000) div ss)")
+              .as("src_dev_ppm"))
+          .orderBy(col("lang"), col("source"))
+      },
+      oracle = Some("""
+        WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                       CAST(COUNT(DISTINCT lang) AS BIGINT) AS ll,
+                       CAST(COUNT(DISTINCT source) AS BIGINT) AS ss
+                FROM cells),
+        w0 AS (SELECT lang, source, n, nn, ll, ss,
+                      CAST(1000000 AS BIGINT) AS w
+               FROM cells CROSS JOIN tot),
+        l1 AS (SELECT lang, CAST(SUM(n * w) AS BIGINT) AS t
+               FROM w0 GROUP BY 1),
+        w1 AS (SELECT w0.lang, source, n, nn, ll, ss,
+                      (w * ((((nn * 1000000) // ll) * 1000000) // t))
+                        // 1000000 AS w
+               FROM w0 JOIN l1 ON l1.lang = w0.lang),
+        s1 AS (SELECT source, CAST(SUM(n * w) AS BIGINT) AS t
+               FROM w1 GROUP BY 1),
+        w2 AS (SELECT lang, w1.source, n, nn, ll, ss,
+                      (w * ((((nn * 1000000) // ss) * 1000000) // t))
+                        // 1000000 AS w
+               FROM w1 JOIN s1 ON s1.source = w1.source),
+        l2 AS (SELECT lang, CAST(SUM(n * w) AS BIGINT) AS t
+               FROM w2 GROUP BY 1),
+        w3 AS (SELECT w2.lang, source, n, nn, ll, ss,
+                      (w * ((((nn * 1000000) // ll) * 1000000) // t))
+                        // 1000000 AS w
+               FROM w2 JOIN l2 ON l2.lang = w2.lang),
+        s2 AS (SELECT source, CAST(SUM(n * w) AS BIGINT) AS t
+               FROM w3 GROUP BY 1),
+        w4 AS (SELECT lang, w3.source, n, nn, ll, ss,
+                      (w * ((((nn * 1000000) // ss) * 1000000) // t))
+                        // 1000000 AS w
+               FROM w3 JOIN s2 ON s2.source = w3.source),
+        dl AS (SELECT lang, CAST(SUM(n * w) AS BIGINT) AS tl
+               FROM w4 GROUP BY 1),
+        ds AS (SELECT source, CAST(SUM(n * w) AS BIGINT) AS ts
+               FROM w4 GROUP BY 1)
+        SELECT w4.lang, w4.source, n, w AS w_ppm,
+               ((tl - (nn * 1000000) // ll) * 1000000)
+                 // ((nn * 1000000) // ll) AS lang_dev_ppm,
+               ((ts - (nn * 1000000) // ss) * 1000000)
+                 // ((nn * 1000000) // ss) AS src_dev_ppm
+        FROM w4 JOIN dl ON dl.lang = w4.lang
+                JOIN ds ON ds.source = w4.source
+        ORDER BY w4.lang, w4.source"""))
   )
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.core.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,6 +29,36 @@ object Retrieval {
   private val MmrK = 5
   private val MmrLambda = 0.7
 
+  /** (doc_id, n_terms_hit, score): every doc matching >= 1 query term
+    * with its 6-dp BM25 score — q94's scorer, shared with the q224
+    * ranking-quality gate. Stats broadcast; the model never shuffles. */
+  private def bm25Scored(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val tf = toks.filter(col("term").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+    tf.join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), round(
+        log(lit(1.0) + (col("n_docs") - col("dft") + lit(0.5)) /
+          (col("dft") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) *
+            (col("dl").cast("double") /
+              (col("total_tokens").cast("double") / col("n_docs"))))),
+        9).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(col("contrib").cast(DecimalType(28, 9))).cast("double"),
+          6).as("score"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- q94: BM25 top-k retrieval ----
@@ -43,33 +74,9 @@ object Retrieval {
     // only docs with ≥1 hit. No stage is quadratic, the only corpus-
     // sized shuffle is the doc-length count.
     "q94_bm25_topk" -> QueryDef(
-      build = (spark, dir) => {
-        val toks = Tables.documents(spark, dir)
-          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val st = dl.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("total_tokens"))
-        val tf = toks.filter(col("term").isin(QueryTerms: _*))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
-        tf.join(broadcast(dft), Seq("term"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(st))
-          .select(col("doc_id"), round(
-            log(lit(1.0) + (col("n_docs") - col("dft") + lit(0.5)) /
-              (col("dft") + lit(0.5))) *
-              (col("tf") * lit(2.2)) /
-              (col("tf") + lit(K1) * (lit(1 - B) + lit(B) *
-                (col("dl").cast("double") /
-                  (col("total_tokens").cast("double") / col("n_docs"))))),
-            9).as("contrib"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms_hit"),
-            round(sum(col("contrib").cast(DecimalType(28, 9))).cast("double"),
-              6).as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(10)
-      },
+      build = (spark, dir) => bm25Scored(spark, dir)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10),
       oracle = Some(s"""
         WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
                      FROM documents),
@@ -351,7 +358,124 @@ object Retrieval {
                CASE WHEN COUNT(gap) = 0 THEN 0
                     ELSE CAST(SUM(gap) AS BIGINT) // COUNT(gap) END
                  AS gap_avg_floor
-        FROM posted GROUP BY 1 ORDER BY df_log2_bucket"""))
+        FROM posted GROUP BY 1 ORDER BY df_log2_bucket""")),
+
+    // ---- q224: nDCG@10 of the BM25 ranking (graded relevance) ----
+    // The ranking-quality metric the eval family lacked (q169/q190
+    // grade CLASSIFIERS; this grades a RANKER): DCG@10 of q94's BM25
+    // ordering against a graded relevance independent of the ranker —
+    // raw query-term occurrences per doc, capped at 10 — normalized by
+    // the ideal ordering's DCG at each position. Per-position gains
+    // (2^rel − 1)/log2(pos+1) with the log2 rounded once at 9 dp
+    // (continuous), cumulative sums in exact decimal, ndcg rounded at
+    // 6 dp — the q94/q195 float discipline end to end.
+    //
+    // 100 TB posture: both top-10 lists are TakeOrdered over keyed
+    // aggregations (BM25 stats broadcast, relevance one keyed agg);
+    // the position windows run on 10 rows.
+    "q224_ndcg_eval" -> QueryDef(
+      build = (spark, dir) => {
+        val rel = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), " ")).as("term"))
+          .filter(col("term").isin(QueryTerms: _*))
+          .groupBy(col("doc_id"))
+          .agg(least(count(lit(1)), lit(10L)).as("rel"))
+        val sys10 = bm25Scored(spark, dir)
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+          .join(rel, Seq("doc_id"))
+        val ideal10 = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        def dcg(df: org.apache.spark.sql.DataFrame, ord: Seq[Column],
+            out: String): org.apache.spark.sql.DataFrame = {
+          val w = Window.orderBy(ord: _*)
+          val wc = Window.orderBy(col("pos"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          df.withColumn("pos", row_number().over(w).cast(LongType))
+            .withColumn("gain", round(
+              (pow(lit(2.0), col("rel")) - 1.0) /
+                round(log2(col("pos") + 1), 9), 9))
+            .withColumn(out,
+              sum(col("gain").cast(DecimalType(28, 9))).over(wc))
+        }
+        val sys = dcg(sys10, Seq(col("score").desc, col("doc_id")), "dcg")
+          .select(col("pos"), col("doc_id"), col("rel"), col("dcg"))
+        val ideal = dcg(ideal10, Seq(col("rel").desc, col("doc_id")), "idcg")
+          .select(col("pos"), col("idcg"))
+        sys.join(ideal, Seq("pos"))
+          .select(col("pos"), col("doc_id"), col("rel"),
+            round(col("dcg").cast(DoubleType) / col("idcg").cast(DoubleType),
+              6).as("ndcg_at_pos"))
+          .orderBy(col("pos"))
+      },
+      oracle = Some(s"""
+        WITH tok AS (SELECT doc_id,
+                            unnest(string_split(trim(text), ' ')) AS term
+                     FROM documents),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+               GROUP BY doc_id),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+               WHERE term IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+               GROUP BY 1, 2),
+        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM tf
+                GROUP BY term),
+        sc AS (SELECT f.doc_id,
+                      ROUND(LN(CAST(1.0 AS DOUBLE)
+                               + (st.n_docs - d.dft + CAST(0.5 AS DOUBLE))
+                               / (d.dft + CAST(0.5 AS DOUBLE)))
+                            * (f.tf * CAST(2.2 AS DOUBLE))
+                            / (f.tf + CAST($K1 AS DOUBLE)
+                               * (CAST(${1 - B} AS DOUBLE)
+                                  + CAST($B AS DOUBLE)
+                                  * (CAST(l.dl AS DOUBLE)
+                                     / (CAST(st.total_tokens AS DOUBLE)
+                                        / st.n_docs)))), 9) AS contrib
+               FROM tf f JOIN dft d USING (term) JOIN dl l USING (doc_id), st),
+        scored AS (SELECT doc_id,
+                          ROUND(CAST(SUM(CAST(contrib AS DECIMAL(28,9)))
+                            AS DOUBLE), 6) AS score
+                   FROM sc GROUP BY doc_id),
+        rel AS (SELECT doc_id, LEAST(CAST(COUNT(*) AS BIGINT), 10) AS rel
+                FROM tok
+                WHERE term IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+                GROUP BY doc_id),
+        sys10 AS (SELECT s.doc_id, s.score, r.rel
+                  FROM scored s JOIN rel r USING (doc_id)
+                  ORDER BY s.score DESC, s.doc_id LIMIT 10),
+        sysd AS (SELECT doc_id, rel,
+                        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                          AS BIGINT) AS pos
+                 FROM sys10),
+        sysg AS (SELECT pos, doc_id, rel,
+                        ROUND((POWER(2.0, rel) - 1.0)
+                          / ROUND(log2(pos + 1), 9), 9) AS gain
+                 FROM sysd),
+        sysc AS (SELECT pos, doc_id, rel,
+                        SUM(CAST(gain AS DECIMAL(28,9))) OVER (ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS dcg
+                 FROM sysg),
+        id10 AS (SELECT doc_id, rel FROM rel
+                 ORDER BY rel DESC, doc_id LIMIT 10),
+        idd AS (SELECT rel,
+                       CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id)
+                         AS BIGINT) AS pos
+                FROM id10),
+        idg AS (SELECT pos,
+                       ROUND((POWER(2.0, rel) - 1.0)
+                         / ROUND(log2(pos + 1), 9), 9) AS gain
+                FROM idd),
+        idc AS (SELECT pos,
+                       SUM(CAST(gain AS DECIMAL(28,9))) OVER (ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS idcg
+                FROM idg)
+        SELECT s.pos, s.doc_id, s.rel,
+               ROUND(CAST(s.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6)
+                 AS ndcg_at_pos
+        FROM sysc s JOIN idc i ON i.pos = s.pos
+        ORDER BY s.pos"""))
   )
 
   /** DuckDB replay of the q115 greedy trace: cand/pairs CTEs mirror the

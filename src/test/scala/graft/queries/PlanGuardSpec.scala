@@ -617,6 +617,34 @@ class PlanGuardSpec extends SparkSpec {
       "sketch pipeline planned a cross product")
   }
 
+  test("q222: rank-function windows partition on the customer key; filter pushed down") {
+    val p = plan("q222_window_rank_funcs")
+    assert(p.contains("hashpartitioning(o_custkey"),
+      "rank windows not keyed by customer")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      "custkey filter not pushed to the parquet scan")
+  }
+
+  test("q223: IPF touches the corpus once — all scaling on the broadcast cell table") {
+    val p = plan("q223_ipf_raking")
+    assert(p.contains("hashpartitioning(lang"),
+      "cell agg not keyed by (lang, source)")
+    assert(!p.contains("CartesianProduct"),
+      "a scaling step planned a shuffled cross product")
+    // margin joins are broadcast hash joins on lang/source; the only
+    // nested-loop is the 1-row totals broadcast (2 formatted mentions)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "more nested-loop joins than the 1-row totals broadcast explains")
+  }
+
+  test("q224: both nDCG top-10 lists are TakeOrdered; stats broadcast") {
+    val p = plan("q224_ndcg_eval")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "a top-10 list executes as a global sort")
+    assert(!p.contains("CartesianProduct"),
+      "ranking eval planned a cross product")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
