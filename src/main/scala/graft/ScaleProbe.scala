@@ -539,6 +539,45 @@ object ScaleProbe {
       }
     }
 
+    // hll probe: q221's register sketch vs the exact distinct count as
+    // the corpus (and its distinct-shingle universe — replicas are
+    // alphabet-rotated, so distincts GROW with scale) gets bigger. The
+    // cost asymmetry the probe measures: exact distinct must move every
+    // distinct (source, shingle) STRING through a shuffle; the sketch
+    // reduces to |sources|·256 register maxima via map-side partial max
+    // — its shuffle is constant whatever the corpus size.
+    if (enabled("hll")) {
+      import graft.functions.TextFunctions.{shingles, tokens}
+      def sh(s: Int) = graft.core.Tables.spread(corpus(s))
+        .select((col("doc_id") % 16).as("source"),
+          explode(shingles(tokens(col("text")), 3)).as("t"))
+      def exactD(s: Int): Long =
+        sh(s).distinct().count()
+      def hllD(s: Int): Long = {
+        val regs = sh(s)
+          .select(col("source"),
+            conv(substring(md5(col("t")), 1, 10), 16, 10).cast("long")
+              .as("h"))
+          .select(col("source"), expr("h div 4294967296").as("reg"),
+            expr("h % 4294967296").as("rest"))
+          .withColumn("rho", when(col("rest") === 0, lit(33))
+            .otherwise(lit(33) - length(bin(col("rest")))))
+          .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("m"))
+        regs.groupBy(col("source"))
+          .agg(count(lit(1)).as("present"),
+            sum(pow(lit(2.0), -col("m"))).as("sp"))
+          .agg(sum(expr(
+            "cast(round(47072.71267120224 / (sp + cast(256 - present as double))) as bigint)")))
+          .head.getLong(0)
+      }
+      exactD(1); hllD(1) // warmup
+      Seq(1, 2, 4, 8).foreach { s =>
+        val (eSec, eN) = timed2(exactD(s))
+        val (hSec, hN) = timed2(hllD(s))
+        println(f"""{"probe":"hll","scale":$s,"exact_distinct":$eN,"exact_sec":$eSec%.3f,"hll_estimate":$hN,"hll_sec":$hSec%.3f}""")
+      }
+    }
+
     // global-rank probe: the q190/q198 two-pass (rank, prefix-sum)
     // operator vs the naive global-sort window. The naive form funnels
     // EVERY row through one partition (SinglePartition exchange + sort)
