@@ -1812,7 +1812,86 @@ object Analytics {
         FROM b
         WINDOW wt AS (PARTITION BY o_custkey ORDER BY bucket),
                wu AS (PARTITION BY o_custkey ORDER BY cents, o_orderkey)
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- q225: Z-order layout vs single-key sort (multi-dim pruning) ----
+    // The data-layout question behind every "should we Z-ORDER this
+    // table?" decision, measured exactly: map orders onto a 256×256
+    // (price, date) grid, interleave the bits into a 16-bit Morton key,
+    // cut 64 equal-width Z ranges, and report each range's min/max SPAN
+    // in BOTH dimensions — next to the same spans under a plain
+    // price-sorted layout. Z ranges bound price AND date simultaneously
+    // (both spans small ⇒ a two-predicate scan prunes most ranges);
+    // the price sort bounds price only (date span ≈ full width ⇒ date
+    // predicates prune nothing). All integer: grid coords are
+    // cross-multiplied divs against broadcast maxima, the interleave is
+    // shift/mask arithmetic mirrored verbatim in both engines.
+    //
+    // 100 TB posture: two scans with keyed 64-ary aggs (shuffle = 128
+    // summary rows); the Morton key is in-row integer math — this is
+    // the audit you run BEFORE paying for the layout rewrite.
+    "q225_zorder_layout" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir).select(
+          round(col("o_totalprice") * 100).cast(LongType).as("cents"),
+          to_date(col("o_orderdate")).as("d"))
+        val base = o.agg(max(col("cents")).as("maxc"),
+          min(col("d")).as("mind"), max(col("d")).as("maxdte"))
+        val g1 = o.crossJoin(broadcast(base))
+          .withColumn("days", datediff(col("d"), col("mind")).cast(LongType))
+          .withColumn("maxd",
+            datediff(col("maxdte"), col("mind")).cast(LongType))
+          .withColumn("px", expr("(cents * 256) div (maxc + 1)"))
+          .withColumn("dy", expr("(days * 256) div (maxd + 1)"))
+        val zStr = (0 until 8).map(k =>
+          s"(shiftleft(shiftright(px, $k) & 1, ${2 * k})) | " +
+            s"(shiftleft(shiftright(dy, $k) & 1, ${2 * k + 1}))")
+          .mkString(" | ")
+        val z = g1.withColumn("z", expr(zStr))
+        val zb = z.groupBy(expr("z div 1024").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            (max(col("px")) - min(col("px"))).as("px_span"),
+            (max(col("dy")) - min(col("dy"))).as("dy_span"))
+          .withColumn("layout", lit("zorder"))
+        val pb = z.groupBy(expr("px div 4").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            (max(col("px")) - min(col("px"))).as("px_span"),
+            (max(col("dy")) - min(col("dy"))).as("dy_span"))
+          .withColumn("layout", lit("pricesort"))
+        zb.unionByName(pb)
+          .select(col("layout"), col("bucket"), col("n"),
+            col("px_span"), col("dy_span"))
+          .orderBy(col("layout"), col("bucket"))
+      },
+      oracle = Some(s"""
+        WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS cents,
+                          CAST(o_orderdate AS DATE) AS d
+                   FROM orders),
+        base AS (SELECT MAX(cents) AS maxc, MIN(d) AS mind,
+                        date_diff('day', MIN(d), MAX(d)) AS maxd FROM o),
+        g1 AS (SELECT (cents * 256) // (maxc + 1) AS px,
+                      (date_diff('day', mind, d) * 256) // (maxd + 1) AS dy
+               FROM o CROSS JOIN base),
+        z AS (SELECT px, dy,
+                     ${(0 until 8).map(k =>
+                       s"((((px >> $k) & 1) << ${2 * k})) | " +
+                         s"((((dy >> $k) & 1) << ${2 * k + 1}))")
+                       .mkString(" | ")} AS z
+              FROM g1),
+        zb AS (SELECT 'zorder' AS layout, z // 1024 AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      MAX(px) - MIN(px) AS px_span,
+                      MAX(dy) - MIN(dy) AS dy_span
+               FROM z GROUP BY 2),
+        pb AS (SELECT 'pricesort' AS layout, px // 4 AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      MAX(px) - MIN(px) AS px_span,
+                      MAX(dy) - MIN(dy) AS dy_span
+               FROM z GROUP BY 2)
+        SELECT layout, bucket, n, px_span, dy_span
+        FROM (SELECT * FROM zb UNION ALL SELECT * FROM pb)
+        ORDER BY layout, bucket"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */

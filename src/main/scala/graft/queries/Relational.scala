@@ -316,6 +316,69 @@ object Relational {
         SELECT o_orderpriority, COUNT(*) AS n_items,
                ${Det.sqlSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- q226: CSV round-trip with RFC-4180 quoting parity ----
+    // The ingest format the reference never touches but every lakehouse
+    // inherits: write a CSV whose `tricky` field embeds commas AND
+    // double quotes, read it back with an explicit schema, and prove
+    // Spark's parser and DuckDB's read the SAME bytes identically.
+    // The load-bearing option is escape = '"': Spark's default escape
+    // is backslash (its writer would emit "a\"b" where RFC/DuckDB
+    // expect "a""b") — setting it makes both engines speak RFC-4180.
+    // The Spark side round-trips through its own temp CSV; the oracle
+    // parses the Verify-staged copy of the same rows (the q70/q47
+    // materialized-input pattern) — identical rows, so agg equality =
+    // parser equality. min/max on the ASCII-only field add an
+    // order-sensitive probe beyond the sums.
+    //
+    // 100 TB posture: CSV scans split by line ranges exactly like the
+    // JSON ingest path (S7); the explicit schema keeps type inference
+    // off the hot path; the agg is one |langs| rollup.
+    "q226_csv_roundtrip" -> QueryDef(
+      build = (spark, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("q226_csv")
+        try {
+          csvRoundTripRows(spark, dir).coalesce(1).write.mode("overwrite")
+            .option("header", "true").option("escape", "\"")
+            .csv(tmp.toString)
+          spark.read
+            .schema("doc_id BIGINT, lang STRING, source STRING, " +
+              "n_chars BIGINT, tricky STRING")
+            .option("header", "true").option("escape", "\"")
+            .csv(tmp.toString)
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("chars"),
+              sum(length(col("tricky"))).as("tricky_len"),
+              min(col("tricky")).as("tricky_min"),
+              max(col("tricky")).as("tricky_max"))
+            .orderBy(col("lang"))
+            .localCheckpoint() // so the temp dir can be deleted
+        } finally {
+          java.nio.file.Files.walk(tmp)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      oracle = Some(s"""
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(SUM(length(tricky)) AS BIGINT) AS tricky_len,
+               MIN(tricky) AS tricky_min, MAX(tricky) AS tricky_max
+        FROM read_csv('${Gps.VerifyOutToken}/_q226_input/*.csv', header = true,
+               quote = '"', escape = '"',
+               columns = {'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+                          'source': 'VARCHAR', 'n_chars': 'BIGINT',
+                          'tricky': 'VARCHAR'})
+        GROUP BY lang ORDER BY lang"""))
   )
+
+  /** The q226 CSV round-trip rows: documents metadata plus a field that
+    * deliberately embeds the two characters CSV quoting exists for. */
+  def csvRoundTripRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        concat(lit("v=\""), col("lang"), lit("\", n="), col("n_chars"))
+          .as("tricky"))
 }

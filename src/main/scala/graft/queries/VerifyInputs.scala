@@ -73,5 +73,14 @@ object VerifyInputs {
     // re-aggregates the per-duration profile over identical rows.
     graft.operators.Multimodal.audioStatRows(spark, Multi.assetCount(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q208_input")
+    // q226: an RFC-4180-quoted CSV staging (escape = '"' makes Spark
+    // write doubled quotes, DuckDB's native convention) of the same
+    // rows the gate's Spark side round-trips through its own temp CSV.
+    // DuckDB parses THIS copy; agg equality proves both parsers read
+    // the quoted/comma-bearing field identically.
+    Relational.csvRoundTripRows(spark, sfDir)
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(s"$outDir/_q226_input")
   }
 }

@@ -645,6 +645,18 @@ class PlanGuardSpec extends SparkSpec {
       "ranking eval planned a cross product")
   }
 
+  test("q225: the Morton key is in-row integer math — only 1-row maxima broadcast") {
+    val p = plan("q225_zorder_layout")
+    assert(!p.contains("CartesianProduct"),
+      "layout audit planned a shuffled cross product")
+    // two 1-row maxima broadcasts (price/date grid scaling), two
+    // formatted mentions per node
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
+      "more nested-loop joins than the 1-row maxima broadcasts explain")
+    assert(p.contains("partial_count"),
+      "bucket summaries not combined map-side")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
