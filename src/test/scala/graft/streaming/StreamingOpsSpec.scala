@@ -189,6 +189,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(w1000.head.getAs[Double]("max_speed") == 40.0)
   }
 
+  test("a union's watermark is the MIN of its sources — the lagging side gates emission") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memA = MemoryStream[GpsRecord]
+    val memB = MemoryStream[GpsRecord]
+    def side(df: org.apache.spark.sql.DataFrame) = df
+      .select(to_timestamp(col("timestamp")).as("et"))
+      .withWatermark("et", "2 minutes")
+    val q = side(memA.toDF()).unionAll(side(memB.toDF()))
+      .groupBy(window(col("et"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+      .writeStream.format("memory").queryName("union_wm")
+      .outputMode(OutputMode.Append()).start()
+    // A leads (own watermark 10:18); B lags (own watermark 10:03).
+    memA.addData(rec("v1", "2025-06-15 10:00:10", 40),
+      rec("v1", "2025-06-15 10:20:00", 40))
+    memB.addData(rec("v2", "2025-06-15 10:00:20", 30),
+      rec("v2", "2025-06-15 10:05:00", 30))
+    q.processAllAvailable()
+    // Global watermark = min(10:18, 10:03): only the 10:00 window is
+    // closed — and it holds BOTH sources' rows.
+    val after1 = spark.table("union_wm").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after1 == Map("10:00" -> 2L))
+    // B catches up => min watermark 10:18; the 10:05 window closes too,
+    // while 10:20 (rows on both sides) stays open.
+    memB.addData(rec("v2", "2025-06-15 10:20:30", 30))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.table("union_wm").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after2 == Map("10:00" -> 2L, "10:05" -> 1L))
+  }
+
   test("dedupWithinWatermark drops replayed (vehicle_id, timestamp) rows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
