@@ -578,6 +578,43 @@ object ScaleProbe {
       }
     }
 
+    // audiocost probe: where does q60's wall time go after the round-8
+    // real WAV codec — generation (encode) vs feature extraction
+    // (decode), split by media kind.
+    if (enabled("audiocost")) {
+      import graft.operators.Multimodal
+      def gen(n: Long) = Multimodal.syntheticAssets(spark, n)
+      gen(3000).count() // warmup
+      val (g, _) = timed2(gen(30000).count())
+      val (f, _) = timed2(Multimodal.extractFeatures(gen(30000)).count())
+      val (fi, _) = timed2(Multimodal.extractFeatures(
+        gen(30000).filter(_.meta.kind == "image")).count())
+      val (fa, _) = timed2(Multimodal.extractFeatures(
+        gen(30000).filter(_.meta.kind == "audio")).count())
+      println(f"""{"probe":"audiocost","gen_sec":$g%.3f,"feat_all_sec":$f%.3f,"feat_img_sec":$fi%.3f,"feat_audio_sec":$fa%.3f}""")
+      // single-thread micro: per-call decode cost in isolation
+      val payload = Multimodal.AudioCodec.encodeWav(7L, 42L, 16000, 1120)
+      var k = 0
+      while (k < 200) { Multimodal.AudioCodec.decode(payload); k += 1 }
+      val (d1, _) = timed2 {
+        var i = 0; var acc = 0L
+        while (i < 2000) {
+          acc += Multimodal.AudioCodec.decode(payload).pcm.length; i += 1
+        }
+        acc
+      }
+      println(f"""{"probe":"audiocost_micro","decode_us_per_call":${d1 / 2000 * 1e6}%.1f}""")
+      // 32-thread micro: does decode scale or serialize on a hidden lock?
+      val (dp, _) = timed2 {
+        val ts = (0 until 32).map(_ => new Thread(() => {
+          var i = 0
+          while (i < 312) { Multimodal.AudioCodec.decode(payload); i += 1 }
+        }))
+        ts.foreach(_.start()); ts.foreach(_.join())
+      }
+      println(f"""{"probe":"audiocost_micro32","wall_sec_for_10k":$dp%.3f}""")
+    }
+
     // global-rank probe: the q190/q198 two-pass (rank, prefix-sum)
     // operator vs the naive global-sort window. The naive form funnels
     // EVERY row through one partition (SinglePartition exchange + sort)

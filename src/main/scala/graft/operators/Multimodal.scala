@@ -381,6 +381,51 @@ object Multimodal {
     * mono PCM encoding). */
   object AudioCodec {
 
+    /** The JDK's WAVE reader/writer SPI providers, discovered ONCE.
+      * `AudioSystem.write/getAudioInputStream` re-run provider discovery
+      * through a `synchronized` static (JDK13Services.getProviders) on
+      * EVERY call — under 32 executor threads that lock serialized the
+      * whole decode stage (measured: q60 0.35 → 6.8 s after the codec
+      * went real; back to ~1 s with the providers cached here). The
+      * providers themselves are the same stateless JDK codec objects
+      * AudioSystem would hand back. */
+    private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+      var found: javax.sound.sampled.spi.AudioFileWriter = null
+      while (found == null && it.hasNext) {
+        val w = it.next()
+        if (w.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE)) found = w
+      }
+      require(found != null, "JDK ships no WAVE AudioFileWriter?")
+      found
+    }
+
+    private lazy val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+
+    /** The one reader that actually owns RIFF/WAVE, identified ONCE by
+      * probing with our own encoder's output. Scanning every provider
+      * per decode is not just wasted exceptions: one of the JDK's other
+      * readers (the MIDI soft-synth one) contends on shared state, and
+      * 32 threads probing it serialized the decode stage (measured
+      * 2.4x SLOWER than single-threaded in aggregate). */
+    private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+      val probe = encodePcmWav(new Array[Byte](4), 16000)
+      audioReaders.find { r =>
+        try {
+          r.getAudioInputStream(new java.io.ByteArrayInputStream(probe))
+            .close(); true
+        } catch { case _: Exception => false }
+      }.getOrElse(throw new IllegalStateException("no JDK WAVE reader"))
+    }
+
     final case class DecodedAudio(sampleRate: Int, channels: Int, pcm: Array[Byte]) {
       /** PCM frame count (16-bit samples per channel). */
       def nSamples: Int = pcm.length / 2 / channels
@@ -404,7 +449,9 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, (pcm.length / 2).toLong)
       val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
-      try javax.sound.sampled.AudioSystem.write(ais,
+      // the cached JDK WaveFileWriter — same codec AudioSystem.write
+      // resolves to, minus its per-call synchronized provider scan
+      try wavWriter.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       finally ais.close()
       out.toByteArray
@@ -413,8 +460,30 @@ object Multimodal {
     /** Decode any AudioSystem-supported container to raw 16-bit
       * little-endian PCM bytes plus its format metadata. */
     def decode(payload: Array[Byte]): DecodedAudio = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      // the pinned WAVE reader first (the hot path — our containers are
+      // all RIFF/WAVE); fall back to the full provider scan only for a
+      // foreign container
+      val ais = {
+        try wavReader.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            var found: javax.sound.sampled.AudioInputStream = null
+            var i = 0
+            while (found == null && i < audioReaders.length) {
+              val in = new java.io.ByteArrayInputStream(payload)
+              try found = audioReaders(i).getAudioInputStream(in)
+              catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                  ()
+              }
+              i += 1
+            }
+            require(found != null,
+              "no cached AudioFileReader accepts payload")
+            found
+        }
+      }
       try {
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16,
