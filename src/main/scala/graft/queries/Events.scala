@@ -1127,6 +1127,87 @@ object Events {
                  AS first_touch,
                CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
                  AS last_touch
-        FROM r GROUP BY event_type ORDER BY event_type"""))
+        FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q227: sequential pattern mining (PrefixSpan-style support) ----
+    // NON-CONTIGUOUS subsequence support — the MLlib PrefixSpan
+    // capability, and a different question from q132's regex (which
+    // demands contiguity) or q186's transitions (adjacent pairs only):
+    // for every ordered type triple <a,b,c>, in how many users' first-8
+    // event prefixes does a appear, then b after it, then c after that,
+    // with any gaps? Existence is decided by the standard greedy
+    // earliest-occurrence chain (p1 = first a, p2 = first b past p1,
+    // p3 = first c past p2 — greedy is exact for existence), computed
+    // as three keyed min-aggregations over sequence positions from ONE
+    // per-user window. Top-20 by (support DESC, a, b, c).
+    //
+    // 100 TB posture: positions come from a user-keyed window; each
+    // chain step is a user-keyed equijoin with fan-out bounded by
+    // |types|² candidates per user row; the 125-row candidate dim
+    // broadcasts. Nothing ever leaves (user, candidate) granularity
+    // until the |candidates| support agg.
+    "q227_sequential_patterns" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type").as("t"),
+            row_number().over(Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))).cast("long").as("rn"))
+          .filter(col("rn") <= 8)
+        val ty = Tables.events(spark, dir)
+          .select(col("event_type").as("t")).distinct()
+        val cand = ty.select(col("t").as("a"))
+          .crossJoin(ty.select(col("t").as("b")))
+          .crossJoin(ty.select(col("t").as("c")))
+        val tot = Tables.events(spark, dir)
+          .agg(countDistinct(col("user_id")).as("nu"))
+        val s1 = ev.join(broadcast(cand), ev("t") === cand("a"))
+          .groupBy(col("user_id"), col("a"), col("b"), col("c"))
+          .agg(min(col("rn")).as("p1"))
+        val e2 = ev.select(col("user_id").as("u2"), col("t").as("t2"),
+          col("rn").as("rn2"))
+        val s2 = s1.join(e2, col("u2") === col("user_id") &&
+            col("t2") === col("b") && col("rn2") > col("p1"))
+          .groupBy(col("user_id"), col("a"), col("b"), col("c"))
+          .agg(min(col("rn2")).as("p2"))
+        val e3 = ev.select(col("user_id").as("u3"), col("t").as("t3"),
+          col("rn").as("rn3"))
+        val s3 = s2.join(e3, col("u3") === col("user_id") &&
+            col("t3") === col("c") && col("rn3") > col("p2"))
+          .select(col("user_id"), col("a"), col("b"), col("c")).distinct()
+        s3.groupBy(col("a"), col("b"), col("c"))
+          .agg(count(lit(1)).as("n_users"))
+          .crossJoin(broadcast(tot))
+          .select(col("a"), col("b"), col("c"), col("n_users"),
+            expr("(n_users * 1000000) div nu").as("support_ppm"))
+          .orderBy(col("n_users").desc, col("a"), col("b"), col("c"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH ev0 AS (
+          SELECT user_id, event_type AS t,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          FROM events),
+        ev AS (SELECT * FROM ev0 WHERE rn <= 8),
+        ty AS (SELECT DISTINCT event_type AS t FROM events),
+        cand AS (SELECT a.t AS a, b.t AS b, c.t AS c
+                 FROM ty a CROSS JOIN ty b CROSS JOIN ty c),
+        tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+                FROM events),
+        s1 AS (SELECT e.user_id, cd.a, cd.b, cd.c, MIN(e.rn) AS p1
+               FROM ev e JOIN cand cd ON e.t = cd.a GROUP BY 1, 2, 3, 4),
+        s2 AS (SELECT s.user_id, s.a, s.b, s.c, MIN(e.rn) AS p2
+               FROM s1 s JOIN ev e ON e.user_id = s.user_id
+                                  AND e.t = s.b AND e.rn > s.p1
+               GROUP BY 1, 2, 3, 4),
+        s3 AS (SELECT s.user_id, s.a, s.b, s.c
+               FROM s2 s JOIN ev e ON e.user_id = s.user_id
+                                  AND e.t = s.c AND e.rn > s.p2
+               GROUP BY 1, 2, 3, 4),
+        sup AS (SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n_users
+                FROM s3 GROUP BY 1, 2, 3)
+        SELECT a, b, c, n_users, (n_users * 1000000) // nu AS support_ppm
+        FROM sup CROSS JOIN tot
+        ORDER BY n_users DESC, a, b, c LIMIT 20"""))
   )
 }

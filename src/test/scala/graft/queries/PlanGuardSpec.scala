@@ -657,6 +657,18 @@ class PlanGuardSpec extends SparkSpec {
       "bucket summaries not combined map-side")
   }
 
+  test("q227: pattern-chain joins stay user-keyed; only tiny dims nested-loop") {
+    val p = plan("q227_sequential_patterns")
+    assert(p.contains("hashpartitioning(user_id"),
+      "a chain step joined without the user key — cross-user fan-out")
+    assert(!p.contains("CartesianProduct"),
+      "candidate expansion planned a shuffled cross product")
+    // the 5-row type dim crossed twice + the 1-row user total, two
+    // formatted mentions per node
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 6,
+      "more nested-loop joins than the tiny candidate/total dims explain")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
