@@ -63,6 +63,61 @@ object Multi {
                CAST(SUM(sum_sq) AS BIGINT) // CAST(SUM(n_samples) AS BIGINT)
                  AS mean_energy,
                MAX(max_abs) AS peak_abs
-        FROM f GROUP BY n_chunks ORDER BY n_chunks"""))
+        FROM f GROUP BY n_chunks ORDER BY n_chunks""")),
+
+    // ---- q228: video frame-sampling accounting ----
+    // The cost-bounding transform of the video pipeline (keep every
+    // 3rd frame before feature extraction), promoted from spec-only to
+    // an oracle-backed gate: per duration class, how many frames and
+    // bytes survive. The Spark side measures the REAL operator's
+    // output payload sizes ([[Multimodal.sampleFrames]]); the oracle
+    // recomputes them INDEPENDENTLY from the staged pre-sampling
+    // metadata — kept = ceil(n/3) = (n+2)//3, bytes_after = kept ·
+    // (bytes_before // n) — so a stride bug, an off-by-one in the kept
+    // set, or a frame-length miscalculation all hash-mismatch.
+    //
+    // 100 TB posture: sampling is a partition-local payload rewrite
+    // (never shuffles a frame); the rollup is |duration classes| rows.
+    "q228_frame_sampling" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        def vids = Multimodal.syntheticAssets(spark, assetCount(dir))
+          .filter(_.meta.kind == "video")
+        val before = vids
+          .map(a => (a.asset_id, a.meta.nFrames, a.payload.length))
+          .toDF("asset_id", "n_frames", "bytes_before")
+        val after = Multimodal.sampleFrames(vids, everyN = 3)
+          .map(a => (a.asset_id, a.meta.nFrames, a.payload.length))
+          .toDF("asset_id", "n_frames_kept", "bytes_after")
+        before.join(after, Seq("asset_id"))
+          .groupBy(col("n_frames"))
+          .agg(count(lit(1)).as("n_assets"),
+            max(col("n_frames_kept")).cast("long").as("frames_kept"),
+            sum(col("bytes_before")).as("bytes_before"),
+            sum(col("bytes_after")).as("bytes_after"))
+          .select(col("n_frames").cast("long").as("n_frames"),
+            col("n_assets"), col("frames_kept"), col("bytes_before"),
+            col("bytes_after"),
+            expr("(bytes_after * 1000000) div bytes_before")
+              .as("reduction_ppm"))
+          .orderBy(col("n_frames"))
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT CAST(n_frames AS BIGINT) AS n_frames,
+                          CAST(bytes_before AS BIGINT) AS bytes_before
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q228_input/*.parquet')),
+        d AS (SELECT n_frames, (n_frames + 2) // 3 AS frames_kept,
+                     bytes_before,
+                     ((n_frames + 2) // 3) * (bytes_before // n_frames)
+                       AS bytes_after
+              FROM v)
+        SELECT n_frames, COUNT(*) AS n_assets,
+               MAX(frames_kept) AS frames_kept,
+               CAST(SUM(bytes_before) AS BIGINT) AS bytes_before,
+               CAST(SUM(bytes_after) AS BIGINT) AS bytes_after,
+               (CAST(SUM(bytes_after) AS BIGINT) * 1000000)
+                 // CAST(SUM(bytes_before) AS BIGINT) AS reduction_ppm
+        FROM d GROUP BY n_frames ORDER BY n_frames"""))
   )
 }

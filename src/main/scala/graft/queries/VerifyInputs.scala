@@ -73,6 +73,17 @@ object VerifyInputs {
     // re-aggregates the per-duration profile over identical rows.
     graft.operators.Multimodal.audioStatRows(spark, Multi.assetCount(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q208_input")
+    // q228: the pre-sampling video metadata (frames + payload bytes);
+    // the oracle recomputes the frame-sampling arithmetic independently
+    // from these and must match the real operator's output sizes.
+    locally {
+      import spark.implicits._
+      graft.operators.Multimodal.syntheticAssets(spark, Multi.assetCount(sfDir))
+        .filter(_.meta.kind == "video")
+        .map(a => (a.asset_id, a.meta.nFrames, a.payload.length))
+        .toDF("asset_id", "n_frames", "bytes_before")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q228_input")
+    }
     // q226: an RFC-4180-quoted CSV staging (escape = '"' makes Spark
     // write doubled quotes, DuckDB's native convention) of the same
     // rows the gate's Spark side round-trips through its own temp CSV.

@@ -669,6 +669,18 @@ class PlanGuardSpec extends SparkSpec {
       "more nested-loop joins than the tiny candidate/total dims explain")
   }
 
+  test("q228: frame sampling joins on the asset key; payloads reduce before the rollup") {
+    val p = plan("q228_frame_sampling")
+    assert(p.contains("hashpartitioning(asset_id") ||
+      p.contains("BroadcastHashJoin"),
+      "before/after accounting not joined on the asset key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "asset accounting planned an all-pairs join")
+    // payload-bearing work is typed partition-local maps
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "sampling kernel not partition-local")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
