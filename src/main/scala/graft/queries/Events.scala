@@ -1208,6 +1208,79 @@ object Events {
                 FROM s3 GROUP BY 1, 2, 3)
         SELECT a, b, c, n_users, (n_users * 1000000) // nu AS support_ppm
         FROM sup CROSS JOIN tot
-        ORDER BY n_users DESC, a, b, c LIMIT 20"""))
+        ORDER BY n_users DESC, a, b, c LIMIT 20""")),
+
+    // ---- q229: forecast backtest — MASE of the seasonal-naive model ----
+    // The forecast-accuracy eval the corpus lacked (q06 PRODUCES a
+    // forecast; nothing scored one): hold out each type's final 24
+    // hours, predict each held-out hourly count with the same hour one
+    // day earlier (seasonal naive), and scale its MAE by the in-sample
+    // one-step-naive MAE — the MASE denominator that makes accuracy
+    // comparable across series of different volume. Integer-exact:
+    // hours are epoch-µs div 3.6e9, both MAEs stay as (sum, count)
+    // integer pairs, and the ratio is ONE cross-multiplied truncating
+    // div to ppm — no rational ever rounds.
+    //
+    // 100 TB posture: the hourly rollup is one keyed agg (shuffle =
+    // |types|·|hours|); forecast and naive pairings are self-equijoins
+    // on (type, hour−k) over that SMALL aggregate, never the raw
+    // events; output is |types| rows.
+    "q229_forecast_backtest" -> QueryDef(
+      build = (spark, dir) => {
+        val h = Tables.events(spark, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val mx = h.agg(max(col("hr")).as("mh"))
+        val prev24 = h.select(col("event_type").as("p_type"),
+          col("hr").as("p_hr"), col("n").as("fc"))
+        val test = h.crossJoin(broadcast(mx))
+          .filter(col("hr") > col("mh") - 24)
+          .join(prev24, col("p_type") === col("event_type") &&
+            col("p_hr") === col("hr") - 24)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(abs(col("n") - col("fc"))).as("sae_test"))
+        val prev1 = h.select(col("event_type").as("q_type"),
+          col("hr").as("q_hr"), col("n").as("pn"))
+        val naive = h.crossJoin(broadcast(mx))
+          .filter(col("hr") <= col("mh") - 24)
+          .join(prev1, col("q_type") === col("event_type") &&
+            col("q_hr") === col("hr") - 1)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_naive"),
+            sum(abs(col("n") - col("pn"))).as("sae_naive"))
+        test.join(naive, Seq("event_type"))
+          .select(col("event_type"), col("n_test"), col("sae_test"),
+            col("n_naive"), col("sae_naive"),
+            expr("(sae_test * n_naive * 1000000) div (n_test * sae_naive)")
+              .as("mase_ppm"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH h AS (SELECT event_type,
+                          epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                            AS hr,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        mx AS (SELECT MAX(hr) AS mh FROM h),
+        test AS (SELECT t.event_type, t.n, p.n AS fc
+                 FROM h t JOIN h p ON p.event_type = t.event_type
+                                  AND p.hr = t.hr - 24
+                 CROSS JOIN mx WHERE t.hr > mx.mh - 24),
+        tr AS (SELECT t.event_type, ABS(t.n - p.n) AS ae
+               FROM h t JOIN h p ON p.event_type = t.event_type
+                                AND p.hr = t.hr - 1
+               CROSS JOIN mx WHERE t.hr <= mx.mh - 24),
+        te AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+                      CAST(SUM(ABS(n - fc)) AS BIGINT) AS sae_test
+               FROM test GROUP BY 1),
+        tn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_naive,
+                      CAST(SUM(ae) AS BIGINT) AS sae_naive
+               FROM tr GROUP BY 1)
+        SELECT te.event_type, n_test, sae_test, n_naive, sae_naive,
+               (sae_test * n_naive * 1000000) // (n_test * sae_naive)
+                 AS mase_ppm
+        FROM te JOIN tn USING (event_type) ORDER BY te.event_type"""))
   )
 }

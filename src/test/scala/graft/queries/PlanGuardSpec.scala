@@ -681,6 +681,17 @@ class PlanGuardSpec extends SparkSpec {
       "sampling kernel not partition-local")
   }
 
+  test("q229: backtest pairings self-join the SMALL hourly aggregate, never raw events") {
+    val p = plan("q229_forecast_backtest")
+    assert(p.contains("hashpartitioning(event_type"),
+      "hourly rollup / pairings not keyed by series")
+    assert(!p.contains("CartesianProduct"),
+      "forecast pairing planned a cross product")
+    // the only nested-loops are the two 1-row max-hour broadcasts
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
+      "more nested-loop joins than the 1-row max-hour broadcasts explain")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
