@@ -934,6 +934,7 @@ object Dedup {
                COUNT(*) AS n_shared
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 3
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b"""),
+      headline = true) // round-8 headline #16: the map-side winnowing op
   )
 }
