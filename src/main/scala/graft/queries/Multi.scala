@@ -118,6 +118,54 @@ object Multi {
                CAST(SUM(bytes_after) AS BIGINT) AS bytes_after,
                (CAST(SUM(bytes_after) AS BIGINT) * 1000000)
                  // CAST(SUM(bytes_before) AS BIGINT) AS reduction_ppm
-        FROM d GROUP BY n_frames ORDER BY n_frames"""))
+        FROM d GROUP BY n_frames ORDER BY n_frames""")),
+
+    // ---- q230: image resize audit (decode → resample → re-encode) ----
+    // Completes the multimodal gate set (decode q60, audio q208,
+    // frame-sample q228): every image is nearest-neighbor resized to
+    // 32×32 through the REAL ImageIO round-trip (decode, resample,
+    // re-encode — then decoded AGAIN for the audit), grouped by source
+    // geometry. The oracle re-aggregates the materialized per-asset
+    // rows (the q60 pattern) EXCEPT `total_px`, which it DERIVES as
+    // 1024·count instead of re-summing — a raster-size bug anywhere in
+    // the resample/re-encode/decode chain breaks that column's hash.
+    //
+    // 100 TB posture: the whole chain is one partition-local typed
+    // pass per asset; the rollup is |geometries| rows.
+    "q230_resize_audit" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        def imgs = Multimodal.syntheticAssets(spark, assetCount(dir))
+          .filter(_.meta.kind == "image")
+        val dims = imgs.map(a => (a.asset_id, a.meta.width, a.meta.height))
+          .toDF("asset_id", "src_w", "src_h")
+        val outr = Multimodal.resize(imgs, 32, 32).map { a =>
+          val g = Multimodal.ImageCodec.decode(a.payload).gray
+          var s = 0L; var i = 0
+          while (i < g.length) { s += (g(i) & 0xff); i += 1 }
+          (a.asset_id, a.payload.length, g.length, s)
+        }.toDF("asset_id", "out_bytes", "n_px", "px_sum")
+        dims.join(outr, Seq("asset_id"))
+          .groupBy(col("src_w"), col("src_h"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("out_bytes")).as("out_bytes"),
+            sum(col("n_px")).as("total_px"),
+            sum(col("px_sum")).as("px_sum"))
+          .select(col("src_w").cast("long").as("src_w"),
+            col("src_h").cast("long").as("src_h"), col("n_assets"),
+            col("out_bytes"), col("total_px"), col("px_sum"))
+          .orderBy(col("src_w"), col("src_h"))
+      },
+      oracle = Some(s"""
+        WITH f AS (SELECT src_w, src_h, out_bytes, n_px, px_sum
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q230_input/*.parquet'))
+        SELECT CAST(src_w AS BIGINT) AS src_w,
+               CAST(src_h AS BIGINT) AS src_h,
+               COUNT(*) AS n_assets,
+               CAST(SUM(out_bytes) AS BIGINT) AS out_bytes,
+               1024 * COUNT(*) AS total_px,
+               CAST(SUM(px_sum) AS BIGINT) AS px_sum
+        FROM f GROUP BY 1, 2 ORDER BY src_w, src_h"""))
   )
 }

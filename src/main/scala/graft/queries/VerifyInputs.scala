@@ -84,6 +84,25 @@ object VerifyInputs {
         .toDF("asset_id", "n_frames", "bytes_before")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q228_input")
     }
+    // q230: per-asset resize-audit rows (source geometry + measured
+    // post-resize bytes/pixels); the oracle re-aggregates these but
+    // DERIVES the pixel total arithmetically as its cross-check.
+    locally {
+      import spark.implicits._
+      import graft.operators.Multimodal
+      def imgs = Multimodal.syntheticAssets(spark, Multi.assetCount(sfDir))
+        .filter(_.meta.kind == "image")
+      val dims = imgs.map(a => (a.asset_id, a.meta.width, a.meta.height))
+        .toDF("asset_id", "src_w", "src_h")
+      val outr = Multimodal.resize(imgs, 32, 32).map { a =>
+        val g = Multimodal.ImageCodec.decode(a.payload).gray
+        var s = 0L; var i = 0
+        while (i < g.length) { s += (g(i) & 0xff); i += 1 }
+        (a.asset_id, a.payload.length, g.length, s)
+      }.toDF("asset_id", "out_bytes", "n_px", "px_sum")
+      dims.join(outr, Seq("asset_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q230_input")
+    }
     // q226: an RFC-4180-quoted CSV staging (escape = '"' makes Spark
     // write doubled quotes, DuckDB's native convention) of the same
     // rows the gate's Spark side round-trips through its own temp CSV.

@@ -692,6 +692,17 @@ class PlanGuardSpec extends SparkSpec {
       "more nested-loop joins than the 1-row max-hour broadcasts explain")
   }
 
+  test("q230: the resize chain is a typed partition-local pass joined on the asset key") {
+    val p = plan("q230_resize_audit")
+    assert(p.contains("hashpartitioning(asset_id") ||
+      p.contains("BroadcastHashJoin"),
+      "geometry/output accounting not joined on the asset key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "resize audit planned an all-pairs join")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "resize/decode kernel not partition-local")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
