@@ -295,6 +295,67 @@ object StreamingGate {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** q231: the dimension-refresh contract. TWO sequential AvailableNow
+    * runs share ONE checkpoint and ONE durable file sink; between them
+    * the static dimension is REWRITTEN (v1 → v2) and the corpus is
+    * re-staged under a second name. Run 1 enriches every event through
+    * the v1 labels; run 2 — whose source progress the checkpoint
+    * preserves, so it reads ONLY the newly staged file — builds a fresh
+    * static plan and enriches the replayed rows through v2. The sink
+    * then holds exactly one v1-labelled and one v2-labelled copy of the
+    * corpus: a dimension update becomes visible at the next restart
+    * without reprocessing or corrupting earlier output. */
+  def streamedDimRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q231",
+      Seq("events_a.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val dimDir = java.nio.file.Files.createTempDirectory("q231_dim")
+    val outDir = java.nio.file.Files.createTempDirectory("q231_sink")
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val types = spark.read.schema(era.schema)
+        .parquet(run.srcDir).select(col("event_type")).distinct()
+      def writeDim(ver: String): Unit = types
+        .select(col("event_type"),
+          concat(lit(ver + "_"), col("event_type")).as("label"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir.toString)
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(era.schema).parquet(run.srcDir)
+          .select(col("event_type"), col("value"))
+          .join(spark.read.parquet(dimDir.toString), Seq("event_type"))
+          .writeStream.format("parquet").option("path", outDir.toString)
+          .outputMode("append").option("checkpointLocation", run.ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      writeDim("v1"); runOnce()
+      writeDim("v2")
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(run.srcDir, "events_b.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      runOnce()
+      spark.read.parquet(outDir.toString)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents_total"))
+        .orderBy(col("label"))
+        .localCheckpoint()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+      Seq(dimDir, outDir).foreach { root =>
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   /** q192: q139's pipeline against the PRODUCTION sink — a parquet
     * FILE sink with its `_spark_metadata` commit log — instead of the
     * memory sink, then read back through that log. The memory sink
@@ -1172,6 +1233,30 @@ object StreamingGate {
         FROM u CROSS JOIN m
         WHERE date_trunc('hour', et) + INTERVAL 1 HOUR <= m.wm
         GROUP BY 1, 2 ORDER BY hour_start, event_type"""))) :+ (
+
+    // ---- q231: dimension refresh across checkpointed restarts ----
+    // The production dimension-update contract: two AvailableNow runs
+    // over one checkpoint + one durable file sink, with the static
+    // enrichment dimension rewritten (v1 → v2) and the corpus
+    // re-staged between them. The checkpoint confines run 2 to the new
+    // file; the rebuilt static plan picks up v2; the sink ends with
+    // exactly one v1- and one v2-labelled copy of the corpus — the
+    // refresh is visible at the restart, with no reprocessing of (or
+    // damage to) run 1's committed output. Fifteenth streaming law:
+    // restart-scoped static-side refresh under exactly-once file
+    // commits.
+    "q231_streamed_dim_refresh" -> QueryDef(
+      build = (spark, dir) => streamedDimRefresh(spark, dir),
+      oracle = Some("""
+        WITH t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                   FROM events GROUP BY 1)
+        SELECT 'v1_' || event_type AS label, n, cents AS cents_total
+        FROM t
+        UNION ALL
+        SELECT 'v2_' || event_type, n, cents FROM t
+        ORDER BY label"""))) :+ (
 
     // ---- q206: chained stateful operators (join -> window agg) ----
     // TWO stateful operators in ONE streaming query — the q140 interval
