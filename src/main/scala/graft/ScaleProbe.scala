@@ -51,13 +51,7 @@ import graft.core.SparkSessionFactory
   * Run: `sbt "runMain graft.ScaleProbe [maxScale]"`. */
 object ScaleProbe {
 
-  private def timed(f: => Long): (Double, Long) = {
-    val t0 = System.nanoTime()
-    val r = f
-    ((System.nanoTime() - t0) / 1e9, r)
-  }
-
-  private def timed2[T](f: => T): (Double, T) = {
+  private def timed[T](f: => T): (Double, T) = {
     val t0 = System.nanoTime()
     val r = f
     ((System.nanoTime() - t0) / 1e9, r)
@@ -533,8 +527,8 @@ object ScaleProbe {
       }
       fpPairs(1); allPairs(1) // warmup
       Seq(1, 2, 4).foreach { s =>
-        val (wSec, (wFps, wPairs)) = timed2(fpPairs(s))
-        val (aSec, (aFps, aPairs)) = timed2(allPairs(s))
+        val (wSec, (wFps, wPairs)) = timed(fpPairs(s))
+        val (aSec, (aFps, aPairs)) = timed(allPairs(s))
         println(f"""{"probe":"winnowing","scale":$s,"win_fps":$wFps,"win_pairs":$wPairs,"win_sec":$wSec%.3f,"all_grams":$aFps,"all_pairs":$aPairs,"all_sec":$aSec%.3f}""")
       }
     }
@@ -572,8 +566,8 @@ object ScaleProbe {
       }
       exactD(1); hllD(1) // warmup
       Seq(1, 2, 4, 8).foreach { s =>
-        val (eSec, eN) = timed2(exactD(s))
-        val (hSec, hN) = timed2(hllD(s))
+        val (eSec, eN) = timed(exactD(s))
+        val (hSec, hN) = timed(hllD(s))
         println(f"""{"probe":"hll","scale":$s,"exact_distinct":$eN,"exact_sec":$eSec%.3f,"hll_estimate":$hN,"hll_sec":$hSec%.3f}""")
       }
     }
@@ -585,18 +579,18 @@ object ScaleProbe {
       import graft.operators.Multimodal
       def gen(n: Long) = Multimodal.syntheticAssets(spark, n)
       gen(3000).count() // warmup
-      val (g, _) = timed2(gen(30000).count())
-      val (f, _) = timed2(Multimodal.extractFeatures(gen(30000)).count())
-      val (fi, _) = timed2(Multimodal.extractFeatures(
+      val (g, _) = timed(gen(30000).count())
+      val (f, _) = timed(Multimodal.extractFeatures(gen(30000)).count())
+      val (fi, _) = timed(Multimodal.extractFeatures(
         gen(30000).filter(_.meta.kind == "image")).count())
-      val (fa, _) = timed2(Multimodal.extractFeatures(
+      val (fa, _) = timed(Multimodal.extractFeatures(
         gen(30000).filter(_.meta.kind == "audio")).count())
       println(f"""{"probe":"audiocost","gen_sec":$g%.3f,"feat_all_sec":$f%.3f,"feat_img_sec":$fi%.3f,"feat_audio_sec":$fa%.3f}""")
       // single-thread micro: per-call decode cost in isolation
       val payload = Multimodal.AudioCodec.encodeWav(7L, 42L, 16000, 1120)
       var k = 0
       while (k < 200) { Multimodal.AudioCodec.decode(payload); k += 1 }
-      val (d1, _) = timed2 {
+      val (d1, _) = timed {
         var i = 0; var acc = 0L
         while (i < 2000) {
           acc += Multimodal.AudioCodec.decode(payload).pcm.length; i += 1
@@ -605,7 +599,7 @@ object ScaleProbe {
       }
       println(f"""{"probe":"audiocost_micro","decode_us_per_call":${d1 / 2000 * 1e6}%.1f}""")
       // 32-thread micro: does decode scale or serialize on a hidden lock?
-      val (dp, _) = timed2 {
+      val (dp, _) = timed {
         val ts = (0 until 32).map(_ => new Thread(() => {
           var i = 0
           while (i < 312) { Multimodal.AudioCodec.decode(payload); i += 1 }

@@ -118,11 +118,8 @@ object BpeTrainer {
     var rank = 0L
     while (rank < nMerges) {
       val want = math.min(batchSize, nMerges - rank).toInt
-      // Candidate slice: over-collect 4x so skipped (conflicting)
-      // candidates don't starve the batch. Bounded driver traffic.
-      val slice = math.max(64, 4 * want)
       // Adjacent-pair counts over the vocab, weighted by word frequency.
-      val ranked = vocab.filter(size(col("syms")) >= 2)
+      val pairCounts = vocab.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(transform(
           sequence(lit(0), size(col("syms")) - 2),
           i => struct(element_at(col("syms"), i + 1).as("l"),
@@ -130,13 +127,29 @@ object BpeTrainer {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(slice).collect() // bounded candidate slice, by design
-        .toSeq.map { case Row(l: String, r: String, cnt: Long) => (l, r, cnt) }
+      def collectRanked(slice: Int): Seq[(String, String, Long)] =
+        pairCounts.limit(slice).collect() // bounded candidate slice
+          .toSeq.map { case Row(l: String, r: String, cnt: Long) => (l, r, cnt) }
+      // Candidate slice: over-collect 4x so skipped (conflicting)
+      // candidates don't starve the batch. Bounded driver traffic — but
+      // NOT a semantic bound: if greedy acceptance under-fills while the
+      // slice came back full (denser candidates may exist past the cut),
+      // re-collect geometrically larger until the batch fills or the
+      // slice provably covers every candidate (came back short). The
+      // result is therefore exactly "top-m symbol-disjoint among ALL
+      // pairs", independent of the initial slice size.
+      var slice = math.max(64, 4 * want)
+      var ranked = collectRanked(slice)
       if (ranked.isEmpty) {
         return merges.result()
           .toDF("rank", "left_sym", "right_sym", "merged", "cnt")
       }
-      val batch = selectCompatible(ranked, want)
+      var batch = selectCompatible(ranked, want)
+      while (batch.length < want && ranked.length == slice) {
+        slice *= 4
+        ranked = collectRanked(slice)
+        batch = selectCompatible(ranked, want)
+      }
       batch.foreach { case (l, r, cnt) =>
         rank += 1
         merges += ((rank, l, r, l + r, cnt))

@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.LongType
   *    of a tie group carries the same value, `cum = sum_offset +
   *    rank_within · value` exactly.
   *
-  * Requires `value >= 0` (integer); ties break by ascending id. */
+  * Requires `value >= 0` (integer) and non-null — ENFORCED at runtime
+  * (raise_error), not just documented; ties break by ascending id. */
 object GlobalRank {
 
   /** Adds `rn` (1-based global rank by value DESC, id ASC) and `cum`
@@ -33,10 +34,19 @@ object GlobalRank {
       shardDiv: Long = 16384L): DataFrame = {
     require(shardDiv >= 1, s"shardDiv must be >= 1, got $shardDiv")
     val v = col(valueCol)
+    // Fail loudly on misuse instead of silently mis-ranking: the
+    // range-correlated shard (`value div shardDiv`) is order-preserving
+    // only for non-negative values, and a NULL value would be silently
+    // dropped by the offset equijoin below. Rewriting the column keeps
+    // the check in the projection so Catalyst can't prune it.
+    val df0 = df.withColumn(valueCol,
+      when(v.isNotNull && v >= 0, v).otherwise(raise_error(concat(
+        lit(s"GlobalRank: $valueCol must be non-null and >= 0, got "),
+        coalesce(v.cast("string"), lit("NULL"))))))
     val wTie = Window.partitionBy(v).orderBy(col(idCol))
-    val withinRank = df.withColumn("_r_in",
+    val withinRank = df0.withColumn("_r_in",
       row_number().over(wTie).cast(LongType))
-    val cnts = df.groupBy(v).agg(count(lit(1)).as("_c"))
+    val cnts = df0.groupBy(v).agg(count(lit(1)).as("_c"))
       .withColumn("_shard", expr(s"$valueCol div $shardDiv"))
     val wShard = Window.partitionBy(col("_shard")).orderBy(v.desc)
       .rowsBetween(Window.unboundedPreceding, -1)

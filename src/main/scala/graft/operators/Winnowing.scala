@@ -66,9 +66,18 @@ object Winnowing {
     val sels = array_distinct(flatten(transform(array(vs), arr =>
       transform(sequence(lit(0), size(arr) - w),
         i => array_min(slice(arr, i + 1, lit(w)))))))
+    // Fail fast on pathological documents rather than silently
+    // corrupting fingerprints: the (hash, pos) packing reserves 20 bits
+    // for pos, so a document with >= 2^20 k-grams would overflow pos
+    // into the hash bits. raise_error (not a silent filter) — at 100 TB
+    // a >1M-gram "document" is an upstream chunking bug to surface.
+    val guarded = when(size(toks).cast("long") - k < lit(PosBits), sels)
+      .otherwise(raise_error(concat(
+        lit("Winnowing: document has >= 2^20 k-grams (pos packing "),
+        lit("overflow); chunk upstream: "), col(docIdCol).cast("string"))))
     docs
       .filter(size(toks) >= k + w - 1) // at least one complete window
-      .select(col(docIdCol).as("doc_id"), explode(sels).as("selv"))
+      .select(col(docIdCol).as("doc_id"), explode(guarded).as("selv"))
       .select(col("doc_id"), expr(s"selv div $PosBits").as("fp"),
         expr(s"selv % $PosBits").as("pos")) // exact integer decode
     // no cross-row distinct needed: array_distinct dedups within the

@@ -1250,7 +1250,11 @@ object Events {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_naive"),
             sum(abs(col("n") - col("pn"))).as("sae_naive"))
+        // sae_naive = 0 (perfectly flat in-sample series) would be NULL
+        // under Spark `div` but a hard error in DuckDB `//` — drop such
+        // series explicitly on BOTH sides (MASE is undefined there).
         test.join(naive, Seq("event_type"))
+          .filter(col("sae_naive") > 0)
           .select(col("event_type"), col("n_test"), col("sae_test"),
             col("n_naive"), col("sae_naive"),
             expr("(sae_test * n_naive * 1000000) div (n_test * sae_naive)")
@@ -1281,6 +1285,7 @@ object Events {
         SELECT te.event_type, n_test, sae_test, n_naive, sae_naive,
                (sae_test * n_naive * 1000000) // (n_test * sae_naive)
                  AS mase_ppm
-        FROM te JOIN tn USING (event_type) ORDER BY te.event_type"""))
+        FROM te JOIN tn USING (event_type)
+        WHERE sae_naive > 0 ORDER BY te.event_type"""))
   )
 }
