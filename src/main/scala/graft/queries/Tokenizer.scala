@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
 object Tokenizer {
 
   private val Rounds = 8
+  // NB: declared before `defs` — a val referenced during `defs` init from
+  // later in the object would still be default-initialized (0).
+  private val BatchedMerges = 64
+  private val BatchedRounds = 8 // static unroll; completion rounds no-op
 
   /** Unrolled n-round BPE oracle (see object doc for the encoding). */
   private def bpeOracle(n: Int): String = {
@@ -174,8 +178,125 @@ object Tokenizer {
             expr("(n_chars * 1000) div n_tokens"))
           .orderBy(col("source"))
       },
-      oracle = Some(fertilityOracle(Rounds)))
+      oracle = Some(fertilityOracle(Rounds))),
+
+    // ---- q232: BATCHED BPE training — the production scale path ----
+    // q95 certifies sequential greedy (batchSize = 1, one vocab-sized job
+    // per merge); a production vocab is 32k-100k merges, where only the
+    // batched path (up to `batchSize` symbol-disjoint merges per job —
+    // BpeTrainer's object doc) is viable. This gate trains 64 merges with
+    // batchSize = 64 and hash-compares the FULL merge table against a
+    // DuckDB replay of the batched semantics: per round the oracle
+    // recomputes pair counts over the current vocab, runs the greedy
+    // symbol-disjoint acceptance scan as a recursive CTE over the ranked
+    // candidate list (capped at 64 - merges-so-far), applies the accepted
+    // merges in acceptance order via a second recursive CTE, and chains
+    // 8 statically-unrolled rounds (rounds past completion accept nothing
+    // and pass the vocab through unchanged — both SFs complete in 6).
+    // Acceptance counts per round are DATA-DRIVEN on both sides, so the
+    // compare certifies selection, the want-cap, disjointness, and
+    // ordered application — the exact deviation-from-sequential the
+    // batched algorithm is allowed (deferred consideration only).
+    //
+    // 100 TB posture: this IS the posture — rounds collapse from nMerges
+    // to ceil(nMerges / accepted-per-round); ScaleProbe "bpemerges"
+    // measures 0.11 s/merge sequential (linear) vs 212 merges/s batched
+    // (sub-linear). With this gate the scale path carries the same
+    // oracle certificate as the sequential one.
+    "q232_bpe_batched" -> QueryDef(
+      build = (spark, dir) =>
+        BpeTrainer.train(Tables.documents(spark, dir), "text",
+          BatchedMerges, batchSize = BatchedMerges),
+      oracle = Some(batchedOracle(BatchedRounds, BatchedMerges)))
   )
+
+  /** q232's oracle: statically-unrolled batched BPE rounds. Per round k:
+    * `p_k` recomputes adjacent-pair counts over vocab `v_{k-1}` (the q95
+    * `||`-delimited symbol-string encoding), `rk_k` ranks them
+    * (cnt DESC, l, r), `acc_k` is a RECURSIVE greedy scan down the ranked
+    * list accumulating symbol-disjoint acceptances (used-set and accepted
+    * list carried as DuckDB list state; capped at `nMerges` minus merges
+    * accepted in earlier rounds), `app_k` applies the accepted merges in
+    * acceptance order (recursive over the per-word symbol string), and
+    * `v_k` selects the fully-merged rows. A round whose cap has reached
+    * zero accepts nothing and passes the vocab through unchanged, so the
+    * static unroll is safe for any acceptance distribution. CTEs are
+    * MATERIALIZED — without it DuckDB inlines the v-chain exponentially. */
+  private def batchedOracle(rounds: Int, nMerges: Int): String = {
+    val head = s"""
+        WITH RECURSIVE w AS MATERIALIZED (
+          SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(trim(text), ' ')) AS term
+                FROM documents)
+          WHERE length(term) >= 2 GROUP BY term),
+        v0 AS MATERIALIZED (
+          SELECT word, '||' || array_to_string(string_split(word, ''),
+                 '||') || '||' AS s, freq FROM w),
+        m0 AS (SELECT NULL AS l, NULL AS r, CAST(NULL AS BIGINT) AS cnt,
+                      CAST(NULL AS BIGINT) AS seq, CAST(0 AS BIGINT) AS round
+               WHERE FALSE)"""
+    val body = (1 to rounds).map { k =>
+      val p = k - 1
+      val priorM = (0 until k).map(j => s"SELECT * FROM m$j")
+        .mkString(" UNION ALL ")
+      s""",
+        ma$p AS ($priorM),
+        wnt$k AS (SELECT $nMerges - COUNT(*) AS want FROM ma$p),
+        p$k AS MATERIALIZED (
+          SELECT syms[i] AS l, syms[i+1] AS r,
+                 CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT list_filter(string_split(s, '||'), x -> x <> '')
+                       AS syms, freq FROM v$p),
+               LATERAL (SELECT unnest(generate_series(1, len(syms)-1))
+                        AS i) t
+          GROUP BY 1, 2),
+        rk$k AS (SELECT l, r, cnt,
+                        row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+                 FROM p$k),
+        acc$k AS (
+          SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS VARCHAR[]) AS used,
+                 CAST([] AS STRUCT(l VARCHAR, r VARCHAR, cnt BIGINT)[]) AS acc
+          UNION ALL
+          SELECT c.rn,
+                 CASE WHEN ok THEN a.used || [c.l, c.r, c.l || c.r]
+                      ELSE a.used END,
+                 CASE WHEN ok THEN list_append(a.acc,
+                      {'l': c.l, 'r': c.r, 'cnt': c.cnt}) ELSE a.acc END
+          FROM (SELECT a.*, c.*,
+                       (len(a.acc) < (SELECT want FROM wnt$k)
+                        AND NOT list_contains(a.used, c.l)
+                        AND NOT list_contains(a.used, c.r)
+                        AND NOT list_contains(a.used, c.l || c.r)) AS ok
+                FROM acc$k a JOIN rk$k c ON c.rn = a.rn + 1)
+               AS _(rn0, used, acc, l, r, cnt, rn, ok),
+               LATERAL (SELECT _.rn0, _.used AS used, _.acc AS acc)
+                 a(rn0, used, acc),
+               LATERAL (SELECT _.l, _.r, _.cnt, _.rn) c(l, r, cnt, rn)
+        ),
+        m$k AS MATERIALIZED (
+          SELECT u.m.l AS l, u.m.r AS r, u.m.cnt AS cnt,
+                 CAST(u.seq AS BIGINT) AS seq, CAST($k AS BIGINT) AS round
+          FROM (SELECT acc FROM acc$k ORDER BY rn DESC LIMIT 1) f,
+               LATERAL (SELECT unnest(f.acc) AS m,
+                               generate_subscripts(f.acc, 1) AS seq) u),
+        app$k AS (
+          SELECT word, s, freq, CAST(0 AS BIGINT) AS i FROM v$p
+          UNION ALL
+          SELECT a.word, replace(a.s, '|' || m.l || '||' || m.r || '|',
+                                 '|' || m.l || m.r || '|'), a.freq, a.i + 1
+          FROM app$k a JOIN m$k m ON m.seq = a.i + 1
+        ),
+        v$k AS MATERIALIZED (
+          SELECT word, s, freq FROM app$k
+          WHERE i = (SELECT COALESCE(MAX(seq), 0) FROM m$k))"""
+    }.mkString
+    val union = (1 to rounds).map(j => s"SELECT * FROM m$j")
+      .mkString(" UNION ALL ")
+    s"""$head$body
+        SELECT row_number() OVER (ORDER BY round, seq) AS rank,
+               l AS left_sym, r AS right_sym, l || r AS merged, cnt
+        FROM ($union) ORDER BY rank"""
+  }
 
   /** q205's oracle: the q100 word-carrying merge rounds → per-word
     * post-BPE token counts → per-source rollup over word occurrences. */
