@@ -65,16 +65,20 @@ object Multi {
                MAX(max_abs) AS peak_abs
         FROM f GROUP BY n_chunks ORDER BY n_chunks""")),
 
-    // ---- q228: video frame-sampling accounting ----
-    // The cost-bounding transform of the video pipeline (keep every
-    // 3rd frame before feature extraction), promoted from spec-only to
-    // an oracle-backed gate: per duration class, how many frames and
-    // bytes survive. The Spark side measures the REAL operator's
-    // output payload sizes ([[Multimodal.sampleFrames]]); the oracle
-    // recomputes them INDEPENDENTLY from the staged pre-sampling
-    // metadata — kept = ceil(n/3) = (n+2)//3, bytes_after = kept ·
-    // (bytes_before // n) — so a stride bug, an off-by-one in the kept
-    // set, or a frame-length miscalculation all hash-mismatch.
+    // ---- q228: video frame-sampling accounting (REAL codec, round 9) ----
+    // The cost-bounding transform of the video pipeline (keep every 3rd
+    // frame before feature extraction), now a full REAL-codec round-trip:
+    // [[Multimodal.sampleFrames]] decodes the animated GIF, keeps frames
+    // 0, 3, 6, …, re-encodes — and the gate decodes the RESULT again and
+    // sums its pixel values. The oracle recomputes everything
+    // INDEPENDENTLY from the staged pre-sampling per-frame pixel sums:
+    // kept = ceil(n/3) = (n+2)//3, surviving pixels = w·h·kept, surviving
+    // pixel-sum = Σ frame_sums[0,3,6,…]. A stride bug, an off-by-one in
+    // the kept set, a frame mixed up by the re-encode, or ANY lossiness
+    // in the decode→encode→decode chain hash-mismatches the content
+    // column — this is CONTENT equality through the codec, not just
+    // count arithmetic (stronger than the pre-round-9 byte-length form,
+    // which a variable-size real container made meaningless).
     //
     // 100 TB posture: sampling is a partition-local payload rewrite
     // (never shuffles a frame); the rollup is |duration classes| rows.
@@ -85,39 +89,51 @@ object Multi {
         def vids = Multimodal.syntheticAssets(spark, assetCount(dir))
           .filter(_.meta.kind == "video")
         val before = vids
-          .map(a => (a.asset_id, a.meta.nFrames, a.payload.length))
-          .toDF("asset_id", "n_frames", "bytes_before")
+          .map(a => (a.asset_id, a.meta.nFrames,
+            a.meta.width.toLong * a.meta.height * a.meta.nFrames))
+          .toDF("asset_id", "n_frames", "px_before")
         val after = Multimodal.sampleFrames(vids, everyN = 3)
-          .map(a => (a.asset_id, a.meta.nFrames, a.payload.length))
-          .toDF("asset_id", "n_frames_kept", "bytes_after")
+          .map { a =>
+            val d = Multimodal.VideoCodec.decode(a.payload)
+            var s = 0L
+            d.frames.foreach { f =>
+              var i = 0
+              while (i < f.length) { s += (f(i) & 0xff); i += 1 }
+            }
+            (a.asset_id, a.meta.nFrames,
+              d.frames.map(_.length.toLong).sum, s)
+          }.toDF("asset_id", "n_frames_kept", "px_after", "px_sum_after")
         before.join(after, Seq("asset_id"))
           .groupBy(col("n_frames"))
           .agg(count(lit(1)).as("n_assets"),
             max(col("n_frames_kept")).cast("long").as("frames_kept"),
-            sum(col("bytes_before")).as("bytes_before"),
-            sum(col("bytes_after")).as("bytes_after"))
+            sum(col("px_before")).as("px_before"),
+            sum(col("px_after")).as("px_after"),
+            sum(col("px_sum_after")).as("px_sum_after"))
           .select(col("n_frames").cast("long").as("n_frames"),
-            col("n_assets"), col("frames_kept"), col("bytes_before"),
-            col("bytes_after"),
-            expr("(bytes_after * 1000000) div bytes_before")
-              .as("reduction_ppm"))
+            col("n_assets"), col("frames_kept"), col("px_before"),
+            col("px_after"), col("px_sum_after"),
+            expr("(px_after * 1000000) div px_before").as("reduction_ppm"))
           .orderBy(col("n_frames"))
       },
       oracle = Some(s"""
         WITH v AS (SELECT CAST(n_frames AS BIGINT) AS n_frames,
-                          CAST(bytes_before AS BIGINT) AS bytes_before
+                          CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                          frame_sums
                    FROM read_parquet('${Gps.VerifyOutToken}/_q228_input/*.parquet')),
-        d AS (SELECT n_frames, (n_frames + 2) // 3 AS frames_kept,
-                     bytes_before,
-                     ((n_frames + 2) // 3) * (bytes_before // n_frames)
-                       AS bytes_after
+        d AS (SELECT n_frames, w * h * n_frames AS px_before,
+                     (n_frames + 2) // 3 AS frames_kept,
+                     w * h * ((n_frames + 2) // 3) AS px_after,
+                     CAST(list_sum(list_select(frame_sums,
+                       generate_series(1, n_frames, 3))) AS BIGINT) AS kept_sum
               FROM v)
         SELECT n_frames, COUNT(*) AS n_assets,
                MAX(frames_kept) AS frames_kept,
-               CAST(SUM(bytes_before) AS BIGINT) AS bytes_before,
-               CAST(SUM(bytes_after) AS BIGINT) AS bytes_after,
-               (CAST(SUM(bytes_after) AS BIGINT) * 1000000)
-                 // CAST(SUM(bytes_before) AS BIGINT) AS reduction_ppm
+               CAST(SUM(px_before) AS BIGINT) AS px_before,
+               CAST(SUM(px_after) AS BIGINT) AS px_after,
+               CAST(SUM(kept_sum) AS BIGINT) AS px_sum_after,
+               (CAST(SUM(px_after) AS BIGINT) * 1000000)
+                 // CAST(SUM(px_before) AS BIGINT) AS reduction_ppm
         FROM d GROUP BY n_frames ORDER BY n_frames""")),
 
     // ---- q230: image resize audit (decode → resample → re-encode) ----

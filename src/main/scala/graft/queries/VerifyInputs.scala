@@ -73,15 +73,27 @@ object VerifyInputs {
     // re-aggregates the per-duration profile over identical rows.
     graft.operators.Multimodal.audioStatRows(spark, Multi.assetCount(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q208_input")
-    // q228: the pre-sampling video metadata (frames + payload bytes);
-    // the oracle recomputes the frame-sampling arithmetic independently
-    // from these and must match the real operator's output sizes.
+    // q228: the PRE-sampling per-frame pixel sums through the real GIF
+    // decode; the oracle independently derives the kept-frame set
+    // (stride 3) and its surviving pixel content from these, and must
+    // match what the gate measures by decoding the sampler's re-encoded
+    // output — content equality through the codec round-trip.
     locally {
       import spark.implicits._
-      graft.operators.Multimodal.syntheticAssets(spark, Multi.assetCount(sfDir))
+      import graft.operators.Multimodal
+      Multimodal.syntheticAssets(spark, Multi.assetCount(sfDir))
         .filter(_.meta.kind == "video")
-        .map(a => (a.asset_id, a.meta.nFrames, a.payload.length))
-        .toDF("asset_id", "n_frames", "bytes_before")
+        .map { a =>
+          val d = Multimodal.VideoCodec.decode(a.payload)
+          val sums = d.frames.map { f =>
+            var s = 0L
+            var i = 0
+            while (i < f.length) { s += (f(i) & 0xff); i += 1 }
+            s
+          }
+          (a.asset_id, a.meta.nFrames, d.width, d.height, sums)
+        }
+        .toDF("asset_id", "n_frames", "w", "h", "frame_sums")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q228_input")
     }
     // q230: per-asset resize-audit rows (source geometry + measured
