@@ -1511,15 +1511,15 @@ object Analytics {
     // percentage ever compared); output the count and ppm of customers
     // needed for the 80% band plus the top-decile revenue share.
     //
-    // 100 TB posture (REAL two-pass since round 8): per-customer
-    // revenue is a keyed agg; the rank AND running sum at |customers|
-    // come from `GlobalRank.withRankAndPrefix` — cents-keyed tie-break
-    // window + range-correlated sharded offset table + keyed equijoin,
-    // no single-partition window over customer rows (within a cents
-    // tie group the running sum is offset + rank·cents exactly, custkey
-    // order being immaterial to the sum); the final reduction is one
-    // row. Note the tie-break id is custkey only WITHIN equal cents, so
-    // the emitted (rn, cum) pairs match the global-sort form row-for-row.
+    // 100 TB posture: per-customer revenue is a keyed agg; the rank AND
+    // running sum at |customers| come from the STAT-ROUTED `GlobalRank`
+    // (round 9) — two-pass above the ~2M-customer crossover (cents-keyed
+    // tie-break window + range-correlated sharded offset table + keyed
+    // equijoin; within a cents tie group the running sum is offset +
+    // rank·cents exactly), one naive window below it where that form
+    // measures faster. Routing changes the plan, never the (rn, cum)
+    // pairs — both forms match the global-sort row-for-row; the final
+    // reduction is one row.
     "q198_pareto_concentration" -> QueryDef(
       build = (spark, dir) => {
         val rev = Tables.orders(spark, dir)
@@ -1529,7 +1529,8 @@ object Analytics {
         // shardDiv 2^20: per-customer cents spread over a wide range;
         // keeps the offset table at value-range/2^20 rows
         val r = graft.operators.GlobalRank
-          .withRankAndPrefix(rev, "cents", "o_custkey", shardDiv = 1048576L)
+          .withRankAndPrefixAuto(rev, "cents", "o_custkey",
+            shardDiv = 1048576L)._2
         val tot = rev.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
         r.crossJoin(broadcast(tot))
           .select(col("rn"), col("cum"), col("n"), col("t"))
@@ -1615,10 +1616,11 @@ object Analytics {
     // invariant under any interleaving of identical rows, so the output
     // is deterministic.
     //
-    // 100 TB posture: the rank is `GlobalRank.withRankAndPrefix` —
-    // the q190/q198 two-pass shape (cents-keyed tie-break window +
-    // range-correlated sharded offsets + keyed equijoin), so line items
-    // never serialize through one partition; the bucket agg is 16 rows.
+    // 100 TB posture: the rank is the STAT-ROUTED `GlobalRank` — above
+    // the ~2M-row crossover the q190/q198 two-pass shape (cents-keyed
+    // tie-break window + range-correlated sharded offsets + keyed
+    // equijoin) keeps line items off any single partition; below it the
+    // naive window wins and is taken. The bucket agg is 16 rows.
     "q204_equidepth_histogram" -> QueryDef(
       build = (spark, dir) => {
         val li = Tables.lineitem(spark, dir)
@@ -1627,7 +1629,8 @@ object Analytics {
             md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
               col("l_partkey"), col("l_suppkey"))).as("pick"))
         val ranked = graft.operators.GlobalRank
-          .withRankAndPrefix(li, "cents", "pick", shardDiv = 1048576L)
+          .withRankAndPrefixAuto(li, "cents", "pick",
+            shardDiv = 1048576L)._2
         val tot = li.agg(count(lit(1)).as("n"))
         ranked.crossJoin(broadcast(tot))
           .withColumn("bucket", expr("((rn - 1) * 16) div n + 1"))

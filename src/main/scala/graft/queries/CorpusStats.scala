@@ -415,18 +415,21 @@ object CorpusStats {
     // ONE integer division, so no rational ever rounds). Ties in score
     // break by vec_id, so decile assignment is engine-identical.
     //
-    // 100 TB posture (REAL two-pass since round 8 — no corpus-scale
-    // global sort): rn comes from `GlobalRank.withRankAndPrefix` —
-    // score-keyed tie-break window + range-correlated sharded offset
-    // table + keyed equijoin on score (see the operator's scaladoc);
-    // the decile agg and cumulative windows then run on 10 rows.
+    // 100 TB posture: rn comes from the STAT-ROUTED `GlobalRank`
+    // (round 9) — above the measured ~2M-row crossover the two-pass
+    // form (score-keyed tie-break window + range-correlated sharded
+    // offset table + keyed equijoin) keeps population rows off any
+    // single partition; below it the one-window naive form wins by the
+    // BASELINE "globalrank" table and is what this SF's data routes to.
+    // Routing changes the plan, never the rows — the gate is green on
+    // either route. The decile agg and cumulative windows run on 10 rows.
     "q190_decile_lift" -> QueryDef(
       build = (spark, dir) => {
         val s = Tables.embeddings(spark, dir)
           .select(col("vec_id"), l2QuantScore.as("score"),
             when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
         val ranked = graft.operators.GlobalRank
-          .withRankAndPrefix(s, "score", "vec_id").drop("cum")
+          .withRankAndPrefixAuto(s, "score", "vec_id")._2.drop("cum")
         val tot = s.agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
         val wc = Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1030,15 +1033,17 @@ object CorpusStats {
     // (value DESC, doc_id) tie-breaks identical in both engines.
     //
     // 100 TB posture: within-source ranks are a source-keyed window;
-    // the global rank table comes from `GlobalRank` (two-pass — no
-    // corpus-scale global sort, see q190/q204); the lookup is a keyed
-    // equijoin on the unique global rank; the rollup is |sources| rows.
+    // the global rank table comes from the STAT-ROUTED `GlobalRank`
+    // (two-pass above the ~2M-row crossover — no corpus-scale global
+    // sort; naive below it, where one window wins — see q190); the
+    // lookup is a keyed equijoin on the unique global rank; the rollup
+    // is |sources| rows.
     "q214_quantile_normalize" -> QueryDef(
       build = (spark, dir) => {
         val docs = Tables.documents(spark, dir)
           .select(col("doc_id"), col("source"), col("n_chars"))
         val ranked = graft.operators.GlobalRank
-          .withRankAndPrefix(docs, "n_chars", "doc_id").drop("cum")
+          .withRankAndPrefixAuto(docs, "n_chars", "doc_id")._2.drop("cum")
           .select(col("rn").as("g"), col("n_chars").as("norm_chars"))
         val ws = Window.partitionBy(col("source"))
           .orderBy(col("n_chars").desc, col("doc_id"))
