@@ -128,6 +128,90 @@ object Multimodal {
     })
   }
 
+  /** dHash — the classic 64-bit perceptual image hash (round 9, on the
+    * REAL decoded raster): nearest-neighbor downsample to a 9×8 gray
+    * grid, one bit per horizontal gradient (px[r][c+1] > px[r][c]).
+    * Deterministic pure-integer resampling (the [[resize]] index
+    * arithmetic), so geometrically-equivalent copies — re-encodes,
+    * exact-multiple rescales — hash identically, and near-copies land
+    * within a few bits. */
+  def dHash64(gray: Array[Byte], w: Int, h: Int): Long = {
+    var hash = 0L
+    var bit = 0
+    var r = 0
+    while (r < 8) {
+      val row = (r.toLong * h / 8).toInt * w
+      var c = 0
+      var prev = gray(row + (0L * w / 9).toInt) & 0xff
+      while (c < 8) {
+        val cur = gray(row + ((c + 1).toLong * w / 9).toInt) & 0xff
+        if (cur > prev) hash |= (1L << bit)
+        prev = cur
+        bit += 1
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Plant geometric near-duplicates: an exact-2× nearest-neighbor
+    * upscaled copy (new id = id + offset) of every image whose id ≡ 0
+    * (mod everyNth). Exact-multiple NN rescales are dHash-invariant
+    * (floor(floor(2a)/2) = floor(a) keeps the 9×8 sample grid on the
+    * same source pixels), so these are the planted recalls q234 counts.
+    * Partition-local: the copy is decoded/re-encoded where it lives. */
+  def withUpscaledCopies(assets: Dataset[MediaAsset], everyNth: Long,
+      offset: Long): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.unionAll(assets
+      .filter(a => a.meta.kind == "image" && a.asset_id % everyNth == 0)
+      .mapPartitions(_.map { a =>
+        a.copy(asset_id = a.asset_id + offset,
+          meta = a.meta.copy(width = a.meta.width * 2,
+            height = a.meta.height * 2),
+          payload = ImageCodec.resizePng(a.payload,
+            a.meta.width * 2, a.meta.height * 2))
+      }))
+  }
+
+  /** Per-image perceptual hashes — decode + dHash in one partition-local
+    * pass (non-images are filtered out; payloads never shuffle). */
+  def imageHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.meta.kind == "image")
+      .mapPartitions(_.map { a =>
+        val d = ImageCodec.decode(a.payload)
+        (a.asset_id, dHash64(d.gray, d.width, d.height))
+      })
+      .toDF("asset_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs by banded perceptual hash: the 64-bit
+    * dHash splits into four 16-bit bands; candidates collide on ≥1 band
+    * (pigeonhole: any pair within Hamming ≤ 3 MUST share a band; planted
+    * geometric copies hash identically so recall is exact), then the
+    * cheap exact verify keeps pairs with popcount(xor) ≤ `maxHamming`.
+    * Same candidates-then-verify shape as MinHash (q46) / feature-LSH
+    * ([[nearDupAssets]]): no all-pairs stage, the band equijoin shuffles
+    * 16 bytes per candidate row. */
+  def nearDupByPHash(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = hashes.select(col("asset_id"), col("dhash"),
+      explode(expr("array(0, 1, 2, 3)")).as("band"))
+      .withColumn("bv", expr("shiftright(dhash, band * 16) & 65535"))
+    val a = banded.select(col("band"), col("bv"),
+      col("asset_id").as("id_a"), col("dhash").as("da"))
+    val b = banded.select(col("band"), col("bv"),
+      col("asset_id").as("id_b"), col("dhash").as("db"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(da ^ db)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Media near-duplicate pairs: sign-LSH buckets over the per-asset
     * feature vector (the byte-histogram stub here; a real embedding in
     * prod) → bucket equijoin → exact cosine verify. The image-dedup

@@ -20,6 +20,15 @@ object Multi {
     if (dir.contains("sf0.1")) 50000L
     else if (dir.contains("sf0.01")) 5000L else 500L
 
+  /** q234's per-image perceptual hashes: the image corpus plus an
+    * exact-2× upscaled copy of every 8th image (dHash-invariant — the
+    * planted recalls). Shared by the gate and VerifyInputs. */
+  def phashRows(spark: org.apache.spark.sql.SparkSession,
+      n: Long): org.apache.spark.sql.DataFrame =
+    Multimodal.imageHashes(Multimodal.withUpscaledCopies(
+      Multimodal.syntheticAssets(spark, n), everyNth = 24L,
+      offset = 10000000L))
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q60_multimodal_profile" -> QueryDef(
       build = (spark, dir) =>
@@ -182,6 +191,41 @@ object Multi {
                CAST(SUM(out_bytes) AS BIGINT) AS out_bytes,
                1024 * COUNT(*) AS total_px,
                CAST(SUM(px_sum) AS BIGINT) AS px_sum
-        FROM f GROUP BY 1, 2 ORDER BY src_w, src_h"""))
+        FROM f GROUP BY 1, 2 ORDER BY src_w, src_h""")),
+
+    // ---- q234: perceptual-hash image near-dup (dHash, round 9) ----
+    // Real dHash over the real decoded rasters ([[Multimodal.dHash64]]):
+    // 9×8 NN downsample, one bit per horizontal gradient. Candidates by
+    // 16-bit band collision (pigeonhole covers Hamming ≤ 3; planted
+    // geometric copies hash IDENTICALLY), verified by popcount(xor) ≤ 6.
+    // The corpus plants an exact-2× upscaled copy of every 8th image —
+    // the transform dHash is designed to survive; keystream rasters are
+    // otherwise adversarial noise, so chance pairs are provably absent
+    // (P[Hamming ≤ 6] ≈ 6e-11 per random pair). Oracle pattern as
+    // q60/q208: Verify materializes the per-asset hashes (`_q234_input`)
+    // and DuckDB independently re-runs banding, candidate join, and the
+    // Hamming verify — the banded-join pipeline is value-checked; the
+    // hash kernel itself is spec-pinned (MultimodalSpec planted hashes).
+    //
+    // 100 TB posture: decode + hash are one partition-local pass; the
+    // band equijoin shuffles 16 bytes per candidate row; no all-pairs
+    // stage exists in the plan (guarded).
+    "q234_phash_neardup" -> QueryDef(
+      build = (spark, dir) =>
+        Multimodal.nearDupByPHash(phashRows(spark, assetCount(dir)),
+          maxHamming = 6),
+      oracle = Some(s"""
+        WITH h AS (SELECT asset_id, dhash
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q234_input/*.parquet')),
+        b AS (SELECT asset_id, dhash, i AS band,
+                     (dhash >> (i * 16)) & 65535 AS bv
+              FROM h, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) t),
+        c AS (SELECT DISTINCT a.asset_id AS id_a, b2.asset_id AS id_b,
+                     a.dhash AS da, b2.dhash AS db
+              FROM b a JOIN b b2 ON a.band = b2.band AND a.bv = b2.bv
+                                AND a.asset_id < b2.asset_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS BIGINT)
+                 AS hamming
+        FROM c WHERE bit_count(xor(da, db)) <= 6 ORDER BY id_a, id_b"""))
   )
 }

@@ -115,6 +115,11 @@ object VerifyInputs {
       dims.join(outr, Seq("asset_id"))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q230_input")
     }
+    // q234: the per-image perceptual hashes (real decode + dHash) over
+    // the planted-copy corpus; DuckDB independently re-runs banding,
+    // candidate generation, and the Hamming verify over them.
+    Multi.phashRows(spark, Multi.assetCount(sfDir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q234_input")
     // q226: an RFC-4180-quoted CSV staging (escape = '"' makes Spark
     // write doubled quotes, DuckDB's native convention) of the same
     // rows the gate's Spark side round-trips through its own temp CSV.

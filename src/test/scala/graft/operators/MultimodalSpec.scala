@@ -182,6 +182,41 @@ class MultimodalSpec extends SparkSpec {
     assert(p1.map(_.getAs[Long]("n_assets")).sum == 500)
   }
 
+  test("dHash: pinned reference bits; invariant to re-encode and exact-2x upscale") {
+    // scalar reference over the planted raster
+    val (id, seed, w, h) = (7L, 42L, 96, 64)
+    val png = ImageCodec.encodePng(id, seed, w, h)
+    val d = ImageCodec.decode(png)
+    var want = 0L
+    var bit = 0
+    (0 until 8).foreach { r =>
+      val row = (r.toLong * h / 8).toInt * w
+      (0 until 8).foreach { c =>
+        val p = d.gray(row + (c.toLong * w / 9).toInt) & 0xff
+        val q = d.gray(row + ((c + 1).toLong * w / 9).toInt) & 0xff
+        if (q > p) want |= (1L << bit)
+        bit += 1
+      }
+    }
+    assert(Multimodal.dHash64(d.gray, w, h) == want)
+    // re-encode (identical raster) -> identical hash
+    val re = ImageCodec.decode(ImageCodec.encodeGrayPng(w, h, d.gray))
+    assert(Multimodal.dHash64(re.gray, w, h) == want)
+    // exact-2x NN upscale -> identical hash (the q234 planted transform)
+    val up = ImageCodec.decode(ImageCodec.resizePng(png, 2 * w, 2 * h))
+    assert(Multimodal.dHash64(up.gray, 2 * w, 2 * h) == want)
+  }
+
+  test("perceptual near-dup recalls every planted upscaled copy, nothing else") {
+    val assets = withUpscaledCopies(syntheticAssets(spark, 240),
+      everyNth = 24L, offset = 10000000L)
+    val pairs = nearDupByPHash(imageHashes(assets), maxHamming = 6).collect()
+    // planted: image ids 0, 24, ..., 216 -> 10 copies
+    val want = (0L until 240L by 24L).map(i => (i, i + 10000000L)).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    assert(pairs.forall(_.getLong(2) == 0L), "planted copies must be Hamming 0")
+  }
+
   test("media near-dup finds planted duplicate payloads, none among originals") {
     import spark.implicits._
     val base = syntheticAssets(spark, 120).cache()

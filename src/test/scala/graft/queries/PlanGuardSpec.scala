@@ -702,6 +702,35 @@ class PlanGuardSpec extends SparkSpec {
       "resize/decode kernel not partition-local")
   }
 
+  test("q234: phash near-dup is a band-keyed equijoin — no all-pairs stage") {
+    val p = plan("q234_phash_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "perceptual near-dup degenerated into an all-pairs join")
+    assert(p.contains("hashpartitioning(band") ||
+      p.contains("BroadcastHashJoin"),
+      "candidate join not keyed by (band, band-value)")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "decode/hash kernel not partition-local")
+  }
+
+  test("q233: classifier scoring is keyed aggs over the bucketized table — model never shuffles") {
+    val p = plan("q233_quality_classifier")
+    // the scoring plan (training rounds already ran as bounded driver
+    // actions at build time): per-doc margin is a doc-keyed agg over the
+    // persisted feature table, the 257-long model is a literal array in
+    // the projection, the decile rollup is partial/final, and the global
+    // rank routed naive at this SF (below GlobalRank's crossover)
+    assert(!p.contains("CartesianProduct"),
+      "classifier scoring planned a cross product")
+    assert(p.contains("hashpartitioning(doc_id") ||
+      p.contains("InMemoryTableScan"),
+      "margin agg not keyed by doc over the cached feature table")
+    assert(p.contains("partial_count"), "decile rollup not partial/final")
+    assert(!p.contains("hashpartitioning(_shard"),
+      "two-pass shard machinery chosen below the measured crossover")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
