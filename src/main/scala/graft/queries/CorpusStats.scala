@@ -1280,6 +1280,141 @@ object CorpusStats {
         SELECT ex.source, ex.n_exact, g.n_hll,
                ((g.n_hll - ex.n_exact) * 1000000) // ex.n_exact AS err_ppm
         FROM ex JOIN g ON g.source = ex.source
-        ORDER BY ex.source"""))
+        ORDER BY ex.source""")),
+
+    // ---- q236: isotonic calibration (fixed-point PAV) ----
+    // The classifier-calibration step every scored-filter pipeline runs
+    // before thresholding (q233 trains a model; THIS turns its raw
+    // scores into usable probabilities): bin the population into 20
+    // equal-width score bins and fit the monotone (isotonic) positive
+    // rate by pool-adjacent-violators, computed via the minimax closed
+    // form fitted(k) = max_{i<=k} min_{j>=k} rate(i..j) — exact PAV on
+    // the bin table. Rates are integer ppm (truncating div, mirrored),
+    // so the fit is bit-deterministic in both engines; the output
+    // carries raw vs fitted ppm per bin (fitted is non-decreasing by
+    // construction — the calibration curve).
+    //
+    // 100 TB posture: ONE corpus pass (min/max broadcast + the binned
+    // count agg); the PAV minimax runs on the 20-row bin table — the
+    // i×k×j expansion is ≤ 20³ rows of driver-adjacent arithmetic, a
+    // constant independent of corpus size.
+    "q236_isotonic_calibration" -> QueryDef(
+      build = (spark, dir) => {
+        val s = Tables.embeddings(spark, dir)
+          .select(l2QuantScore.as("score"),
+            when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        val ext = s.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+        val b = s.crossJoin(broadcast(ext))
+          .withColumn("bin", expr("((score - mn) * 20) div (mx - mn + 1) + 1"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        val w = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = b
+          .withColumn("cn", sum(col("n")).over(w))
+          .withColumn("cp", sum(col("p")).over(w))
+        val lo = cum.select(col("bin").as("i"),
+          (col("cn") - col("n")).as("cn0"), (col("cp") - col("p")).as("cp0"))
+        val hi = cum.select(col("bin").as("j"),
+          col("cn").as("cnj"), col("cp").as("cpj"))
+        val pairs = lo.crossJoin(hi).filter(col("i") <= col("j"))
+          .select(col("i"), col("j"),
+            expr("((cpj - cp0) * 1000000) div (cnj - cn0)").as("ppm"))
+        val fitted = pairs
+          .crossJoin(b.select(col("bin").as("k")))
+          .filter(col("i") <= col("k") && col("k") <= col("j"))
+          .groupBy(col("i"), col("k")).agg(min(col("ppm")).as("mn_ppm"))
+          .groupBy(col("k")).agg(max(col("mn_ppm")).as("fitted_ppm"))
+        b.join(fitted, col("bin") === col("k"))
+          .select(col("bin"), col("n"), col("p").as("n_pos"),
+            expr("(p * 1000000) div n").as("raw_ppm"), col("fitted_ppm"))
+          .orderBy(col("bin"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     * 10000) AS BIGINT))) AS BIGINT) AS score,
+                 CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+          FROM embeddings),
+        ext AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM s),
+        b AS (SELECT ((score - mn) * 20) // (mx - mn + 1) + 1 AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(pos) AS BIGINT) AS p
+              FROM s CROSS JOIN ext GROUP BY 1),
+        c AS (SELECT bin, n, p,
+                     CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                     CAST(SUM(p) OVER (ORDER BY bin) AS BIGINT) AS cp
+              FROM b),
+        pr AS (SELECT lo.bin AS i, hi.bin AS j,
+                      ((hi.cp - (lo.cp - lo.p)) * 1000000)
+                        // (hi.cn - (lo.cn - lo.n)) AS ppm
+               FROM c lo, c hi WHERE lo.bin <= hi.bin),
+        tr AS (SELECT pr.i, k.bin AS k, MIN(pr.ppm) AS mn_ppm
+               FROM pr, b k WHERE pr.i <= k.bin AND k.bin <= pr.j
+               GROUP BY 1, 2),
+        f AS (SELECT k, CAST(MAX(mn_ppm) AS BIGINT) AS fitted_ppm
+              FROM tr GROUP BY 1)
+        SELECT b.bin, b.n, b.p AS n_pos, (b.p * 1000000) // b.n AS raw_ppm,
+               f.fitted_ppm
+        FROM b JOIN f ON f.k = b.bin ORDER BY b.bin""")),
+
+    // ---- q240: average precision (AP), fixed-point ----
+    // The ranking-eval metric the retrieval/classifier suite still
+    // lacked: q169's AUC weights every negative pair equally, nDCG
+    // (q224) grades one query's top-10 — AP is the area under the
+    // precision-recall curve, the metric that matches "how good is this
+    // ranking as a FILTER" (precision averaged at each positive's
+    // rank). Fixed point: per positive at global rank k with c
+    // positives at or above it, term = (c·1e6) div k; AP = Σterm div P
+    // (mirrored truncating integer arithmetic — deterministic, like
+    // q106/q233). The random-ranking baseline (P·1e6 div n) rides along
+    // for calibration.
+    //
+    // 100 TB posture: BOTH rank tables (global rank of every row; rank
+    // among positives) come from the stat-routed GlobalRank — naive
+    // window below the measured ~2M crossover (these SFs), two-pass
+    // sharded above; the final reduction is one row.
+    "q240_average_precision" -> QueryDef(
+      build = (spark, dir) => {
+        val s = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), l2QuantScore.as("score"),
+            when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        val ranked = graft.operators.GlobalRank
+          .withRankAndPrefixAuto(s, "score", "vec_id")._2
+          .drop("cum").withColumnRenamed("rn", "k")
+        val posRanked = graft.operators.GlobalRank
+          .withRankAndPrefixAuto(
+            ranked.filter(col("pos") === 1L), "score", "vec_id")._2
+          .drop("cum").withColumnRenamed("rn", "c")
+        val tot = s.agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        posRanked
+          .select(expr("(c * 1000000) div k").as("term"))
+          .agg(sum(col("term")).as("tsum"))
+          .crossJoin(broadcast(tot))
+          .select(col("n"), col("p").as("n_pos"),
+            expr("tsum div p").as("ap_ppm"),
+            expr("(p * 1000000) div n").as("random_ppm"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     * 10000) AS BIGINT))) AS BIGINT) AS score,
+                 CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+          FROM embeddings),
+        r AS (SELECT pos,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS k,
+                     CAST(SUM(pos) OVER (ORDER BY score DESC, vec_id)
+                       AS BIGINT) AS c
+              FROM s),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(pos) AS BIGINT) AS p FROM s),
+        terms AS (SELECT (c * 1000000) // k AS term FROM r WHERE pos = 1)
+        SELECT t.n, t.p AS n_pos,
+               CAST(SUM(term) AS BIGINT) // t.p AS ap_ppm,
+               (t.p * 1000000) // t.n AS random_ppm
+        FROM terms CROSS JOIN t GROUP BY t.n, t.p"""))
   )
 }

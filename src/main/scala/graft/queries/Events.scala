@@ -1286,6 +1286,76 @@ object Events {
                (sae_test * n_naive * 1000000) // (n_test * sae_naive)
                  AS mase_ppm
         FROM te JOIN tn USING (event_type)
-        WHERE sae_naive > 0 ORDER BY te.event_type"""))
+        WHERE sae_naive > 0 ORDER BY te.event_type""")),
+
+    // ---- q238: Theil–Sen robust trend per series ----
+    // The outlier-immune slope estimator (median of all pairwise
+    // slopes) next to q135's least-squares trend — the robust-stats
+    // member the monitoring family was missing: one traffic spike can
+    // drag an OLS slope arbitrarily, but it perturbs at most h−1 of the
+    // h·(h−1)/2 pairwise slopes, so the MEDIAN barely moves (the 29.3%
+    // breakdown point is why SRE dashboards fit Theil–Sen). Slopes are
+    // integer ppm events/hour (truncating div over the exact integer
+    // rise/run — mirrored engine arithmetic); the median is the exact
+    // LOWER median (rank (m+1) div 2 under a full (slope, i, j)
+    // tie-break), not an approximation.
+    //
+    // 100 TB posture: the corpus-scale work is ONE keyed hourly agg;
+    // the pairwise expansion is O(hours²) per series — hours is a
+    // bounded window count (720 at a month of data), independent of
+    // event volume, and the self-join + median window are keyed by
+    // event_type so series parallelize. OLS (q135) stays the cheap
+    // path; this is the robust one.
+    "q238_theil_sen_trend" -> QueryDef(
+      build = (spark, dir) => {
+        val era = Tables.events(spark, dir)
+        val h = era
+          .select(col("event_type"),
+            expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+              .as("hr"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("n"))
+        val a = h.select(col("event_type"), col("hr").as("hi"),
+          col("n").as("ni"))
+        val b = h.select(col("event_type"), col("hr").as("hj"),
+          col("n").as("nj"))
+        val slopes = a.join(b, Seq("event_type"))
+          .filter(col("hi") < col("hj"))
+          .select(col("event_type"), col("hi"), col("hj"),
+            expr("((nj - ni) * 1000000) div (hj - hi)").as("slope_ppm"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("slope_ppm"), col("hi"), col("hj"))
+        val wn = Window.partitionBy(col("event_type"))
+        slopes
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("m", count(lit(1)).over(wn))
+          .filter(col("rk") === expr("(m + 1) div 2"))
+          .join(h.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_hours")), Seq("event_type"))
+          .select(col("event_type"), col("n_hours"),
+            col("m").as("n_pairs"), col("slope_ppm").as("theil_sen_ppm"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH h AS (SELECT event_type,
+                          epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                            AS hr,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        s AS (SELECT a.event_type, a.hr AS hi, b.hr AS hj,
+                     ((b.n - a.n) * 1000000) // (b.hr - a.hr) AS slope_ppm
+              FROM h a JOIN h b ON b.event_type = a.event_type
+                                AND a.hr < b.hr),
+        r AS (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY slope_ppm, hi, hj) AS rk,
+                     COUNT(*) OVER (PARTITION BY event_type) AS m
+              FROM s),
+        nh AS (SELECT event_type, COUNT(*) AS n_hours FROM h GROUP BY 1)
+        SELECT r.event_type, nh.n_hours, r.m AS n_pairs,
+               r.slope_ppm AS theil_sen_ppm
+        FROM r JOIN nh USING (event_type)
+        WHERE r.rk = (r.m + 1) // 2
+        ORDER BY r.event_type"""))
   )
 }

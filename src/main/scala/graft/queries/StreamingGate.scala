@@ -530,6 +530,74 @@ object StreamingGate {
     * the BATCH full interval join exactly. The sentinel recipe already
     * advances both side clocks (each side's watermark is post-filter),
     * so purchase-side eviction needs no new machinery. */
+  /** q237: streamed LEFT SEMI interval join — the existence-check join
+    * (which views converted at all?) as a watermarked stream-stream
+    * join. Semi semantics are the interesting law: a view with THREE
+    * in-window purchases must emit exactly ONCE (the join deduplicates
+    * matches by construction), and unmatched views are silently
+    * discarded at eviction (no null-padded row — that is q187's left
+    * OUTER contract). Same sentinel-flush scaffold as q187/q201; the
+    * sentinel pair matches itself and is dropped post-sink. Drained
+    * emission equals the batch EXISTS query exactly. */
+  def streamedSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    require(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(dir, "events.parquet")),
+      s"$dir/events.parquet must be a single parquet file for the " +
+        "sentinel-flush drain (coalesce the fixture to one file)")
+    val run = new GateRun(spark, "q237",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val maxUs = graft.core.Tables.events(spark, dir)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val sentinelUs = maxUs + 10L * 24 * 3600 * 1000000L
+      val tsExpr = era.schema("ts").dataType match {
+        case LongType => lit(sentinelUs * 1000L) // nanos-as-long era
+        case dt       => timestamp_micros(lit(sentinelUs)).cast(dt)
+      }
+      spark.range(1).select(explode(array(lit("view"), lit("purchase")))
+          .as("event_type"))
+        .select(lit(-1L).as("event_id"), tsExpr.as("ts"),
+          lit(-1L).as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("append").parquet(run.srcDir)
+      def side(tpe: String, pfx: String): DataFrame = spark.readStream
+        .schema(era.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.srcDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user"),
+          col("event_id").as(s"${pfx}_id"),
+          era.eventTime.as(s"${pfx}_time"))
+        .withWatermark(s"${pfx}_time", "4 hours")
+      val q = side("view", "v").join(side("purchase", "p"),
+          col("v_user") === col("p_user") &&
+            col("p_time") >= col("v_time") &&
+            col("p_time") <= col("v_time") + expr("INTERVAL 120 MINUTES"),
+          "left_semi")
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"), col("view_id"))
+  }
+
   def streamedOuterJoin(spark: SparkSession, dir: String,
       joinType: String = "left_outer", gate: String = "q187"): DataFrame = {
     // PRECONDITION (sentinel-flush): the staged corpus must be ONE
@@ -1295,6 +1363,31 @@ object StreamingGate {
         FROM w4 CROSS JOIN m
         WHERE w4.ws + INTERVAL 4 HOURS <= m.mx - INTERVAL 2 HOURS
         ORDER BY win4_start, event_type"""))) :+ (
+
+    // ---- q237: streamed LEFT SEMI interval join ----
+    // The existence-check member of the streaming-join family (q140
+    // inner, q187 left outer, q201 full outer, q206 join->agg): which
+    // views converted within 2 h at all. The law semi adds over inner:
+    // a view with MULTIPLE in-window purchases emits exactly ONCE
+    // (match dedup is the operator's contract, not a downstream
+    // distinct), and unmatched views vanish silently at eviction. The
+    // drained emission equals the batch EXISTS query row-for-row —
+    // seventeenth streaming law: semi-join match dedup + silent
+    // eviction under the sentinel-advanced clock.
+    "q237_streamed_semi_join" -> QueryDef(
+      build = (spark, dir) => streamedSemiJoin(spark, dir),
+      oracle = Some("""
+        WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS vt
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pt
+              FROM events WHERE event_type = 'purchase')
+        SELECT v.user_id, v.event_id AS view_id
+        FROM v
+        WHERE EXISTS (SELECT 1 FROM p
+                      WHERE p.user_id = v.user_id
+                        AND p.pt >= v.vt
+                        AND p.pt <= v.vt + INTERVAL 120 MINUTES)
+        ORDER BY v.user_id, view_id"""))) :+ (
 
     // ---- q219: two-source union under the min-watermark policy ----
     // The multi-source coordination law: a union of two streams whose

@@ -601,7 +601,81 @@ object Vectors {
                CAST(MAX(n1) AS BIGINT) AS n_b,
                CAST(SUM(ABS(m0 - m1)) AS BIGINT) AS l1_drift_q
         FROM a JOIN b ON b.label = a.label AND b.dim = a.dim
-        GROUP BY a.label ORDER BY a.label"""))
+        GROUP BY a.label ORDER BY a.label""")),
+
+    // ---- q239: mutual (reciprocal) k-NN filter over LSH candidates ----
+    // The high-precision pair filter alignment and dedup pipelines run
+    // on top of ANN candidates: keep (a, b) only when b is in a's top-3
+    // AND a is in b's top-3 — reciprocity kills hub vectors (a generic
+    // centroid-ish vector sits in everyone's top-k, but almost nobody
+    // sits in ITS top-k), which plain thresholding (q55) cannot. Ranks
+    // are computed WITHIN each vector's LSH candidate set (the only
+    // neighbor list that exists at scale — nobody materializes the full
+    // kNN graph), ordered by the exact codegen'd cosine with a vec_id
+    // tie-break; q52's oracle proved the cosine doubles bit-identical
+    // across engines, so ranking is too. The oracle re-runs candidate
+    // generation, per-vector ranking, and the reciprocity join over the
+    // same materialized bucket assignments (`_q55_input`).
+    //
+    // 100 TB posture: q55's LSH shape (bucket equijoin, no all-pairs)
+    // plus one vec-keyed rank window over candidate rows and a keyed
+    // self-join of two top-3 tables (≤ 3 rows per vector each side).
+    "q239_mutual_knn" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bits = graft.functions.VectorKernels.autoLshBits(
+          Tables.embeddings(spark, dir).count())
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+          .withColumn("nrm", norm(col("e")))
+          .withColumn("buckets", lshBuckets(col("e"), 16, bits))
+        val cand = emb.select(col("vec_id"), col("e"), col("nrm"),
+          explode(col("buckets")).as("bucket"))
+        val a = cand.select(col("bucket"), col("vec_id").as("ia"),
+          col("e").as("ea"), col("nrm").as("na"))
+        val b = cand.select(col("bucket"), col("vec_id").as("ib"),
+          col("e").as("eb"), col("nrm").as("nb"))
+        val scored = a.join(b, Seq("bucket"))
+          .filter(col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+          .dropDuplicates("ia", "ib") // multi-table collisions: same cos
+        val w = Window.partitionBy(col("ia"))
+          .orderBy(col("cos").desc, col("ib"))
+        val top = scored.withColumn("r", row_number().over(w))
+          .filter(col("r") <= 3)
+          .select(col("ia"), col("ib"), col("cos"))
+        val rev = top.select(col("ib").as("ja"), col("ia").as("jb"))
+        top.join(rev,
+            col("ia") === col("ja") && col("ib") === col("jb"), "left_semi")
+          .filter(col("ia") < col("ib"))
+          .select(col("ia").as("id_a"), col("ib").as("id_b"),
+            round(col("cos"), 6).as("cosine"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT bucket, vec_id
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q55_input/*.parquet')),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+        cand AS (SELECT DISTINCT a.vec_id AS ia, bb.vec_id AS ib
+                 FROM b a JOIN b bb ON a.bucket = bb.bucket
+                                   AND a.vec_id <> bb.vec_id),
+        sc AS (SELECT c.ia, c.ib,
+                      list_cosine_similarity(ea.emb, eb.emb) AS cos
+               FROM cand c
+               JOIN e ea ON ea.vec_id = c.ia
+               JOIN e eb ON eb.vec_id = c.ib),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+                           ORDER BY cos DESC, ib) AS r
+               FROM sc),
+        top AS (SELECT ia, ib, cos FROM rk WHERE r <= 3)
+        SELECT t1.ia AS id_a, t1.ib AS id_b, ROUND(t1.cos, 6) AS cosine
+        FROM top t1
+        WHERE t1.ia < t1.ib
+          AND EXISTS (SELECT 1 FROM top t2
+                      WHERE t2.ia = t1.ib AND t2.ib = t1.ia)
+        ORDER BY id_a, id_b"""))
   )
 
   /** DuckDB replay of the q120 farthest-point traversal: one (center,

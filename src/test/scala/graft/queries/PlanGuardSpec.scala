@@ -731,6 +731,46 @@ class PlanGuardSpec extends SparkSpec {
       "two-pass shard machinery chosen below the measured crossover")
   }
 
+  test("q236: isotonic fit — one partial/final corpus agg; PAV runs on the bin table") {
+    val p = plan("q236_isotonic_calibration")
+    assert(p.contains("partial_count"), "bin agg not split partial/final")
+    // the i×k×j expansion crosses only 20-row bin tables — corpus rows
+    // must never reach a nested-loop side
+    assert(!p.contains("CartesianProduct"),
+      "PAV expansion planned a shuffled cross product")
+    assert(!p.contains("l_comment") && p.contains("embedding"),
+      "scan not pruned to the embedding/label columns")
+  }
+
+  test("q238: Theil-Sen pairs self-join the hourly aggregate, keyed by series") {
+    val p = plan("q238_theil_sen_trend")
+    assert(p.contains("hashpartitioning(event_type"),
+      "hourly rollup / pair join not keyed by series")
+    assert(!p.contains("CartesianProduct"),
+      "pairwise slopes planned a cross product")
+  }
+
+  test("q239: mutual kNN stays a bucket equijoin + keyed rank — no all-pairs") {
+    val p = plan("q239_mutual_knn")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degenerated into an all-pairs join")
+    assert(p.contains("hashpartitioning(bucket") ||
+      p.contains("BroadcastHashJoin"),
+      "candidate join not keyed by bucket")
+    // top-3 rank must prune partials before the exchange (q59 pattern)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "top-3 window lacks the partial/final WindowGroupLimit pair")
+  }
+
+  test("q240: AP ranks routed naive at this SF; reduction is one row") {
+    val p = plan("q240_average_precision")
+    assert(!p.contains("hashpartitioning(_shard"),
+      "two-pass shard machinery chosen below the measured crossover")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "totals agg not split partial/final")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
