@@ -1894,7 +1894,99 @@ object Analytics {
                FROM z GROUP BY 2)
         SELECT layout, bucket, n, px_span, dy_span
         FROM (SELECT * FROM zb UNION ALL SELECT * FROM pb)
-        ORDER BY layout, bucket"""))
+        ORDER BY layout, bucket""")),
+
+    // ---- q242: Poisson bootstrap confidence intervals ----
+    // THE distributed bootstrap (Chamandy et al., Google): classical
+    // resampling needs B global samples-with-replacement — B full
+    // shuffles; the Poisson bootstrap replaces each replicate's
+    // multinomial with independent per-row Poisson(1) weights, so ALL
+    // 32 replicates materialize in ONE pass as a map-side explode, and
+    // the replicate means are keyed partial/final aggs. Weights are
+    // md5-derived (engine-portable): a 48-bit uniform from
+    // md5(orderkey_replicate) through the exact integer-threshold
+    // inverse CDF of Poisson(1) — bit-identical in both engines, no
+    // RNG state anywhere. Replicate means are integer cents (truncating
+    // div); the CI bounds are the rank-2 / rank-31 replicate means
+    // (≈95% for B = 32), reported per order priority next to the point
+    // estimate.
+    //
+    // 100 TB posture: one scan, 32× map-side row expansion (no join,
+    // no shuffle of raw rows beyond the keyed agg), |priorities|·32
+    // replicate rows after the partial agg, then a 5-row rollup.
+    "q242_poisson_bootstrap" -> QueryDef(
+      build = (spark, dir) => {
+        // floor(CDF_Poisson(1)(i) * 16^12), i = 0..6 — exact literals
+        val t = Seq(103548857136060L, 207097714272121L, 258872142840152L,
+          276130285696162L, 280444821410164L, 281307728552965L,
+          281451546410098L)
+        val thresholds = t.zipWithIndex.map { case (v, i) =>
+          s"WHEN u < ${v}L THEN ${i}L"
+        }.mkString(" ")
+        val o = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val rep2 = o
+          .select(col("o_orderkey"), col("priority"), col("cents"),
+            explode(expr("sequence(1, 32)")).as("b"))
+          .withColumn("u", expr(
+            "cast(conv(substring(md5(concat(o_orderkey, '_', b)), 1, 12), " +
+              "16, 10) as long)"))
+          .withColumn("w", expr(s"CASE $thresholds ELSE 7L END"))
+        val means = rep2.groupBy(col("priority"), col("b"))
+          .agg(sum(col("w") * col("cents")).as("ws"),
+            sum(col("w")).as("wn"))
+          .select(col("priority"), col("b"),
+            expr("ws div wn").as("mean_cents"))
+        val w = Window.partitionBy(col("priority"))
+          .orderBy(col("mean_cents"), col("b"))
+        val point = o.groupBy(col("priority"))
+          .agg(count(lit(1)).as("n"),
+            expr("sum(cents) div count(1)").as("mean_cents"))
+        means.withColumn("rk", row_number().over(w))
+          .groupBy(col("priority"))
+          .agg(min(when(col("rk") === 2, col("mean_cents"))).as("boot_lo"),
+            min(when(col("rk") === 31, col("mean_cents"))).as("boot_hi"))
+          .join(point, Seq("priority"))
+          .select(col("priority"), col("n"), col("mean_cents"),
+            col("boot_lo"), col("boot_hi"))
+          .orderBy(col("priority"))
+      },
+      oracle = Some("""
+        WITH o AS (SELECT o_orderkey,
+                          o_orderpriority AS priority,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders),
+        rep AS (SELECT o.*, b,
+                       CAST(CONCAT('0x', substr(md5(
+                         o_orderkey || '_' || b), 1, 12)) AS BIGINT) AS u
+                FROM o, (SELECT unnest(generate_series(1, 32)) AS b)),
+        wts AS (SELECT priority, cents, b,
+                       CASE WHEN u < 103548857136060 THEN 0
+                            WHEN u < 207097714272121 THEN 1
+                            WHEN u < 258872142840152 THEN 2
+                            WHEN u < 276130285696162 THEN 3
+                            WHEN u < 280444821410164 THEN 4
+                            WHEN u < 281307728552965 THEN 5
+                            WHEN u < 281451546410098 THEN 6
+                            ELSE 7 END AS w
+                FROM rep),
+        means AS (SELECT priority, b,
+                         CAST(SUM(w * cents) AS BIGINT)
+                           // CAST(SUM(w) AS BIGINT) AS mean_cents
+                  FROM wts GROUP BY 1, 2),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY priority
+                           ORDER BY mean_cents, b) AS rk
+               FROM means),
+        ci AS (SELECT priority,
+                      MIN(CASE WHEN rk = 2 THEN mean_cents END) AS boot_lo,
+                      MIN(CASE WHEN rk = 31 THEN mean_cents END) AS boot_hi
+               FROM rk GROUP BY 1),
+        pt AS (SELECT priority, COUNT(*) AS n,
+                      CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents
+               FROM o GROUP BY 1)
+        SELECT pt.priority, pt.n, pt.mean_cents, ci.boot_lo, ci.boot_hi
+        FROM pt JOIN ci USING (priority) ORDER BY pt.priority"""))
   )
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */

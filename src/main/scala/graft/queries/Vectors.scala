@@ -675,7 +675,103 @@ object Vectors {
         WHERE t1.ia < t1.ib
           AND EXISTS (SELECT 1 FROM top t2
                       WHERE t2.ia = t1.ib AND t2.ib = t1.ia)
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---- q241: Johnson–Lindenstrauss projection, distortion-audited ----
+    // Random ±1 projection 64-d → 16-d — the dimensionality-reduction
+    // step ANN/dedup pipelines run before bucketing when the embedding
+    // is wide. Signs come from md5(k || '_' || d) (the engine-portable
+    // hash), inputs are the 1e4-quantized integers, so the projection is
+    // pure BIGINT and bit-identical in both engines. The AUDIT is the
+    // JL lemma made measurable: for the deterministic (even, even+1)
+    // pair set, the ratio of projected to original squared distance
+    // (scaled by the 16× expectation factor) is histogrammed in 0.2-
+    // wide ppm bins — mass concentrates at 1.0 exactly as the lemma
+    // promises, and any sign/packing bug moves it.
+    //
+    // 100 TB posture: the projection is per-row arithmetic over a
+    // 16×64 LITERAL sign matrix (no join, no shuffle — Spark evaluates
+    // it inside codegen); the pair join is a keyed equijoin on vec_id;
+    // the histogram is ≤ 10 rows.
+    "q241_jl_projection" -> QueryDef(
+      build = (spark, dir) => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def sign(k: Int, d: Int): Long = {
+          val h = md.digest(s"${k}_$d".getBytes("UTF-8"))
+          val c = "0123456789abcdef".charAt((h(0) >> 4) & 0xf)
+          if ("89abcdef".indexOf(c) >= 0) 1L else -1L
+        }
+        val signs = array((0 until 16).map(k =>
+          array((0 until 64).map(d => lit(sign(k, d))): _*)): _*)
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> " +
+              "cast(floor(cast(x as double) * 10000) as long))").as("q"))
+          .withColumn("sm", signs)
+          .withColumn("y", expr("transform(sequence(0, 15), k -> " +
+            "aggregate(zip_with(q, element_at(sm, k + 1), " +
+            "(a, s) -> a * s), 0L, (acc, v) -> acc + v))"))
+          .select(col("vec_id"), col("q"), col("y"))
+        val a = e.select(col("vec_id").as("ia"), col("q").as("qa"),
+          col("y").as("ya")).filter(col("ia") % 2 === 0)
+        val b = e.select((col("vec_id") - 1).as("ia"), col("q").as("qb"),
+          col("y").as("yb"))
+        val pairs = a.join(b, Seq("ia"))
+          .select(
+            expr("aggregate(zip_with(qa, qb, (x, z) -> (x - z) * (x - z)), " +
+              "0L, (acc, v) -> acc + v)").as("d_orig"),
+            expr("aggregate(zip_with(ya, yb, (x, z) -> (x - z) * (x - z)), " +
+              "0L, (acc, v) -> acc + v)").as("d_proj"))
+          .filter(col("d_orig") > 0)
+          .select(expr("(d_proj * 1000000) div (d_orig * 16)").as("ratio_ppm"))
+        pairs
+          .select(least(expr("ratio_ppm div 200000"), lit(9L)).as("bin"),
+            col("ratio_ppm"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("ratio_ppm")).as("min_ppm"),
+            max(col("ratio_ppm")).as("max_ppm"))
+          .orderBy(col("bin"))
+      },
+      oracle = Some("""
+        WITH sgn AS (
+          SELECT k, d,
+                 CASE WHEN instr('89abcdef',
+                        substring(md5(k || '_' || d), 1, 1)) > 0
+                      THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(generate_series(0, 15)) AS k),
+               (SELECT unnest(generate_series(0, 63)) AS d)),
+        q AS (SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+                       AS qv
+              FROM embeddings),
+        dims AS (SELECT vec_id, d - 1 AS d, qv[d] AS x
+                 FROM q, LATERAL (SELECT unnest(generate_series(1,
+                          len(qv))) AS d) t),
+        proj AS (SELECT dims.vec_id, sgn.k,
+                        CAST(SUM(dims.x * sgn.s) AS BIGINT) AS y
+                 FROM dims JOIN sgn ON sgn.d = dims.d
+                 GROUP BY 1, 2),
+        dorig AS (SELECT a.vec_id AS ia,
+                         CAST(list_sum(list_transform(
+                           list_zip(a.qv, b.qv),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])))
+                           AS BIGINT) AS d_orig
+                  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+                  WHERE a.vec_id % 2 = 0),
+        dproj AS (SELECT a.vec_id AS ia,
+                         CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT)
+                           AS d_proj
+                  FROM proj a JOIN proj b
+                    ON b.vec_id = a.vec_id + 1 AND b.k = a.k
+                  WHERE a.vec_id % 2 = 0 GROUP BY 1),
+        r AS (SELECT (d_proj * 1000000) // (d_orig * 16) AS ratio_ppm
+              FROM dorig JOIN dproj USING (ia) WHERE d_orig > 0)
+        SELECT LEAST(ratio_ppm // 200000, 9) AS bin,
+               COUNT(*) AS n_pairs,
+               MIN(ratio_ppm) AS min_ppm, MAX(ratio_ppm) AS max_ppm
+        FROM r GROUP BY 1 ORDER BY bin"""))
   )
 
   /** DuckDB replay of the q120 farthest-point traversal: one (center,

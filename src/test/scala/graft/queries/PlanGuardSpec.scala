@@ -771,6 +771,28 @@ class PlanGuardSpec extends SparkSpec {
       "totals agg not split partial/final")
   }
 
+  test("q241: JL projection is in-row over a literal sign matrix; pairs join keyed") {
+    val p = plan("q241_jl_projection")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "projection or pairing planned an all-pairs join")
+    // the 16x64 sign matrix is a literal in the projection — the only
+    // join is the (even, even+1) pair equijoin on the id
+    assert(p.contains("hashpartitioning(ia") ||
+      p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "pair join not keyed by vec id")
+  }
+
+  test("q242: Poisson bootstrap is a map-side explode + keyed aggs — no resample shuffle") {
+    val p = plan("q242_poisson_bootstrap")
+    assert(!p.contains("CartesianProduct"),
+      "replicate expansion planned a cross product")
+    assert(p.contains("Generate"), "replicate explode missing (not map-side)")
+    assert(p.contains("hashpartitioning(priority"),
+      "replicate means not keyed by group")
+    assert(p.contains("partial_sum"), "replicate agg not split partial/final")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
