@@ -95,8 +95,17 @@ object HashedLogReg {
     * read twice per round). Returns the weight vector (index j; last
     * slot is the bias), bit-deterministic. */
   def train(x: DataFrame, nDocs: Long, rounds: Int = 8,
-      invLr: Long = 16L): Array[Long] = {
+      invLr: Long = 16L): Array[Long] =
+    trainHistory(x, nDocs, rounds, invLr).last
+
+  /** [[train]], returning the weight vector AFTER EVERY round (w_1 ..
+    * w_rounds) — the per-round model snapshots training-dynamics
+    * analyses (q243 dataset cartography) read. Same loop, same
+    * determinism; `train` is its last element. */
+  def trainHistory(x: DataFrame, nDocs: Long, rounds: Int = 8,
+      invLr: Long = 16L): Seq[Array[Long]] = {
     require(nDocs > 0, "empty corpus")
+    val hist = Seq.newBuilder[Array[Long]]
     val w = new Array[Long](Buckets + 1)
     var r = 0
     while (r < rounds) {
@@ -117,9 +126,10 @@ object HashedLogReg {
         val g = row.getAs[Long]("g")
         w(j) += (g / nDocs) / invLr // Long / truncates: ≡ div ≡ DuckDB //
       }
+      hist += w.clone()
       r += 1
     }
-    w
+    hist.result()
   }
 
   /** Score every doc with a trained weight vector: (doc_id, y, z) where

@@ -17,6 +17,13 @@ object Classifier {
   private val InvLr = 16L
   private val ThreshPerMille = 66L
   private val StopTerms = Seq("the", "a")
+  // q243 region cuts, calibrated on the measured per-doc distribution
+  // (mean_conf p5..p95 ≈ 449k..634k ppm; varq p95 ≈ 2.4e11): ambiguous
+  // = varq ≥ 2.5e11 (per-round confidence std ≥ ~0.0625), easy ≥ 0.60
+  // mean true-label confidence, hard ≤ 0.46.
+  private val VarThreshold = 250000000000L
+  private val EasyCut = 600000L
+  private val HardCut = 460000L
 
   // The one previously-persisted feature table (the NgramJaccard
   // pattern): repeated invocations in one session hold at most ONE
@@ -75,7 +82,68 @@ object Classifier {
               .otherwise(0L)).as("agree"))
           .orderBy(col("decile"))
       },
-      oracle = Some(lrOracle(Rounds)))
+      oracle = Some(lrOracle(Rounds))),
+
+    // ---- q243: dataset cartography from training dynamics ----
+    // The data-map move (Swayamdipta et al.): instead of judging
+    // examples by the FINAL model, watch each example ACROSS training
+    // rounds — mean true-label confidence and its variability split the
+    // corpus into easy-to-learn / hard-to-learn / ambiguous regions
+    // (ambiguous examples are where label noise and genuinely
+    // borderline data live; curation pipelines route them to review).
+    // Confidence per round comes from the round's weight SNAPSHOT
+    // (trainHistory — the same 8 rounds q233 certifies); statistics are
+    // exact integers: mean = Σconf div 8, varq = 8·Σconf² − (Σconf)²
+    // (population variance × 64, never a float). The oracle appends a
+    // per-round confidence tail to the SAME unrolled training chain as
+    // q233, so the two gates share one replay of the fit.
+    //
+    // 100 TB posture: training as q233; the cartography pass is ONE
+    // more keyed agg over the bucketized table computing all 8 margins
+    // in one job (8 literal weight arrays in the projection), then a
+    // 4-row region rollup.
+    "q243_training_cartography" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val x = synchronized {
+          lastX.foreach(_.unpersist(blocking = false))
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(docs, "text", StopTerms),
+            ThreshPerMille)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lastX = Some(built)
+          built
+        }
+        val n = docs.count()
+        val hist = HashedLogReg.trainHistory(x, n, Rounds, InvLr)
+        val zCols = hist.zipWithIndex.map { case (w, i) =>
+          sum(col("x") * element_at(
+            array(w.toSeq.map(lit): _*), col("j") + 1)).as(s"z${i + 1}")
+        }
+        val z = x.groupBy(col("doc_id"))
+          .agg(max(col("y")).as("y"), zCols: _*)
+        val confExprs = (1 to Rounds).map { r =>
+          s"(CASE WHEN y = 1 THEN greatest(0L, least(1000000L, " +
+            s"500000L + z$r div 4)) ELSE 1000000L - greatest(0L, " +
+            s"least(1000000L, 500000L + z$r div 4)) END)"
+        }
+        val sc = confExprs.mkString("(", " + ", ")")
+        val sq = confExprs.map(e => s"$e * $e").mkString("(", " + ", ")")
+        z.select(col("doc_id"), col("y"),
+            expr(s"$sc div $Rounds").as("mean_conf"),
+            expr(s"$Rounds * $sq - $sc * $sc").as("varq"))
+          .select(col("y"), col("mean_conf"), col("varq"),
+            when(col("varq") >= VarThreshold, "ambiguous")
+              .when(col("mean_conf") >= EasyCut, "easy")
+              .when(col("mean_conf") <= HardCut, "hard")
+              .otherwise("mid").as("region"))
+          .groupBy(col("region"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+            expr("sum(mean_conf) div count(1)").as("avg_conf_ppm"),
+            max(col("varq")).as("max_varq"))
+          .orderBy(col("region"))
+      },
+      oracle = Some(cartographyOracle(Rounds)))
   )
 
   /** q233's oracle: the full fixed-point training run unrolled. Round k
@@ -85,6 +153,24 @@ object Classifier {
     * 0 — then the final weights score every doc and the decile rollup
     * mirrors the Spark side's GlobalRank ordering (z DESC, doc_id). */
   private def lrOracle(rounds: Int): String = {
+    s"""${trainCtes(rounds)},
+        zf AS (SELECT x.doc_id, MAX(x.y) AS y,
+                      CAST(SUM(x.x * w.wv) AS BIGINT) AS z
+               FROM x JOIN w$rounds w ON w.j = x.j GROUP BY x.doc_id),
+        r AS (SELECT *, row_number() OVER (ORDER BY z DESC, doc_id) AS rn
+              FROM zf)
+        SELECT ((rn - 1) * 10) // nn.n + 1 AS decile,
+               COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN (y = 1) = (z >= 0) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS agree
+        FROM r CROSS JOIN nn GROUP BY 1 ORDER BY decile"""
+  }
+
+  /** The shared unrolled-training WITH-chain (tok/lab/x/nn/w0 .. w_R) —
+    * q233's scoring tail and q243's cartography tail both append to
+    * it, so the two oracles cannot drift from each other's training
+    * replay. */
+  private def trainCtes(rounds: Int): String = {
     val head = s"""
         WITH tok AS MATERIALIZED (
           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
@@ -131,16 +217,49 @@ object Classifier {
                  w.wv + ((COALESCE(g.g, 0) // nn.n) // $InvLr) AS wv
           FROM w$p w LEFT JOIN g$k g ON g.j = w.j CROSS JOIN nn)"""
     }.mkString
-    s"""$head$body,
-        zf AS (SELECT x.doc_id, MAX(x.y) AS y,
-                      CAST(SUM(x.x * w.wv) AS BIGINT) AS z
-               FROM x JOIN w$rounds w ON w.j = x.j GROUP BY x.doc_id),
-        r AS (SELECT *, row_number() OVER (ORDER BY z DESC, doc_id) AS rn
-              FROM zf)
-        SELECT ((rn - 1) * 10) // nn.n + 1 AS decile,
-               COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos,
-               CAST(SUM(CASE WHEN (y = 1) = (z >= 0) THEN 1 ELSE 0 END)
-                 AS BIGINT) AS agree
-        FROM r CROSS JOIN nn GROUP BY 1 ORDER BY decile"""
+    s"$head$body"
+  }
+
+  /** q243's oracle: the SAME unrolled training chain, then per-round
+    * true-label confidences per doc (conf_r = σ_r if y = 1 else
+    * 1e6 − σ_r from each round's weight snapshot w_r), the integer
+    * training-dynamics statistics mean = Σconf div R and
+    * varq = R·Σconf² − (Σconf)² (exact population variance scaled by
+    * R²), and the cartography-region rollup. */
+  private def cartographyOracle(rounds: Int): String = {
+    val perRound = (1 to rounds).map { k =>
+      s"""
+        SELECT x.doc_id, MAX(x.y) AS y,
+               CASE WHEN MAX(x.y) = 1
+                    THEN GREATEST(CAST(0 AS BIGINT),
+                      LEAST(CAST(1000000 AS BIGINT),
+                        500000 + CAST(SUM(x.x * w.wv) AS BIGINT) // 4))
+                    ELSE 1000000 - GREATEST(CAST(0 AS BIGINT),
+                      LEAST(CAST(1000000 AS BIGINT),
+                        500000 + CAST(SUM(x.x * w.wv) AS BIGINT) // 4))
+               END AS conf
+        FROM x JOIN w$k w ON w.j = x.j GROUP BY x.doc_id"""
+    }.mkString(" UNION ALL ")
+    s"""${trainCtes(rounds)},
+        cart AS ($perRound),
+        agg AS (SELECT doc_id, MAX(y) AS y,
+                       CAST(SUM(conf) AS BIGINT) AS sc,
+                       CAST(SUM(conf * conf) AS BIGINT) AS sq
+                FROM cart GROUP BY 1),
+        m AS (SELECT doc_id, y, sc // $rounds AS mean_conf,
+                     $rounds * sq - sc * sc AS varq
+              FROM agg),
+        reg AS (SELECT CASE WHEN varq >= $VarThreshold THEN 'ambiguous'
+                            WHEN mean_conf >= $EasyCut THEN 'easy'
+                            WHEN mean_conf <= $HardCut THEN 'hard'
+                            ELSE 'mid' END AS region,
+                       y, mean_conf, varq
+                FROM m)
+        SELECT region, COUNT(*) AS n_docs,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(mean_conf) AS BIGINT) // COUNT(*)
+                 AS avg_conf_ppm,
+               CAST(MAX(varq) AS BIGINT) AS max_varq
+        FROM reg GROUP BY 1 ORDER BY region"""
   }
 }

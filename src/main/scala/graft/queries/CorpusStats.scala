@@ -1415,6 +1415,65 @@ object CorpusStats {
         SELECT t.n, t.p AS n_pos,
                CAST(SUM(term) AS BIGINT) // t.p AS ap_ppm,
                (t.p * 1000000) // t.n AS random_ppm
-        FROM terms CROSS JOIN t GROUP BY t.n, t.p"""))
+        FROM terms CROSS JOIN t GROUP BY t.n, t.p""")),
+
+    // ---- q244: exact F1-maximizing threshold ----
+    // The operating-point selection that follows calibration (q236) and
+    // AP (q240): sweep every cut depth k of the score ranking and pick
+    // the one maximizing F1 = 2·TP/(P + k) exactly. Between positives c
+    // is constant while k grows, so F1 only peaks AT a positive row —
+    // the sweep therefore evaluates P candidates, not n. F1 compares as
+    // a RAW double (2.0·c/(P+k) — an IEEE division of exact integers,
+    // bit-identical across engines, the q222 precedent) with a k
+    // tie-break; the reported f1_ppm is the display-friendly integer
+    // form.
+    //
+    // 100 TB posture: the two rank tables come from the stat-routed
+    // GlobalRank (q240's shape); the argmax is a TakeOrdered(1) over
+    // the P-row positive table — no full sort, one output row.
+    "q244_f1_threshold" -> QueryDef(
+      build = (spark, dir) => {
+        val s = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), l2QuantScore.as("score"),
+            when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        val ranked = graft.operators.GlobalRank
+          .withRankAndPrefixAuto(s, "score", "vec_id")._2
+          .drop("cum").withColumnRenamed("rn", "k")
+        val posRanked = graft.operators.GlobalRank
+          .withRankAndPrefixAuto(
+            ranked.filter(col("pos") === 1L), "score", "vec_id")._2
+          .drop("cum").withColumnRenamed("rn", "c")
+        val tot = s.agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+        posRanked.crossJoin(broadcast(tot))
+          .withColumn("f1", lit(2.0d) * col("c") / (col("p") + col("k")))
+          .orderBy(col("f1").desc, col("k"))
+          .limit(1)
+          .select(col("k").as("best_k"), col("score").as("threshold_score"),
+            col("c").as("tp"), (col("k") - col("c")).as("fp"),
+            (col("p") - col("c")).as("fn"),
+            expr("(2 * c * 1000000) div (p + k)").as("f1_ppm"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     * 10000) AS BIGINT))) AS BIGINT) AS score,
+                 CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+          FROM embeddings),
+        r AS (SELECT score, pos,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS k,
+                     CAST(SUM(pos) OVER (ORDER BY score DESC, vec_id)
+                       AS BIGINT) AS c
+              FROM s),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(pos) AS BIGINT) AS p FROM s)
+        SELECT r.k AS best_k, r.score AS threshold_score,
+               r.c AS tp, r.k - r.c AS fp, t.p - r.c AS fn,
+               (2 * r.c * 1000000) // (t.p + r.k) AS f1_ppm
+        FROM r CROSS JOIN t
+        WHERE r.pos = 1
+        ORDER BY 2.0 * r.c / (t.p + r.k) DESC, r.k
+        LIMIT 1"""))
   )
 }

@@ -793,6 +793,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "replicate agg not split partial/final")
   }
 
+  test("q243: cartography computes all 8 round margins in ONE keyed agg pass") {
+    val p = plan("q243_training_cartography")
+    // 8 literal weight arrays ride the projection — one doc-keyed agg
+    // over the cached feature table, then the 4-row region rollup. The
+    // cached relation PRINTS its own build plan (which contains the
+    // legitimate label join); the guard applies to the plan ABOVE the
+    // cache scan only.
+    val above = p.substring(0, p.indexOf("InMemoryTableScan") max 0)
+    assert(above.nonEmpty, "margin agg not over the cached feature table")
+    assert(!above.contains("CartesianProduct") && !above.contains("Join"),
+      "cartography routed margins through a join")
+    assert(p.contains("partial_count"), "region rollup not partial/final")
+  }
+
+  test("q244: F1 argmax is TakeOrdered(1) over the positive table — no full sort") {
+    val p = plan("q244_f1_threshold")
+    assert(p.contains("TakeOrderedAndProject"),
+      "F1 argmax executes as a global sort instead of a top-1 heap")
+    assert(!p.contains("hashpartitioning(_shard"),
+      "two-pass shard machinery chosen below the measured crossover")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
