@@ -849,6 +849,53 @@ object ScaleProbe {
         println(f"""{"probe":"streamstate10x","keys":$nKeys,"rows":$nRows,"watermark":"$delay","sec":$sec%.3f,"rows_per_sec":${(nRows / sec).toLong},"batches":${progress.size},"evicted_total":${removed.sum},"evicted_per_batch":[${removed.mkString(",")}],"state_rows_per_batch":[${stateRows.mkString(",")}],"final_state_rows":${stateRows.lastOption.getOrElse(-1L)},"peak_state_bytes":$peakBytes}""")
       }
     }
+    // lrtrain: q233's hashed-feature trainer — the structural claim is
+    // that TRAINING rounds run on the BUCKETIZED table (|docs| × ≤257
+    // rows), so per-round cost is independent of document LENGTH: only
+    // the one tokenize pass pays for longer text. Synthetic corpus of
+    // fixed doc count at 1× and 8× tokens per doc; x_sec = the corpus
+    // pass (tokenize + bucket agg + label), round_sec = mean of the 8
+    // gradient rounds over the cached features.
+    if (enabled("lrtrain")) {
+      import graft.operators.HashedLogReg
+      def corpus(nDocs: Long, toksPerDoc: Int) = {
+        import spark.implicits._
+        spark.range(nDocs).mapPartitions(_.map { id =>
+          val r = new scala.util.Random(id)
+          val sb = new StringBuilder
+          var i = 0
+          while (i < toksPerDoc) {
+            if (i > 0) sb += ' '
+            sb ++= (if (r.nextInt(10) < 2) "the" else s"w${r.nextInt(500)}")
+            i += 1
+          }
+          (id, sb.toString)
+        }).toDF("doc_id", "text")
+      }
+      locally { // warmup: JIT/codegen for the whole pipeline + one round
+        val wx = HashedLogReg.withLabelAndBias(
+          HashedLogReg.tokenFeatures(corpus(2000L, 100), "text",
+            Seq("the")), 180L).persist()
+        wx.count()
+        HashedLogReg.train(wx, 2000L, rounds = 1)
+        wx.unpersist(blocking = true)
+      }
+      for (mult <- Seq(1, 8)) {
+        val toks = 200 * mult
+        val (xSec, x) = timed {
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(corpus(20000L, toks), "text",
+              Seq("the")), 180L)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          built.count()
+          built
+        }
+        val (tSec, _) = timed(HashedLogReg.train(x, 20000L, rounds = 8))
+        x.unpersist(blocking = true)
+        println(f"""{"probe":"lrtrain","toks_per_doc":$toks,"x_sec":$xSec%.3f,"round_sec":${tSec / 8}%.3f}""")
+      }
+    }
+
     spark.stop()
   }
 }

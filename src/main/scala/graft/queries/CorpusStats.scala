@@ -1474,6 +1474,82 @@ object CorpusStats {
         FROM r CROSS JOIN t
         WHERE r.pos = 1
         ORDER BY 2.0 * r.c / (t.p + r.k) DESC, r.k
-        LIMIT 1"""))
+        LIMIT 1""")),
+
+    // ---- q245: 1-D Wasserstein (earth-mover) distance per source ----
+    // The mixture-design companion to q173's KS: KS is the SUP of the
+    // ECDF gap (one bad point dominates), W₁ is its L1 — the total
+    // probability mass × distance you'd have to MOVE to turn a source's
+    // length distribution into the corpus-wide one, which is the
+    // quantity reweighting actually pays. In 1-D, W₁ = Σ_k |F_src(v_k)
+    // − F_all(v_k)| · (v_{k+1} − v_k) over the global support — EXACT
+    // integers after cross-multiplying the two ECDFs (|c_src·N −
+    // c_all·n_src| · Δv, one ppm division at the end). The last support
+    // point contributes 0 by construction (both CDFs reach 1).
+    //
+    // 100 TB posture: the corpus-scale stages are two keyed aggs
+    // ((source, value) counts and value counts); the support grid is
+    // |sources| × |distinct values| POST-aggregation rows, cumulated by
+    // source-keyed windows — value cardinality bounds it, not corpus
+    // size.
+    "q245_wasserstein_drift" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("source"), col("n_chars").as("v"))
+        val sl = d.groupBy(col("source"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val sup = d.groupBy(col("v")).agg(count(lit(1)).as("cg"))
+        val wAll = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val supc = sup
+          .withColumn("ca", sum(col("cg")).over(wAll))
+          .withColumn("vn", lead(col("v"), 1).over(Window.orderBy(col("v"))))
+        val srcs = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+        val tot = d.agg(count(lit(1)).as("nt"))
+        val grid = srcs.crossJoin(broadcast(supc.select(col("v"),
+            col("ca"), col("vn"))))
+          .join(sl, Seq("source", "v"), "left")
+          .na.fill(0L, Seq("c"))
+        val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .withColumn("cs", sum(col("c")).over(wSrc))
+          .crossJoin(broadcast(tot))
+          .filter(col("vn").isNotNull)
+          .select(col("source"), col("ns"), col("nt"),
+            (abs(col("cs") * col("nt") - col("ca") * col("ns")) *
+              (col("vn") - col("v"))).as("term"))
+          .groupBy(col("source"))
+          .agg(max(col("ns")).as("n_docs"),
+            expr("(sum(term) * 1000000) div (max(ns) * max(nt))")
+              .as("w1_ppm"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT source, n_chars AS v FROM documents),
+        sl AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM d GROUP BY 1, 2),
+        sup AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cg
+                FROM d GROUP BY 1),
+        supc AS (SELECT v,
+                        CAST(SUM(cg) OVER (ORDER BY v) AS BIGINT) AS ca,
+                        LEAD(v, 1) OVER (ORDER BY v) AS vn
+                 FROM sup),
+        srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+                 FROM d GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM d),
+        grid AS (SELECT srcs.source, srcs.ns, supc.v, supc.ca, supc.vn,
+                        COALESCE(sl.c, 0) AS c
+                 FROM srcs CROSS JOIN supc
+                 LEFT JOIN sl ON sl.source = srcs.source AND sl.v = supc.v),
+        cum AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY source
+                          ORDER BY v) AS BIGINT) AS cs
+                FROM grid)
+        SELECT source, MAX(ns) AS n_docs,
+               (CAST(SUM(ABS(cs * nt - ca * ns) * (vn - v)) AS BIGINT)
+                 * 1000000) // (MAX(ns) * MAX(nt)) AS w1_ppm
+        FROM cum CROSS JOIN tot
+        WHERE vn IS NOT NULL
+        GROUP BY source ORDER BY source"""))
   )
 }

@@ -815,6 +815,17 @@ class PlanGuardSpec extends SparkSpec {
       "two-pass shard machinery chosen below the measured crossover")
   }
 
+  test("q245: Wasserstein grid is post-aggregation; windows keyed by source") {
+    val p = plan("q245_wasserstein_drift")
+    // the support grid crosses only aggregated (source) × (value)
+    // tables — corpus rows must never reach a nested-loop side, and the
+    // source ECDF window must be source-keyed
+    assert(p.contains("hashpartitioning(source"),
+      "per-source cumulative window not source-keyed")
+    assert(!p.contains("CartesianProduct"),
+      "support grid planned a shuffled cross product")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
