@@ -95,18 +95,23 @@ object HashedLogReg {
     * read twice per round). Returns the weight vector (index j; last
     * slot is the bias), bit-deterministic. */
   def train(x: DataFrame, nDocs: Long, rounds: Int = 8,
-      invLr: Long = 16L): Array[Long] =
-    trainHistory(x, nDocs, rounds, invLr).last
+      invLr: Long = 16L, init: Option[Array[Long]] = None): Array[Long] =
+    trainHistory(x, nDocs, rounds, invLr, init).last
 
   /** [[train]], returning the weight vector AFTER EVERY round (w_1 ..
     * w_rounds) — the per-round model snapshots training-dynamics
-    * analyses (q243 dataset cartography) read. Same loop, same
-    * determinism; `train` is its last element. */
+    * analyses (q243 dataset cartography) read. `init` warm-starts from
+    * an existing model (the q246 incremental-refresh contract: continue
+    * yesterday's fit on the grown corpus instead of retraining from
+    * zero). Same loop, same determinism; `train` is its last element. */
   def trainHistory(x: DataFrame, nDocs: Long, rounds: Int = 8,
-      invLr: Long = 16L): Seq[Array[Long]] = {
+      invLr: Long = 16L,
+      init: Option[Array[Long]] = None): Seq[Array[Long]] = {
     require(nDocs > 0, "empty corpus")
+    init.foreach(w0 => require(w0.length == Buckets + 1,
+      s"init weight vector must have ${Buckets + 1} slots"))
     val hist = Seq.newBuilder[Array[Long]]
-    val w = new Array[Long](Buckets + 1)
+    val w = init.map(_.clone()).getOrElse(new Array[Long](Buckets + 1))
     var r = 0
     while (r < rounds) {
       val warr = array(w.toSeq.map(lit): _*)

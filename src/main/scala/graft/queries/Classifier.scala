@@ -143,8 +143,81 @@ object Classifier {
             max(col("varq")).as("max_varq"))
           .orderBy(col("region"))
       },
-      oracle = Some(cartographyOracle(Rounds)))
+      oracle = Some(cartographyOracle(Rounds))),
+
+    // ---- q246: incremental classifier refresh (warm start) ----
+    // The production model-update contract, completing the incremental
+    // family (exact dedup q84, LSH signatures q191): yesterday's model
+    // — 8 rounds fit on the doc_id-even HALF — warm-starts 2
+    // fine-tuning rounds on the FULL grown corpus, instead of paying a
+    // from-scratch retrain. The gate scores the whole corpus with the
+    // refreshed model and emits the q233-shaped decile retention table;
+    // the oracle replays BOTH phases unrolled (8 rounds on the filtered
+    // feature table with its own n, then 2 rounds on the full table
+    // seeded from phase A's final weights), so the hash compare
+    // certifies the warm-start arithmetic itself — a wrong seed, a
+    // wrong n, or a re-zeroed weight all mismatch.
+    //
+    // 100 TB posture: q233's posture twice over — and that is the
+    // point: the refresh pays 2 vocab-bounded rounds on the grown
+    // corpus, not 8, because the warm start carries the fit forward.
+    "q246_incremental_classifier" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val x = synchronized {
+          lastX.foreach(_.unpersist(blocking = false))
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(docs, "text", StopTerms),
+            ThreshPerMille)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lastX = Some(built)
+          built
+        }
+        val n = docs.count()
+        val nEven = docs.filter(col("doc_id") % 2 === 0).count()
+        val xEven = x.filter(col("doc_id") % 2 === 0)
+        val wA = HashedLogReg.trainHistory(xEven, nEven, Rounds, InvLr).last
+        val wB = HashedLogReg.trainHistory(x, n, 2, InvLr,
+          init = Some(wA)).last
+        val scored = HashedLogReg.score(x, wB)
+        val minZ = scored.agg(min(col("z"))).head.getLong(0)
+        val ranked = GlobalRank.withRankAndPrefixAuto(
+          scored.withColumn("zp", col("z") - lit(minZ)),
+          "zp", "doc_id", rowCount = Some(n))._2
+        ranked
+          .withColumn("decile", expr(s"((rn - 1) * 10) div ${n}L + 1"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("y")).as("n_pos"),
+            sum(when((col("y") === 1L) === (col("z") >= 0L), 1L)
+              .otherwise(0L)).as("agree"))
+          .orderBy(col("decile"))
+      },
+      oracle = Some(incrementalOracle(Rounds, 2)))
   )
+
+  /** q246's oracle: phase A (8 rounds on the doc_id-even half, its own
+    * n) then phase B (2 rounds on the full table, seeded from wa8) —
+    * the [[roundCtes]] generator twice, then the q233 scoring tail on
+    * phase B's final weights. */
+  private def incrementalOracle(roundsA: Int, roundsB: Int): String = {
+    s"""${trainCtes(0)},
+        xe AS MATERIALIZED (SELECT * FROM x WHERE doc_id % 2 = 0),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab
+               WHERE doc_id % 2 = 0)${
+      roundCtes("xe", "ne", "wa", "w0", roundsA)}${
+      roundCtes("x", "nn", "wb", s"wa$roundsA", roundsB)},
+        zf AS (SELECT x.doc_id, MAX(x.y) AS y,
+                      CAST(SUM(x.x * w.wv) AS BIGINT) AS z
+               FROM x JOIN wb$roundsB w ON w.j = x.j GROUP BY x.doc_id),
+        r AS (SELECT *, row_number() OVER (ORDER BY z DESC, doc_id) AS rn
+              FROM zf)
+        SELECT ((rn - 1) * 10) // nn.n + 1 AS decile,
+               COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN (y = 1) = (z >= 0) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS agree
+        FROM r CROSS JOIN nn GROUP BY 1 ORDER BY decile"""
+  }
 
   /** q233's oracle: the full fixed-point training run unrolled. Round k
     * derives weight table w_k from w_{k-1} entirely in SQL — per-doc
@@ -199,26 +272,35 @@ object Classifier {
         w0 AS (SELECT unnest(generate_series(0, ${HashedLogReg.Buckets}))
                         AS j,
                       CAST(0 AS BIGINT) AS wv)"""
-    val body = (1 to rounds).map { k =>
-      val p = k - 1
+    s"$head${roundCtes("x", "nn", "w", "w0", rounds)}"
+  }
+
+  /** One generated block of `rounds` gradient-round CTEs reading feature
+    * table `xT` (n from `nT`), starting from weight table `wInit`,
+    * emitting `$wPrefix 1 .. $wPrefix rounds` — shared by the scratch
+    * (q233/q243) and warm-start (q246) oracles. */
+  private def roundCtes(xT: String, nT: String, wPrefix: String,
+      wInit: String, rounds: Int): String =
+    (1 to rounds).map { k =>
+      val prev = if (k == 1) wInit else s"$wPrefix${k - 1}"
       s""",
-        z$k AS (SELECT x.doc_id, MAX(x.y) AS y,
+        z$wPrefix$k AS (SELECT x.doc_id, MAX(x.y) AS y,
                        CAST(SUM(x.x * w.wv) AS BIGINT) AS z
-                FROM x JOIN w$p w ON w.j = x.j GROUP BY x.doc_id),
-        e$k AS (SELECT doc_id,
+                FROM $xT x JOIN $prev w ON w.j = x.j GROUP BY x.doc_id),
+        e$wPrefix$k AS (SELECT doc_id,
                        y * 1000000 - GREATEST(CAST(0 AS BIGINT),
                          LEAST(CAST(1000000 AS BIGINT), 500000 + z // 4))
                          AS err
-                FROM z$k),
-        g$k AS (SELECT x.j, CAST(SUM(e.err * x.x) AS BIGINT) AS g
-                FROM e$k e JOIN x ON x.doc_id = e.doc_id GROUP BY x.j),
-        w$k AS MATERIALIZED (
+                FROM z$wPrefix$k),
+        g$wPrefix$k AS (SELECT x.j, CAST(SUM(e.err * x.x) AS BIGINT) AS g
+                FROM e$wPrefix$k e JOIN $xT x ON x.doc_id = e.doc_id
+                GROUP BY x.j),
+        $wPrefix$k AS MATERIALIZED (
           SELECT w.j,
-                 w.wv + ((COALESCE(g.g, 0) // nn.n) // $InvLr) AS wv
-          FROM w$p w LEFT JOIN g$k g ON g.j = w.j CROSS JOIN nn)"""
+                 w.wv + ((COALESCE(g.g, 0) // $nT.n) // $InvLr) AS wv
+          FROM $prev w LEFT JOIN g$wPrefix$k g ON g.j = w.j
+          CROSS JOIN $nT)"""
     }.mkString
-    s"$head$body"
-  }
 
   /** q243's oracle: the SAME unrolled training chain, then per-round
     * true-label confidences per doc (conf_r = σ_r if y = 1 else

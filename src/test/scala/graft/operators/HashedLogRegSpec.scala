@@ -51,6 +51,18 @@ class HashedLogRegSpec extends SparkSpec {
       "distributed gradient rounds diverge from the scalar replay")
   }
 
+  test("warm start is exact: 2+2 rounds from a seed equals 4 rounds from scratch") {
+    // full-batch GD is Markovian in the weights, so splitting a run and
+    // warm-starting must be bit-identical — the q246 refresh contract
+    val x = featureTable()
+    val n = x.select(col("doc_id")).distinct().count()
+    val scratch = HashedLogReg.train(x, n, rounds = 4)
+    val half = HashedLogReg.train(x, n, rounds = 2)
+    val resumed = HashedLogReg.train(x, n, rounds = 2, init = Some(half))
+    assert(resumed.toSeq == scratch.toSeq,
+      "warm-started rounds diverge from the uninterrupted run")
+  }
+
   test("the model learns the stop-ratio rule: scores separate the classes") {
     val x = featureTable()
     val n = x.select(col("doc_id")).distinct().count()

@@ -826,6 +826,17 @@ class PlanGuardSpec extends SparkSpec {
       "support grid planned a shuffled cross product")
   }
 
+  test("q246: refreshed-model scoring mirrors q233's shape (cached table, keyed aggs)") {
+    val p = plan("q246_incremental_classifier")
+    assert(!p.contains("CartesianProduct"),
+      "refresh scoring planned a cross product")
+    assert(p.contains("InMemoryTableScan") ||
+      p.contains("hashpartitioning(doc_id"),
+      "margin agg not over the cached feature table / doc-keyed")
+    assert(!p.contains("hashpartitioning(_shard"),
+      "two-pass shard machinery chosen below the measured crossover")
+  }
+
   test("q218: rendezvous argmax is in-row — no join or explode before the shard rollup") {
     val p = plan("q218_rendezvous_resharding")
     assert(!p.contains("Join") && !p.contains("Generate"),
