@@ -771,7 +771,167 @@ object Vectors {
         SELECT LEAST(ratio_ppm // 200000, 9) AS bin,
                COUNT(*) AS n_pairs,
                MIN(ratio_ppm) AS min_ppm, MAX(ratio_ppm) AS max_ppm
-        FROM r GROUP BY 1 ORDER BY bin"""))
+        FROM r GROUP BY 1 ORDER BY bin""")),
+
+    // ---- q247: product quantization (PQ codebooks + ADC recall audit) ----
+    // The billion-vector ANN compression path (Jégou et al., TPAMI'11)
+    // completing the similarity-search ladder (exact q50 → LSH q51 →
+    // IVF q54 → int8 q98 → coreset q120): 64 dims split into m=4
+    // subspaces, a k=4 codebook per subspace trained with 2 fixed-point
+    // Lloyd rounds on the DETERMINISTIC HALF-SAMPLE vec_id % 2 = 0
+    // (codebooks need a bounded sample, never the corpus), then EVERY
+    // vector encoded to its 4 nearest-centroid ids IN-ROW against the
+    // collected kilobyte codebook — the full-corpus scan shuffles
+    // nothing (see [[graft.operators.ProductQuantizer]]). The report is
+    // the audit a pipeline runs before trusting PQ recall: per-query
+    // ADC-top-10 ∩ exact-top-10 (integer distances, (d, vec_id)
+    // tie-break) plus codebook-utilization evidence (distinct codes,
+    // max code population, total quantization error). The oracle
+    // replays training by the q124 recipe and re-derives the encoding
+    // by a DIFFERENT algorithm (relational argmin over the c2 join, vs
+    // the gate's in-row literal-codebook argmin).
+    "q247_product_quantization" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.{ProductQuantizer => PQ}
+        val m = 4; val subDim = 16; val k = 4
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), PQ.quant(vec64(col("embedding"))).as("v"))
+          .localCheckpoint(false)
+        val trainSub = PQ.subvectors(e.filter(col("vec_id") % 2 === 0), m, subDim)
+        val centsDf = PQ.trainCodebooks(trainSub, k, iters = 2)
+        val cb = PQ.collectCodebook(centsDf, m, subDim)
+        val (codeC, qerrC) = PQ.encodeColumns(cb, col("v"))
+        val codes = e.select(col("vec_id"), codeC.as("code"), qerrC.as("qerr"))
+          .withColumn("code_str",
+            concat_ws(",", transform(col("code"), _.cast("string"))))
+          .localCheckpoint(false)
+        val stats = codes.groupBy(col("code_str")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_codes"), max(col("n")).as("max_code_pop"))
+        val inert = codes.agg(sum(col("qerr")).as("total_qerr"))
+        // ADC audit: per-query LUT (5·m·k rows, broadcast), summed over
+        // the exploded codes — map-side partial agg, 24-byte rows.
+        val lut = PQ.subvectors(e.filter(col("vec_id") < 5), m, subDim)
+          .select(col("vec_id").as("qid"), col("s"), col("sv"))
+          .join(broadcast(centsDf), "s")
+          .select(col("qid"), col("s"), col("cid"),
+            PQ.sqDist(col("sv"), col("cv")).as("ld"))
+        val adc = codes.select(col("vec_id"),
+            posexplode(col("code")).as(Seq("s", "cid")))
+          .join(broadcast(lut), Seq("s", "cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("ld")).as("ad"))
+        val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
+        val adcTop = adc.withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val ex = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), PQ.sqDist(col("v"), col("qv")).as("d"))
+        val wE = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val exTop = ex.withColumn("rn", row_number().over(wE))
+          .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+        val rec = adcTop.join(exTop, Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits_at_10"))
+        q.select(col("qid")).join(rec, Seq("qid"), "left")
+          .na.fill(0L, Seq("hits_at_10"))
+          .crossJoin(broadcast(stats)).crossJoin(broadcast(inert))
+          .select(col("qid"), col("hits_at_10"), col("n_codes"),
+            col("max_code_pop"), col("total_qerr"))
+          .orderBy(col("qid"))
+      },
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+          FROM embeddings),
+        sub AS MATERIALIZED (
+          SELECT vec_id, t.s, list_slice(v, t.s * 16 + 1, t.s * 16 + 16) AS sv
+          FROM e, LATERAL (SELECT unnest([0, 1, 2, 3]) AS s) t),
+        tr AS MATERIALIZED (SELECT * FROM sub WHERE vec_id % 2 = 0),
+        ids AS (SELECT DISTINCT vec_id FROM tr ORDER BY vec_id LIMIT 4),
+        c0 AS (SELECT tr.s, tr.vec_id AS cid, tr.sv AS cv
+               FROM tr JOIN ids USING (vec_id)),
+        d1 AS (SELECT tr.vec_id, tr.s, c.cid,
+                      CAST(list_sum(list_transform(list_zip(tr.sv, c.cv),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+               FROM tr JOIN c0 c ON tr.s = c.s),
+        a1 AS (SELECT vec_id, s, cid FROM (
+                 SELECT vec_id, s, cid, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, s ORDER BY d, cid) AS rn FROM d1)
+               WHERE rn = 1),
+        m1 AS (SELECT a1.s, a1.cid, t.i,
+                      CAST(floor(CAST(SUM(t.x) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS comp
+               FROM a1 JOIN tr ON a1.vec_id = tr.vec_id AND a1.s = tr.s,
+                    LATERAL (SELECT unnest(tr.sv) AS x,
+                                    generate_subscripts(tr.sv, 1) AS i) t
+               GROUP BY 1, 2, 3),
+        c1 AS MATERIALIZED (
+          SELECT s, cid, list(comp ORDER BY i) AS cv FROM m1 GROUP BY 1, 2),
+        d2 AS (SELECT tr.vec_id, tr.s, c.cid,
+                      CAST(list_sum(list_transform(list_zip(tr.sv, c.cv),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+               FROM tr JOIN c1 c ON tr.s = c.s),
+        a2 AS (SELECT vec_id, s, cid FROM (
+                 SELECT vec_id, s, cid, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, s ORDER BY d, cid) AS rn FROM d2)
+               WHERE rn = 1),
+        m2 AS (SELECT a2.s, a2.cid, t.i,
+                      CAST(floor(CAST(SUM(t.x) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS comp
+               FROM a2 JOIN tr ON a2.vec_id = tr.vec_id AND a2.s = tr.s,
+                    LATERAL (SELECT unnest(tr.sv) AS x,
+                                    generate_subscripts(tr.sv, 1) AS i) t
+               GROUP BY 1, 2, 3),
+        c2 AS MATERIALIZED (
+          SELECT s, cid, list(comp ORDER BY i) AS cv FROM m2 GROUP BY 1, 2),
+        encd AS (SELECT sub.vec_id, sub.s, c.cid,
+                        CAST(list_sum(list_transform(list_zip(sub.sv, c.cv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+                 FROM sub JOIN c2 c ON sub.s = c.s),
+        enc AS MATERIALIZED (
+          SELECT vec_id, s, cid, d FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, s ORDER BY d, cid) AS rn FROM encd)
+          WHERE rn = 1),
+        codes AS MATERIALIZED (
+          SELECT vec_id,
+                 string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS code_str,
+                 CAST(SUM(d) AS BIGINT) AS qerr
+          FROM enc GROUP BY 1),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_codes,
+                         CAST(MAX(n) AS BIGINT) AS max_code_pop FROM (
+                    SELECT code_str, COUNT(*) AS n FROM codes GROUP BY 1)),
+        inert AS (SELECT CAST(SUM(qerr) AS BIGINT) AS total_qerr FROM codes),
+        lut AS (SELECT q.vec_id AS qid, c.s, c.cid,
+                       CAST(list_sum(list_transform(list_zip(q.sv, c.cv),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS ld
+                FROM sub q JOIN c2 c ON q.s = c.s WHERE q.vec_id < 5),
+        adc AS (SELECT l.qid, enc.vec_id, CAST(SUM(l.ld) AS BIGINT) AS ad
+                FROM enc JOIN lut l ON enc.s = l.s AND enc.cid = l.cid
+                WHERE enc.vec_id != l.qid
+                GROUP BY 1, 2),
+        adctop AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id, ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM adc)
+                   WHERE rn <= 10),
+        exd AS (SELECT q.vec_id AS qid, e.vec_id,
+                       CAST(list_sum(list_transform(list_zip(e.v, q.v),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+                FROM e JOIN e AS q ON q.vec_id < 5 AND e.vec_id != q.vec_id),
+        extop AS (SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id, ROW_NUMBER() OVER (
+                      PARTITION BY qid ORDER BY d, vec_id) AS rn FROM exd)
+                  WHERE rn <= 10),
+        rec AS (SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS hits_at_10
+                FROM adctop a JOIN extop x USING (qid, vec_id) GROUP BY 1),
+        qids AS (SELECT vec_id AS qid FROM e WHERE vec_id < 5)
+        SELECT q.qid, CAST(COALESCE(r.hits_at_10, 0) AS BIGINT) AS hits_at_10,
+               s.n_codes, s.max_code_pop, i.total_qerr
+        FROM qids q LEFT JOIN rec r USING (qid)
+        CROSS JOIN stats s CROSS JOIN inert i
+        ORDER BY q.qid"""))
   )
 
   /** DuckDB replay of the q120 farthest-point traversal: one (center,
