@@ -304,6 +304,122 @@ object Multimodal {
         col("zc_ppm"), col("mean_energy"), col("peak_abs"))
       .orderBy(col("n_chunks"))
 
+  // ---- frame-level audio analysis: VAD / silence segmentation --------
+
+  /** VAD frame length: 160 samples = 10 ms at 16 kHz, the standard hop. */
+  val VadFrame = 160
+
+  /** Silence decision: a frame is silent iff Σs² < VadFrame·1e6 (mean
+    * square per sample < 1e6). Planted attenuated frames sit ~10× below,
+    * keystream frames ~350× above — wide margins, and the decision
+    * itself is exact integer arithmetic either way. */
+  val SilenceEnergyPerFrame: Long = VadFrame.toLong * 1000000L
+
+  /** The VAD evaluation corpus: every audio asset with a planted silence
+    * mask — 160-sample chunk c is attenuated (arithmetic >> 6) iff
+    * (asset_id + c) % 3 == 0. Real decode → attenuate → real re-encode
+    * through the JDK WAVE codec, partition-local; the mask is the ground
+    * truth MultimodalSpec checks detection against. */
+  def silencedAudio(spark: SparkSession, n: Long): Dataset[MediaAsset] = {
+    import spark.implicits._
+    syntheticAssets(spark, n)
+      .filter(_.meta.kind == "audio")
+      .mapPartitions(_.map { a =>
+        val d = AudioCodec.decode(a.payload)
+        val pcm = d.pcm.clone()
+        val ns = d.nSamples
+        var i = 0
+        while (i < ns) {
+          if ((a.asset_id + i / VadFrame) % 3 == 0) {
+            val s = (((pcm(2 * i + 1).toInt << 8) |
+              (pcm(2 * i) & 0xff)).toShort.toInt) >> 6
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          }
+          i += 1
+        }
+        a.copy(payload = AudioCodec.encodePcmWav(pcm, d.sampleRate))
+      })
+  }
+
+  /** Per-frame integer features over the silenced corpus: energy (Σs²)
+    * and zero-crossing count per 160-sample frame. One decode pass,
+    * partition-local; every asset is a whole number of frames by
+    * construction. Materialized by Verify as `_q248_input` so the oracle
+    * can re-derive the segmentation independently. */
+  def audioFrameRows(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    silencedAudio(spark, n)
+      .mapPartitions(_.flatMap { a =>
+        val d = AudioCodec.decode(a.payload)
+        val nf = d.nSamples / VadFrame
+        (0 until nf).map { f =>
+          var e = 0L; var zc = 0L; var prev = 0
+          var i = f * VadFrame
+          val end = i + VadFrame
+          while (i < end) {
+            val s = d.sample(i)
+            e += s.toLong * s.toLong
+            if (i > f * VadFrame &&
+              ((s < 0 && prev >= 0) || (s >= 0 && prev < 0))) zc += 1
+            prev = s
+            i += 1
+          }
+          (a.asset_id, f.toLong, e, zc)
+        }
+      })
+      .toDF("asset_id", "frame_idx", "energy", "zc")
+  }
+
+  /** Per-duration-class VAD profile — the silence screen a speech-corpus
+    * curation pass runs before keeping an utterance: per asset, IN-ROW
+    * during a single decode pass, the frame count, silent-frame count,
+    * voiced-segment count and longest voiced run; rolled up per duration
+    * class. The oracle recomputes the segmentation INDEPENDENTLY from
+    * the materialized per-frame rows by SQL gaps-and-islands — a
+    * different algorithm over the same frames.
+    *
+    * 100 TB posture: decode + frame loop + run-length state are one
+    * partition-local pass (payloads never shuffle); the rollup is
+    * |duration classes| rows. */
+  def vadProfile(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    silencedAudio(spark, n)
+      .mapPartitions(_.map { a =>
+        val d = AudioCodec.decode(a.payload)
+        val nf = d.nSamples / VadFrame
+        var silent = 0L; var segs = 0L; var longest = 0L; var run = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var i = f * VadFrame
+          val end = i + VadFrame
+          while (i < end) {
+            val s = d.sample(i); e += s.toLong * s.toLong; i += 1
+          }
+          if (e < SilenceEnergyPerFrame) { silent += 1; run = 0 }
+          else {
+            if (run == 0) segs += 1
+            run += 1
+            if (run > longest) longest = run
+          }
+          f += 1
+        }
+        (a.asset_id, nf.toLong, silent, segs, longest)
+      })
+      .toDF("asset_id", "n_frames", "n_silent", "n_segments", "longest_run")
+      .groupBy(col("n_frames"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_silent")).as("total_silent"),
+        sum(col("n_segments")).as("total_segments"),
+        max(col("longest_run")).as("max_voiced_run"),
+        expr("(sum(n_silent) * 1000000) div sum(n_frames)")
+          .as("silence_ppm"))
+      .select(col("n_frames"), col("n_assets"), col("total_silent"),
+        col("total_segments"), col("max_voiced_run"), col("silence_ppm"))
+      .orderBy(col("n_frames"))
+  }
+
   /** Deterministic per-kind feature profile — the queryable summary used by
     * the q60 corpus entry (fully ordered, reproducible: the mean
     * accumulates the 9-decimal per-asset l2sq as decimal, so the result is

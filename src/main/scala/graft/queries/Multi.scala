@@ -226,6 +226,56 @@ object Multi {
                                 AND a.asset_id < b2.asset_id)
         SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS BIGINT)
                  AS hamming
-        FROM c WHERE bit_count(xor(da, db)) <= 6 ORDER BY id_a, id_b"""))
+        FROM c WHERE bit_count(xor(da, db)) <= 6 ORDER BY id_a, id_b""")),
+
+    // ---- q248: frame-level VAD / silence segmentation (round 9) ----
+    // The silence screen a speech-corpus curation pass runs before
+    // keeping an utterance: 10 ms frames over REAL decoded PCM, a frame
+    // silent iff its integer energy Σs² < 160·1e6, per-asset voiced
+    // RUN-LENGTH stats (segment count, longest voiced run) computed
+    // IN-ROW during the single decode pass. The evaluation corpus
+    // plants the silence deterministically (chunk c of asset a
+    // attenuated >> 6 iff (a+c) % 3 == 0 — through a real decode →
+    // attenuate → re-encode round-trip), and MultimodalSpec pins
+    // detection exactly to the planted mask. The oracle re-derives the
+    // segmentation INDEPENDENTLY from the materialized per-frame
+    // energies (`_q248_input`) by SQL gaps-and-islands — a different
+    // algorithm over the same frames; run-length state never leaves
+    // the row on the Spark side.
+    //
+    // 100 TB posture: decode + frame loop are one partition-local pass
+    // (payloads never shuffle); the rollup is |duration classes| rows.
+    "q248_audio_vad" -> QueryDef(
+      build = (spark, dir) =>
+        Multimodal.vadProfile(spark, assetCount(dir)),
+      oracle = Some(s"""
+        WITH f AS (SELECT asset_id, frame_idx, energy
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q248_input/*.parquet')),
+        v AS (SELECT asset_id, frame_idx,
+                     CASE WHEN energy < 160000000 THEN 1 ELSE 0 END AS silent
+              FROM f),
+        runs AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS run_len FROM (
+                   SELECT asset_id, frame_idx,
+                          frame_idx - ROW_NUMBER() OVER (
+                            PARTITION BY asset_id ORDER BY frame_idx) AS grp
+                   FROM v WHERE silent = 0)
+                 GROUP BY asset_id, grp),
+        seg AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                       CAST(MAX(run_len) AS BIGINT) AS longest_run
+                FROM runs GROUP BY asset_id),
+        pa AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                      CAST(SUM(silent) AS BIGINT) AS n_silent
+               FROM v GROUP BY 1),
+        j AS (SELECT pa.asset_id, pa.n_frames, pa.n_silent,
+                     CAST(COALESCE(seg.n_segments, 0) AS BIGINT) AS n_segments,
+                     CAST(COALESCE(seg.longest_run, 0) AS BIGINT) AS longest_run
+              FROM pa LEFT JOIN seg USING (asset_id))
+        SELECT n_frames, COUNT(*) AS n_assets,
+               CAST(SUM(n_silent) AS BIGINT) AS total_silent,
+               CAST(SUM(n_segments) AS BIGINT) AS total_segments,
+               CAST(MAX(longest_run) AS BIGINT) AS max_voiced_run,
+               (CAST(SUM(n_silent) AS BIGINT) * 1000000)
+                 // CAST(SUM(n_frames) AS BIGINT) AS silence_ppm
+        FROM j GROUP BY n_frames ORDER BY n_frames"""))
   )
 }

@@ -115,6 +115,12 @@ object VerifyInputs {
       dims.join(outr, Seq("asset_id"))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q230_input")
     }
+    // q248: the per-frame integer energies over the planted-silence
+    // audio corpus; DuckDB independently re-derives the silence
+    // classification and the voiced-run segmentation (gaps-and-islands)
+    // that the gate computes in-row during its decode pass.
+    graft.operators.Multimodal.audioFrameRows(spark, Multi.assetCount(sfDir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q248_input")
     // q234: the per-image perceptual hashes (real decode + dHash) over
     // the planted-copy corpus; DuckDB independently re-runs banding,
     // candidate generation, and the Hamming verify over them.

@@ -235,4 +235,38 @@ class MultimodalSpec extends SparkSpec {
     // >= threshold (precision via the exact verify stage).
     assert(found.where(col("cosine") < 0.95).isEmpty)
   }
+
+  test("VAD detects exactly the planted silence mask; run stats match a " +
+    "scalar replay") {
+    import spark.implicits._
+    val frames = Multimodal.audioFrameRows(spark, 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(frames.nonEmpty)
+    // detection == plant, frame for frame
+    frames.foreach { case (aid, f, e) =>
+      val planted = (aid + f) % 3 == 0
+      val detected = e < Multimodal.SilenceEnergyPerFrame
+      assert(detected === planted, s"asset $aid frame $f")
+    }
+    // vadProfile equals a scalar gaps-and-islands replay over the frames
+    val perAsset = frames.groupBy(_._1).map { case (aid, fs) =>
+      val flags = fs.sortBy(_._2).map(_._3 < Multimodal.SilenceEnergyPerFrame)
+      val runs = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = 0L
+      flags.foreach { s =>
+        if (s) { if (cur > 0) runs += cur; cur = 0 } else cur += 1
+      }
+      if (cur > 0) runs += cur
+      (aid, flags.length.toLong, flags.count(identity).toLong,
+        runs.length.toLong, if (runs.isEmpty) 0L else runs.max)
+    }.toSeq
+    val expected = perAsset.groupBy(_._2).map { case (nf, as) =>
+      (nf, as.size.toLong, as.map(_._3).sum, as.map(_._4).sum,
+        as.map(_._5).max, as.map(_._3).sum * 1000000L / (nf * as.size))
+    }.toSeq.sortBy(_._1)
+    val got = Multimodal.vadProfile(spark, 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
 }
