@@ -420,6 +420,99 @@ object Multimodal {
       .orderBy(col("n_frames"))
   }
 
+  // ---- frame-level video analysis: shot-boundary detection -----------
+
+  /** Shot-boundary decision: frames i-1 and i belong to different shots
+    * iff their mean-absolute pixel difference exceeds 32 gray levels,
+    * i.e. integer Σ|Δpx| > w·h·32. Held (identical) frames give exactly
+    * 0; independent keystream frames give ~85·w·h — a ≥ 50-σ margin on
+    * both sides, and the decision itself is exact integer arithmetic. */
+  val ShotMadPerPixel = 32L
+
+  /** The shot-detection evaluation corpus: every video asset re-encoded
+    * with planted shots — frame i is REPLACED by frame i − (i % hold)
+    * where hold = 2 + asset_id % 3, so the asset becomes runs of `hold`
+    * identical frames separated by hard cuts. Real decode → hold →
+    * real re-encode (lossless gray GIF round-trip), partition-local. */
+  def heldFrameVideo(spark: SparkSession, n: Long): Dataset[MediaAsset] = {
+    import spark.implicits._
+    syntheticAssets(spark, n)
+      .filter(_.meta.kind == "video")
+      .mapPartitions(_.map { a =>
+        val d = VideoCodec.decode(a.payload)
+        val hold = (2 + (a.asset_id % 3)).toInt
+        val held = Array.tabulate(d.frames.length)(i => d.frames(i - i % hold))
+        a.copy(payload = VideoCodec.encodeGrayGif(d.width, d.height, held))
+      })
+  }
+
+  /** Per-asset consecutive-frame difference profile over the held-frame
+    * corpus: diffs[i] = Σ|frame(i)[p] − frame(i−1)[p]| (1-based index i,
+    * one entry per frame pair), computed in ONE decode pass. Materialized
+    * by Verify as `_q249_input` for the oracle's independent replay. */
+  def videoDiffRows(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    heldFrameVideo(spark, n)
+      .mapPartitions(_.map { a =>
+        val d = VideoCodec.decode(a.payload)
+        val diffs = Array.tabulate(d.frames.length - 1) { j =>
+          val prev = d.frames(j); val cur = d.frames(j + 1)
+          var s = 0L; var p = 0
+          while (p < cur.length) {
+            s += math.abs((cur(p) & 0xff) - (prev(p) & 0xff)); p += 1
+          }
+          s
+        }
+        (a.asset_id, d.frames.length.toLong, d.width.toLong,
+          d.height.toLong, diffs)
+      })
+      .toDF("asset_id", "n_frames", "w", "h", "diffs")
+  }
+
+  /** Per-duration-class shot profile — the scene segmentation a video
+    * curation pass runs before sampling clips: per asset, IN-ROW during
+    * a single decode pass, the shot count (cuts where the integer MAD
+    * exceeds [[ShotMadPerPixel]]·w·h), the longest shot, and the
+    * keyframe (1-based index of the max frame diff, ties → smallest);
+    * rolled up per frame-count class. The oracle re-derives shots
+    * INDEPENDENTLY from the materialized per-pair diffs by a windowed
+    * boundary-prefix-sum (gaps-and-islands), a different algorithm.
+    *
+    * 100 TB posture: decode + diff loop + run-length state are one
+    * partition-local pass (frames never shuffle); the rollup is
+    * |frame-count classes| rows. */
+  def shotProfile(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    heldFrameVideo(spark, n)
+      .mapPartitions(_.map { a =>
+        val d = VideoCodec.decode(a.payload)
+        val thr = d.width.toLong * d.height * ShotMadPerPixel
+        var shots = 1L; var longest = 1L; var run = 1L
+        var bestDiff = -1L; var keyframe = 1L
+        var j = 1
+        while (j < d.frames.length) {
+          val prev = d.frames(j - 1); val cur = d.frames(j)
+          var s = 0L; var p = 0
+          while (p < cur.length) {
+            s += math.abs((cur(p) & 0xff) - (prev(p) & 0xff)); p += 1
+          }
+          if (s > bestDiff) { bestDiff = s; keyframe = j.toLong }
+          if (s > thr) { shots += 1; run = 1L }
+          else run += 1
+          if (run > longest) longest = run
+          j += 1
+        }
+        (a.asset_id, d.frames.length.toLong, shots, longest, keyframe)
+      })
+      .toDF("asset_id", "n_frames", "n_shots", "longest_shot", "keyframe")
+      .groupBy(col("n_frames"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_shots")).as("total_shots"),
+        max(col("longest_shot")).as("max_longest_shot"),
+        sum(col("keyframe")).as("keyframe_sum"))
+      .orderBy(col("n_frames"))
+  }
+
   /** Deterministic per-kind feature profile — the queryable summary used by
     * the q60 corpus entry (fully ordered, reproducible: the mean
     * accumulates the 9-decimal per-asset l2sq as decimal, so the result is

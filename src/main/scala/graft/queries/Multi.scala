@@ -276,6 +276,65 @@ object Multi {
                CAST(MAX(longest_run) AS BIGINT) AS max_voiced_run,
                (CAST(SUM(n_silent) AS BIGINT) * 1000000)
                  // CAST(SUM(n_frames) AS BIGINT) AS silence_ppm
-        FROM j GROUP BY n_frames ORDER BY n_frames"""))
+        FROM j GROUP BY n_frames ORDER BY n_frames""")),
+
+    // ---- q249: video shot-boundary detection (round 9) ----
+    // The scene segmentation a video curation pass runs before sampling
+    // clips: consecutive-frame integer mean-absolute difference over
+    // REAL decoded GIF frames, a cut where Σ|Δpx| > 32·w·h, per-asset
+    // shot count / longest shot / keyframe (argmax diff, ties →
+    // smallest index) computed IN-ROW during the single decode pass.
+    // The evaluation corpus plants the shots deterministically (frame i
+    // replaced by frame i − i % hold, hold = 2 + asset_id % 3, through
+    // a real decode → re-encode round-trip), and MultimodalSpec pins
+    // detection exactly to the planted cut set. The oracle re-derives
+    // the segmentation INDEPENDENTLY from the materialized per-pair
+    // diffs (`_q249_input`) by a windowed boundary-prefix-sum — a
+    // different algorithm over the same diffs.
+    //
+    // 100 TB posture: decode + diff loop are one partition-local pass
+    // (frames never shuffle); the rollup is |frame-count classes| rows.
+    "q249_shot_boundaries" -> QueryDef(
+      build = (spark, dir) =>
+        Multimodal.shotProfile(spark, assetCount(dir)),
+      oracle = Some(s"""
+        WITH v AS (SELECT asset_id, CAST(n_frames AS BIGINT) AS n_frames,
+                          CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                          diffs
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q249_input/*.parquet')),
+        d AS (SELECT asset_id, n_frames, w, h, t.i, t.dv
+              FROM v, LATERAL (SELECT unnest(diffs) AS dv,
+                                      generate_subscripts(diffs, 1) AS i) t),
+        b AS (SELECT asset_id, i,
+                     CASE WHEN dv > w * h * 32 THEN 1 ELSE 0 END AS bnd
+              FROM d),
+        fr AS (SELECT v.asset_id, v.n_frames, t.f
+               FROM v, LATERAL (SELECT unnest(generate_series(0,
+                 CAST(v.n_frames - 1 AS INT))) AS f) t),
+        fb AS (SELECT fr.asset_id, fr.n_frames, fr.f,
+                      COALESCE(b.bnd, 0) AS bnd
+               FROM fr LEFT JOIN b
+                 ON b.asset_id = fr.asset_id AND b.i = fr.f),
+        sid AS (SELECT asset_id, n_frames, f,
+                       SUM(bnd) OVER (PARTITION BY asset_id
+                         ORDER BY f) AS shot
+                FROM fb),
+        shots AS (SELECT asset_id, MAX(n_frames) AS n_frames, shot,
+                         CAST(COUNT(*) AS BIGINT) AS len
+                  FROM sid GROUP BY asset_id, shot),
+        pa AS (SELECT asset_id, MAX(n_frames) AS n_frames,
+                      CAST(COUNT(*) AS BIGINT) AS n_shots,
+                      CAST(MAX(len) AS BIGINT) AS longest
+               FROM shots GROUP BY asset_id),
+        kf AS (SELECT asset_id, CAST(i AS BIGINT) AS keyframe FROM (
+                 SELECT asset_id, i, ROW_NUMBER() OVER (
+                   PARTITION BY asset_id ORDER BY dv DESC, i) AS rn
+                 FROM d) WHERE rn = 1)
+        SELECT n_frames, COUNT(*) AS n_assets,
+               CAST(SUM(n_shots) AS BIGINT) AS total_shots,
+               CAST(MAX(longest) AS BIGINT) AS max_longest_shot,
+               CAST(SUM(keyframe) AS BIGINT) AS keyframe_sum
+        FROM pa JOIN kf USING (asset_id)
+        GROUP BY n_frames ORDER BY n_frames"""))
   )
 }

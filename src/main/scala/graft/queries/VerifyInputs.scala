@@ -121,6 +121,12 @@ object VerifyInputs {
     // that the gate computes in-row during its decode pass.
     graft.operators.Multimodal.audioFrameRows(spark, Multi.assetCount(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q248_input")
+    // q249: the per-pair frame diffs over the planted-shot video corpus;
+    // DuckDB independently re-derives the cut classification and the
+    // shot segmentation (boundary prefix-sum) that the gate computes
+    // in-row during its decode pass.
+    graft.operators.Multimodal.videoDiffRows(spark, Multi.assetCount(sfDir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q249_input")
     // q234: the per-image perceptual hashes (real decode + dHash) over
     // the planted-copy corpus; DuckDB independently re-runs banding,
     // candidate generation, and the Hamming verify over them.

@@ -269,4 +269,40 @@ class MultimodalSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got === expected)
   }
+
+  test("shot detection recovers exactly the planted held-frame cuts") {
+    val rows = Multimodal.videoDiffRows(spark, 24).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val aid = r.getLong(0); val nf = r.getLong(1)
+      val w = r.getLong(2); val h = r.getLong(3)
+      val diffs = r.getSeq[Long](4)
+      val hold = 2 + (aid % 3)
+      // planted: a cut exactly where frame index i crosses a hold block
+      val plantedCuts = (1L until nf).filter(_ % hold == 0).toSet
+      val detected = diffs.zipWithIndex.collect {
+        case (dv, j) if dv > w * h * Multimodal.ShotMadPerPixel =>
+          (j + 1).toLong
+      }.toSet
+      assert(detected === plantedCuts, s"asset $aid")
+      // within-block diffs must be EXACTLY zero (lossless round-trip)
+      (1L until nf).filterNot(plantedCuts).foreach { i =>
+        assert(diffs(i.toInt - 1) === 0L, s"asset $aid pair $i")
+      }
+    }
+    // profile totals equal a scalar replay
+    val perAsset = rows.map { r =>
+      val aid = r.getLong(0); val nf = r.getLong(1)
+      val hold = 2 + (aid % 3)
+      val cuts = (1L until nf).count(_ % hold == 0).toLong
+      val lens = (0L until nf).groupBy(i => i / hold).values.map(_.size.toLong)
+      (nf, 1L + cuts, lens.max)
+    }
+    val expected = perAsset.groupBy(_._1).map { case (nf, as) =>
+      (nf, as.length.toLong, as.map(_._2).sum, as.map(_._3).max)
+    }.toSeq.sortBy(_._1)
+    val got = Multimodal.shotProfile(spark, 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
 }
