@@ -194,6 +194,61 @@ object StreamingGate {
       .orderBy(col("hour_start"))
   }
 
+  /** q250: THREE-WAY stream-stream interval join — two chained join
+    * states in one streaming query (the production funnel shape:
+    * impressions ⋈ clicks ⋈ conversions). Join 1 matches a click to a
+    * view within 4 h on the same user; its OUTPUT carries the click's
+    * event-time column, whose watermark Spark propagates delayed by
+    * join 1's state retention, and join 2 matches a purchase against
+    * that propagated clock. The 18th streaming law (in q250's oracle):
+    * the fully-drained inner chain equals the batch three-way interval
+    * join EXACTLY — chained join states lose nothing and invent
+    * nothing under AvailableNow drain. */
+  def streamedTripleJoin(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q250",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    def side(tpe: String, pfx: String): DataFrame = spark.readStream
+      .schema(era.schema)
+      .parquet(run.srcDir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pfx}_user"),
+        col("event_id").as(s"${pfx}_id"),
+        era.eventTime.as(s"${pfx}_time"))
+      .withWatermark(s"${pfx}_time", "8 hours")
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val vc = side("view", "v").join(side("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_time") >= col("v_time") &&
+          col("c_time") <= col("v_time") + expr("INTERVAL 240 MINUTES"))
+      val q = vc.join(side("purchase", "p"),
+          col("c_user") === col("p_user") &&
+            col("p_time") >= col("c_time") &&
+            col("p_time") <= col("c_time") + expr("INTERVAL 240 MINUTES"))
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .orderBy(col("user_id"), col("view_id"), col("click_id"),
+        col("purchase_id"))
+  }
+
   /** q211: dropDuplicatesWithinWatermark chained INTO a window
     * aggregation (the dedup-then-count shape every exactly-once metrics
     * pipeline wants), fed a corpus that arrives TWICE: the landing dir
@@ -1501,7 +1556,37 @@ object StreamingGate {
           ON p.user_id = v.user_id
          AND p.pt >= v.vt AND p.pt <= v.vt + INTERVAL 120 MINUTES
         ORDER BY user_id, view_id ASC NULLS FIRST,
-                 purchase_id ASC NULLS FIRST""")))
+                 purchase_id ASC NULLS FIRST"""))) :+ (
+
+    // ---- q250: streamed THREE-WAY interval join, oracle-backed ----
+    // Two chained stream-stream join states in one query (the funnel
+    // shape: view ⋈ click ⋈ purchase, each within 4 h on the same
+    // user). Join 2 consumes join 1's output under the PROPAGATED
+    // watermark (input watermark minus join 1's state retention) —
+    // the chained-stateful analogue of q206, with the second stateful
+    // op another JOIN instead of an agg. Eighteenth streaming law:
+    // the fully-drained inner chain equals the batch three-way
+    // interval join exactly.
+    "q250_streamed_triple_join" -> QueryDef(
+      build = (spark, dir) => streamedTripleJoin(spark, dir),
+      oracle = Some("""
+        WITH v AS (SELECT user_id, event_id AS view_id,
+                          CAST(ts AS TIMESTAMP) AS vt
+                   FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id, event_id AS click_id,
+                     CAST(ts AS TIMESTAMP) AS ct
+              FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id,
+                     CAST(ts AS TIMESTAMP) AS pt
+              FROM events WHERE event_type = 'purchase')
+        SELECT v.user_id, v.view_id, c.click_id, p.purchase_id
+        FROM v JOIN c
+          ON c.user_id = v.user_id
+         AND c.ct >= v.vt AND c.ct <= v.vt + INTERVAL 240 MINUTES
+        JOIN p
+          ON p.user_id = v.user_id
+         AND p.pt >= c.ct AND p.pt <= c.ct + INTERVAL 240 MINUTES
+        ORDER BY v.user_id, v.view_id, c.click_id, p.purchase_id""")))
 
   /** q184: the q149 replay harness with watermarked, bounded-state
     * dedup. See the QueryDef comment for the delay-covers-span law. */

@@ -415,4 +415,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids.contains((3L, 6L)), "same-micro-batch pair missed")
     assert(!ids.exists { case (a, b) => a >= 12 || b >= 12 })
   }
+
+  test("chained three-way interval join emits exactly the in-window triples") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2025-06-15 10:$m%02d:00")
+    val vs = MemoryStream[JoinEv]; val cs = MemoryStream[JoinEv]
+    val ps = MemoryStream[JoinEv]
+    def side(m: MemoryStream[JoinEv], pfx: String) =
+      m.toDF().select(col("user").as(s"${pfx}_user"),
+          col("id").as(s"${pfx}_id"), col("t").as(s"${pfx}_t"))
+        .withWatermark(s"${pfx}_t", "30 minutes")
+    val q = side(vs, "v").join(side(cs, "c"),
+        col("v_user") === col("c_user") && col("c_t") >= col("v_t") &&
+          col("c_t") <= col("v_t") + org.apache.spark.sql.functions.expr(
+            "INTERVAL 5 MINUTES"))
+      .join(side(ps, "p"),
+        col("c_user") === col("p_user") && col("p_t") >= col("c_t") &&
+          col("p_t") <= col("c_t") + org.apache.spark.sql.functions.expr(
+            "INTERVAL 5 MINUTES"))
+      .select(col("v_user"), col("v_id"), col("c_id"), col("p_id"))
+      .writeStream.format("memory").queryName("triple_join")
+      .outputMode(OutputMode.Append()).start()
+    vs.addData(JoinEv(1, 10, ts(0)), JoinEv(2, 20, ts(0)))
+    cs.addData(
+      JoinEv(1, 11, ts(3)),  // in view-window -> chains
+      JoinEv(1, 12, ts(9)),  // outside view-window -> dead
+      JoinEv(2, 21, ts(2)))  // user 2, in window -> chains
+    ps.addData(
+      JoinEv(1, 13, ts(6)),  // within 5 min of click 11 -> triple
+      JoinEv(2, 22, ts(20))) // outside click-window -> no triple
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("triple_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(rows.toSeq === Seq((1L, 10L, 11L, 13L)))
+  }
 }
