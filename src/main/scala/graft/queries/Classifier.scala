@@ -193,8 +193,111 @@ object Classifier {
               .otherwise(0L)).as("agree"))
           .orderBy(col("decile"))
       },
-      oracle = Some(incrementalOracle(Rounds, 2)))
+      oracle = Some(incrementalOracle(Rounds, 2))),
+
+    // ---- q251: 2-fold cross-validation of the trained classifier ----
+    // The held-out evaluation q233's in-sample deciles cannot give:
+    // fold f = doc_id % 2, each fold scored by a model trained ONLY on
+    // the other fold (8 rounds each, the same fixed-point fit), and the
+    // per-fold confusion matrix + accuracy reported. Generalization,
+    // not memorization: the rule is linear in bucket counts, so
+    // held-out accuracy stays high — and the gate certifies BOTH
+    // independent training runs plus both scoring passes in one hash
+    // (the oracle replays the two fits from the shared [[roundCtes]]
+    // generator — one SQL replay of the fit, now four gates deep).
+    //
+    // 100 TB posture: q233's posture twice (each fit's per-round work
+    // is one keyed agg over the half-corpus bucket table); scoring is
+    // one broadcast-weight pass per fold; the report is 2 rows.
+    "q251_cross_validation" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val x = synchronized {
+          lastX.foreach(_.unpersist(blocking = false))
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(docs, "text", StopTerms),
+            ThreshPerMille)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lastX = Some(built)
+          built
+        }
+        val nEven = docs.filter(col("doc_id") % 2 === 0).count()
+        val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
+        val xEven = x.filter(col("doc_id") % 2 === 0)
+        val xOdd = x.filter(col("doc_id") % 2 === 1)
+        val wA = HashedLogReg.trainHistory(xOdd, nOdd, Rounds, InvLr).last
+        val wB = HashedLogReg.trainHistory(xEven, nEven, Rounds, InvLr).last
+        def foldRow(xTest: org.apache.spark.sql.DataFrame, w: Array[Long],
+            fold: Long, nTrain: Long) =
+          HashedLogReg.score(xTest, w)
+            .agg(count(lit(1)).as("n_test"),
+              sum(when(col("y") === 1L && col("z") >= 0L, 1L)
+                .otherwise(0L)).as("tp"),
+              sum(when(col("y") === 0L && col("z") >= 0L, 1L)
+                .otherwise(0L)).as("fp"),
+              sum(when(col("y") === 1L && col("z") < 0L, 1L)
+                .otherwise(0L)).as("fn"),
+              sum(when(col("y") === 0L && col("z") < 0L, 1L)
+                .otherwise(0L)).as("tn"))
+            .select(lit(fold).as("fold"), lit(nTrain).as("n_train"),
+              col("n_test"), col("tp"), col("fp"), col("fn"), col("tn"),
+              expr("((tp + tn) * 1000000) div n_test").as("acc_ppm"))
+        foldRow(xEven, wA, 0L, nOdd)
+          .unionAll(foldRow(xOdd, wB, 1L, nEven))
+          .orderBy(col("fold"))
+      },
+      oracle = Some(crossValOracle(Rounds)))
   )
+
+  /** q251's oracle: the shared feature chain, then TWO independent
+    * unrolled fits (model `wa` on the odd half, `wb` on the even half)
+    * from the [[roundCtes]] generator, each scoring its HELD-OUT half
+    * into a per-fold confusion row. */
+  private def crossValOracle(rounds: Int): String = {
+    s"""${trainCtes(0)},
+        xe AS MATERIALIZED (SELECT * FROM x WHERE doc_id % 2 = 0),
+        xo AS MATERIALIZED (SELECT * FROM x WHERE doc_id % 2 = 1),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab
+               WHERE doc_id % 2 = 0),
+        nodd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab
+                 WHERE doc_id % 2 = 1)${
+      roundCtes("xo", "nodd", "wa", "w0", rounds)}${
+      roundCtes("xe", "ne", "wb", "w0", rounds)},
+        za AS (SELECT x.doc_id, MAX(x.y) AS y,
+                      CAST(SUM(x.x * w.wv) AS BIGINT) AS z
+               FROM xe x JOIN wa$rounds w ON w.j = x.j GROUP BY x.doc_id),
+        zb AS (SELECT x.doc_id, MAX(x.y) AS y,
+                      CAST(SUM(x.x * w.wv) AS BIGINT) AS z
+               FROM xo x JOIN wb$rounds w ON w.j = x.j GROUP BY x.doc_id),
+        ca AS (SELECT CAST(0 AS BIGINT) AS fold,
+                      (SELECT n FROM nodd) AS n_train,
+                      COUNT(*) AS n_test,
+                      CAST(SUM(CASE WHEN y = 1 AND z >= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                      CAST(SUM(CASE WHEN y = 0 AND z >= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp,
+                      CAST(SUM(CASE WHEN y = 1 AND z < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fn,
+                      CAST(SUM(CASE WHEN y = 0 AND z < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tn
+               FROM za),
+        cb AS (SELECT CAST(1 AS BIGINT) AS fold,
+                      (SELECT n FROM ne) AS n_train,
+                      COUNT(*) AS n_test,
+                      CAST(SUM(CASE WHEN y = 1 AND z >= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                      CAST(SUM(CASE WHEN y = 0 AND z >= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp,
+                      CAST(SUM(CASE WHEN y = 1 AND z < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fn,
+                      CAST(SUM(CASE WHEN y = 0 AND z < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tn
+               FROM zb)
+        SELECT fold, n_train, n_test, tp, fp, fn, tn,
+               ((tp + tn) * 1000000) // n_test AS acc_ppm
+        FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb)
+        ORDER BY fold"""
+  }
 
   /** q246's oracle: phase A (8 rounds on the doc_id-even half, its own
     * n) then phase B (2 rounds on the full table, seeded from wa8) —
