@@ -935,6 +935,132 @@ object Dedup {
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 3
         ORDER BY doc_a, doc_b"""),
-      headline = true) // round-8 headline #16: the map-side winnowing op
+      headline = true), // round-8 headline #16: the map-side winnowing op
+
+    // ---- q252: MinHash estimator-accuracy audit (round 9) ----
+    // The error certificate the whole fuzzy-dedup stack rests on (the
+    // q221-HLL move applied to q46's estimator): over ALL pairs of a
+    // bounded audit corpus — a deterministic sample (doc_id % 17 = 0;
+    // stays ~1k docs at any corpus size, so the all-pairs stage is
+    // bounded BY CONSTRUCTION, like q50's broadcast query side) plus
+    // token-prefix variants at 3/4, 1/2 and 1/4 length that PLANT the
+    // similarity spectrum (prefix shingles nest, so true J ≈ the kept
+    // fraction) — compare the 64-hash signature match-fraction estimate
+    // against the EXACT shingle Jaccard, per true-similarity decile.
+    // Theory says E[est] = J with sd √(J(1−J)/64) ≲ 6 pp; the measured
+    // per-bin means track the exact means with mean |error| ≲ 60k ppm —
+    // measured, not asserted. The oracle rebuilds the variants and the
+    // exact side from raw documents (q46's shingle SQL) and the
+    // estimate from the materialized signatures, independently.
+    "q252_minhash_accuracy" -> QueryDef(
+      build = (spark, dir) => {
+        val sig = minhashAuditSig(spark, dir).localCheckpoint(false)
+        val withSh = MinHashLSH.shingled(
+          minhashAuditDocs(spark, dir), "doc_id", "text", 3)
+        val ex = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val common = ex.as("a").join(ex.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+        val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          col("n_sh").as("n_a"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          col("n_sh").as("n_b"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .join(common, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0L, Seq("n_common"))
+          .select(col("n_a"), col("n_b"), col("n_common"),
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _)
+              .as("matches"))
+          .withColumn("jac_ppm",
+            expr("(n_common * 1000000) div (n_a + n_b - n_common)"))
+          .withColumn("est_ppm", expr("(matches * 1000000) div 64"))
+          .withColumn("bin", least(expr("jac_ppm div 100000"), lit(9L)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("sum(jac_ppm) div count(1)").as("mean_exact_ppm"),
+            expr("sum(est_ppm) div count(1)").as("mean_est_ppm"),
+            expr("sum(abs(est_ppm - jac_ppm)) div count(1)")
+              .as("mean_abs_err_ppm"))
+          .orderBy(col("bin"))
+      },
+      oracle = Some(s"""
+        WITH s AS (SELECT doc_id, sig, n_sh
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q252_input/*.parquet')),
+        base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                 FROM documents WHERE doc_id % 17 = 0),
+        var AS (SELECT doc_id * 4 + 0 AS doc_id, t FROM base
+                UNION ALL
+                SELECT doc_id * 4 + 1,
+                       t[1 : GREATEST(len(t) * 3 // 4, 1)] FROM base
+                UNION ALL
+                SELECT doc_id * 4 + 2,
+                       t[1 : GREATEST(len(t) * 2 // 4, 1)] FROM base
+                UNION ALL
+                SELECT doc_id * 4 + 3,
+                       t[1 : GREATEST(len(t) * 1 // 4, 1)] FROM base),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(1, GREATEST(len(t) - 1, 1)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                        AS shingles
+               FROM var),
+        ex AS (SELECT doc_id, UNNEST(shingles) AS shingle
+               FROM sh WHERE len(shingles) > 0),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_common
+                   FROM ex a JOIN ex b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n_sh AS n_a, b.n_sh AS n_b,
+                     CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+                       q -> CASE WHEN q[1] = q[2] THEN 1 ELSE 0 END))
+                       AS BIGINT) AS matches
+              FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        j AS (SELECT p.n_a, p.n_b, p.matches,
+                     COALESCE(c.n_common, 0) AS n_common
+              FROM p LEFT JOIN common c
+                ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b),
+        m AS (SELECT (n_common * 1000000) // (n_a + n_b - n_common)
+                       AS jac_ppm,
+                     (matches * 1000000) // 64 AS est_ppm
+              FROM j)
+        SELECT LEAST(jac_ppm // 100000, 9) AS bin, COUNT(*) AS n_pairs,
+               CAST(SUM(jac_ppm) AS BIGINT) // COUNT(*) AS mean_exact_ppm,
+               CAST(SUM(est_ppm) AS BIGINT) // COUNT(*) AS mean_est_ppm,
+               CAST(SUM(ABS(est_ppm - jac_ppm)) AS BIGINT) // COUNT(*)
+                 AS mean_abs_err_ppm
+        FROM m GROUP BY 1 ORDER BY bin"""))
   )
+
+  /** q252's audit corpus: the doc_id % 17 = 0 sample plus token-prefix
+    * variants (3/4, 1/2, 1/4 of the tokens; id = doc_id·4 + v). Prefix
+    * shingle sets nest inside the original's, so each (original,
+    * variant) pair plants a known true-Jaccard ≈ kept fraction. */
+  def minhashAuditDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+    Seq((0, 4), (1, 3), (2, 2), (3, 1)).map { case (v, num) =>
+      base.select((col("doc_id") * 4 + v).as("doc_id"),
+        concat_ws(" ", slice(col("t"), lit(1),
+          greatest(expr(s"(size(t) * $num) div 4"), lit(1)))).as("text"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** q252's audit-corpus signatures — shared by the gate and
+    * [[VerifyInputs]] so the materialized rows always match the gate's
+    * sample and hash count. */
+  def minhashAuditSig(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    MinHashLSH.shingled(minhashAuditDocs(spark, dir), "doc_id", "text", 3)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.minhashSignature(col("sh"), 64)
+          .as("sig"),
+        size(col("sh")).cast("long").as("n_sh"))
 }

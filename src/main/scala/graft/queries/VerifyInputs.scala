@@ -127,6 +127,11 @@ object VerifyInputs {
     // in-row during its decode pass.
     graft.operators.Multimodal.videoDiffRows(spark, Multi.assetCount(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q249_input")
+    // q252: the audit sample's minhash signatures; DuckDB recomputes
+    // the exact shingle Jaccard from raw documents and the estimator
+    // from these rows, independently.
+    Dedup.minhashAuditSig(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q252_input")
     // q234: the per-image perceptual hashes (real decode + dHash) over
     // the planted-copy corpus; DuckDB independently re-runs banding,
     // candidate generation, and the Hamming verify over them.
