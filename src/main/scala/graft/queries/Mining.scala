@@ -92,6 +92,48 @@ object Mining {
       .orderBy(col("cid"))
   }
 
+  /** Simplified silhouette (centroid-based, Hruschka et al.) over the
+    * fixed-point k-means fit: per vector, a = integer distance to its
+    * OWN centroid, b = min distance to any OTHER centroid,
+    * s = (b − a)·1e6 div max(a, b) — the standard cluster-quality audit
+    * a SemDeDup/IVF cell-sizing pass reads before trusting the cells
+    * (full silhouette is all-pairs; the centroid form is the one that
+    * scales). Same fixed-point recipe as [[kmeansStats]], so DuckDB
+    * replays the fit AND the audit bit-for-bit.
+    *
+    * 100 TB posture: the fit as q124 (centroids broadcast, k·d-tuple
+    * shuffles); the audit is ONE more broadcast pass — each vector's
+    * k distances and the (a, b) reduction happen map-side; the report
+    * is k rows. */
+  def silhouetteStats(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), quant(col("e")).as("v"))
+      .localCheckpoint(false)
+    val init = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var cents = init
+    var assigned = assign(e, cents)
+    for (_ <- 2 to iters) {
+      cents = updateCentroids(e, assigned)
+      assigned = assign(e, cents)
+    }
+    val allD = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), sqDist(col("v"), col("cv")).as("d"))
+    val own = assigned.select(col("vec_id"), col("cid").as("own"),
+      col("dist").as("a"))
+    val b = allD.join(own, "vec_id").filter(col("cid") =!= col("own"))
+      .groupBy(col("vec_id")).agg(min(col("d")).as("b"))
+    own.join(b, "vec_id")
+      .withColumn("s_ppm",
+        when(greatest(col("a"), col("b")) === 0L, 0L)
+          .otherwise(expr("((b - a) * 1000000) div greatest(a, b)")))
+      .groupBy(col("own").as("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(s_ppm) div count(1)").as("mean_s_ppm"),
+        min(col("s_ppm")).as("min_s_ppm"),
+        max(col("s_ppm")).as("max_s_ppm"))
+      .orderBy(col("cid"))
+  }
+
   /** 2-criteria skyline (Pareto frontier; Börzsönyi et al., ICDE'01)
     * with a lossless grid prune. A row is IN the skyline iff no other
     * row is ≥ in both criteria and > in at least one.
@@ -195,6 +237,74 @@ object Mining {
                CAST(SUM(d) AS BIGINT) AS inertia,
                MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
         FROM a2 GROUP BY cid ORDER BY cid""")),
+
+    // ---- q253: simplified silhouette of the k-means cells ----
+    // The cluster-quality audit read before trusting q124's cells for
+    // SemDeDup/IVF sizing (Hruschka's centroid form — the full
+    // silhouette is all-pairs and does NOT scale; the centroid form is
+    // one broadcast pass): per vector a = own-centroid distance, b =
+    // best other-centroid distance, s = (b−a)·1e6 div max(a,b); per-
+    // cluster mean/min/max. Same fit, same fixed-point recipe — the
+    // oracle replays q124's exact training chain and appends the audit
+    // tail, so fit and audit carry one hash certificate.
+    "q253_silhouette" -> QueryDef(
+      build = (spark, dir) =>
+        silhouetteStats(
+          Tables.embeddings(spark, dir)
+            .select(col("vec_id"), vec64(col("embedding")).as("e")),
+          k = 8, iters = 2),
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        d1 AS (
+          SELECT e.vec_id, c.cid,
+                 CAST(list_sum(list_transform(list_zip(e.v, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))
+                   AS BIGINT) AS d
+          FROM e CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        comp AS (
+          SELECT a1.cid, t.i,
+                 CAST(floor(CAST(SUM(t.x) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS comp
+          FROM a1 JOIN e USING (vec_id),
+               LATERAL (SELECT UNNEST(e.v) AS x,
+                               generate_subscripts(e.v, 1) AS i) t
+          GROUP BY a1.cid, t.i),
+        c1 AS (SELECT cid, list(comp ORDER BY i) AS cv FROM comp GROUP BY cid),
+        d2 AS MATERIALIZED (
+          SELECT e.vec_id, c.cid,
+                 CAST(list_sum(list_transform(list_zip(e.v, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))
+                   AS BIGINT) AS d
+          FROM e CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cid, d FROM (
+                 SELECT vec_id, cid, d,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d, cid) AS rn
+                 FROM d2) WHERE rn = 1),
+        b AS (SELECT d2.vec_id, CAST(MIN(d2.d) AS BIGINT) AS b
+              FROM d2 JOIN a2 ON a2.vec_id = d2.vec_id
+                             AND d2.cid != a2.cid
+              GROUP BY 1),
+        s AS (SELECT a2.vec_id, a2.cid, a2.d AS a, b.b,
+                     CASE WHEN GREATEST(a2.d, b.b) = 0 THEN 0
+                          ELSE ((b.b - a2.d) * 1000000)
+                               // GREATEST(a2.d, b.b) END AS s_ppm
+              FROM a2 JOIN b USING (vec_id))
+        SELECT cid, COUNT(*) AS n_vecs,
+               CAST(SUM(s_ppm) AS BIGINT) // COUNT(*) AS mean_s_ppm,
+               CAST(MIN(s_ppm) AS BIGINT) AS min_s_ppm,
+               CAST(MAX(s_ppm) AS BIGINT) AS max_s_ppm
+        FROM s GROUP BY cid ORDER BY cid""")),
 
     // ---- q125: leakage-safe grouped train/val/test split ----
     // The split every supervised pipeline needs and naive row-hash
