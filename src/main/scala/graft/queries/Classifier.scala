@@ -24,6 +24,9 @@ object Classifier {
   private val VarThreshold = 250000000000L
   private val EasyCut = 600000L
   private val HardCut = 460000L
+  // q254's temperature grid (integer divisors of the margin) — declared
+  // BEFORE defs: the oracle generator reads it at object init.
+  private val TempGrid = Seq(1L, 2L, 4L, 8L, 16L, 32L)
 
   // The one previously-persisted feature table (the NgramJaccard
   // pattern): repeated invocations in one session hold at most ONE
@@ -246,8 +249,84 @@ object Classifier {
           .unionAll(foldRow(xOdd, wB, 1L, nEven))
           .orderBy(col("fold"))
       },
-      oracle = Some(crossValOracle(Rounds)))
+      oracle = Some(crossValOracle(Rounds))),
+
+    // ---- q254: temperature scaling of the classifier scores ----
+    // Parametric calibration completing the calibration pair (q236 is
+    // the non-parametric isotonic fit): the trained model's margins are
+    // rescaled by a temperature T — conf_T = clamp(5e5 + z div (4·T)) —
+    // and T is selected from a fixed integer grid by exact integer
+    // Brier score (Σ(conf − y·1e6)², the proper score that needs no
+    // logs — ln would re-introduce float accumulation). The report is
+    // the whole grid with per-T mean Brier and mean confidence, the
+    // chosen row flagged (min Brier, smallest-T tie-break) — a
+    // calibration decision made of nothing but certified integers.
+    // Brier sums are accumulated as DECIMAL(28,0) (n·1e12 outgrows a
+    // long past ~9M docs).
+    //
+    // 100 TB posture: one broadcast-weight scoring pass computes ALL
+    // grid confidences in-row (6 expressions over one z); the rollup
+    // is |grid| rows.
+    "q254_temperature_scaling" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val x = synchronized {
+          lastX.foreach(_.unpersist(blocking = false))
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(docs, "text", StopTerms),
+            ThreshPerMille)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lastX = Some(built)
+          built
+        }
+        val n = docs.count()
+        val w = HashedLogReg.train(x, n, Rounds, InvLr)
+        val scored = HashedLogReg.score(x, w).localCheckpoint(false)
+        TempGrid.map { t =>
+          scored
+            .withColumn("conf", expr(
+              s"greatest(0L, least(1000000L, 500000L + z div ${4L * t}L))"))
+            .withColumn("sq", expr(
+              "CAST((conf - y * 1000000L) * (conf - y * 1000000L) " +
+                "AS DECIMAL(28,0))"))
+            .agg(
+              expr("CAST(sum(sq) div count(1) AS BIGINT)").as("mean_brier"),
+              expr("sum(conf) div count(1)").as("mean_conf_ppm"))
+            .select(lit(t).as("t"), col("mean_brier"), col("mean_conf_ppm"))
+        }.reduce(_ unionAll _)
+          .withColumn("chosen",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("mean_brier"), col("t"))) === 1)
+          .orderBy(col("t"))
+      },
+      oracle = Some(temperatureOracle(Rounds)))
   )
+
+  /** q254's oracle: the shared training chain, the final scoring join,
+    * then one UNION ALL branch per grid temperature computing the exact
+    * integer Brier mean — the chosen row re-derived by the same
+    * (brier, t) ordering. */
+  private def temperatureOracle(rounds: Int): String = {
+    val branches = TempGrid.map { t =>
+      s"""
+        SELECT CAST($t AS BIGINT) AS t,
+               CAST(SUM(CAST((conf - y * 1000000) * (conf - y * 1000000)
+                   AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_brier,
+               CAST(SUM(conf) AS BIGINT) // COUNT(*) AS mean_conf_ppm
+        FROM (SELECT y, GREATEST(CAST(0 AS BIGINT),
+                LEAST(CAST(1000000 AS BIGINT), 500000 + z // ${4 * t}))
+                AS conf FROM zf)"""
+    }.mkString(" UNION ALL ")
+    s"""${trainCtes(rounds)},
+        zf AS MATERIALIZED (
+          SELECT x.doc_id, MAX(x.y) AS y,
+                 CAST(SUM(x.x * w.wv) AS BIGINT) AS z
+          FROM x JOIN w$rounds w ON w.j = x.j GROUP BY x.doc_id),
+        grid AS ($branches)
+        SELECT t, mean_brier, mean_conf_ppm,
+               (ROW_NUMBER() OVER (ORDER BY mean_brier, t)) = 1 AS chosen
+        FROM grid ORDER BY t"""
+  }
 
   /** q251's oracle: the shared feature chain, then TWO independent
     * unrolled fits (model `wa` on the odd half, `wb` on the even half)
