@@ -1550,6 +1550,85 @@ object CorpusStats {
                  * 1000000) // (MAX(ns) * MAX(nt)) AS w1_ppm
         FROM cum CROSS JOIN tot
         WHERE vn IS NOT NULL
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ---- q255: AMS F2 sketch audit (self-join-size estimation) ----
+    // The third estimator certificate (HLL cardinality q221, MinHash
+    // similarity q252 — now Alon–Matias–Szegedy '96 second moment):
+    // F2 = Σ f_b² of the corpus bigram frequencies IS the self-join
+    // size on the bigram key — the statistic a distributed optimizer
+    // needs to size a shuffle join before running it. 16 AMS
+    // replicates, sign_r(b) = ±1 from hex digit r of md5(b) (engine-
+    // portable), each X_r = Σ sign·f computed in ONE agg pass (all 16
+    // sums in one projection); est_r = X_r², the median replicate
+    // flagged (rank 8 by (est, r) — a deterministic median rule).
+    // E[X²] = F2 exactly; per-replicate sd = √2·F2 ≈ 141% and the
+    // median concentrates — the per-replicate err_ppm column is the
+    // measured evidence.
+    //
+    // 100 TB posture: one shuffle on the bigram key (the same agg any
+    // token count needs), then 16 sums over the bounded distinct table
+    // in one pass; the report is 16 rows.
+    "q255_ams_f2_audit" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(split(trim(col("text")), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        val cnt = toks
+          .select(explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"))
+            .as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("f"))
+          .localCheckpoint(false)
+        val exact = cnt.agg(sum(expr("f * f")).as("exact_f2"))
+        val sums = (1 to 16).map(r => sum(expr(
+          s"CASE WHEN CAST(conv(substring(md5(CAST(b AS BINARY)), $r, 1), " +
+            s"16, 10) AS INT) >= 8 THEN f ELSE -f END")).as(s"x$r"))
+        val xs = cnt.agg(sums.head, sums.tail: _*)
+        xs.select(posexplode(array(
+            (1 to 16).map(r => expr(s"x$r * x$r")): _*)).as(Seq("ri", "est_f2")))
+          .select((col("ri") + 1).cast("long").as("r"), col("est_f2"))
+          .crossJoin(broadcast(exact))
+          .withColumn("err_ppm",
+            expr("abs(est_f2 - exact_f2) * 1000000 div exact_f2"))
+          .withColumn("is_median",
+            row_number().over(Window.orderBy(col("est_f2"), col("r"))) === 8)
+          .select(col("r"), col("est_f2"), col("exact_f2"), col("err_ppm"),
+            col("is_median"))
+          .orderBy(col("r"))
+      },
+      oracle = Some(amsOracle))
   )
+
+  /** q255's oracle: exact bigram F2 plus the 16 unrolled AMS replicates
+    * (sign from hex digit r of md5), median flagged by the same
+    * (est, r) rank-8 rule. */
+  private def amsOracle: String = {
+    val branches = (1 to 16).map { r =>
+      s"""
+        SELECT CAST($r AS BIGINT) AS r,
+               CAST(SUM(CASE WHEN instr('0123456789abcdef',
+                   substring(md5(b), $r, 1)) - 1 >= 8
+                 THEN f ELSE -f END) AS BIGINT) AS x
+        FROM cnt"""
+    }.mkString(" UNION ALL ")
+    s"""
+        WITH t AS (SELECT string_split(trim(text), ' ') AS t
+                   FROM documents),
+        bg AS (SELECT unnest(list_transform(range(1, GREATEST(len(t), 1)),
+                        i -> t[i] || ' ' || t[i+1])) AS b
+               FROM t WHERE len(t) >= 2),
+        cnt AS MATERIALIZED (
+          SELECT b, CAST(COUNT(*) AS BIGINT) AS f FROM bg GROUP BY 1),
+        exact AS (SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2 FROM cnt),
+        reps AS ($branches),
+        est AS (SELECT r, x * x AS est_f2 FROM reps),
+        med AS (SELECT r, est_f2,
+                       ROW_NUMBER() OVER (ORDER BY est_f2, r) AS rk
+                FROM est)
+        SELECT m.r, m.est_f2, e.exact_f2,
+               ABS(m.est_f2 - e.exact_f2) * 1000000 // e.exact_f2 AS err_ppm,
+               m.rk = 8 AS is_median
+        FROM med m CROSS JOIN exact e ORDER BY m.r"""
+  }
 }
