@@ -249,6 +249,58 @@ object StreamingGate {
         col("purchase_id"))
   }
 
+  /** q256: dropDuplicatesWithinWatermark on BOTH sides chained INTO a
+    * stream-stream interval join — exactly-once enrichment under
+    * at-least-once delivery (the SQS/Kinesis redelivery reality): the
+    * whole corpus arrives TWICE (two staged names, maxFilesPerTrigger
+    * = 1), each side's dedup state absorbs the replay (at/above the
+    * watermark: duplicate state hit; below: dropped as late — q211's
+    * dichotomy), and the join therefore sees every event exactly once.
+    * 19th streaming law (q256's oracle): the drained dedup→join chain
+    * equals the batch interval join of the DISTINCT corpus. */
+  def streamedDedupJoin(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q256",
+      Seq("events_a.parquet" -> s"$dir/events.parquet",
+        "events_b.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    def side(tpe: String, pfx: String): DataFrame = spark.readStream
+      .schema(era.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(run.srcDir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pfx}_user"),
+        col("event_id").as(s"${pfx}_id"),
+        era.eventTime.as(s"${pfx}_time"))
+      .withWatermark(s"${pfx}_time", "8 hours")
+      .dropDuplicatesWithinWatermark(s"${pfx}_id")
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val q = side("view", "v").join(side("purchase", "p"),
+          col("v_user") === col("p_user") &&
+            col("p_time") >= col("v_time") &&
+            col("p_time") <= col("v_time") + expr("INTERVAL 120 MINUTES"))
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("p_id").as("purchase_id"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   /** q211: dropDuplicatesWithinWatermark chained INTO a window
     * aggregation (the dedup-then-count shape every exactly-once metrics
     * pipeline wants), fed a corpus that arrives TWICE: the landing dir
@@ -1586,7 +1638,30 @@ object StreamingGate {
         JOIN p
           ON p.user_id = v.user_id
          AND p.pt >= c.ct AND p.pt <= c.ct + INTERVAL 240 MINUTES
-        ORDER BY v.user_id, v.view_id, c.click_id, p.purchase_id""")))
+        ORDER BY v.user_id, v.view_id, c.click_id, p.purchase_id"""))) :+ (
+
+    // ---- q256: dedup → stream-stream join under double delivery ----
+    // Exactly-once enrichment under at-least-once delivery: the corpus
+    // arrives twice, BOTH join inputs pass through
+    // dropDuplicatesWithinWatermark, and the join state therefore sees
+    // every event once. Nineteenth streaming law: the drained chain
+    // equals the batch interval join of the distinct corpus — the
+    // duplicate delivery contributes NOTHING (no doubled pairs, no
+    // quadrupled pairs from dup×dup).
+    "q256_streamed_dedup_join" -> QueryDef(
+      build = (spark, dir) => streamedDedupJoin(spark, dir),
+      oracle = Some("""
+        WITH v AS (SELECT user_id, event_id AS view_id,
+                          CAST(ts AS TIMESTAMP) AS vt
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS purchase_id,
+                     CAST(ts AS TIMESTAMP) AS pt
+              FROM events WHERE event_type = 'purchase')
+        SELECT v.user_id, v.view_id, p.purchase_id
+        FROM v JOIN p
+          ON p.user_id = v.user_id
+         AND p.pt >= v.vt AND p.pt <= v.vt + INTERVAL 120 MINUTES
+        ORDER BY v.user_id, v.view_id, p.purchase_id""")))
 
   /** q184: the q149 replay harness with watermarked, bounded-state
     * dedup. See the QueryDef comment for the delay-covers-span law. */
