@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Round-9 tail of the physical-plan regression guards (q247–q255) —
+  * split from [[PlanGuardSpec]] to keep suite compile units bounded.
+  * Same contract: the scale-critical plan property each query's 100 TB
+  * posture depends on must break the build if a refactor regresses it.
+  */
+class PlanGuardSpec2 extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q247: PQ encoding is in-row (collected codebook literal) — corpus never joins") {
+    val p = plan("q247_product_quantization")
+    assert(!p.contains("CartesianProduct"),
+      "PQ encode/ADC planned a shuffled cross product")
+    // the ADC/recall pairing joins only on the vec/query key
+    assert(p.contains("hashpartitioning(") || p.contains("BroadcastHashJoin"),
+      "ADC recall pairing not a keyed join")
+  }
+
+  test("q248: VAD kernel is partition-local; accounting joins on the asset key") {
+    val p = plan("q248_audio_vad")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "decode/VAD kernel not partition-local")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "VAD accounting planned an all-pairs join")
+  }
+
+  test("q249: shot detection is one partition-local decode pass — run state stays in-row") {
+    val p = plan("q249_shot_boundaries")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "decode/shot kernel not partition-local")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "shot accounting planned an all-pairs join")
+  }
+
+  test("q251: both fold scorings are doc-keyed aggs over the cached feature table") {
+    val p = plan("q251_cross_validation")
+    assert(!p.contains("CartesianProduct"),
+      "cross-validation scoring planned a cross product")
+    assert(p.contains("InMemoryTableScan") ||
+      p.contains("hashpartitioning(doc_id"),
+      "fold scoring not over the cached feature table / doc-keyed")
+  }
+
+  test("q252: accuracy audit pairs only the bounded sample — corpus never self-joins") {
+    val p = plan("q252_minhash_accuracy")
+    assert(!p.contains("CartesianProduct"),
+      "estimator audit planned an unbounded cross product")
+  }
+
+  test("q253: silhouette is broadcast-centroid passes — no vector-vector join") {
+    val p = plan("q253_silhouette")
+    // the only nested-loop is the k-row centroid broadcast (by design);
+    // vectors must never shuffle against each other
+    assert(!p.contains("CartesianProduct"),
+      "silhouette planned a shuffled vector cross product")
+    assert(p.contains("hashpartitioning(vec_id") ||
+      p.contains("BroadcastHashJoin"),
+      "own/other distance pairing not keyed by vec_id")
+  }
+
+  test("q254: all grid temperatures score in one broadcast-weight pass per branch") {
+    val p = plan("q254_temperature_scaling")
+    assert(!p.contains("CartesianProduct"),
+      "temperature grid planned a cross product over docs")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "Brier reduction not split partial/final")
+  }
+
+  test("q255: all 16 AMS replicate sums ride ONE agg pass over the bigram table") {
+    val p = plan("q255_ams_f2_audit")
+    assert(!p.contains("CartesianProduct"),
+      "AMS replicates planned a cross product")
+    // one keyed bigram count, then replicate sums over the checkpointed
+    // table — 16 sums must not mean 16 scans of the raw corpus
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      "replicate sums re-scan the raw corpus instead of the counted table")
+    assert(p.contains("partial_sum"), "replicate agg not split partial/final")
+  }
+}
