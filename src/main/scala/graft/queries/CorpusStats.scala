@@ -1597,7 +1597,128 @@ object CorpusStats {
             col("is_median"))
           .orderBy(col("r"))
       },
-      oracle = Some(amsOracle))
+      oracle = Some(amsOracle)),
+
+    // ---- q257: quantile-sketch audit (bottom-k priority sample) ----
+    // The FOURTH estimator certificate (cardinality q221, similarity
+    // q252, second moment q255 — now quantiles, the statistic AQE and
+    // range partitioners consume): a bottom-k sample by md5 row
+    // priority IS a uniform k-subset chosen independently of
+    // partitioning (the hash decides, not arrival order), and it is
+    // MERGEABLE — bottom-k of a union = bottom-k of per-partition
+    // bottom-ks, which is exactly Spark's TakeOrderedAndProject
+    // physical form: per-partition partial top-k, driver merge, the
+    // corpus never shuffles. Deciles interpolated from the k=256
+    // sample are audited against the EXACT interpolated deciles
+    // (computed distributed via the stat-routed GlobalRank — never a
+    // population single-partition sort above the measured crossover).
+    // The theory bounds the RANK of the estimate, not its value:
+    // sd = √(q(1−q)/k) ≈ 1.9–3.1% of n at k=256. `rank_err_ppm` (the
+    // measured |F(est) − q|, one broadcast probe pass) is the
+    // certificate column that must sit in that band; `err_ppm` (value
+    // error) is reported too but is distribution-dependent — sparse
+    // tails turn small rank errors into large value errors, which the
+    // sf0.1 report shows honestly at d=1.
+    //
+    // 100 TB posture: the sketch path (the product) is one
+    // TakeOrdered over the scan — no shuffle at all; the exact side
+    // (the audit) pays the two-pass rank only when n exceeds the
+    // router crossover. All arithmetic integer (cents ×10 tenths).
+    "q257_quantile_sketch_audit" -> QueryDef(
+      build = (spark, dir) => {
+        val k = 256
+        val li = Tables.lineitem(spark, dir).select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast(LongType).as("id"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+          md5(concat_ws("_", col("l_orderkey").cast(StringType),
+            col("l_linenumber").cast(StringType)).cast(BinaryType)).as("pri"))
+        // sketch: bottom-k by hash priority — TakeOrderedAndProject.
+        val sampArr = li.orderBy(col("pri")).limit(k)
+          .agg(sort_array(collect_list(col("cents"))).as("arr"))
+        // exact: distributed desc rank rn; ascending 0-based index
+        // i = n − rn (value-at-index is tie-safe: equal cents ⇒ equal
+        // value at every tied index).
+        val n = li.count()
+        val (_, ranked0) = graft.operators.GlobalRank.withRankAndPrefixAuto(
+          li.select(col("id"), col("cents")), "cents", "id",
+          rowCount = Some(n))
+        val ranked = ranked0.select(col("cents"), (lit(n) - col("rn")).as("i"))
+        val deciles = spark.range(1, 10).select(col("id").as("d"))
+          .withColumn("pos10", lit(n - 1) * col("d"))
+          .withColumn("i0", expr("pos10 div 10"))
+          .withColumn("rem", col("pos10") % 10)
+        val ex0 = ranked.join(broadcast(deciles), col("i") === col("i0"))
+          .select(col("d"), col("rem"), col("cents").as("v0"))
+        val ex1 = ranked.join(
+            broadcast(deciles.select(col("d"), (col("i0") + 1).as("i1"))),
+            col("i") === col("i1"))
+          .select(col("d"), col("cents").as("v1"))
+        val exact = ex0.join(ex1, Seq("d"))
+          .withColumn("exact_x10",
+            col("v0") * (lit(10L) - col("rem")) + col("v1") * col("rem"))
+        val est = exact.crossJoin(broadcast(sampArr))
+          .withColumn("spos10", lit((k - 1).toLong) * col("d"))
+          .withColumn("si0", expr("spos10 div 10"))
+          .withColumn("srem", col("spos10") % 10)
+          .withColumn("est_x10",
+            element_at(col("arr"), (col("si0") + 1).cast("int")) *
+              (lit(10L) - col("srem")) +
+            element_at(col("arr"), (col("si0") + 2).cast("int")) * col("srem"))
+          .select(col("d"), col("est_x10"), col("exact_x10"))
+          .localCheckpoint(false)
+        // rank certificate: F(est) via one broadcast probe pass.
+        val ranksOfEst = li.crossJoin(broadcast(est.select(col("d"),
+            col("est_x10").as("e"))))
+          .groupBy(col("d"))
+          .agg(sum(when(col("cents") * 10 <= col("e"), 1L).otherwise(0L))
+            .as("cnt_le"))
+        est.join(ranksOfEst, Seq("d"))
+          .select(col("d"), lit(n).as("n"), lit(k.toLong).as("k"),
+            col("est_x10"), col("exact_x10"),
+            expr("abs(est_x10 - exact_x10) * 1000000 div exact_x10")
+              .as("err_ppm"),
+            expr(s"abs(cnt_le * 10 - ${n}L * d) * 100000 div ${n}L")
+              .as("rank_err_ppm"))
+          .orderBy(col("d"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey * 10 + l_linenumber AS id,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                 md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+                     CAST(l_linenumber AS VARCHAR)) AS pri
+          FROM lineitem),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li),
+        samp AS (SELECT cents FROM li ORDER BY pri LIMIT 256),
+        sarr AS (SELECT list_sort(list(cents)) AS arr FROM samp),
+        ranked AS (SELECT cents,
+                          ROW_NUMBER() OVER (ORDER BY cents, id) - 1 AS i
+                   FROM li),
+        d AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS d),
+        t AS (SELECT d.d, (nn.n - 1) * d.d // 10 AS i0,
+                     (nn.n - 1) * d.d % 10 AS rem, nn.n AS n
+              FROM d CROSS JOIN nn),
+        ex AS (SELECT t.d, t.n,
+                      r0.cents * (10 - t.rem) + r1.cents * t.rem AS exact_x10
+               FROM t JOIN ranked r0 ON r0.i = t.i0
+                      JOIN ranked r1 ON r1.i = t.i0 + 1),
+        est AS (SELECT ex.d, ex.n, ex.exact_x10,
+                       arr[CAST(255 * ex.d // 10 AS INT) + 1]
+                         * (10 - 255 * ex.d % 10) +
+                       arr[CAST(255 * ex.d // 10 AS INT) + 2]
+                         * (255 * ex.d % 10) AS est_x10
+                FROM ex CROSS JOIN sarr),
+        rk AS (SELECT e.d,
+                      CAST(SUM(CASE WHEN li.cents * 10 <= e.est_x10
+                        THEN 1 ELSE 0 END) AS BIGINT) AS cnt_le
+               FROM li CROSS JOIN est e GROUP BY e.d)
+        SELECT est.d, est.n, CAST(256 AS BIGINT) AS k,
+               est.est_x10, est.exact_x10,
+               ABS(est.est_x10 - est.exact_x10) * 1000000
+                 // est.exact_x10 AS err_ppm,
+               ABS(rk.cnt_le * 10 - est.n * est.d) * 100000
+                 // est.n AS rank_err_ppm
+        FROM est JOIN rk ON rk.d = est.d ORDER BY est.d"""))
   )
 
   /** q255's oracle: exact bigram F2 plus the 16 unrolled AMS replicates
