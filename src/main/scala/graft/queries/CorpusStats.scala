@@ -1718,7 +1718,96 @@ object CorpusStats {
                  // est.exact_x10 AS err_ppm,
                ABS(rk.cnt_le * 10 - est.n * est.d) * 100000
                  // est.n AS rank_err_ppm
-        FROM est JOIN rk ON rk.d = est.d ORDER BY est.d"""))
+        FROM est JOIN rk ON rk.d = est.d ORDER BY est.d""")),
+
+    // ---- q258: Bloom-filter FPR certificate ----
+    // The FIFTH estimator certificate, and the error audit the q84
+    // BloomFront (bloom-probe-before-anti-join) rests on: build an
+    // m-bit / k=3 Bloom set over the BUILDING customers (m = 4·|A|,
+    // sized from the data so the gate scales with SF), probe the
+    // DISJOINT non-BUILDING customers, and measure the false-positive
+    // rate per probe segment against the exact-fill theoretical rate
+    // (p_set³ where p_set = n_bits_set/m — tighter than the
+    // (1−e^{−kn/m})^k approximation because it uses the MEASURED fill,
+    // so only the independence assumption is under test). Per-segment
+    // rows double as an independence check: four disjoint probe
+    // populations must land in the same band. Bit positions are
+    // md5-derived (hash j = md5('q258#j#key')) — engine-portable, the
+    // q218 rendezvous recipe.
+    //
+    // 100 TB posture: the bit-set table is bounded by m (member-count
+    // scale, then DISTINCT-collapsed), so the probe side joins against
+    // a broadcast-sized table; probe positions are computed in-row
+    // (map-side), and the only probe-scale shuffle is the per-key
+    // 3-row hit count. This is exactly how BloomFront deploys: build
+    // once, broadcast, probe map-side.
+    "q258_bloom_fpr_certificate" -> QueryDef(
+      build = (spark, dir) => {
+        val k = 3
+        val cust = Tables.customer(spark, dir)
+          .select(col("c_custkey").cast(LongType).as("key"),
+            col("c_mktsegment").as("seg"))
+        val members = cust.filter(col("seg") === "BUILDING")
+        val nA = members.agg(count(lit(1)).as("n_members"),
+          (count(lit(1)) * 4).as("m"))
+        def posCol(j: Int): Column =
+          conv(substring(md5(concat(lit(s"q258#$j#"),
+            col("key").cast(StringType))), 1, 10), 16, 10)
+            .cast(LongType) % col("m")
+        val bits = members.crossJoin(broadcast(nA))
+          .select(explode(array((1 to k).map(posCol): _*)).as("pos"))
+          .distinct()
+        val nSet = bits.agg(count(lit(1)).as("n_bits_set"))
+        val probePos = cust.filter(col("seg") =!= "BUILDING")
+          .crossJoin(broadcast(nA))
+          .select(col("key"), col("seg"),
+            explode(array((1 to k).map(posCol): _*)).as("pos"))
+        val hits = probePos
+          .join(bits.withColumn("hit", lit(1L)), Seq("pos"), "left")
+          .groupBy(col("key"), col("seg"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("nhit"))
+        hits.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("nhit") === k, 1L).otherwise(0L)).as("fp_count"))
+          .crossJoin(broadcast(nA)).crossJoin(broadcast(nSet))
+          .select(col("seg"), col("n_probes"), col("fp_count"),
+            expr("fp_count * 1000000 div n_probes").as("fpr_ppm"),
+            col("n_members"), col("m"), col("n_bits_set"),
+            expr("n_bits_set * n_bits_set * n_bits_set * 1000000" +
+              " div (m * m * m)").as("theo_fpr_ppm"))
+          .orderBy(col("seg"))
+      },
+      oracle = Some("""
+        WITH cust AS (SELECT c_custkey AS key, c_mktsegment AS seg
+                      FROM customer),
+        mem AS (SELECT key FROM cust WHERE seg = 'BUILDING'),
+        na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+                      CAST(COUNT(*) * 4 AS BIGINT) AS m FROM mem),
+        js AS (SELECT CAST(unnest(range(1, 4)) AS BIGINT) AS j),
+        bits AS (SELECT DISTINCT
+                   ('0x' || substr(md5('q258#' || CAST(j AS VARCHAR) || '#'
+                     || CAST(key AS VARCHAR)), 1, 10))::BIGINT % m AS pos
+                 FROM mem CROSS JOIN na CROSS JOIN js),
+        ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits),
+        pp AS (SELECT key, seg,
+                 ('0x' || substr(md5('q258#' || CAST(j AS VARCHAR) || '#'
+                   || CAST(key AS VARCHAR)), 1, 10))::BIGINT % m AS pos
+               FROM cust CROSS JOIN na CROSS JOIN js
+               WHERE seg <> 'BUILDING'),
+        hits AS (SELECT pp.key, pp.seg,
+                        SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                          AS nhit
+                 FROM pp LEFT JOIN bits b ON b.pos = pp.pos GROUP BY 1, 2),
+        ps AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_probes,
+                      CAST(SUM(CASE WHEN nhit = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp_count
+               FROM hits GROUP BY 1)
+        SELECT seg, n_probes, fp_count,
+               fp_count * 1000000 // n_probes AS fpr_ppm,
+               n_members, m, n_bits_set,
+               n_bits_set * n_bits_set * n_bits_set * 1000000
+                 // (m * m * m) AS theo_fpr_ppm
+        FROM ps CROSS JOIN na CROSS JOIN ns ORDER BY seg"""))
   )
 
   /** q255's oracle: exact bigram F2 plus the 16 unrolled AMS replicates
