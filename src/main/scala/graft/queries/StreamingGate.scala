@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** The Structured Streaming surface as an ORACLE-BACKED gate query.
@@ -299,6 +299,112 @@ object StreamingGate {
     }
     spark.table(run.sink)
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  // ---- q259: arbitrary custom state (flatMapGroupsWithState) --------
+
+  final case class SegEvent(user_id: Long, event_time: java.sql.Timestamp,
+      tus: Long, cents: Long)
+  final case class SegBuf(events: List[(Long, Long)])
+  final case class SegOut(user_id: Long, seg_start_us: Long,
+      seg_end_us: Long, n_events: Long, cents: Long)
+
+  /** q259's activity-segment gap: a user's segment closes when no event
+    * follows within 24 h. */
+  private val SegGapUs = 86400000000L
+
+  /** q259's group function — the safe-close discipline for ARBITRARY
+    * per-key state under event time:
+    *
+    *  - buffer (ts µs, cents) per user, re-sorted on every invocation
+    *    (batch arrival order is not time order);
+    *  - a segment may only EMIT when `seg_end + gap ≤ watermark` — the
+    *    only rule that is immune to late data: any row the engine still
+    *    admits has ts > watermark ≥ seg_end + gap, so it can only START
+    *    a new segment, never extend an emitted one;
+    *  - the event-time timeout is a pure WAKE-UP (`watermark + 1 ms`,
+    *    re-armed every invocation): the emit rule above — not the
+    *    timeout timestamp — decides what closes, so ms-truncation
+    *    boundary semantics of the timeout can never flip a row;
+    *  - state is dropped when no open segment remains.
+    */
+  private def segFn(uid: Long, rows: Iterator[SegEvent],
+      state: GroupState[SegBuf]): Iterator[SegOut] = {
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val buf = state.getOption.map(_.events).getOrElse(Nil)
+    val merged = (buf ++ rows.map(r => (r.tus, r.cents))).sorted
+    val segs = List.newBuilder[List[(Long, Long)]]
+    var cur = List.newBuilder[(Long, Long)]
+    var curN = 0
+    var prevTs = 0L
+    merged.foreach { ev =>
+      if (curN > 0 && ev._1 - prevTs > SegGapUs) {
+        segs += cur.result(); cur = List.newBuilder[(Long, Long)]; curN = 0
+      }
+      cur += ev; curN += 1; prevTs = ev._1
+    }
+    if (curN > 0) segs += cur.result()
+    val (closed, open) = segs.result()
+      .partition(_.last._1 + SegGapUs <= wmUs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SegBuf(open.flatten))
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1L)
+    }
+    closed.iterator.map { s =>
+      SegOut(uid, s.head._1, s.last._1, s.size.toLong, s.map(_._2).sum)
+    }
+  }
+
+  /** The reusable custom-state operator (spec-driven on a MemoryStream
+    * in StreamingOpsSpec; drained against the oracle in q259). */
+  def customSegments(ds: org.apache.spark.sql.Dataset[SegEvent])
+      : org.apache.spark.sql.Dataset[SegOut] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("event_time", "48 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SegBuf, SegOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(segFn)
+  }
+
+  /** q259: drained custom-state segmentation. Emits exactly the
+    * segments whose close line the FINAL watermark passed; the law the
+    * oracle replays is `seg_end + gap ≤ (⌊max_ts_ms⌋ − delay_ms)·1000`
+    * (the engine tracks event time in ms — the truncation is part of
+    * the law, mirrored in integer SQL). */
+  def streamedCustomSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = new GateRun(spark, "q259",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val src = spark.readStream
+        .schema(era.schema)
+        .parquet(run.srcDir)
+        .select(col("user_id"), era.eventTime.as("event_time"),
+          unix_micros(era.eventTime).as("tus"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .as[SegEvent]
+      val q = customSegments(src)
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("update")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .orderBy(col("user_id"), col("seg_start_us"))
   }
 
   /** q211: dropDuplicatesWithinWatermark chained INTO a window
@@ -1661,7 +1767,53 @@ object StreamingGate {
         FROM v JOIN p
           ON p.user_id = v.user_id
          AND p.pt >= v.vt AND p.pt <= v.vt + INTERVAL 120 MINUTES
-        ORDER BY v.user_id, v.view_id, p.purchase_id""")))
+        ORDER BY v.user_id, v.view_id, p.purchase_id"""))) :+ (
+
+    // ---- q259: custom per-key state (flatMapGroupsWithState) ----
+    // The ARBITRARY-state extension point, oracle-backed — until now
+    // flatMapGroupsWithState was spec-gated only (StreamingOpsSpec);
+    // this gate runs it as a real drained pipeline. Per-user activity
+    // segmentation with a 24 h gap, hand-rolled in a group function
+    // (buffer → re-sort → gap-split → watermark-safe close), the shape
+    // every session-ish custom operator takes when session_window's
+    // fixed semantics don't fit. Twentieth streaming law: the drained
+    // emission equals the batch gaps-and-islands segmentation
+    // restricted to segments with seg_end + gap ≤ final watermark —
+    // segments above that line could still be extended by in-delay
+    // data, so withholding them is correctness (q141's trim law,
+    // carried by USER code this time; the emit rule in segFn is
+    // late-data-immune by construction).
+    "q259_streamed_custom_segments" -> QueryDef(
+      build = (spark, dir) => streamedCustomSegments(spark, dir),
+      oracle = Some("""
+        WITH e AS (SELECT user_id,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        m AS (SELECT ((MAX(tus) // 1000) - 172800000) * 1000 AS wm_us
+              FROM e),
+        marked AS (SELECT user_id, tus, cents,
+                          CASE WHEN LAG(tus) OVER w IS NULL
+                                 OR tus - LAG(tus) OVER w > 86400000000
+                               THEN 1 ELSE 0 END AS brk
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id ORDER BY tus, cents)),
+        seg AS (SELECT user_id, tus, cents,
+                       SUM(brk) OVER (PARTITION BY user_id
+                         ORDER BY tus, cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS sid
+                FROM marked),
+        per AS (SELECT user_id, MIN(tus) AS seg_start_us,
+                       MAX(tus) AS seg_end_us,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(SUM(cents) AS BIGINT) AS cents
+                FROM seg GROUP BY user_id, sid)
+        SELECT p.user_id, p.seg_start_us, p.seg_end_us, p.n_events,
+               p.cents
+        FROM per p CROSS JOIN m
+        WHERE p.seg_end_us + 86400000000 <= m.wm_us
+        ORDER BY p.user_id, p.seg_start_us""")))
 
   /** q184: the q149 replay harness with watermarked, bounded-state
     * dedup. See the QueryDef comment for the delay-covers-span law. */

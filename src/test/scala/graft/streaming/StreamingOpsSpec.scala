@@ -278,6 +278,55 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.table("deduped").count() == 2)
   }
 
+  test("custom segments close only when the watermark passes end + gap (q259 law)") {
+    // the q259 emit discipline on a controlled MemoryStream clock:
+    // user 1's first segment (two events 2 h apart) must stay in state
+    // until the watermark (driven by user 2's clock events) passes
+    // seg_end + 24 h, then emit exactly once; the open tail never emits.
+    import spark.implicits._
+    import graft.queries.StreamingGate.{SegEvent, customSegments}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(uid: Long, s: String, cents: Long) = {
+      val t = java.sql.Timestamp.valueOf(s)
+      SegEvent(uid, t, t.getTime * 1000L, cents)
+    }
+    val mem = MemoryStream[SegEvent]
+    val q = customSegments(mem.toDS())
+      .writeStream.format("memory").queryName("q259_spec")
+      .outputMode(OutputMode.Update()).start()
+
+    // batch 1: u1 segment A + u1's far-future event (segment B opener);
+    // u2 clock at +5d -> watermark after b1 = +3d (48 h delay)
+    mem.addData(
+      ev(1, "2025-06-01 10:00:00", 100),
+      ev(1, "2025-06-01 12:00:00", 200),
+      ev(1, "2025-06-07 10:00:00", 300),
+      ev(2, "2025-06-05 12:00:00", 1))
+    q.processAllAvailable()
+    // batch 2: only a u2 clock tick; u1 is invoked via its re-armed
+    // event-time timeout and closes segment A (end 06-01 12:00 + 24 h
+    // = 06-02 12:00 <= wm). Segment B (06-07 10:00) stays open: even
+    // the post-batch-2 flush watermark (06-09 12:00 - 48 h = 06-07
+    // 12:00) has not passed its close line 06-08 10:00.
+    mem.addData(ev(2, "2025-06-09 12:00:00", 1))
+    q.processAllAvailable()
+    val afterB2 = spark.table("q259_spec").where(col("user_id") === 1).collect()
+    assert(afterB2.length == 1, s"expected exactly segment A, got ${afterB2.length}")
+    assert(afterB2.head.getAs[Long]("n_events") == 2L)
+    assert(afterB2.head.getAs[Long]("cents") == 300L)
+    // batch 3: clock far ahead -> u1's segment B (single event) closes too
+    mem.addData(ev(2, "2025-06-30 12:00:00", 1))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("q259_spec").where(col("user_id") === 1)
+      .orderBy(col("seg_start_us")).collect()
+    assert(all.length == 2, s"expected segments A and B, got ${all.length}")
+    assert(all(1).getAs[Long]("n_events") == 1L)
+    assert(all(1).getAs[Long]("cents") == 300L)
+    // no duplicate emission of segment A across triggers
+    assert(all(0).getAs[Long]("cents") == 300L && all(0).getAs[Long]("n_events") == 2L)
+  }
+
   test("transformWithState odometers mirror flatMapGroupsWithState across triggers") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
