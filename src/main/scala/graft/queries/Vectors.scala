@@ -931,8 +931,125 @@ object Vectors {
                s.n_codes, s.max_code_pop, i.total_qerr
         FROM qids q LEFT JOIN rec r USING (qid)
         CROSS JOIN stats s CROSS JOIN inert i
-        ORDER BY q.qid"""))
+        ORDER BY q.qid""")),
+
+    // ---- q260: top principal component (fixed-point power iteration) --
+    // The spectral statistic an embedding pipeline reads before
+    // whitening, drift-monitoring, or PCA-projecting: the dominant
+    // eigenvector + variance-explained of the corpus covariance.
+    // Everything is exact integer arithmetic so both engines agree
+    // bit-for-bit: embeddings quantize to ⌊x·10⁴⌋, the scaled
+    // covariance is S = n·Σqq − Σq·Σq (centered, ×n²) reduced by
+    // sign-safe n² division (Spark `div`/Java `/` truncate toward
+    // zero; DuckDB `//` floors — the abs-CASE form makes both
+    // truncate), and 8 power-iteration rounds renormalize to ×10³ by
+    // the max-|component| pivot (tie → lowest index; dividing BY the
+    // signed pivot also fixes the eigenvector's sign). λ is the
+    // integer Rayleigh quotient vᵀSv div vᵀv, variance-explained =
+    // λ·10⁶ div trace.
+    //
+    // 100 TB posture: the corpus-scale work is ONE outer-product
+    // explode (d² rows per vector, map-side partial agg collapses to
+    // d² = 4096 keys before the shuffle — no self-join of the
+    // exploded table); the d×d matrix is model-sized, so the 8
+    // matvec rounds run on the driver exactly like the BPE merge
+    // table, and the oracle replays them as unrolled SQL rounds — two
+    // independent implementations of the same integer recursion.
+    "q260_power_iteration_pca" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val d = 64
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), expr("transform(embedding, x -> " +
+            "cast(floor(cast(x as double) * 10000) as long))").as("q"))
+        val n = emb.count()
+        val ex = emb.select(posexplode(col("q")).as(Seq("i", "qi")),
+          col("q"))
+        val sums = ex.groupBy(col("i")).agg(sum(col("qi")).as("s"))
+        val pairs = ex
+          .select(col("i"), col("qi"),
+            posexplode(col("q")).as(Seq("j", "qj")))
+          .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("sqq"))
+        val sn = pairs
+          .join(broadcast(sums.select(col("i"), col("s").as("si"))), Seq("i"))
+          .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))),
+            Seq("j"))
+          .withColumn("raw", lit(n) * col("sqq") - col("si") * col("sj"))
+          .select(col("i"), col("j"),
+            expr(s"CASE WHEN raw >= 0 THEN raw div ${n * n}L" +
+              s" ELSE -((-raw) div ${n * n}L) END").as("s"))
+        val m = Array.ofDim[Long](d, d)
+        sn.collect().foreach(r =>
+          m(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Long]("s"))
+        def matvec(v: Array[Long]): Array[Long] =
+          Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+        var v = Array.fill(d)(1000L)
+        for (_ <- 1 to 8) {
+          val u = matvec(v)
+          val pivot = (0 until d).maxBy(i => (math.abs(u(i)), -i))
+          v = u.map(x => x * 1000L / u(pivot)) // Java /: trunc-to-zero
+        }
+        val u9 = matvec(v)
+        val lam = (0 until d).map(i => v(i) * u9(i)).sum /
+          v.map(x => x * x).sum
+        val trace = (0 until d).map(i => m(i)(i)).sum
+        val evr = lam * 1000000L / trace
+        (0 until d).map(i => (i.toLong, v(i), lam, trace, evr))
+          .toDF("i", "component", "lambda_scaled", "trace_scaled", "evr_ppm")
+          .orderBy(col("i"))
+      },
+      oracle = Some(powerOracle))
   )
+
+  /** DuckDB replay of q260: the same integer power iteration, unrolled
+    * — matvec as a join+agg per round, pivot by (|u| DESC, i), the
+    * abs-CASE division making DuckDB's floor-div truncate toward zero
+    * like Spark's `div`. */
+  private def powerOracle: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""u$k AS (SELECT m.i, CAST(SUM(m.s * v.v) AS BIGINT) AS u
+             FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY 1),
+        p$k AS (SELECT u FROM u$k ORDER BY abs(u) DESC, i LIMIT 1),
+        v$k AS (SELECT u$k.i,
+                       CASE WHEN (u$k.u >= 0) = (p$k.u >= 0)
+                            THEN abs(u$k.u) * 1000 // abs(p$k.u)
+                            ELSE -(abs(u$k.u) * 1000 // abs(p$k.u)) END AS v
+                FROM u$k, p$k)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+                   FROM embeddings),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        ex AS (SELECT vec_id, t.i - 1 AS i, t.qi
+               FROM e, LATERAL (SELECT unnest(q) AS qi,
+                                       generate_subscripts(q, 1) AS i) t),
+        si AS (SELECT i, CAST(SUM(qi) AS BIGINT) AS s FROM ex GROUP BY 1),
+        pq AS (SELECT a.i AS i, b.i AS j,
+                      CAST(SUM(a.qi * b.qi) AS BIGINT) AS sqq
+               FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        m AS MATERIALIZED (
+          SELECT pq.i, pq.j,
+                 CASE WHEN (nn.n * pq.sqq - s1.s * s2.s) >= 0
+                      THEN (nn.n * pq.sqq - s1.s * s2.s) // (nn.n * nn.n)
+                      ELSE -((s1.s * s2.s - nn.n * pq.sqq) // (nn.n * nn.n))
+                 END AS s
+          FROM pq JOIN si s1 ON s1.i = pq.i JOIN si s2 ON s2.i = pq.j
+          CROSS JOIN nn),
+        v0 AS (SELECT i, CAST(1000 AS BIGINT) AS v FROM si),
+        $rounds,
+        u9 AS (SELECT m.i, CAST(SUM(m.s * v.v) AS BIGINT) AS u
+               FROM m JOIN v8 v ON v.i = m.j GROUP BY 1),
+        ray AS (SELECT CAST(SUM(v8.v * u9.u) AS BIGINT) AS num,
+                       (SELECT CAST(SUM(v * v) AS BIGINT) FROM v8) AS den
+                FROM v8 JOIN u9 ON u9.i = v8.i),
+        tr AS (SELECT CAST(SUM(s) AS BIGINT) AS trace FROM m WHERE i = j),
+        lam AS (SELECT num // den AS l FROM ray)
+        SELECT v8.i, v8.v AS component, lam.l AS lambda_scaled,
+               tr.trace AS trace_scaled,
+               lam.l * 1000000 // tr.trace AS evr_ppm
+        FROM v8 CROSS JOIN lam CROSS JOIN tr ORDER BY v8.i"""
+  }
 
   /** DuckDB replay of the q120 farthest-point traversal: one (center,
     * min-dist-update) CTE pair per pick, mirroring the incremental
