@@ -1356,6 +1356,89 @@ object Events {
                r.slope_ppm AS theil_sen_ppm
         FROM r JOIN nh USING (event_type)
         WHERE r.rk = (r.m + 1) // 2
-        ORDER BY r.event_type"""))
+        ORDER BY r.event_type""")),
+
+    // ---- q261: CUSUM change-point detection ----
+    // Level-shift monitoring on the per-type daily count series (the
+    // Page '54 statistic a pipeline watches for ingest regressions and
+    // distribution drift). The recursion S_t = max(0, S_{t−1} + y_t)
+    // has an EXACT window form — S_t = P_t − min(0, min_{j≤t} P_j)
+    // with P the prefix sum — so no recursive CTE and no driver loop:
+    // two per-series window passes (prefix sum, running extremum),
+    // which is the 100 TB plan (windows partition by series; nothing
+    // crosses series). Deviations are exactly integer by scaling:
+    // y_t = x_t·n_days − total (deviation from the mean, ×n_days).
+    // Both directions reported (down-CUSUM is the same identity on
+    // −y: S'_t = max(0,max P) − P_t), argmax day tie-breaks earliest,
+    // and up_rel_ppm normalizes the peak by total·n_days for a
+    // scale-free comparison across types.
+    "q261_cusum_changepoint" -> QueryDef(
+      build = (spark, dir) => {
+        val daily = Tables.events(spark, dir)
+          .groupBy(col("event_type"),
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+              .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.groupBy(col("event_type"))
+          .agg(sum(col("x")).as("total"), count(lit(1)).as("n_days"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = daily.join(broadcast(tot), Seq("event_type"))
+          .withColumn("y", col("x") * col("n_days") - col("total"))
+          .withColumn("p", sum(col("y")).over(w))
+          .withColumn("s_up",
+            col("p") - least(lit(0L), min(col("p")).over(w)))
+          .withColumn("s_dn",
+            greatest(lit(0L), max(col("p")).over(w)) - col("p"))
+        val ru = row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("s_up").desc, col("day")))
+        val rd = row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("s_dn").desc, col("day")))
+        scored.withColumn("ru", ru).withColumn("rd", rd)
+          .groupBy(col("event_type"))
+          .agg(max(col("n_days")).as("n_days"),
+            max(col("total")).as("total"),
+            max(col("s_up")).as("up_stat"),
+            max(when(col("ru") === 1, col("day"))).as("up_day"),
+            max(col("s_dn")).as("dn_stat"),
+            max(when(col("rd") === 1, col("day"))).as("dn_day"))
+          .withColumn("up_rel_ppm",
+            expr("up_stat * 1000000 div (total * n_days)"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH daily AS (SELECT event_type,
+                              strftime(date_trunc('day', ts), '%Y-%m-%d')
+                                AS day,
+                              CAST(COUNT(*) AS BIGINT) AS x
+                       FROM events GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS total,
+                       CAST(COUNT(*) AS BIGINT) AS n_days
+                FROM daily GROUP BY 1),
+        sc AS (SELECT d.event_type, d.day,
+                      d.x * t.n_days - t.total AS y, t.total, t.n_days
+               FROM daily d JOIN tot t USING (event_type)),
+        pf AS (SELECT *, SUM(y) OVER w AS p FROM sc
+               WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)),
+        st AS (SELECT *,
+                      p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER w) AS s_up,
+                      GREATEST(CAST(0 AS BIGINT), MAX(p) OVER w) - p AS s_dn
+               FROM pf WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)),
+        rk AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY s_up DESC, day) AS ru,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY s_dn DESC, day) AS rd
+               FROM st)
+        SELECT event_type, MAX(n_days) AS n_days, MAX(total) AS total,
+               CAST(MAX(s_up) AS BIGINT) AS up_stat,
+               MAX(CASE WHEN ru = 1 THEN day END) AS up_day,
+               CAST(MAX(s_dn) AS BIGINT) AS dn_stat,
+               MAX(CASE WHEN rd = 1 THEN day END) AS dn_day,
+               CAST(MAX(s_up) AS BIGINT) * 1000000
+                 // (MAX(total) * MAX(n_days)) AS up_rel_ppm
+        FROM rk GROUP BY event_type ORDER BY event_type"""))
   )
 }
