@@ -626,6 +626,102 @@ object Training {
               GROUP BY bg.doc_id)
         SELECT doc_id, n_bigrams,
                ROUND(sum_nll / n_bigrams, 6) AS mean_nll
-        FROM s ORDER BY mean_nll DESC, doc_id ASC LIMIT 20"""))
+        FROM s ORDER BY mean_nll DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- q262: skip-gram pairs with frequency subsampling ----
+    // The word2vec data-prep operator (Mikolov et al. '13): frequent
+    // tokens are dropped with keep-probability p(w) = √(t/f) + t/f
+    // (t = 10⁻³, f = corpus frequency fraction), sequences COMPACT
+    // around the removals (windows widen over dropped tokens — the
+    // published behavior), and (center, context) pairs are emitted for
+    // |offset| ≤ 2 over the compacted sequence. The coin is an
+    // md5-derived 48-bit uniform per occurrence — partition- and
+    // engine-independent; p(w) itself uses IEEE sqrt/div, which both
+    // engines round identically (the same determinism class as the
+    // cosine kernels). Top-50 pair census + corpus keep-rate.
+    //
+    // 100 TB posture: frequency table and total are vocab-sized
+    // (broadcast); the keep decision is map-side; the one token-scale
+    // shuffle is the doc re-group to compacted sequences (any
+    // order-sensitive token op pays exactly this); pair generation is
+    // in-row (flatten/transform), then a pair-keyed partial/final agg
+    // and a TakeOrdered top-50.
+    "q262_skipgram_subsample" -> QueryDef(
+      build = (spark, dir) => {
+        val tk = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            posexplode(split(trim(col("text")), " ")).as(Seq("pos", "w")))
+        val fr = tk.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        val tt = fr.agg(sum(col("cnt")).as("t"))
+        val kept = tk.join(broadcast(fr), Seq("w")).crossJoin(broadcast(tt))
+          .withColumn("u",
+            conv(substring(md5(concat_ws(":", col("doc_id"), col("pos"),
+              col("w"))), 1, 12), 16, 10).cast("long").cast("double") /
+              lit(281474976710656.0))
+          .withColumn("frac", col("cnt").cast("double") / col("t").cast("double"))
+          .withColumn("p", sqrt(lit(0.001) / col("frac")) +
+            lit(0.001) / col("frac"))
+          .filter(col("u") < col("p"))
+          .select(col("doc_id"), col("pos"), col("w"))
+        val seqs = kept.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("w"))))
+            .as("sw"))
+          .select(expr("transform(sw, s -> s.w)").as("ws"))
+        val pairs = seqs.select(explode(expr(
+          "flatten(transform(sequence(0, size(ws) - 1), i -> " +
+            "transform(filter(array(i - 2, i - 1, i + 1, i + 2), " +
+            "j -> j >= 0 AND j < size(ws)), " +
+            "j -> struct(ws[i] AS center, ws[j] AS context))))"))
+          .as("pr"))
+          .select(col("pr.center").as("center"), col("pr.context").as("context"))
+        val st = tk.agg(count(lit(1)).as("total_tokens"))
+          .crossJoin(kept.agg(count(lit(1)).as("kept_tokens")))
+        pairs.groupBy(col("center"), col("context"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("center"), col("context"))
+          .limit(50)
+          .crossJoin(broadcast(st))
+          .withColumn("kept_ppm",
+            expr("kept_tokens * 1000000 div total_tokens"))
+          .orderBy(col("n_pairs").desc, col("center"), col("context"))
+      },
+      oracle = Some("""
+        WITH tk AS (SELECT doc_id, t.i - 1 AS pos, t.w
+                    FROM (SELECT doc_id, string_split(trim(text), ' ') AS ts
+                          FROM documents),
+                    LATERAL (SELECT unnest(ts) AS w,
+                                    generate_subscripts(ts, 1) AS i) t),
+        fr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+        tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM fr),
+        kept AS (SELECT tk.doc_id, tk.pos, tk.w
+                 FROM tk JOIN fr USING (w) CROSS JOIN tt
+                 WHERE CAST(('0x' || substr(md5(CAST(tk.doc_id AS VARCHAR)
+                         || ':' || CAST(tk.pos AS VARCHAR) || ':' || tk.w),
+                         1, 12))::BIGINT AS DOUBLE) / 281474976710656.0
+                       < sqrt(0.001 / (CAST(fr.cnt AS DOUBLE)
+                           / CAST(tt.t AS DOUBLE)))
+                         + 0.001 / (CAST(fr.cnt AS DOUBLE)
+                           / CAST(tt.t AS DOUBLE))),
+        sq AS (SELECT doc_id, list(w ORDER BY pos) AS ws
+               FROM kept GROUP BY 1),
+        pr AS (SELECT ws[CAST(i AS INT)] AS center,
+                      ws[CAST(j AS INT)] AS context
+               FROM sq,
+                    LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) a,
+                    LATERAL (SELECT unnest([i - 2, i - 1, i + 1, i + 2])
+                             AS j) b
+               WHERE j >= 1 AND j <= len(ws)),
+        pc AS (SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM pr GROUP BY 1, 2),
+        top AS (SELECT * FROM pc
+                ORDER BY n_pairs DESC, center, context LIMIT 50),
+        st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tk)
+                        AS total_tokens,
+                      (SELECT CAST(COUNT(*) AS BIGINT) FROM kept)
+                        AS kept_tokens)
+        SELECT center, context, n_pairs, total_tokens, kept_tokens,
+               kept_tokens * 1000000 // total_tokens AS kept_ppm
+        FROM top CROSS JOIN st
+        ORDER BY n_pairs DESC, center, context"""))
   )
 }
