@@ -83,4 +83,52 @@ class PlanGuardSpec2 extends SparkSpec {
       "replicate sums re-scan the raw corpus instead of the counted table")
     assert(p.contains("partial_sum"), "replicate agg not split partial/final")
   }
+
+  test("q257: decile table is a checkpointed bounded RDD; probe pass prunes to one column") {
+    // the TakeOrdered sketch + GlobalRank exact side run eagerly behind
+    // the localCheckpoint — the returned plan must show only the cut
+    // (9-row ExistingRDD) and the single-column rank-certificate probe
+    val p = plan("q257_quantile_sketch_audit")
+    assert(p.contains("Scan ExistingRDD"),
+      "decile table lost its checkpoint cut — population lineage re-runs")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      "rank-certificate probe scan not pruned to the price column")
+    assert(!p.contains("CartesianProduct"),
+      "quantile audit planned a shuffled cross product")
+  }
+
+  test("q258: bloom probe joins are keyed/broadcast — never all-pairs") {
+    val p = plan("q258_bloom_fpr_certificate")
+    assert(!p.contains("CartesianProduct"),
+      "bloom FPR audit planned a shuffled cross product")
+    assert(p.contains("BroadcastHashJoin") || p.contains("hashpartitioning(pos"),
+      "probe-vs-bitset membership not a keyed/broadcast join")
+  }
+
+  test("q260: the returned PCA report is model-sized (driver matvec by design)") {
+    val p = plan("q260_power_iteration_pca")
+    // corpus work (outer-product explode + partial agg) runs during
+    // build; the d-row report itself must be a local table, proving no
+    // population-scale lineage hangs off the output
+    assert(p.contains("LocalTableScan"),
+      "PCA report not a bounded local table — population lineage leaked into the result")
+  }
+
+  test("q261: CUSUM windows partition by series — nothing crosses event types") {
+    val p = plan("q261_cusum_changepoint")
+    assert(p.contains("hashpartitioning(event_type"),
+      "per-series windows not hash-partitioned by event_type")
+    assert(!p.contains("CartesianProduct"),
+      "CUSUM planned a cross product")
+  }
+
+  test("q262: skip-gram census is broadcast-freq + keyed pair agg + TakeOrdered top-50") {
+    val p = plan("q262_skipgram_subsample")
+    assert(p.contains("BroadcastHashJoin"),
+      "frequency table not broadcast to the keep decision")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 pair census planned a global sort instead of TakeOrdered")
+    assert(!p.contains("CartesianProduct"),
+      "pair census planned a shuffled cross product")
+  }
 }
