@@ -1807,7 +1807,176 @@ object CorpusStats {
                n_members, m, n_bits_set,
                n_bits_set * n_bits_set * n_bits_set * 1000000
                  // (m * m * m) AS theo_fpr_ppm
-        FROM ps CROSS JOIN na CROSS JOIN ns ORDER BY seg"""))
+        FROM ps CROSS JOIN na CROSS JOIN ns ORDER BY seg""")),
+
+    // ---- q263: sketch-based source-overlap estimation ----
+    // The q221 HLL put to its REAL distributed use: register-max MERGE.
+    // Cross-source content overlap (the contamination / mixture-design
+    // statistic) estimated WITHOUT any pairwise content join:
+    // |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where est(A ∪ B) comes
+    // from merging the two sources' 256-register sketches (register-
+    // wise max — the associative merge that makes the sketch work
+    // under any partitioning). The estimator is q221's verbatim
+    // corrected HLL (same alpha·m² literal, same linear-counting
+    // branch). The exact trigram intersection (a token-keyed equijoin)
+    // sits beside every pair as ground truth; err is signed ppm OF THE
+    // EXACT UNION — the honest scale, since inclusion–exclusion error
+    // is O(union/√m) and small overlaps drown in it (the q252 move:
+    // the certificate SHOWS the error structure rather than hiding it).
+    //
+    // 100 TB posture: sketches are |sources|·256 rows no matter the
+    // corpus size; pair unions are pair·256; the only corpus-scale
+    // work is the one keyed shingle pass both q221 and the exact-truth
+    // audit already pay. At production scale you keep the sketch path
+    // and DROP the exact side — that is the point of the certificate.
+    "q263_hll_overlap_estimate" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.shingles
+        val tok = Tables.spread(Tables.documents(spark, dir))
+          .select(col("source"),
+            explode(shingles(toks(col("text")), 3)).as("t"))
+          .distinct()
+        val regs = tok
+          .select(col("source"),
+            conv(substring(md5(col("t")), 1, 10), 16, 10).cast("long")
+              .as("h"))
+          .select(col("source"), expr("h div 4294967296").as("reg"),
+            expr("h % 4294967296").as("rest"))
+          .withColumn("rho", when(col("rest") === 0, lit(33))
+            .otherwise(lit(33) - length(bin(col("rest")))))
+          .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("m"))
+          .localCheckpoint(false)
+        // q221's corrected estimator over any register grouping
+        def est(df: DataFrame, keys: Seq[String], out: String): DataFrame =
+          df.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("present"),
+              sum(pow(lit(2.0), -col("m"))).as("s_present"))
+            .withColumn("s",
+              col("s_present") + (lit(256L) - col("present")).cast("double"))
+            .withColumn("v", lit(256L) - col("present"))
+            .withColumn("e_raw", lit(47072.71267120224) / col("s"))
+            .withColumn(out,
+              when(col("e_raw") <= 640.0 && col("v") > 0,
+                round(lit(256.0) * log(lit(256.0) / col("v").cast("double"))))
+              .otherwise(round(col("e_raw"))).cast("long"))
+            .select((keys.map(col) :+ col(out)): _*)
+        val srcs = regs.select(col("source")).distinct()
+        val pairs = srcs.as("x").join(srcs.as("y"),
+            col("x.source") < col("y.source"))
+          .select(col("x.source").as("sa"), col("y.source").as("sb"))
+        val union = regs.join(broadcast(pairs),
+            col("source") === col("sa") || col("source") === col("sb"))
+          .groupBy(col("sa"), col("sb"), col("reg"))
+          .agg(max(col("m")).as("m"))
+        val estS = est(regs, Seq("source"), "n_hll")
+        val estU = est(union, Seq("sa", "sb"), "est_union")
+        val exN = tok.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+        val exI = tok.as("p").join(tok.as("q"),
+            col("p.t") === col("q.t") && col("p.source") < col("q.source"))
+          .groupBy(col("p.source").as("sa"), col("q.source").as("sb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        pairs
+          .join(broadcast(estS.select(col("source").as("sa"),
+            col("n_hll").as("est_a"))), Seq("sa"))
+          .join(broadcast(estS.select(col("source").as("sb"),
+            col("n_hll").as("est_b"))), Seq("sb"))
+          .join(estU, Seq("sa", "sb"))
+          .join(broadcast(exN.select(col("source").as("sa"),
+            col("n_exact").as("ex_a"))), Seq("sa"))
+          .join(broadcast(exN.select(col("source").as("sb"),
+            col("n_exact").as("ex_b"))), Seq("sb"))
+          .join(exI, Seq("sa", "sb"), "left")
+          .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+          .withColumn("est_inter",
+            col("est_a") + col("est_b") - col("est_union"))
+          .withColumn("exact_union",
+            col("ex_a") + col("ex_b") - col("exact_inter"))
+          .withColumn("d", col("est_inter") - col("exact_inter"))
+          .select(col("sa").as("source_a"), col("sb").as("source_b"),
+            col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+            col("exact_inter"), col("exact_union"),
+            expr("CASE WHEN d >= 0 THEN d * 1000000 div exact_union" +
+              " ELSE -((-d) * 1000000 div exact_union) END").as("err_ppm"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      oracle = Some("""
+        WITH sh0 AS (
+          SELECT source,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split(trim(text), ' ')) - 1, 1)),
+                   i -> string_split(trim(text), ' ')[i] || ' ' ||
+                        string_split(trim(text), ' ')[i+1] || ' ' ||
+                        string_split(trim(text), ' ')[i+2])) AS gs
+          FROM documents),
+        tok AS (SELECT DISTINCT source, UNNEST(gs) AS t
+                FROM sh0 WHERE len(gs) > 0),
+        h AS (SELECT source, ('0x' || substr(md5(t), 1, 10))::BIGINT AS h
+              FROM tok),
+        r2 AS (SELECT source, h // 4294967296 AS reg,
+                      CASE WHEN h % 4294967296 = 0 THEN 33
+                           ELSE 33 - length(bin(h % 4294967296)) END AS rho
+               FROM h),
+        m AS MATERIALIZED (
+          SELECT source, reg, MAX(rho) AS mx FROM r2 GROUP BY 1, 2),
+        ga AS (SELECT source,
+                      CASE WHEN 47072.71267120224 /
+                             (SUM(power(2.0, -mx))
+                               + CAST(256 - COUNT(*) AS DOUBLE)) <= 640.0
+                             AND 256 - COUNT(*) > 0
+                           THEN CAST(ROUND(256.0 * ln(256.0 /
+                             CAST(256 - COUNT(*) AS DOUBLE))) AS BIGINT)
+                           ELSE CAST(ROUND(47072.71267120224 /
+                             (SUM(power(2.0, -mx))
+                               + CAST(256 - COUNT(*) AS DOUBLE))) AS BIGINT)
+                      END AS n_hll
+               FROM m GROUP BY source),
+        pairs AS (SELECT x.source AS sa, y.source AS sb
+                  FROM (SELECT DISTINCT source FROM m) x
+                  JOIN (SELECT DISTINCT source FROM m) y
+                    ON x.source < y.source),
+        um AS (SELECT p.sa, p.sb, m.reg, MAX(m.mx) AS mx
+               FROM m JOIN pairs p
+                 ON m.source = p.sa OR m.source = p.sb
+               GROUP BY 1, 2, 3),
+        ug AS (SELECT sa, sb,
+                      CASE WHEN 47072.71267120224 /
+                             (SUM(power(2.0, -mx))
+                               + CAST(256 - COUNT(*) AS DOUBLE)) <= 640.0
+                             AND 256 - COUNT(*) > 0
+                           THEN CAST(ROUND(256.0 * ln(256.0 /
+                             CAST(256 - COUNT(*) AS DOUBLE))) AS BIGINT)
+                           ELSE CAST(ROUND(47072.71267120224 /
+                             (SUM(power(2.0, -mx))
+                               + CAST(256 - COUNT(*) AS DOUBLE))) AS BIGINT)
+                      END AS est_union
+               FROM um GROUP BY 1, 2),
+        exn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM tok GROUP BY 1),
+        exi AS (SELECT a.source AS sa, b.source AS sb,
+                       CAST(COUNT(*) AS BIGINT) AS exact_inter
+                FROM tok a JOIN tok b
+                  ON b.t = a.t AND a.source < b.source
+                GROUP BY 1, 2),
+        fin AS (SELECT p.sa, p.sb, a.n_hll AS est_a, b.n_hll AS est_b,
+                       ug.est_union,
+                       a.n_hll + b.n_hll - ug.est_union AS est_inter,
+                       COALESCE(exi.exact_inter, 0) AS exact_inter,
+                       ea.n_exact + eb.n_exact
+                         - COALESCE(exi.exact_inter, 0) AS exact_union
+                FROM pairs p
+                JOIN ga a ON a.source = p.sa
+                JOIN ga b ON b.source = p.sb
+                JOIN ug ON ug.sa = p.sa AND ug.sb = p.sb
+                JOIN exn ea ON ea.source = p.sa
+                JOIN exn eb ON eb.source = p.sb
+                LEFT JOIN exi ON exi.sa = p.sa AND exi.sb = p.sb)
+        SELECT sa AS source_a, sb AS source_b, est_a, est_b, est_union,
+               est_inter, exact_inter, exact_union,
+               CASE WHEN est_inter - exact_inter >= 0
+                    THEN (est_inter - exact_inter) * 1000000 // exact_union
+                    ELSE -((exact_inter - est_inter) * 1000000
+                      // exact_union) END AS err_ppm
+        FROM fin ORDER BY source_a, source_b"""))
   )
 
   /** q255's oracle: exact bigram F2 plus the 16 unrolled AMS replicates
