@@ -657,6 +657,73 @@ object Mixing {
                  // ((nn * 1000000) // ss) AS src_dev_ppm
         FROM w4 JOIN dl ON dl.lang = w4.lang
                 JOIN ds ON ds.source = w4.source
-        ORDER BY w4.lang, w4.source"""))
+        ORDER BY w4.lang, w4.source""")),
+
+    // ---- q264: weighted sampling WITHOUT replacement (E–S keys) ----
+    // Efraimidis–Spirakis '06 — the one-pass distributed answer to
+    // "sample k items with probability proportional to weight, no
+    // replacement": each item draws key u^(1/w) (equivalently
+    // ln(u)/w, taken LARGEST-k), and the top-k by key IS the target
+    // sample — order-independent, mergeable, physically Spark's
+    // TakeOrderedAndProject (per-partition partial top-k, no corpus
+    // shuffle; q57's hash-membership sampler can't do weights, q155's
+    // systematic resampler needs a prefix-sum pass — this is the
+    // one-pass weighted form). The coin is the md5 48-bit uniform
+    // (+1 to dodge ln(0)); ln is rounded to 9 dp BEFORE the division
+    // (the q144/q207 portability move), everything after is exact
+    // IEEE. Evidence: per weight-decile population share vs sample
+    // share — inclusion tracks weight mass, measured not asserted.
+    "q264_weighted_sample_noreplace" -> QueryDef(
+      build = (spark, dir) => {
+        val k = 200
+        val o = Tables.orders(spark, dir).select(
+          col("o_orderkey").cast("long").as("id"),
+          round(col("o_totalprice") * 100).cast("long").as("w"))
+        val mx = o.agg(max(col("w")).as("mw"), sum(col("w")).as("tw"),
+          count(lit(1)).as("n_pop_total"))
+        val keyed = o.crossJoin(broadcast(mx))
+          .withColumn("u",
+            (conv(substring(md5(concat(lit("q264#"),
+              col("id").cast("string"))), 1, 12), 16, 10).cast("long") + 1)
+              .cast("double") / lit(281474976710656.0))
+          .withColumn("e", round(log(col("u")), 9) / col("w").cast("double"))
+          .withColumn("bucket", least(lit(9L),
+            expr("w * 10 div (mw + 1)")))
+        val samp = keyed.orderBy(col("e").desc, col("id")).limit(k)
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_sampled"))
+        keyed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_pop"), sum(col("w")).as("bw"),
+            max(col("tw")).as("tw"))
+          .join(samp, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_pop"),
+            expr("bw * 1000000 div tw").as("weight_share_ppm"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            expr(s"coalesce(n_sampled, 0L) * 1000000 div ${k}L")
+              .as("sample_share_ppm"))
+          .orderBy(col("bucket"))
+      },
+      oracle = Some("""
+        WITH o AS (SELECT o_orderkey AS id,
+                          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w
+                   FROM orders),
+        mx AS (SELECT MAX(w) AS mw, CAST(SUM(w) AS BIGINT) AS tw FROM o),
+        keyed AS (SELECT id, w,
+                         round(ln((('0x' || substr(md5('q264#' ||
+                           CAST(id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                           / 281474976710656.0), 9) / CAST(w AS DOUBLE) AS e,
+                         LEAST(9, w * 10 // (mw + 1)) AS bucket
+                  FROM o CROSS JOIN mx),
+        samp AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_sampled
+                 FROM (SELECT * FROM keyed ORDER BY e DESC, id LIMIT 200)
+                 GROUP BY 1),
+        pop AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pop,
+                       CAST(SUM(w) AS BIGINT) AS bw
+                FROM keyed GROUP BY 1)
+        SELECT p.bucket, p.n_pop,
+               p.bw * 1000000 // mx.tw AS weight_share_ppm,
+               COALESCE(s.n_sampled, 0) AS n_sampled,
+               COALESCE(s.n_sampled, 0) * 1000000 // 200 AS sample_share_ppm
+        FROM pop p CROSS JOIN mx LEFT JOIN samp s ON s.bucket = p.bucket
+        ORDER BY p.bucket"""))
   )
 }
