@@ -1033,8 +1033,126 @@ object Dedup {
                CAST(SUM(est_ppm) AS BIGINT) // COUNT(*) AS mean_est_ppm,
                CAST(SUM(ABS(est_ppm - jac_ppm)) AS BIGINT) // COUNT(*)
                  AS mean_abs_err_ppm
-        FROM m GROUP BY 1 ORDER BY bin"""))
+        FROM m GROUP BY 1 ORDER BY bin""")),
+
+    // ---- q265: near-dup CLUSTER formation (connected components) ----
+    // Pairs are not the end of dedup — production keeps ONE doc per
+    // duplicate GROUP, and groups are the connected components of the
+    // near-dup graph (a later copy may share nothing with the earliest
+    // original except through an intermediate). Edges: docs sharing a
+    // full 10-token chunk (q89's chunk kernel), with a df ≤ 20
+    // stop-chunk cap so boilerplate hubs never explode the pairing
+    // (the q202 stop-fingerprint move). Components by iterated
+    // min-label propagation — 6 unrolled rounds, each ONE keyed
+    // join + min-agg (the Suri–Vassilvitskii-style relational form;
+    // rounds needed = graph diameter, small for dup clusters by
+    // construction). The CONVERGENCE CERTIFICATE is in the data:
+    // n_changed_last_round compares rounds 5→6 and must read 0 — a
+    // fixed iteration count without that column would be a silent cap.
+    // Report: top-30 cluster census (representative = min doc_id) +
+    // corpus totals.
+    //
+    // 100 TB posture: chunk signatures and the df cap are one keyed
+    // agg; every propagation round is a doc-keyed equijoin +
+    // partial/final min — no global structure ever sits on one node
+    // (contrast union-find, which is inherently sequential).
+    "q265_dedup_components" -> QueryDef(
+      build = (spark, dir) => {
+        val t = Tables.documents(spark, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+        val ch = t.filter(size(col("toks")) >= 10)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) div 10 - 1), " +
+              "i -> md5(array_join(slice(toks, i * 10 + 1, 10), ' ')))"))
+            .as("c"))
+          .distinct()
+        val fr = ch.groupBy(col("c")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20).select(col("c"))
+        val cd = ch.join(fr, Seq("c"))
+        val e = cd.as("x").join(cd.as("y"),
+            col("x.c") === col("y.c") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct().localCheckpoint(false)
+        val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        var lbl = t.select(col("doc_id"), col("doc_id").as("lbl"))
+          .localCheckpoint(false)
+        var prev = lbl
+        for (_ <- 1 to 6) {
+          prev = lbl
+          val nbr = sym
+            .join(lbl.withColumnRenamed("doc_id", "a")
+              .withColumnRenamed("lbl", "albl"), Seq("a"))
+            .groupBy(col("b")).agg(min(col("albl")).as("nlbl"))
+            .withColumnRenamed("b", "doc_id")
+          lbl = lbl.join(nbr, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+            .localCheckpoint(false)
+        }
+        val cl = lbl.groupBy(col("lbl").as("cluster_rep"))
+          .agg(count(lit(1)).as("cluster_size"))
+        val su = cl.agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("cluster_size") > 1, 1L).otherwise(0L))
+            .as("n_multi_clusters"))
+        val ne = e.agg(count(lit(1)).as("n_edges"))
+        val chg = lbl.withColumnRenamed("lbl", "l6")
+          .join(prev.withColumnRenamed("lbl", "l5"), Seq("doc_id"))
+          .agg(sum(when(col("l6") =!= col("l5"), 1L).otherwise(0L))
+            .as("n_changed_last_round"))
+        cl.orderBy(col("cluster_size").desc, col("cluster_rep")).limit(30)
+          .crossJoin(broadcast(su)).crossJoin(broadcast(ne))
+          .crossJoin(broadcast(chg))
+          .orderBy(col("cluster_size").desc, col("cluster_rep"))
+      },
+      oracle = Some(componentsOracle))
   )
+
+  /** DuckDB replay of q265: the same 6 unrolled min-label-propagation
+    * rounds (LEFT JOIN + MIN per round) over the chunk-sharing edges. */
+  private def componentsOracle: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""l$k AS (SELECT l.doc_id, LEAST(l.lbl, COALESCE(m.mn, l.lbl)) AS lbl
+             FROM l${k - 1} l LEFT JOIN (
+               SELECT s.b AS doc_id, MIN(l2.lbl) AS mn
+               FROM sym s JOIN l${k - 1} l2 ON l2.doc_id = s.a
+               GROUP BY 1) m ON m.doc_id = l.doc_id)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                   FROM documents),
+        ch AS (SELECT DISTINCT doc_id,
+                      md5(array_to_string(toks[(i*10+1):(i*10+10)], ' '))
+                        AS c
+               FROM (SELECT doc_id, toks,
+                            unnest(range(0, len(toks) // 10)) AS i
+                     FROM t WHERE len(toks) >= 10)),
+        fr AS (SELECT c FROM ch GROUP BY c HAVING COUNT(*) <= 20),
+        cd AS (SELECT ch.doc_id, ch.c FROM ch JOIN fr USING (c)),
+        e AS MATERIALIZED (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM cd x JOIN cd y ON y.c = x.c AND x.doc_id < y.doc_id),
+        sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM t),
+        $rounds,
+        cl AS (SELECT lbl AS cluster_rep,
+                      CAST(COUNT(*) AS BIGINT) AS cluster_size
+               FROM l6 GROUP BY 1),
+        su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                      CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_multi_clusters
+               FROM cl),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+        chg AS (SELECT CAST(SUM(CASE WHEN a6.lbl <> a5.lbl
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_changed_last_round
+                FROM l6 a6 JOIN l5 a5 USING (doc_id))
+        SELECT top.cluster_rep, top.cluster_size, su.n_clusters,
+               su.n_multi_clusters, ne.n_edges, chg.n_changed_last_round
+        FROM (SELECT * FROM cl
+              ORDER BY cluster_size DESC, cluster_rep LIMIT 30) top
+        CROSS JOIN su CROSS JOIN ne CROSS JOIN chg
+        ORDER BY top.cluster_size DESC, top.cluster_rep"""
+  }
 
   /** q252's audit corpus: the doc_id % 17 = 0 sample plus token-prefix
     * variants (3/4, 1/2, 1/4 of the tokens; id = doc_id·4 + v). Prefix
