@@ -677,6 +677,130 @@ object Vectors {
                       WHERE t2.ia = t1.ib AND t2.ib = t1.ia)
         ORDER BY id_a, id_b""")),
 
+    // ---- q266: Local Outlier Factor over LSH-candidate kNN ----
+    // Density-RELATIVE outlier scoring (Breunig et al. '00) — the
+    // embedding-space audit q133's median/MAD (value-space) cannot do:
+    // a point is anomalous iff its local density is low COMPARED TO its
+    // neighbors', so clusters of different densities don't fool it.
+    // kNN (k=5) comes from the q55/q239 LSH candidate sets (the only
+    // neighbor lists that exist at scale); distances are the exact
+    // integer quantized L2² (the q247 kernel), and LOF itself is made
+    // integer-exact through the identity LOF(a) = (1/k)·Σ_b
+    // sumreach(a)/sumreach(b): each ratio is one portable integer
+    // division ·10⁶, so no lrd float is ever materialized. Vectors
+    // whose candidate set is short of k, whose neighbors lack a full
+    // kNN, or that sit in an exact-duplicate clique (sum reach = 0 —
+    // dedup's job, not LOF's) are excluded; n_scored reports the
+    // surviving population next to the top-20 outliers.
+    //
+    // 100 TB posture: bucket equijoin (never all-pairs), one vec-keyed
+    // rank window over candidate rows, then three keyed joins over
+    // ≤ k-row-per-vector tables — the 2-hop neighborhood LOF needs,
+    // each hop a keyed equijoin.
+    "q266_lof_outliers" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 5
+        val bits = graft.functions.VectorKernels.autoLshBits(
+          Tables.embeddings(spark, dir).count())
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), expr("transform(embedding, x -> " +
+            "cast(floor(cast(x as double) * 10000) as long))").as("q"),
+            vec64(col("embedding")).as("e"))
+          .withColumn("buckets", lshBuckets(col("e"), 16, bits))
+        val cand = emb.select(col("vec_id"), col("q"),
+          explode(col("buckets")).as("bucket"))
+        val a = cand.select(col("bucket"), col("vec_id").as("ia"),
+          col("q").as("qa"))
+        val b = cand.select(col("bucket"), col("vec_id").as("ib"),
+          col("q").as("qb"))
+        val scored = a.join(b, Seq("bucket"))
+          .filter(col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y))," +
+              " 0L, (acc, v) -> acc + v)").as("d2"))
+          .dropDuplicates("ia", "ib")
+        val w = Window.partitionBy(col("ia")).orderBy(col("d2"), col("ib"))
+        val knn = scored.withColumn("r", row_number().over(w))
+          .filter(col("r") <= k)
+        val full = knn.groupBy(col("ia"))
+          .agg(count(lit(1)).as("cnt"),
+            max(when(col("r") === k, col("d2"))).as("kdist"))
+          .filter(col("cnt") === k).select(col("ia"), col("kdist"))
+        val reach = knn.join(full.select(col("ia")), Seq("ia"))
+          .join(full.select(col("ia").as("ib"),
+            col("kdist").as("kdist_b")), Seq("ib"))
+          .select(col("ia"), col("ib"),
+            greatest(col("d2"), col("kdist_b")).as("rd"))
+        val sums = reach.groupBy(col("ia"))
+          .agg(count(lit(1)).as("m"), sum(col("rd")).as("sumrd"))
+          .filter(col("m") === k && col("sumrd") > 0)
+          .select(col("ia"), col("sumrd"))
+        val terms = reach
+          .join(sums, Seq("ia"))
+          .join(sums.select(col("ia").as("ib"),
+            col("sumrd").as("sumrd_b")), Seq("ib"))
+          .select(col("ia"), col("sumrd"),
+            expr("sumrd * 1000000 div sumrd_b").as("term"))
+        val lof = terms.groupBy(col("ia"), col("sumrd"))
+          .agg(count(lit(1)).as("mm"), sum(col("term")).as("sterm"))
+          .filter(col("mm") === k)
+          .join(full, Seq("ia"))
+          .select(col("ia").as("vec_id"), col("kdist"),
+            col("sumrd").as("sum_reach"),
+            expr(s"sterm div ${k}L").as("lof_ppm"))
+        val su = lof.agg(count(lit(1)).as("n_scored"),
+          sum(when(col("lof_ppm") > 1300000L, 1L).otherwise(0L))
+            .as("n_above_1_3"))
+        lof.orderBy(col("lof_ppm").desc, col("vec_id")).limit(20)
+          .crossJoin(broadcast(su))
+          .orderBy(col("lof_ppm").desc, col("vec_id"))
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT bucket, vec_id
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q55_input/*.parquet')),
+        e AS (SELECT vec_id, list_transform(embedding, x ->
+                CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+              FROM embeddings),
+        cand AS (SELECT DISTINCT a.vec_id AS ia, bb.vec_id AS ib
+                 FROM b a JOIN b bb ON a.bucket = bb.bucket
+                                   AND a.vec_id <> bb.vec_id),
+        sc AS (SELECT c.ia, c.ib,
+                      CAST(list_sum(list_transform(list_zip(ea.q, eb.q),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+               FROM cand c JOIN e ea ON ea.vec_id = c.ia
+                           JOIN e eb ON eb.vec_id = c.ib),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+                 ORDER BY d2, ib) AS r FROM sc),
+        knn AS (SELECT ia, ib, d2, r FROM rk WHERE r <= 5),
+        fl AS (SELECT ia, CAST(MAX(CASE WHEN r = 5 THEN d2 END) AS BIGINT)
+                       AS kdist
+               FROM knn GROUP BY ia HAVING COUNT(*) = 5),
+        reach AS (SELECT k.ia, k.ib, GREATEST(k.d2, fb.kdist) AS rd
+                  FROM knn k JOIN fl fa ON fa.ia = k.ia
+                             JOIN fl fb ON fb.ia = k.ib),
+        sums AS (SELECT ia, CAST(SUM(rd) AS BIGINT) AS sumrd
+                 FROM reach GROUP BY ia
+                 HAVING COUNT(*) = 5 AND SUM(rd) > 0),
+        terms AS (SELECT r.ia, sa.sumrd,
+                         sa.sumrd * 1000000 // sb.sumrd AS term
+                  FROM reach r JOIN sums sa ON sa.ia = r.ia
+                               JOIN sums sb ON sb.ia = r.ib),
+        lof AS (SELECT t.ia AS vec_id, f.kdist, t.sumrd AS sum_reach,
+                       CAST(SUM(t.term) AS BIGINT) // 5 AS lof_ppm
+                FROM terms t JOIN fl f ON f.ia = t.ia
+                GROUP BY t.ia, f.kdist, t.sumrd
+                HAVING COUNT(*) = 5),
+        su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+                      CAST(SUM(CASE WHEN lof_ppm > 1300000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_above_1_3
+               FROM lof)
+        SELECT t.vec_id, t.kdist, t.sum_reach, t.lof_ppm,
+               su.n_scored, su.n_above_1_3
+        FROM (SELECT * FROM lof
+              ORDER BY lof_ppm DESC, vec_id LIMIT 20) t CROSS JOIN su
+        ORDER BY t.lof_ppm DESC, t.vec_id""")),
+
     // ---- q241: Johnson–Lindenstrauss projection, distortion-audited ----
     // Random ±1 projection 64-d → 16-d — the dimensionality-reduction
     // step ANN/dedup pipelines run before bucketing when the embedding
