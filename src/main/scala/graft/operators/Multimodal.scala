@@ -304,6 +304,86 @@ object Multimodal {
         col("zc_ppm"), col("mean_energy"), col("peak_abs"))
       .orderBy(col("n_chunks"))
 
+  // ---- sample-rate conversion: 2:1 decimation ------------------------
+
+  /** 2:1 decimation kernel: adjacent sample pairs average via
+    * arithmetic shift ((s0+s1) >> 1 — floor, deterministic for
+    * negatives); an odd trailing sample drops. Returns little-endian
+    * 16-bit mono PCM at half the input's sample count. */
+  def resamplePcm2to1(d: AudioCodec.DecodedAudio): Array[Byte] = {
+    val nOut = d.nSamples / 2
+    val out = new Array[Byte](nOut * 2)
+    var i = 0
+    while (i < nOut) {
+      val v = (d.sample(2 * i) + d.sample(2 * i + 1)) >> 1
+      out(2 * i) = (v & 0xff).toByte
+      out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Per-asset 2:1 resample audit rows through a FULL codec round trip:
+    * decode → [[resamplePcm2to1]] → re-encode at half the rate through
+    * the real JDK writer → decode AGAIN and measure. Materialized by
+    * Verify as `_q267_input`. Physics check built in: keystream audio
+    * is white noise, pair averaging halves PER-SAMPLE energy
+    * (Var (X+Y)/2 = Var/2) AND the sample count halves, so the TOTAL
+    * energy ratio the profile reports must sit at ~250000 ppm. */
+  def resampleRows(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    syntheticAssets(spark, n)
+      .filter(_.meta.kind == "audio")
+      .mapPartitions(_.map { a =>
+        val d = AudioCodec.decode(a.payload)
+        val nsIn = d.nSamples
+        var sqIn = 0L
+        var i = 0
+        while (i < nsIn) {
+          val s = d.sample(i); sqIn += s.toLong * s.toLong; i += 1
+        }
+        val re = AudioCodec.decode(
+          AudioCodec.encodePcmWav(resamplePcm2to1(d), d.sampleRate / 2))
+        val nsOut = re.nSamples
+        var sqOut = 0L
+        var mx = 0L
+        i = 0
+        while (i < nsOut) {
+          val s = re.sample(i)
+          sqOut += s.toLong * s.toLong
+          if (math.abs(s.toLong) > mx) mx = math.abs(s.toLong)
+          i += 1
+        }
+        (a.asset_id, a.meta.nFrames.toLong, d.sampleRate.toLong,
+          re.sampleRate.toLong, nsIn.toLong, sqIn, nsOut.toLong, sqOut, mx)
+      })
+      .toDF("asset_id", "n_chunks", "rate_in", "rate_out", "ns_in",
+        "sum_sq_in", "ns_out", "sum_sq_out", "max_abs_out")
+  }
+
+  /** Grouped 2:1-resample profile with in-data certificates: every
+    * asset's round-tripped length must read exactly ns_in div 2 and its
+    * rate exactly halved — the mismatch counters must be 0. */
+  def resampleProfile(spark: SparkSession, n: Long): DataFrame =
+    resampleRows(spark, n)
+      .groupBy(col("n_chunks"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("ns_in")).as("in_samples"),
+        sum(col("ns_out")).as("out_samples"),
+        sum(col("sum_sq_in")).as("sq_in"),
+        sum(col("sum_sq_out")).as("sq_out"),
+        max(col("max_abs_out")).as("peak_out"),
+        sum(when(col("ns_out") =!= expr("ns_in div 2"), 1L).otherwise(0L))
+          .as("n_len_mismatch"),
+        sum(when(col("rate_out") * 2 =!= col("rate_in"), 1L).otherwise(0L))
+          .as("n_rate_mismatch"))
+      .select(col("n_chunks"), col("n_assets"), col("in_samples"),
+        col("out_samples"),
+        expr("CAST(CAST(sq_out AS DECIMAL(38,0)) * 1000000 div " +
+          "CAST(sq_in AS DECIMAL(38,0)) AS BIGINT)").as("energy_ratio_ppm"),
+        col("peak_out"), col("n_len_mismatch"), col("n_rate_mismatch"))
+      .orderBy(col("n_chunks"))
+
   // ---- frame-level audio analysis: VAD / silence segmentation --------
 
   /** VAD frame length: 160 samples = 10 ms at 16 kHz, the standard hop. */

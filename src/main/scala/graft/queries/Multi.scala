@@ -335,6 +335,45 @@ object Multi {
                CAST(MAX(longest) AS BIGINT) AS max_longest_shot,
                CAST(SUM(keyframe) AS BIGINT) AS keyframe_sum
         FROM pa JOIN kf USING (asset_id)
-        GROUP BY n_frames ORDER BY n_frames"""))
+        GROUP BY n_frames ORDER BY n_frames""")),
+
+    // ---- q267: 2:1 audio resample through a real codec round trip ----
+    // The sample-rate-conversion transform every speech pipeline runs
+    // before a fixed-rate model (16 kHz → 8 kHz here): decode, average
+    // adjacent sample pairs (arithmetic-shift floor — exact integers),
+    // re-encode through the REAL JDK WAVE writer at half the rate, then
+    // decode the RESULT again and measure (the q228 round-trip rigor —
+    // a header bug, a dropped byte, or lossiness anywhere breaks the
+    // certificates). In-data certificates: every asset's round-tripped
+    // length must equal ns_in div 2 and its rate must be exactly
+    // halved (both mismatch counters must read 0); the physics check is
+    // energy_ratio_ppm ≈ 250000 — pair averaging halves white-noise
+    // PER-SAMPLE energy and the sample count halves too (measured
+    // 249815–250064 at sf0.1). Oracle pattern as q208: Verify materializes the per-asset
+    // measurements (`_q267_input`), DuckDB re-aggregates the profile
+    // and certificates over identical rows; the kernel is spec-pinned
+    // (MultimodalSpec planted-PCM resample).
+    //
+    // 100 TB posture: decode → decimate → encode → decode is one
+    // partition-local pass per asset (payloads never shuffle); the
+    // profile agg is |duration classes| rows.
+    "q267_audio_resample" -> QueryDef(
+      build = (spark, dir) =>
+        Multimodal.resampleProfile(spark, assetCount(dir)),
+      oracle = Some(s"""
+        WITH f AS (SELECT * FROM
+          read_parquet('${Gps.VerifyOutToken}/_q267_input/*.parquet'))
+        SELECT n_chunks, COUNT(*) AS n_assets,
+               CAST(SUM(ns_in) AS BIGINT) AS in_samples,
+               CAST(SUM(ns_out) AS BIGINT) AS out_samples,
+               CAST(CAST(SUM(sum_sq_out) AS HUGEINT) * 1000000
+                 // CAST(SUM(sum_sq_in) AS HUGEINT) AS BIGINT)
+                 AS energy_ratio_ppm,
+               MAX(max_abs_out) AS peak_out,
+               CAST(SUM(CASE WHEN ns_out <> ns_in // 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_len_mismatch,
+               CAST(SUM(CASE WHEN rate_out * 2 <> rate_in THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_rate_mismatch
+        FROM f GROUP BY n_chunks ORDER BY n_chunks"""))
   )
 }

@@ -73,6 +73,11 @@ object VerifyInputs {
     // re-aggregates the per-duration profile over identical rows.
     graft.operators.Multimodal.audioStatRows(spark, Multi.assetCount(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q208_input")
+    // q267: the per-asset 2:1 resample round-trip measurements (decode →
+    // decimate → real re-encode → decode); DuckDB re-aggregates the
+    // profile and the length/rate certificates over identical rows.
+    graft.operators.Multimodal.resampleRows(spark, Multi.assetCount(sfDir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q267_input")
     // q228: the PRE-sampling per-frame pixel sums through the real GIF
     // decode; the oracle independently derives the kept-frame set
     // (stride 3) and its surviving pixel content from these, and must

@@ -154,6 +154,26 @@ class MultimodalSpec extends SparkSpec {
     assert(da.nSamples == au.meta.sampleRate / 100 * au.meta.nFrames)
   }
 
+  test("2:1 resample kernel: planted PCM halves exactly, floor on negatives, odd tail drops") {
+    // planted samples 100, 300, -500, -101, 7 -> pairs (100,300) and
+    // (-500,-101); the trailing 7 drops. (100+300)>>1 = 200;
+    // (-500-101) = -601 >> 1 = -301 (arithmetic shift = floor, NOT
+    // trunc-toward-zero -300 — the documented semantics).
+    val pcm = new Array[Byte](10)
+    def put(i: Int, v: Int): Unit = {
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    Seq(100, 300, -500, -101, 7).zipWithIndex.foreach { case (v, i) => put(i, v) }
+    val d = AudioCodec.decode(AudioCodec.encodePcmWav(pcm, 16000))
+    val out = Multimodal.resamplePcm2to1(d)
+    val re = AudioCodec.decode(AudioCodec.encodePcmWav(out, 8000))
+    assert(re.nSamples == 2, s"expected 2 resampled samples, got ${re.nSamples}")
+    assert(re.sample(0) == 200, s"pair mean wrong: ${re.sample(0)}")
+    assert(re.sample(1) == -301,
+      s"negative floor semantics wrong: ${re.sample(1)} (trunc would give -300)")
+    assert(re.sampleRate == 8000)
+  }
+
   test("audio DSP stats match a scalar reference on the decoded PCM") {
     val rows = audioStatRows(spark, 30).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
