@@ -328,11 +328,47 @@ object StreamingGate {
     *    boundary semantics of the timeout can never flip a row;
     *  - state is dropped when no open segment remains.
     */
-  private def segFn(uid: Long, rows: Iterator[SegEvent],
-      state: GroupState[SegBuf]): Iterator[SegOut] = {
-    val wmUs = state.getCurrentWatermarkMs * 1000L
-    val buf = state.getOption.map(_.events).getOrElse(Nil)
-    val merged = (buf ++ rows.map(r => (r.tus, r.cents))).sorted
+  /** The shared q259/q268 oracle: batch gaps-and-islands segmentation
+    * restricted to segments with end + gap ≤ the ms-truncated final
+    * watermark — the 20th-law emission both arbitrary-state APIs must
+    * produce. */
+  private val SegOracle: String = """
+        WITH e AS (SELECT user_id,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        m AS (SELECT ((MAX(tus) // 1000) - 172800000) * 1000 AS wm_us
+              FROM e),
+        marked AS (SELECT user_id, tus, cents,
+                          CASE WHEN LAG(tus) OVER w IS NULL
+                                 OR tus - LAG(tus) OVER w > 86400000000
+                               THEN 1 ELSE 0 END AS brk
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id ORDER BY tus, cents)),
+        seg AS (SELECT user_id, tus, cents,
+                       SUM(brk) OVER (PARTITION BY user_id
+                         ORDER BY tus, cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS sid
+                FROM marked),
+        per AS (SELECT user_id, MIN(tus) AS seg_start_us,
+                       MAX(tus) AS seg_end_us,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(SUM(cents) AS BIGINT) AS cents
+                FROM seg GROUP BY user_id, sid)
+        SELECT p.user_id, p.seg_start_us, p.seg_end_us, p.n_events,
+               p.cents
+        FROM per p CROSS JOIN m
+        WHERE p.seg_end_us + 86400000000 <= m.wm_us
+        ORDER BY p.user_id, p.seg_start_us"""
+
+  /** The shared segmentation kernel — q259 (flatMapGroupsWithState) and
+    * q268 (transformWithState) both run exactly this, so the two
+    * arbitrary-state APIs cannot drift: sort the merged buffer, split on
+    * gaps > [[SegGapUs]], close every segment whose end + gap the
+    * watermark passed. Returns (closed, open). */
+  private[queries] def splitSegments(merged: List[(Long, Long)],
+      wmUs: Long): (List[List[(Long, Long)]], List[List[(Long, Long)]]) = {
     val segs = List.newBuilder[List[(Long, Long)]]
     var cur = List.newBuilder[(Long, Long)]
     var curN = 0
@@ -344,8 +380,15 @@ object StreamingGate {
       cur += ev; curN += 1; prevTs = ev._1
     }
     if (curN > 0) segs += cur.result()
-    val (closed, open) = segs.result()
-      .partition(_.last._1 + SegGapUs <= wmUs)
+    segs.result().partition(_.last._1 + SegGapUs <= wmUs)
+  }
+
+  private def segFn(uid: Long, rows: Iterator[SegEvent],
+      state: GroupState[SegBuf]): Iterator[SegOut] = {
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val buf = state.getOption.map(_.events).getOrElse(Nil)
+    val merged = (buf ++ rows.map(r => (r.tus, r.cents))).sorted
+    val (closed, open) = splitSegments(merged, wmUs)
     if (open.isEmpty) state.remove()
     else {
       state.update(SegBuf(open.flatten))
@@ -400,6 +443,101 @@ object StreamingGate {
       prev match {
         case Some(v) => spark.conf.set(NanosKey, v)
         case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .orderBy(col("user_id"), col("seg_start_us"))
+  }
+
+  // ---- q268: the SAME custom state on transformWithState + timers ---
+
+  final case class TwsSegState(events: List[(Long, Long)], timer_ms: Long)
+
+  /** q268's StatefulProcessor: the q259 close discipline ported to the
+    * Spark-4 arbitrary-state API — buffer in typed ValueState on
+    * RocksDB, the wake-up as a REAL registered event-time timer
+    * (deleted and re-armed every invocation; `handleExpiredTimer` is
+    * the path no aggregation operator can express — output produced by
+    * time passing, not data arriving). Emission is governed solely by
+    * the shared [[splitSegments]] rule, so the timer's own boundary
+    * semantics can never flip a row. */
+  class SegTwsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SegEvent, SegOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: ValueState[TwsSegState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwsSegState]("seg_buf",
+        Encoders.product[TwsSegState], TTLConfig.NONE)
+    private def advance(key: Long, newRows: List[(Long, Long)],
+        wmMs: Long): Iterator[SegOut] = {
+      val prev = Option(state.get())
+      prev.filter(_.timer_ms > 0)
+        .foreach(s => getHandle.deleteTimer(s.timer_ms))
+      val merged = (prev.map(_.events).getOrElse(Nil) ++ newRows).sorted
+      val (closed, open) = splitSegments(merged, wmMs * 1000L)
+      if (open.isEmpty) state.clear()
+      else {
+        val t = math.max(wmMs, 0L) + 1L
+        getHandle.registerTimer(t)
+        state.update(TwsSegState(open.flatten, t))
+      }
+      closed.iterator.map { s =>
+        SegOut(key, s.head._1, s.last._1, s.size.toLong, s.map(_._2).sum)
+      }
+    }
+    override def handleInputRows(key: Long, rows: Iterator[SegEvent],
+        timerValues: TimerValues): Iterator[SegOut] =
+      advance(key, rows.map(r => (r.tus, r.cents)).toList,
+        timerValues.getCurrentWatermarkInMs())
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SegOut] =
+      advance(key, Nil, timerValues.getCurrentWatermarkInMs())
+  }
+
+  /** q268: the q259 drain on the Spark-4 API — identical law, identical
+    * oracle, different engine path (RocksDB typed state + real timers). */
+  def streamedTwsSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = new GateRun(spark, "q268",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevNanos = spark.conf.getOption(NanosKey)
+    val prevProv = spark.conf.getOption(ProviderKey)
+    spark.conf.set(NanosKey, "true")
+    spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream
+        .schema(era.schema)
+        .parquet(run.srcDir)
+        .select(col("user_id"), era.eventTime.as("event_time"),
+          unix_micros(era.eventTime).as("tus"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .withWatermark("event_time", "48 hours")
+        .as[SegEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new SegTwsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      prevProv match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
       }
       run.cleanup()
     }
@@ -1785,35 +1923,24 @@ object StreamingGate {
     // late-data-immune by construction).
     "q259_streamed_custom_segments" -> QueryDef(
       build = (spark, dir) => streamedCustomSegments(spark, dir),
-      oracle = Some("""
-        WITH e AS (SELECT user_id,
-                          epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
-                          CAST(round(value * 100) AS BIGINT) AS cents
-                   FROM events),
-        m AS (SELECT ((MAX(tus) // 1000) - 172800000) * 1000 AS wm_us
-              FROM e),
-        marked AS (SELECT user_id, tus, cents,
-                          CASE WHEN LAG(tus) OVER w IS NULL
-                                 OR tus - LAG(tus) OVER w > 86400000000
-                               THEN 1 ELSE 0 END AS brk
-                   FROM e
-                   WINDOW w AS (PARTITION BY user_id ORDER BY tus, cents)),
-        seg AS (SELECT user_id, tus, cents,
-                       SUM(brk) OVER (PARTITION BY user_id
-                         ORDER BY tus, cents
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         AS sid
-                FROM marked),
-        per AS (SELECT user_id, MIN(tus) AS seg_start_us,
-                       MAX(tus) AS seg_end_us,
-                       CAST(COUNT(*) AS BIGINT) AS n_events,
-                       CAST(SUM(cents) AS BIGINT) AS cents
-                FROM seg GROUP BY user_id, sid)
-        SELECT p.user_id, p.seg_start_us, p.seg_end_us, p.n_events,
-               p.cents
-        FROM per p CROSS JOIN m
-        WHERE p.seg_end_us + 86400000000 <= m.wm_us
-        ORDER BY p.user_id, p.seg_start_us""")))
+      oracle = Some(SegOracle))) :+ (
+
+    // ---- q268: the same law on transformWithState + event-time timers --
+    // The Spark-4 arbitrary-state API (typed ValueState on RocksDB,
+    // registerTimer/deleteTimer/handleExpiredTimer) as a drained
+    // oracle-backed gate — q148 gated its TimeMode.None path; this
+    // gates the TIMER path, where output is produced by the watermark
+    // passing, not by data arriving. The processor runs the SAME
+    // splitSegments kernel and close discipline as q259's
+    // flatMapGroupsWithState, and the oracle is the SAME SQL — a
+    // cross-API equivalence certificate: two engine paths (HDFS-backed
+    // fMGWS state vs RocksDB typed state + real timers) must land on
+    // the identical 20th-law emission, row for row. Twenty-first
+    // streaming law: arbitrary-state API equivalence under the
+    // watermark-safe close rule.
+    "q268_streamed_tws_segments" -> QueryDef(
+      build = (spark, dir) => streamedTwsSegments(spark, dir),
+      oracle = Some(SegOracle)))
 
   /** q184: the q149 replay harness with watermarked, bounded-state
     * dedup. See the QueryDef comment for the delay-covers-span law. */
