@@ -1439,6 +1439,97 @@ object Events {
                MAX(CASE WHEN rd = 1 THEN day END) AS dn_day,
                CAST(MAX(s_up) AS BIGINT) * 1000000
                  // (MAX(total) * MAX(n_days)) AS up_rel_ppm
-        FROM rk GROUP BY event_type ORDER BY event_type"""))
+        FROM rk GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q269: incremental SCD-2 CDC merge ≡ from-scratch rebuild ----
+    // The warehouse MERGE nobody can avoid: a dimension's SCD-2 history
+    // already exists (built from pre-cutoff data) and a CDC batch
+    // arrives (post-cutoff events); the incremental path must close the
+    // open intervals, append the new versions, and — the subtle case —
+    // EXTEND an open interval whose value the first delta run continues
+    // (no spurious version split at the batch boundary). Implementation
+    // is run-level: build the delta's runs, concatenate with the base's
+    // runs, and collapse ADJACENT same-value runs with a second
+    // rn-difference islands pass over the RUN table — O(runs) state,
+    // never O(events), which is exactly why warehouses merge
+    // incrementally instead of rebuilding. THE LAW IS THE ORACLE: the
+    // DuckDB side is q96's from-scratch rebuild over all events,
+    // verbatim — hash equality proves incremental merge ≡ rebuild,
+    // version numbers, boundary timestamps, per-version event counts
+    // and all (a dropped extension, a double-counted boundary run, or
+    // an off-by-one version renumbering cannot pass).
+    //
+    // 100 TB posture: both run-builds are one entity-key shuffle (the
+    // q96 shape); the merge pass runs over the RUN table, orders of
+    // magnitude smaller than the event table — the CDC batch never
+    // touches historical events, only historical intervals.
+    "q269_scd2_cdc_merge" -> QueryDef(
+      build = (spark, dir) => {
+        val cutoff = to_timestamp(lit("2024-01-21"))
+        def runs(df: DataFrame): DataFrame = {
+          val byTs = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))
+          val byTsType = Window.partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("ts"), col("event_id"))
+          df.withColumn("grp",
+              row_number().over(byTs) - row_number().over(byTsType))
+            .groupBy(col("user_id"), col("event_type"), col("grp"))
+            .agg(min(col("ts")).as("valid_from"),
+              count(lit(1)).as("n_events"))
+            .select(col("user_id"), col("event_type"), col("valid_from"),
+              col("n_events"))
+        }
+        val e = Tables.events(spark, dir).filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+        val base = runs(e.filter(col("ts") < cutoff))
+        val delta = runs(e.filter(col("ts") >= cutoff))
+        val all = base.union(delta)
+        val byFrom = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"))
+        val byFromType = Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("valid_from"))
+        val merged = all
+          .withColumn("grp2",
+            row_number().over(byFrom) - row_number().over(byFromType))
+          .groupBy(col("user_id"), col("event_type"), col("grp2"))
+          .agg(min(col("valid_from")).as("valid_from"),
+            sum(col("n_events")).as("n_events"))
+        val byStart = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"))
+        merged.select(col("user_id"),
+            row_number().over(byStart).cast("long").as("version"),
+            col("event_type"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("valid_from"),
+            date_format(lead(col("valid_from"), 1).over(byStart),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      // the from-scratch rebuild (q96's oracle, verbatim) — equality IS
+      // the incremental-merge law
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+                   WHERE user_id < 20),
+        r AS (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS grp
+              FROM e),
+        runs AS (SELECT user_id, event_type, grp, MIN(ts) AS valid_from,
+                        COUNT(*) AS n_events
+                 FROM r GROUP BY 1, 2, 3)
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
+                 AS version,
+               event_type,
+               strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(LEAD(valid_from, 1) OVER (PARTITION BY user_id
+                 ORDER BY valid_from), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               n_events
+        FROM runs ORDER BY user_id, version"""))
   )
 }
