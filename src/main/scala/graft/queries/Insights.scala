@@ -778,6 +778,51 @@ object Insights {
                MAX(CASE WHEN rn = 1 THEN day END) AS worst_day,
                CAST(MAX(CASE WHEN rn = 1 THEN dev2 END) AS BIGINT)
                  AS worst_dev2
-        FROM r GROUP BY event_type ORDER BY event_type"""))
+        FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q270: Benford first-digit audit ----
+    // The forensic data-quality screen for multiplicative quantities
+    // (Newcomb 1881 / Benford '38; Nigrini's fraud test): leading
+    // digits of naturally-grown amounts follow P(d) = log10(1 + 1/d),
+    // and fabricated or truncated data doesn't. Order totals span ~2.7
+    // decades — enough spread for the law to bite. The expected shares
+    // are INTEGER PPM LITERALS (no libm log at query time — the q162
+    // discipline), the digit extraction is first-character string
+    // arithmetic (identical in both engines), and the deviation column
+    // is a plain signed subtraction, so the whole audit is
+    // integer-exact. One partial/final agg over the scan; 9 rows out.
+    "q270_benford_audit" -> QueryDef(
+      build = (spark, dir) => {
+        val benford = array(Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L).map(lit): _*)
+        val d = Tables.orders(spark, dir)
+          .select(substring(round(col("o_totalprice") * 100)
+            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+        d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(d.agg(count(lit(1)).as("total"))))
+          .select(col("digit"), col("n"),
+            expr("n * 1000000 div total").as("share_ppm"),
+            element_at(benford, col("digit").cast("int")).as("benford_ppm"))
+          .withColumn("dev_ppm",
+            col("share_ppm") - col("benford_ppm"))
+          .orderBy(col("digit"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                   FROM orders),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d),
+        g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY 1)
+        SELECT g.digit, g.n,
+               g.n * 1000000 // t.total AS share_ppm,
+               CAST(([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                 51153, 45757])[CAST(g.digit AS INT)] AS BIGINT)
+                 AS benford_ppm,
+               g.n * 1000000 // t.total
+                 - CAST(([301030, 176091, 124939, 96910, 79181, 66947,
+                    57992, 51153, 45757])[CAST(g.digit AS INT)] AS BIGINT)
+                 AS dev_ppm
+        FROM g CROSS JOIN t ORDER BY g.digit"""))
   )
 }
