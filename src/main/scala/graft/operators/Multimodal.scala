@@ -370,8 +370,13 @@ object Multimodal {
       .agg(count(lit(1)).as("n_assets"),
         sum(col("ns_in")).as("in_samples"),
         sum(col("ns_out")).as("out_samples"),
-        sum(col("sum_sq_in")).as("sq_in"),
-        sum(col("sum_sq_out")).as("sq_out"),
+        // accumulate energies in DECIMAL(38,0): a duration class's total
+        // Σs² passes 2^63 at ~9e9 full-amplitude samples — long sums
+        // would wrap silently while the DuckDB oracle sums into HUGEINT
+        sum(col("sum_sq_in").cast(org.apache.spark.sql.types
+          .DecimalType(38, 0))).as("sq_in"),
+        sum(col("sum_sq_out").cast(org.apache.spark.sql.types
+          .DecimalType(38, 0))).as("sq_out"),
         max(col("max_abs_out")).as("peak_out"),
         sum(when(col("ns_out") =!= expr("ns_in div 2"), 1L).otherwise(0L))
           .as("n_len_mismatch"),

@@ -1773,8 +1773,13 @@ object CorpusStats {
           .select(col("seg"), col("n_probes"), col("fp_count"),
             expr("fp_count * 1000000 div n_probes").as("fpr_ppm"),
             col("n_members"), col("m"), col("n_bits_set"),
-            expr("n_bits_set * n_bits_set * n_bits_set * 1000000" +
-              " div (m * m * m)").as("theo_fpr_ppm"))
+            // cube in DECIMAL(38,0): n_bits_set³ outgrows int64 past
+            // ~20,950 set bits (TPC-H SF ≈ 0.2) — long math would wrap
+            // silently here while DuckDB raises, so the engines diverge
+            // exactly when the certificate matters (the q267 recipe)
+            expr("CAST(CAST(n_bits_set AS DECIMAL(38,0)) * n_bits_set" +
+              " * n_bits_set * 1000000 div (CAST(m AS DECIMAL(38,0))" +
+              " * m * m) AS BIGINT)").as("theo_fpr_ppm"))
           .orderBy(col("seg"))
       },
       oracle = Some("""
@@ -1805,8 +1810,9 @@ object CorpusStats {
         SELECT seg, n_probes, fp_count,
                fp_count * 1000000 // n_probes AS fpr_ppm,
                n_members, m, n_bits_set,
-               n_bits_set * n_bits_set * n_bits_set * 1000000
-                 // (m * m * m) AS theo_fpr_ppm
+               CAST(CAST(n_bits_set AS HUGEINT) * n_bits_set * n_bits_set
+                 * 1000000 // (CAST(m AS HUGEINT) * m * m) AS BIGINT)
+                 AS theo_fpr_ppm
         FROM ps CROSS JOIN na CROSS JOIN ns ORDER BY seg""")),
 
     // ---- q263: sketch-based source-overlap estimation ----

@@ -340,14 +340,19 @@ object Events {
           .orderBy(col("ts"), col("event_id"))
         val byTsType = Window.partitionBy(col("user_id"), col("event_type"))
           .orderBy(col("ts"), col("event_id"))
-        val byStart = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+        // run_id = min(event_id) tiebreaks versions whose valid_from tie
+        // (same-ts events of different types) — matches the (ts,
+        // event_id) total order the islands pass itself uses
+        val byStart = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"), col("run_id"))
         Tables.events(spark, dir)
           .filter(col("user_id") < 20)
           .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
           .withColumn("grp",
             row_number().over(byTs) - row_number().over(byTsType))
           .groupBy(col("user_id"), col("event_type"), col("grp"))
-          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+          .agg(min(col("ts")).as("valid_from"),
+            min(col("event_id")).as("run_id"), count(lit(1)).as("n_events"))
           .select(col("user_id"),
             row_number().over(byStart).cast("long").as("version"),
             col("event_type"),
@@ -368,15 +373,16 @@ object Events {
                        ORDER BY ts, event_id) AS grp
               FROM e),
         runs AS (SELECT user_id, event_type, grp, MIN(ts) AS valid_from,
-                        COUNT(*) AS n_events
+                        MIN(event_id) AS run_id, COUNT(*) AS n_events
                  FROM r GROUP BY 1, 2, 3)
         SELECT user_id,
-               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
-                 AS version,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY valid_from, run_id) AS version,
                event_type,
                strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
                strftime(LEAD(valid_from, 1) OVER (PARTITION BY user_id
-                 ORDER BY valid_from), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+                 ORDER BY valid_from, run_id), '%Y-%m-%d %H:%M:%S.%f')
+                 AS valid_to,
                n_events
         FROM runs ORDER BY user_id, version""")),
 
@@ -1471,13 +1477,18 @@ object Events {
             .orderBy(col("ts"), col("event_id"))
           val byTsType = Window.partitionBy(col("user_id"), col("event_type"))
             .orderBy(col("ts"), col("event_id"))
+          // run_id = min(event_id): two runs of one user can tie on
+          // valid_from (same-ts events of different types), so every
+          // later window orders by (valid_from, run_id) — the exact
+          // (ts, event_id) total order the event-level rebuild uses
           df.withColumn("grp",
               row_number().over(byTs) - row_number().over(byTsType))
             .groupBy(col("user_id"), col("event_type"), col("grp"))
             .agg(min(col("ts")).as("valid_from"),
+              min(col("event_id")).as("run_id"),
               count(lit(1)).as("n_events"))
             .select(col("user_id"), col("event_type"), col("valid_from"),
-              col("n_events"))
+              col("run_id"), col("n_events"))
         }
         val e = Tables.events(spark, dir).filter(col("user_id") < 20)
           .select(col("user_id"), col("event_type"), col("ts"),
@@ -1486,18 +1497,19 @@ object Events {
         val delta = runs(e.filter(col("ts") >= cutoff))
         val all = base.union(delta)
         val byFrom = Window.partitionBy(col("user_id"))
-          .orderBy(col("valid_from"))
+          .orderBy(col("valid_from"), col("run_id"))
         val byFromType = Window
           .partitionBy(col("user_id"), col("event_type"))
-          .orderBy(col("valid_from"))
+          .orderBy(col("valid_from"), col("run_id"))
         val merged = all
           .withColumn("grp2",
             row_number().over(byFrom) - row_number().over(byFromType))
           .groupBy(col("user_id"), col("event_type"), col("grp2"))
           .agg(min(col("valid_from")).as("valid_from"),
+            min(col("run_id")).as("run_id"),
             sum(col("n_events")).as("n_events"))
         val byStart = Window.partitionBy(col("user_id"))
-          .orderBy(col("valid_from"))
+          .orderBy(col("valid_from"), col("run_id"))
         merged.select(col("user_id"),
             row_number().over(byStart).cast("long").as("version"),
             col("event_type"),
@@ -1520,15 +1532,16 @@ object Events {
                        ORDER BY ts, event_id) AS grp
               FROM e),
         runs AS (SELECT user_id, event_type, grp, MIN(ts) AS valid_from,
-                        COUNT(*) AS n_events
+                        MIN(event_id) AS run_id, COUNT(*) AS n_events
                  FROM r GROUP BY 1, 2, 3)
         SELECT user_id,
-               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
-                 AS version,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY valid_from, run_id) AS version,
                event_type,
                strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
                strftime(LEAD(valid_from, 1) OVER (PARTITION BY user_id
-                 ORDER BY valid_from), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+                 ORDER BY valid_from, run_id), '%Y-%m-%d %H:%M:%S.%f')
+                 AS valid_to,
                n_events
         FROM runs ORDER BY user_id, version"""))
   )

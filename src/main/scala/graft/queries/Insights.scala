@@ -780,49 +780,96 @@ object Insights {
                  AS worst_dev2
         FROM r GROUP BY event_type ORDER BY event_type""")),
 
-    // ---- q270: Benford first-digit audit ----
-    // The forensic data-quality screen for multiplicative quantities
-    // (Newcomb 1881 / Benford '38; Nigrini's fraud test): leading
-    // digits of naturally-grown amounts follow P(d) = log10(1 + 1/d),
-    // and fabricated or truncated data doesn't. Order totals span ~2.7
-    // decades — enough spread for the law to bite. The expected shares
-    // are INTEGER PPM LITERALS (no libm log at query time — the q162
-    // discipline), the digit extraction is first-character string
-    // arithmetic (identical in both engines), and the deviation column
-    // is a plain signed subtraction, so the whole audit is
-    // integer-exact. One partial/final agg over the scan; 9 rows out.
-    "q270_benford_audit" -> QueryDef(
+    // ---- q270: first-two-digits Benford drill-down (Nigrini MAD) ----
+    // The statistic forensic auditors actually run (Nigrini's FTD test,
+    // the screen q138's global first-digit χ² cannot replace): the
+    // FIRST-TWO-DIGITS distribution (90 bins — sensitive to rounded/
+    // invented amounts that first digits smear over), computed PER
+    // SEGMENT (order priority — the drill-down that localizes which
+    // slice of the book deviates), scored by Nigrini's Mean Absolute
+    // Deviation with his published two-digit conformity bands (close ≤
+    // 0.0012, acceptable ≤ 0.0018, marginal ≤ 0.0022 — in ppm: 1200/
+    // 1800/2200). Expected shares are integer ppm LITERALS computed
+    // once driver-side and embedded verbatim in BOTH engines' plans
+    // (the q162 discipline: no query-time libm anywhere); digit
+    // extraction is leading-characters string arithmetic on the exact
+    // cents integer; every bin 10–99 is present per segment (grid +
+    // coalesce 0), so absent bins penalize MAD exactly as Nigrini
+    // specifies. Everything after the one keyed count is integer-exact.
+    //
+    // 100 TB posture: ONE (segment, dd) partial/final count over the
+    // scan; the grid is |segments|·90 rows built from the broadcast-
+    // sized totals table; MAD/argmax run per-segment on 90-row groups.
+    "q270_benford_two_digit" -> QueryDef(
       build = (spark, dir) => {
-        val benford = array(Seq(301030L, 176091L, 124939L, 96910L, 79181L,
-          66947L, 57992L, 51153L, 45757L).map(lit): _*)
-        val d = Tables.orders(spark, dir)
-          .select(substring(round(col("o_totalprice") * 100)
-            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
-        d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
-          .crossJoin(broadcast(d.agg(count(lit(1)).as("total"))))
-          .select(col("digit"), col("n"),
-            expr("n * 1000000 div total").as("share_ppm"),
-            element_at(benford, col("digit").cast("int")).as("benford_ppm"))
-          .withColumn("dev_ppm",
-            col("share_ppm") - col("benford_ppm"))
-          .orderBy(col("digit"))
+        val arr = array(benford2Ppm.map(lit): _*)
+        val o = Tables.orders(spark, dir)
+          .select(col("o_orderpriority").as("seg"),
+            substring(round(col("o_totalprice") * 100).cast(LongType)
+              .cast("string"), 1, 2).cast("long").as("dd"))
+        val cnt = o.groupBy(col("seg"), col("dd"))
+          .agg(count(lit(1)).as("n"))
+        val grid = o.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n_orders"))
+          .select(col("seg"), col("n_orders"),
+            explode(expr("sequence(10L, 99L)")).as("dd"))
+        val dev = grid.join(cnt, Seq("seg", "dd"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .withColumn("share_ppm", expr("n * 1000000 div n_orders"))
+          .withColumn("dev",
+            col("share_ppm") - element_at(arr, (col("dd") - 9).cast("int")))
+        val w = Window.partitionBy(col("seg"))
+          .orderBy(abs(col("dev")).desc, col("dd"))
+        dev.withColumn("rn", row_number().over(w))
+          .groupBy(col("seg"))
+          .agg(max(col("n_orders")).as("n_orders"),
+            expr("sum(abs(dev)) div 90").as("mad_ppm"),
+            max(when(col("rn") === 1, col("dd"))).as("worst_dd"),
+            max(when(col("rn") === 1, col("dev"))).as("worst_dev_ppm"))
+          .withColumn("conformity",
+            when(col("mad_ppm") <= 1200L, "close")
+              .when(col("mad_ppm") <= 1800L, "acceptable")
+              .when(col("mad_ppm") <= 2200L, "marginal")
+              .otherwise("nonconforming"))
+          .orderBy(col("seg"))
       },
-      oracle = Some("""
-        WITH d AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
-                     AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      oracle = Some(s"""
+        WITH o AS (SELECT o_orderpriority AS seg,
+                          CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                            AS BIGINT) AS VARCHAR), 1, 2) AS BIGINT) AS dd
                    FROM orders),
-        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d),
-        g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
-              FROM d GROUP BY 1)
-        SELECT g.digit, g.n,
-               g.n * 1000000 // t.total AS share_ppm,
-               CAST(([301030, 176091, 124939, 96910, 79181, 66947, 57992,
-                 51153, 45757])[CAST(g.digit AS INT)] AS BIGINT)
-                 AS benford_ppm,
-               g.n * 1000000 // t.total
-                 - CAST(([301030, 176091, 124939, 96910, 79181, 66947,
-                    57992, 51153, 45757])[CAST(g.digit AS INT)] AS BIGINT)
-                 AS dev_ppm
-        FROM g CROSS JOIN t ORDER BY g.digit"""))
+        cnt AS (SELECT seg, dd, CAST(COUNT(*) AS BIGINT) AS n
+                FROM o GROUP BY 1, 2),
+        grid AS (SELECT seg, n_orders,
+                        CAST(unnest(range(10, 100)) AS BIGINT) AS dd
+                 FROM (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_orders
+                       FROM o GROUP BY 1)),
+        dev AS (SELECT g.seg, g.n_orders, g.dd,
+                       COALESCE(c.n, 0) * 1000000 // g.n_orders
+                         - ([${benford2Ppm.mkString(", ")}])
+                             [CAST(g.dd - 9 AS INT)] AS dev
+                FROM grid g LEFT JOIN cnt c
+                  ON c.seg = g.seg AND c.dd = g.dd),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+                 ORDER BY ABS(dev) DESC, dd) AS rn FROM dev)
+        SELECT seg, MAX(n_orders) AS n_orders,
+               CAST(SUM(ABS(dev)) AS BIGINT) // 90 AS mad_ppm,
+               MAX(CASE WHEN rn = 1 THEN dd END) AS worst_dd,
+               MAX(CASE WHEN rn = 1 THEN dev END) AS worst_dev_ppm,
+               CASE WHEN CAST(SUM(ABS(dev)) AS BIGINT) // 90 <= 1200
+                      THEN 'close'
+                    WHEN CAST(SUM(ABS(dev)) AS BIGINT) // 90 <= 1800
+                      THEN 'acceptable'
+                    WHEN CAST(SUM(ABS(dev)) AS BIGINT) // 90 <= 2200
+                      THEN 'marginal'
+                    ELSE 'nonconforming' END AS conformity
+        FROM rk GROUP BY seg ORDER BY seg"""))
   )
+
+  /** Nigrini first-two-digits expectation log10(1 + 1/dd) for dd 10–99,
+    * in ppm. Computed ONCE driver-side and embedded as identical integer
+    * literals in the Spark plan and the DuckDB oracle text, so no
+    * query-time libm call can diverge between engines. */
+  lazy val benford2Ppm: Seq[Long] =
+    (10 to 99).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 }

@@ -228,4 +228,18 @@ class DedupSpec extends SparkSpec {
     assert((sets(2L) diff sets(1L)).size <= 5,
       "a prefix edit rewrote chunks far from the edit point")
   }
+
+  test("q265 component propagation actually converges (certificate == 0)") {
+    // The gate carries n_changed_last_round as an in-data convergence
+    // certificate, but the oracle computes the SAME 6 unrolled rounds, so
+    // a component whose diameter exceeds 6 would under-merge identically
+    // in both engines and still hash-match — the certificate must be
+    // ASSERTED somewhere to bite. Here: every output row must read 0.
+    val rows = graft.SparkEntry.queries("q265_dedup_components")(spark, sf)
+      .select(col("n_changed_last_round")).distinct().collect()
+    assert(rows.nonEmpty, "q265 returned no rows")
+    assert(rows.forall(_.getLong(0) == 0L),
+      "label propagation had not converged after 6 rounds — the oracle " +
+        "comparison cannot catch this; raise the round count")
+  }
 }

@@ -131,4 +131,92 @@ class PlanGuardSpec2 extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "pair census planned a shuffled cross product")
   }
+
+  test("q263: HLL overlap is register-keyed max-agg merge — no content pairing") {
+    val p = plan("q263_hll_overlap_estimate")
+    // the sketch path must merge by (pair, register) max — the whole
+    // point is that pair unions cost pair·256 rows, not a content join
+    assert(p.contains("partial_max"),
+      "register merge not a partial/final max-agg")
+    assert(!p.contains("CartesianProduct"),
+      "overlap estimation planned a shuffled cross product")
+    // the exact ground-truth side is a token-keyed equijoin, never all-pairs
+    assert(p.contains("hashpartitioning("),
+      "exact-intersection audit not a keyed equijoin")
+  }
+
+  test("q264: E-S weighted sample is a top-k heap — no global population sort") {
+    val p = plan("q264_weighted_sample_noreplace")
+    assert(p.contains("TakeOrderedAndProject"),
+      "largest-k selection planned a global sort instead of the " +
+        "per-partition heap that makes one-pass weighted sampling scale")
+    assert(!p.contains("CartesianProduct"),
+      "weighted sampling planned a cross product")
+  }
+
+  test("q265: component rounds are doc-keyed joins + min-aggs — never all-pairs") {
+    // the only nested-loop crosses are the 1-row summary broadcasts
+    // (edge count / cluster totals / convergence certificate) — the
+    // doc-scale propagation itself must stay keyed
+    val p = plan("q265_dedup_components")
+    assert(!p.contains("CartesianProduct"),
+      "label propagation planned a shuffled cross product")
+    // the six propagation rounds run eagerly behind localCheckpoint
+    // cuts (each round one keyed join + min-agg), so the returned plan
+    // must read from the checkpointed label RDD — a lineage re-run of
+    // six joined rounds in one plan would blow up at scale
+    assert(p.contains("Scan ExistingRDD"),
+      "label table lost its checkpoint cut — propagation lineage re-runs")
+    assert(p.contains("partial_count"),
+      "cluster census not split partial/final")
+  }
+
+  test("q266: LOF candidates come from the bucket equijoin; kNN is a group limit") {
+    val p = plan("q266_lof_outliers")
+    assert(!p.contains("CartesianProduct"),
+      "LOF candidate generation planned an all-pairs cross product")
+    // at test SF the bucket side can be small enough to broadcast; at
+    // scale both sides shuffle on bucket — either way the pairing is an
+    // equijoin keyed by bucket, never a vector-vector nested loop
+    assert(p.contains("hashpartitioning(bucket") ||
+      p.contains("BroadcastHashJoin"),
+      "candidate pairing not a bucket-keyed equijoin")
+    assert(p.contains("WindowGroupLimit"),
+      "kNN cut not pushed as a window group limit")
+  }
+
+  test("q267: resample round-trip is a partition-local kernel; payloads never shuffle") {
+    val p = plan("q267_audio_resample")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "decode/resample/re-encode kernel not partition-local")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "resample accounting planned an all-pairs join")
+  }
+
+  test("q269: CDC merge runs entirely on entity-key windows — no event self-join") {
+    val p = plan("q269_scd2_cdc_merge")
+    assert(p.contains("hashpartitioning(user_id"),
+      "run-build/merge windows not hash-partitioned by the entity key")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "CDC merge planned an all-pairs join")
+    assert(!p.contains("SortMergeJoin"),
+      "merge pass introduced an event-scale join — the run-table " +
+        "concatenation needs windows only")
+  }
+
+  test("q270: two-digit Benford is one keyed count; the grid rides the totals table") {
+    val p = plan("q270_benford_two_digit")
+    assert(p.contains("partial_count"),
+      "(segment, digit-pair) count not split partial/final")
+    assert(!p.contains("CartesianProduct"),
+      "Benford drill-down planned a cross product")
+    // exactly one scan of orders per aggregation arm (formatted explain
+    // mentions each physical scan twice: tree + details) — the 90-bin
+    // grid must explode from the |segments|-row totals, not rescan the
+    // corpus per bin
+    assert("Scan parquet".r.findAllIn(p).size <= 4,
+      "digit grid re-scans the raw corpus instead of the totals table")
+  }
 }
