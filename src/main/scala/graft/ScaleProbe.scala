@@ -896,6 +896,28 @@ object ScaleProbe {
       }
     }
 
+    // videocost probe: the q60 cost split per media arm — ENCODE
+    // (fixture synthesis; off the benched path since the round-10
+    // staging) vs DECODE+featurize over the staged parquet (the engine
+    // work a production media scan pays). n matches the sf0.1 q60
+    // corpus so the splits reconcile against the headline.
+    if (enabled("videocost")) {
+      import spark.implicits._
+      import graft.operators.Multimodal
+      val n = 50000L
+      val staged = Multimodal.stagedAssets(spark, n) // stage once, untimed
+      staged.map(_.payload.length.toLong).reduce(_ + _) // warm page cache
+      Seq("image", "audio", "video").foreach { kind =>
+        val (encSec, bytes) = timed(
+          Multimodal.syntheticAssets(spark, n).filter(_.meta.kind == kind)
+            .map(_.payload.length.toLong).reduce(_ + _))
+        val arm = staged.filter(_.meta.kind == kind)
+        Multimodal.extractFeatures(arm).count() // JIT/codegen warm
+        val (decSec, cnt) = timed(Multimodal.extractFeatures(arm).count())
+        println(f"""{"probe":"videocost","kind":"$kind","n_assets":$cnt,"payload_bytes":$bytes,"encode_sec":$encSec%.3f,"decode_featurize_sec":$decSec%.3f}""")
+      }
+    }
+
     spark.stop()
   }
 }

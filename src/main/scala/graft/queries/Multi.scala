@@ -4,6 +4,11 @@ import graft.operators.Multimodal
 
 /** Multimodal binary-column pipeline corpus entry. The asset count scales
   * with the SF dir so bench reflects real partition-local decode cost.
+  * Round 10: the q60 corpus is parquet-STAGED once
+  * ([[Multimodal.stagedAssets]]) so the headline times scan + decode +
+  * featurize — the shape a production media scan pays — with fixture
+  * synthesis (the encode half) off the benched path; the per-arm
+  * encode/decode split is the "videocost" ScaleProbe.
   *
   * Oracle pattern (see [[VerifyInputs]]): the codec + histogram feature
   * are engine-specific, so Verify materializes the per-asset scalar rows
