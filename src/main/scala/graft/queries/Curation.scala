@@ -709,6 +709,135 @@ object Curation {
                                * ROUND(ln(CAST(nr - pr AS DOUBLE)/nr), 9))
                       END)
                , 6) AS gain
-        FROM f ORDER BY gain DESC, threshold LIMIT 10"""))
+        FROM f ORDER BY gain DESC, threshold LIMIT 10""")),
+
+    // ---- q271: the production pipeline capstone — ONE plan ----
+    // raw → curated → deduped → mixed → packed → data card, composed as
+    // a SINGLE declarative lineage (no driver-side stage boundaries, no
+    // checkpoints): every stage the corpus already gates in isolation
+    // (q83-family quality rules, q91 exact dedup, q85/q101 mixing, q87
+    // packing, q200 card), chained the way production actually runs
+    // them — because composition is where bugs hide that no per-stage
+    // gate can see (a dedup that inspects pre-curation rows, a mix
+    // quota computed over the wrong population, packing that counts
+    // dropped docs). Stage membership travels as IN-ROW FLAGS (qual_ok,
+    // dedup_keep, mix_keep) rather than filters, so the per-source card
+    // reports every stage's count from one aggregation and the oracle
+    // replays the entire chain in one SQL statement. Stage rules:
+    // curation = token count in [10, 2000] + mean token length in
+    // [2, 12] (integer cross-multiplied); dedup = earliest CURATED doc
+    // per exact md5(text) (keep-first rank, the q179 ordering trick);
+    // mix = deterministic 70% per-source downsample by md5 pick-key
+    // rank among survivors (r·10 ≤ n_src·7 — exact integers); packing =
+    // q87's greedy running-cumsum at capacity 2048, keeps-only
+    // contributions, straddling doc stays in the pack it started.
+    //
+    // 100 TB posture: ONE corpus scan; windows hash-partition by
+    // md5(text) (dedup) and source (mix rank / quota / pack cumsum —
+    // one exchange, reused); the card is a per-source partial/final
+    // agg. Nothing is quadratic, nothing collects, nothing re-scans.
+    "q271_pipeline_capstone" -> QueryDef(
+      build = (spark, dir) => {
+        val cap = 2048L
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(split(trim(col("text")), " ")).cast("long").as("n_tokens"),
+            md5(col("text").cast("binary")).as("h"),
+            md5(concat(lit("q271#"), col("doc_id").cast("string"),
+              col("text")).cast("binary")).as("pick"))
+          .withColumn("qual_ok",
+            col("n_tokens") >= 10 && col("n_tokens") <= 2000 &&
+              col("n_chars") >= col("n_tokens") * 2 &&
+              col("n_chars") <= col("n_tokens") * 12)
+        val wDedup = Window.partitionBy(col("h"))
+          .orderBy(when(col("qual_ok"), 0L).otherwise(1L), col("doc_id"))
+        val wQuota = Window.partitionBy(col("source"))
+        val wMix = Window.partitionBy(col("source"))
+          .orderBy(when(col("dedup_keep"), 0L).otherwise(1L), col("pick"),
+            col("doc_id"))
+        val wPack = Window.partitionBy(col("source"))
+          .orderBy(col("pick"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val staged = d
+          .withColumn("dedup_keep",
+            col("qual_ok") && row_number().over(wDedup) === 1)
+          .withColumn("n_src",
+            sum(when(col("dedup_keep"), 1L).otherwise(0L)).over(wQuota))
+          .withColumn("r", row_number().over(wMix))
+          .withColumn("mix_keep",
+            col("dedup_keep") && col("r") * 10 <= col("n_src") * 7)
+          .withColumn("cum", coalesce(
+            sum(when(col("mix_keep"), col("n_tokens")).otherwise(0L))
+              .over(wPack), lit(0L)))
+          .withColumn("pack_id", when(col("mix_keep"),
+            floor(col("cum").cast("double") / lit(cap.toDouble))))
+        staged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(col("n_tokens")).as("tokens_raw"),
+            sum(when(col("qual_ok"), 1L).otherwise(0L)).as("n_curated"),
+            sum(when(col("dedup_keep"), 1L).otherwise(0L)).as("n_deduped"),
+            sum(when(col("mix_keep"), 1L).otherwise(0L)).as("n_mixed"),
+            sum(when(col("mix_keep"), col("n_tokens")).otherwise(0L))
+              .as("tokens_mixed"),
+            (coalesce(max(col("pack_id")), lit(-1L)) + 1).as("n_packs"))
+          .withColumn("retained_ppm", expr("n_mixed * 1000000 div n_raw"))
+          .withColumn("pack_fill_ppm", when(col("n_packs") > 0,
+            expr(s"tokens_mixed * 1000000 div (n_packs * $cap)"))
+            .otherwise(lit(0L)))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, source, n_chars,
+                          CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                            AS n_tokens,
+                          md5(text) AS h,
+                          md5('q271#' || CAST(doc_id AS VARCHAR) || text)
+                            AS pick
+                   FROM documents),
+        q AS (SELECT *, (n_tokens >= 10 AND n_tokens <= 2000
+                         AND n_chars >= n_tokens * 2
+                         AND n_chars <= n_tokens * 12) AS qual_ok FROM d),
+        dd AS (SELECT *, (qual_ok AND ROW_NUMBER() OVER (PARTITION BY h
+                 ORDER BY CASE WHEN qual_ok THEN 0 ELSE 1 END, doc_id) = 1)
+                 AS dedup_keep FROM q),
+        mx AS (SELECT *,
+                 CAST(SUM(CASE WHEN dedup_keep THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY source) AS BIGINT) AS n_src,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY CASE WHEN dedup_keep THEN 0 ELSE 1 END, pick,
+                     doc_id) AS r
+               FROM dd),
+        mk AS (SELECT *, (dedup_keep AND r * 10 <= n_src * 7) AS mix_keep
+               FROM mx),
+        pk AS (SELECT *,
+                 COALESCE(SUM(CASE WHEN mix_keep THEN n_tokens ELSE 0 END)
+                   OVER (PARTITION BY source ORDER BY pick, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum
+               FROM mk),
+        pp AS (SELECT *, CASE WHEN mix_keep
+                 THEN CAST(FLOOR(CAST(cum AS DOUBLE) / 2048) AS BIGINT)
+                 END AS pack_id
+               FROM pk)
+        SELECT source, COUNT(*) AS n_raw,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
+               CAST(SUM(CASE WHEN qual_ok THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_curated,
+               CAST(SUM(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_deduped,
+               CAST(SUM(CASE WHEN mix_keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mixed,
+               CAST(SUM(CASE WHEN mix_keep THEN n_tokens ELSE 0 END)
+                 AS BIGINT) AS tokens_mixed,
+               COALESCE(MAX(pack_id), -1) + 1 AS n_packs,
+               CAST(SUM(CASE WHEN mix_keep THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000 // COUNT(*) AS retained_ppm,
+               CASE WHEN COALESCE(MAX(pack_id), -1) + 1 > 0
+                    THEN CAST(SUM(CASE WHEN mix_keep THEN n_tokens ELSE 0
+                           END) AS BIGINT) * 1000000
+                         // ((COALESCE(MAX(pack_id), -1) + 1) * 2048)
+                    ELSE 0 END AS pack_fill_ppm
+        FROM pp GROUP BY source ORDER BY source"""),
+      headline = true)
   )
 }

@@ -219,4 +219,22 @@ class PlanGuardSpec2 extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 4,
       "digit grid re-scans the raw corpus instead of the totals table")
   }
+
+  test("q271: the capstone is ONE scan, keyed windows, no stage boundaries") {
+    val p = plan("q271_pipeline_capstone")
+    // the whole raw→curate→dedup→mix→pack→card chain must ride a single
+    // corpus scan (formatted explain mentions each physical scan twice)
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "a pipeline stage re-scans the corpus — the chain broke into jobs")
+    assert(!p.contains("Scan ExistingRDD"),
+      "a checkpoint cut crept into the capstone — it must stay one " +
+        "declarative plan end-to-end")
+    assert(p.contains("hashpartitioning(h"),
+      "exact-dedup window not hash-partitioned by the content hash")
+    assert(p.contains("hashpartitioning(source"),
+      "mix/pack windows not hash-partitioned by source")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the capstone planned an all-pairs join")
+  }
 }
