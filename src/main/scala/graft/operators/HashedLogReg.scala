@@ -137,6 +137,32 @@ object HashedLogReg {
     hist.result()
   }
 
+  /** STATELESS in-row scorer over a token-array column — the streaming
+    * dual of [[score]]: z = Σ_tokens w[bucket(token)] + w_bias equals the
+    * bucketized Σ_j x_j·w_j exactly (integer addition is associative),
+    * and y replays the stop-ratio label rule per row. The 257-long model
+    * rides as a PLAN LITERAL (the strongest broadcast), so per-batch
+    * scoring inside a micro-batch pipeline is a pure map: no shuffle, no
+    * state store — the model-trained-offline / scored-online production
+    * shape. Returns (z, y) columns over `toksCol`. */
+  def inRowScore(toksCol: String, w: Array[Long], stopTerms: Seq[String],
+      threshPerMille: Long): (Column, Column) = {
+    require(w.length == Buckets + 1,
+      s"weight vector must have ${Buckets + 1} slots")
+    val wlit = w.mkString("array(", "L, ", "L)")
+    val b = "(instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16" +
+      " + instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1"
+    val z = expr(s"aggregate(transform($toksCol, t -> " +
+      s"element_at($wlit, CAST(($b) AS INT) + 1)), ${w(Buckets)}L, " +
+      "(acc, v) -> acc + v)")
+    val inList = stopTerms.map(s => s"'$s'").mkString(", ")
+    val y = expr(s"CASE WHEN (aggregate(transform($toksCol, t -> " +
+      s"CASE WHEN t IN ($inList) THEN 1L ELSE 0L END), 0L, " +
+      s"(acc, v) -> acc + v) * 1000) div size($toksCol) " +
+      s">= ${threshPerMille}L THEN 1L ELSE 0L END")
+    (z, y)
+  }
+
   /** Score every doc with a trained weight vector: (doc_id, y, z) where
     * z is the micro-scaled margin. One keyed agg over the bucketized
     * table; the model is a literal array (broadcast-sized). */

@@ -299,7 +299,43 @@ object Classifier {
               .orderBy(col("mean_brier"), col("t"))) === 1)
           .orderBy(col("t"))
       },
-      oracle = Some(temperatureOracle(Rounds)))
+      oracle = Some(temperatureOracle(Rounds))),
+
+    // ---- q272: streamed broadcast-model scoring (22nd streaming law) ----
+    // The one LLM-family operator that had no streaming dual: score
+    // ARRIVING documents with the trained q233 model inside a real
+    // micro-batch pipeline. The model is fitted offline (the exact
+    // q233 training path, certified four gates deep), then shipped into
+    // the stream as a 257-long PLAN LITERAL and applied as a STATELESS
+    // in-row map — z = Σ_tokens w[bucket(token)] + bias equals the
+    // batch Σ_j x_j·w_j exactly (integer addition is associative), so
+    // no tokenize shuffle, no state store, no watermark is involved.
+    // The law (the q168 stream-static recipe applied to the model
+    // join): the drained per-doc scores ≡ batch scoring bit-for-bit —
+    // the oracle replays the full 8-round training chain AND the
+    // scoring, then the same confusion/margin rollup. Margin checksums
+    // accumulate in DECIMAL(38,0)/HUGEINT.
+    //
+    // 100 TB posture: per micro-batch cost is a pure map over arriving
+    // rows (the literal model costs no broadcast wave, no dim re-read);
+    // the only aggregation is the 4-row post-drain card.
+    "q272_streamed_model_scoring" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val x = synchronized {
+          lastX.foreach(_.unpersist(blocking = false))
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(docs, "text", StopTerms),
+            ThreshPerMille)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lastX = Some(built)
+          built
+        }
+        val w = HashedLogReg.train(x, docs.count(), Rounds, InvLr)
+        StreamingGate.streamedModelScoring(spark, dir, w, StopTerms,
+          ThreshPerMille)
+      },
+      oracle = Some(scoringOracle(Rounds)))
   )
 
   /** q254's oracle: the shared training chain, the final scoring join,
@@ -420,6 +456,22 @@ object Classifier {
                  AS BIGINT) AS agree
         FROM r CROSS JOIN nn GROUP BY 1 ORDER BY decile"""
   }
+
+  /** q272's oracle: the SAME unrolled training chain, then batch scoring
+    * against the final round's weights and the confusion/margin rollup
+    * the drained stream produces — hash equality IS the stream-static
+    * model-completeness law. */
+  private def scoringOracle(rounds: Int): String =
+    s"""${trainCtes(rounds)},
+        zs AS (SELECT x.doc_id, MAX(x.y) AS y,
+                      CAST(SUM(x.x * w.wv) AS BIGINT) AS z
+               FROM x JOIN w$rounds w ON w.j = x.j GROUP BY x.doc_id)
+        SELECT CAST(y AS BIGINT) AS y,
+               CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+               COUNT(*) AS n_docs,
+               CAST(SUM(z) AS BIGINT) AS sum_z,
+               MIN(z) AS min_z, MAX(z) AS max_z
+        FROM zs GROUP BY 1, 2 ORDER BY y, pred"""
 
   /** The shared unrolled-training WITH-chain (tok/lab/x/nn/w0 .. w_R) —
     * q233's scoring tail and q243's cartography tail both append to

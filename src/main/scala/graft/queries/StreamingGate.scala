@@ -1319,6 +1319,47 @@ object StreamingGate {
       .orderBy(col("mktsegment"), col("event_type"))
   }
 
+  /** Run the streamed broadcast-model scoring pipeline to completion:
+    * documents arrive through a file-source micro-batch stream and every
+    * row is scored STATELESSLY in-row by the trained 257-weight model
+    * embedded as a plan literal ([[graft.operators.HashedLogReg
+    * .inRowScore]]) — model fitted offline, shipped into the stream, no
+    * state store and no shuffle inside the streaming query. The drained
+    * per-doc (y, z) rows roll up into the confusion/margin card. */
+  def streamedModelScoring(spark: SparkSession, dir: String,
+      w: Array[Long], stopTerms: Seq[String],
+      threshPerMille: Long): DataFrame = {
+    val run = new GateRun(spark, "q272",
+      Seq("documents.parquet" -> s"$dir/documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val (zc, yc) = graft.operators.HashedLogReg.inRowScore(
+      "toks", w, stopTerms, threshPerMille)
+    try {
+      val q = spark.readStream
+        .schema(schema)
+        .parquet(run.srcDir)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+        .select(col("doc_id"), yc.as("y"), zc.as("z"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally run.cleanup()
+    spark.table(run.sink)
+      .groupBy(col("y"),
+        when(col("z") >= 0L, 1L).otherwise(0L).as("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        // margin checksum accumulates in DECIMAL(38,0) (the oracle's
+        // HUGEINT SUM mirrored) — Σz outgrows a long at corpus scale
+        sum(col("z").cast(DecimalType(38, 0))).cast(LongType).as("sum_z"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("y"), col("pred"))
+  }
+
   /** Run the streamed per-user session build to completion and return
     * the emitted (watermark-closed) sessions, fully ordered. */
   def streamedSessions(spark: SparkSession, dir: String): DataFrame = {

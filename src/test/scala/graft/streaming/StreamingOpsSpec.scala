@@ -10,6 +10,9 @@ import org.apache.spark.sql.streaming.OutputMode
   * case classes can't derive a product Encoder). */
 final case class JoinEv(user: Long, id: Long, t: java.sql.Timestamp)
 
+/** Typed row for the q272 streamed-scoring case. */
+final case class DocRow(doc_id: Long, text: String)
+
 class StreamingOpsSpec extends SparkSpec {
 
   private def rec(vid: String, ts: String, speed: Double,
@@ -500,5 +503,45 @@ class StreamingOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sorted
     assert(rows.toSeq === Seq((1L, 10L, 11L, 13L)))
+  }
+
+  test("streamed in-row model scorer ≡ batch bucketized scorer (q272 law)") {
+    // The stream-static MODEL completeness law on a MemoryStream: the
+    // stateless per-row scorer (Σ_tokens w[bucket] + bias, literal
+    // model) must equal HashedLogReg's batch path (per-(doc, bucket)
+    // counts joined to the weight table) doc-for-doc — a DIFFERENT
+    // factoring of the same sum, so associativity bugs, bias-row slips,
+    // or bucket-hash drift all fail here.
+    import graft.operators.HashedLogReg
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      DocRow(1L, "the a quick brown fox"),
+      DocRow(2L, "the the the a a lambda"),
+      DocRow(3L, "entropy gradient shuffle partition map"),
+      DocRow(4L, "a the a the a the"))
+    val w = Array.tabulate(HashedLogReg.Buckets + 1)(
+      j => ((j % 11) - 5).toLong * 1000L)
+    val (zc, yc) = HashedLogReg.inRowScore("toks", w, Seq("the", "a"), 66L)
+    val mem = MemoryStream[DocRow]
+    mem.addData(docs: _*)
+    val q = mem.toDF()
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+      .select(col("doc_id"), yc.as("y"), zc.as("z"))
+      .writeStream.format("memory").queryName("q272_spec")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("q272_spec").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val x = HashedLogReg.withLabelAndBias(
+      HashedLogReg.tokenFeatures(docs.toDF("doc_id", "text"), "text",
+        Seq("the", "a")), 66L)
+    val batch = HashedLogReg.score(x, w).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch,
+      s"streamed scorer diverged from the batch path:\n$streamed\n$batch")
+    assert(streamed.map(_._2).toSet == Set(0L, 1L),
+      "fixture exercises both label classes")
   }
 }
