@@ -27,6 +27,8 @@ object Classifier {
   // q254's temperature grid (integer divisors of the margin) — declared
   // BEFORE defs: the oracle generator reads it at object init.
   private val TempGrid = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+  // q276's conformal α grid in ppm — same before-defs rule.
+  private val AlphaGrid = Seq(50000L, 100000L, 200000L)
 
   // The one previously-persisted feature table (the NgramJaccard
   // pattern): repeated invocations in one session hold at most ONE
@@ -335,7 +337,71 @@ object Classifier {
         StreamingGate.streamedModelScoring(spark, dir, w, StopTerms,
           ThreshPerMille)
       },
-      oracle = Some(scoringOracle(Rounds)))
+      oracle = Some(scoringOracle(Rounds))),
+
+    // ---- q276: split-conformal coverage certificate ----
+    // The SEVENTH certificate family, and the only one with a
+    // FINITE-SAMPLE DISTRIBUTION-FREE guarantee (Vovk; Angelopoulos–
+    // Bates): calibrate a nonconformity threshold on half the corpus,
+    // and coverage on the other half is ≥ 1−α by exchangeability alone
+    // — no model quality assumption, which is exactly what makes it
+    // the shippable wrapper around the q233 classifier. Nonconformity
+    // = |y·10⁶ − conf| (integer hard-sigmoid confidence residual);
+    // threshold = the ⌈(1−α)(n_cal+1)⌉-th smallest calibration score
+    // (exact order statistic, (value, doc_id)-ranked through the
+    // stat-routed GlobalRank — never a single-partition sort); the
+    // held-out half's measured coverage sits beside the guarantee for
+    // a 3-value α grid. Everything integer; ceil by (a·b + 10⁶−1) div
+    // 10⁶.
+    //
+    // 100 TB posture: training as q233; ranking via GlobalRank's
+    // routed two-pass; the grid evaluates in ONE pass over the test
+    // half against a broadcast 3-row threshold table.
+    "q276_conformal_coverage" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val x = synchronized {
+          lastX.foreach(_.unpersist(blocking = false))
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(docs, "text", StopTerms),
+            ThreshPerMille)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lastX = Some(built)
+          built
+        }
+        val w = HashedLogReg.train(x, docs.count(), Rounds, InvLr)
+        val scored = HashedLogReg.score(x, w)
+          .withColumn("conf", expr(
+            "greatest(0L, least(1000000L, 500000L + z div 4))"))
+          .withColumn("nc", abs(col("y") * 1000000L - col("conf")))
+          .localCheckpoint(false)
+        val cal = scored.filter(col("doc_id") % 2 === 0)
+        val test = scored.filter(col("doc_id") % 2 === 1)
+        val nCal = cal.count()
+        // rank nc ASCENDING through the non-negative DESC ranker:
+        // value = 10⁶ − nc (nc ≤ 10⁶ by construction), so rn is the
+        // k-th-smallest position with (nc, doc_id) tie order
+        val ranked = GlobalRank.withRankAndPrefixAuto(
+          cal.select(col("doc_id"), col("nc"),
+            (lit(1000000L) - col("nc")).as("ncneg")),
+          "ncneg", "doc_id", rowCount = Some(nCal))._2
+        val thr = AlphaGrid.map { a =>
+          val k = ((1000000L - a) * (nCal + 1) + 999999L) / 1000000L
+          ranked.filter(col("rn") === k)
+            .select(lit(a).as("alpha_ppm"), col("nc").as("thr"))
+        }.reduce(_ unionAll _)
+        test.crossJoin(broadcast(thr))
+          .groupBy(col("alpha_ppm"), col("thr"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("nc") <= col("thr"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .select(col("alpha_ppm"), lit(nCal).as("n_cal"), col("thr"),
+            col("n_test"), col("n_covered"),
+            expr("n_covered * 1000000 div n_test").as("coverage_ppm"),
+            (lit(1000000L) - col("alpha_ppm")).as("target_ppm"))
+          .orderBy(col("alpha_ppm"))
+      },
+      oracle = Some(conformalOracle(Rounds)))
   )
 
   /** q254's oracle: the shared training chain, the final scoring join,
@@ -472,6 +538,41 @@ object Classifier {
                CAST(SUM(z) AS BIGINT) AS sum_z,
                MIN(z) AS min_z, MAX(z) AS max_z
         FROM zs GROUP BY 1, 2 ORDER BY y, pred"""
+
+  /** q276's oracle: the SAME unrolled training chain, then the exact
+    * split-conformal procedure — nonconformity residuals, the
+    * ⌈(1−α)(n_cal+1)⌉-th smallest calibration score per α (integer
+    * ceil), and held-out coverage against each threshold. */
+  private def conformalOracle(rounds: Int): String =
+    s"""${trainCtes(rounds)},
+        zs AS (SELECT x.doc_id, MAX(x.y) AS y,
+                      CAST(SUM(x.x * w.wv) AS BIGINT) AS z
+               FROM x JOIN w$rounds w ON w.j = x.j GROUP BY x.doc_id),
+        sc AS (SELECT doc_id, y,
+                      ABS(y * 1000000 - GREATEST(CAST(0 AS BIGINT),
+                        LEAST(CAST(1000000 AS BIGINT), 500000 + z // 4)))
+                        AS nc
+               FROM zs),
+        cal AS (SELECT * FROM sc WHERE doc_id % 2 = 0),
+        tst AS (SELECT * FROM sc WHERE doc_id % 2 = 1),
+        ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
+        rk AS (SELECT nc, ROW_NUMBER() OVER (ORDER BY nc, doc_id) AS rn
+               FROM cal),
+        alphas AS (SELECT CAST(unnest([${AlphaGrid.mkString(", ")}])
+                     AS BIGINT) AS alpha_ppm),
+        thr AS (SELECT a.alpha_ppm, r.nc AS thr
+                FROM alphas a CROSS JOIN ncal n JOIN rk r
+                  ON r.rn = ((1000000 - a.alpha_ppm) * (n.n + 1)
+                             + 999999) // 1000000)
+        SELECT t.alpha_ppm, n.n AS n_cal, t.thr,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN s.nc <= t.thr THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_covered,
+               CAST(SUM(CASE WHEN s.nc <= t.thr THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000 // COUNT(*) AS coverage_ppm,
+               1000000 - t.alpha_ppm AS target_ppm
+        FROM tst s CROSS JOIN thr t CROSS JOIN ncal n
+        GROUP BY t.alpha_ppm, n.n, t.thr ORDER BY t.alpha_ppm"""
 
   /** The shared unrolled-training WITH-chain (tok/lab/x/nn/w0 .. w_R) —
     * q233's scoring tail and q243's cartography tail both append to

@@ -1982,7 +1982,102 @@ object CorpusStats {
                     THEN (est_inter - exact_inter) * 1000000 // exact_union
                     ELSE -((exact_inter - est_inter) * 1000000
                       // exact_union) END AS err_ppm
-        FROM fin ORDER BY source_a, source_b"""))
+        FROM fin ORDER BY source_a, source_b""")),
+
+    // ---- q273: Count-Min point-query error certificate ----
+    // The SIXTH estimator-certificate family (HLL cardinality q221/
+    // q263, MinHash similarity q252, AMS F2 q255, bottom-k quantiles
+    // q257, Bloom FPR q258 — now the frequency sketch `HeavyHitters`
+    // q167 rests on). CMS promises one-sided error: est(x) ≥ f(x)
+    // always, and P[est(x) − f(x) ≥ (e/w)·N] ≤ e^{-d} per query. This
+    // gate MEASURES that promise on q167's harmonic (Zipf) domain —
+    // the distribution where CMS is actually deployed: d = 4 rows ×
+    // w = 256 md5-hashed counters built in one keyed agg, every
+    // distinct item probed (est = min over the 4 counters), overshoot
+    // est − f reported per frequency DECADE (decade = digits of f —
+    // string length, no libm), with the ε·N bound embedded as an
+    // integer literal computed once driver-side (the q270 discipline).
+    // The guarantee is per-query ≤ e^{-4} ≈ 1.8% — n_over_bound reads
+    // 0 at this domain size, and the heavy decades (where q167's
+    // candidates live) overshoot by ~0 relative to their own f.
+    //
+    // 100 TB posture: counters are d·w = 1024 cells whatever N is (one
+    // partial/final keyed count over a ×4 in-row explode); the probe
+    // set joins counters by (row, bucket) — broadcast-sized; the exact
+    // side is the same one keyed count any heavy-hitter verify pays.
+    "q273_cms_error_certificate" -> QueryDef(
+      build = (spark, dir) => {
+        val n = 200000L
+        val d = 4
+        val w = 256L
+        val bound = (math.E * n / w).toLong // 2123; literal in BOTH plans
+        val items = spark.range(n)
+          .select(concat(lit("i"), expr(s"$n div (id + 1)")).as("item"))
+        def bucket(r: Int): Column = expr(
+          s"(instr('0123456789abcdef', substring(md5(concat('q273#$r#', " +
+            s"item)), 1, 1)) - 1) * 16 + instr('0123456789abcdef', " +
+            s"substring(md5(concat('q273#$r#', item)), 2, 1)) - 1")
+        val cells = items
+          .select(explode(array((1 to d).map(r =>
+            struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
+          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val exact = items.groupBy(col("item")).agg(count(lit(1)).as("f"))
+        val est = exact
+          .select(col("item"), col("f"),
+            explode(array((1 to d).map(r =>
+              struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb"))
+          .select(col("item"), col("f"), col("rb.r").as("r"),
+            col("rb.b").as("b"))
+          .join(broadcast(cells), Seq("r", "b"))
+          .groupBy(col("item"), col("f")).agg(min(col("c")).as("est"))
+        est.select(col("f"), (col("est") - col("f")).as("over"))
+          .groupBy(length(col("f").cast("string")).cast("long")
+            .as("decade"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("f")).as("mass"),
+            expr("sum(over) div count(1)").as("mean_over"),
+            max(col("over")).as("max_over"),
+            sum(when(col("over") >= bound, 1L).otherwise(0L))
+              .as("n_over_bound"))
+          .withColumn("bound", lit(bound))
+          .orderBy(col("decade"))
+      },
+      oracle = Some {
+        val n = 200000L
+        val bound = (math.E * n / 256).toLong
+        s"""
+        WITH items AS (
+          SELECT 'i' || CAST($n // (id + 1) AS VARCHAR) AS item
+          FROM range($n) t(id)),
+        rb AS (SELECT item,
+                      CAST(r AS INT) AS r,
+                      (instr('0123456789abcdef',
+                         substring(md5('q273#' || CAST(r AS VARCHAR) || '#'
+                           || item), 1, 1)) - 1) * 16
+                      + instr('0123456789abcdef',
+                          substring(md5('q273#' || CAST(r AS VARCHAR) || '#'
+                            || item), 2, 1)) - 1 AS b
+               FROM items CROSS JOIN (SELECT unnest(range(1, 5)) AS r)),
+        cells AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM rb GROUP BY 1, 2),
+        exact AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS f
+                  FROM items GROUP BY 1),
+        probes AS (SELECT DISTINCT e.item, e.f, rb.r, rb.b
+                   FROM exact e JOIN rb ON rb.item = e.item),
+        est AS (SELECT p.item, p.f, MIN(c.c) AS est
+                FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+                GROUP BY 1, 2)
+        SELECT CAST(length(CAST(f AS VARCHAR)) AS BIGINT) AS decade,
+               COUNT(*) AS n_items,
+               CAST(SUM(f) AS BIGINT) AS mass,
+               CAST(SUM(est - f) AS BIGINT) // COUNT(*) AS mean_over,
+               CAST(MAX(est - f) AS BIGINT) AS max_over,
+               CAST(SUM(CASE WHEN est - f >= $bound THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_over_bound,
+               CAST($bound AS BIGINT) AS bound
+        FROM est GROUP BY 1 ORDER BY decade"""
+      })
   )
 
   /** q255's oracle: exact bigram F2 plus the 16 unrolled AMS replicates

@@ -92,6 +92,62 @@ object Mining {
       .orderBy(col("cid"))
   }
 
+  /** Incremental IVF index refresh — the ANN member of the incremental
+    * family (exact dedup q84, LSH signatures q191, classifier q246):
+    * centroids are FIT once on the existing half of the corpus
+    * (vec_id % 2 = 0, the q124 recipe verbatim), then NEWLY ARRIVED
+    * vectors (odd ids) are assigned to the EXISTING cells — one
+    * broadcast pass, which is the entire point: index maintenance must
+    * not refit on every ingest. The per-cell card reports what an index
+    * operator reads before scheduling a refit: old/new population,
+    * growth, mean quantization error of each population, signed error
+    * drift (sign-safe cross-division — new vectors landing measurably
+    * farther from their centroid than the fitted population means the
+    * cell has gone stale), and the reindex decision at +25% drift.
+    *
+    * 100 TB posture: fit as q124 (broadcast centroids, k·d-tuple
+    * shuffles); the incremental assignment is ONE map-side broadcast
+    * pass over the new vectors — no refit, no old-vector rescan beyond
+    * the same pass q124 already pays; the card is k rows. */
+  def incrementalIvfStats(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val q = emb.select(col("vec_id"), quant(col("e")).as("v"))
+      .localCheckpoint(false)
+    val old = q.filter(col("vec_id") % 2 === 0)
+    val neu = q.filter(col("vec_id") % 2 === 1)
+    val init = old.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var cents = init
+    var assigned = assign(old, cents)
+    for (_ <- 2 to iters) {
+      cents = updateCentroids(old, assigned)
+      assigned = assign(old, cents)
+    }
+    val aOld = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_old"), sum(col("dist")).as("in_old"))
+    val aNew = assign(neu, cents).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_new"), sum(col("dist")).as("in_new"))
+    aOld.join(aNew, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("in_old"), lit(0L)).as("in_old"),
+        coalesce(col("in_new"), lit(0L)).as("in_new"))
+      .withColumn("growth_ppm",
+        expr("n_new * 1000000 div greatest(n_old, 1L)"))
+      .withColumn("err_old", expr("in_old div greatest(n_old, 1L)"))
+      .withColumn("err_new", expr("in_new div greatest(n_new, 1L)"))
+      .withColumn("drift_ppm", expr(
+        "CASE WHEN err_new - err_old >= 0 " +
+          "THEN (err_new - err_old) * 1000000 div greatest(err_old, 1L) " +
+          "ELSE -((err_old - err_new) * 1000000 " +
+          "div greatest(err_old, 1L)) END"))
+      .withColumn("action",
+        when(col("drift_ppm") > 250000L, "reindex").otherwise("ok"))
+      .select(col("cid"), col("n_old"), col("n_new"), col("growth_ppm"),
+        col("err_old"), col("err_new"), col("drift_ppm"), col("action"))
+      .orderBy(col("cid"))
+  }
+
   /** Simplified silhouette (centroid-based, Hruschka et al.) over the
     * fixed-point k-means fit: per vector, a = integer distance to its
     * OWN centroid, b = min distance to any OTHER centroid,
@@ -305,6 +361,102 @@ object Mining {
                CAST(MIN(s_ppm) AS BIGINT) AS min_s_ppm,
                CAST(MAX(s_ppm) AS BIGINT) AS max_s_ppm
         FROM s GROUP BY cid ORDER BY cid""")),
+
+    // ---- q274: incremental IVF index refresh ----
+    // See [[incrementalIvfStats]]. The oracle replays the OLD-half fit
+    // (q124's unrolled chain restricted to even vec_ids) and the
+    // one-pass NEW-half assignment, then the per-cell maintenance card
+    // — so a stale centroid, a refit that sneaked in, or a drift
+    // mis-division all hash-mismatch. Third replay of the fixed-point
+    // Lloyd chain (q124 fit, q253 audit, now index maintenance).
+    "q274_incremental_ivf" -> QueryDef(
+      build = (spark, dir) =>
+        incrementalIvfStats(
+          Tables.embeddings(spark, dir)
+            .select(col("vec_id"), vec64(col("embedding")).as("e")),
+          k = 8, iters = 2),
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+          FROM embeddings),
+        old AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        neu AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM old
+               ORDER BY vec_id LIMIT 8),
+        d1 AS (
+          SELECT o.vec_id, c.cid,
+                 CAST(list_sum(list_transform(list_zip(o.v, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))
+                   AS BIGINT) AS d
+          FROM old o CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        comp AS (
+          SELECT a1.cid, t.i,
+                 CAST(floor(CAST(SUM(t.x) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS comp
+          FROM a1 JOIN old USING (vec_id),
+               LATERAL (SELECT UNNEST(old.v) AS x,
+                               generate_subscripts(old.v, 1) AS i) t
+          GROUP BY a1.cid, t.i),
+        c1 AS MATERIALIZED (
+          SELECT cid, list(comp ORDER BY i) AS cv FROM comp GROUP BY cid),
+        d2 AS (
+          SELECT o.vec_id, c.cid,
+                 CAST(list_sum(list_transform(list_zip(o.v, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))
+                   AS BIGINT) AS d
+          FROM old o CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cid, d FROM (
+                 SELECT vec_id, cid, d,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d, cid) AS rn
+                 FROM d2) WHERE rn = 1),
+        dn AS (
+          SELECT nu.vec_id, c.cid,
+                 CAST(list_sum(list_transform(list_zip(nu.v, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))
+                   AS BIGINT) AS d
+          FROM neu nu CROSS JOIN c1 c),
+        an AS (SELECT vec_id, cid, d FROM (
+                 SELECT vec_id, cid, d,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d, cid) AS rn
+                 FROM dn) WHERE rn = 1),
+        go AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_old,
+                      CAST(SUM(d) AS BIGINT) AS in_old
+               FROM a2 GROUP BY 1),
+        gn AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_new,
+                      CAST(SUM(d) AS BIGINT) AS in_new
+               FROM an GROUP BY 1),
+        card AS (
+          SELECT COALESCE(go.cid, gn.cid) AS cid,
+                 COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+                 COALESCE(in_old, 0) // GREATEST(COALESCE(n_old, 0), 1)
+                   AS err_old,
+                 COALESCE(in_new, 0) // GREATEST(COALESCE(n_new, 0), 1)
+                   AS err_new
+          FROM go FULL OUTER JOIN gn ON gn.cid = go.cid)
+        SELECT cid, n_old, n_new,
+               n_new * 1000000 // GREATEST(n_old, 1) AS growth_ppm,
+               err_old, err_new,
+               CASE WHEN err_new - err_old >= 0
+                    THEN (err_new - err_old) * 1000000
+                         // GREATEST(err_old, 1)
+                    ELSE -((err_old - err_new) * 1000000
+                         // GREATEST(err_old, 1)) END AS drift_ppm,
+               CASE WHEN (CASE WHEN err_new - err_old >= 0
+                    THEN (err_new - err_old) * 1000000
+                         // GREATEST(err_old, 1)
+                    ELSE -((err_old - err_new) * 1000000
+                         // GREATEST(err_old, 1)) END) > 250000
+                    THEN 'reindex' ELSE 'ok' END AS action
+        FROM card ORDER BY cid""")),
 
     // ---- q125: leakage-safe grouped train/val/test split ----
     // The split every supervised pipeline needs and naive row-hash

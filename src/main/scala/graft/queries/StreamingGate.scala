@@ -1360,6 +1360,74 @@ object StreamingGate {
       .orderBy(col("y"), col("pred"))
   }
 
+  /** Run the UPDATE-mode emission-history gate to completion: the event
+    * corpus is split into 8 deterministic files (event_id % 8) with
+    * strictly increasing modification times, streamed ONE FILE PER
+    * MICRO-BATCH (`maxFilesPerTrigger` 1 — the file source orders by
+    * mod-time, which the split pins), through an unwindowed per-type
+    * count/sum aggregation in update mode. Update mode emits a key's
+    * CURRENT aggregate in every batch that touches it, so the drained
+    * sink holds each type's full PREFIX HISTORY — a pure function of
+    * the data once the batch order is pinned, which is exactly what the
+    * oracle replays (cumulative counts over event_id % 8 ≤ k, rows only
+    * where file k touches the type). */
+  def streamedUpdateHistory(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val run = new GateRun(spark, "q275", Seq())
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+      (0 until 8).foreach { f =>
+        val stage = s"${run.srcDir}/stage_f$f"
+        ev.filter(col("event_id") % 8 === f)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(Paths.get(stage)).filter(p =>
+          p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
+        Files.move(part, dest)
+        Files.walk(Paths.get(stage))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        // pin the batch order: the file source sorts by mod-time
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L
+            + f * 60000L))
+      }
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("event_id", LongType),
+        StructField("cents", LongType)))
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(run.srcDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(DecimalType(38, 0))).cast(LongType)
+            .as("cents_total"))
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("update")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .select(col("event_type"), col("n"), col("cents_total"))
+      .orderBy(col("event_type"), col("n"))
+  }
+
   /** Run the streamed per-user session build to completion and return
     * the emitted (watermark-closed) sessions, fully ordered. */
   def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
@@ -1981,7 +2049,42 @@ object StreamingGate {
     // watermark-safe close rule.
     "q268_streamed_tws_segments" -> QueryDef(
       build = (spark, dir) => streamedTwsSegments(spark, dir),
-      oracle = Some(SegOracle)))
+      oracle = Some(SegOracle))) :+ (
+
+    // ---- q275: UPDATE-mode emission history (23rd streaming law) ----
+    // Every prior streaming law gates APPEND mode (emit once, when
+    // final). Update mode is the other production output contract — a
+    // live dashboard reads a key's CURRENT aggregate after every batch
+    // that touches it — and its correctness statement is about the
+    // EMISSION HISTORY, not just the final row. This gate pins the
+    // whole history: the corpus splits into 8 files by event_id % 8
+    // with strictly increasing mod-times, the file source streams ONE
+    // file per micro-batch (mod-time order — pinned), and the drained
+    // update-mode sink must hold, for every type, exactly the chain of
+    // prefix aggregates over files 0..k at each k the type appears in.
+    // The oracle replays that as a cumulative window over the per-file
+    // rollup. A batch that skipped emission, re-emitted an untouched
+    // key, or emitted a non-prefix value cannot hash-match.
+    //
+    // 100 TB posture: unwindowed update-mode state is one row per key
+    // (|event types|); per batch the source reads one file and the agg
+    // shuffles |types| deltas — the dashboard pattern at any scale.
+    "q275_streamed_update_history" -> QueryDef(
+      build = (spark, dir) => streamedUpdateHistory(spark, dir),
+      oracle = Some("""
+        WITH e AS (SELECT event_type, event_id % 8 AS f,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        g AS (SELECT event_type, f, CAST(COUNT(*) AS BIGINT) AS nf,
+                     CAST(SUM(cents) AS BIGINT) AS cf
+              FROM e GROUP BY 1, 2),
+        p AS (SELECT event_type,
+                     CAST(SUM(nf) OVER w AS BIGINT) AS n,
+                     CAST(SUM(cf) OVER w AS BIGINT) AS cents_total
+              FROM g WINDOW w AS (PARTITION BY event_type ORDER BY f
+                ROWS UNBOUNDED PRECEDING))
+        SELECT event_type, n, cents_total
+        FROM p ORDER BY event_type, n""")))
 
   /** q184: the q149 replay harness with watermarked, bounded-state
     * dedup. See the QueryDef comment for the delay-covers-span law. */

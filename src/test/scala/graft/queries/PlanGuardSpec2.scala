@@ -220,6 +220,32 @@ class PlanGuardSpec2 extends SparkSpec {
       "digit grid re-scans the raw corpus instead of the totals table")
   }
 
+  test("q273: CMS counters are one keyed partial/final count; probes ride broadcast cells") {
+    val p = plan("q273_cms_error_certificate")
+    assert(p.contains("partial_count"),
+      "counter build not split partial/final — the d·w cells are the " +
+        "whole point of the sketch")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe-vs-counter lookup not a broadcast join of the 1024-cell table")
+    assert(!p.contains("CartesianProduct"),
+      "CMS certificate planned a shuffled cross product")
+    assert(!p.contains("Scan parquet"),
+      "the constructed Zipf domain must come from Range, not a table scan")
+  }
+
+  test("q274: incremental assignment is broadcast-centroid passes over the checkpoint cut") {
+    val p = plan("q274_incremental_ivf")
+    // the quantized table is checkpointed once; Lloyd rounds and the
+    // new-half assignment read it — a lost cut re-runs the fit lineage
+    assert(p.contains("Scan ExistingRDD"),
+      "quantized vector table lost its checkpoint cut")
+    assert(!p.contains("CartesianProduct"),
+      "assignment planned a shuffled cross product (the k-row centroid " +
+        "broadcast is the only legal nested loop)")
+    assert(p.contains("hashpartitioning(vec_id"),
+      "per-vector argmin not keyed by vec_id")
+  }
+
   test("q271: the capstone is ONE scan, keyed windows, no stage boundaries") {
     val p = plan("q271_pipeline_capstone")
     // the whole raw→curate→dedup→mix→pack→card chain must ride a single

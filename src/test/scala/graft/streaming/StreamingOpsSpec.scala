@@ -505,6 +505,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 10L, 11L, 13L)))
   }
 
+  test("update-mode emission history is the chain of prefix aggregates (q275 law)") {
+    // Two explicit micro-batches through an unwindowed update-mode
+    // count: a key touched in both batches must emit BOTH prefix
+    // values; a key touched once emits once — the q275 law in miniature.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[DocRow]
+    val q = mem.toDF().select(col("text").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("q275_spec")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(DocRow(1, "a"), DocRow(2, "a"), DocRow(3, "b"))
+    q.processAllAvailable()
+    mem.addData(DocRow(4, "a"), DocRow(5, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val hist = spark.table("q275_spec").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // a: 2 then 3 (touched twice); b: 1 (batch 1 only); c: 1 (batch 2
+    // only) — and crucially NO re-emission of b in batch 2
+    assert(hist == Seq(("a", 2L), ("a", 3L), ("b", 1L), ("c", 1L)),
+      s"update emission history wrong: $hist")
+  }
+
   test("streamed in-row model scorer ≡ batch bucketized scorer (q272 law)") {
     // The stream-static MODEL completeness law on a MemoryStream: the
     // stateless per-row scorer (Σ_tokens w[bucket] + bias, literal
