@@ -838,6 +838,55 @@ object Curation {
                          // ((COALESCE(MAX(pack_id), -1) + 1) * 2048)
                     ELSE 0 END AS pack_fill_ppm
         FROM pp GROUP BY source ORDER BY source"""),
-      headline = true)
+      headline = true),
+
+    // ---- q277: compression-ratio quality filter (real zlib) ----
+    // See [[graft.operators.CompressionStats]] — the production
+    // cheap-quality screen: per-doc deflate ratio through the JDK's
+    // real zlib, rolled up per source with the two drop bands (ratio <
+    // 0.35 = repetition/boilerplate, > 0.90 = binary-ish junk). Oracle
+    // pattern as q60/q208: Verify materializes the per-doc
+    // measurements (`_q277_input`), DuckDB re-aggregates the rollup
+    // and band counts over identical rows; the kernel's ordering
+    // properties are spec-pinned (CompressionStatsSpec).
+    //
+    // 100 TB posture: deflate is one partition-local pass per doc
+    // (native buffer freed per row); the rollup is |sources| rows.
+    "q277_compression_ratio" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.CompressionStats
+        CompressionStats.ratioRows(Tables.documents(spark, dir))
+          .withColumn("ratio_ppm",
+            expr("defl_len * 1000000 div greatest(raw_len, 1L)"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("raw_len")).as("raw_bytes"),
+            sum(col("defl_len")).as("defl_bytes"),
+            expr("sum(ratio_ppm) div count(1)").as("mean_ratio_ppm"),
+            sum(when(col("ratio_ppm") < 350000L, 1L).otherwise(0L))
+              .as("n_too_compressible"),
+            sum(when(col("ratio_ppm") > 900000L, 1L).otherwise(0L))
+              .as("n_incompressible"))
+          .withColumn("corpus_ratio_ppm",
+            expr("defl_bytes * 1000000 div greatest(raw_bytes, 1L)"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(s"""
+        WITH f AS (SELECT source, raw_len, defl_len,
+                          defl_len * 1000000 // GREATEST(raw_len, 1)
+                            AS ratio_ppm
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q277_input/*.parquet'))
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(raw_len) AS BIGINT) AS raw_bytes,
+               CAST(SUM(defl_len) AS BIGINT) AS defl_bytes,
+               CAST(SUM(ratio_ppm) AS BIGINT) // COUNT(*) AS mean_ratio_ppm,
+               CAST(SUM(CASE WHEN ratio_ppm < 350000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_too_compressible,
+               CAST(SUM(CASE WHEN ratio_ppm > 900000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_incompressible,
+               CAST(SUM(defl_len) AS BIGINT) * 1000000
+                 // GREATEST(CAST(SUM(raw_len) AS BIGINT), 1)
+                 AS corpus_ratio_ppm
+        FROM f GROUP BY source ORDER BY source"""))
   )
 }

@@ -1058,37 +1058,8 @@ object Dedup {
     // (contrast union-find, which is inherently sequential).
     "q265_dedup_components" -> QueryDef(
       build = (spark, dir) => {
-        val t = Tables.documents(spark, dir)
-          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
-        val ch = t.filter(size(col("toks")) >= 10)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(toks) div 10 - 1), " +
-              "i -> md5(array_join(slice(toks, i * 10 + 1, 10), ' ')))"))
-            .as("c"))
-          .distinct()
-        val fr = ch.groupBy(col("c")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 20).select(col("c"))
-        val cd = ch.join(fr, Seq("c"))
-        val e = cd.as("x").join(cd.as("y"),
-            col("x.c") === col("y.c") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct().localCheckpoint(false)
-        val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-        var lbl = t.select(col("doc_id"), col("doc_id").as("lbl"))
-          .localCheckpoint(false)
-        var prev = lbl
-        for (_ <- 1 to 6) {
-          prev = lbl
-          val nbr = sym
-            .join(lbl.withColumnRenamed("doc_id", "a")
-              .withColumnRenamed("lbl", "albl"), Seq("a"))
-            .groupBy(col("b")).agg(min(col("albl")).as("nlbl"))
-            .withColumnRenamed("b", "doc_id")
-          lbl = lbl.join(nbr, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-            .localCheckpoint(false)
-        }
+        val parts = componentParts(spark, dir)
+        import parts.{lbl, prev, e}
         val cl = lbl.groupBy(col("lbl").as("cluster_rep"))
           .agg(count(lit(1)).as("cluster_size"))
         val su = cl.agg(count(lit(1)).as("n_clusters"),
@@ -1104,12 +1075,141 @@ object Dedup {
           .crossJoin(broadcast(chg))
           .orderBy(col("cluster_size").desc, col("cluster_rep"))
       },
-      oracle = Some(componentsOracle))
+      oracle = Some(componentsOracle)),
+
+    // ---- q278: quality-aware dedup retention (keep the BEST, not the
+    // first) ----
+    // q265 forms the duplicate clusters; this gate applies the
+    // RETENTION POLICY production curation actually ships (the
+    // NeMo-Curator / near-dedup-pipeline default): within each
+    // cluster keep the LONGEST document (token count, doc_id
+    // tie-break) — min-id retention silently biases toward whatever
+    // arrived first, which on web data means the earliest (often
+    // truncated) crawl of a page. The card quantifies exactly that
+    // policy delta: per multi-cluster the kept doc vs the min-id rep,
+    // plus corpus totals (docs removed, tokens kept/removed, and how
+    // often the quality policy disagrees with first-wins). Shares
+    // [[componentParts]] and the oracle's propagation CTEs with q265 —
+    // the two gates cannot drift.
+    //
+    // 100 TB posture: everything q265 pays, plus ONE lbl-keyed window
+    // (rank within cluster) and a keyed rollup — no new corpus-scale
+    // structure.
+    "q278_quality_retention" -> QueryDef(
+      build = (spark, dir) => {
+        val parts = componentParts(spark, dir)
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+        val w = Window.partitionBy(col("lbl"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+        val ranked = parts.lbl.join(toks, Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+        val cl = ranked.groupBy(col("lbl").as("cluster_rep"))
+          .agg(count(lit(1)).as("cluster_size"),
+            sum(col("n_tokens")).as("cluster_tokens"),
+            max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+            max(when(col("rn") === 1, col("n_tokens"))).as("kept_tokens"))
+        val su = cl.agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size") - 1).as("n_removed_docs"),
+          sum(col("kept_tokens")).as("tokens_kept"),
+          sum(col("cluster_tokens") - col("kept_tokens"))
+            .as("tokens_removed"),
+          sum(when(col("kept_doc") =!= col("cluster_rep"), 1L)
+            .otherwise(0L)).as("n_policy_differs"))
+        cl.filter(col("cluster_size") > 1)
+          .orderBy(col("cluster_size").desc, col("cluster_rep")).limit(20)
+          .select(col("cluster_rep"), col("cluster_size"), col("kept_doc"),
+            col("kept_tokens"),
+            when(col("kept_doc") =!= col("cluster_rep"), 1L).otherwise(0L)
+              .as("policy_changed"))
+          .crossJoin(broadcast(su))
+          .orderBy(col("cluster_size").desc, col("cluster_rep"))
+      },
+      oracle = Some(s"""
+        WITH $componentCtes,
+        tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        m AS (SELECT l6.doc_id, l6.lbl, tk.n_tokens
+              FROM l6 JOIN tk USING (doc_id)),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lbl
+                ORDER BY n_tokens DESC, doc_id) AS rn FROM m),
+        cl AS (SELECT lbl AS cluster_rep,
+                      CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                      CAST(SUM(n_tokens) AS BIGINT) AS cluster_tokens,
+                      MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+                      MAX(CASE WHEN rn = 1 THEN n_tokens END) AS kept_tokens
+               FROM r GROUP BY 1),
+        su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                      CAST(SUM(cluster_size - 1) AS BIGINT)
+                        AS n_removed_docs,
+                      CAST(SUM(kept_tokens) AS BIGINT) AS tokens_kept,
+                      CAST(SUM(cluster_tokens - kept_tokens) AS BIGINT)
+                        AS tokens_removed,
+                      CAST(SUM(CASE WHEN kept_doc <> cluster_rep
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_policy_differs
+               FROM cl)
+        SELECT top.cluster_rep, top.cluster_size, top.kept_doc,
+               top.kept_tokens,
+               CAST(CASE WHEN top.kept_doc <> top.cluster_rep
+                 THEN 1 ELSE 0 END AS BIGINT) AS policy_changed,
+               su.n_clusters, su.n_removed_docs, su.tokens_kept,
+               su.tokens_removed, su.n_policy_differs
+        FROM (SELECT * FROM cl WHERE cluster_size > 1
+              ORDER BY cluster_size DESC, cluster_rep LIMIT 20) top
+        CROSS JOIN su
+        ORDER BY top.cluster_size DESC, top.cluster_rep"""))
   )
 
-  /** DuckDB replay of q265: the same 6 unrolled min-label-propagation
-    * rounds (LEFT JOIN + MIN per round) over the chunk-sharing edges. */
-  private def componentsOracle: String = {
+  /** Shared output of the q265/q278 component builder: round-6 labels,
+    * round-5 labels (the convergence certificate's other half), and the
+    * undirected edge list. */
+  private final case class ComponentParts(lbl: DataFrame, prev: DataFrame,
+      e: DataFrame)
+
+  /** q265/q278's shared near-dup component builder: chunk-sharing edges
+    * (full 10-token chunks, df ≤ 20 stop-chunk cap) and 6 unrolled
+    * min-label-propagation rounds, each ONE doc-keyed equijoin +
+    * partial/final min behind a localCheckpoint cut. */
+  private def componentParts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): ComponentParts = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+    val ch = t.filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) div 10 - 1), " +
+          "i -> md5(array_join(slice(toks, i * 10 + 1, 10), ' ')))"))
+        .as("c"))
+      .distinct()
+    val fr = ch.groupBy(col("c")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select(col("c"))
+    val cd = ch.join(fr, Seq("c"))
+    val e = cd.as("x").join(cd.as("y"),
+        col("x.c") === col("y.c") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct().localCheckpoint(false)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    var lbl = t.select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(false)
+    var prev = lbl
+    for (_ <- 1 to 6) {
+      prev = lbl
+      val nbr = sym
+        .join(lbl.withColumnRenamed("doc_id", "a")
+          .withColumnRenamed("lbl", "albl"), Seq("a"))
+        .groupBy(col("b")).agg(min(col("albl")).as("nlbl"))
+        .withColumnRenamed("b", "doc_id")
+      lbl = lbl.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(false)
+    }
+    ComponentParts(lbl, prev, e)
+  }
+
+  /** The shared WITH-chain of the component replay (through l6) — the
+    * q265 census tail and the q278 retention tail both append to it,
+    * so neither oracle can drift from the other's propagation. */
+  private def componentCtes: String = {
     val rounds = (1 to 6).map { k =>
       s"""l$k AS (SELECT l.doc_id, LEAST(l.lbl, COALESCE(m.mn, l.lbl)) AS lbl
              FROM l${k - 1} l LEFT JOIN (
@@ -1117,8 +1217,7 @@ object Dedup {
                FROM sym s JOIN l${k - 1} l2 ON l2.doc_id = s.a
                GROUP BY 1) m ON m.doc_id = l.doc_id)"""
     }.mkString(",\n        ")
-    s"""
-        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+    s"""t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
                    FROM documents),
         ch AS (SELECT DISTINCT doc_id,
                       md5(array_to_string(toks[(i*10+1):(i*10+10)], ' '))
@@ -1133,7 +1232,14 @@ object Dedup {
           FROM cd x JOIN cd y ON y.c = x.c AND x.doc_id < y.doc_id),
         sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
         l0 AS (SELECT doc_id, doc_id AS lbl FROM t),
-        $rounds,
+        $rounds"""
+  }
+
+  /** DuckDB replay of q265: the same 6 unrolled min-label-propagation
+    * rounds (LEFT JOIN + MIN per round) over the chunk-sharing edges. */
+  private def componentsOracle: String = {
+    s"""
+        WITH $componentCtes,
         cl AS (SELECT lbl AS cluster_rep,
                       CAST(COUNT(*) AS BIGINT) AS cluster_size
                FROM l6 GROUP BY 1),

@@ -1122,7 +1122,90 @@ object Vectors {
           .toDF("i", "component", "lambda_scaled", "trace_scaled", "evr_ppm")
           .orderBy(col("i"))
       },
-      oracle = Some(powerOracle))
+      oracle = Some(powerOracle)),
+
+    // ---- q279: matryoshka prefix-truncation recall audit ----
+    // The MRL question (Kusupati et al.): if the index stores only the
+    // FIRST 16 of 64 dimensions (4× memory/bandwidth cut — the move
+    // matryoshka-trained embedding stacks ship), how much of the exact
+    // top-10 neighborhood survives? Exact integer audit: per sampled
+    // query (vec_id % 37), top-10 by full-64-d quantized L2² vs top-10
+    // by the 16-d prefix, overlap@10 rolled up per label. Completes
+    // the compression wing of the similarity ladder (JL random
+    // projection q241, int8 quantization q98, PQ q247 — now prefix
+    // truncation, the one that needs NO trained codebook). Unlike
+    // q241's distance-ratio histogram this measures the RANKING
+    // consequence, which is what retrieval actually pays.
+    //
+    // 100 TB posture: the query side is a bounded deterministic sample
+    // broadcast against the corpus (the q50 shape — one map-side pass,
+    // no corpus self-join); ranking windows partition by query id.
+    "q279_matryoshka_audit" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> " +
+              "cast(floor(cast(x as double) * 10000) as long))").as("q"))
+        val qs = emb.filter(col("vec_id") % 37 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("q").as("qv"))
+        val pairs = emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qlabel"), col("vec_id"),
+            expr("aggregate(zip_with(qv, q, (x, y) -> (x - y) * (x - y))" +
+              ", 0L, (a, v) -> a + v)").as("d_full"),
+            expr("aggregate(zip_with(slice(qv, 1, 16), slice(q, 1, 16), " +
+              "(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+              .as("d_pre"))
+        val wF = Window.partitionBy(col("qid"))
+          .orderBy(col("d_full"), col("vec_id"))
+        val wP = Window.partitionBy(col("qid"))
+          .orderBy(col("d_pre"), col("vec_id"))
+        val ov = pairs.withColumn("rf", row_number().over(wF))
+          .withColumn("rp", row_number().over(wP))
+          .groupBy(col("qid"), col("qlabel"))
+          .agg(sum(when(col("rf") <= 10 && col("rp") <= 10, 1L)
+            .otherwise(0L)).as("overlap"))
+        ov.groupBy(col("qlabel").as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            expr("sum(overlap) * 100000 div count(1)")
+              .as("mean_overlap_ppm"),
+            min(col("overlap")).as("min_overlap"),
+            max(col("overlap")).as("max_overlap"))
+          .orderBy(col("label"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x ->
+                            CAST(floor(CAST(x AS DOUBLE) * 10000)
+                              AS BIGINT)) AS q
+                   FROM embeddings),
+        qs AS (SELECT vec_id AS qid, label AS qlabel, q AS qv
+               FROM e WHERE vec_id % 37 = 0),
+        p AS (SELECT qs.qid, qs.qlabel, e.vec_id,
+                     CAST(list_sum(list_transform(list_zip(qs.qv, e.q),
+                       t -> (t[1] - t[2]) * (t[1] - t[2]))) AS BIGINT)
+                       AS d_full,
+                     CAST(list_sum(list_transform(
+                       list_zip(qs.qv[1:16], e.q[1:16]),
+                       t -> (t[1] - t[2]) * (t[1] - t[2]))) AS BIGINT)
+                       AS d_pre
+              FROM e CROSS JOIN qs WHERE e.vec_id <> qs.qid),
+        r AS (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY d_full, vec_id) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY d_pre, vec_id) AS rp
+              FROM p),
+        ov AS (SELECT qid, qlabel,
+                      CAST(SUM(CASE WHEN rf <= 10 AND rp <= 10
+                        THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+               FROM r GROUP BY 1, 2)
+        SELECT qlabel AS label, COUNT(*) AS n_queries,
+               CAST(SUM(overlap) AS BIGINT) * 100000 // COUNT(*)
+                 AS mean_overlap_ppm,
+               MIN(overlap) AS min_overlap, MAX(overlap) AS max_overlap
+        FROM ov GROUP BY 1 ORDER BY label"""))
   )
 
   /** DuckDB replay of q260: the same integer power iteration, unrolled

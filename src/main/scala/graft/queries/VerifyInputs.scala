@@ -69,6 +69,11 @@ object VerifyInputs {
     // per-kind profile (decimal-accumulated mean, engine-identical).
     graft.operators.Multimodal.featureRows(spark, Multi.assetCount(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q60_input")
+    // q277: the per-doc real-zlib deflate measurements; DuckDB
+    // re-aggregates the per-source rollup and drop-band counts over
+    // identical rows (deflate has no SQL equivalent).
+    graft.operators.CompressionStats.ratioRows(Tables.documents(spark, sfDir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q277_input")
     // q208: the per-asset integer PCM stats (real WAV decode); DuckDB
     // re-aggregates the per-duration profile over identical rows.
     graft.operators.Multimodal.audioStatRows(spark, Multi.assetCount(sfDir))

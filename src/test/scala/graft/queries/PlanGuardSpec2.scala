@@ -246,6 +246,40 @@ class PlanGuardSpec2 extends SparkSpec {
       "per-vector argmin not keyed by vec_id")
   }
 
+  test("q277: deflate is a partition-local kernel; rollup is source-keyed") {
+    val p = plan("q277_compression_ratio")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "deflate kernel not partition-local")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-source rollup not split partial/final")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "compression rollup planned an all-pairs join")
+  }
+
+  test("q278: retention rides q265's checkpoint cut; ranking is lbl-keyed") {
+    val p = plan("q278_quality_retention")
+    assert(p.contains("Scan ExistingRDD"),
+      "component labels lost their checkpoint cut — propagation re-runs")
+    assert(p.contains("hashpartitioning(lbl"),
+      "within-cluster retention rank not keyed by the cluster label")
+    assert(!p.contains("CartesianProduct"),
+      "retention planned a shuffled cross product")
+  }
+
+  test("q279: query side broadcasts; ranking windows partition by query id") {
+    val p = plan("q279_matryoshka_audit")
+    // the bounded query sample against the corpus is the q50 shape —
+    // a broadcast nested loop by design, never a shuffled cross
+    assert(!p.contains("CartesianProduct"),
+      "query-corpus pairing planned a SHUFFLED cross product")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "query sample not broadcast against the corpus")
+    assert(p.contains("hashpartitioning(qid"),
+      "top-k ranking windows not partitioned by query id")
+  }
+
   test("q271: the capstone is ONE scan, keyed windows, no stage boundaries") {
     val p = plan("q271_pipeline_capstone")
     // the whole raw→curate→dedup→mix→pack→card chain must ride a single
