@@ -1428,6 +1428,102 @@ object StreamingGate {
       .orderBy(col("event_type"), col("n"))
   }
 
+  /** Run the streamed CDC latest-wins materialization to completion:
+    * per-user change events arrive in 8 micro-batches split by
+    * event_id % 8 — DELIBERATELY NOT time order, so stale changes land
+    * after newer ones — and every batch merges into a keyed state
+    * table through [[graft.operators.Upsert.mergeLatest]] (replace
+    * only if the incoming (ts, event_id) version is newer). The final
+    * table must equal the batch latest-row-per-user query no matter
+    * how the batches interleaved. ts travels as the microsecond
+    * `yyyy-MM-dd HH:mm:ss.SSSSSS` string (lexicographically
+    * chronological — the q96 parity format), so version comparison is
+    * engine-identical. */
+  def streamedCdcLatest(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Upsert
+    val run = new GateRun(spark, "q280", Seq())
+    val table = "q280_cdc_state"
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__swap_tmp")
+      // a previous JVM's managed-table DIRECTORIES (the state table and
+      // TableSwap's rewrite staging) survive its in-memory catalog —
+      // clear the locations too or saveAsTable refuses
+      locally {
+        val wh = Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"))
+        if (Files.exists(wh))
+          Files.list(wh)
+            .filter(p => p.getFileName.toString.startsWith(table))
+            .forEach(root => Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p)))
+      }
+      val ev = spark.read.schema(era.schema)
+        .parquet(s"$dir/events.parquet")
+        .filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("cents"),
+          date_format(era.eventTime, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("ts_str"))
+      (0 until 8).foreach { f =>
+        val stage = s"${run.srcDir}/stage_f$f"
+        ev.filter(col("event_id") % 8 === f)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(Paths.get(stage)).filter(p =>
+          p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
+        Files.move(part, dest)
+        Files.walk(Paths.get(stage))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L
+            + f * 60000L))
+      }
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("event_id", LongType),
+        StructField("cents", LongType),
+        StructField("ts_str", StringType)))
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(run.srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val latest = Upsert.latestPerKey(batch, Seq("user_id"),
+            Seq("ts_str", "event_id"))
+          if (!spark.catalog.tableExists(table))
+            latest.write.format("parquet").saveAsTable(table)
+          else Upsert.mergeLatest(spark, table, latest,
+            Seq("user_id"), Seq("ts_str", "event_id"))
+        }
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    val out = spark.table(table)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("cents"), col("ts_str"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(false)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    out
+  }
+
   /** Run the streamed per-user session build to completion and return
     * the emitted (watermark-closed) sessions, fully ordered. */
   def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
@@ -2084,7 +2180,38 @@ object StreamingGate {
               FROM g WINDOW w AS (PARTITION BY event_type ORDER BY f
                 ROWS UNBOUNDED PRECEDING))
         SELECT event_type, n, cents_total
-        FROM p ORDER BY event_type, n""")))
+        FROM p ORDER BY event_type, n"""))) :+ (
+
+    // ---- q280: streamed CDC latest-wins merge (24th streaming law) ----
+    // The warehouse CDC sink contract, gated end to end: change events
+    // stream in 8 micro-batches split by event_id % 8 — deliberately
+    // NOT time order, so stale changes arrive after newer ones — and
+    // each batch merges into the keyed state table via
+    // `Upsert.mergeLatest` (replace only if (ts, event_id) is newer;
+    // plain replace-on-match would regress keys under exactly this
+    // delivery pattern, which is the bug this gate exists to catch).
+    // The law: the final materialized table ≡ the batch
+    // latest-row-per-user query, REGARDLESS of batch interleaving.
+    // Version order runs on the microsecond timestamp STRING (the q96
+    // parity format — lexicographically chronological), so both
+    // engines compare versions identically.
+    //
+    // 100 TB posture: per batch one key-partitioned window over
+    // state ∪ updates (what Iceberg/Delta MERGE does underneath);
+    // state is one row per entity; the user_id < 200 slice bounds the
+    // gate's output, the plan is key-count-invariant.
+    "q280_streamed_cdc_latest" -> QueryDef(
+      build = (spark, dir) => streamedCdcLatest(spark, dir),
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS cents,
+                          strftime(CAST(ts AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+                   FROM events WHERE user_id < 200),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts_str DESC, event_id DESC) AS rn FROM e)
+        SELECT user_id, event_type, event_id, cents, ts_str
+        FROM r WHERE rn = 1 ORDER BY user_id""")))
 
   /** q184: the q149 replay harness with watermarked, bounded-state
     * dedup. See the QueryDef comment for the delay-covers-span law. */

@@ -53,4 +53,35 @@ class UpsertSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS up_crash__swap_tmp")
     }
   }
+
+  test("mergeLatest never regresses a key to an older version (q280 law)") {
+    try {
+      Seq((1L, "fresh", 5L, 100L), (2L, "old", 1L, 10L))
+        .toDF("id", "state", "ver", "v")
+        .write.format("parquet").mode("overwrite").saveAsTable("up_cdc")
+      // a STALE change for key 1 (ver 3 < current 5) arrives late, a
+      // genuinely newer one for key 2, a brand-new key 3, and a
+      // within-batch pair for key 3 where the newer row must win
+      val updates = Seq(
+        (1L, "stale", 3L, 999L),
+        (2L, "newer", 7L, 20L),
+        (3L, "first", 2L, 30L),
+        (3L, "second", 4L, 31L)).toDF("id", "state", "ver", "v")
+      Upsert.mergeLatest(spark, "up_cdc", updates, Seq("id"), Seq("ver"))
+      val out = spark.table("up_cdc").orderBy("id")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(out == Seq(
+        (1L, "fresh", 5L, 100L),  // stale update REJECTED
+        (2L, "newer", 7L, 20L),   // newer update applied
+        (3L, "second", 4L, 31L)), // within-batch newest wins
+        s"latest-wins merge produced $out")
+      // plain mergeInto on the same stale update WOULD regress key 1 —
+      // the contract difference mergeLatest exists for
+      Upsert.mergeInto(spark, "up_cdc",
+        Seq((1L, "stale", 3L, 999L)).toDF("id", "state", "ver", "v"),
+        Seq("id"))
+      assert(spark.table("up_cdc").where(col("id") === 1)
+        .head().getString(1) == "stale")
+    } finally spark.sql("DROP TABLE IF EXISTS up_cdc")
+  }
 }
