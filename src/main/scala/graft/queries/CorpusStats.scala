@@ -2077,7 +2077,88 @@ object CorpusStats {
                  AS BIGINT) AS n_over_bound,
                CAST($bound AS BIGINT) AS bound
         FROM est GROUP BY 1 ORDER BY decade"""
-      })
+      }),
+
+    // ---- q282: differentially-private release + calibration ----
+    // The EIGHTH certificate family: publishing corpus statistics
+    // under a privacy budget. Per-language doc counts released with
+    // Laplace(b = Δ/ε = 1/0.1 = 10) noise via the exact inverse CDF
+    // −b·sgn(u−½)·ln(1−2|u−½|) on an md5 48-bit uniform (+1 over
+    // 2⁴⁸+2, so the CDF argument never reaches 0) — the q264 coin, the
+    // q216 ln-rounded-once-at-9dp portability move, floor (never
+    // round-half) back to integers. THE CERTIFICATE: a deterministic
+    // 256-draw panel from the same generator must show mean |noise| ≈
+    // b (E|Lap(b)| = b exactly) — published beside the release, it is
+    // the evidence the noise is calibrated to the claimed ε rather
+    // than silently too small (no privacy) or too large (no utility).
+    //
+    // 100 TB posture: the release is one keyed count + an in-row noise
+    // expression; the panel is a 256-row Range — both model-sized
+    // regardless of corpus size (that is the POINT of releasing
+    // aggregates).
+    "q282_dp_laplace_release" -> QueryDef(
+      build = (spark, dir) => {
+        def unif(salt: String): String =
+          s"((CAST(conv(substring(md5($salt), 1, 12), 16, 10) AS BIGINT)" +
+            " + 1) / 281474976710658.0d)"
+        def lap(u: String): String =
+          s"(CASE WHEN $u >= 0.5d" +
+            s" THEN -10.0d * round(ln(1.0d - 2.0d * ($u - 0.5d)), 9)" +
+            s" ELSE 10.0d * round(ln(1.0d - 2.0d * (0.5d - $u)), 9) END)"
+        val rel = Tables.documents(spark, dir)
+          .groupBy(col("lang")).agg(count(lit(1)).as("true_count"))
+          .withColumn("noise_floor", expr(
+            s"CAST(floor(${lap(unif("concat('q282#', lang)"))}) AS BIGINT)"))
+          .withColumn("noisy_count", col("true_count") + col("noise_floor"))
+        val cal = spark.range(1, 257)
+          .select(expr(
+            lap(unif("concat('q282#cal#', CAST(id AS STRING))"))).as("nz"))
+          .agg(count(lit(1)).as("n_draws"),
+            expr("CAST(sum(floor(abs(nz) * 1000000.0d)) AS BIGINT)" +
+              " div 256").as("mean_abs_scaled"))
+        rel.crossJoin(broadcast(cal))
+          .select(col("lang"), col("true_count"), col("noise_floor"),
+            col("noisy_count"), lit(100000L).as("epsilon_ppm"),
+            col("n_draws"), col("mean_abs_scaled"),
+            lit(10000000L).as("theory_abs_scaled"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some("""
+        WITH rel AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS true_count,
+                 CAST(floor(CASE
+                   WHEN (('0x' || substr(md5('q282#' || lang), 1, 12))
+                          ::BIGINT + 1) / 281474976710658.0 >= 0.5
+                   THEN -10.0 * round(ln(1.0 - 2.0 *
+                     ((('0x' || substr(md5('q282#' || lang), 1, 12))
+                        ::BIGINT + 1) / 281474976710658.0 - 0.5)), 9)
+                   ELSE 10.0 * round(ln(1.0 - 2.0 *
+                     (0.5 - (('0x' || substr(md5('q282#' || lang), 1, 12))
+                        ::BIGINT + 1) / 281474976710658.0)), 9)
+                   END) AS BIGINT) AS noise_floor
+          FROM documents GROUP BY 1),
+        cal AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_draws,
+                 CAST(SUM(floor(ABS(CASE
+                   WHEN (('0x' || substr(md5('q282#cal#'
+                          || CAST(id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                        / 281474976710658.0 >= 0.5
+                   THEN -10.0 * round(ln(1.0 - 2.0 *
+                     ((('0x' || substr(md5('q282#cal#'
+                         || CAST(id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                       / 281474976710658.0 - 0.5)), 9)
+                   ELSE 10.0 * round(ln(1.0 - 2.0 *
+                     (0.5 - (('0x' || substr(md5('q282#cal#'
+                         || CAST(id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                       / 281474976710658.0)), 9)
+                   END) * 1000000.0)) AS BIGINT) // 256 AS mean_abs_scaled
+          FROM range(1, 257) t(id))
+        SELECT lang, true_count, noise_floor,
+               true_count + noise_floor AS noisy_count,
+               CAST(100000 AS BIGINT) AS epsilon_ppm,
+               n_draws, mean_abs_scaled,
+               CAST(10000000 AS BIGINT) AS theory_abs_scaled
+        FROM rel CROSS JOIN cal ORDER BY lang"""))
   )
 
   /** q255's oracle: exact bigram F2 plus the 16 unrolled AMS replicates

@@ -724,6 +724,110 @@ object Mixing {
                COALESCE(s.n_sampled, 0) AS n_sampled,
                COALESCE(s.n_sampled, 0) * 1000000 // 200 AS sample_share_ppm
         FROM pop p CROSS JOIN mx LEFT JOIN samp s ON s.bucket = p.bucket
-        ORDER BY p.bucket"""))
+        ORDER BY p.bucket""")),
+
+    // ---- q281: Neyman allocation for stratified eval sampling ----
+    // How many eval docs to draw per stratum? Proportional allocation
+    // wastes budget on homogeneous strata; the variance-optimal answer
+    // (Neyman '34) is n_h ∝ N_h·S_h — and in exact integers N_h·S_h =
+    // isqrt(varq_h) where varq_h = N_h·Σx² − (Σx)² (the q243 variance
+    // form, DECIMAL(38,0) so corpus scale can't wrap it). The isqrt is
+    // floor(sqrt(double)) with a one-step integer correction (double
+    // sqrt is within 1 ulp; the correction makes the boundary
+    // engine-exact). Seats are dealt by largest remainder (Hamilton):
+    // floor allocations, then the leftover seats to the biggest
+    // fractional parts — the classic apportionment that sums exactly
+    // to the budget. Proportional allocation sits alongside so the
+    // shift column shows where variance-optimality actually moves
+    // budget.
+    //
+    // 100 TB posture: one keyed moment agg (N, Σx, Σx² per stratum);
+    // everything after runs on the |strata|-row table (the global
+    // remainder window is model-sized by construction).
+    "q281_neyman_allocation" -> QueryDef(
+      build = (spark, dir) => {
+        val k = 1000L
+        val st = Tables.documents(spark, dir)
+          .select(col("lang"), col("n_chars").cast("long").as("x"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_pop"),
+            sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+            sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"))
+          .withColumn("varq",
+            expr("CAST(n_pop AS DECIMAL(38,0)) * sxx - sx * sx"))
+          .withColumn("s0",
+            expr("CAST(floor(sqrt(CAST(varq AS DOUBLE))) AS BIGINT)"))
+          .withColumn("sig", expr(
+            "CASE WHEN CAST(s0 + 1 AS DECIMAL(18,0)) * (s0 + 1) <= varq " +
+              "THEN s0 + 1 " +
+              "WHEN CAST(s0 AS DECIMAL(18,0)) * s0 > varq THEN s0 - 1 " +
+              "ELSE s0 END"))
+          // |strata| rows — cut the corpus lineage here so the totals /
+          // remainder / apportionment passes don't each re-scan
+          .localCheckpoint(false)
+        val tot = st.agg(sum(col("sig")).as("w_tot"),
+          sum(col("n_pop")).as("n_tot"))
+        val base = st.crossJoin(broadcast(tot))
+          .withColumn("a0",
+            expr(s"CAST(CAST($k AS DECIMAL(38,0)) * sig div w_tot" +
+              " AS BIGINT)"))
+          .withColumn("rem",
+            expr(s"CAST($k AS DECIMAL(38,0)) * sig" +
+              " - CAST(a0 AS DECIMAL(38,0)) * w_tot"))
+        val short = base.agg((lit(k) - sum(col("a0"))).as("extra"))
+        val wr = Window.orderBy(col("rem").desc, col("lang"))
+        base.crossJoin(broadcast(short))
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .withColumn("alloc_neyman",
+            col("a0") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+          .withColumn("alloc_prop",
+            expr(s"CAST(CAST($k AS DECIMAL(38,0)) * n_pop div n_tot" +
+              " AS BIGINT)"))
+          .select(col("lang"), col("n_pop"), col("sig").as("sigma_scaled"),
+            col("alloc_neyman"), col("alloc_prop"),
+            (col("alloc_neyman") - col("alloc_prop")).as("shift"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some("""
+        WITH st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pop,
+                           CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                             AS sx,
+                           CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars)
+                             AS HUGEINT) AS sxx
+                    FROM documents GROUP BY 1),
+        v AS (SELECT lang, n_pop,
+                     CAST(n_pop AS HUGEINT) * sxx - sx * sx AS varq
+              FROM st),
+        s0t AS (SELECT *, CAST(floor(sqrt(CAST(varq AS DOUBLE)))
+                          AS BIGINT) AS s0 FROM v),
+        sg AS (SELECT lang, n_pop,
+                      CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= varq
+                             THEN s0 + 1
+                           WHEN CAST(s0 AS HUGEINT) * s0 > varq
+                             THEN s0 - 1
+                           ELSE s0 END AS sig
+               FROM s0t),
+        tot AS (SELECT CAST(SUM(sig) AS BIGINT) AS w_tot,
+                       CAST(SUM(n_pop) AS BIGINT) AS n_tot FROM sg),
+        base AS (SELECT sg.*, tot.w_tot, tot.n_tot,
+                        CAST(CAST(1000 AS HUGEINT) * sig // w_tot
+                          AS BIGINT) AS a0,
+                        CAST(1000 AS HUGEINT) * sig
+                          - CAST(CAST(1000 AS HUGEINT) * sig // w_tot
+                              AS HUGEINT) * w_tot AS rem
+                 FROM sg CROSS JOIN tot),
+        sh AS (SELECT CAST(1000 - SUM(a0) AS BIGINT) AS extra FROM base),
+        rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+                         AS BIGINT) AS rk
+               FROM base)
+        SELECT lang, n_pop, CAST(sig AS BIGINT) AS sigma_scaled,
+               a0 + CASE WHEN rk.rk <= sh.extra THEN 1 ELSE 0 END
+                 AS alloc_neyman,
+               CAST(CAST(1000 AS HUGEINT) * n_pop // n_tot AS BIGINT)
+                 AS alloc_prop,
+               a0 + CASE WHEN rk.rk <= sh.extra THEN 1 ELSE 0 END
+                 - CAST(CAST(1000 AS HUGEINT) * n_pop // n_tot AS BIGINT)
+                 AS shift
+        FROM rk CROSS JOIN sh ORDER BY lang"""))
   )
 }

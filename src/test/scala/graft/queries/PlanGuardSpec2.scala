@@ -280,6 +280,32 @@ class PlanGuardSpec2 extends SparkSpec {
       "top-k ranking windows not partitioned by query id")
   }
 
+  test("q281: allocation is one keyed moment agg; apportionment is model-sized") {
+    val p = plan("q281_neyman_allocation")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-stratum moments not split partial/final")
+    assert(!p.contains("CartesianProduct"),
+      "allocation planned a shuffled cross product (the 1-row totals " +
+        "broadcast is the only legal cross)")
+    // the strata table is checkpointed after ONE moment pass — the
+    // totals/remainder/apportionment passes must ride the cut, not
+    // re-scan the corpus each
+    assert(p.contains("Scan ExistingRDD"),
+      "strata table lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "apportionment re-scans the corpus instead of the strata table")
+  }
+
+  test("q282: the DP release is one keyed count + in-row noise; panel is a Range") {
+    val p = plan("q282_dp_laplace_release")
+    assert(p.contains("partial_count"),
+      "per-language counts not split partial/final")
+    assert(!p.contains("CartesianProduct"),
+      "DP release planned a shuffled cross product")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "calibration panel must come from Range, not a corpus re-scan")
+  }
+
   test("q271: the capstone is ONE scan, keyed windows, no stage boundaries") {
     val p = plan("q271_pipeline_capstone")
     // the whole raw→curate→dedup→mix→pack→card chain must ride a single
