@@ -1157,7 +1157,81 @@ object Dedup {
         FROM (SELECT * FROM cl WHERE cluster_size > 1
               ORDER BY cluster_size DESC, cluster_rep LIMIT 20) top
         CROSS JOIN su
-        ORDER BY top.cluster_size DESC, top.cluster_rep"""))
+        ORDER BY top.cluster_size DESC, top.cluster_rep""")),
+
+    // ---- q284: ROUGE-L sequence near-dup screen (Self-Instruct dedup) --
+    // See [[graft.operators.RougeL]] — the ORDER-aware similarity the
+    // set-based gates (q44 Jaccard, q46 MinHash) cannot express: two
+    // docs sharing every token in different order are Jaccard-identical
+    // but ROUGE-L-distinct; instruction-data pipelines (Self-Instruct /
+    // Alpaca) standardized on ROUGE-L for exactly that reason. Candidate
+    // pairs come from the banded-LSH equijoin (q46's set, threshold
+    // 0.4 — never all-pairs); each pair is scored by the partition-local
+    // LCS DP over whitespace tokens capped at 256 (cost ≤ cap² per
+    // pair), then classified at F1 ≥ 0.5. Oracle independence: DuckDB
+    // re-derives the PAIR SET by brute-force shingle equijoin (the q46
+    // recipe) and LEFT-joins the staged per-pair LCS rows
+    // (`_q284_input`, the q277 kernel pattern) — an LSH-missed pair
+    // surfaces as a NULL-row mismatch, an extra pair as a row-count
+    // mismatch; the DP itself is spec-pinned (RougeLSpec).
+    //
+    // 100 TB posture: pair generation is the capped banded equijoin;
+    // texts arrive by id equijoin; the DP is partition-local with
+    // bounded per-pair cost — no stage sees all-pairs.
+    "q284_rouge_l_screen" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.RougeL
+        val docs = Tables.documents(spark, dir)
+        val pairs = MinHashLSH.nearDupPairs(
+          docs, "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 32, threshold = 0.4)
+        RougeL.lcsRows(pairs.select(col("doc_a"), col("doc_b")), docs)
+          .withColumn("rouge_p_ppm",
+            expr("lcs_len * 1000000 div n_b_tok"))
+          .withColumn("rouge_r_ppm",
+            expr("lcs_len * 1000000 div n_a_tok"))
+          .withColumn("rouge_f_ppm",
+            expr("2 * lcs_len * 1000000 div (n_a_tok + n_b_tok)"))
+          .withColumn("verdict",
+            when(col("rouge_f_ppm") >= 500000L, "near_dup")
+              .otherwise("distinct"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+2])) AS shingles
+          FROM documents),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        cand AS (
+          SELECT doc_a, doc_b FROM pairs
+          WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)
+                  >= 0.4),
+        lcs AS (
+          SELECT * FROM
+          read_parquet('${Gps.VerifyOutToken}/_q284_input/*.parquet'))
+        SELECT c.doc_a, c.doc_b, l.n_a_tok, l.n_b_tok, l.lcs_len,
+               l.lcs_len * 1000000 // l.n_b_tok AS rouge_p_ppm,
+               l.lcs_len * 1000000 // l.n_a_tok AS rouge_r_ppm,
+               2 * l.lcs_len * 1000000 // (l.n_a_tok + l.n_b_tok)
+                 AS rouge_f_ppm,
+               CASE WHEN 2 * l.lcs_len * 1000000
+                      // (l.n_a_tok + l.n_b_tok) >= 500000
+                 THEN 'near_dup' ELSE 'distinct' END AS verdict
+        FROM cand c LEFT JOIN lcs l
+          ON l.doc_a = c.doc_a AND l.doc_b = c.doc_b
+        ORDER BY c.doc_a, c.doc_b"""))
   )
 
   /** Shared output of the q265/q278 component builder: round-6 labels,

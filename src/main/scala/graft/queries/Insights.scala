@@ -863,7 +863,119 @@ object Insights {
                     WHEN CAST(SUM(ABS(dev)) AS BIGINT) // 90 <= 2200
                       THEN 'marginal'
                     ELSE 'nonconforming' END AS conformity
-        FROM rk GROUP BY seg ORDER BY seg"""))
+        FROM rk GROUP BY seg ORDER BY seg""")),
+
+    // ---- q283: l-diversity + t-closeness release audit ----
+    // The two privacy screens that catch what k-anonymity (q183) cannot:
+    // a QI group can hold k rows and still leak if every row shares ONE
+    // sensitive value (homogeneity attack — l-diversity, Machanavajjhala
+    // '07) or if its sensitive DISTRIBUTION pins members far from the
+    // population (skewness attack — t-closeness, Li '07). QI =
+    // (nation, market segment); sensitive = the ORDERED 1000-unit
+    // balance band. l-diversity = distinct bands per group; t-closeness
+    // = exact Earth Mover's Distance between the group's band
+    // distribution and the global one — for an ordered domain EMD is
+    // the mean |cumulative-share difference|, computed in EXACT common-
+    // denominator integers: D_k = Σ_{v≤k}(c_gv·n_tot − c_v·n_g), emd =
+    // Σ|D_k| / ((m−1)·n_g·n_tot), products in DECIMAL(38,0)/HUGEINT so
+    // corpus-scale counts can't wrap (the q258/q267 overflow lesson).
+    // Release verdict: l ≥ 3 AND emd ≤ 0.2 (200000 ppm) — the
+    // literature's usual screening pair, published beside the evidence.
+    //
+    // 100 TB posture: ONE (QI, band) partial/final count over the scan;
+    // the cell table (|QI|·|bands| rows) is checkpoint-cut and every
+    // later pass — group moments, global marginal, grid, cumsum — runs
+    // at that model cardinality; the band marginal and totals ride
+    // broadcasts.
+    "q283_privacy_closeness" -> QueryDef(
+      build = (spark, dir) => {
+        val cell = Tables.customer(spark, dir)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).cast(LongType).as("band"))
+          .agg(count(lit(1)).as("cnt"))
+          // |QI|·|bands| rows feed three consumers — cut the corpus
+          // lineage so the scan+count runs once (the q281 discipline)
+          .localCheckpoint(false)
+        val grp = cell.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(sum(col("cnt")).as("n_g"),
+            countDistinct(col("band")).as("l_distinct"))
+        val gl = cell.groupBy(col("band")).agg(sum(col("cnt")).as("c_v"))
+        val tot = gl.agg(sum(col("c_v")).as("n_tot"),
+          count(lit(1)).as("m"))
+        val grid = grp.crossJoin(broadcast(gl))
+          .join(cell.select(col("c_nationkey"), col("c_mktsegment"),
+            col("band"), col("cnt").as("c_gv")),
+            Seq("c_nationkey", "c_mktsegment", "band"), "left")
+          .withColumn("c_gv", coalesce(col("c_gv"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("d", expr(
+            "CAST(c_gv AS DECIMAL(38,0)) * n_tot" +
+              " - CAST(c_v AS DECIMAL(38,0)) * n_g"))
+        val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+          .orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.withColumn("cd", sum(col("d")).over(w))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(max(col("n_g")).as("n_rows"),
+            max(col("l_distinct")).as("l_distinct"),
+            sum(abs(col("cd"))).as("emd_num"),
+            max(col("n_tot")).as("n_tot"), max(col("m")).as("m"))
+          .withColumn("emd_ppm", expr(
+            "CAST(emd_num * 1000000 div (CAST(greatest(m - 1, 1)" +
+              " AS DECIMAL(38,0)) * n_rows * n_tot) AS BIGINT)"))
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            col("n_rows"), col("l_distinct"), col("emd_ppm"),
+            when(col("l_distinct") >= 3L, 1L).otherwise(0L)
+              .as("l_div_ok"),
+            when(col("emd_ppm") <= 200000L, 1L).otherwise(0L)
+              .as("t_close_ok"),
+            when(col("l_distinct") >= 3L && col("emd_ppm") <= 200000L,
+              "release").otherwise("suppress").as("verdict"))
+          .orderBy(col("c_nationkey"), col("c_mktsegment"))
+      },
+      oracle = Some("""
+        WITH cell AS (SELECT c_nationkey, c_mktsegment,
+                             CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+                               AS band,
+                             CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM customer GROUP BY 1, 2, 3),
+        grp AS (SELECT c_nationkey, c_mktsegment,
+                       CAST(SUM(cnt) AS BIGINT) AS n_g,
+                       CAST(COUNT(DISTINCT band) AS BIGINT) AS l_distinct
+                FROM cell GROUP BY 1, 2),
+        gl AS (SELECT band, CAST(SUM(cnt) AS BIGINT) AS c_v
+               FROM cell GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c_v) AS BIGINT) AS n_tot,
+                       CAST(COUNT(*) AS BIGINT) AS m FROM gl),
+        grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.n_g,
+                        g.l_distinct, gl.band, gl.c_v,
+                        COALESCE(c.cnt, 0) AS c_gv
+                 FROM grp g CROSS JOIN gl
+                 LEFT JOIN cell c ON c.c_nationkey = g.c_nationkey
+                   AND c.c_mktsegment = g.c_mktsegment
+                   AND c.band = gl.band),
+        cum AS (SELECT c_nationkey, c_mktsegment, n_g, l_distinct,
+                       SUM(CAST(c_gv AS HUGEINT) * tot.n_tot
+                           - CAST(c_v AS HUGEINT) * n_g)
+                         OVER (PARTITION BY c_nationkey, c_mktsegment
+                               ORDER BY band ROWS UNBOUNDED PRECEDING)
+                         AS cd,
+                       tot.n_tot, tot.m
+                FROM grid CROSS JOIN tot),
+        emd AS (SELECT c_nationkey, c_mktsegment,
+                       MAX(n_g) AS n_rows, MAX(l_distinct) AS l_distinct,
+                       CAST(SUM(ABS(cd)) * 1000000
+                         // (CAST(GREATEST(m - 1, 1) AS HUGEINT)
+                            * MAX(n_g) * n_tot) AS BIGINT) AS emd_ppm
+                FROM cum GROUP BY c_nationkey, c_mktsegment, m, n_tot)
+        SELECT c_nationkey, c_mktsegment, n_rows, l_distinct, emd_ppm,
+               CAST(CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END
+                 AS BIGINT) AS l_div_ok,
+               CAST(CASE WHEN emd_ppm <= 200000 THEN 1 ELSE 0 END
+                 AS BIGINT) AS t_close_ok,
+               CASE WHEN l_distinct >= 3 AND emd_ppm <= 200000
+                 THEN 'release' ELSE 'suppress' END AS verdict
+        FROM emd ORDER BY c_nationkey, c_mktsegment"""))
   )
 
   /** Nigrini first-two-digits expectation log10(1 + 1/dd) for dd 10–99,

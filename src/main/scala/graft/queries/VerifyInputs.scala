@@ -74,6 +74,19 @@ object VerifyInputs {
     // identical rows (deflate has no SQL equivalent).
     graft.operators.CompressionStats.ratioRows(Tables.documents(spark, sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q277_input")
+    // q284: the per-pair LCS measurements over the LSH candidate set;
+    // DuckDB re-derives the pair set independently (brute-force shingle
+    // equijoin) and LEFT-joins these rows, so a missed pair shows as a
+    // NULL mismatch and the DP kernel stays spec-pinned (RougeLSpec).
+    locally {
+      val docs = Tables.documents(spark, sfDir)
+      val pairs = graft.operators.MinHashLSH.nearDupPairs(
+        docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 32, threshold = 0.4)
+      graft.operators.RougeL
+        .lcsRows(pairs.select(col("doc_a"), col("doc_b")), docs)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q284_input")
+    }
     // q208: the per-asset integer PCM stats (real WAV decode); DuckDB
     // re-aggregates the per-duration profile over identical rows.
     graft.operators.Multimodal.audioStatRows(spark, Multi.assetCount(sfDir))

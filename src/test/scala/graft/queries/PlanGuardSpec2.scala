@@ -323,4 +323,32 @@ class PlanGuardSpec2 extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "the capstone planned an all-pairs join")
   }
+
+  test("q283: privacy audit is one QI×band count; EMD rides the checkpoint cut") {
+    val p = plan("q283_privacy_closeness")
+    assert(p.contains("partial_count"),
+      "(QI, band) cell count not split partial/final")
+    assert(p.contains("Scan ExistingRDD"),
+      "cell table lost its checkpoint cut — group/marginal/grid passes " +
+        "re-run the corpus count")
+    assert(!p.contains("Scan parquet"),
+      "a post-cell pass re-scans the corpus instead of the cell table")
+    assert(!p.contains("CartesianProduct"),
+      "privacy audit planned a SHUFFLED cross product (the broadcast " +
+        "band-marginal/totals crosses are the only legal ones)")
+  }
+
+  test("q284: ROUGE-L scores LSH candidates only; the DP is partition-local") {
+    val p = plan("q284_rouge_l_screen")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "LCS dynamic program not a partition-local kernel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair scoring planned an all-pairs join — candidates must come " +
+        "from the banded-LSH equijoin")
+    assert(p.contains("hashpartitioning(doc_a") ||
+      p.contains("hashpartitioning(doc_b") ||
+      p.contains("BroadcastHashJoin"),
+      "text fetch not an id-keyed equijoin")
+  }
 }
