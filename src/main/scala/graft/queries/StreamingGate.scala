@@ -2211,7 +2211,151 @@ object StreamingGate {
         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY ts_str DESC, event_id DESC) AS rn FROM e)
         SELECT user_id, event_type, event_id, cents, ts_str
-        FROM r WHERE rn = 1 ORDER BY user_id""")))
+        FROM r WHERE rn = 1 ORDER BY user_id"""))) :+ (
+
+    // ---- q285: COMPLETE-mode leaderboard history (25th streaming law) --
+    // The third and last output mode gets its law. Append emits once
+    // when final (laws 1–22), update emits current-on-touch (q275) —
+    // complete re-emits the ENTIRE state table every batch, touched or
+    // not, which is what live leaderboards and BI snapshots consume.
+    // Same 8-file split and pinned batch order as q275; the drained
+    // foreachBatch history must hold, for every batch k, EVERY type
+    // present in files 0..k at its prefix aggregate — an untouched key
+    // that failed to re-emit, a re-emitted stale value, or a skipped
+    // batch all hash-mismatch. The oracle replays the history as
+    // (batches × cumulative per-type rollup at the latest file ≤ k),
+    // ranked per batch by (cents desc, type) into the standings a
+    // leaderboard renders.
+    //
+    // 100 TB posture: complete mode is only viable when state is model-
+    // sized — one row per type here, the leaderboard pattern; the per-
+    // batch emission cost is |keys|, not |events|, and the gate's law
+    // is exactly the contract that makes that trade sound.
+    "q285_streamed_complete_history" -> QueryDef(
+      build = (spark, dir) => streamedCompleteHistory(spark, dir),
+      oracle = Some("""
+        WITH e AS (SELECT event_type, event_id % 8 AS f,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        g AS (SELECT event_type, f, CAST(COUNT(*) AS BIGINT) AS nf,
+                     CAST(SUM(cents) AS BIGINT) AS cf
+              FROM e GROUP BY 1, 2),
+        c AS (SELECT event_type, f,
+                     CAST(SUM(nf) OVER w AS BIGINT) AS n,
+                     CAST(SUM(cf) OVER w AS BIGINT) AS cents_total
+              FROM g WINDOW w AS (PARTITION BY event_type ORDER BY f
+                ROWS UNBOUNDED PRECEDING)),
+        b AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS batch_id),
+        st AS (SELECT b.batch_id, c.event_type, c.n, c.cents_total,
+                      ROW_NUMBER() OVER (PARTITION BY b.batch_id,
+                        c.event_type ORDER BY c.f DESC) AS rf
+               FROM b JOIN c ON c.f <= b.batch_id),
+        cur AS (SELECT batch_id, event_type, n, cents_total
+                FROM st WHERE rf = 1),
+        rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY batch_id
+                 ORDER BY cents_total DESC, event_type) AS BIGINT)
+                 AS lb_rank
+               FROM cur)
+        SELECT batch_id, lb_rank, event_type, n, cents_total
+        FROM rk ORDER BY batch_id, lb_rank""")))
+
+  /** Run the COMPLETE-mode leaderboard gate to completion: the q275
+    * 8-file split (event_id % 8, pinned mod-times, one file per
+    * micro-batch) through an unwindowed per-type count/sum aggregation
+    * in COMPLETE mode, with a foreachBatch sink appending every emitted
+    * row tagged with its batch id. Complete mode re-emits the FULL
+    * state table every batch — including keys the batch never touched —
+    * so the drained history must hold, for every batch k, EVERY type
+    * present in files 0..k at its prefix aggregate over those files,
+    * whether or not file k touched it. The exact complement of q275's
+    * update-mode law (where an untouched key must NOT re-emit). The
+    * leaderboard rank is assigned relationally from the emitted values
+    * (cents desc, type — total order), so the output is the per-batch
+    * top-to-bottom standings history a live leaderboard would render. */
+  def streamedCompleteHistory(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val run = new GateRun(spark, "q285", Seq())
+    val table = "q285_complete_history"
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // clear a previous JVM's surviving managed-table directory (the
+      // q280 lesson: the in-memory catalog forgets, the warehouse dir
+      // does not)
+      locally {
+        val wh = Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"))
+        if (Files.exists(wh))
+          Files.list(wh)
+            .filter(p => p.getFileName.toString.startsWith(table))
+            .forEach(root => Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p)))
+      }
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+      (0 until 8).foreach { f =>
+        val stage = s"${run.srcDir}/stage_f$f"
+        ev.filter(col("event_id") % 8 === f)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(Paths.get(stage)).filter(p =>
+          p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
+        Files.move(part, dest)
+        Files.walk(Paths.get(stage))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        // pin the batch order: the file source sorts by mod-time
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L
+            + f * 60000L))
+      }
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("event_id", LongType),
+        StructField("cents", LongType)))
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(run.srcDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(DecimalType(38, 0))).cast(LongType)
+            .as("cents_total"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val tagged = batch.withColumn("batch_id", lit(id))
+          if (!spark.catalog.tableExists(table))
+            tagged.write.format("parquet").saveAsTable(table)
+          else tagged.write.format("parquet").mode("append")
+            .saveAsTable(table)
+        }
+        .outputMode("complete")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    val wrk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("batch_id"))
+      .orderBy(col("cents_total").desc, col("event_type"))
+    val out = spark.table(table)
+      .withColumn("lb_rank", row_number().over(wrk).cast(LongType))
+      .select(col("batch_id"), col("lb_rank"), col("event_type"),
+        col("n"), col("cents_total"))
+      .orderBy(col("batch_id"), col("lb_rank"))
+      .localCheckpoint(false)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    out
+  }
 
   /** q184: the q149 replay harness with watermarked, bounded-state
     * dedup. See the QueryDef comment for the delay-covers-span law. */

@@ -529,6 +529,37 @@ class StreamingOpsSpec extends SparkSpec {
       s"update emission history wrong: $hist")
   }
 
+  test("complete-mode re-emits untouched keys every batch (q285 law)") {
+    // Two explicit micro-batches through an unwindowed complete-mode
+    // count: batch 2 does NOT touch "b", yet the batch-2 emission must
+    // still carry ("b", 1) — the exact complement of the q275 update
+    // law, and the contract a live leaderboard relies on.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[DocRow]
+    val hist = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val q = mem.toDF().select(col("text").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        hist.synchronized {
+          hist ++= batch.collect().map(r =>
+            (id, r.getString(0), r.getLong(1)))
+        }
+        ()
+      }
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(DocRow(1, "a"), DocRow(2, "a"), DocRow(3, "b"))
+    q.processAllAvailable()
+    mem.addData(DocRow(4, "a"), DocRow(5, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = hist.sorted.toSeq
+    assert(got == Seq((0L, "a", 2L), (0L, "b", 1L),
+      (1L, "a", 3L), (1L, "b", 1L), (1L, "c", 1L)),
+      s"complete emission history wrong: $got")
+  }
+
   test("streamed in-row model scorer ≡ batch bucketized scorer (q272 law)") {
     // The stream-static MODEL completeness law on a MemoryStream: the
     // stateless per-row scorer (Σ_tokens w[bucket] + bias, literal
