@@ -828,6 +828,78 @@ object Mixing {
                a0 + CASE WHEN rk.rk <= sh.extra THEN 1 ELSE 0 END
                  - CAST(CAST(1000 AS HUGEINT) * n_pop // n_tot AS BIGINT)
                  AS shift
-        FROM rk CROSS JOIN sh ORDER BY lang"""))
+        FROM rk CROSS JOIN sh ORDER BY lang""")),
+
+    // ---- q286: cross-source quantile normalization ----
+    // The score-calibration step multi-source mixing actually needs:
+    // quality/length scores from different sources live on incomparable
+    // scales (one crawl's median is another's p95), so thresholding or
+    // mixing on the raw score silently favors whole sources. The fix
+    // every production curation stack ships: map each doc to its
+    // WITHIN-SOURCE rank percentile, then read the GLOBAL reference
+    // distribution at that percentile (type-1 inverse CDF — the exact
+    // k-th order statistic, k = ceil(r·N/n_s) in pure integers). After
+    // the transform every source's distribution IS the global one —
+    // visible in the output as near-identical avg_y per decile across
+    // sources whose raw avg_x differ wildly. Global ranking runs
+    // through the stat-routed [[graft.operators.GlobalRank]] (naive
+    // window below the measured ~2M crossover, sharded two-pass above —
+    // never an unconditional single-partition sort); the percentile
+    // lookup is a rank equijoin. Means accumulate in DECIMAL(38,0)/
+    // HUGEINT (the q258/q267 overflow lesson).
+    //
+    // 100 TB posture: one keyed window per source + the routed global
+    // rank + one rank equijoin — no all-pairs, no unconditional global
+    // sort; the corpus projection is checkpoint-cut once for its four
+    // consumers (ranks, source sizes, total, reference).
+    "q286_quantile_normalize" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.GlobalRank
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast(LongType).as("x"))
+          .localCheckpoint(false)
+        val ws = Window.partitionBy(col("source"))
+          .orderBy(col("x").desc, col("doc_id"))
+        val ranked = d.withColumn("r", row_number().over(ws).cast(LongType))
+        val ns = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val tot = d.agg(count(lit(1)).as("n_tot"))
+        val (_, g) = GlobalRank.withRankAndPrefixAuto(
+          d.select(col("doc_id"), col("x")), "x", "doc_id")
+        val gv = g.select(col("rn").as("k"), col("x").as("y"))
+        ranked.join(ns, Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("k", expr("(r * n_tot + n_s - 1) div n_s"))
+          .join(gv, Seq("k"))
+          .withColumn("decile", expr("(10 * (r - 1)) div n_s"))
+          .groupBy(col("source"), col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(sum(CAST(x AS DECIMAL(38,0))) * 100 div count(1)" +
+              " AS BIGINT)").as("avg_x_centi"),
+            expr("CAST(sum(CAST(y AS DECIMAL(38,0))) * 100 div count(1)" +
+              " AS BIGINT)").as("avg_y_centi"))
+          .orderBy(col("source"), col("decile"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
+                   FROM documents),
+        ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+               FROM d GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM d),
+        r AS (SELECT d.*, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY x DESC, doc_id) AS BIGINT) AS r FROM d),
+        g AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY x DESC, doc_id)
+                AS BIGINT) AS k, x AS y FROM d),
+        m AS (SELECT r.source, r.x, r.r, ns.n_s, tot.n_tot,
+                     (r.r * tot.n_tot + ns.n_s - 1) // ns.n_s AS k,
+                     (10 * (r.r - 1)) // ns.n_s AS decile
+              FROM r JOIN ns USING (source) CROSS JOIN tot),
+        j AS (SELECT m.*, g.y FROM m JOIN g ON g.k = m.k)
+        SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(x AS HUGEINT)) * 100 // COUNT(*) AS BIGINT)
+                 AS avg_x_centi,
+               CAST(SUM(CAST(y AS HUGEINT)) * 100 // COUNT(*) AS BIGINT)
+                 AS avg_y_centi
+        FROM j GROUP BY 1, 2 ORDER BY source, decile"""))
   )
 }

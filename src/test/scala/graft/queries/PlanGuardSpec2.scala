@@ -351,4 +351,18 @@ class PlanGuardSpec2 extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       "text fetch not an id-keyed equijoin")
   }
+
+  test("q286: per-source ranks are source-keyed; lookup is a rank equijoin") {
+    val p = plan("q286_quantile_normalize")
+    assert(p.contains("hashpartitioning(source"),
+      "within-source rank window not hash-partitioned by source")
+    assert(p.contains("Scan ExistingRDD"),
+      "corpus projection lost its checkpoint cut — four consumers " +
+        "re-scan the parquet")
+    assert(!p.contains("Scan parquet"),
+      "a consumer re-scans the corpus instead of the cut projection")
+    assert(!p.contains("CartesianProduct"),
+      "normalization planned a SHUFFLED cross product (the 1-row " +
+        "totals broadcast is the only legal cross)")
+  }
 }
