@@ -722,6 +722,91 @@ object Training {
         SELECT center, context, n_pairs, total_tokens, kept_tokens,
                kept_tokens * 1000000 // total_tokens AS kept_ppm
         FROM top CROSS JOIN st
-        ORDER BY n_pairs DESC, center, context"""))
+        ORDER BY n_pairs DESC, center, context""")),
+
+    // ---- q287: length-grouped batching padding audit ----
+    // The dynamic-batching question every training/inference stack
+    // answers with length bucketing: a batch pads every sequence to its
+    // longest member, so RANDOM batching pays the corpus's full length
+    // variance in padding, while LENGTH-SORTED batching puts like with
+    // like and pays almost none. This gate measures both, exactly:
+    // the same corpus ranked twice (token length desc vs the md5-48bit
+    // hash coin — the pinned stand-in for random shard order), cut into
+    // 32-row batches by rank, each batch costed n·max(len) padded
+    // tokens vs Σlen useful tokens, rolled into the two-strategy card
+    // with waste in integer ppm. Both global orders run through the
+    // stat-routed [[graft.operators.GlobalRank]] (naive window below
+    // the measured ~2M crossover, sharded two-pass above), so the
+    // "global sort" the operator needs is shuffle-sane at any scale.
+    //
+    // 100 TB posture: two routed rank passes + batch-keyed aggs; the
+    // final card is 2 rows; nothing is all-pairs and the ppm step runs
+    // in DECIMAL(38,0)/HUGEINT.
+    "q287_length_batch_audit" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.GlobalRank
+        val b = 32L
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("n"),
+            conv(substring(md5(concat(lit("q287#"),
+              col("doc_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long").as("h"))
+          .localCheckpoint(false)
+        val nRows = Some(d.count())
+        def card(valueCol: String,
+            strat: String): org.apache.spark.sql.DataFrame = {
+          val (_, ranked) = GlobalRank.withRankAndPrefixAuto(
+            d, valueCol, "doc_id", rowCount = nRows)
+          ranked.withColumn("b", expr(s"(rn - 1) div $b"))
+            .groupBy(col("b"))
+            .agg(count(lit(1)).as("c"), max(col("n")).as("mx"),
+              sum(col("n")).as("s"))
+            .agg(count(lit(1)).as("n_batches"),
+              sum(col("s")).as("total_tokens"),
+              sum(col("c") * col("mx")).as("padded_tokens"))
+            .select(lit(strat).as("strategy"), col("n_batches"),
+              col("total_tokens"), col("padded_tokens"))
+        }
+        card("n", "length_sorted").unionAll(card("h", "hash_shuffled"))
+          .withColumn("waste_ppm", expr(
+            "CAST((CAST(padded_tokens AS DECIMAL(38,0)) - total_tokens)" +
+              " * 1000000 div CAST(padded_tokens AS DECIMAL(38,0))" +
+              " AS BIGINT)"))
+          .orderBy(col("strategy"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id,
+                          CAST(len(string_split(trim(text), ' '))
+                            AS BIGINT) AS n,
+                          ('0x' || substr(md5('q287#'
+                            || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                            AS h
+                   FROM documents),
+        ls AS (SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, doc_id)
+                 AS BIGINT) AS rn FROM d),
+        hs AS (SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY h DESC, doc_id)
+                 AS BIGINT) AS rn FROM d),
+        lb AS (SELECT (rn - 1) // 32 AS b, CAST(COUNT(*) AS BIGINT) AS c,
+                      MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS s
+               FROM ls GROUP BY 1),
+        hb AS (SELECT (rn - 1) // 32 AS b, CAST(COUNT(*) AS BIGINT) AS c,
+                      MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS s
+               FROM hs GROUP BY 1),
+        la AS (SELECT 'length_sorted' AS strategy,
+                      CAST(COUNT(*) AS BIGINT) AS n_batches,
+                      CAST(SUM(s) AS BIGINT) AS total_tokens,
+                      CAST(SUM(c * mx) AS BIGINT) AS padded_tokens
+               FROM lb),
+        ha AS (SELECT 'hash_shuffled' AS strategy,
+                      CAST(COUNT(*) AS BIGINT) AS n_batches,
+                      CAST(SUM(s) AS BIGINT) AS total_tokens,
+                      CAST(SUM(c * mx) AS BIGINT) AS padded_tokens
+               FROM hb),
+        u AS (SELECT * FROM la UNION ALL SELECT * FROM ha)
+        SELECT strategy, n_batches, total_tokens, padded_tokens,
+               CAST((CAST(padded_tokens AS HUGEINT) - total_tokens)
+                 * 1000000 // padded_tokens AS BIGINT) AS waste_ppm
+        FROM u ORDER BY strategy"""))
   )
 }

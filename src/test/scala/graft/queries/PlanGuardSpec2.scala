@@ -365,4 +365,22 @@ class PlanGuardSpec2 extends SparkSpec {
       "normalization planned a SHUFFLED cross product (the 1-row " +
         "totals broadcast is the only legal cross)")
   }
+
+  test("q287: both batching orders ride the routed rank; aggs are batch-keyed") {
+    val p = plan("q287_length_batch_audit")
+    // below the GlobalRank crossover the routed naive window already
+    // single-partitioned the rows, so the batch agg needs no new
+    // exchange; the partial/final split is the invariant either route
+    // must show
+    assert(p.contains("partial_count") && p.contains("partial_max"),
+      "per-batch padding agg not split partial/final")
+    assert(p.contains("Scan ExistingRDD"),
+      "corpus projection lost its checkpoint cut — both rank passes " +
+        "re-scan the parquet")
+    assert(!p.contains("Scan parquet"),
+      "a rank pass re-scans the corpus instead of the cut projection")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "batching audit planned an all-pairs join")
+  }
 }
