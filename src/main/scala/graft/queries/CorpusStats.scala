@@ -2158,7 +2158,69 @@ object CorpusStats {
                CAST(100000 AS BIGINT) AS epsilon_ppm,
                n_draws, mean_abs_scaled,
                CAST(10000000 AS BIGINT) AS theory_abs_scaled
-        FROM rel CROSS JOIN cal ORDER BY lang"""))
+        FROM rel CROSS JOIN cal ORDER BY lang""")),
+
+    // ---- q288: unseen-vocabulary mass (Good–Turing + Chao1) ----
+    // The NINTH certificate family answers the question Heaps' growth
+    // fit (q212) cannot: of the vocabulary this corpus has NOT yet
+    // shown, how much probability mass and how many types are still
+    // out there? Good–Turing's leave-one-out identity puts the unseen
+    // MASS at f1/N (the singleton share — every singleton is a word
+    // that would be novel had we sampled one token fewer), and Chao1's
+    // bias-corrected lower bound puts the unseen TYPE count at
+    // f1(f1−1)/(2(f2+1)) beyond the observed vocabulary (defined even
+    // when f2 = 0, unlike the classic f1²/2f2). Per source, in exact
+    // integers — the decision card for "is this slice mined out or
+    // worth more crawl budget", the same question LM-data teams ask
+    // before buying more of a domain. Coverage = 1 − f1/N is Turing's
+    // sample-coverage estimate, published alongside.
+    //
+    // 100 TB posture: one (source, word) keyed count (the q212/q200
+    // shuffle shape), then a frequency-of-frequencies agg per source —
+    // |sources| output rows; the Chao1 product runs in DECIMAL(38,0)/
+    // HUGEINT (f1 is vocabulary-sized; its square is not long-safe).
+    "q288_unseen_vocab_mass" -> QueryDef(
+      build = (spark, dir) => {
+        val wc = Tables.documents(spark, dir)
+          .select(col("source"),
+            explode(split(trim(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        wc.groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+          .withColumn("chao1_est", expr(
+            "vocab + CAST(CAST(f1 AS DECIMAL(38,0)) * (f1 - 1)" +
+              " div (2 * (f2 + 1)) AS BIGINT)"))
+          .withColumn("unseen_mass_ppm",
+            expr("f1 * 1000000 div n_tokens"))
+          .withColumn("coverage_ppm",
+            expr("1000000 - f1 * 1000000 div n_tokens"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH w AS (SELECT source, UNNEST(string_split(trim(text), ' '))
+                     AS w
+                   FROM documents),
+        wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM w WHERE len(w) > 0 GROUP BY 1, 2),
+        card AS (SELECT source,
+                        CAST(SUM(c) AS BIGINT) AS n_tokens,
+                        CAST(COUNT(*) AS BIGINT) AS vocab,
+                        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f1,
+                        CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f2
+                 FROM wc GROUP BY 1)
+        SELECT source, n_tokens, vocab, f1, f2,
+               vocab + CAST(CAST(f1 AS HUGEINT) * (f1 - 1)
+                 // (2 * (f2 + 1)) AS BIGINT) AS chao1_est,
+               f1 * 1000000 // n_tokens AS unseen_mass_ppm,
+               1000000 - f1 * 1000000 // n_tokens AS coverage_ppm
+        FROM card ORDER BY source"""))
   )
 
   /** q255's oracle: exact bigram F2 plus the 16 unrolled AMS replicates

@@ -383,4 +383,17 @@ class PlanGuardSpec2 extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "batching audit planned an all-pairs join")
   }
+
+  test("q288: unseen-mass card is two keyed aggs over one scan") {
+    val p = plan("q288_unseen_vocab_mass")
+    assert(p.contains("partial_count"),
+      "(source, word) count not split partial/final")
+    assert(p.contains("hashpartitioning(source"),
+      "frequency-of-frequencies agg not keyed by source")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "vocabulary card planned an all-pairs join")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "the card re-scans the corpus — one scan feeds both aggs")
+  }
 }
