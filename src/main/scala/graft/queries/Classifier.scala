@@ -401,7 +401,111 @@ object Classifier {
             (lit(1000000L) - col("alpha_ppm")).as("target_ppm"))
           .orderBy(col("alpha_ppm"))
       },
-      oracle = Some(conformalOracle(Rounds)))
+      oracle = Some(conformalOracle(Rounds))),
+
+    // ---- q289: inter-annotator agreement (Cohen's κ, unweighted +
+    // linear-weighted) ----
+    // The eval-data quality gate label pipelines run before trusting
+    // ANY labeled set: how much do two raters agree beyond chance?
+    // Raters here are two deterministic ordinal annotators over the
+    // same docs — tercile band by char length vs tercile band by token
+    // count (correlated but not identical, so the gate exercises real
+    // off-diagonal mass); bands come from the stat-routed
+    // [[graft.operators.GlobalRank]] ((3·(rn−1)) div n — the exact
+    // integer tercile, never ntile's remainder ambiguity). κ =
+    // (pₒ−pₑ)/(1−pₑ) computed entirely in cross-multiplied integers
+    // (κ_ppm = (a·n − b)·10⁶ div (n² − b) with a = Σ diag, b =
+    // Σ rowᵢ·colᵢ), and the ordinal form weighted by linear
+    // disagreement |i−j| (κw_ppm = 10⁶ − Σn_ij·d_ij·n·10⁶ div
+    // Σ rᵢ·c_j·d_ij) — products in DECIMAL(38,0)/HUGEINT. Output: the
+    // full 3×3 confusion table with margins, κ and κw riding every row
+    // (the q278 card pattern).
+    //
+    // 100 TB posture: two routed rank passes over the checkpoint-cut
+    // projection, one 9-cell confusion agg, everything after at cell
+    // cardinality.
+    "q289_cohens_kappa" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+            size(split(trim(col("text")), " ")).cast("long").as("y"))
+          .localCheckpoint(false)
+        val nRows = d.count()
+        def band(valueCol: String, out: String) = {
+          val (_, r) = GlobalRank.withRankAndPrefixAuto(
+            d, valueCol, "doc_id", rowCount = Some(nRows))
+          r.select(col("doc_id"),
+            expr(s"(3 * (rn - 1)) div $nRows").as(out))
+        }
+        val cells = band("x", "ra").join(band("y", "rb"), Seq("doc_id"))
+          .groupBy(col("ra"), col("rb"))
+          .agg(count(lit(1)).as("n_cell"))
+          .localCheckpoint(false)
+        val rm = cells.groupBy(col("ra")).agg(sum(col("n_cell")).as("r_m"))
+        val cm = cells.groupBy(col("rb")).agg(sum(col("n_cell")).as("c_m"))
+        val full = cells.join(rm, Seq("ra")).join(cm, Seq("rb"))
+        val stats = full.agg(
+          sum(col("n_cell")).as("n"),
+          sum(when(col("ra") === col("rb"), col("n_cell"))
+            .otherwise(0L)).as("a"),
+          sum(when(col("ra") === col("rb"),
+            expr("CAST(r_m AS DECIMAL(38,0)) * c_m"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("b"),
+          sum(expr("CAST(n_cell AS DECIMAL(38,0))" +
+            " * abs(ra - rb)")).as("dnum"),
+          sum(expr("CAST(r_m AS DECIMAL(38,0)) * c_m" +
+            " * abs(ra - rb)")).as("dden"))
+          .select(
+            expr("CAST((CAST(a AS DECIMAL(38,0)) * n - b) * 1000000" +
+              " div (CAST(n AS DECIMAL(38,0)) * n - b) AS BIGINT)")
+              .as("kappa_ppm"),
+            expr("CAST(1000000 - dnum * n * 1000000 div dden AS BIGINT)")
+              .as("kappa_w_ppm"))
+        full.crossJoin(broadcast(stats))
+          .select(col("ra"), col("rb"), col("n_cell"),
+            col("r_m").as("row_marg"), col("c_m").as("col_marg"),
+            col("kappa_ppm"), col("kappa_w_ppm"))
+          .orderBy(col("ra"), col("rb"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+                          CAST(len(string_split(trim(text), ' '))
+                            AS BIGINT) AS y
+                   FROM documents),
+        n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        ra AS (SELECT doc_id, (3 * (CAST(ROW_NUMBER() OVER
+                 (ORDER BY x DESC, doc_id) AS BIGINT) - 1)) // n1.n AS ra
+               FROM d CROSS JOIN n1),
+        rb AS (SELECT doc_id, (3 * (CAST(ROW_NUMBER() OVER
+                 (ORDER BY y DESC, doc_id) AS BIGINT) - 1)) // n1.n AS rb
+               FROM d CROSS JOIN n1),
+        cells AS (SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS n_cell
+                  FROM ra JOIN rb USING (doc_id) GROUP BY 1, 2),
+        rm AS (SELECT ra, CAST(SUM(n_cell) AS BIGINT) AS r_m
+               FROM cells GROUP BY 1),
+        cm AS (SELECT rb, CAST(SUM(n_cell) AS BIGINT) AS c_m
+               FROM cells GROUP BY 1),
+        fl AS (SELECT c.ra, c.rb, c.n_cell, rm.r_m, cm.c_m
+                FROM cells c JOIN rm USING (ra) JOIN cm USING (rb)),
+        st AS (SELECT CAST(SUM(n_cell) AS HUGEINT) AS n,
+                      CAST(SUM(CASE WHEN ra = rb THEN n_cell
+                        ELSE 0 END) AS HUGEINT) AS a,
+                      CAST(SUM(CASE WHEN ra = rb
+                        THEN CAST(r_m AS HUGEINT) * c_m
+                        ELSE 0 END) AS HUGEINT) AS b,
+                      CAST(SUM(CAST(n_cell AS HUGEINT)
+                        * ABS(ra - rb)) AS HUGEINT) AS dnum,
+                      CAST(SUM(CAST(r_m AS HUGEINT) * c_m
+                        * ABS(ra - rb)) AS HUGEINT) AS dden
+               FROM fl),
+        kp AS (SELECT CAST((a * n - b) * 1000000
+                 // (n * n - b) AS BIGINT) AS kappa_ppm,
+                      CAST(1000000 - dnum * n * 1000000 // dden
+                        AS BIGINT) AS kappa_w_ppm
+               FROM st)
+        SELECT ra, rb, n_cell, r_m AS row_marg, c_m AS col_marg,
+               kappa_ppm, kappa_w_ppm
+        FROM fl CROSS JOIN kp ORDER BY ra, rb"""))
   )
 
   /** q254's oracle: the shared training chain, the final scoring join,

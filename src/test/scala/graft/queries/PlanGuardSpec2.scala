@@ -396,4 +396,22 @@ class PlanGuardSpec2 extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 2,
       "the card re-scans the corpus — one scan feeds both aggs")
   }
+
+  test("q289: kappa rides two routed ranks + one 9-cell confusion agg") {
+    val p = plan("q289_cohens_kappa")
+    assert(p.contains("Scan ExistingRDD"),
+      "projection/confusion lost their checkpoint cuts")
+    assert(!p.contains("Scan parquet"),
+      "a rater pass re-scans the corpus instead of the cut projection")
+    // below the GlobalRank crossover both rater sides arrive single-
+    // partitioned from the routed naive window, so the doc_id equijoin
+    // needs no new exchange; the invariant either route shows is an
+    // equi-join operator (never a nested loop)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "rater pairing not an equijoin")
+    assert(!p.contains("CartesianProduct"),
+      "agreement card planned a SHUFFLED cross product (the 1-row " +
+        "stats broadcast is the only legal cross)")
+  }
 }
