@@ -2257,7 +2257,38 @@ object StreamingGate {
                  AS lb_rank
                FROM cur)
         SELECT batch_id, lb_rank, event_type, n, cents_total
-        FROM rk ORDER BY batch_id, lb_rank""")))
+        FROM rk ORDER BY batch_id, lb_rank"""))) :+ (
+
+    // ---- q290: streamed weighted sampling (26th streaming law) ----
+    // The ingest-time form of q264's Efraimidis–Spirakis sample: the
+    // population arrives in 8 micro-batches and the k-row sample state
+    // folds each batch in as top-k of (state ∪ batch) by the E–S key.
+    // The law is MERGEABILITY — the key is a fixed total order per
+    // item, so the drained state equals the one-shot batch top-k no
+    // matter how the stream chopped the corpus (reservoir semantics
+    // without an ordered scan; the streaming dual q57/q264 lacked).
+    // The oracle recomputes the batch top-k from scratch in DuckDB —
+    // the identical coin/ln arithmetic q264 already proved portable.
+    //
+    // 100 TB posture: per batch, work = |batch| in-row key computations
+    // + a k-row sort-merge; state is k rows forever — the sampling
+    // contract that makes a continuously-ingesting corpus sampler
+    // bounded-state by construction.
+    "q290_streamed_weighted_sample" -> QueryDef(
+      build = (spark, dir) => streamedWeightedSample(spark, dir),
+      oracle = Some("""
+        WITH o AS (SELECT o_orderkey AS id,
+                          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w
+                   FROM orders),
+        keyed AS (SELECT id, w,
+                         round(ln((('0x' || substr(md5('q290#' ||
+                           CAST(id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                           / 281474976710656.0), 9) / CAST(w AS DOUBLE)
+                           AS e
+                  FROM o)
+        SELECT id, w
+        FROM (SELECT * FROM keyed ORDER BY e DESC, id LIMIT 200)
+        ORDER BY id""")))
 
   /** Run the COMPLETE-mode leaderboard gate to completion: the q275
     * 8-file split (event_id % 8, pinned mod-times, one file per
@@ -2355,6 +2386,87 @@ object StreamingGate {
       .localCheckpoint(false)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     out
+  }
+
+  /** Run the streamed weighted-sampling gate to completion: the orders
+    * table arrives in 8 micro-batches (o_orderkey % 8, pinned mod-time
+    * order, one file per trigger); each batch computes its rows'
+    * Efraimidis–Spirakis keys IN-ROW (the q264 coin: ln of the md5
+    * 48-bit uniform, rounded once, over the weight) and folds them into
+    * a k-row state table kept as top-k of (state ∪ batch) by
+    * (key desc, id). The law: because the E–S key order is a fixed
+    * total order per item, top-k is MERGEABLE — the drained state must
+    * equal the one-shot batch top-k over the whole corpus REGARDLESS of
+    * how the stream chopped it. That is the distributed/streaming
+    * sampling contract (reservoir semantics without an ordered scan). */
+  def streamedWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val k = 200
+    val run = new GateRun(spark, "q290", Seq())
+    // the k-row sample state lives on the driver between batches — the
+    // BPE-merge-table precedent: state is MODEL-sized (k rows) by the
+    // operator's own contract, which is exactly what makes the stream
+    // bounded-state; at scale the same fold runs as a per-batch
+    // TakeOrdered over |batch|+k rows
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Array[org.apache.spark.sql.Row]](Array.empty)
+    try {
+      val o = graft.core.Tables.orders(spark, dir).select(
+        col("o_orderkey").cast("long").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("w"))
+      (0 until 8).foreach { f =>
+        val stage = s"${run.srcDir}/stage_f$f"
+        o.filter(col("id") % 8 === f)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(Paths.get(stage)).filter(p =>
+          p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
+        Files.move(part, dest)
+        Files.walk(Paths.get(stage))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L
+            + f * 60000L))
+      }
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("w", LongType)))
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(run.srcDir)
+        // the E–S key, in-row and stateless (the q264 arithmetic):
+        // u = (md5-48bit + 1)/2^48, e = round(ln u, 9)/w — largest-k
+        .withColumn("u",
+          (conv(substring(md5(concat(lit("q290#"),
+            col("id").cast("string"))), 1, 12), 16, 10).cast("long") + 1)
+            .cast("double") / lit(281474976710656.0))
+        .withColumn("e", round(log(col("u")), 9) / col("w").cast("double"))
+        .select(col("id"), col("w"), col("e"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sch = batch.schema
+          val prev = spark.createDataFrame(
+            java.util.Arrays.asList(state.get(): _*), sch)
+          val top = batch.unionAll(prev)
+            .orderBy(col("e").desc, col("id")).limit(k)
+          state.set(top.collect())
+          ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      val sch = StructType(Seq(
+        StructField("id", LongType), StructField("w", LongType),
+        StructField("e", org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(state.get(): _*), sch)
+        .select(col("id"), col("w"))
+        .orderBy(col("id"))
+        .localCheckpoint(false)
+    } finally run.cleanup()
   }
 
   /** q184: the q149 replay harness with watermarked, bounded-state

@@ -560,6 +560,27 @@ class StreamingOpsSpec extends SparkSpec {
       s"complete emission history wrong: $got")
   }
 
+  test("streamed top-k sample fold is chop-invariant (q290 law)") {
+    // The mergeability at the heart of q290: folding a population into
+    // a k-row top-k state batch by batch yields the SAME sample no
+    // matter how the stream chops or orders the batches, and equals
+    // the one-shot batch top-k.
+    val items = (1L to 40L).map(i => (i, (i * 7919) % 101))
+    def key(i: Long, w: Long): Double =
+      math.rint(math.log((i * 2654435761L % 1000 + 1) / 1000.0) * 1e9) /
+        1e9 / w
+    val keyed = items.map { case (i, w) => (i, w, key(i, w)) }
+    val batchTop = keyed.sortBy { case (i, _, e) => (-e, i) }.take(5)
+    def fold(chunks: Seq[Seq[(Long, Long, Double)]]) =
+      chunks.foldLeft(Seq.empty[(Long, Long, Double)]) { (st, ch) =>
+        (st ++ ch).sortBy { case (i, _, e) => (-e, i) }.take(5)
+      }
+    val byMod = (0 until 4).map(r => keyed.filter(_._1 % 4 == r))
+    val bySplit = keyed.grouped(7).toSeq.reverse
+    assert(fold(byMod) == batchTop, "mod-chopped fold diverged")
+    assert(fold(bySplit) == batchTop, "reverse-chunk fold diverged")
+  }
+
   test("streamed in-row model scorer ≡ batch bucketized scorer (q272 law)") {
     // The stream-static MODEL completeness law on a MemoryStream: the
     // stateless per-row scorer (Σ_tokens w[bucket] + bias, literal
