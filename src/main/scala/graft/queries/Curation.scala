@@ -887,6 +887,96 @@ object Curation {
                CAST(SUM(defl_len) AS BIGINT) * 1000000
                  // GREATEST(CAST(SUM(raw_len) AS BIGINT), 1)
                  AS corpus_ratio_ppm
-        FROM f GROUP BY source ORDER BY source"""))
+        FROM f GROUP BY source ORDER BY source""")),
+
+    // ---- q291: data-pruning frontier (quality vs quantity) ----
+    // The curation decision every filtered-pretraining paper tables:
+    // rank the corpus by a quality score, then for each retention level
+    // read off how many tokens survive and what the kept slice's mean
+    // quality is — the frontier that shows where pruning stops buying
+    // quality. Score = the stop-token rate per mille (the q233 labeling
+    // rule's own signal, computed IN-ROW with a codegen'd higher-order
+    // filter — no explode, no UDF); ranking rides the stat-routed
+    // [[graft.operators.GlobalRank]]; the frontier is a 10-row
+    // cumulative window over the per-decile rollup. Exact integers
+    // end to end (means cross-multiplied before ONE div; token sums in
+    // DECIMAL(38,0)/HUGEINT).
+    //
+    // 100 TB posture: one in-row scoring pass + the routed rank + a
+    // 10-row decile rollup; the cumulative frontier runs at decile
+    // cardinality.
+    "q291_pruning_frontier" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.GlobalRank
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            expr("size(filter(split(trim(text), ' ')," +
+              " t -> t = 'the' OR t = 'a'))").cast("long").as("stops"),
+            size(split(trim(col("text")), " ")).cast("long")
+              .as("n_tokens"))
+          .withColumn("score",
+            expr("stops * 1000 div greatest(n_tokens, 1L)"))
+          .localCheckpoint(false)
+        val n = d.count()
+        val (_, ranked) = GlobalRank.withRankAndPrefixAuto(
+          d, "score", "doc_id", rowCount = Some(n))
+        val dec = ranked
+          .withColumn("decile", expr(s"(10 * (rn - 1)) div ${n}L + 1"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("nd"),
+            sum(col("n_tokens").cast(DecimalType(38, 0))).as("tk"),
+            sum(col("score").cast(DecimalType(38, 0))).as("sc"))
+        val tot = dec.agg(
+          sum(col("tk")).cast(DecimalType(38, 0)).as("tk_all"))
+        val w = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dec.crossJoin(broadcast(tot))
+          .withColumn("n_docs_kept", sum(col("nd")).over(w))
+          .withColumn("tokens_kept",
+            expr("CAST(sum(tk) OVER (ORDER BY decile" +
+              " ROWS UNBOUNDED PRECEDING) AS BIGINT)"))
+          .withColumn("cum_sc", sum(col("sc")).over(w))
+          .select(col("decile").as("retention_decile"),
+            col("n_docs_kept"), col("tokens_kept"),
+            expr("CAST(CAST(tokens_kept AS DECIMAL(38,0)) * 1000000" +
+              " div tk_all AS BIGINT)").as("tokens_share_ppm"),
+            expr("CAST(cum_sc div n_docs_kept AS BIGINT)")
+              .as("mean_score_kept"))
+          .orderBy(col("retention_decile"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id,
+                          CAST(len(list_filter(
+                            string_split(trim(text), ' '),
+                            t -> t = 'the' OR t = 'a')) AS BIGINT)
+                            AS stops,
+                          CAST(len(string_split(trim(text), ' '))
+                            AS BIGINT) AS n_tokens
+                   FROM documents),
+        s AS (SELECT doc_id, n_tokens,
+                     stops * 1000 // GREATEST(n_tokens, 1) AS score
+              FROM d),
+        n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+        r AS (SELECT s.*, CAST(ROW_NUMBER() OVER
+                (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+              FROM s),
+        dec AS (SELECT (10 * (rn - 1)) // n1.n + 1 AS decile,
+                       CAST(COUNT(*) AS BIGINT) AS nd,
+                       CAST(SUM(n_tokens) AS HUGEINT) AS tk,
+                       CAST(SUM(score) AS HUGEINT) AS sc
+                FROM r CROSS JOIN n1 GROUP BY 1),
+        tot AS (SELECT CAST(SUM(tk) AS HUGEINT) AS tk_all FROM dec),
+        cum AS (SELECT decile,
+                       CAST(SUM(nd) OVER w AS BIGINT) AS n_docs_kept,
+                       CAST(SUM(tk) OVER w AS BIGINT) AS tokens_kept,
+                       SUM(sc) OVER w AS cum_sc
+                FROM dec WINDOW w AS (ORDER BY decile
+                  ROWS UNBOUNDED PRECEDING))
+        SELECT decile AS retention_decile, n_docs_kept, tokens_kept,
+               CAST(CAST(tokens_kept AS HUGEINT) * 1000000 // tot.tk_all
+                 AS BIGINT) AS tokens_share_ppm,
+               CAST(cum_sc // n_docs_kept AS BIGINT) AS mean_score_kept
+        FROM cum CROSS JOIN tot ORDER BY retention_decile"""))
   )
 }

@@ -414,4 +414,17 @@ class PlanGuardSpec2 extends SparkSpec {
       "agreement card planned a SHUFFLED cross product (the 1-row " +
         "stats broadcast is the only legal cross)")
   }
+
+  test("q291: frontier is in-row scoring + routed rank + decile cumsum") {
+    val p = plan("q291_pruning_frontier")
+    assert(p.contains("Scan ExistingRDD"),
+      "scored projection lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "the rank or rollup pass re-scans the corpus")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "decile rollup not split partial/final")
+    assert(!p.contains("CartesianProduct"),
+      "frontier planned a SHUFFLED cross product (the 1-row totals " +
+        "broadcast is the only legal cross)")
+  }
 }
