@@ -517,6 +517,78 @@ object Text {
                (a.grams_dup * 1000000) // a.grams_total AS corpus_dup_ppm,
                a.worst_ppm, w.worst_doc
         FROM agg a JOIN w ON w.source = a.source
-        ORDER BY a.source"""))
+        ORDER BY a.source""")),
+
+    // ---- q292: prompt-prefix cache audit ----
+    // The KV-cache question inference serving asks of a corpus: how
+    // much prefix mass repeats? Documents sharing an opening token run
+    // can reuse one cached prefill, so the card ranks the top-20
+    // 8-token prefixes by document count and prices the cache: each
+    // cached prefix saves (n_docs − 1)·|prefix| prefill tokens, and
+    // the corpus totals (coverage of docs, savings as ppm of all
+    // corpus tokens) ride every row. Prefix extraction is an in-row
+    // slice+concat (codegen'd, no explode); the count is one keyed
+    // agg; top-20 is a TakeOrdered heap — never a global sort.
+    //
+    // 100 TB posture: one (prefix) keyed count over the scan, per-
+    // partition top-k heaps, 1-row totals broadcast; the checkpoint cut
+    // keeps the corpus pass single.
+    "q292_prefix_cache_audit" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables.documents(spark, dir)
+          .select(split(trim(col("text")), " ").as("t"))
+          .select(concat_ws(" ", slice(col("t"), 1, 8)).as("prefix"),
+            least(size(col("t")), lit(8)).cast("long").as("pfx_tokens"),
+            size(col("t")).cast("long").as("n_tokens"))
+          .localCheckpoint(false)
+        val pc = d.groupBy(col("prefix"), col("pfx_tokens"))
+          .agg(count(lit(1)).as("n_docs"))
+        val top = pc.orderBy(col("n_docs").desc, col("prefix")).limit(20)
+          .localCheckpoint(false)
+        val tot = d.agg(count(lit(1)).as("total_docs"),
+          sum(col("n_tokens").cast(DecimalType(38, 0)))
+            .as("total_tokens"))
+        val cov = top.agg(sum(col("n_docs")).as("covered_docs"),
+          sum((col("n_docs") - 1) * col("pfx_tokens")).as("saved"))
+        top.crossJoin(broadcast(tot)).crossJoin(broadcast(cov))
+          .select(col("prefix"), col("n_docs"), col("pfx_tokens"),
+            ((col("n_docs") - 1) * col("pfx_tokens")).as("saved_tokens"),
+            col("covered_docs"),
+            expr("covered_docs * 1000000 div total_docs")
+              .as("covered_ppm"),
+            expr("CAST(CAST(saved AS DECIMAL(38,0)) * 1000000" +
+              " div total_tokens AS BIGINT)").as("saved_ppm"))
+          .orderBy(col("n_docs").desc, col("prefix"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT array_to_string(
+                            string_split(trim(text), ' ')[1:8], ' ')
+                            AS prefix,
+                          LEAST(CAST(len(string_split(trim(text), ' '))
+                            AS BIGINT), 8) AS pfx_tokens,
+                          CAST(len(string_split(trim(text), ' '))
+                            AS BIGINT) AS n_tokens
+                   FROM documents),
+        pc AS (SELECT prefix, pfx_tokens,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM d GROUP BY 1, 2),
+        top AS (SELECT * FROM pc
+                ORDER BY n_docs DESC, prefix LIMIT 20),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+                       CAST(SUM(n_tokens) AS HUGEINT) AS total_tokens
+                FROM d),
+        cov AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS covered_docs,
+                       CAST(SUM((n_docs - 1) * pfx_tokens) AS BIGINT)
+                         AS saved
+                FROM top)
+        SELECT prefix, n_docs, pfx_tokens,
+               (n_docs - 1) * pfx_tokens AS saved_tokens,
+               covered_docs,
+               covered_docs * 1000000 // total_docs AS covered_ppm,
+               CAST(CAST(saved AS HUGEINT) * 1000000 // total_tokens
+                 AS BIGINT) AS saved_ppm
+        FROM top CROSS JOIN tot CROSS JOIN cov
+        ORDER BY n_docs DESC, prefix"""))
   )
 }

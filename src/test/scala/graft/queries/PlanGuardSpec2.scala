@@ -427,4 +427,19 @@ class PlanGuardSpec2 extends SparkSpec {
       "frontier planned a SHUFFLED cross product (the 1-row totals " +
         "broadcast is the only legal cross)")
   }
+
+  test("q292: prefix audit is one keyed count + TakeOrdered heap") {
+    val p = plan("q292_prefix_cache_audit")
+    // the TakeOrdered heap lives BEHIND the top-20 lazy-checkpoint cut
+    // (orderBy+limit always plans as TakeOrderedAndProject — the q262
+    // guard pins that shape); what THIS plan must show is the two cuts
+    // and that nothing re-scans or cross-joins the corpus
+    assert(p.contains("Scan ExistingRDD"),
+      "prefix projection / top-20 lost their checkpoint cuts")
+    assert(!p.contains("Scan parquet"),
+      "a pass re-scans the corpus instead of the cut projection")
+    assert(!p.contains("CartesianProduct"),
+      "cache audit planned a SHUFFLED cross product (the 1-row " +
+        "totals/coverage broadcasts are the only legal ones)")
+  }
 }
