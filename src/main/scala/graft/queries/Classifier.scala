@@ -505,7 +505,78 @@ object Classifier {
                FROM st)
         SELECT ra, rb, n_cell, r_m AS row_marg, c_m AS col_marg,
                kappa_ppm, kappa_w_ppm
-        FROM fl CROSS JOIN kp ORDER BY ra, rb"""))
+        FROM fl CROSS JOIN kp ORDER BY ra, rb""")),
+
+    // ---- q293: McNemar's paired test (early-stopping significance) ----
+    // The model-comparison inference the training-dynamics family
+    // (q243/q251/q254) stops short of: did rounds 5–8 SIGNIFICANTLY
+    // improve the classifier, or is the round-8/round-4 accuracy gap
+    // noise? Accuracy deltas on PAIRED predictions are exactly
+    // McNemar's setting: only the discordant docs carry information
+    // (b = round-4 right where round-8 wrong, c = the reverse), and
+    // χ² = (|b−c|−1)²/(b+c) (Edwards continuity correction) against
+    // the χ²₁ 5% critical value 3.841 — embedded as the integer
+    // literal 3841 in BOTH plans at milli scale (the q270 no-libm
+    // discipline). Both weight snapshots come from the SAME training
+    // history q243 certifies (and the oracle's chain materializes w4
+    // and w8 anyway), so this costs ONE extra keyed agg. Output: the
+    // dense 2×2 right/wrong grid (coalesce-0 — cell absence must not
+    // change the schema across SFs) with b, c, χ²-milli and the
+    // decision riding every row.
+    //
+    // 100 TB posture: one agg over the bucketized |docs|·≤257 table
+    // computing BOTH margins (two literal weight arrays in the
+    // projection), then cell-cardinality arithmetic.
+    "q293_mcnemar_early_stop" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val x = synchronized {
+          lastX.foreach(_.unpersist(blocking = false))
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(docs, "text", StopTerms),
+            ThreshPerMille)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lastX = Some(built)
+          built
+        }
+        val n = docs.count()
+        val hist = HashedLogReg.trainHistory(x, n, Rounds, InvLr)
+        def zc(w: Array[Long], out: String) =
+          sum(col("x") * element_at(
+            array(w.toSeq.map(lit): _*), col("j") + 1)).as(out)
+        val z = x.groupBy(col("doc_id"))
+          .agg(max(col("y")).as("y"),
+            zc(hist(Rounds / 2 - 1), "z4"), zc(hist(Rounds - 1), "z8"))
+          .select(
+            when((col("y") === 1L) === (col("z4") >= 0L), 1L)
+              .otherwise(0L).as("r4"),
+            when((col("y") === 1L) === (col("z8") >= 0L), 1L)
+              .otherwise(0L).as("r8"))
+        val cell = z.groupBy(col("r4"), col("r8"))
+          .agg(count(lit(1)).as("nc")).localCheckpoint(false)
+        val grid = spark.range(2).select(col("id").as("r4"))
+          .crossJoin(spark.range(2).select(col("id").as("r8")))
+          .join(cell, Seq("r4", "r8"), "left")
+          .withColumn("n_docs", coalesce(col("nc"), lit(0L))).drop("nc")
+        val st = grid.agg(
+          sum(when(col("r4") === 1L && col("r8") === 0L, col("n_docs"))
+            .otherwise(0L)).as("b"),
+          sum(when(col("r4") === 0L && col("r8") === 1L, col("n_docs"))
+            .otherwise(0L)).as("c"))
+          .withColumn("chi2_milli", expr(
+            "CASE WHEN b + c = 0 THEN 0L ELSE " +
+              "CAST((CAST(abs(b - c) - 1 AS DECIMAL(38,0))" +
+              " * (abs(b - c) - 1)) * 1000 div (b + c) AS BIGINT) END"))
+          .withColumn("significant",
+            when(col("chi2_milli") >= 3841L, 1L).otherwise(0L))
+        grid.crossJoin(broadcast(st))
+          .select(col("r4").cast("long").as("round4_right"),
+            col("r8").cast("long").as("round8_right"),
+            col("n_docs"), col("b"), col("c"),
+            col("chi2_milli"), col("significant"))
+          .orderBy(col("round4_right"), col("round8_right"))
+      },
+      oracle = Some(mcnemarOracle(Rounds)))
   )
 
   /** q254's oracle: the shared training chain, the final scoring join,
@@ -677,6 +748,52 @@ object Classifier {
                1000000 - t.alpha_ppm AS target_ppm
         FROM tst s CROSS JOIN thr t CROSS JOIN ncal n
         GROUP BY t.alpha_ppm, n.n, t.thr ORDER BY t.alpha_ppm"""
+
+  /** q293's oracle: the SAME unrolled training chain (which
+    * materializes every round's weights), then one scoring pass against
+    * BOTH the mid-training and final snapshots, the dense 2×2
+    * right/wrong grid, and McNemar's continuity-corrected χ² at milli
+    * scale vs the 3841 critical-value literal. */
+  private def mcnemarOracle(rounds: Int): String = {
+    val mid = rounds / 2
+    s"""${trainCtes(rounds)},
+        z48 AS (SELECT x.doc_id, MAX(x.y) AS y,
+                       CAST(SUM(x.x * wa.wv) AS BIGINT) AS z4,
+                       CAST(SUM(x.x * wb.wv) AS BIGINT) AS z8
+                FROM x JOIN w$mid wa ON wa.j = x.j
+                       JOIN w$rounds wb ON wb.j = x.j
+                GROUP BY x.doc_id),
+        p AS (SELECT CAST(CASE WHEN (y = 1) = (z4 >= 0) THEN 1 ELSE 0
+                       END AS BIGINT) AS r4,
+                     CAST(CASE WHEN (y = 1) = (z8 >= 0) THEN 1 ELSE 0
+                       END AS BIGINT) AS r8
+              FROM z48),
+        cell AS (SELECT r4, r8, CAST(COUNT(*) AS BIGINT) AS nc
+                 FROM p GROUP BY 1, 2),
+        grid AS (SELECT CAST(a.v AS BIGINT) AS r4, CAST(b.v AS BIGINT)
+                          AS r8, COALESCE(cell.nc, 0) AS n_docs
+                 FROM (VALUES (0), (1)) a(v)
+                 CROSS JOIN (VALUES (0), (1)) b(v)
+                 LEFT JOIN cell ON cell.r4 = a.v AND cell.r8 = b.v),
+        st AS (SELECT
+                 CAST(SUM(CASE WHEN r4 = 1 AND r8 = 0 THEN n_docs
+                   ELSE 0 END) AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN r4 = 0 AND r8 = 1 THEN n_docs
+                   ELSE 0 END) AS BIGINT) AS c
+               FROM grid),
+        k AS (SELECT b, c,
+                     CASE WHEN b + c = 0 THEN 0
+                          ELSE CAST((CAST(ABS(b - c) - 1 AS HUGEINT)
+                            * (ABS(b - c) - 1)) * 1000 // (b + c)
+                            AS BIGINT) END AS chi2_milli
+              FROM st)
+        SELECT grid.r4 AS round4_right, grid.r8 AS round8_right,
+               grid.n_docs, k.b, k.c, k.chi2_milli,
+               CAST(CASE WHEN k.chi2_milli >= 3841 THEN 1 ELSE 0 END
+                 AS BIGINT) AS significant
+        FROM grid CROSS JOIN k
+        ORDER BY round4_right, round8_right"""
+  }
 
   /** The shared unrolled-training WITH-chain (tok/lab/x/nn/w0 .. w_R) —
     * q233's scoring tail and q243's cartography tail both append to

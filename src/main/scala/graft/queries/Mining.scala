@@ -691,6 +691,179 @@ object Mining {
         SELECT phrase_id, phrase, doc_id,
                CAST(start_pos AS BIGINT) AS start_pos
         FROM cand WHERE nhit = 5 AND start_pos >= 0
-        ORDER BY phrase_id, doc_id, start_pos"""))
+        ORDER BY phrase_id, doc_id, start_pos""")),
+
+    // ---- q294: UCB1 crawl-budget allocation (bandit replay) ----
+    // The sequential-decision operator behind "which domain do we crawl
+    // NEXT": each language is an arm, each pull reads the arm's next
+    // md5-ranked batch and pays out its mean quality (the q291
+    // stop-rate score, exact ppm), and UCB1 (Auer '02) balances
+    // exploitation against the sqrt(2·ln t / n) exploration bonus.
+    // Determinism is the q270 literal discipline taken further: BOTH
+    // libm calls (ln t and the sqrt bonus) are precomputed ONCE
+    // driver-side for the whole (t ≤ 16) × (n ≤ 16) grid and embedded
+    // as integer-ppm literals in BOTH engines' plans — the replayed
+    // bandit is pure integer arithmetic end to end (mean = rsum div
+    // pulls, argmax tie-broken by lang). The oracle unrolls all 16
+    // rounds as generated CTEs (the trainCtes precedent); an
+    // off-by-one in the pull count, a stale mean, or a wrong pick
+    // ANYWHERE in the sequence cascades into a hash mismatch.
+    //
+    // 100 TB posture: the corpus-scale work — scoring, per-lang md5
+    // ranking, the (lang × 16)-batch rollup — is all keyed engine-side;
+    // the bandit itself runs on the collected ≤ |langs|·16-row reward
+    // table (the BPE-merge-table precedent: model-sized driver state by
+    // the operator's own contract), and the 16-row pick sequence is the
+    // output.
+    "q294_ucb_crawl_allocation" -> QueryDef(
+      build = (spark, dir) => {
+        val rounds = Ucb.Rounds
+        val rw = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            expr("size(filter(split(trim(text), ' ')," +
+              " t -> t = 'the' OR t = 'a'))").cast("long").as("stops"),
+            size(split(trim(col("text")), " ")).cast("long")
+              .as("n_tokens"))
+          .withColumn("score",
+            expr("stops * 1000 div greatest(n_tokens, 1L)"))
+          .withColumn("pick", md5(concat(lit("q294#"),
+            col("doc_id").cast("string"))))
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("pick"), col("doc_id"))
+        val nl = rw.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+        val batches = rw
+          .withColumn("r", row_number().over(wl).cast("long"))
+          .join(nl, Seq("lang"))
+          .withColumn("k", expr(s"($rounds * (r - 1)) div n_l + 1"))
+          .groupBy(col("lang"), col("k"))
+          .agg(expr("sum(score) * 1000 div count(1)").as("reward_ppm"))
+        // ≤ |langs|·rounds rows — the reward table IS the model here
+        val rewards = batches.collect().map(r =>
+          (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val langs = rewards.keys.map(_._1).toSeq.distinct.sorted
+        val picks = Ucb.replay(langs, rewards)
+        import spark.implicits._
+        picks.toDF("t", "lang", "k", "reward_ppm", "ucb_ppm",
+          "cum_reward_ppm")
+          .orderBy(col("t"))
+      },
+      oracle = Some(Ucb.oracle))
   )
+}
+
+/** q294's bandit: the integer-exact UCB1 replay and its generated
+  * unrolled oracle. The exploration bonus ⌊√(2·ln t / n)·10⁶⌋ is
+  * precomputed here for the full (t, n) grid and embedded as literals
+  * in BOTH plans (ln rounded to 9 dp first — the q264 portability
+  * recipe — then one IEEE sqrt/mul/floor), so neither engine calls
+  * libm at query time. */
+private[queries] object Ucb {
+  val Rounds = 16
+  /** Unplayed arms sort first (effectively infinite UCB), in lang
+    * order — the standard "play each arm once" init, made total. */
+  val InitUcb = 4000000000L
+
+  lazy val bonusPpm: Map[(Int, Int), Long] = (for {
+    t <- 1 to Rounds; n <- 1 to Rounds
+  } yield (t, n) -> math.floor(math.sqrt(
+    2.0 * (math.rint(math.log(t.toDouble) * 1e9) / 1e9) / n) * 1e6)
+    .toLong).toMap
+
+  /** Replay UCB1 over the collected reward table. Returns one row per
+    * round: (t, lang, pull index, reward, winning ucb, cum reward). */
+  def replay(langs: Seq[String], rewards: Map[(String, Long), Long])
+      : Seq[(Long, String, Long, Long, Long, Long)] = {
+    val pulls = scala.collection.mutable.Map(langs.map(_ -> 0L): _*)
+    val rsum = scala.collection.mutable.Map(langs.map(_ -> 0L): _*)
+    var cum = 0L
+    (1 to Rounds).map { t =>
+      val ucbs = langs.map { l =>
+        val n = pulls(l)
+        val u =
+          if (n == 0L) InitUcb
+          else rsum(l) / n + bonusPpm((t, n.toInt))
+        (l, u)
+      }
+      val (lang, u) = ucbs.maxBy { case (l, v) => (v, ReverseLang(l)) }
+      val k = pulls(lang) + 1
+      val rw = rewards.getOrElse((lang, k), 0L)
+      pulls(lang) = k
+      rsum(lang) += rw
+      cum += rw
+      (t.toLong, lang, k, rw, u, cum)
+    }
+  }
+  /** maxBy picks the LAST max; to tie-break ties by SMALLEST lang we
+    * order langs descending in the comparison key. */
+  private case class ReverseLang(l: String) extends Ordered[ReverseLang] {
+    def compare(that: ReverseLang): Int = that.l.compareTo(l)
+  }
+
+  /** The generated 16-round unrolled DuckDB replay. */
+  lazy val oracle: String = {
+    val bonusRows = (for { t <- 1 to Rounds; n <- 1 to Rounds }
+      yield s"($t, $n, ${bonusPpm((t, n))})").mkString(", ")
+    val roundCtes = (1 to Rounds).map { t =>
+      s"""        u$t AS MATERIALIZED (SELECT s.lang, s.pulls, s.rsum,
+                      CASE WHEN s.pulls = 0 THEN $InitUcb
+                           ELSE s.rsum // s.pulls
+                                + (SELECT b.bonus FROM bonus b
+                                   WHERE b.t = $t AND b.n = s.pulls)
+                      END AS ucb
+               FROM s${t - 1} s),
+        p$t AS MATERIALIZED (SELECT lang, ucb FROM u$t
+                ORDER BY ucb DESC, lang LIMIT 1),
+        o$t AS MATERIALIZED (SELECT CAST($t AS BIGINT) AS t, p.lang,
+                       s.pulls + 1 AS k,
+                       COALESCE(r.reward_ppm, 0) AS reward_ppm,
+                       p.ucb AS ucb_ppm
+                FROM p$t p JOIN u$t s ON s.lang = p.lang
+                LEFT JOIN rw r ON r.lang = p.lang
+                  AND r.k = s.pulls + 1),
+        s$t AS MATERIALIZED (SELECT s.lang,
+                       s.pulls + CASE WHEN s.lang = o.lang THEN 1
+                         ELSE 0 END AS pulls,
+                       s.rsum + CASE WHEN s.lang = o.lang
+                         THEN o.reward_ppm ELSE 0 END AS rsum
+                FROM s${t - 1} s CROSS JOIN o$t o)"""
+    }.mkString(",\n")
+    s"""
+        WITH d AS MATERIALIZED (SELECT doc_id, lang,
+                          CAST(len(list_filter(
+                            string_split(trim(text), ' '),
+                            x -> x = 'the' OR x = 'a')) AS BIGINT)
+                            AS stops,
+                          CAST(len(string_split(trim(text), ' '))
+                            AS BIGINT) AS n_tokens,
+                          md5('q294#' || CAST(doc_id AS VARCHAR))
+                            AS pick
+                   FROM documents),
+        sc AS (SELECT doc_id, lang, pick,
+                      stops * 1000 // GREATEST(n_tokens, 1) AS score
+               FROM d),
+        nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+               FROM sc GROUP BY 1),
+        rk AS (SELECT sc.*, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY pick, doc_id) AS BIGINT) AS r
+               FROM sc),
+        rw AS MATERIALIZED (SELECT rk.lang,
+                      ($Rounds * (r - 1)) // nl.n_l + 1 AS k,
+                      CAST(SUM(score) AS BIGINT) * 1000 // COUNT(*)
+                        AS reward_ppm
+               FROM rk JOIN nl USING (lang) GROUP BY 1, 2),
+        bonus AS MATERIALIZED (SELECT CAST(tt AS BIGINT) AS t, CAST(nn AS BIGINT)
+                    AS n, CAST(bb AS BIGINT) AS bonus
+                  FROM (VALUES $bonusRows) v(tt, nn, bb)),
+        s0 AS MATERIALIZED (SELECT lang, CAST(0 AS BIGINT) AS pulls,
+                      CAST(0 AS BIGINT) AS rsum
+               FROM nl),
+$roundCtes,
+        seq AS (${(1 to Rounds).map(t => s"SELECT * FROM o$t")
+      .mkString(" UNION ALL ")})
+        SELECT t, lang, k, reward_ppm, ucb_ppm,
+               CAST(SUM(reward_ppm) OVER (ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_reward_ppm
+        FROM seq ORDER BY t"""
+  }
 }

@@ -442,4 +442,28 @@ class PlanGuardSpec2 extends SparkSpec {
       "cache audit planned a SHUFFLED cross product (the 1-row " +
         "totals/coverage broadcasts are the only legal ones)")
   }
+
+  test("q293: both margins score in ONE doc-keyed agg over the feature table") {
+    val p = plan("q293_mcnemar_early_stop")
+    assert(p.contains("hashpartitioning(doc_id") ||
+      p.contains("partial_sum"),
+      "paired z4/z8 scoring not a doc-keyed partial/final agg")
+    assert(p.contains("Scan ExistingRDD"),
+      "confusion cells lost their checkpoint cut")
+    assert(!p.contains("CartesianProduct"),
+      "McNemar card planned a SHUFFLED cross product (the 2×2 grid " +
+        "and 1-row stats broadcasts are the only legal crosses)")
+  }
+
+  test("q294: bandit state is model-sized; corpus work is keyed ranking + rollup") {
+    val p = plan("q294_ucb_crawl_allocation")
+    // the returned pick sequence is a 16-row LocalTableScan by design
+    // (the q260 bounded-report precedent) — the corpus-scale stages run
+    // inside the collected reward-table job, not in this plan
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      "pick sequence is not the bounded local report it should be")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"),
+      "the 16-row pick report should not join or cross anything")
+  }
 }
