@@ -589,6 +589,77 @@ object Text {
                CAST(CAST(saved AS HUGEINT) * 1000000 // total_tokens
                  AS BIGINT) AS saved_ppm
         FROM top CROSS JOIN tot CROSS JOIN cov
-        ORDER BY n_docs DESC, prefix"""))
+        ORDER BY n_docs DESC, prefix""")),
+
+    // ---- q295: term burstiness (dispersion) card ----
+    // The second-order term statistic frequency alone cannot see
+    // (Church & Gale '95): a CONTENT word arrives in bursts — absent
+    // from most documents, repeated hard where its topic lives — while
+    // a FUNCTION word spreads evenly; their raw counts can be
+    // identical. The dispersion test is the variance-to-mean ratio of
+    // per-document counts (VMR = 1 under Poisson/even spread, ≫ 1 for
+    // bursty terms), computed here in EXACT integers over the dense
+    // per-doc count vector (zeros included: VMR_milli = (D·Σc² −
+    // (Σc)²)·1000 div (D·Σc) — the q243 varq form over D docs) for the
+    // top-20 terms by document frequency, with the burst verdict at
+    // VMR ≥ 2 published per term. Burstiness drives stopword discovery,
+    // keyword extraction, and the IDF-variant choice in retrieval.
+    //
+    // 100 TB posture: one (term, doc) keyed count + one term-keyed
+    // moment agg (zeros enter algebraically via D — the dense vector is
+    // never materialized); top-20 is a TakeOrdered heap; products ride
+    // DECIMAL(38,0)/HUGEINT.
+    "q295_term_burstiness" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val td = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+        val tot = Tables.documents(spark, dir)
+          .agg(count(lit(1)).as("d_docs"))
+        val st = td.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"),
+            sum(col("c")).as("tf"),
+            sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("s2"))
+        st.orderBy(col("df").desc, col("term")).limit(20)
+          .crossJoin(broadcast(tot))
+          .withColumn("vmr_milli", expr(
+            "CAST((CAST(d_docs AS DECIMAL(38,0)) * s2" +
+              " - CAST(tf AS DECIMAL(38,0)) * tf) * 1000" +
+              " div (CAST(d_docs AS DECIMAL(38,0)) * tf) AS BIGINT)"))
+          .select(col("term"), col("df"), col("tf"), col("d_docs"),
+            col("vmr_milli"),
+            when(col("vmr_milli") >= 2000L, "bursty")
+              .otherwise("even").as("verdict"))
+          .orderBy(col("df").desc, col("term"))
+      },
+      oracle = Some("""
+        WITH td AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM (SELECT doc_id,
+                                 UNNEST(string_split(trim(text), ' '))
+                                   AS term
+                          FROM documents)
+                    WHERE len(term) > 0 GROUP BY 1, 2),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_docs
+                FROM documents),
+        st AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                      CAST(SUM(c) AS BIGINT) AS tf,
+                      CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+               FROM td GROUP BY 1),
+        top AS (SELECT * FROM st ORDER BY df DESC, term LIMIT 20)
+        SELECT term, df, tf, d_docs,
+               CAST((CAST(d_docs AS HUGEINT) * s2
+                 - CAST(tf AS HUGEINT) * tf) * 1000
+                 // (CAST(d_docs AS HUGEINT) * tf) AS BIGINT)
+                 AS vmr_milli,
+               CASE WHEN CAST((CAST(d_docs AS HUGEINT) * s2
+                 - CAST(tf AS HUGEINT) * tf) * 1000
+                 // (CAST(d_docs AS HUGEINT) * tf) AS BIGINT) >= 2000
+                 THEN 'bursty' ELSE 'even' END AS verdict
+        FROM top CROSS JOIN tot
+        ORDER BY df DESC, term"""))
   )
 }

@@ -466,4 +466,17 @@ class PlanGuardSpec2 extends SparkSpec {
       !p.contains("SortMergeJoin"),
       "the 16-row pick report should not join or cross anything")
   }
+
+  test("q295: burstiness is two keyed aggs + a TakeOrdered heap") {
+    val p = plan("q295_term_burstiness")
+    assert(p.contains("partial_count"),
+      "(term, doc) count not split partial/final")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 terms not a per-partition heap — a global sort snuck in")
+    assert(p.contains("hashpartitioning(term"),
+      "per-term moment agg not keyed by term")
+    assert(!p.contains("CartesianProduct"),
+      "burstiness card planned a SHUFFLED cross product (the 1-row " +
+        "doc-count broadcast is the only legal cross)")
+  }
 }
