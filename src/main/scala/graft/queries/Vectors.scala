@@ -1205,7 +1205,131 @@ object Vectors {
                CAST(SUM(overlap) AS BIGINT) * 100000 // COUNT(*)
                  AS mean_overlap_ppm,
                MIN(overlap) AS min_overlap, MAX(overlap) AS max_overlap
-        FROM ov GROUP BY 1 ORDER BY label"""))
+        FROM ov GROUP BY 1 ORDER BY label""")),
+
+    // ---- q297: embedding anisotropy (cone) certificate ----
+    // The representation pathology every embedding-search deployment
+    // should measure before trusting cosine (Ethayarajh '19): learned
+    // embeddings often collapse into a narrow CONE — every vector
+    // positively aligned with the corpus mean — which compresses cosine
+    // contrast exactly where retrieval needs it. The audit: per-vector
+    // cosine alignment to the corpus mean vector, per-label rollup.
+    // Exact arithmetic end to end: components floor-quantized to 1e6
+    // (the q124 recipe), the mean vector is the per-dim exact floor-
+    // mean, cos = dot·10⁶ div (isqrt(‖v‖²)·isqrt(‖m‖²)) with the q281
+    // one-step-corrected integer sqrt — isotropic data reads ≈ 0,
+    // a cone reads high positive; verdict at 0.5. The mean vector and
+    // its norm ride the plan as collected literals (the PQ-codebook
+    // precedent — d longs); the oracle RE-DERIVES both from raw
+    // embeddings, so the literals are verified, not trusted.
+    //
+    // 100 TB posture: one d-key mean agg (map-side partials over n·d
+    // rows → d groups) + one in-row alignment pass; the card is
+    // |labels| rows; dot·10⁶ rides DECIMAL(38,0)/HUGEINT.
+    "q297_embedding_isotropy" -> QueryDef(
+      build = (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            expr("transform(embedding, x -> CAST(floor(CAST(x AS" +
+              " DOUBLE) * 1000000) AS BIGINT))").as("v"))
+          .localCheckpoint(false)
+        val m = e.select(posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+            .cast("long").as("c"))
+          .orderBy(col("i")).collect().map(_.getLong(1))
+        def isqrt(n: Long): Long = {
+          val s0 = math.floor(math.sqrt(n.toDouble)).toLong
+          if ((s0 + 1) * (s0 + 1) <= n) s0 + 1
+          else if (s0 * s0 > n) s0 - 1 else s0
+        }
+        val im = isqrt(m.map(x => x * x).sum)
+        val marr = array(m.toSeq.map(lit): _*)
+        e.withColumn("dot", aggregate(
+            zip_with(col("v"), marr, (a, b) => a * b), lit(0L), _ + _))
+          .withColumn("nv2", aggregate(
+            transform(col("v"), x => x * x), lit(0L), _ + _))
+          .withColumn("s0",
+            expr("CAST(floor(sqrt(CAST(nv2 AS DOUBLE))) AS BIGINT)"))
+          .withColumn("iv", expr(
+            "CASE WHEN (s0 + 1) * (s0 + 1) <= nv2 THEN s0 + 1 " +
+              "WHEN s0 * s0 > nv2 THEN s0 - 1 ELSE s0 END"))
+          // sign-safe cross-division (the q274 recipe): negative
+          // numerators must not expose div-vs-// rounding direction
+          .withColumn("align_ppm", expr(
+            s"CASE WHEN dot >= 0 THEN CAST(CAST(dot AS DECIMAL(38,0))" +
+              s" * 1000000 div (greatest(iv, 1L) * ${im}L) AS BIGINT)" +
+              s" ELSE -CAST(CAST(-dot AS DECIMAL(38,0)) * 1000000" +
+              s" div (greatest(iv, 1L) * ${im}L) AS BIGINT) END"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            expr("CASE WHEN sum(align_ppm) >= 0" +
+              " THEN sum(align_ppm) div count(1)" +
+              " ELSE -((-sum(align_ppm)) div count(1)) END")
+              .as("mean_align_ppm"),
+            min(col("align_ppm")).as("min_align_ppm"),
+            max(col("align_ppm")).as("max_align_ppm"))
+          .withColumn("verdict",
+            when(col("mean_align_ppm") >= 500000L, "cone")
+              .otherwise("spread"))
+          .orderBy(col("label"))
+      },
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+          FROM embeddings),
+        dims AS (SELECT vec_id, CAST(t.d AS BIGINT) AS i,
+                        v[CAST(t.d AS INT)] AS x
+                 FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1))
+                                  AS d) t),
+        mc AS (SELECT i, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                 AS BIGINT) AS c
+               FROM dims GROUP BY 1),
+        mv AS (SELECT list(c ORDER BY i) AS mvec FROM mc),
+        nm AS (SELECT CAST(list_sum(list_transform(mvec, x -> x * x))
+                 AS BIGINT) AS nm2 FROM mv),
+        im0 AS (SELECT nm2, CAST(floor(sqrt(CAST(nm2 AS DOUBLE)))
+                  AS BIGINT) AS s0 FROM nm),
+        imv AS (SELECT CASE WHEN (s0 + 1) * (s0 + 1) <= nm2 THEN s0 + 1
+                            WHEN s0 * s0 > nm2 THEN s0 - 1
+                            ELSE s0 END AS im FROM im0),
+        al AS (SELECT e.vec_id, e.label,
+                      CAST(list_sum(list_transform(list_zip(e.v, mv.mvec),
+                        p -> p[1] * p[2])) AS BIGINT) AS dot,
+                      CAST(list_sum(list_transform(e.v, x -> x * x))
+                        AS BIGINT) AS nv2
+               FROM e CROSS JOIN mv),
+        iv0 AS (SELECT *, CAST(floor(sqrt(CAST(nv2 AS DOUBLE)))
+                  AS BIGINT) AS s0 FROM al),
+        ivv AS (SELECT vec_id, label, dot,
+                       CASE WHEN (s0 + 1) * (s0 + 1) <= nv2 THEN s0 + 1
+                            WHEN s0 * s0 > nv2 THEN s0 - 1
+                            ELSE s0 END AS iv
+                FROM iv0),
+        ap AS (SELECT label,
+                      CASE WHEN dot >= 0
+                        THEN CAST(CAST(dot AS HUGEINT) * 1000000
+                          // (GREATEST(iv, 1) * imv.im) AS BIGINT)
+                        ELSE -CAST(CAST(-dot AS HUGEINT) * 1000000
+                          // (GREATEST(iv, 1) * imv.im) AS BIGINT)
+                      END AS align_ppm
+               FROM ivv CROSS JOIN imv),
+        card AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                        CAST(SUM(align_ppm) AS BIGINT) AS s
+                 FROM ap GROUP BY 1),
+        mm AS (SELECT label, MIN(align_ppm) AS min_align_ppm,
+                      MAX(align_ppm) AS max_align_ppm
+               FROM ap GROUP BY 1)
+        SELECT c.label, c.n_vecs,
+               CASE WHEN c.s >= 0 THEN c.s // c.n_vecs
+                    ELSE -((-c.s) // c.n_vecs) END AS mean_align_ppm,
+               mm.min_align_ppm, mm.max_align_ppm,
+               CASE WHEN (CASE WHEN c.s >= 0 THEN c.s // c.n_vecs
+                    ELSE -((-c.s) // c.n_vecs) END) >= 500000
+                 THEN 'cone' ELSE 'spread' END AS verdict
+        FROM card c JOIN mm USING (label) ORDER BY c.label"""))
   )
 
   /** DuckDB replay of q260: the same integer power iteration, unrolled

@@ -479,4 +479,19 @@ class PlanGuardSpec2 extends SparkSpec {
       "burstiness card planned a SHUFFLED cross product (the 1-row " +
         "doc-count broadcast is the only legal cross)")
   }
+
+  test("q297: alignment is in-row against the collected mean-vector literal") {
+    val p = plan("q297_embedding_isotropy")
+    assert(p.contains("Scan ExistingRDD"),
+      "quantized vectors lost their checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "the alignment pass re-scans the corpus")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"),
+      "per-vector alignment must be in-row (mean vector is a plan " +
+        "literal) — the corpus must not join anything")
+    assert(p.contains("hashpartitioning(label") ||
+      p.contains("partial_count"),
+      "per-label card not a keyed partial/final agg")
+  }
 }
