@@ -977,6 +977,119 @@ object Curation {
                CAST(CAST(tokens_kept AS HUGEINT) * 1000000 // tot.tk_all
                  AS BIGINT) AS tokens_share_ppm,
                CAST(cum_sc // n_docs_kept AS BIGINT) AS mean_score_kept
-        FROM cum CROSS JOIN tot ORDER BY retention_decile"""))
+        FROM cum CROSS JOIN tot ORDER BY retention_decile""")),
+
+    // ---- q296: snapshot-diff data card (what did today's crawl add) --
+    // The reporting dual of the incremental-OPERATOR family (q84 dedup,
+    // q191 LSH, q246 classifier, q274 IVF maintain state; this gate
+    // reports): yesterday's snapshot = even doc_ids (the family's
+    // convention), today = the full corpus, and the card answers the
+    // ops question per source: documents and tokens added, how many of
+    // the added WORDS are globally novel (anti-join against yesterday's
+    // whole vocabulary — new types, not new tokens), and the quality
+    // shift (mean stop-rate of new docs minus old, exact per-mille —
+    // a drop says the new crawl slice is different material, the first
+    // sign of a source going stale or spammy).
+    //
+    // 100 TB posture: keyed aggs + one vocab anti-join (hash-keyed on
+    // the word) — yesterday's vocab is corpus-sized but the join is an
+    // equijoin, never a broadcast of the big side; card is |sources|
+    // rows.
+    "q296_snapshot_diff_card" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            expr("size(filter(split(trim(text), ' ')," +
+              " t -> t = 'the' OR t = 'a'))").cast("long").as("stops"),
+            size(split(trim(col("text")), " ")).cast("long")
+              .as("n_tokens"),
+            split(trim(col("text")), " ").as("toks"))
+          .withColumn("score",
+            expr("stops * 1000 div greatest(n_tokens, 1L)"))
+          .localCheckpoint(false)
+        val old = d.filter(col("doc_id") % 2 === 0)
+        val neu = d.filter(col("doc_id") % 2 === 1)
+        val oldVocab = old
+          .select(explode(col("toks")).as("w"))
+          .filter(length(col("w")) > 0).distinct()
+        val newWords = neu
+          .select(col("source"), explode(col("toks")).as("w"))
+          .filter(length(col("w")) > 0)
+          .select(col("source"), col("w")).distinct()
+          .join(oldVocab, Seq("w"), "left_anti")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("new_vocab_terms"))
+        val oc = old.groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_old"), sum(col("score")).as("so"))
+        val nc = neu.groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_new"),
+            sum(col("n_tokens")).as("tokens_added"),
+            sum(col("score")).as("sn"))
+        oc.join(nc, Seq("source"), "full_outer")
+          .join(newWords, Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("docs_old"), lit(0L)).as("docs_old"),
+            coalesce(col("docs_new"), lit(0L)).as("docs_new"),
+            coalesce(col("tokens_added"), lit(0L)).as("tokens_added"),
+            coalesce(col("new_vocab_terms"), lit(0L))
+              .as("new_vocab_terms"),
+            coalesce(col("so"), lit(0L)).as("so"),
+            coalesce(col("sn"), lit(0L)).as("sn"))
+          .withColumn("score_old_milli",
+            expr("so div greatest(docs_old, 1L)"))
+          .withColumn("score_new_milli",
+            expr("sn div greatest(docs_new, 1L)"))
+          .select(col("source"), col("docs_old"), col("docs_new"),
+            col("tokens_added"), col("new_vocab_terms"),
+            col("score_old_milli"), col("score_new_milli"),
+            (col("score_new_milli") - col("score_old_milli"))
+              .as("quality_shift_milli"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(trim(text), ' '),
+                   t -> t = 'the' OR t = 'a')) AS BIGINT) AS stops,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS n_tokens,
+                 string_split(trim(text), ' ') AS toks
+          FROM documents),
+        s AS (SELECT *, stops * 1000 // GREATEST(n_tokens, 1) AS score
+              FROM d),
+        ov AS (SELECT DISTINCT w
+               FROM (SELECT UNNEST(toks) AS w FROM s
+                     WHERE doc_id % 2 = 0)
+               WHERE len(w) > 0),
+        nw AS (SELECT source, CAST(COUNT(*) AS BIGINT)
+                 AS new_vocab_terms
+               FROM (SELECT DISTINCT source, w
+                     FROM (SELECT source, UNNEST(toks) AS w FROM s
+                           WHERE doc_id % 2 = 1)
+                     WHERE len(w) > 0) x
+               WHERE NOT EXISTS (SELECT 1 FROM ov WHERE ov.w = x.w)
+               GROUP BY 1),
+        oc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_old,
+                      CAST(SUM(score) AS BIGINT) AS so
+               FROM s WHERE doc_id % 2 = 0 GROUP BY 1),
+        nc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_new,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tokens_added,
+                      CAST(SUM(score) AS BIGINT) AS sn
+               FROM s WHERE doc_id % 2 = 1 GROUP BY 1),
+        m AS (SELECT COALESCE(oc.source, nc.source) AS source,
+                     COALESCE(docs_old, 0) AS docs_old,
+                     COALESCE(docs_new, 0) AS docs_new,
+                     COALESCE(tokens_added, 0) AS tokens_added,
+                     COALESCE(so, 0) AS so, COALESCE(sn, 0) AS sn
+              FROM oc FULL OUTER JOIN nc ON nc.source = oc.source)
+        SELECT m.source, m.docs_old, m.docs_new, m.tokens_added,
+               COALESCE(nw.new_vocab_terms, 0) AS new_vocab_terms,
+               m.so // GREATEST(m.docs_old, 1) AS score_old_milli,
+               m.sn // GREATEST(m.docs_new, 1) AS score_new_milli,
+               m.sn // GREATEST(m.docs_new, 1)
+                 - m.so // GREATEST(m.docs_old, 1)
+                 AS quality_shift_milli
+        FROM m LEFT JOIN nw ON nw.source = m.source
+        ORDER BY m.source"""))
   )
 }

@@ -494,4 +494,18 @@ class PlanGuardSpec2 extends SparkSpec {
       p.contains("partial_count"),
       "per-label card not a keyed partial/final agg")
   }
+
+  test("q296: snapshot diff is keyed aggs + a word-keyed anti-join") {
+    val p = plan("q296_snapshot_diff_card")
+    assert(p.contains("LeftAnti"),
+      "vocabulary novelty not an anti-join")
+    assert(p.contains("hashpartitioning(w") ||
+      p.contains("hashpartitioning(source"),
+      "anti-join / card not hash-keyed")
+    assert(p.contains("Scan ExistingRDD"),
+      "scored projection lost its checkpoint cut")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "snapshot diff planned an all-pairs join")
+  }
 }
