@@ -2220,7 +2220,90 @@ object CorpusStats {
                  // (2 * (f2 + 1)) AS BIGINT) AS chao1_est,
                f1 * 1000000 // n_tokens AS unseen_mass_ppm,
                1000000 - f1 * 1000000 // n_tokens AS coverage_ppm
-        FROM card ORDER BY source"""))
+        FROM card ORDER BY source""")),
+
+    // ---- q298: corpus concentration (Gini / Lorenz) card ----
+    // The diversity line every data card should carry: how concentrated
+    // is the corpus across sources? A mix where three domains hold 90%
+    // of the mass behaves like three domains no matter how long the
+    // source list reads. Exact Lorenz curve (sources sorted by
+    // ascending char mass, cumulative share vs the uniform diagonal)
+    // and the exact Gini coefficient in one pass of integer arithmetic
+    // — Gini = Σ(2i−n−1)·xᵢ / (n·T) over the sorted masses, ppm, with
+    // products in DECIMAL(38,0)/HUGEINT (source masses are petabyte-
+    // scale numbers at 100 TB); the concentrated/diverse verdict at
+    // Gini ≥ 0.4 rides every row beside each source's gap to uniform.
+    //
+    // 100 TB posture: ONE source-keyed mass agg over the scan;
+    // everything after — sort, Lorenz cumsum, Gini — runs on the
+    // |sources|-row table.
+    "q298_concentration_card" -> QueryDef(
+      build = (spark, dir) => {
+        val m = Tables.documents(spark, dir)
+          .groupBy(col("source"))
+          .agg(sum(col("n_chars").cast("long")).as("mass"))
+          .localCheckpoint(false)
+        val tot = m.agg(sum(col("mass")).as("t_all"),
+          count(lit(1)).as("n_src"))
+        val w = Window.orderBy(col("mass"), col("source"))
+        val wc = w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val g = m.withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("cum", sum(col("mass")).over(wc))
+          .crossJoin(broadcast(tot))
+        val gini = g.agg(max(col("n_src")).as("n_src"),
+          max(col("t_all")).as("t_all"),
+          sum(expr("CAST(2 * rk - n_src - 1 AS DECIMAL(38,0)) * mass"))
+            .as("gnum"))
+          .select(expr(
+            "CAST(CASE WHEN gnum >= 0 THEN gnum * 1000000" +
+              " div (CAST(n_src AS DECIMAL(38,0)) * t_all)" +
+              " ELSE -((-gnum) * 1000000" +
+              " div (CAST(n_src AS DECIMAL(38,0)) * t_all)) END" +
+              " AS BIGINT)").as("gini_ppm"))
+        g.crossJoin(broadcast(gini))
+          .select(col("rk"), col("source"), col("mass"),
+            expr("CAST(CAST(mass AS DECIMAL(38,0)) * 1000000" +
+              " div t_all AS BIGINT)").as("share_ppm"),
+            expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000" +
+              " div t_all AS BIGINT)").as("cum_share_ppm"),
+            expr("rk * 1000000 div n_src").as("uniform_cum_ppm"),
+            col("gini_ppm"),
+            when(col("gini_ppm") >= 400000L, "concentrated")
+              .otherwise("diverse").as("verdict"))
+          .orderBy(col("rk"))
+      },
+      oracle = Some("""
+        WITH m AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+                   FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS t_all,
+                       CAST(COUNT(*) AS BIGINT) AS n_src FROM m),
+        r AS (SELECT m.*, CAST(ROW_NUMBER() OVER
+                (ORDER BY mass, source) AS BIGINT) AS rk,
+                CAST(SUM(mass) OVER (ORDER BY mass, source
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM m),
+        gn AS (SELECT CAST(SUM(CAST(2 * rk - tot.n_src - 1 AS HUGEINT)
+                 * mass) AS HUGEINT) AS gnum,
+                      MAX(tot.n_src) AS n_src, MAX(tot.t_all) AS t_all
+               FROM r CROSS JOIN tot),
+        gi AS (SELECT CAST(CASE WHEN gnum >= 0
+                 THEN gnum * 1000000
+                   // (CAST(n_src AS HUGEINT) * t_all)
+                 ELSE -((-gnum) * 1000000
+                   // (CAST(n_src AS HUGEINT) * t_all)) END AS BIGINT)
+                 AS gini_ppm
+               FROM gn)
+        SELECT r.rk, r.source, r.mass,
+               CAST(CAST(r.mass AS HUGEINT) * 1000000 // tot.t_all
+                 AS BIGINT) AS share_ppm,
+               CAST(CAST(r.cum AS HUGEINT) * 1000000 // tot.t_all
+                 AS BIGINT) AS cum_share_ppm,
+               r.rk * 1000000 // tot.n_src AS uniform_cum_ppm,
+               gi.gini_ppm,
+               CASE WHEN gi.gini_ppm >= 400000 THEN 'concentrated'
+                 ELSE 'diverse' END AS verdict
+        FROM r CROSS JOIN tot CROSS JOIN gi ORDER BY r.rk"""))
   )
 
   /** q255's oracle: exact bigram F2 plus the 16 unrolled AMS replicates

@@ -352,18 +352,18 @@ class PlanGuardSpec2 extends SparkSpec {
       "text fetch not an id-keyed equijoin")
   }
 
-  test("q286: per-source ranks are source-keyed; lookup is a rank equijoin") {
-    val p = plan("q286_quantile_normalize")
+  test("q286: KS cells are one keyed count; cum windows ride the cut") {
+    val p = plan("q286_ks_drift_test")
     assert(p.contains("hashpartitioning(source"),
-      "within-source rank window not hash-partitioned by source")
+      "per-source cumulative window not hash-partitioned by source")
     assert(p.contains("Scan ExistingRDD"),
-      "corpus projection lost its checkpoint cut — four consumers " +
-        "re-scan the parquet")
+      "cell table lost its checkpoint cut — marginal/grid/cum passes " +
+        "re-run the corpus count")
     assert(!p.contains("Scan parquet"),
-      "a consumer re-scans the corpus instead of the cut projection")
+      "a post-cell pass re-scans the corpus instead of the cell table")
     assert(!p.contains("CartesianProduct"),
-      "normalization planned a SHUFFLED cross product (the 1-row " +
-        "totals broadcast is the only legal cross)")
+      "KS test planned a SHUFFLED cross product (the broadcast " +
+        "value-grid/totals crosses are the only legal ones)")
   }
 
   test("q287: both batching orders ride the routed rank; aggs are batch-keyed") {
@@ -507,5 +507,18 @@ class PlanGuardSpec2 extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "snapshot diff planned an all-pairs join")
+  }
+
+  test("q298: concentration card is ONE keyed mass agg + model-sized Lorenz") {
+    val p = plan("q298_concentration_card")
+    assert(p.contains("partial_sum"),
+      "per-source mass agg not split partial/final")
+    assert(p.contains("Scan ExistingRDD"),
+      "mass table lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "Lorenz/Gini passes re-scan the corpus instead of the mass table")
+    assert(!p.contains("CartesianProduct"),
+      "concentration card planned a SHUFFLED cross product (the 1-row " +
+        "totals/gini broadcasts are the only legal ones)")
   }
 }
