@@ -2303,8 +2303,130 @@ object CorpusStats {
                gi.gini_ppm,
                CASE WHEN gi.gini_ppm >= 400000 THEN 'concentrated'
                  ELSE 'diverse' END AS verdict
-        FROM r CROSS JOIN tot CROSS JOIN gi ORDER BY r.rk"""))
+        FROM r CROSS JOIN tot CROSS JOIN gi ORDER BY r.rk""")),
+
+    // ---- q299: Poisson-bootstrap confidence interval ----
+    // The TENTH certificate family, and the one that puts ERROR BARS on
+    // any corpus metric: the Poisson bootstrap (Chamandy et al. — the
+    // bag-of-little-bootstraps lineage) is THE distributed bootstrap,
+    // because resampling-with-replacement at corpus scale is exactly
+    // "give each doc an independent Poisson(1) weight per replicate" —
+    // one pass, no materialized resample, mergeable partials. Here it
+    // is made INTEGER-EXACT end to end: the Poisson(1) inverse CDF is
+    // a step function whose cumulative thresholds are computed ONCE
+    // driver-side and embedded as ppm literals in BOTH plans (the
+    // benford2Ppm discipline — zero query-time libm), the per-(doc,
+    // replicate) uniform is the md5 48-bit coin in exact ppm
+    // (DECIMAL/HUGEINT division), so a weight is just a count of
+    // thresholds cleared. B = 64 replicate means of the stop-rate
+    // quality score → the 95% percentile interval is the (2nd, 63rd)
+    // order statistic of 64 exact integers, published beside the point
+    // estimate. What it buys at 100 TB: "quality = 61±2‰" instead of
+    // a bare number — the difference between a metric and a claim.
+    //
+    // 100 TB posture: one in-row pass emits 64 weighted partials per
+    // doc (map-side combine onto 64 groups); everything after runs on
+    // the 64-row replicate table.
+    "q299_bootstrap_ci" -> QueryDef(
+      build = (spark, dir) => {
+        val b = 64
+        val thr = poisson1CumPpm
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            expr("size(filter(split(trim(text), ' ')," +
+              " t -> t = 'the' OR t = 'a'))").cast("long").as("stops"),
+            size(split(trim(col("text")), " ")).cast("long")
+              .as("n_tokens"))
+          .withColumn("score",
+            expr("stops * 1000 div greatest(n_tokens, 1L)"))
+          .localCheckpoint(false)
+        val point = d.agg(
+          expr("sum(score) div count(1)").as("point_milli"))
+        val wExpr = thr.map(t => s"(CASE WHEN u_ppm >= $t THEN 1L" +
+          " ELSE 0L END)").mkString(" + ")
+        val reps = d.select(col("doc_id"), col("score"),
+            explode(expr(s"sequence(1L, ${b}L)")).as("r"))
+          .withColumn("u_ppm", expr(
+            "CAST(CAST(conv(substring(md5(concat('q299#'," +
+              " CAST(doc_id AS STRING), '#', CAST(r AS STRING)))," +
+              " 1, 12), 16, 10) AS DECIMAL(38,0)) * 1000000" +
+              " div 281474976710656 AS BIGINT)"))
+          .withColumn("w", expr(wExpr))
+          .groupBy(col("r"))
+          .agg(sum(col("w")).as("w_total"),
+            sum(expr("CAST(w AS DECIMAL(38,0)) * score")).as("swx"))
+          .withColumn("mean_milli",
+            expr("CAST(swx div w_total AS BIGINT)"))
+          .localCheckpoint(false)
+        val wr = Window.orderBy(col("mean_milli"), col("r"))
+        val ranked = reps
+          .withColumn("rep_rank", row_number().over(wr).cast("long"))
+        val ci = ranked.agg(
+          max(when(col("rep_rank") === 2L, col("mean_milli")))
+            .as("ci_lo_milli"),
+          max(when(col("rep_rank") === lit((b - 1).toLong),
+            col("mean_milli"))).as("ci_hi_milli"))
+        ranked.crossJoin(broadcast(point)).crossJoin(broadcast(ci))
+          .select(col("r"), col("w_total"), col("mean_milli"),
+            col("rep_rank"), col("point_milli"),
+            col("ci_lo_milli"), col("ci_hi_milli"))
+          .orderBy(col("r"))
+      },
+      oracle = Some(s"""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(trim(text), ' '),
+                   t -> t = 'the' OR t = 'a')) AS BIGINT) * 1000
+                   // GREATEST(CAST(len(string_split(trim(text), ' '))
+                     AS BIGINT), 1) AS score
+          FROM documents),
+        pt AS (SELECT CAST(SUM(score) AS BIGINT) // COUNT(*)
+                 AS point_milli FROM d),
+        reps AS (SELECT d.doc_id, d.score, CAST(t.r AS BIGINT) AS r,
+                        CAST(CAST(('0x' || substr(md5('q299#'
+                          || CAST(d.doc_id AS VARCHAR) || '#'
+                          || CAST(t.r AS VARCHAR)), 1, 12))::BIGINT
+                          AS HUGEINT) * 1000000 // 281474976710656
+                          AS BIGINT) AS u_ppm
+                 FROM d, LATERAL (SELECT unnest(range(1, 65)) AS r) t),
+        wts AS (SELECT r, score,
+                       ${poisson1CumPpm.map(t =>
+    s"(CASE WHEN u_ppm >= $t THEN 1 ELSE 0 END)").mkString(" + ")}
+                         AS w
+                FROM reps),
+        agg AS (SELECT r, CAST(SUM(w) AS BIGINT) AS w_total,
+                       CAST(SUM(CAST(w AS HUGEINT) * score) AS HUGEINT)
+                         AS swx
+                FROM wts GROUP BY 1),
+        mm AS (SELECT r, w_total,
+                      CAST(swx // w_total AS BIGINT) AS mean_milli
+               FROM agg),
+        rk AS (SELECT *, CAST(ROW_NUMBER() OVER
+                 (ORDER BY mean_milli, r) AS BIGINT) AS rep_rank
+               FROM mm),
+        ci AS (SELECT MAX(CASE WHEN rep_rank = 2 THEN mean_milli END)
+                 AS ci_lo_milli,
+                      MAX(CASE WHEN rep_rank = 63 THEN mean_milli END)
+                 AS ci_hi_milli
+               FROM rk)
+        SELECT r, w_total, mean_milli, rep_rank, point_milli,
+               ci_lo_milli, ci_hi_milli
+        FROM rk CROSS JOIN pt CROSS JOIN ci ORDER BY r"""))
   )
+
+  /** Poisson(1) cumulative distribution in ppm (floor), k = 0..6 —
+    * computed ONCE driver-side and embedded as identical integer
+    * literals in the Spark plan and the DuckDB oracle text (the
+    * benford2Ppm discipline), so the q299 bootstrap weight is a pure
+    * integer count of thresholds cleared; mass beyond k = 7 is
+    * ≈ 8·10⁻⁵ and truncates to weight 7. */
+  lazy val poisson1CumPpm: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val probs = Iterator.iterate((e1, 0)) { case (p, k) =>
+      (p / (k + 1), k + 1)
+    }.map(_._1).take(7).toSeq
+    probs.scanLeft(0.0)(_ + _).tail.map(c => math.floor(c * 1e6).toLong)
+  }
 
   /** q255's oracle: exact bigram F2 plus the 16 unrolled AMS replicates
     * (sign from hex digit r of md5), median flagged by the same

@@ -521,4 +521,18 @@ class PlanGuardSpec2 extends SparkSpec {
       "concentration card planned a SHUFFLED cross product (the 1-row " +
         "totals/gini broadcasts are the only legal ones)")
   }
+
+  test("q299: bootstrap is one in-row weighted pass onto 64 groups") {
+    val p = plan("q299_bootstrap_ci")
+    assert(p.contains("partial_sum"),
+      "replicate partials not map-side combined before the 64-group " +
+        "exchange")
+    assert(p.contains("Scan ExistingRDD"),
+      "scored projection / replicate table lost their checkpoint cuts")
+    assert(!p.contains("Scan parquet"),
+      "a pass re-scans the corpus instead of the cut projection")
+    assert(!p.contains("CartesianProduct"),
+      "bootstrap planned a SHUFFLED cross product (the 1-row point/ci " +
+        "broadcasts are the only legal ones)")
+  }
 }
