@@ -2411,7 +2411,151 @@ object CorpusStats {
                FROM rk)
         SELECT r, w_total, mean_milli, rep_rank, point_milli,
                ci_lo_milli, ci_hi_milli
-        FROM rk CROSS JOIN pt CROSS JOIN ci ORDER BY r"""))
+        FROM rk CROSS JOIN pt CROSS JOIN ci ORDER BY r""")),
+
+    // ---- q300: the publishable data card (composition capstone) ----
+    // The q271 lesson applied to REPORTING: the corpus has every card
+    // dimension as its own gate — counts, dup rate (q89), quality
+    // (q291), language mix, concentration (q298), coverage (q288) —
+    // but a real dataset release publishes them as ONE table from ONE
+    // read, and composition is where population bugs hide (a filter
+    // applied in one dimension but not another silently ships a card
+    // whose columns describe different corpora). One cut projection
+    // feeds every dimension: per source — docs, tokens, within-source
+    // exact-dup docs (n − distinct md5(text), the q89 definition),
+    // mean stop-rate quality, dominant language with its share — and
+    // the corpus-level Gini over source token mass (q298 arithmetic)
+    // and Good–Turing coverage (q288's 1 − f1/N) ride every row, so
+    // the card is self-contained the way a model card's data section
+    // actually prints.
+    //
+    // 100 TB posture: one corpus projection cut once; per-source
+    // stats, md5-dup distincts, lang argmax, and the word-level f1/N
+    // agg are each keyed aggs over that cut; Gini runs on the
+    // |sources|-row mass table.
+    "q300_data_card" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("lang"),
+            md5(col("text")).as("h"),
+            split(trim(col("text")), " ").as("toks"),
+            expr("size(filter(split(trim(text), ' ')," +
+              " t -> t = 'the' OR t = 'a'))").cast("long").as("stops"))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("score",
+            expr("stops * 1000 div greatest(n_tokens, 1L)"))
+          .localCheckpoint(false)
+        val base = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            countDistinct(col("h")).as("n_distinct"),
+            sum(col("score")).as("ssum"))
+          .withColumn("dup_docs", col("n_docs") - col("n_distinct"))
+          .withColumn("dup_ppm",
+            expr("dup_docs * 1000000 div n_docs"))
+          .withColumn("mean_score_milli", expr("ssum div n_docs"))
+          .localCheckpoint(false)
+        val lc = d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("lc"))
+        val wl = Window.partitionBy(col("source"))
+          .orderBy(col("lc").desc, col("lang"))
+        val topLang = lc.withColumn("rn", row_number().over(wl))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"),
+            col("lc").as("top_lang_docs"))
+        // corpus Gini over per-source token mass (q298 arithmetic)
+        val tot = base.agg(sum(col("n_tokens")).as("t_all"),
+          count(lit(1)).as("n_src"))
+        val wgr = Window.orderBy(col("n_tokens"), col("source"))
+        val gini = base
+          .withColumn("rk", row_number().over(wgr).cast("long"))
+          .crossJoin(broadcast(tot))
+          .agg(sum(expr(
+            "CAST(2 * rk - n_src - 1 AS DECIMAL(38,0)) * n_tokens"))
+            .as("gnum"),
+            max(col("n_src")).as("n_src"), max(col("t_all")).as("t_all"))
+          .select(expr(
+            "CAST(CASE WHEN gnum >= 0 THEN gnum * 1000000" +
+              " div (CAST(n_src AS DECIMAL(38,0)) * t_all)" +
+              " ELSE -((-gnum) * 1000000" +
+              " div (CAST(n_src AS DECIMAL(38,0)) * t_all)) END" +
+              " AS BIGINT)").as("gini_ppm"))
+        // corpus Good–Turing coverage (q288 arithmetic)
+        val cov = d.select(explode(col("toks")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("nt"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"))
+          .select(expr("1000000 - f1 * 1000000 div nt")
+            .as("coverage_ppm"))
+        base.join(topLang, Seq("source"))
+          .crossJoin(broadcast(gini)).crossJoin(broadcast(cov))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("dup_docs"), col("dup_ppm"), col("mean_score_milli"),
+            col("top_lang"),
+            expr("top_lang_docs * 1000000 div n_docs")
+              .as("top_lang_share_ppm"),
+            col("gini_ppm"), col("coverage_ppm"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, source, lang, md5(text) AS h,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS n_tokens,
+                 string_split(trim(text), ' ') AS toks,
+                 CAST(len(list_filter(string_split(trim(text), ' '),
+                   t -> t = 'the' OR t = 'a')) AS BIGINT) * 1000
+                   // GREATEST(CAST(len(string_split(trim(text), ' '))
+                     AS BIGINT), 1) AS score
+          FROM documents),
+        base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                        CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+                        CAST(SUM(score) AS BIGINT) AS ssum
+                 FROM d GROUP BY 1),
+        b2 AS (SELECT *, n_docs - n_distinct AS dup_docs,
+                      (n_docs - n_distinct) * 1000000 // n_docs
+                        AS dup_ppm,
+                      ssum // n_docs AS mean_score_milli
+               FROM base),
+        lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS lc
+               FROM d GROUP BY 1, 2),
+        tl AS (SELECT source, lang AS top_lang, lc AS top_lang_docs
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY lc DESC, lang) AS rn FROM lc)
+               WHERE rn = 1),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_all,
+                       CAST(COUNT(*) AS BIGINT) AS n_src FROM b2),
+        gr AS (SELECT n_tokens, CAST(ROW_NUMBER() OVER
+                 (ORDER BY n_tokens, source) AS BIGINT) AS rk
+               FROM b2),
+        gn AS (SELECT CAST(SUM(CAST(2 * rk - tot.n_src - 1 AS HUGEINT)
+                 * n_tokens) AS HUGEINT) AS gnum,
+                      MAX(tot.n_src) AS n_src, MAX(tot.t_all) AS t_all
+               FROM gr CROSS JOIN tot),
+        gi AS (SELECT CAST(CASE WHEN gnum >= 0
+                 THEN gnum * 1000000
+                   // (CAST(n_src AS HUGEINT) * t_all)
+                 ELSE -((-gnum) * 1000000
+                   // (CAST(n_src AS HUGEINT) * t_all)) END AS BIGINT)
+                 AS gini_ppm
+               FROM gn),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT UNNEST(toks) AS w FROM d)
+               WHERE len(w) > 0 GROUP BY 1),
+        cov AS (SELECT 1000000 - CAST(SUM(CASE WHEN c = 1 THEN 1
+                         ELSE 0 END) AS BIGINT) * 1000000
+                       // CAST(SUM(c) AS BIGINT) AS coverage_ppm
+                FROM wc)
+        SELECT b2.source, b2.n_docs, b2.n_tokens, b2.dup_docs,
+               b2.dup_ppm, b2.mean_score_milli, tl.top_lang,
+               tl.top_lang_docs * 1000000 // b2.n_docs
+                 AS top_lang_share_ppm,
+               gi.gini_ppm, cov.coverage_ppm
+        FROM b2 JOIN tl USING (source)
+        CROSS JOIN gi CROSS JOIN cov
+        ORDER BY b2.source"""))
   )
 
   /** Poisson(1) cumulative distribution in ppm (floor), k = 0..6 —

@@ -535,4 +535,19 @@ class PlanGuardSpec2 extends SparkSpec {
       "bootstrap planned a SHUFFLED cross product (the 1-row point/ci " +
         "broadcasts are the only legal ones)")
   }
+
+  test("q300: every card dimension reads the ONE cut projection") {
+    val p = plan("q300_data_card")
+    assert(p.contains("Scan ExistingRDD"),
+      "card projection lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "a card dimension re-scans the corpus — the whole point is ONE " +
+        "read feeding every column")
+    assert(p.contains("hashpartitioning(source"),
+      "per-source dimensions not keyed by source")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "data card planned an all-pairs join (gini/coverage are 1-row " +
+        "broadcasts)")
+  }
 }
