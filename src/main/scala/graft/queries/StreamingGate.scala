@@ -2288,7 +2288,78 @@ object StreamingGate {
                   FROM o)
         SELECT id, w
         FROM (SELECT * FROM keyed ORDER BY e DESC, id LIMIT 200)
-        ORDER BY id""")))
+        ORDER BY id"""))) :+ (
+
+    // ---- q301: streamed drift monitor (27th streaming law) ----
+    // The production data-quality monitor, gated: every micro-batch is
+    // KS-tested (q286's exact integer machinery — cross-multiplied
+    // cumulative counts on the reference grid, the squared-critical-
+    // value integer decision at α = 0.05) against the static release
+    // reference distribution. The law: a batch's (statistic, decision)
+    // emission is a pure function of its PARTITION CONTENT — arrival
+    // order and the other batches' contents cannot touch it — which
+    // the oracle replays as 8 independent per-group KS computations.
+    // Reference = the full corpus (release-reference monitoring; it
+    // contains each batch by construction, which only biases the test
+    // TOWARD 'consistent' — a drifted verdict is therefore conservative
+    // evidence).
+    //
+    // 100 TB posture: the reference CDF is a value-domain-sized
+    // broadcast built once; per batch the monitor pays one keyed count
+    // + one grid window — the always-on monitoring shape whose cost is
+    // independent of corpus size.
+    "q301_streamed_drift_monitor" -> QueryDef(
+      build = (spark, dir) => streamedDriftMonitor(spark, dir),
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                 event_id % 8 AS f
+          FROM events),
+        ref AS MATERIALIZED (
+          SELECT cents, CAST(COUNT(*) AS BIGINT) AS rc
+          FROM e GROUP BY 1),
+        rcum AS MATERIALIZED (
+          SELECT cents, CAST(SUM(rc) OVER (ORDER BY cents
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rcum
+          FROM ref),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ref FROM e),
+        bc AS (SELECT f, cents, CAST(COUNT(*) AS BIGINT) AS bc
+               FROM e GROUP BY 1, 2),
+        nb AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_b
+               FROM e GROUP BY 1),
+        grid AS (SELECT nb.f, nb.n_b, rcum.cents, rcum.rcum,
+                        COALESCE(bc.bc, 0) AS bc
+                 FROM nb CROSS JOIN rcum
+                 LEFT JOIN bc ON bc.f = nb.f AND bc.cents = rcum.cents),
+        cum AS (SELECT f, n_b, cents, rcum,
+                       CAST(SUM(bc) OVER (PARTITION BY f ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bcum
+                FROM grid),
+        dk AS (SELECT f, MAX(n_b) AS n_b,
+                      MAX(ABS(CAST(bcum AS HUGEINT) * nr.n_ref
+                        - CAST(rcum AS HUGEINT) * n_b)) AS dmax,
+                      MAX(nr.n_ref) AS n_ref
+               FROM cum CROSS JOIN nr GROUP BY 1),
+        ks AS (SELECT CAST(f AS BIGINT) AS batch_id,
+                      n_b AS n_batch,
+                      CAST(dmax * 1000000
+                        // (CAST(n_b AS HUGEINT) * n_ref) AS BIGINT)
+                        AS ks_ppm,
+                      n_ref
+               FROM dk)
+        SELECT batch_id, n_batch, ks_ppm,
+               CAST(CASE WHEN CAST(ks_ppm AS HUGEINT) * ks_ppm
+                 * n_batch * n_ref
+                 >= CAST(1843700 AS HUGEINT) * 1000000
+                   * (n_batch + n_ref)
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_05,
+               n_ref,
+               CASE WHEN CAST(ks_ppm AS HUGEINT) * ks_ppm
+                 * n_batch * n_ref
+                 >= CAST(1843700 AS HUGEINT) * 1000000
+                   * (n_batch + n_ref)
+                 THEN 'drifted' ELSE 'consistent' END AS verdict
+        FROM ks ORDER BY batch_id""")))
 
   /** Run the COMPLETE-mode leaderboard gate to completion: the q275
     * 8-file split (event_id % 8, pinned mod-times, one file per
@@ -2467,6 +2538,107 @@ object StreamingGate {
         .orderBy(col("id"))
         .localCheckpoint(false)
     } finally run.cleanup()
+  }
+
+  /** Run the streamed drift-monitor gate to completion: events arrive
+    * in 8 micro-batches (event_id % 8, pinned order) and EVERY batch is
+    * tested against the static full-corpus value distribution with the
+    * exact integer two-sample KS machinery (q286's arithmetic: D as
+    * cross-multiplied cumulative counts on the reference value grid —
+    * batch values are a subset of the reference grid, so the grid
+    * carries every step point of both CDFs — and the α = 0.05 decision
+    * via the squared-critical-value integer form). The law: each
+    * batch's drained (statistic, decision) row is a pure function of
+    * the batch's PARTITION CONTENT — independent of arrival order or
+    * what other batches contained — which the oracle replays as 8
+    * independent per-group KS computations. This is the production
+    * data-quality monitor shape: broadcast reference, per-batch keyed
+    * aggregation, bounded emission. */
+  def streamedDriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val run = new GateRun(spark, "q301", Seq())
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Long)]()
+    try {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+      // static reference: the full-corpus cumulative distribution on
+      // its own value grid (broadcast-sized: |distinct cents| rows)
+      val wv = org.apache.spark.sql.expressions.Window.orderBy(col("cents"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val ref = ev.groupBy(col("cents")).agg(count(lit(1)).as("rc"))
+        .withColumn("rcum", sum(col("rc")).over(wv))
+        .select(col("cents"), col("rcum"))
+        .localCheckpoint(false)
+      val nRef = ev.count()
+      (0 until 8).foreach { f =>
+        val stage = s"${run.srcDir}/stage_f$f"
+        ev.filter(col("event_id") % 8 === f)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(Paths.get(stage)).filter(p =>
+          p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
+        Files.move(part, dest)
+        Files.walk(Paths.get(stage))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L
+            + f * 60000L))
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("cents", LongType)))
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(run.srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val bc = batch.groupBy(col("cents")).agg(count(lit(1)).as("bc"))
+          val nB = batch.count()
+          val grid = ref.join(bc, Seq("cents"), "left")
+            .withColumn("bc", coalesce(col("bc"), lit(0L)))
+            .withColumn("bcum", sum(col("bc")).over(wv))
+          val dmax = grid.agg(max(expr(
+            s"abs(CAST(bcum AS DECIMAL(38,0)) * $nRef" +
+              s" - CAST(rcum AS DECIMAL(38,0)) * $nB)")).as("d"))
+            .head.getDecimal(0).toBigInteger
+          val ks = (dmax.multiply(java.math.BigInteger.valueOf(1000000L))
+            .divide(java.math.BigInteger.valueOf(nB)
+              .multiply(java.math.BigInteger.valueOf(nRef)))).longValue()
+          val reject =
+            if (BigInt(ks) * ks * nB * nRef >=
+              BigInt(1843700L) * 1000000L * (nB + nRef)) 1L else 0L
+          results.add((id, nB, ks, reject))
+          ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      results.asScala.toSeq.sortBy(_._1)
+        .toDF("batch_id", "n_batch", "ks_ppm", "reject_05")
+        .withColumn("n_ref", lit(nRef))
+        .withColumn("verdict",
+          when(col("reject_05") === 1L, "drifted").otherwise("consistent"))
+        .orderBy(col("batch_id"))
+        .localCheckpoint(false)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
   }
 
   /** q184: the q149 replay harness with watermarked, bounded-state
