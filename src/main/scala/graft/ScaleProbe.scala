@@ -134,6 +134,57 @@ object ScaleProbe {
     }
     }
 
+    // rougel probe: the q284 LCS kernel's cost law. Per-pair cost is
+    // O(cap²) BY DESIGN (the token cap bounds the DP); what this probe
+    // certifies is (a) the measured quadratic in the cap and (b) that
+    // total cost tracks the PAIR COUNT (the banded-LSH candidate set),
+    // not corpus size — the property that keeps ROUGE-L screening
+    // viable at 100 TB.
+    if (enabled("rougel")) {
+      // corpus docs are shorter than the caps under test, so lengthen
+      // them 16× (repeat) — the cap must BIND at every tested value or
+      // the probe measures doc length, not the cap law
+      val docsR = graft.core.Tables.spread(
+        graft.core.Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            concat_ws(" ", (0 until 16).map(_ => col("text")): _*)
+              .as("text"))).localCheckpoint()
+      val pairsR = graft.operators.MinHashLSH
+        .nearDupPairs(docsR, "doc_id", "text", threshold = 0.4)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val nP = pairsR.count()
+      // self-pairs ×32: worst-case DP length on both sides, pair count
+      // decoupled from the LSH yield and large enough that the DP
+      // dominates fixed job overhead (5k docs × 512² ÷ 32 threads is
+      // only ~40M cells/thread — invisible under ~0.4 s of bring-up)
+      val selfPairs = docsR
+        .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+          explode(expr("sequence(1, 32)")).as("rep"))
+        .drop("rep").localCheckpoint()
+      val nS = selfPairs.count()
+      def lcsAt(pairs: org.apache.spark.sql.DataFrame, cap: Int): Long = {
+        import docsR.sparkSession.implicits._
+        val txt = docsR.select(col("doc_id"), col("text"))
+        pairs
+          .join(txt.select(col("doc_id").as("doc_a"),
+            col("text").as("ta")), Seq("doc_a"))
+          .join(txt.select(col("doc_id").as("doc_b"),
+            col("text").as("tb")), Seq("doc_b"))
+          .select(col("ta"), col("tb")).as[(String, String)]
+          .mapPartitions(_.map { case (x, y) =>
+            graft.operators.RougeL.lcsLen(
+              graft.operators.RougeL.tokenize(x, cap),
+              graft.operators.RougeL.tokenize(y, cap)).toLong
+          }).filter(_ >= 0).count()
+      }
+      lcsAt(selfPairs, 64) // warmup
+      Seq(64, 128, 256, 512).foreach { cap =>
+        val (sec, _) = timed(lcsAt(selfPairs, cap))
+        val (secL, _) = timed(lcsAt(pairsR, cap))
+        println(f"""{"probe":"rougel","cap":$cap,"self_pairs":$nS,"self_sec":$sec%.3f,"lsh_pairs":$nP,"lsh_sec":$secL%.3f}""")
+      }
+    }
+
     // ann probe: synthetic deterministic 64-d vectors
     import graft.functions.VectorFunctions.{dot, lshBuckets, norm}
     def vecs(n: Long) = {
