@@ -1231,7 +1231,298 @@ object Dedup {
                  THEN 'near_dup' ELSE 'distinct' END AS verdict
         FROM cand c LEFT JOIN lcs l
           ON l.doc_a = c.doc_a AND l.doc_b = c.doc_b
-        ORDER BY c.doc_a, c.doc_b"""))
+        ORDER BY c.doc_a, c.doc_b""")),
+
+    // ---- q302: Fellegi–Sunter probabilistic record linkage ----
+    // Entity resolution across two noisy registries — the dedup family's
+    // missing RECORD-level member (q44–q47/q265 match documents by
+    // content; production pipelines also match ENTITIES whose fields
+    // disagree: two crawls of one site, two vendor feeds of one user).
+    // Two registries are derived from `customer` with md5-coin field
+    // noise (10% tok, 15% segment, 10% balance-band, 5% nation; each
+    // side keeps an independent 90% — so ~81% of entities overlap and
+    // both precision AND recall are meaningful). The linker sees only
+    // quasi-identifiers — never the key: candidate pairs come from TWO
+    // blocking rules ((nation, band) ∪ (nation, segment) — the
+    // multi-pass blocking production linkers ship, since any single
+    // rule loses every pair whose blocking field was perturbed);
+    // agreement patterns over (tok, segment, band) are scored by the
+    // Fellegi–Sunter likelihood ratio with frequency-based u
+    // (u_k = Σ_v n_A(v)·n_B(v) / (N_A·N_B) — the random-pair agreement
+    // rate, computed from the data) and the standard default prior
+    // m = 0.9 (deliberately NOT derived from ground truth — the gate
+    // evaluates whether textbook FS with default m recovers the links).
+    // No libm: the ratio is a product of three integer-ppm factors
+    // (factor_ppm = m_ppm·N_AB div S_k, truncating division — exact by
+    // definition in both engines), so score_ppm12 ≈ R·10¹² and the
+    // match / possible / non-match thresholds are the integer literals
+    // R ≥ 64 and R ≥ 1. Ground truth (the shared key) enters EVALUATION
+    // columns only: per-pattern true-pair counts, blocking recall, and
+    // the match-class precision/recall the decision achieves.
+    //
+    // 100 TB posture: candidate generation is two hash equijoins on
+    // blocking keys (never all-pairs — the plan guard pins it); the
+    // pattern census and u-statistics are keyed partial/final aggs;
+    // every cross join is a broadcast of a 1-row stats table onto the
+    // 8-row pattern grid; count products ride DECIMAL(38,0)/HUGEINT
+    // (the q258 overflow lesson — N_A·N_B exceeds int64 at ~10⁹ rows
+    // per side).
+    "q302_record_linkage" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(38, 0)
+        def coin(salt: String) =
+          conv(substring(md5(concat(lit(salt),
+            col("k").cast("string"))), 1, 12), 16, 10)
+            .cast("long") % 1000000L
+        val base = Tables.customer(spark, dir).select(
+          col("c_custkey").as("k"),
+          col("c_nationkey").cast("long").as("nat"),
+          expr("(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)" +
+            " div 50000").as("band"),
+          col("c_mktsegment").as("seg"),
+          (col("c_custkey") % 1000L).as("tok"))
+        val a = base.filter(coin("q302A#") < 900000L)
+          .select(col("k").as("a_key"), col("nat"), col("band"),
+            col("seg"), col("tok"))
+        val nextSeg = when(col("seg") === "AUTOMOBILE", "BUILDING")
+          .when(col("seg") === "BUILDING", "FURNITURE")
+          .when(col("seg") === "FURNITURE", "HOUSEHOLD")
+          .when(col("seg") === "HOUSEHOLD", "MACHINERY")
+          .otherwise("AUTOMOBILE")
+        val b = base.filter(coin("q302B#") < 900000L).select(
+          col("k").as("b_key"),
+          when(coin("q302N#") < 50000L, (col("nat") + 1) % 25)
+            .otherwise(col("nat")).as("nat"),
+          when(coin("q302D#") < 100000L, col("band") + 1)
+            .otherwise(col("band")).as("band"),
+          when(coin("q302S#") < 150000L, nextSeg)
+            .otherwise(col("seg")).as("seg"),
+          when(coin("q302T#") < 100000L, (col("tok") + 1) % 1000)
+            .otherwise(col("tok")).as("tok"))
+        def proj(df: DataFrame) = df.select(
+          col("x.a_key").as("a_key"), col("y.b_key").as("b_key"),
+          when(col("x.tok") === col("y.tok"), 1L).otherwise(0L)
+            .as("g_tok"),
+          when(col("x.seg") === col("y.seg"), 1L).otherwise(0L)
+            .as("g_seg"),
+          when(col("x.band") === col("y.band"), 1L).otherwise(0L)
+            .as("g_band"))
+        val r1 = a.as("x").join(b.as("y"),
+          col("x.nat") === col("y.nat") && col("x.band") === col("y.band"))
+        val r2 = a.as("x").join(b.as("y"),
+          col("x.nat") === col("y.nat") && col("x.seg") === col("y.seg"))
+        val cand = proj(r1).union(proj(r2)).distinct()
+        val pat = cand
+          .groupBy((col("g_tok") * 4 + col("g_seg") * 2 + col("g_band"))
+            .as("pid"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("a_key") === col("b_key"), 1L).otherwise(0L))
+              .as("n_true"))
+        def sFor(field: String) = {
+          val fa = a.groupBy(col(field).as("v"))
+            .agg(count(lit(1)).as("ca"))
+          val fb = b.groupBy(col(field).as("v"))
+            .agg(count(lit(1)).as("cb"))
+          fa.join(fb, "v")
+            .agg(sum(col("ca").cast(dec) * col("cb")).as(s"s_$field"))
+        }
+        val st = a.agg(count(lit(1)).as("n_a"))
+          .crossJoin(b.agg(count(lit(1)).as("n_b")))
+          .crossJoin(sFor("tok")).crossJoin(sFor("seg"))
+          .crossJoin(sFor("band"))
+          .crossJoin(a.join(b, col("a_key") === col("b_key"))
+            .agg(count(lit(1)).as("n_true_total")))
+          .withColumn("nab", (col("n_a").cast(dec) * col("n_b")).cast(dec))
+          .withColumn("f_tok_a", expr(
+            "CAST(CAST(900000 AS DECIMAL(38,0)) * nab div s_tok AS BIGINT)"))
+          .withColumn("f_tok_d", expr(
+            "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
+              " div (nab - s_tok) AS BIGINT)"))
+          .withColumn("f_seg_a", expr(
+            "CAST(CAST(900000 AS DECIMAL(38,0)) * nab div s_seg AS BIGINT)"))
+          .withColumn("f_seg_d", expr(
+            "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
+              " div (nab - s_seg) AS BIGINT)"))
+          .withColumn("f_band_a", expr(
+            "CAST(CAST(900000 AS DECIMAL(38,0)) * nab div s_band AS BIGINT)"))
+          .withColumn("f_band_d", expr(
+            "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
+              " div (nab - s_band) AS BIGINT)"))
+        val grid = spark.range(8).select(col("id").as("pid"),
+          expr("id div 4 % 2").as("g_tok"),
+          expr("id div 2 % 2").as("g_seg"),
+          expr("id % 2").as("g_band"))
+        val scored = grid.crossJoin(broadcast(st))
+          .withColumn("f1", when(col("g_tok") === 1L, col("f_tok_a"))
+            .otherwise(col("f_tok_d")))
+          .withColumn("f2", when(col("g_seg") === 1L, col("f_seg_a"))
+            .otherwise(col("f_seg_d")))
+          .withColumn("f3", when(col("g_band") === 1L, col("f_band_a"))
+            .otherwise(col("f_band_d")))
+          .withColumn("score_ppm12", expr(
+            "CAST(CAST(f1 AS DECIMAL(38,0)) * f2 * f3" +
+              " div 1000000 AS BIGINT)"))
+          .withColumn("decision",
+            when(col("score_ppm12") >= 64000000000000L, "match")
+              .when(col("score_ppm12") >= 1000000000000L, "possible")
+              .otherwise("non_match"))
+          .join(pat, Seq("pid"), "left")
+          .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+          .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+        val summ = scored.agg(
+          sum(col("n_pairs")).as("n_cand"),
+          sum(col("n_true")).as("n_true_in_cand"),
+          sum(when(col("decision") === "match", col("n_pairs"))
+            .otherwise(0L)).as("match_pairs"),
+          sum(when(col("decision") === "match", col("n_true"))
+            .otherwise(0L)).as("match_true"))
+        scored.crossJoin(broadcast(summ))
+          .select(col("pid"), col("g_tok"), col("g_seg"), col("g_band"),
+            col("n_pairs"), col("n_true"), col("score_ppm12"),
+            col("decision"), col("n_a"), col("n_b"), col("n_true_total"),
+            col("n_cand"),
+            expr("n_true_in_cand * 1000000" +
+              " div GREATEST(n_true_total, 1)").as("block_recall_ppm"),
+            col("match_pairs"), col("match_true"),
+            expr("match_true * 1000000 div GREATEST(match_pairs, 1)")
+              .as("match_precision_ppm"),
+            expr("match_true * 1000000 div GREATEST(n_true_total, 1)")
+              .as("match_recall_ppm"))
+          .orderBy(col("pid"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
+                 (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)
+                   // 50000 AS band,
+                 c_mktsegment AS seg, c_custkey % 1000 AS tok
+          FROM customer),
+        a AS (SELECT k AS a_key, nat, band, seg, tok FROM base
+              WHERE ('0x' || substr(md5('q302A#' || CAST(k AS VARCHAR)),
+                1, 12))::BIGINT % 1000000 < 900000),
+        b AS (SELECT k AS b_key,
+                CASE WHEN ('0x' || substr(md5('q302N#' ||
+                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 50000
+                  THEN (nat + 1) % 25 ELSE nat END AS nat,
+                CASE WHEN ('0x' || substr(md5('q302D#' ||
+                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 100000
+                  THEN band + 1 ELSE band END AS band,
+                CASE WHEN ('0x' || substr(md5('q302S#' ||
+                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 150000
+                  THEN CASE seg WHEN 'AUTOMOBILE' THEN 'BUILDING'
+                    WHEN 'BUILDING' THEN 'FURNITURE'
+                    WHEN 'FURNITURE' THEN 'HOUSEHOLD'
+                    WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+                    ELSE 'AUTOMOBILE' END
+                  ELSE seg END AS seg,
+                CASE WHEN ('0x' || substr(md5('q302T#' ||
+                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 100000
+                  THEN (tok + 1) % 1000 ELSE tok END AS tok
+              FROM base
+              WHERE ('0x' || substr(md5('q302B#' || CAST(k AS VARCHAR)),
+                1, 12))::BIGINT % 1000000 < 900000),
+        cand AS (
+          SELECT x.a_key, y.b_key,
+                 CASE WHEN x.tok = y.tok THEN 1 ELSE 0 END AS g_tok,
+                 CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END AS g_seg,
+                 CASE WHEN x.band = y.band THEN 1 ELSE 0 END AS g_band
+          FROM a x JOIN b y ON x.nat = y.nat AND x.band = y.band
+          UNION
+          SELECT x.a_key, y.b_key,
+                 CASE WHEN x.tok = y.tok THEN 1 ELSE 0 END,
+                 CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END,
+                 CASE WHEN x.band = y.band THEN 1 ELSE 0 END
+          FROM a x JOIN b y ON x.nat = y.nat AND x.seg = y.seg),
+        pat AS (
+          SELECT g_tok * 4 + g_seg * 2 + g_band AS pid,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN a_key = b_key THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_true
+          FROM cand GROUP BY 1),
+        st AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+                 (SELECT CAST(SUM(CAST(fa.ca AS HUGEINT) * fb.cb)
+                    AS HUGEINT)
+                  FROM (SELECT tok AS v, COUNT(*) AS ca FROM a GROUP BY 1)
+                    fa JOIN (SELECT tok AS v, COUNT(*) AS cb FROM b
+                    GROUP BY 1) fb USING (v)) AS s_tok,
+                 (SELECT CAST(SUM(CAST(fa.ca AS HUGEINT) * fb.cb)
+                    AS HUGEINT)
+                  FROM (SELECT seg AS v, COUNT(*) AS ca FROM a GROUP BY 1)
+                    fa JOIN (SELECT seg AS v, COUNT(*) AS cb FROM b
+                    GROUP BY 1) fb USING (v)) AS s_seg,
+                 (SELECT CAST(SUM(CAST(fa.ca AS HUGEINT) * fb.cb)
+                    AS HUGEINT)
+                  FROM (SELECT band AS v, COUNT(*) AS ca FROM a GROUP BY 1)
+                    fa JOIN (SELECT band AS v, COUNT(*) AS cb FROM b
+                    GROUP BY 1) fb USING (v)) AS s_band,
+                 (SELECT CAST(COUNT(*) AS BIGINT)
+                  FROM a JOIN b ON a_key = b_key) AS n_true_total),
+        stf AS (
+          SELECT *, CAST(n_a AS HUGEINT) * n_b AS nab,
+                 CAST(900000 * (CAST(n_a AS HUGEINT) * n_b) // s_tok
+                   AS BIGINT) AS f_tok_a,
+                 CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
+                   // (CAST(n_a AS HUGEINT) * n_b - s_tok) AS BIGINT)
+                   AS f_tok_d,
+                 CAST(900000 * (CAST(n_a AS HUGEINT) * n_b) // s_seg
+                   AS BIGINT) AS f_seg_a,
+                 CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
+                   // (CAST(n_a AS HUGEINT) * n_b - s_seg) AS BIGINT)
+                   AS f_seg_d,
+                 CAST(900000 * (CAST(n_a AS HUGEINT) * n_b) // s_band
+                   AS BIGINT) AS f_band_a,
+                 CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
+                   // (CAST(n_a AS HUGEINT) * n_b - s_band) AS BIGINT)
+                   AS f_band_d
+          FROM st),
+        grid AS (
+          SELECT CAST(range AS BIGINT) AS pid,
+                 CAST(range // 4 % 2 AS BIGINT) AS g_tok,
+                 CAST(range // 2 % 2 AS BIGINT) AS g_seg,
+                 CAST(range % 2 AS BIGINT) AS g_band
+          FROM range(0, 8)),
+        scored AS (
+          SELECT g.pid, g.g_tok, g.g_seg, g.g_band,
+                 COALESCE(p.n_pairs, 0) AS n_pairs,
+                 COALESCE(p.n_true, 0) AS n_true,
+                 CAST(CAST(CASE WHEN g.g_tok = 1 THEN s.f_tok_a
+                     ELSE s.f_tok_d END AS HUGEINT)
+                   * CASE WHEN g.g_seg = 1 THEN s.f_seg_a
+                     ELSE s.f_seg_d END
+                   * CASE WHEN g.g_band = 1 THEN s.f_band_a
+                     ELSE s.f_band_d END // 1000000 AS BIGINT)
+                   AS score_ppm12,
+                 s.n_a, s.n_b, s.n_true_total
+          FROM grid g CROSS JOIN stf s
+          LEFT JOIN pat p ON p.pid = g.pid),
+        dec AS (
+          SELECT *, CASE WHEN score_ppm12 >= 64000000000000 THEN 'match'
+                 WHEN score_ppm12 >= 1000000000000 THEN 'possible'
+                 ELSE 'non_match' END AS decision
+          FROM scored),
+        summ AS (
+          SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_cand,
+                 CAST(SUM(n_true) AS BIGINT) AS n_true_in_cand,
+                 CAST(SUM(CASE WHEN decision = 'match' THEN n_pairs
+                   ELSE 0 END) AS BIGINT) AS match_pairs,
+                 CAST(SUM(CASE WHEN decision = 'match' THEN n_true
+                   ELSE 0 END) AS BIGINT) AS match_true
+          FROM dec)
+        SELECT d.pid, d.g_tok, d.g_seg, d.g_band, d.n_pairs, d.n_true,
+               d.score_ppm12, d.decision, d.n_a, d.n_b, d.n_true_total,
+               m.n_cand,
+               m.n_true_in_cand * 1000000
+                 // GREATEST(d.n_true_total, 1) AS block_recall_ppm,
+               m.match_pairs, m.match_true,
+               m.match_true * 1000000 // GREATEST(m.match_pairs, 1)
+                 AS match_precision_ppm,
+               m.match_true * 1000000 // GREATEST(d.n_true_total, 1)
+                 AS match_recall_ppm
+        FROM dec d CROSS JOIN summ m
+        ORDER BY d.pid"""))
   )
 
   /** Shared output of the q265/q278 component builder: round-6 labels,

@@ -207,7 +207,94 @@ object Tokenizer {
       build = (spark, dir) =>
         BpeTrainer.train(Tables.documents(spark, dir), "text",
           BatchedMerges, batchSize = BatchedMerges),
-      oracle = Some(batchedOracle(BatchedRounds, BatchedMerges)))
+      oracle = Some(batchedOracle(BatchedRounds, BatchedMerges))),
+
+    // ---- q303: unigram-LM tokenization (Viterbi optimal segmentation) --
+    // The OTHER production tokenizer family: SentencePiece's unigram LM
+    // segments each word by a Viterbi DP over unit log-probabilities —
+    // algorithmically disjoint from BPE (q95/q99/q232 apply a learned
+    // merge sequence greedily; this finds the GLOBALLY OPTIMAL
+    // segmentation under a unit-cost model, the inference step of
+    // Kudo '18). Vocabulary is derived in-engine: all single chars
+    // (coverage guarantee) + the top-40 substrings of length 2–4 by
+    // corpus-weighted frequency; unit cost = −ln(freq/total) in
+    // micro-nats (ln rounded once to 9 dp — the q216/q264 portability
+    // discipline — then scaled; all downstream arithmetic exact
+    // integers). The DP state packs (cost, n_tokens) into one integer
+    // key ckey = cost_micro·64 + n_tokens, so MIN(ckey) is the
+    // lexicographic (cost, token-count) optimum — ties broken toward
+    // fewer tokens, deterministically, with no float ever compared.
+    // The 8 position rounds are unrolled relationally (branch L
+    // consumes a length-L unit ending at position i, i.e. joins
+    // dp(i−L) × vocab on substring(w, i−L+1, L)); the oracle replays
+    // the identical rounds as generated CTEs (the q232/q294 recipe) —
+    // any wrong cost, tie-break, or off-by-one cascades to a hash
+    // mismatch.
+    //
+    // 100 TB posture: the DP runs over the DISTINCT-WORD table (Zipf:
+    // orders of magnitude smaller than the corpus; the word-keyed
+    // joins are hash-partitioned and each round is cut by a
+    // localCheckpoint so the plan stays shallow); the vocabulary is
+    // the only broadcast (model-sized); corpus-scale work is ONE
+    // word-count aggregation. Words longer than the 8-char DP cap are
+    // excluded up front in BOTH engines (cap = max word length in this
+    // corpus; at scale the cap bounds per-word DP cost).
+    "q303_unigram_viterbi" -> QueryDef(
+      build = (spark, dir) => {
+        val wl = Tables.documents(spark, dir)
+          .select(explode(split(trim(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0 && length(col("w")) <= 8)
+          .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+          .withColumn("len", length(col("w")).cast("long"))
+          .localCheckpoint()
+        val uf = wl.select(col("n_w"), explode(expr(
+            "flatten(transform(sequence(1, CAST(least(4, len) AS INT)), " +
+              "L -> transform(sequence(1, CAST(len AS INT) - L + 1), " +
+              "i -> substring(w, i, L))))")).as("u"))
+          .groupBy(col("u")).agg(sum(col("n_w")).as("freq"))
+        val multi = uf.filter(length(col("u")) > 1)
+          .orderBy(col("freq").desc, col("u")).limit(40)
+        val v0 = uf.filter(length(col("u")) === 1).unionByName(multi)
+        val vocab = v0
+          .crossJoin(broadcast(v0.agg(sum(col("freq")).as("t"))))
+          .select(col("u"), expr(
+            "CAST(ROUND(ROUND(LN(CAST(freq AS DOUBLE) / t), 9)" +
+              " * -1000000, 0) AS BIGINT)").as("cost"))
+          .localCheckpoint()
+        // dp(i) = minimal ckey segmenting the first i chars of w
+        var dps = Vector(wl.select(col("w"), lit(0L).as("ckey")))
+        for (i <- 1 to 8) {
+          val branches = (1 to math.min(4, i)).map { l =>
+            dps(i - l)
+              .join(wl.filter(col("len") >= i).select(col("w")), "w")
+              .withColumn("u", expr(s"substring(w, ${i - l + 1}, $l)"))
+              .join(broadcast(vocab), "u")
+              .select(col("w"),
+                (col("ckey") + col("cost") * 64 + 1).as("ck"))
+          }
+          dps = dps :+ branches.reduce(_ unionByName _)
+            .groupBy(col("w")).agg(min(col("ck")).as("ckey"))
+            .localCheckpoint()
+        }
+        val seg = (1 to 8).map { i =>
+          dps(i).join(wl.filter(col("len") === i), "w")
+        }.reduce(_ unionByName _)
+          .withColumn("cost_micro", expr("ckey div 64"))
+          .withColumn("n_tokens", col("ckey") % 64)
+        val su = seg.agg(count(lit(1)).as("n_distinct_words"),
+          sum(col("n_w") * col("len")).as("total_chars"),
+          sum(col("n_w") * col("n_tokens")).as("total_tokens"))
+        val vs = vocab.agg(count(lit(1)).as("vocab_size"))
+        seg.orderBy(col("n_w").desc, col("w")).limit(20)
+          .crossJoin(broadcast(su)).crossJoin(broadcast(vs))
+          .select(col("w"), col("n_w"), col("len").as("word_len"),
+            col("n_tokens"), col("cost_micro"), col("n_distinct_words"),
+            col("vocab_size"), col("total_chars"), col("total_tokens"),
+            expr("total_chars * 1000000 div total_tokens")
+              .as("chars_per_token_ppm"))
+          .orderBy(col("n_w").desc, col("w"))
+      },
+      oracle = Some(viterbiOracle(8)))
   )
 
   /** q232's oracle: statically-unrolled batched BPE rounds. Per round k:
@@ -436,5 +523,73 @@ object Tokenizer {
                                         x -> x <> '')) AS token, freq
               FROM v$n)
         GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""
+  }
+
+  /** q303's oracle: the identical vocab derivation + `cap` unrolled
+    * Viterbi DP rounds as generated CTEs (the [[batchedOracle]] recipe —
+    * the oracle replays every position round, so a wrong cost, tie-break,
+    * or substring off-by-one in the Spark plan cascades to a hash
+    * mismatch, four CTE layers deep). */
+  private def viterbiOracle(cap: Int): String = {
+    val head = s"""
+        WITH wl AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w,
+                 CAST(len(w) AS BIGINT) AS len
+          FROM (SELECT UNNEST(string_split(trim(text), ' ')) AS w
+                FROM documents)
+          WHERE len(w) > 0 AND len(w) <= $cap GROUP BY 1),
+        uf AS (
+          SELECT substr(w.w, CAST(t2.range AS INT),
+                        CAST(t1.range AS INT)) AS u,
+                 CAST(SUM(w.n_w) AS BIGINT) AS freq
+          FROM wl w, range(1, 5) t1, range(1, ${cap + 1}) t2
+          WHERE t1.range <= w.len
+            AND t2.range + t1.range - 1 <= w.len
+          GROUP BY 1),
+        v0 AS (
+          SELECT u, freq FROM uf WHERE len(u) = 1
+          UNION ALL
+          SELECT u, freq FROM (SELECT u, freq FROM uf WHERE len(u) > 1
+                               ORDER BY freq DESC, u LIMIT 40)),
+        tt AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM v0),
+        vocab AS (
+          SELECT u, CAST(ROUND(ROUND(LN(CAST(freq AS DOUBLE) / t), 9)
+                 * -1000000, 0) AS BIGINT) AS cost
+          FROM v0 CROSS JOIN tt),
+        dp0 AS (SELECT w, CAST(0 AS BIGINT) AS ckey FROM wl)"""
+    val rounds = (1 to cap).map { i =>
+      val branches = (1 to math.min(4, i)).map { l =>
+        s"""
+            SELECT d.w AS w, d.ckey + v.cost * 64 + 1 AS ck
+            FROM dp${i - l} d
+            JOIN wl ON wl.w = d.w AND wl.len >= $i
+            JOIN vocab v ON v.u = substr(d.w, ${i - l + 1}, $l)"""
+      }.mkString("\n            UNION ALL")
+      s""",
+        dp$i AS (SELECT w, MIN(ck) AS ckey FROM ($branches
+        ) GROUP BY 1)"""
+    }.mkString
+    val segUnion = (1 to cap).map { i =>
+      s"""
+            SELECT d.w AS w, wl.n_w, wl.len, d.ckey
+            FROM dp$i d JOIN wl ON wl.w = d.w AND wl.len = $i"""
+    }.mkString("\n            UNION ALL")
+    s"""$head$rounds,
+        seg AS (SELECT w, n_w, len, ckey // 64 AS cost_micro,
+                       ckey % 64 AS n_tokens FROM ($segUnion
+        )),
+        su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                      CAST(SUM(n_w * len) AS BIGINT) AS total_chars,
+                      CAST(SUM(n_w * n_tokens) AS BIGINT) AS total_tokens
+               FROM seg),
+        vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM vocab)
+        SELECT s.w, s.n_w, s.len AS word_len, s.n_tokens, s.cost_micro,
+               su.n_distinct_words, vs.vocab_size, su.total_chars,
+               su.total_tokens,
+               su.total_chars * 1000000 // su.total_tokens
+                 AS chars_per_token_ppm
+        FROM (SELECT * FROM seg ORDER BY n_w DESC, w LIMIT 20) s
+        CROSS JOIN su CROSS JOIN vs
+        ORDER BY s.n_w DESC, s.w"""
   }
 }

@@ -550,4 +550,32 @@ class PlanGuardSpec2 extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "data card planned a SHUFFLED cross product")
   }
+
+  test("q302: linkage candidates come from keyed blocking joins — never all-pairs") {
+    val p = plan("q302_record_linkage")
+    assert(!p.contains("CartesianProduct"),
+      "record linkage planned a SHUFFLED cross product (the 1-row stats " +
+        "broadcasts onto the 8-row pattern grid are the only legal " +
+        "cross joins, and those plan as BroadcastNestedLoopJoin)")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "blocking-rule candidate generation not a hash equijoin")
+    assert(p.contains("hashpartitioning(a_key") || p.contains("HashAggregate"),
+      "candidate union-dedup / pattern census not keyed")
+    assert(p.contains("Range"),
+      "the 8-pattern panel should be a Range, not a corpus scan")
+  }
+
+  test("q303: Viterbi DP runs on the cut distinct-word table — corpus pays one agg") {
+    val p = plan("q303_unigram_viterbi")
+    assert(p.contains("Scan ExistingRDD"),
+      "word table / DP rounds lost their localCheckpoint cuts")
+    assert(!p.contains("Scan parquet"),
+      "the final report re-scans the corpus instead of the cut DP tables")
+    assert(!p.contains("CartesianProduct"),
+      "segmentation assembly planned a SHUFFLED cross product (the " +
+        "1-row summary broadcasts are the only legal cross joins)")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 words not a per-partition heap")
+  }
 }
