@@ -2555,7 +2555,153 @@ object CorpusStats {
                gi.gini_ppm, cov.coverage_ppm
         FROM b2 JOIN tl USING (source)
         CROSS JOIN gi CROSS JOIN cov
-        ORDER BY b2.source"""))
+        ORDER BY b2.source""")),
+
+    // ---- q304: replication-checksum manifest (verify a copy without
+    // a join) ----
+    // The table-checksum operator every replicated data platform runs
+    // (the pt-table-checksum shape, rebuilt for a data lake): prove a
+    // 100 TB replica equals its source WITHOUT ever joining the two
+    // corpora row-by-row. Each side is summarized ONCE into an
+    // id-range chunk manifest — (chunk, row count, order-invariant
+    // content checksum = Σ 48-bit md5(row) mod 10¹⁸, a commutative
+    // sum so the result is independent of partitioning and scan
+    // order, and mergeable map-side) — and only the manifests (KBs,
+    // whatever the corpus size) meet in a chunk-keyed full-outer
+    // join. The replica here carries deterministic md5-coin faults
+    // (2% rows bit-rotted, 1% dropped); the gate publishes the
+    // diverging chunks with a count/content classification (a lost
+    // row is a different failure than rot — re-copy vs re-read) and
+    // the GLOBAL verdict recomputed from the chunk manifests
+    // themselves — the mergeability the whole scheme rests on,
+    // demonstrated in-data. Distinct from q107/q296 snapshot diffs:
+    // those locate row-level changes via corpus-scale joins; this is
+    // the communication-efficient certificate you run FIRST (the two
+    // sides may live in different datacenters — only checksums
+    // travel), drilling into a diverged chunk afterwards.
+    //
+    // 100 TB posture: one pass per side (in-row hash, chunk-keyed
+    // partial/final agg); the only join is manifest×manifest on the
+    // chunk key; checksum sums ride DECIMAL(38,0)/HUGEINT before the
+    // mod (Σ of 10⁹ 48-bit hashes exceeds int64 — the q258 lesson);
+    // the corpora are NEVER row-joined (plan-guarded: no
+    // hashpartitioning on doc_id).
+    "q304_replication_checksum" -> QueryDef(
+      build = (spark, dir) => {
+        def coin(salt: String) =
+          conv(substring(md5(concat(lit(salt),
+            col("doc_id").cast("string"))), 1, 12), 16, 10)
+            .cast("long") % 1000000L
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        val replica = docs.filter(coin("q304L#") >= 10000L)
+          .withColumn("text",
+            when(coin("q304C#") < 20000L, concat(col("text"), lit("~")))
+              .otherwise(col("text")))
+        def manifest(df: DataFrame, n: String, cks: String) = df
+          .select(expr("doc_id div 64").as("chunk"), expr(
+            "CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING)," +
+              " '#', text)), 1, 12), 16, 10) AS BIGINT)").as("h"))
+          .groupBy(col("chunk"))
+          .agg(count(lit(1)).as(n), expr(
+            "CAST(SUM(CAST(h AS DECIMAL(38,0)))" +
+              " % 1000000000000000000 AS BIGINT)").as(cks))
+        val j = manifest(docs, "n_a", "cks_a")
+          .join(manifest(replica, "n_b", "cks_b"), Seq("chunk"),
+            "full_outer")
+          .select(col("chunk"),
+            coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"),
+            coalesce(col("cks_a"), lit(0L)).as("cks_a"),
+            coalesce(col("cks_b"), lit(0L)).as("cks_b"))
+          .withColumn("divergence",
+            when(col("n_a") =!= col("n_b"), "count")
+              .when(col("cks_a") =!= col("cks_b"), "content")
+              .otherwise("clean"))
+          // manifest-sized; the cut keeps the summary + report reads
+          // from re-scanning the corpora
+          .localCheckpoint()
+        val su = j.agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("divergence") =!= "clean", 1L).otherwise(0L))
+            .as("n_diverging"),
+          sum(when(col("divergence") === "count", 1L).otherwise(0L))
+            .as("n_count_div"),
+          sum(when(col("divergence") === "content", 1L).otherwise(0L))
+            .as("n_content_div"),
+          sum(col("n_a")).as("total_docs_a"),
+          sum(col("n_b")).as("total_docs_b"),
+          expr("CAST(SUM(CAST(cks_a AS DECIMAL(38,0)))" +
+            " % 1000000000000000000 AS BIGINT)").as("global_cks_a"),
+          expr("CAST(SUM(CAST(cks_b AS DECIMAL(38,0)))" +
+            " % 1000000000000000000 AS BIGINT)").as("global_cks_b"))
+          .withColumn("verdict",
+            when(col("global_cks_a") =!= col("global_cks_b") ||
+              col("total_docs_a") =!= col("total_docs_b"), "diverged")
+              .otherwise("identical"))
+        j.filter(col("divergence") =!= "clean")
+          .orderBy(col("chunk")).limit(20)
+          .crossJoin(broadcast(su))
+          .orderBy(col("chunk"))
+      },
+      oracle = Some("""
+        WITH a AS (SELECT doc_id, text FROM documents),
+        b AS (SELECT doc_id,
+                     CASE WHEN ('0x' || substr(md5('q304C#' ||
+                         CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                         % 1000000 < 20000
+                       THEN text || '~' ELSE text END AS text
+              FROM documents
+              WHERE ('0x' || substr(md5('q304L#' ||
+                CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                % 1000000 >= 10000),
+        ma AS (SELECT doc_id // 64 AS chunk,
+                      CAST(COUNT(*) AS BIGINT) AS n_a,
+                      CAST(SUM(CAST(('0x' || substr(md5(
+                          CAST(doc_id AS VARCHAR) || '#' || text), 1, 12)
+                        )::BIGINT AS HUGEINT))
+                        % 1000000000000000000 AS BIGINT) AS cks_a
+               FROM a GROUP BY 1),
+        mb AS (SELECT doc_id // 64 AS chunk,
+                      CAST(COUNT(*) AS BIGINT) AS n_b,
+                      CAST(SUM(CAST(('0x' || substr(md5(
+                          CAST(doc_id AS VARCHAR) || '#' || text), 1, 12)
+                        )::BIGINT AS HUGEINT))
+                        % 1000000000000000000 AS BIGINT) AS cks_b
+               FROM b GROUP BY 1),
+        j AS (SELECT COALESCE(ma.chunk, mb.chunk) AS chunk,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+                     COALESCE(cks_a, 0) AS cks_a,
+                     COALESCE(cks_b, 0) AS cks_b
+              FROM ma FULL OUTER JOIN mb ON ma.chunk = mb.chunk),
+        jd AS (SELECT *, CASE WHEN n_a <> n_b THEN 'count'
+                     WHEN cks_a <> cks_b THEN 'content'
+                     ELSE 'clean' END AS divergence
+               FROM j),
+        su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                      CAST(SUM(CASE WHEN divergence <> 'clean' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_diverging,
+                      CAST(SUM(CASE WHEN divergence = 'count' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_count_div,
+                      CAST(SUM(CASE WHEN divergence = 'content' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_content_div,
+                      CAST(SUM(n_a) AS BIGINT) AS total_docs_a,
+                      CAST(SUM(n_b) AS BIGINT) AS total_docs_b,
+                      CAST(SUM(CAST(cks_a AS HUGEINT))
+                        % 1000000000000000000 AS BIGINT) AS global_cks_a,
+                      CAST(SUM(CAST(cks_b AS HUGEINT))
+                        % 1000000000000000000 AS BIGINT) AS global_cks_b
+               FROM jd)
+        SELECT d.chunk, d.n_a, d.n_b, d.cks_a, d.cks_b, d.divergence,
+               su.n_chunks, su.n_diverging, su.n_count_div,
+               su.n_content_div, su.total_docs_a, su.total_docs_b,
+               su.global_cks_a, su.global_cks_b,
+               CASE WHEN su.global_cks_a <> su.global_cks_b
+                 OR su.total_docs_a <> su.total_docs_b
+                 THEN 'diverged' ELSE 'identical' END AS verdict
+        FROM (SELECT * FROM jd WHERE divergence <> 'clean'
+              ORDER BY chunk LIMIT 20) d
+        CROSS JOIN su
+        ORDER BY d.chunk"""))
   )
 
   /** Poisson(1) cumulative distribution in ppm (floor), k = 0..6 —

@@ -578,4 +578,16 @@ class PlanGuardSpec2 extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 words not a per-partition heap")
   }
+
+  test("q304: copy verification joins manifests only — corpora never row-join") {
+    val p = plan("q304_replication_checksum")
+    assert(p.contains("Scan ExistingRDD"),
+      "chunk manifest lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "summary/report re-scans the corpus instead of the cut manifest")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      "plan shuffles on doc_id — the corpora must NEVER meet row-by-row")
+    assert(!p.contains("CartesianProduct"),
+      "manifest compare planned a SHUFFLED cross product")
+  }
 }
