@@ -1543,6 +1543,179 @@ object Events {
                  ORDER BY valid_from, run_id), '%Y-%m-%d %H:%M:%S.%f')
                  AS valid_to,
                n_events
-        FROM runs ORDER BY user_id, version"""))
+        FROM runs ORDER BY user_id, version""")),
+
+    // ---- q305: CUPED variance-reduced experiment readout ----
+    // The regression-adjustment every experimentation platform runs
+    // (Deng et al. '13, "CUPED"): an A/B readout whose metric variance
+    // is cut by the user's PRE-EXPERIMENT activity — Y′ = Y − θ(X − X̄)
+    // with θ = cov(X,Y)/var(X) — so the same traffic detects smaller
+    // effects. Distinct from the inference gates (q144 χ², q293
+    // McNemar, q299 bootstrap): those test or bound a metric as given;
+    // this one REDUCES its variance with a covariate before any test.
+    // Setup: pre-period = Jan 1–15, post = Jan 16–30 (fixed literal
+    // cutoff), per-user X = pre event count, Y = post count, arm = a
+    // 50/50 md5 coin on user_id (independent of X by construction).
+    // All arithmetic exact integers: θ_ppm and the per-arm adjusted
+    // means are sign-safe truncating divisions over DECIMAL(38,0)
+    // cross-moments (cov can be negative — the q260 div-vs-// bridge),
+    // and the published variance-reduction certificate is corr² in ppm
+    // = cnum²·10⁶ div (vxnum·vynum) — the measured fraction of metric
+    // variance the covariate removed, the number that justifies
+    // shipping CUPED at all.
+    //
+    // 100 TB posture: one event pass → user-keyed partial/final agg;
+    // moments and arm rollups are two aggs over the checkpoint-cut
+    // per-user table; everything after is 1-row/2-row broadcast
+    // arithmetic; products ride DECIMAL(38,0)/HUGEINT (n·Sxy exceeds
+    // int64 near 10⁹ users).
+    "q305_cuped_readout" -> QueryDef(
+      build = (spark, dir) => {
+        val per = Tables.events(spark, dir)
+          .select(col("user_id"), expr(
+            "CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'" +
+              " THEN 1 ELSE 0 END").cast("long").as("pre"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("pre")).as("x"),
+            sum(lit(1L) - col("pre")).as("y"))
+          .withColumn("arm",
+            when(conv(substring(md5(concat(lit("q305#"),
+              col("user_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long") % 1000000L < 500000L, "treatment")
+              .otherwise("control"))
+          .localCheckpoint()
+        val mo = per.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+          .withColumn("cnum", expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+          .withColumn("vxnum", expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+          .withColumn("vynum", expr(
+            "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+          .withColumn("theta_ppm", expr(
+            "CAST(CASE WHEN cnum >= 0" +
+              " THEN cnum * 1000000 div GREATEST(vxnum, 1)" +
+              " ELSE -((-cnum) * 1000000 div GREATEST(vxnum, 1))" +
+              " END AS BIGINT)"))
+          .withColumn("var_reduction_ppm", expr(
+            "CAST(cnum * cnum * 1000000" +
+              " div GREATEST(vxnum * vynum, 1) AS BIGINT)"))
+        val rows = per.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sum_x"),
+            sum(col("y")).as("sum_y"))
+          .crossJoin(broadcast(mo))
+          .withColumn("mean_y_micro", expr(
+            "CAST(CAST(sum_y AS DECIMAL(38,0)) * 1000000" +
+              " div n_users AS BIGINT)"))
+          .withColumn("adj_num", expr(
+            "CAST(sum_y AS DECIMAL(38,0)) * n * 1000000" +
+              " - CAST(theta_ppm AS DECIMAL(38,0))" +
+              " * (CAST(sum_x AS DECIMAL(38,0)) * n" +
+              "    - CAST(n_users AS DECIMAL(38,0)) * sx)"))
+          .withColumn("mean_y_adj_micro", expr(
+            "CAST(CASE WHEN adj_num >= 0" +
+              " THEN adj_num div (CAST(n_users AS DECIMAL(38,0)) * n)" +
+              " ELSE -((-adj_num)" +
+              "   div (CAST(n_users AS DECIMAL(38,0)) * n))" +
+              " END AS BIGINT)"))
+        val deltas = rows.agg(
+          (max(when(col("arm") === "treatment", col("mean_y_micro")))
+            - max(when(col("arm") === "control", col("mean_y_micro"))))
+            .as("delta_raw_micro"),
+          (max(when(col("arm") === "treatment", col("mean_y_adj_micro")))
+            - max(when(col("arm") === "control",
+              col("mean_y_adj_micro")))).as("delta_adj_micro"))
+        rows.crossJoin(broadcast(deltas))
+          .select(col("arm"), col("n_users"), col("sum_x"), col("sum_y"),
+            col("mean_y_micro"), col("mean_y_adj_micro"),
+            col("n").as("n_total"), col("theta_ppm"),
+            col("var_reduction_ppm"), col("delta_raw_micro"),
+            col("delta_adj_micro"),
+            // the platform decision the certificate exists for: adjust
+            // only when the covariate buys ≥1% variance (here the iid
+            // synthetic users correctly read ~0 — CUPED would be noise)
+            when(col("var_reduction_ppm") >= 10000L, "adjust")
+              .otherwise("use_raw").as("verdict"))
+          .orderBy(col("arm"))
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                   THEN 0 ELSE 1 END) AS BIGINT) AS y,
+                 CASE WHEN ('0x' || substr(md5('q305#' ||
+                     CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                     % 1000000 < 500000
+                   THEN 'treatment' ELSE 'control' END AS arm
+          FROM events GROUP BY user_id),
+        mo AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM per),
+        mt AS (
+          SELECT *,
+                 CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                   AS cnum,
+                 CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                   AS vxnum,
+                 CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                   AS vynum
+          FROM mo),
+        mf AS (
+          SELECT *,
+                 CAST(CASE WHEN cnum >= 0
+                   THEN cnum * 1000000 // GREATEST(vxnum, 1)
+                   ELSE -((-cnum) * 1000000 // GREATEST(vxnum, 1))
+                   END AS BIGINT) AS theta_ppm,
+                 CAST(cnum * cnum * 1000000
+                   // GREATEST(vxnum * vynum, 1) AS BIGINT)
+                   AS var_reduction_ppm
+          FROM mt),
+        ar AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(x) AS BIGINT) AS sum_x,
+                 CAST(SUM(y) AS BIGINT) AS sum_y
+          FROM per GROUP BY arm),
+        rows_ AS (
+          SELECT ar.*, mf.n, mf.sx, mf.theta_ppm, mf.var_reduction_ppm,
+                 CAST(CAST(sum_y AS HUGEINT) * 1000000 // n_users
+                   AS BIGINT) AS mean_y_micro,
+                 CAST(sum_y AS HUGEINT) * n * 1000000
+                   - CAST(theta_ppm AS HUGEINT)
+                   * (CAST(sum_x AS HUGEINT) * n
+                      - CAST(n_users AS HUGEINT) * sx) AS adj_num
+          FROM ar CROSS JOIN mf),
+        rows2 AS (
+          SELECT *,
+                 CAST(CASE WHEN adj_num >= 0
+                   THEN adj_num // (CAST(n_users AS HUGEINT) * n)
+                   ELSE -((-adj_num) // (CAST(n_users AS HUGEINT) * n))
+                   END AS BIGINT) AS mean_y_adj_micro
+          FROM rows_),
+        dl AS (
+          SELECT MAX(CASE WHEN arm = 'treatment' THEN mean_y_micro END)
+                   - MAX(CASE WHEN arm = 'control' THEN mean_y_micro END)
+                   AS delta_raw_micro,
+                 MAX(CASE WHEN arm = 'treatment'
+                     THEN mean_y_adj_micro END)
+                   - MAX(CASE WHEN arm = 'control'
+                     THEN mean_y_adj_micro END) AS delta_adj_micro
+          FROM rows2)
+        SELECT arm, n_users, sum_x, sum_y, mean_y_micro,
+               mean_y_adj_micro, n AS n_total, theta_ppm,
+               var_reduction_ppm, delta_raw_micro, delta_adj_micro,
+               CASE WHEN var_reduction_ppm >= 10000 THEN 'adjust'
+                 ELSE 'use_raw' END AS verdict
+        FROM rows2 CROSS JOIN dl
+        ORDER BY arm"""))
   )
 }

@@ -590,4 +590,15 @@ class PlanGuardSpec2 extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "manifest compare planned a SHUFFLED cross product")
   }
+
+  test("q305: CUPED is two aggs over the cut per-user table — no corpus re-scan") {
+    val p = plan("q305_cuped_readout")
+    assert(p.contains("Scan ExistingRDD"),
+      "per-user (x, y, arm) table lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "moments/arm rollup re-scan the events corpus instead of the cut")
+    assert(!p.contains("CartesianProduct"),
+      "readout planned a SHUFFLED cross product (the 1-row moments/" +
+        "delta broadcasts are the only legal cross joins)")
+  }
 }
