@@ -1090,6 +1090,112 @@ object Curation {
                  - m.so // GREATEST(m.docs_old, 1)
                  AS quality_shift_milli
         FROM m LEFT JOIN nw ON nw.source = m.source
-        ORDER BY m.source"""))
+        ORDER BY m.source""")),
+
+    // ---- q306: exact Shapley source valuation for coverage ----
+    // Data VALUATION — what is each source's contribution WORTH? — the
+    // question behind paying data vendors and pruning acquisition
+    // budgets, distinct from q220's greedy max-coverage (which source
+    // to BUY NEXT) and q159's novelty (what a source adds vs the rest,
+    // i.e. its marginal at one coalition). The Shapley value averages
+    // a source's marginal contribution over ALL coalition orders —
+    // normally exponential, but for a COVERAGE game it collapses to a
+    // closed form: each covered element (word 3-shingle) splits its
+    // credit equally among the k sources containing it, so
+    // shapley(s) = Σ_{shingle ∈ s} 1/k(shingle) — exact, relational,
+    // one posting-shaped join. Credits are truncated micro-units
+    // (10⁶ div k — identical in both engines by definition); the
+    // truncation deficit vs |universe|·10⁶ is published (efficiency
+    // axiom checked in-data), and the Shapley ranking is printed
+    // BESIDE the naive distinct-count ranking — the two disagree
+    // exactly when a source's vocabulary is large but shared, which is
+    // the insight the statistic is for.
+    //
+    // 100 TB posture: corpus-scale work is the DISTINCT
+    // (source, shingle) projection (keyed partial agg) + one
+    // shingle-keyed ownership count + one posting-shaped equijoin
+    // (a shingle contributes ≤ |sources| rows however many docs
+    // contain it); the per-source rollup and rank windows run on
+    // |sources| rows.
+    "q306_shapley_coverage" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val st = Tables.documents(spark, dir)
+          .select(col("source"), col("text"))
+          .withColumn("toks", tokens(col("text")))
+          .select(col("source"), explode(expr(
+            "CASE WHEN size(toks) >= 3 THEN transform(" +
+              "sequence(0, size(toks) - 3)," +
+              " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))" +
+              " ELSE array() END")).as("sh"))
+          .distinct()
+        val own = st.groupBy(col("sh")).agg(count(lit(1)).as("k"))
+        val per = st.join(own, "sh")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("k") === 1L, 1L).otherwise(0L))
+              .as("n_exclusive"),
+            sum(expr("1000000 div k")).as("shapley_micro"))
+        val nd = Tables.documents(spark, dir)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val su = own.agg(count(lit(1)).as("total_shingles"))
+          .crossJoin(broadcast(
+            per.agg(sum(col("shapley_micro")).as("sum_credit_micro"))))
+          .withColumn("trunc_deficit_micro",
+            col("total_shingles") * 1000000L - col("sum_credit_micro"))
+        per.join(nd, "source")
+          .withColumn("rank_shapley", row_number().over(
+            Window.orderBy(col("shapley_micro").desc, col("source"))))
+          .withColumn("rank_naive", row_number().over(
+            Window.orderBy(col("n_shingles").desc, col("source"))))
+          .crossJoin(broadcast(su))
+          .select(col("source"), col("n_docs"), col("n_shingles"),
+            col("n_exclusive"), col("shapley_micro"),
+            expr("shapley_micro * 1000000 div sum_credit_micro")
+              .as("shapley_share_ppm"),
+            col("rank_shapley").cast("long").as("rank_shapley"),
+            col("rank_naive").cast("long").as("rank_naive"),
+            col("total_shingles"), col("trunc_deficit_micro"))
+          .orderBy(col("rank_shapley"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT source,
+                 string_split_regex(trim(text), '\s+') AS w
+          FROM documents),
+        st AS (
+          SELECT DISTINCT source,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+          FROM t, UNNEST(range(1, GREATEST(len(w) - 1, 1))) u(i)),
+        own AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS k
+                FROM st GROUP BY 1),
+        per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exclusive,
+                 CAST(SUM(1000000 // k) AS BIGINT) AS shapley_micro
+          FROM st JOIN own USING (sh) GROUP BY 1),
+        nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+        su AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM own)
+                   AS total_shingles,
+                 (SELECT CAST(SUM(shapley_micro) AS BIGINT) FROM per)
+                   AS sum_credit_micro),
+        rk AS (
+          SELECT per.*, nd.n_docs,
+                 CAST(ROW_NUMBER() OVER (ORDER BY shapley_micro DESC,
+                   source) AS BIGINT) AS rank_shapley,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n_shingles DESC,
+                   source) AS BIGINT) AS rank_naive
+          FROM per JOIN nd USING (source))
+        SELECT source, n_docs, n_shingles, n_exclusive, shapley_micro,
+               shapley_micro * 1000000 // su.sum_credit_micro
+                 AS shapley_share_ppm,
+               rank_shapley, rank_naive, su.total_shingles,
+               su.total_shingles * 1000000 - su.sum_credit_micro
+                 AS trunc_deficit_micro
+        FROM rk CROSS JOIN su
+        ORDER BY rank_shapley"""))
   )
 }

@@ -601,4 +601,16 @@ class PlanGuardSpec2 extends SparkSpec {
       "readout planned a SHUFFLED cross product (the 1-row moments/" +
         "delta broadcasts are the only legal cross joins)")
   }
+
+  test("q306: Shapley credit is one posting-shaped shingle equijoin") {
+    val p = plan("q306_shapley_coverage")
+    assert(p.contains("hashpartitioning(sh"),
+      "ownership count / credit join not keyed on the shingle")
+    assert(!p.contains("CartesianProduct"),
+      "valuation planned a SHUFFLED cross product (the 1-row totals " +
+        "broadcasts are the only legal cross joins)")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "credit assignment not a hash equijoin")
+  }
 }
