@@ -660,6 +660,121 @@ object Text {
                  // (CAST(d_docs AS HUGEINT) * tf) AS BIGINT) >= 2000
                  THEN 'bursty' ELSE 'even' END AS verdict
         FROM top CROSS JOIN tot
-        ORDER BY df DESC, term"""))
+        ORDER BY df DESC, term""")),
+
+    // ---- q307: Weight-of-Evidence / Information-Value feature screen --
+    // The industry feature-screening statistic (credit-scoring lineage,
+    // now standard for ANY binary-label tabular screen): per feature,
+    // per monotone bin, WoE = ln((g/P)/(b/N)), and the feature's
+    // Information Value IV = Σ_bins (g/P − b/N)·WoE with the published
+    // interpretation bands (<0.02 useless / <0.1 weak / <0.3 medium /
+    // else strong). Distinct from q216 (which finds ONE best split
+    // threshold on one feature by entropy): IV ranks WHOLE features by
+    // total separation across all bins — the screen you run across a
+    // feature catalog before training anything. Three features over
+    // the lang='en' label: char-length band, stopword count (capped),
+    // token-count band. Zero-cell bins get the standard half-count
+    // smoothing, as the exact rational (2g+1)·N / ((2b+1)·P) fed to
+    // one ln (rounded once to 9 dp — the q216 portability move, then
+    // micro-nat integers); share deltas are truncated ppm, so the IV
+    // sum is pure integer arithmetic with one sign-safe final division.
+    //
+    // 100 TB posture: ONE corpus pass builds the stacked
+    // (feature, bin) census (3 map-side literals per row, keyed
+    // partial/final agg onto ≤30 cells); everything downstream runs on
+    // the census. No products exceed int64 (shares are ppm-bounded).
+    "q307_woe_iv_screen" -> QueryDef(
+      build = (spark, dir) => {
+        val toks = tokens(col("text"))
+        val base = Tables.documents(spark, dir).select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          least(expr("n_chars div 100"), lit(9L)).as("f_len"),
+          least(stopwordCount(toks, EN).cast("long"), lit(9L))
+            .as("f_stop"),
+          least((size(toks) / 10).cast("long"), lit(9L)).as("f_tok"))
+          .localCheckpoint()
+        val census = Seq("f_len" -> "len_band", "f_stop" -> "stop_count",
+          "f_tok" -> "tok_band").map { case (c, nm) =>
+          base.select(lit(nm).as("feature"), col(c).as("bin"),
+            col("pos"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("feature"), col("bin"))
+          .agg(sum(col("pos")).as("n_pos"),
+            (count(lit(1)) - sum(col("pos"))).as("n_neg"))
+        val tot = base.agg(sum(col("pos")).as("p"),
+          (count(lit(1)) - sum(col("pos"))).as("nn"))
+        val bs = census.crossJoin(broadcast(tot))
+          .withColumn("woe_micro", expr(
+            // doubles BEFORE the count products — (2g+1)·N wraps int64
+            // near 10¹² rows (the q258 lesson); the ratio feeds ln, so
+            // IEEE double products are the right precision anyway
+            "CAST(ROUND(ROUND(LN(CAST(2 * n_pos + 1 AS DOUBLE) * nn" +
+              " / (CAST(2 * n_neg + 1 AS DOUBLE) * p)), 9)" +
+              " * 1000000, 0) AS BIGINT)"))
+          .withColumn("d_ppm", expr(
+            "n_pos * 1000000 div p - n_neg * 1000000 div nn"))
+        val iv = bs.groupBy(col("feature"))
+          .agg(sum(col("d_ppm") * col("woe_micro")).as("sp"))
+          .withColumn("iv_milli", expr(
+            "CAST(CASE WHEN sp >= 0 THEN sp div 1000000000" +
+              " ELSE -((-sp) div 1000000000) END AS BIGINT)"))
+          .withColumn("strength",
+            when(col("iv_milli") < 20L, "useless")
+              .when(col("iv_milli") < 100L, "weak")
+              .when(col("iv_milli") < 300L, "medium")
+              .otherwise("strong"))
+          .select(col("feature"), col("iv_milli"), col("strength"))
+        bs.join(iv, "feature")
+          .select(col("feature"), col("bin"), col("n_pos"), col("n_neg"),
+            col("woe_micro"), col("iv_milli"), col("strength"))
+          .orderBy(col("feature"), col("bin"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                 LEAST(n_chars // 100, 9) AS f_len,
+                 LEAST(len(list_filter(
+                   string_split_regex(trim(text), '\s+'),
+                   t -> t IN ('the', 'a', 'of', 'to', 'and'))), 9)
+                   AS f_stop,
+                 LEAST(len(string_split_regex(trim(text), '\s+')) // 10,
+                   9) AS f_tok
+          FROM documents),
+        census AS (
+          SELECT feature, bin, CAST(SUM(pos) AS BIGINT) AS n_pos,
+                 CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+          FROM (
+            SELECT 'len_band' AS feature, CAST(f_len AS BIGINT) AS bin,
+                   pos FROM base
+            UNION ALL
+            SELECT 'stop_count', CAST(f_stop AS BIGINT), pos FROM base
+            UNION ALL
+            SELECT 'tok_band', CAST(f_tok AS BIGINT), pos FROM base)
+          GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+                       CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn
+                FROM base),
+        bs AS (
+          SELECT feature, bin, n_pos, n_neg,
+                 CAST(ROUND(ROUND(LN(CAST(2 * n_pos + 1 AS DOUBLE) * nn
+                   / (CAST(2 * n_neg + 1 AS DOUBLE) * p)), 9)
+                   * 1000000, 0) AS BIGINT) AS woe_micro,
+                 n_pos * 1000000 // p - n_neg * 1000000 // nn AS d_ppm
+          FROM census CROSS JOIN tot),
+        iv AS (
+          SELECT feature,
+                 CAST(CASE WHEN SUM(d_ppm * woe_micro) >= 0
+                   THEN SUM(d_ppm * woe_micro) // 1000000000
+                   ELSE -((-SUM(d_ppm * woe_micro)) // 1000000000)
+                   END AS BIGINT) AS iv_milli
+          FROM bs GROUP BY 1)
+        SELECT bs.feature, bs.bin, bs.n_pos, bs.n_neg, bs.woe_micro,
+               iv.iv_milli,
+               CASE WHEN iv.iv_milli < 20 THEN 'useless'
+                 WHEN iv.iv_milli < 100 THEN 'weak'
+                 WHEN iv.iv_milli < 300 THEN 'medium'
+                 ELSE 'strong' END AS strength
+        FROM bs JOIN iv USING (feature)
+        ORDER BY bs.feature, bs.bin"""))
   )
 }

@@ -613,4 +613,17 @@ class PlanGuardSpec2 extends SparkSpec {
       p.contains("ShuffledHashJoin"),
       "credit assignment not a hash equijoin")
   }
+
+  test("q307: IV screen is one cut corpus pass onto a ≤30-cell census") {
+    val p = plan("q307_woe_iv_screen")
+    assert(p.contains("Scan ExistingRDD"),
+      "per-doc feature projection lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "census/IV passes re-scan the corpus instead of the cut projection")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "census not a map-side-combined keyed agg")
+    assert(!p.contains("CartesianProduct"),
+      "screen planned a SHUFFLED cross product (the 1-row totals " +
+        "broadcast is the only legal cross join)")
+  }
 }
