@@ -671,9 +671,14 @@ object Text {
     // else strong). Distinct from q216 (which finds ONE best split
     // threshold on one feature by entropy): IV ranks WHOLE features by
     // total separation across all bins — the screen you run across a
-    // feature catalog before training anything. Three features over
-    // the lang='en' label: char-length band, stopword count (capped),
-    // token-count band. Zero-cell bins get the standard half-count
+    // feature catalog BEFORE training anything. Here the label is
+    // q233's exact labeler rule (rate of {'the','a'} ≥ 66‰), so the
+    // screen answers "which catalog features carry the labeler's
+    // signal": the 5-stopword count reads strong (it shares two terms
+    // with the rule) while the pure length bands read useless — the
+    // dynamic range the statistic exists to expose, and the sanity
+    // check you want before spending q233's training rounds.
+    // Zero-cell bins get the standard half-count
     // smoothing, as the exact rational (2g+1)·N / ((2b+1)·P) fed to
     // one ln (rounded once to 9 dp — the q216 portability move, then
     // micro-nat integers); share deltas are truncated ppm, so the IV
@@ -687,11 +692,16 @@ object Text {
       build = (spark, dir) => {
         val toks = tokens(col("text"))
         val base = Tables.documents(spark, dir).select(
-          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          stopwordCount(toks, Seq("the", "a")).cast("long").as("s2"),
+          size(toks).cast("long").as("nt"),
           least(expr("n_chars div 100"), lit(9L)).as("f_len"),
           least(stopwordCount(toks, EN).cast("long"), lit(9L))
             .as("f_stop"),
           least((size(toks) / 10).cast("long"), lit(9L)).as("f_tok"))
+          .select(expr(
+            "CAST(CASE WHEN s2 * 1000 div nt >= 66 THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("pos"),
+            col("f_len"), col("f_stop"), col("f_tok"))
           .localCheckpoint()
         val census = Seq("f_len" -> "len_band", "f_stop" -> "stop_count",
           "f_tok" -> "tok_band").map { case (c, nm) =>
@@ -730,16 +740,18 @@ object Text {
           .orderBy(col("feature"), col("bin"))
       },
       oracle = Some("""
-        WITH base AS (
-          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        WITH tk AS (
+          SELECT n_chars, string_split_regex(trim(text), '\s+') AS w
+          FROM documents),
+        base AS (
+          SELECT CASE WHEN len(list_filter(w, t -> t IN ('the', 'a')))
+                   * 1000 // len(w) >= 66 THEN 1 ELSE 0 END AS pos,
                  LEAST(n_chars // 100, 9) AS f_len,
-                 LEAST(len(list_filter(
-                   string_split_regex(trim(text), '\s+'),
+                 LEAST(len(list_filter(w,
                    t -> t IN ('the', 'a', 'of', 'to', 'and'))), 9)
                    AS f_stop,
-                 LEAST(len(string_split_regex(trim(text), '\s+')) // 10,
-                   9) AS f_tok
-          FROM documents),
+                 LEAST(len(w) // 10, 9) AS f_tok
+          FROM tk),
         census AS (
           SELECT feature, bin, CAST(SUM(pos) AS BIGINT) AS n_pos,
                  CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
