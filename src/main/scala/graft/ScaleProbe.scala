@@ -969,6 +969,43 @@ object ScaleProbe {
       }
     }
 
+    // linkage probe: q302's honest scale law. With a FIXED blocking
+    // scheme, within-block pair volume grows quadratically in registry
+    // size (blocks get fatter); production linkers keep blocks bounded
+    // by scaling blocking GRANULARITY with the data (here: tok-bucket
+    // count ∝ scale — q302's analog of the ann probe's log(N) bucket
+    // bits). Registries are key-shifted copies of customer, so block
+    // occupancy grows exactly ×scale under the coarse scheme. Measured
+    // pairs: coarse ∝ scale², granularity-scaled ∝ scale.
+    if (enabled("linkage")) {
+      def cust(m: Int) = (0 until m).map { i =>
+        graft.core.Tables.customer(spark, sfDir)
+          .select((col("c_custkey") + lit(i * 10000000L)).as("k"),
+            col("c_nationkey").cast("long").as("nat"),
+            expr("(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)" +
+              " div 50000").as("band"),
+            (col("c_custkey") % 1000L).as("tok"))
+      }.reduce(_ unionAll _)
+      def cand(m: Int, tokBuckets: Int): Long = {
+        val c = cust(m).withColumn("tb",
+          if (tokBuckets > 0) col("tok") % tokBuckets else lit(0L))
+        val a = c.select(col("k").as("ak"), col("nat"), col("band"),
+          col("tb"))
+        val b = c.select(col("k").as("bk"), col("nat"), col("band"),
+          col("tb"))
+        a.join(b, Seq("nat", "band", "tb"))
+          .filter(col("ak") < col("bk")).count()
+      }
+      cand(1, 0) // warmup: shared codegen
+      Seq(1, 2, 4).filter(_ <= maxScale).foreach { m =>
+        System.gc()
+        val (cSec, cPairs) = timed(cand(m, 0))
+        System.gc()
+        val (sSec, sPairs) = timed(cand(m, 4 * m))
+        println(f"""{"probe":"linkage","scale":$m,"coarse_pairs":$cPairs,"coarse_sec":$cSec%.3f,"scaled_buckets":${4 * m},"scaled_pairs":$sPairs,"scaled_sec":$sSec%.3f}""")
+      }
+    }
+
     spark.stop()
   }
 }
