@@ -935,6 +935,169 @@ object Mixing {
                  * n_s * n_rest
                  >= CAST(1843700 AS HUGEINT) * 1000000 * n_tot
                  THEN 'drifted' ELSE 'consistent' END AS verdict
-        FROM ks ORDER BY source"""))
+        FROM ks ORDER BY source""")),
+
+    // ---- q308: Benjamini–Hochberg FDR control over the drift battery --
+    // The MULTIPLE-TESTING layer q286 deliberately lacks: run the same
+    // per-source exact KS test across every source and a 20-source
+    // battery at per-test α = 0.05 fires ~1 false alarm by multiplicity
+    // alone (measured: exactly one source "drifts" naive at sf0.1).
+    // BH '95 step-up controls the false-discovery rate instead: order
+    // tests by evidence, reject the top k* where k* = max{i : p_(i) ≤
+    // (i/m)α}. No p-value is ever materialized — p ≤ (i/m)α is
+    // equivalent to the exponent law 2·D²·n·r/(n+r) ≥ ln(2m/(iα)) =
+    // ln(40m/i), so the ORDER is by the truncated integer exponent
+    // e_micro, the per-rank thresholds ln(40m/i) take the one
+    // 9-dp-rounded ln each (m and i are in-data integers — no
+    // query-time literal table needed), and each decision is an exact
+    // DECIMAL/HUGEINT product comparison (the q286 form with a
+    // rank-dependent right side). The gate publishes naive and BH
+    // verdicts side by side — the measured outcome at sf0.1 is the
+    // textbook one: the single naive alarm (exponent 4.4 ≥ ln 40 =
+    // 3.69, but < ln 800 = 6.68 at rank 1) is corrected away, k* = 0.
+    //
+    // 100 TB posture: everything q286 pays (one cell count, per-source
+    // grid windows) plus rank/threshold arithmetic on the |sources|-row
+    // battery; products DECIMAL(38,0)/HUGEINT throughout.
+    "q308_bh_fdr_battery" -> QueryDef(
+      build = (spark, dir) => {
+        val cell = Tables.documents(spark, dir)
+          .groupBy(col("source"),
+            col("n_chars").cast(LongType).as("x"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false)
+        val gl = cell.groupBy(col("x")).agg(sum(col("cnt")).as("g"))
+        val wg = Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gcum = gl.withColumn("gc", sum(col("g")).over(wg))
+          .select(col("x"), col("gc"))
+        val ns = cell.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+        val tot = gl.agg(sum(col("g")).as("n_tot"))
+        val grid = ns.crossJoin(broadcast(gcum.select(col("x"))))
+          .join(cell, Seq("source", "x"), "left")
+          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        val wsb = Window.partitionBy(col("source")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = grid.withColumn("sc", sum(col("cnt")).over(wsb))
+          .join(gcum, Seq("x"))
+          .crossJoin(broadcast(tot))
+          .withColumn("dnum", expr(
+            "abs(CAST(sc AS DECIMAL(38,0)) * (n_tot - n_s)" +
+              " - CAST(gc - sc AS DECIMAL(38,0)) * n_s)"))
+        val ks = cum.groupBy(col("source"))
+          .agg(max(col("n_s")).as("n_s"), max(col("n_tot")).as("n_tot"),
+            max(col("dnum")).as("dmax"))
+          .withColumn("n_rest", col("n_tot") - col("n_s"))
+          .withColumn("ks_ppm", expr(
+            "CAST(dmax * 1000000 div (CAST(n_s AS DECIMAL(38,0))" +
+              " * n_rest) AS BIGINT)"))
+          .withColumn("reject_naive", when(expr(
+            "CAST(ks_ppm AS DECIMAL(38,0)) * ks_ppm * n_s * n_rest" +
+              " >= CAST(1843700 AS DECIMAL(38,0)) * 1000000 * n_tot"),
+            1L).otherwise(0L))
+          .withColumn("e_micro", expr(
+            "CAST(2 * CAST(ks_ppm AS DECIMAL(38,0)) * ks_ppm * n_s" +
+              " * n_rest div (CAST(n_s + n_rest AS DECIMAL(38,0))" +
+              " * 1000000) AS BIGINT)"))
+        val m = ks.agg(count(lit(1)).as("m"))
+        val ranked = ks.crossJoin(broadcast(m))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("e_micro").desc, col("source")))
+            .cast("long"))
+          .withColumn("bh_threshold_micro", expr(
+            "CAST(ROUND(ROUND(LN(CAST(40 * m AS DOUBLE) / rank), 9)" +
+              " * 1000000, 0) AS BIGINT)"))
+          .withColumn("pass", when(expr(
+            "2 * CAST(ks_ppm AS DECIMAL(38,0)) * ks_ppm * n_s * n_rest" +
+              " >= CAST(bh_threshold_micro AS DECIMAL(38,0))" +
+              " * (n_s + n_rest) * 1000000"), 1L).otherwise(0L))
+        val kstar = ranked.agg(
+          coalesce(max(when(col("pass") === 1L, col("rank"))), lit(0L))
+            .as("k_star"),
+          sum(col("reject_naive")).as("n_naive_rejects"))
+        ranked.crossJoin(broadcast(kstar))
+          .select(col("source"), col("n_s"), col("n_rest"), col("ks_ppm"),
+            col("e_micro"), col("rank"), col("bh_threshold_micro"),
+            col("reject_naive"),
+            when(col("rank") <= col("k_star"), 1L).otherwise(0L)
+              .as("bh_reject"),
+            col("m"), col("k_star"), col("n_naive_rejects"),
+            when(col("rank") <= col("k_star"), "drifted")
+              .otherwise("consistent").as("verdict"))
+          .orderBy(col("rank"))
+      },
+      oracle = Some("""
+        WITH cell AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+                             CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM documents GROUP BY 1, 2),
+        gl AS (SELECT x, CAST(SUM(cnt) AS BIGINT) AS g
+               FROM cell GROUP BY 1),
+        gcum AS (SELECT x, CAST(SUM(g) OVER (ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gc
+                 FROM gl),
+        ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s
+               FROM cell GROUP BY 1),
+        tot AS (SELECT CAST(SUM(g) AS BIGINT) AS n_tot FROM gl),
+        grid AS (SELECT ns.source, ns.n_s, gcum.x,
+                        COALESCE(cell.cnt, 0) AS cnt
+                 FROM ns CROSS JOIN gcum
+                 LEFT JOIN cell ON cell.source = ns.source
+                   AND cell.x = gcum.x),
+        cum AS (SELECT g2.source, g2.n_s, g2.x,
+                       CAST(SUM(g2.cnt) OVER (PARTITION BY g2.source
+                         ORDER BY g2.x ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS sc,
+                       gcum.gc, tot.n_tot
+                FROM grid g2 JOIN gcum ON gcum.x = g2.x
+                CROSS JOIN tot),
+        dk AS (SELECT source, MAX(n_s) AS n_s, MAX(n_tot) AS n_tot,
+                      MAX(ABS(CAST(sc AS HUGEINT) * (n_tot - n_s)
+                        - CAST(gc - sc AS HUGEINT) * n_s)) AS dmax
+               FROM cum GROUP BY 1),
+        ks AS (SELECT source, n_s, n_tot - n_s AS n_rest, n_tot,
+                      CAST(dmax * 1000000
+                        // (CAST(n_s AS HUGEINT) * (n_tot - n_s))
+                        AS BIGINT) AS ks_ppm
+               FROM dk),
+        ks2 AS (SELECT source, n_s, n_rest, ks_ppm,
+                       CAST(CASE WHEN CAST(ks_ppm AS HUGEINT) * ks_ppm
+                         * n_s * n_rest
+                         >= CAST(1843700 AS HUGEINT) * 1000000 * n_tot
+                         THEN 1 ELSE 0 END AS BIGINT) AS reject_naive,
+                       CAST(2 * CAST(ks_ppm AS HUGEINT) * ks_ppm * n_s
+                         * n_rest // (CAST(n_s + n_rest AS HUGEINT)
+                         * 1000000) AS BIGINT) AS e_micro
+                FROM ks),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ks2),
+        rk AS (SELECT ks2.*, mm.m,
+                      CAST(ROW_NUMBER() OVER (ORDER BY e_micro DESC,
+                        source) AS BIGINT) AS rank
+               FROM ks2 CROSS JOIN mm),
+        th AS (SELECT *,
+                      CAST(ROUND(ROUND(LN(CAST(40 * m AS DOUBLE) / rank),
+                        9) * 1000000, 0) AS BIGINT)
+                        AS bh_threshold_micro
+               FROM rk),
+        ps AS (SELECT *,
+                      CASE WHEN 2 * CAST(ks_ppm AS HUGEINT) * ks_ppm
+                        * n_s * n_rest
+                        >= CAST(bh_threshold_micro AS HUGEINT)
+                        * (n_s + n_rest) * 1000000
+                        THEN 1 ELSE 0 END AS pass
+               FROM th),
+        kst AS (SELECT CAST(COALESCE(MAX(CASE WHEN pass = 1 THEN rank
+                         END), 0) AS BIGINT) AS k_star,
+                       CAST(SUM(reject_naive) AS BIGINT)
+                         AS n_naive_rejects
+                FROM ps)
+        SELECT ps.source, ps.n_s, ps.n_rest, ps.ks_ppm, ps.e_micro,
+               ps.rank, ps.bh_threshold_micro, ps.reject_naive,
+               CAST(CASE WHEN ps.rank <= kst.k_star THEN 1 ELSE 0 END
+                 AS BIGINT) AS bh_reject,
+               ps.m, kst.k_star, kst.n_naive_rejects,
+               CASE WHEN ps.rank <= kst.k_star THEN 'drifted'
+                 ELSE 'consistent' END AS verdict
+        FROM ps CROSS JOIN kst
+        ORDER BY ps.rank"""))
   )
 }

@@ -626,4 +626,15 @@ class PlanGuardSpec2 extends SparkSpec {
       "screen planned a SHUFFLED cross product (the 1-row totals " +
         "broadcast is the only legal cross join)")
   }
+
+  test("q308: BH battery pays q286's cost — cell count + source-keyed windows") {
+    val p = plan("q308_bh_fdr_battery")
+    assert(p.contains("Scan ExistingRDD"),
+      "cell table lost its checkpoint cut")
+    assert(p.contains("hashpartitioning(source"),
+      "per-source cumulative windows not source-partitioned")
+    assert(!p.contains("CartesianProduct"),
+      "battery planned a SHUFFLED cross product (the value-grid and " +
+        "1-row m/k* broadcasts are the only legal cross joins)")
+  }
 }
