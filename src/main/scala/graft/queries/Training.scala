@@ -808,5 +808,123 @@ object Training {
                CAST((CAST(padded_tokens AS HUGEINT) - total_tokens)
                  * 1000000 // padded_tokens AS BIGINT) AS waste_ppm
         FROM u ORDER BY strategy"""))
+  ) ++ runsDefs
+
+  /** q309, appended to [[defs]] above (lazy: referenced before its
+    * textual position during object init). */
+  private lazy val runsDefs: Seq[(String, QueryDef)] = Seq(
+    // ---- q309: training-order randomness certificate (runs test) ----
+    // Models see data in ORDER, and order bias is a silent training
+    // bug: a source-clustered stream makes every batch a biased
+    // gradient (curriculum nobody asked for). The Wald–Wolfowitz runs
+    // test certifies an order: for a binary indicator over the
+    // sequence, the run count R is compared to E[R] = 2n₁n₂/n + 1;
+    // too FEW runs = clustered, too MANY = systematically alternating
+    // — both non-random, both caught. This gate tests the SAME corpus
+    // under two orders: as-stored (doc_id — where the generator's
+    // source = id mod 20 layout makes the half-split indicator run in
+    // blocks, so the test must REJECT clustered) and md5-shuffled (the
+    // fix production applies; must read random). Everything exact
+    // integers: z² = (Rn − 2n₁n₂ − n)²(n−1) / (2n₁n₂(2n₁n₂ − n)) and
+    // the α=0.05 decision is the cross-multiplied DECIMAL comparison
+    // vs 1.96² = 38416/10⁴ (the q286 squared-critical recipe — no
+    // sqrt, no libm); z²_milli is published beside the verdict.
+    //
+    // 100 TB posture: one projection, a lag window per ORDER (the
+    // stored order is a sort the storage already has; the shuffled
+    // order is the one global sort a shuffle IS), keyed rollups to a
+    // 2-row report. At cluster scale the same certificate runs
+    // per-shard and the run counts merge by adding boundary terms —
+    // the window form here is the per-shard kernel.
+    "q309_runs_test_order" -> QueryDef(
+      build = (spark, dir) => {
+        val base = Tables.documents(spark, dir).select(col("doc_id"),
+          when(expr("doc_id % 20 < 10"), 1L).otherwise(0L).as("b"),
+          md5(concat(lit("q309#"), col("doc_id").cast("string")))
+            .as("shuf"))
+        def runsOf(orderCol: String, name: String) = {
+          val w = Window.orderBy(col(orderCol))
+          base.withColumn("prev", lag(col("b"), 1).over(w))
+            .agg(count(lit(1)).as("n"), sum(col("b")).as("n1"),
+              (count(lit(1)) - sum(col("b"))).as("n2"),
+              (sum(when(col("prev").isNull ||
+                col("prev") =!= col("b"), 1L).otherwise(0L)))
+                .as("runs"))
+            .withColumn("ordering", lit(name))
+        }
+        runsOf("doc_id", "stored")
+          .unionByName(runsOf("shuf", "shuffled"))
+          .withColumn("dev", expr(
+            "CAST(runs AS DECIMAL(38,0)) * n" +
+              " - 2 * CAST(n1 AS DECIMAL(38,0)) * n2 - n"))
+          .withColumn("expected_runs_milli", expr(
+            "CAST((2 * CAST(n1 AS DECIMAL(38,0)) * n2 * 1000 div n)" +
+              " + 1000 AS BIGINT)"))
+          .withColumn("z2_milli", expr(
+            "CAST(dev * dev * (n - 1) * 1000" +
+              " div (2 * CAST(n1 AS DECIMAL(38,0)) * n2" +
+              "   * (2 * CAST(n1 AS DECIMAL(38,0)) * n2 - n))" +
+              " AS BIGINT)"))
+          .withColumn("reject", when(expr(
+            "dev * dev * (n - 1) * 10000" +
+              " >= CAST(38416 AS DECIMAL(38,0))" +
+              " * (2 * CAST(n1 AS DECIMAL(38,0)) * n2)" +
+              " * (2 * CAST(n1 AS DECIMAL(38,0)) * n2 - n)"),
+            1L).otherwise(0L))
+          .select(col("ordering"), col("n"), col("n1"), col("n2"),
+            col("runs"), col("expected_runs_milli"), col("z2_milli"),
+            col("reject"),
+            when(col("reject") === 0L, "random")
+              .when(col("dev") < 0, "clustered")
+              .otherwise("alternating").as("verdict"))
+          .orderBy(col("ordering"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 20 < 10 THEN 1 ELSE 0 END AS b,
+                 md5('q309#' || CAST(doc_id AS VARCHAR)) AS shuf
+          FROM documents),
+        st AS (
+          SELECT 'stored' AS ordering, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(b) AS BIGINT) AS n1,
+                 CAST(COUNT(*) - SUM(b) AS BIGINT) AS n2,
+                 CAST(SUM(CASE WHEN prev IS NULL OR prev <> b THEN 1
+                   ELSE 0 END) AS BIGINT) AS runs
+          FROM (SELECT b, LAG(b, 1) OVER (ORDER BY doc_id) AS prev
+                FROM base)),
+        sh AS (
+          SELECT 'shuffled' AS ordering, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(b) AS BIGINT) AS n1,
+                 CAST(COUNT(*) - SUM(b) AS BIGINT) AS n2,
+                 CAST(SUM(CASE WHEN prev IS NULL OR prev <> b THEN 1
+                   ELSE 0 END) AS BIGINT) AS runs
+          FROM (SELECT b, LAG(b, 1) OVER (ORDER BY shuf) AS prev
+                FROM base)),
+        u AS (SELECT * FROM st UNION ALL SELECT * FROM sh),
+        f AS (
+          SELECT *,
+                 CAST(runs AS HUGEINT) * n
+                   - 2 * CAST(n1 AS HUGEINT) * n2 - n AS dev
+          FROM u)
+        SELECT ordering, n, n1, n2, runs,
+               CAST((2 * CAST(n1 AS HUGEINT) * n2 * 1000 // n) + 1000
+                 AS BIGINT) AS expected_runs_milli,
+               CAST(dev * dev * (n - 1) * 1000
+                 // (2 * CAST(n1 AS HUGEINT) * n2
+                    * (2 * CAST(n1 AS HUGEINT) * n2 - n))
+                 AS BIGINT) AS z2_milli,
+               CAST(CASE WHEN dev * dev * (n - 1) * 10000
+                 >= CAST(38416 AS HUGEINT)
+                 * (2 * CAST(n1 AS HUGEINT) * n2)
+                 * (2 * CAST(n1 AS HUGEINT) * n2 - n)
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject,
+               CASE WHEN dev * dev * (n - 1) * 10000
+                   < CAST(38416 AS HUGEINT)
+                   * (2 * CAST(n1 AS HUGEINT) * n2)
+                   * (2 * CAST(n1 AS HUGEINT) * n2 - n) THEN 'random'
+                 WHEN dev < 0 THEN 'clustered'
+                 ELSE 'alternating' END AS verdict
+        FROM f ORDER BY ordering"""))
   )
 }

@@ -637,4 +637,14 @@ class PlanGuardSpec2 extends SparkSpec {
       "battery planned a SHUFFLED cross product (the value-grid and " +
         "1-row m/k* broadcasts are the only legal cross joins)")
   }
+
+  test("q309: runs test is two ordered passes — no join, no cross product") {
+    val p = plan("q309_runs_test_order")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      "runs test planned a join — it is two lag-window passes + a union")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "run-count rollup not map-side combined")
+  }
 }
