@@ -576,13 +576,159 @@ object Classifier {
             col("chi2_milli"), col("significant"))
           .orderBy(col("round4_right"), col("round8_right"))
       },
-      oracle = Some(mcnemarOracle(Rounds)))
+      oracle = Some(mcnemarOracle(Rounds))),
+
+    // ---- q310: confident-learning label-noise audit ----
+    // The LABEL-QUALITY op the training family stops short of
+    // (Northcutt's confident learning, the cleanlab core): given
+    // (noisy label, model confidence), estimate WHICH examples are
+    // mislabeled — per-class confidence thresholds t_j = the mean
+    // confidence the class's OWN members get, then the confident
+    // joint C[given][suggested] counts each example into the class
+    // whose threshold its confidence clears (argmax on both-clear,
+    // tie → positive; neither-clear = abstain). Off-diagonal mass IS
+    // the label-noise estimate, and the flagged docs are the review
+    // queue. Confidence is the sigmoid-linearized clamp of the q233
+    // margin (the q254 t=1 form; thresholds on a monotone transform
+    // select the same sets, documented). With labels from the q233
+    // rule the audit should — and measured, does — certify them
+    // near-clean: the off-diagonal is bucket-collision noise, and
+    // that's the point of publishing the joint rather than trusting
+    // the labeler. All arithmetic exact integers (truncated ppm
+    // thresholds, exact comparisons).
+    //
+    // 100 TB posture: q233's training cost + ONE scoring pass; the
+    // joint is a keyed count onto a 4-cell Range grid; thresholds and
+    // totals are 1-row broadcasts.
+    "q310_confident_learning" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val x = synchronized {
+          lastX.foreach(_.unpersist(blocking = false))
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(docs, "text", StopTerms),
+            ThreshPerMille)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lastX = Some(built)
+          built
+        }
+        val n = docs.count()
+        val w = HashedLogReg.train(x, n, Rounds, InvLr)
+        val cf = HashedLogReg.score(x, w)
+          .withColumn("conf", expr(
+            "greatest(0L, least(1000000L, 500000L + z div 4L))"))
+          .localCheckpoint(false)
+        val th = cf.agg(
+          expr("CAST(sum(CASE WHEN y = 1 THEN conf ELSE 0L END)" +
+            " div greatest(sum(y), 1L) AS BIGINT)").as("t1_ppm"),
+          expr("CAST(sum(CASE WHEN y = 0 THEN 1000000L - conf" +
+            " ELSE 0L END) div greatest(count(1) - sum(y), 1L)" +
+            " AS BIGINT)").as("t0_ppm"))
+        val asg = cf.crossJoin(broadcast(th))
+          .withColumn("suggested", expr(
+            "CASE WHEN conf >= t1_ppm AND 1000000 - conf >= t0_ppm" +
+              " THEN CASE WHEN conf >= 1000000 - conf THEN 1L" +
+              " ELSE 0L END" +
+              " WHEN conf >= t1_ppm THEN 1L" +
+              " WHEN 1000000 - conf >= t0_ppm THEN 0L" +
+              " ELSE -1L END"))
+        val joint = asg.filter(col("suggested") >= 0L)
+          .groupBy(col("y").as("given"), col("suggested"))
+          .agg(count(lit(1)).as("n_docs"))
+        val tot = asg.agg(count(lit(1)).as("n_total"),
+          sum(when(col("suggested") < 0L, 1L).otherwise(0L))
+            .as("n_unassigned"),
+          sum(when(col("suggested") >= 0L &&
+            col("y") =!= col("suggested"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          max(col("t1_ppm")).as("t1_ppm"),
+          max(col("t0_ppm")).as("t0_ppm"))
+        val grid = spark.range(4).select(
+          expr("id div 2").as("given"), expr("id % 2").as("suggested"))
+        grid.join(joint, Seq("given", "suggested"), "left")
+          .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("given"), col("suggested"), col("n_docs"),
+            expr("n_docs * 1000000" +
+              " div greatest(n_total - n_unassigned, 1L)")
+              .as("share_ppm"),
+            col("t1_ppm"), col("t0_ppm"), col("n_total"),
+            col("n_unassigned"), col("n_flagged"),
+            expr("n_flagged * 1000000" +
+              " div greatest(n_total - n_unassigned, 1L)")
+              .as("noise_ppm"),
+            when(expr("n_flagged * 1000000" +
+              " div greatest(n_total - n_unassigned, 1L)") < 20000L,
+              "clean").otherwise("noisy").as("verdict"))
+          .orderBy(col("given"), col("suggested"))
+      },
+      oracle = Some(confidentOracle(Rounds)))
   )
 
   /** q254's oracle: the shared training chain, the final scoring join,
     * then one UNION ALL branch per grid temperature computing the exact
     * integer Brier mean — the chosen row re-derived by the same
     * (brier, t) ordering. */
+  /** q310's oracle: the shared training chain + scoring (as
+    * [[temperatureOracle]]'s zf), then the confident-joint arithmetic —
+    * thresholds, argmax assignment, 4-cell grid, noise totals. */
+  private def confidentOracle(rounds: Int): String =
+    s"""${trainCtes(rounds)},
+        zf AS MATERIALIZED (
+          SELECT x.doc_id, MAX(x.y) AS y,
+                 CAST(SUM(x.x * w.wv) AS BIGINT) AS z
+          FROM x JOIN w$rounds w ON w.j = x.j GROUP BY x.doc_id),
+        cf AS (SELECT doc_id, y,
+                      GREATEST(CAST(0 AS BIGINT),
+                        LEAST(CAST(1000000 AS BIGINT), 500000 + z // 4))
+                        AS conf
+               FROM zf),
+        th AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN conf ELSE 0 END)
+                        // GREATEST(SUM(y), 1) AS BIGINT) AS t1_ppm,
+                      CAST(SUM(CASE WHEN y = 0 THEN 1000000 - conf
+                        ELSE 0 END) // GREATEST(COUNT(*) - SUM(y), 1)
+                        AS BIGINT) AS t0_ppm
+               FROM cf),
+        asg AS (SELECT cf.y, th.t1_ppm, th.t0_ppm,
+                       CASE WHEN conf >= t1_ppm
+                           AND 1000000 - conf >= t0_ppm
+                         THEN CASE WHEN conf >= 1000000 - conf THEN 1
+                           ELSE 0 END
+                         WHEN conf >= t1_ppm THEN 1
+                         WHEN 1000000 - conf >= t0_ppm THEN 0
+                         ELSE -1 END AS suggested
+                FROM cf CROSS JOIN th),
+        joint AS (SELECT y AS given, CAST(suggested AS BIGINT)
+                    AS suggested, CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM asg WHERE suggested >= 0 GROUP BY 1, 2),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                       CAST(SUM(CASE WHEN suggested < 0 THEN 1 ELSE 0
+                         END) AS BIGINT) AS n_unassigned,
+                       CAST(SUM(CASE WHEN suggested >= 0
+                         AND y <> suggested THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_flagged,
+                       MAX(t1_ppm) AS t1_ppm, MAX(t0_ppm) AS t0_ppm
+                FROM asg),
+        grid AS (SELECT CAST(range // 2 AS BIGINT) AS given,
+                        CAST(range % 2 AS BIGINT) AS suggested
+                 FROM range(0, 4))
+        SELECT g.given, g.suggested, COALESCE(j.n_docs, 0) AS n_docs,
+               COALESCE(j.n_docs, 0) * 1000000
+                 // GREATEST(t.n_total - t.n_unassigned, 1)
+                 AS share_ppm,
+               t.t1_ppm, t.t0_ppm, t.n_total, t.n_unassigned,
+               t.n_flagged,
+               t.n_flagged * 1000000
+                 // GREATEST(t.n_total - t.n_unassigned, 1) AS noise_ppm,
+               CASE WHEN t.n_flagged * 1000000
+                 // GREATEST(t.n_total - t.n_unassigned, 1) < 20000
+                 THEN 'clean' ELSE 'noisy' END AS verdict
+        FROM grid g
+        LEFT JOIN joint j ON j.given = g.given
+          AND j.suggested = g.suggested
+        CROSS JOIN tot t
+        ORDER BY g.given, g.suggested"""
+
   private def temperatureOracle(rounds: Int): String = {
     val branches = TempGrid.map { t =>
       s"""

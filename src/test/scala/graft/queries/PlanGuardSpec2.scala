@@ -647,4 +647,15 @@ class PlanGuardSpec2 extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "run-count rollup not map-side combined")
   }
+
+  test("q310: confident joint is a keyed count onto a 4-cell Range grid") {
+    val p = plan("q310_confident_learning")
+    assert(p.contains("Scan ExistingRDD"),
+      "scored confidence table lost its checkpoint cut")
+    assert(p.contains("Range"),
+      "the dense 2x2 joint should ride a Range grid, not a scan")
+    assert(!p.contains("CartesianProduct"),
+      "audit planned a SHUFFLED cross product (the 1-row threshold/" +
+        "totals broadcasts are the only legal cross joins)")
+  }
 }
