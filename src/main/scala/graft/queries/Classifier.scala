@@ -662,13 +662,132 @@ object Classifier {
               "clean").otherwise("noisy").as("verdict"))
           .orderBy(col("given"), col("suggested"))
       },
-      oracle = Some(confidentOracle(Rounds)))
+      oracle = Some(confidentOracle(Rounds))),
+
+    // ---- q311: successive-halving hyperparameter search ----
+    // The resource-allocation schedule every training platform runs
+    // over a hyperparameter grid (Jamieson–Talwalkar successive
+    // halving, the ASHA core): train EVERY config briefly, keep the
+    // best half, give survivors the bigger budget — most of the sweep's
+    // cost goes to configs that were never going to win unless you
+    // halve. Grid = 4 learning rates (invLr ∈ {4, 16, 64, 256} — the
+    // production 16 bracketed by 4× either way); rung 1 = 2 gradient
+    // rounds for all, rank by training accuracy (n_right DESC, invLr
+    // tie-break), top-2 survive; rung 2 = 4 MORE rounds continuing
+    // from each survivor's rung-1 weights (the q246 warm-start
+    // contract — no round is recomputed), winner = rung-2 best.
+    // Selection runs on the collected 4-row metric table (the q294
+    // bandit precedent: the decision table is model-sized by
+    // construction); every training round is engine-side. The oracle
+    // unrolls ALL 24 rounds (4 configs × 2 + 4 configs × 4 as
+    // generated CTEs with per-config learning rates), replays the
+    // ranking in SQL, and emits rung-2 rows only for ITS OWN top-2 —
+    // a selection disagreement anywhere cascades to a row mismatch.
+    //
+    // 100 TB posture: q233's per-round cost × the rung schedule (the
+    // point of SH is that this beats grid × full budget); the report
+    // is a bounded local table (plan-guarded).
+    "q311_successive_halving" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val x = synchronized {
+          lastX.foreach(_.unpersist(blocking = false))
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(docs, "text", StopTerms),
+            ThreshPerMille)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lastX = Some(built)
+          built
+        }
+        val n = docs.count()
+        def acc(w: Array[Long]): (Long, Long) = {
+          val r = HashedLogReg.score(x, w)
+            .agg(count(lit(1)).as("nd"),
+              sum(expr("CASE WHEN (z >= 0) = (y = 1) THEN 1L" +
+                " ELSE 0L END")).as("nr")).head
+          (r.getAs[Long]("nd"), r.getAs[Long]("nr"))
+        }
+        val grid = Seq(4L, 16L, 64L, 256L)
+        val rung1 = grid.map { lr =>
+          val w2 = HashedLogReg.train(x, n, 2, lr)
+          val (nd, nr) = acc(w2)
+          (lr, w2, nd, nr)
+        }
+        val survivors = rung1.sortBy { case (lr, _, _, nr) => (-nr, lr) }
+          .take(2).map(_._1).toSet
+        val rung2 = rung1.filter(t => survivors(t._1)).map {
+          case (lr, w2, _, _) =>
+            val w6 = HashedLogReg.train(x, n, 4, lr, init = Some(w2))
+            val (nd, nr) = acc(w6)
+            (lr, nd, nr)
+        }
+        val winner = rung2.sortBy { case (lr, _, nr) => (-nr, lr) }
+          .head._1
+        val rows =
+          rung1.map { case (lr, _, nd, nr) =>
+            (lr, 1L, 2L, nd, nr, nr * 1000000L / nd,
+              if (survivors(lr)) 1L else 0L, 0L)
+          } ++ rung2.map { case (lr, nd, nr) =>
+            (lr, 2L, 6L, nd, nr, nr * 1000000L / nd, 1L,
+              if (lr == winner) 1L else 0L)
+          }
+        import spark.implicits._
+        rows.toDF("invlr", "rung", "rounds_total", "n_docs", "n_right",
+          "acc_ppm", "survived", "winner")
+          .orderBy(col("invlr"), col("rung"))
+      },
+      oracle = Some(halvingOracle()))
   )
 
   /** q254's oracle: the shared training chain, the final scoring join,
     * then one UNION ALL branch per grid temperature computing the exact
     * integer Brier mean — the chosen row re-derived by the same
     * (brier, t) ordering. */
+  /** q311's oracle: ALL 24 gradient rounds unrolled (4 configs × rung-1,
+    * 4 configs × rung-2 continuation — per-config learning rates via the
+    * [[roundCtes]] invLr parameter), the rung-1 ranking replayed in SQL,
+    * and rung-2 rows emitted only for the oracle's OWN top-2 — a
+    * selection disagreement cascades to a row mismatch. */
+  private def halvingOracle(): String = {
+    val grid = Seq(4L, 16L, 64L, 256L)
+    val stage1 = grid.map(lr =>
+      roundCtes("x", "nn", s"a$lr", "w0", 2, lr)).mkString
+    val stage2 = grid.map(lr =>
+      roundCtes("x", "nn", s"b$lr", s"a${lr}2", 4, lr)).mkString
+    def accSel(lr: Long, wTable: String) = s"""
+        SELECT CAST($lr AS BIGINT) AS invlr,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_right
+        FROM (SELECT x.doc_id, MAX(x.y) AS y,
+                     CAST(SUM(x.x * w.wv) AS BIGINT) AS z
+              FROM x JOIN $wTable w ON w.j = x.j GROUP BY x.doc_id)"""
+    val s1 = grid.map(lr => accSel(lr, s"a${lr}2")).mkString(" UNION ALL ")
+    val s2 = grid.map(lr => accSel(lr, s"b${lr}4")).mkString(" UNION ALL ")
+    s"""${trainCtes(0)}$stage1$stage2,
+        r1 AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_right DESC,
+                 invlr) AS BIGINT) AS rk
+               FROM ($s1)),
+        r2 AS (SELECT s.*, CAST(ROW_NUMBER() OVER (ORDER BY s.n_right
+                 DESC, s.invlr) AS BIGINT) AS rk2
+               FROM ($s2) s
+               JOIN r1 ON r1.invlr = s.invlr AND r1.rk <= 2)
+        SELECT invlr, CAST(1 AS BIGINT) AS rung,
+               CAST(2 AS BIGINT) AS rounds_total, n_docs, n_right,
+               n_right * 1000000 // n_docs AS acc_ppm,
+               CAST(CASE WHEN rk <= 2 THEN 1 ELSE 0 END AS BIGINT)
+                 AS survived,
+               CAST(0 AS BIGINT) AS winner
+        FROM r1
+        UNION ALL
+        SELECT invlr, CAST(2 AS BIGINT), CAST(6 AS BIGINT), n_docs,
+               n_right, n_right * 1000000 // n_docs,
+               CAST(1 AS BIGINT),
+               CAST(CASE WHEN rk2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+        FROM r2
+        ORDER BY invlr, rung"""
+  }
+
   /** q310's oracle: the shared training chain + scoring (as
     * [[temperatureOracle]]'s zf), then the confident-joint arithmetic —
     * thresholds, argmax assignment, 4-cell grid, noise totals. */
@@ -982,7 +1101,7 @@ object Classifier {
     * emitting `$wPrefix 1 .. $wPrefix rounds` — shared by the scratch
     * (q233/q243) and warm-start (q246) oracles. */
   private def roundCtes(xT: String, nT: String, wPrefix: String,
-      wInit: String, rounds: Int): String =
+      wInit: String, rounds: Int, invLr: Long = InvLr): String =
     (1 to rounds).map { k =>
       val prev = if (k == 1) wInit else s"$wPrefix${k - 1}"
       s""",
@@ -999,7 +1118,7 @@ object Classifier {
                 GROUP BY x.j),
         $wPrefix$k AS MATERIALIZED (
           SELECT w.j,
-                 w.wv + ((COALESCE(g.g, 0) // $nT.n) // $InvLr) AS wv
+                 w.wv + ((COALESCE(g.g, 0) // $nT.n) // $invLr) AS wv
           FROM $prev w LEFT JOIN g$wPrefix$k g ON g.j = w.j
           CROSS JOIN $nT)"""
     }.mkString

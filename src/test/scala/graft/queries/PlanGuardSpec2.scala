@@ -658,4 +658,14 @@ class PlanGuardSpec2 extends SparkSpec {
       "audit planned a SHUFFLED cross product (the 1-row threshold/" +
         "totals broadcasts are the only legal cross joins)")
   }
+
+  test("q311: halving report is a bounded local table — training ran engine-side") {
+    val p = plan("q311_successive_halving")
+    assert(p.contains("LocalTableScan"),
+      "the 6-row schedule report should be a bounded LocalTableScan " +
+        "(the q294 bandit precedent)")
+    assert(!p.contains("Scan parquet"),
+      "the report plan re-scans the corpus — all corpus work belongs " +
+        "in the (already executed) training rounds")
+  }
 }
