@@ -787,6 +787,132 @@ object Text {
                  WHEN iv.iv_milli < 300 THEN 'medium'
                  ELSE 'strong' END AS strength
         FROM bs JOIN iv USING (feature)
-        ORDER BY bs.feature, bs.bin"""))
+        ORDER BY bs.feature, bs.bin""")),
+
+    // ---- q312: lexical-cohesion chunking (TextTiling) ----
+    // The THIRD chunking family, and the one RAG pipelines actually
+    // want: q65 cuts at fixed stride (splits mid-topic), q119 cuts
+    // where content HASHES say so (dedup-stable, topic-blind); Hearst's
+    // TextTiling cuts where the text's own lexical cohesion dips — a
+    // topic boundary is a valley in the similarity between adjacent
+    // token blocks. Per document: 8-token blocks, gap cohesion =
+    // Jaccard of adjacent blocks' token sets in truncated ppm, valley
+    // depth = rise to the left + rise to the right (edge gaps
+    // contribute zero rise on their missing side), boundary where
+    // depth exceeds the document's OWN mean depth (the per-doc
+    // adaptive threshold, exact integers: depth·n_gaps > Σdepth).
+    // Output is the corpus card: boundaries-per-document histogram +
+    // totals — the distribution a chunking rollout reviews before
+    // re-indexing a corpus.
+    //
+    // 100 TB posture: everything is doc-local — one posexplode, a
+    // (doc, blk, tok) distinct, ONE self-join keyed on (doc, tok)
+    // restricted to adjacent blocks (never block×block), per-doc
+    // windows, then a keyed histogram. No stage sees more than a
+    // document's tokens in a group.
+    "q312_texttiling_chunks" -> QueryDef(
+      build = (spark, dir) => {
+        val bt = Tables.documents(spark, dir)
+          .select(col("doc_id"), posexplode(tokens(col("text")))
+            .as(Seq("pos", "tok")))
+          .filter(length(col("tok")) > 0)
+          .select(col("doc_id"), expr("pos div 8").as("blk"), col("tok"))
+          .distinct()
+          .localCheckpoint()
+        val sizes = bt.groupBy(col("doc_id"), col("blk"))
+          .agg(count(lit(1)).as("n"))
+        val inter = bt.as("a").join(bt.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.tok") === col("b.tok") &&
+            col("b.blk") === col("a.blk") + 1)
+          .groupBy(col("a.doc_id").as("doc_id"), col("a.blk").as("blk"))
+          .agg(count(lit(1)).as("inter"))
+        val gaps = sizes.as("s").join(
+            sizes.select(col("doc_id"), (col("blk") - 1).as("blk"),
+              col("n").as("n2")).as("t"), Seq("doc_id", "blk"))
+          .join(inter, Seq("doc_id", "blk"), "left")
+          .withColumn("inter", coalesce(col("inter"), lit(0L)))
+          .withColumn("c_ppm", expr(
+            "inter * 1000000 div (n + n2 - inter)"))
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("blk"))
+        val depth = gaps
+          .withColumn("cl", lag(col("c_ppm"), 1).over(wd))
+          .withColumn("cr", lead(col("c_ppm"), 1).over(wd))
+          .withColumn("depth",
+            greatest(coalesce(col("cl"), col("c_ppm")) - col("c_ppm"),
+              lit(0L)) +
+              greatest(coalesce(col("cr"), col("c_ppm")) - col("c_ppm"),
+                lit(0L)))
+        val perDoc = depth.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_gaps"), sum(col("depth")).as("sd"))
+        val bounds = depth.join(perDoc, "doc_id")
+          .filter(col("depth") * col("n_gaps") > col("sd") &&
+            col("depth") > 0L)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bounds"))
+        val docs = perDoc.join(bounds, Seq("doc_id"), "left")
+          .withColumn("n_bounds", coalesce(col("n_bounds"), lit(0L)))
+        val tot = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_gaps")).as("n_gaps_total"),
+          sum(col("n_bounds")).as("n_bounds_total"))
+        docs.groupBy(col("n_bounds"))
+          .agg(count(lit(1)).as("n_docs_bin"))
+          .crossJoin(broadcast(tot))
+          .select(col("n_bounds"), col("n_docs_bin"), col("n_docs"),
+            col("n_gaps_total"), col("n_bounds_total"),
+            expr("n_bounds_total * 1000000 div n_gaps_total")
+              .as("boundary_rate_ppm"))
+          .orderBy(col("n_bounds"))
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents),
+        bt AS (
+          SELECT DISTINCT doc_id, (i - 1) // 8 AS blk, w[i] AS tok
+          FROM tk, UNNEST(range(1, len(w) + 1)) u(i)
+          WHERE len(w[i]) > 0),
+        sizes AS (SELECT doc_id, blk, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM bt GROUP BY 1, 2),
+        inter AS (
+          SELECT a.doc_id, a.blk, CAST(COUNT(*) AS BIGINT) AS inter
+          FROM bt a JOIN bt b ON a.doc_id = b.doc_id
+            AND a.tok = b.tok AND b.blk = a.blk + 1
+          GROUP BY 1, 2),
+        gaps AS (
+          SELECT s.doc_id, s.blk, COALESCE(i.inter, 0) AS inter,
+                 COALESCE(i.inter, 0) * 1000000
+                   // (s.n + t.n - COALESCE(i.inter, 0)) AS c_ppm
+          FROM sizes s
+          JOIN sizes t ON t.doc_id = s.doc_id AND t.blk = s.blk + 1
+          LEFT JOIN inter i ON i.doc_id = s.doc_id AND i.blk = s.blk),
+        dep AS (
+          SELECT doc_id, blk, c_ppm,
+                 GREATEST(COALESCE(LAG(c_ppm) OVER w, c_ppm) - c_ppm, 0)
+                   + GREATEST(COALESCE(LEAD(c_ppm) OVER w, c_ppm)
+                     - c_ppm, 0) AS depth
+          FROM gaps
+          WINDOW w AS (PARTITION BY doc_id ORDER BY blk)),
+        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                      CAST(SUM(depth) AS BIGINT) AS sd
+               FROM dep GROUP BY 1),
+        bd AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bounds
+               FROM dep d JOIN pd ON pd.doc_id = d.doc_id
+               WHERE d.depth * pd.n_gaps > pd.sd AND d.depth > 0
+               GROUP BY 1),
+        docs AS (SELECT pd.doc_id, pd.n_gaps,
+                        COALESCE(bd.n_bounds, 0) AS n_bounds
+                 FROM pd LEFT JOIN bd ON bd.doc_id = pd.doc_id),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(n_gaps) AS BIGINT) AS n_gaps_total,
+                       CAST(SUM(n_bounds) AS BIGINT) AS n_bounds_total
+                FROM docs)
+        SELECT n_bounds, CAST(COUNT(*) AS BIGINT) AS n_docs_bin,
+               tot.n_docs, tot.n_gaps_total, tot.n_bounds_total,
+               tot.n_bounds_total * 1000000 // tot.n_gaps_total
+                 AS boundary_rate_ppm
+        FROM docs CROSS JOIN tot
+        GROUP BY 1, 3, 4, 5, 6
+        ORDER BY n_bounds"""))
   )
 }

@@ -668,4 +668,15 @@ class PlanGuardSpec2 extends SparkSpec {
       "the report plan re-scans the corpus — all corpus work belongs " +
         "in the (already executed) training rounds")
   }
+
+  test("q312: cohesion join is (doc, tok)-keyed adjacent blocks — never block×block") {
+    val p = plan("q312_texttiling_chunks")
+    assert(p.contains("Scan ExistingRDD"),
+      "(doc, blk, tok) projection lost its checkpoint cut")
+    assert(p.contains("hashpartitioning(doc_id"),
+      "cohesion self-join / per-doc windows not doc-keyed")
+    assert(!p.contains("CartesianProduct"),
+      "chunking planned a SHUFFLED cross product (the 1-row totals " +
+        "broadcast is the only legal cross join)")
+  }
 }
