@@ -1716,6 +1716,100 @@ object Events {
                CASE WHEN var_reduction_ppm >= 10000 THEN 'adjust'
                  ELSE 'use_raw' END AS verdict
         FROM rows2 CROSS JOIN dl
-        ORDER BY arm"""))
+        ORDER BY arm""")),
+
+    // ---- q313: bitemporal as-of snapshots (the restatement audit) ----
+    // The warehouse family's missing SECOND time axis: q96/q269 track
+    // TRANSACTION time (when we learned it), q150 joins on one
+    // VALID-time axis; a bitemporal query needs both — "as we knew it
+    // on date K, what was true FOR effective date E". Records are
+    // derived corrections: each event restates the value of an
+    // effective day up to 4 days BEFORE its arrival (eday = date(ts) −
+    // event_id mod 5 — deterministic lateness), so early-January
+    // effective days keep restating as knowledge advances. Three
+    // knowledge snapshots (Jan 3 / 5 / 10 — inside the restatement
+    // window, so week-1 totals are still moving at the first two
+    // closes and FINAL by the third) × the first effective week: per (K, E) the LATEST visible record per (user, E) wins
+    // (arrival ts DESC, event_id tie-break), aggregated to visible
+    // record counts and cent totals, with the per-E restatement delta
+    // between consecutive snapshots — the number a finance/compliance
+    // review reads ("how much did week 1 restate between the Jan-3
+    // and Jan-5 closes, and is it final by Jan 10").
+    //
+    // 100 TB posture: the knowledge grid is a 3-row broadcast (the
+    // ts ≤ K inequality join is a bounded nested-loop over 3 rows —
+    // the one legal nested loop here); latest-wins is a
+    // (K, user, eday)-keyed window; rollups are keyed aggs; the
+    // restatement delta runs on the 21-row report.
+    "q313_bitemporal_asof" -> QueryDef(
+      build = (spark, dir) => {
+        val wv = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(spark, dir).select(col("user_id"),
+          col("ts"), col("event_id"),
+          expr("date_sub(to_date(ts), CAST(event_id % 5 AS INT))")
+            .as("eday"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+          .filter(col("eday").between("2024-01-01", "2024-01-07"))
+        import spark.implicits._
+        val ks = Seq(("k1_jan03", "2024-01-03 00:00:00"),
+          ("k2_jan05", "2024-01-05 00:00:00"),
+          ("k3_jan10", "2024-01-10 00:00:00"))
+          .toDF("k_label", "k_ts")
+          .select(col("k_label"), col("k_ts").cast("timestamp").as("k_ts"))
+        val vis = ev.join(broadcast(ks), col("ts") <= col("k_ts"))
+        val latest = vis.withColumn("rn", row_number().over(
+          wv.partitionBy(col("k_label"), col("user_id"), col("eday"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+        val agg = latest.groupBy(col("k_label"),
+            date_format(col("eday"), "yyyy-MM-dd").as("eday"))
+          .agg(count(lit(1)).as("n_visible"),
+            sum(col("cents")).as("sum_cents"))
+        agg.withColumn("restated_cents",
+            col("sum_cents") - coalesce(lag(col("sum_cents"), 1).over(
+              wv.partitionBy(col("eday")).orderBy(col("k_label"))),
+              col("sum_cents")))
+          .withColumn("newly_visible",
+            col("n_visible") - coalesce(lag(col("n_visible"), 1).over(
+              wv.partitionBy(col("eday")).orderBy(col("k_label"))),
+              col("n_visible")))
+          .select(col("k_label"), col("eday"), col("n_visible"),
+            col("sum_cents"), col("restated_cents"),
+            col("newly_visible"))
+          .orderBy(col("k_label"), col("eday"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, ts, event_id,
+                 CAST(ts AS DATE) - CAST(event_id % 5 AS INT) AS eday,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+          WHERE CAST(ts AS DATE) - CAST(event_id % 5 AS INT)
+            BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'),
+        ks AS (
+          SELECT 'k1_jan03' AS k_label,
+                 TIMESTAMP '2024-01-03 00:00:00' AS k_ts
+          UNION ALL SELECT 'k2_jan05', TIMESTAMP '2024-01-05 00:00:00'
+          UNION ALL SELECT 'k3_jan10', TIMESTAMP '2024-01-10 00:00:00'),
+        vis AS (SELECT ev.*, ks.k_label FROM ev JOIN ks
+                ON ev.ts <= ks.k_ts),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k_label, user_id,
+              eday ORDER BY ts DESC, event_id DESC) AS rn
+            FROM vis) WHERE rn = 1),
+        agg AS (
+          SELECT k_label, strftime(eday, '%Y-%m-%d') AS eday,
+                 CAST(COUNT(*) AS BIGINT) AS n_visible,
+                 CAST(SUM(cents) AS BIGINT) AS sum_cents
+          FROM latest GROUP BY 1, 2)
+        SELECT k_label, eday, n_visible, sum_cents,
+               sum_cents - COALESCE(LAG(sum_cents) OVER w, sum_cents)
+                 AS restated_cents,
+               n_visible - COALESCE(LAG(n_visible) OVER w, n_visible)
+                 AS newly_visible
+        FROM agg
+        WINDOW w AS (PARTITION BY eday ORDER BY k_label)
+        ORDER BY k_label, eday"""))
   )
 }

@@ -679,4 +679,13 @@ class PlanGuardSpec2 extends SparkSpec {
       "chunking planned a SHUFFLED cross product (the 1-row totals " +
         "broadcast is the only legal cross join)")
   }
+
+  test("q313: bitemporal latest-wins is a keyed window; only the 3-row K grid nests") {
+    val p = plan("q313_bitemporal_asof")
+    assert(p.contains("hashpartitioning(k_label"),
+      "latest-wins not keyed on (snapshot, user, eday)")
+    assert(!p.contains("CartesianProduct"),
+      "snapshot expansion planned a SHUFFLED cross product (the 3-row " +
+        "knowledge grid broadcast is the only legal nested loop)")
+  }
 }
