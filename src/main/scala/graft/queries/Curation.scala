@@ -1135,14 +1135,21 @@ object Curation {
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("k") === 1L, 1L).otherwise(0L))
               .as("n_exclusive"),
-            sum(expr("1000000 div k")).as("shapley_micro"))
+            // DECIMAL accumulation: a long Σ of micro-credits wraps
+            // silently past ~9.2e12 covered elements (the q258 lesson)
+            // while DuckDB's BIGINT sum widens to HUGEINT
+            sum(expr("CAST(1000000 div k AS DECIMAL(38,0))"))
+              .cast("long").as("shapley_micro"))
         val nd = Tables.documents(spark, dir)
           .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         val su = own.agg(count(lit(1)).as("total_shingles"))
           .crossJoin(broadcast(
-            per.agg(sum(col("shapley_micro")).as("sum_credit_micro"))))
-          .withColumn("trunc_deficit_micro",
-            col("total_shingles") * 1000000L - col("sum_credit_micro"))
+            per.agg(sum(col("shapley_micro").cast(
+              org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))
+              .cast("long").as("sum_credit_micro"))))
+          .withColumn("trunc_deficit_micro", expr(
+            "CAST(CAST(total_shingles AS DECIMAL(38,0)) * 1000000" +
+              " - sum_credit_micro AS BIGINT)"))
         per.join(nd, "source")
           .withColumn("rank_shapley", row_number().over(
             Window.orderBy(col("shapley_micro").desc, col("source"))))
