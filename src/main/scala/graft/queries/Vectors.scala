@@ -1329,7 +1329,132 @@ object Vectors {
                CASE WHEN (CASE WHEN c.s >= 0 THEN c.s // c.n_vecs
                     ELSE -((-c.s) // c.n_vecs) END) >= 500000
                  THEN 'cone' ELSE 'spread' END AS verdict
-        FROM card c JOIN mm USING (label) ORDER BY c.label"""))
+        FROM card c JOIN mm USING (label) ORDER BY c.label""")),
+
+    // ---- q314: threshold-algorithm (TA) early-termination certificate --
+    // Fagin's Threshold Algorithm, the rank-AGGREGATION dual of the
+    // fusion gates (q114 RRF merges ranks; TA proves how LITTLE of two
+    // ranked lists you must read to answer a combined top-k EXACTLY):
+    // reading both score-sorted lists to depth d, no unseen item can
+    // beat τ_d = sa(d) + sb(d), so the exact top-k is certified at
+    // d* = max(d_need, d_thresh) — d_need = the deepest rank at which a
+    // true top-k member is first SEEN (min of its two ranks), d_thresh
+    // = the first depth where τ drops STRICTLY below the k-th best
+    // combined score (strict ⇒ an unseen tie can never displace the
+    // tie-broken top-k set). The certificate publishes d*, the read
+    // fraction, τ at d*, and the soundness bit τ(d*) < C_k — measured
+    // at this SF the exact top-10 is certified after reading ~a tenth
+    // of each list, which is the entire point of TA at 10⁹ postings.
+    // Scores are exact integer quantized dots against the two
+    // lowest-id query vectors (the q98/q266 kernel).
+    //
+    // 100 TB posture: scoring is one broadcast-query map pass (q50
+    // shape); the rank windows are the stat-routed GlobalRank shape at
+    // scale (naive global windows at these SFs); τ is a rank-keyed
+    // equijoin of the two lists; everything after runs on k rows + two
+    // 1-row stat broadcasts.
+    "q314_threshold_algorithm" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 10
+        val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            "cast(floor(cast(x as double) * 10000) as long))").as("q"))
+        val qv = emb.filter(col("vec_id") <= 1)
+          .select(col("vec_id").as("qid"), col("q").as("qq"))
+        val wide = emb.filter(col("vec_id") >= 2)
+          .join(broadcast(qv))
+          .select(col("vec_id"), col("qid"), expr(
+            "aggregate(zip_with(q, qq, (x, y) -> x * y), 0L," +
+              " (acc, v) -> acc + v)").as("s"))
+          .groupBy(col("vec_id"))
+          .agg(max(when(col("qid") === 0L, col("s"))).as("sa"),
+            max(when(col("qid") === 1L, col("s"))).as("sb"))
+          .withColumn("combined", col("sa") + col("sb"))
+          .withColumn("ra", row_number().over(
+            Window.orderBy(col("sa").desc, col("vec_id"))).cast("long"))
+          .withColumn("rb", row_number().over(
+            Window.orderBy(col("sb").desc, col("vec_id"))).cast("long"))
+          .withColumn("d_seen", least(col("ra"), col("rb")))
+          .localCheckpoint()
+        val topk = wide
+          .orderBy(col("combined").desc, col("vec_id")).limit(k)
+        val ck = topk.agg(min(col("combined")).as("c_k"),
+          max(col("d_seen")).as("d_need"))
+        val tau = wide.select(col("ra").as("d"), col("sa"))
+          .join(wide.select(col("rb").as("d"), col("sb")), "d")
+          .select(col("d"), (col("sa") + col("sb")).as("tau"))
+        val nst = wide.agg(count(lit(1)).as("n_docs"))
+        val dth = tau.crossJoin(broadcast(ck)).crossJoin(broadcast(nst))
+          .agg(coalesce(min(when(col("tau") < col("c_k"), col("d"))),
+            max(col("n_docs"))).as("d_thresh"))
+        val stats = ck.crossJoin(broadcast(dth))
+          .crossJoin(broadcast(nst))
+          .withColumn("d_star", greatest(col("d_need"), col("d_thresh")))
+        val tstar = tau.join(broadcast(stats.select(col("d_star"))),
+          col("d") === col("d_star"))
+          .select(col("tau").as("tau_at_dstar"))
+        topk.crossJoin(broadcast(stats)).crossJoin(broadcast(tstar))
+          .select(col("vec_id"), col("sa"), col("sb"), col("combined"),
+            col("ra"), col("rb"), col("d_seen"), col("c_k"),
+            col("d_need"), col("d_thresh"), col("d_star"), col("n_docs"),
+            expr("d_star * 1000000 div n_docs").as("read_fraction_ppm"),
+            col("tau_at_dstar"),
+            when(col("tau_at_dstar") < col("c_k") ||
+              col("d_star") === col("n_docs"), 1L).otherwise(0L)
+              .as("sound"))
+          .orderBy(col("combined").desc, col("vec_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+          FROM embeddings),
+        qv AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id <= 1),
+        dots AS (
+          SELECT e.vec_id, qv.qid,
+                 CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                   i -> e.q[i] * qv.qq[i])) AS BIGINT) AS s
+          FROM e CROSS JOIN qv WHERE e.vec_id >= 2),
+        wide0 AS (
+          SELECT vec_id,
+                 CAST(MAX(CASE WHEN qid = 0 THEN s END) AS BIGINT) AS sa,
+                 CAST(MAX(CASE WHEN qid = 1 THEN s END) AS BIGINT) AS sb
+          FROM dots GROUP BY 1),
+        wide AS (
+          SELECT *, sa + sb AS combined,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sa DESC, vec_id)
+                   AS BIGINT) AS ra,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sb DESC, vec_id)
+                   AS BIGINT) AS rb
+          FROM wide0),
+        wide2 AS (SELECT *, LEAST(ra, rb) AS d_seen FROM wide),
+        topk AS (SELECT * FROM wide2
+                 ORDER BY combined DESC, vec_id LIMIT 10),
+        ck AS (SELECT MIN(combined) AS c_k, MAX(d_seen) AS d_need
+               FROM topk),
+        tau AS (SELECT a.d, a.sa + b.sb AS tau
+                FROM (SELECT ra AS d, sa FROM wide2) a
+                JOIN (SELECT rb AS d, sb FROM wide2) b USING (d)),
+        nst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM wide2),
+        dth AS (SELECT COALESCE(MIN(CASE WHEN tau.tau < ck.c_k
+                  THEN tau.d END), MAX(nst.n_docs)) AS d_thresh
+                FROM tau CROSS JOIN ck CROSS JOIN nst),
+        st AS (SELECT ck.c_k, ck.d_need, dth.d_thresh, nst.n_docs,
+                      GREATEST(ck.d_need, dth.d_thresh) AS d_star
+               FROM ck CROSS JOIN dth CROSS JOIN nst),
+        ts AS (SELECT tau.tau AS tau_at_dstar
+               FROM tau JOIN st ON tau.d = st.d_star)
+        SELECT t.vec_id, t.sa, t.sb, t.combined, t.ra, t.rb, t.d_seen,
+               st.c_k, st.d_need, st.d_thresh, st.d_star, st.n_docs,
+               st.d_star * 1000000 // st.n_docs AS read_fraction_ppm,
+               ts.tau_at_dstar,
+               CAST(CASE WHEN ts.tau_at_dstar < st.c_k
+                 OR st.d_star = st.n_docs THEN 1 ELSE 0 END AS BIGINT)
+                 AS sound
+        FROM topk t CROSS JOIN st CROSS JOIN ts
+        ORDER BY t.combined DESC, t.vec_id"""))
   )
 
   /** DuckDB replay of q260: the same integer power iteration, unrolled

@@ -688,4 +688,17 @@ class PlanGuardSpec2 extends SparkSpec {
       "snapshot expansion planned a SHUFFLED cross product (the 3-row " +
         "knowledge grid broadcast is the only legal nested loop)")
   }
+
+  test("q314: TA certificate scores once, then runs on k rows + rank joins") {
+    val p = plan("q314_threshold_algorithm")
+    assert(p.contains("Scan ExistingRDD"),
+      "scored/ranked table lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "certificate stages re-scan the corpus instead of the cut table")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k not a per-partition heap")
+    assert(!p.contains("CartesianProduct"),
+      "TA certificate planned a SHUFFLED cross product (the 1-row " +
+        "stat broadcasts are the only legal cross joins)")
+  }
 }
