@@ -969,6 +969,53 @@ object ScaleProbe {
       }
     }
 
+    // ta probe: q314's scale claim, measured. For independent score
+    // lists the TA stopping depth for top-k grows ~Θ(√(k·n)), so the
+    // READ FRACTION shrinks ~1/√n — the bigger the posting lists, the
+    // smaller the share TA touches. Synthetic md5-scored lists (the
+    // engine-portable coin), k = 10, exact integer d* exactly as the
+    // gate computes it.
+    if (enabled("ta")) {
+      def dstar(n: Long): (Long, Long) = {
+        import org.apache.spark.sql.expressions.Window
+        val base = spark.range(n).select(col("id"),
+          conv(substring(md5(concat(lit("ta-a#"),
+            col("id").cast("string"))), 1, 12), 16, 10).cast("long")
+            .as("sa"),
+          conv(substring(md5(concat(lit("ta-b#"),
+            col("id").cast("string"))), 1, 12), 16, 10).cast("long")
+            .as("sb"))
+          .withColumn("combined", col("sa") + col("sb"))
+          .withColumn("ra", row_number().over(
+            Window.orderBy(col("sa").desc, col("id"))).cast("long"))
+          .withColumn("rb", row_number().over(
+            Window.orderBy(col("sb").desc, col("id"))).cast("long"))
+          .withColumn("d_seen", least(col("ra"), col("rb")))
+          .localCheckpoint()
+        val ck = base.orderBy(col("combined").desc, col("id")).limit(10)
+          .agg(min(col("combined")).as("c_k"),
+            max(col("d_seen")).as("d_need"))
+        val tau = base.select(col("ra").as("d"), col("sa"))
+          .join(base.select(col("rb").as("d"), col("sb")), "d")
+          .select(col("d"), (col("sa") + col("sb")).as("tau"))
+        val r = tau.crossJoin(broadcast(ck))
+          .agg(coalesce(min(when(col("tau") < col("c_k"), col("d"))),
+            lit(n)).as("d_thresh"), max(col("d_need")).as("d_need"))
+          .select(greatest(col("d_thresh"), col("d_need")).as("d_star"))
+          .head.getAs[Long]("d_star")
+        (r, r * 1000000L / n)
+      }
+      dstar(20000L) // warmup
+      Seq(1L, 4L, 16L).filter(_ <= maxScale).foreach { s =>
+        val n = 20000L * s
+        System.gc()
+        val t0 = System.nanoTime()
+        val (d, ppm) = dstar(n)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"ta","scale":$s,"n":$n,"d_star":$d,"read_fraction_ppm":$ppm,"sec":$sec%.3f}""")
+      }
+    }
+
     // linkage probe: q302's honest scale law. With a FIXED blocking
     // scheme, within-block pair volume grows quadratically in registry
     // size (blocks get fatter); production linkers keep blocks bounded
