@@ -969,6 +969,60 @@ object ScaleProbe {
       }
     }
 
+    // viterbi probe: q303's scale claim, measured. The unigram-LM DP's
+    // cost must ride |distinct words| (the Zipf-small table), not the
+    // corpus: synthetic distinct-word tables of 8-char md5-derived
+    // words at 10k/40k/160k rows run the same 8 unrolled rounds
+    // (4 branch joins vs a 64-unit broadcast vocab per round) — the
+    // sec/word slope should be flat.
+    if (enabled("viterbi")) {
+      def vit(nw: Long): Long = {
+        val wl = spark.range(nw).select(
+          substring(md5(concat(lit("vw#"), col("id").cast("string"))),
+            1, 8).as("w"), lit(100L).as("n_w"))
+          .withColumn("len", length(col("w")).cast("long"))
+          .localCheckpoint()
+        val uf = wl.select(col("n_w"), explode(expr(
+            "flatten(transform(sequence(1, CAST(least(4, len) AS INT))," +
+              " L -> transform(sequence(1, CAST(len AS INT) - L + 1)," +
+              " i -> substring(w, i, L))))")).as("u"))
+          .groupBy(col("u")).agg(sum(col("n_w")).as("freq"))
+        val multi = uf.filter(length(col("u")) > 1)
+          .orderBy(col("freq").desc, col("u")).limit(48)
+        val v0 = uf.filter(length(col("u")) === 1).unionByName(multi)
+        val vocab = v0
+          .crossJoin(broadcast(v0.agg(sum(col("freq")).as("t"))))
+          .select(col("u"), expr(
+            "CAST(ROUND(ROUND(LN(CAST(freq AS DOUBLE) / t), 9)" +
+              " * -1000000, 0) AS BIGINT)").as("cost"))
+          .localCheckpoint()
+        var dps = Vector(wl.select(col("w"), lit(0L).as("ckey")))
+        for (i <- 1 to 8) {
+          val branches = (1 to math.min(4, i)).map { l =>
+            dps(i - l)
+              .join(wl.filter(col("len") >= i).select(col("w")), "w")
+              .withColumn("u", expr(s"substring(w, ${i - l + 1}, $l)"))
+              .join(broadcast(vocab), "u")
+              .select(col("w"),
+                (col("ckey") + col("cost") * 64 + 1).as("ck"))
+          }
+          dps = dps :+ branches.reduce(_ unionByName _)
+            .groupBy(col("w")).agg(min(col("ck")).as("ckey"))
+            .localCheckpoint()
+        }
+        dps(8).count()
+      }
+      vit(10000L) // warmup
+      Seq(1L, 4L, 16L).filter(_ <= maxScale).foreach { s =>
+        val nw = 10000L * s
+        System.gc()
+        val t0 = System.nanoTime()
+        val segd = vit(nw)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"viterbi","scale":$s,"n_words":$nw,"segmented":$segd,"sec":$sec%.3f,"us_per_word":${sec * 1e6 / nw}%.2f}""")
+      }
+    }
+
     // ta probe: q314's scale claim, measured. For independent score
     // lists the TA stopping depth for top-k grows ~Θ(√(k·n)), so the
     // READ FRACTION shrinks ~1/√n — the bigger the posting lists, the
