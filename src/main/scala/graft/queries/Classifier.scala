@@ -417,9 +417,17 @@ object Classifier {
     // (κ_ppm = (a·n − b)·10⁶ div (n² − b) with a = Σ diag, b =
     // Σ rowᵢ·colᵢ), and the ordinal form weighted by linear
     // disagreement |i−j| (κw_ppm = 10⁶ − Σn_ij·d_ij·n·10⁶ div
-    // Σ rᵢ·c_j·d_ij) — products in DECIMAL(38,0)/HUGEINT. Output: the
-    // full 3×3 confusion table with margins, κ and κw riding every row
-    // (the q278 card pattern).
+    // Σ rᵢ·c_j·d_ij) — products in DECIMAL(38,0)/HUGEINT. The cell
+    // table is DENSIFIED against the full 3×3 grid before the κ sums
+    // (the q293/q310 grid pattern, mirrored in the oracle): Cohen's
+    // pₑ and the κw denominator range over every (i,j) band pair, so
+    // an empty cell must contribute its rᵢ·c_j term, not vanish —
+    // the sparse form overstates κw whenever correlated raters leave
+    // an off-diagonal cell unpopulated. Output: always exactly 9 rows
+    // — the full 3×3 confusion table with margins, κ and κw riding
+    // every row (the q278 card pattern). The confusion→κ core is
+    // [[kappaTable]], property-pinned in Round10PropertySpec on a
+    // hand case with empty diagonal cells.
     //
     // 100 TB posture: two routed rank passes over the checkpoint-cut
     // projection, one 9-cell confusion agg, everything after at cell
@@ -437,35 +445,8 @@ object Classifier {
           r.select(col("doc_id"),
             expr(s"(3 * (rn - 1)) div $nRows").as(out))
         }
-        val cells = band("x", "ra").join(band("y", "rb"), Seq("doc_id"))
-          .groupBy(col("ra"), col("rb"))
-          .agg(count(lit(1)).as("n_cell"))
-          .localCheckpoint(false)
-        val rm = cells.groupBy(col("ra")).agg(sum(col("n_cell")).as("r_m"))
-        val cm = cells.groupBy(col("rb")).agg(sum(col("n_cell")).as("c_m"))
-        val full = cells.join(rm, Seq("ra")).join(cm, Seq("rb"))
-        val stats = full.agg(
-          sum(col("n_cell")).as("n"),
-          sum(when(col("ra") === col("rb"), col("n_cell"))
-            .otherwise(0L)).as("a"),
-          sum(when(col("ra") === col("rb"),
-            expr("CAST(r_m AS DECIMAL(38,0)) * c_m"))
-            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("b"),
-          sum(expr("CAST(n_cell AS DECIMAL(38,0))" +
-            " * abs(ra - rb)")).as("dnum"),
-          sum(expr("CAST(r_m AS DECIMAL(38,0)) * c_m" +
-            " * abs(ra - rb)")).as("dden"))
-          .select(
-            expr("CAST((CAST(a AS DECIMAL(38,0)) * n - b) * 1000000" +
-              " div (CAST(n AS DECIMAL(38,0)) * n - b) AS BIGINT)")
-              .as("kappa_ppm"),
-            expr("CAST(1000000 - dnum * n * 1000000 div dden AS BIGINT)")
-              .as("kappa_w_ppm"))
-        full.crossJoin(broadcast(stats))
-          .select(col("ra"), col("rb"), col("n_cell"),
-            col("r_m").as("row_marg"), col("c_m").as("col_marg"),
-            col("kappa_ppm"), col("kappa_w_ppm"))
-          .orderBy(col("ra"), col("rb"))
+        kappaTable(spark,
+          band("x", "ra").join(band("y", "rb"), Seq("doc_id")))
       },
       oracle = Some("""
         WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
@@ -479,8 +460,15 @@ object Classifier {
         rb AS (SELECT doc_id, (3 * (CAST(ROW_NUMBER() OVER
                  (ORDER BY y DESC, doc_id) AS BIGINT) - 1)) // n1.n AS rb
                FROM d CROSS JOIN n1),
-        cells AS (SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS n_cell
-                  FROM ra JOIN rb USING (doc_id) GROUP BY 1, 2),
+        obs AS (SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS n_cell
+                FROM ra JOIN rb USING (doc_id) GROUP BY 1, 2),
+        grid AS (SELECT CAST(ga.range AS BIGINT) AS ra,
+                        CAST(gb.range AS BIGINT) AS rb
+                 FROM range(3) ga, range(3) gb),
+        cells AS (SELECT g.ra, g.rb,
+                         COALESCE(o.n_cell, CAST(0 AS BIGINT)) AS n_cell
+                  FROM grid g LEFT JOIN obs o
+                    ON g.ra = o.ra AND g.rb = o.rb),
         rm AS (SELECT ra, CAST(SUM(n_cell) AS BIGINT) AS r_m
                FROM cells GROUP BY 1),
         cm AS (SELECT rb, CAST(SUM(n_cell) AS BIGINT) AS c_m
@@ -748,6 +736,54 @@ object Classifier {
     * [[roundCtes]] invLr parameter), the rung-1 ranking replayed in SQL,
     * and rung-2 rows emitted only for the oracle's OWN top-2 — a
     * selection disagreement cascades to a row mismatch. */
+  /** q289's confusion→κ core over a (ra, rb) ordinal label-pair table
+    * (bands in 0..2). Densifies against the full 3×3 grid (left join +
+    * coalesce 0 — the q293/q310 pattern) because Cohen's chance term
+    * b = Σ rᵢ·cᵢ and the weighted-κ denominator dden = Σ rᵢ·c_j·|i−j|
+    * sum over band PAIRS, not observed pairs: a zero cell must still
+    * contribute its rᵢ·c_j term. Emits exactly 9 rows whatever the
+    * data. Property-pinned on a hand case with empty diagonal cells
+    * (Round10PropertySpec), where the sparse form provably overstates κ.
+    */
+  private[queries] def kappaTable(
+      spark: org.apache.spark.sql.SparkSession,
+      labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val observed = labels.groupBy(col("ra"), col("rb"))
+      .agg(count(lit(1)).as("n_cell"))
+    val grid = spark.range(3).select(col("id").as("ra"))
+      .crossJoin(spark.range(3).select(col("id").as("rb")))
+    val cells = grid.join(observed, Seq("ra", "rb"), "left")
+      .select(col("ra"), col("rb"),
+        coalesce(col("n_cell"), lit(0L)).as("n_cell"))
+      .localCheckpoint(false)
+    val rm = cells.groupBy(col("ra")).agg(sum(col("n_cell")).as("r_m"))
+    val cm = cells.groupBy(col("rb")).agg(sum(col("n_cell")).as("c_m"))
+    val full = cells.join(rm, Seq("ra")).join(cm, Seq("rb"))
+    val stats = full.agg(
+      sum(col("n_cell")).as("n"),
+      sum(when(col("ra") === col("rb"), col("n_cell"))
+        .otherwise(0L)).as("a"),
+      sum(when(col("ra") === col("rb"),
+        expr("CAST(r_m AS DECIMAL(38,0)) * c_m"))
+        .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("b"),
+      sum(expr("CAST(n_cell AS DECIMAL(38,0))" +
+        " * abs(ra - rb)")).as("dnum"),
+      sum(expr("CAST(r_m AS DECIMAL(38,0)) * c_m" +
+        " * abs(ra - rb)")).as("dden"))
+      .select(
+        expr("CAST((CAST(a AS DECIMAL(38,0)) * n - b) * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * n - b) AS BIGINT)")
+          .as("kappa_ppm"),
+        expr("CAST(1000000 - dnum * n * 1000000 div dden AS BIGINT)")
+          .as("kappa_w_ppm"))
+    full.crossJoin(broadcast(stats))
+      .select(col("ra"), col("rb"), col("n_cell"),
+        col("r_m").as("row_marg"), col("c_m").as("col_marg"),
+        col("kappa_ppm"), col("kappa_w_ppm"))
+      .orderBy(col("ra"), col("rb"))
+  }
+
   private def halvingOracle(): String = {
     val grid = Seq(4L, 16L, 64L, 256L)
     val stage1 = grid.map(lr =>

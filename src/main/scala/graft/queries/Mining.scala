@@ -793,8 +793,11 @@ private[queries] object Ucb {
       (t.toLong, lang, k, rw, u, cum)
     }
   }
-  /** maxBy picks the LAST max; to tie-break ties by SMALLEST lang we
-    * order langs descending in the comparison key. */
+  /** The (ucb, ReverseLang) comparison key is a strict total order —
+    * ReverseLang orders langs descending, so the lexicographic max is
+    * (ucb desc, lang asc) and ties are impossible; the argmax is
+    * well-defined regardless of maxBy's tie behavior (Scala's maxBy
+    * keeps the FIRST maximum, but nothing here depends on that). */
   private case class ReverseLang(l: String) extends Ordered[ReverseLang] {
     def compare(that: ReverseLang): Int = that.l.compareTo(l)
   }

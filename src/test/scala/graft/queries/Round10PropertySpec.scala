@@ -53,6 +53,30 @@ class Round10PropertySpec extends SparkSpec {
     }
   }
 
+  // q289's densification: Cohen's pₑ and the weighted-κ denominator sum
+  // rᵢ·c_j terms over BAND PAIRS, not observed cells. Hand case with
+  // EMPTY diagonal cells (0,0) and (1,1): labels (0,1)×2, (1,0), (2,2)×2
+  // → n=5, a=2, margins r=(2,1,2), c=(1,2,2); dense b = 2·1+1·2+2·2 = 8
+  // → κ = (2·5−8)/(25−8) = 2/17 → 117647 ppm. The sparse form drops the
+  // two empty diagonal b terms (b=4 → 6/21 = 285714 ppm — overstated).
+  // Weighted: dnum = 3, dense dden = Σrᵢc_j|i−j| = 12+3+8 = 23 →
+  // κw = 1 − 3·5/23 → 347827 ppm (sparse dden=5 → κw < 0: wildly off).
+  test("q289: kappa densifies empty cells against the 3x3 grid (hand case)") {
+    import spark.implicits._
+    val labels = Seq((0L, 1L), (0L, 1L), (1L, 0L), (2L, 2L), (2L, 2L))
+      .toDF("ra", "rb")
+    val out = Classifier.kappaTable(spark, labels).collect()
+    assert(out.length == 9, "densified confusion table must emit all 9 cells")
+    assert(out.count(_.getAs[Long]("n_cell") == 0L) == 6,
+      "hand case has exactly 6 empty cells")
+    val k = out.head.getAs[Long]("kappa_ppm")
+    val kw = out.head.getAs[Long]("kappa_w_ppm")
+    assert(k == 117647L,
+      s"kappa_ppm $k != 2/17 ppm — empty diagonal rᵢ·cᵢ terms dropped?")
+    assert(kw == 347827L,
+      s"kappa_w_ppm $kw != (1 − 15/23) ppm — dden not densified?")
+  }
+
   // q303's DP output must satisfy the segmentation bounds whatever the
   // vocabulary: 1 <= n_tokens <= word_len (single chars are always in
   // vocab), n_tokens >= ceil(len/4) (no unit longer than 4), cost >= 0,
