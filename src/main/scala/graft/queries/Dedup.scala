@@ -1522,7 +1522,156 @@ object Dedup {
                m.match_true * 1000000 // GREATEST(d.n_true_total, 1)
                  AS match_recall_ppm
         FROM dec d CROSS JOIN summ m
-        ORDER BY d.pid"""))
+        ORDER BY d.pid""")),
+
+    // ---- q315: B³ (B-cubed) evaluation of a dedup clustering ----
+    // The dedup family DETECTS duplicates (q44/q46/q47/q234/q265);
+    // nothing yet MEASURES a clustering against known truth. B³
+    // (Bagga–Baldwin) is the standard extrinsic metric for entity/dedup
+    // clusters: unlike pairwise F1 it weights every ITEM's view — per
+    // item, precision = |C(d)∩T(d)|/|C(d)| and recall = |C(d)∩T(d)|/
+    // |T(d)| — and both reduce to contingency sums Σ n_ct²/n_c and
+    // Σ n_ct²/n_t, so the whole metric runs at CELL cardinality. The
+    // clustering under audit is the cheapest real one — head-8-token
+    // fingerprint blocking — over a corpus with PLANTED truth: docs
+    // ≡0 (mod 5) gain two clones (every-13th-token drop: head intact,
+    // clusters correctly; every-7th-token drop: the head mutates and
+    // the clone SPLITS from its group — recall loss), and docs
+    // ≡0 (mod 11) get a shared 8-token boilerplate banner prepended
+    // (the classic crawl failure: head fingerprints MERGE unrelated
+    // pages — precision loss). The card publishes B³ P/R/F1 plus the
+    // split/merge counts and the boilerplate cluster's size, so both
+    // failure modes are quantified separately. Exact integers: ppm via
+    // floor-div over DECIMAL(38,0)/HUGEINT, identical in both engines.
+    //
+    // 100 TB posture: clone synthesis is a map-side explode (≤3 rows
+    // per doc); the only corpus-scale shuffles are the (ckey, truth)
+    // contingency agg and two cell-keyed rollups — never all-pairs.
+    // The ckey groupBy is the same shuffle an exact-dedup pass already
+    // pays; everything after runs at contingency-cell cardinality.
+    "q315_bcubed_eval" -> QueryDef(
+      build = (spark, dir) => {
+        val boiler = "subscribe to our newsletter for the latest updates"
+        val t = Tables.documents(spark, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("toks0"))
+          .filter(size(col("toks0")) >= 12)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0,
+              concat(split(lit(boiler), " "), col("toks0")))
+              .otherwise(col("toks0")).as("toks"))
+        val orig = t.select((col("doc_id") * 10).as("item_id"),
+          col("doc_id").as("truth"), col("toks"))
+        val cloneA = t.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") * 10 + 1).as("item_id"),
+            col("doc_id").as("truth"),
+            expr("filter(toks, (x, i) -> (i + 1) % 13 != 0)").as("toks"))
+        val cloneB = t.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") * 10 + 2).as("item_id"),
+            col("doc_id").as("truth"),
+            expr("filter(toks, (x, i) -> (i + 1) % 7 != 0)").as("toks"))
+        val items = orig.unionAll(cloneA).unionAll(cloneB)
+          .select(col("item_id"), col("truth"),
+            md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("ckey"))
+          .localCheckpoint(false)
+        val ct = items.groupBy(col("ckey"), col("truth"))
+          .agg(count(lit(1)).as("n_ct")).localCheckpoint(false)
+        val nc = ct.groupBy(col("ckey")).agg(sum(col("n_ct")).as("n_c"))
+        val nt = ct.groupBy(col("truth")).agg(sum(col("n_ct")).as("n_t"))
+        val card = ct.join(nc, Seq("ckey")).join(nt, Seq("truth"))
+          .agg(sum(col("n_ct")).as("n_items"),
+            sum(expr("CAST(n_ct AS DECIMAL(38,0)) * n_ct" +
+              " * 1000000000000 div n_c")).as("p12"),
+            sum(expr("CAST(n_ct AS DECIMAL(38,0)) * n_ct" +
+              " * 1000000000000 div n_t")).as("r12"))
+          .select(col("n_items"),
+            expr("CAST(p12 div (CAST(n_items AS DECIMAL(38,0))" +
+              " * 1000000) AS BIGINT)").as("b3_precision_ppm"),
+            expr("CAST(r12 div (CAST(n_items AS DECIMAL(38,0))" +
+              " * 1000000) AS BIGINT)").as("b3_recall_ppm"))
+        val mg = ct.groupBy(col("ckey"))
+          .agg(countDistinct(col("truth")).as("k"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(when(col("k") > 1, 1L).otherwise(0L))
+              .as("n_merged_clusters"))
+        val sp = ct.groupBy(col("truth"))
+          .agg(countDistinct(col("ckey")).as("k"))
+          .agg(count(lit(1)).as("n_truth_groups"),
+            sum(when(col("k") > 1, 1L).otherwise(0L))
+              .as("n_split_truths"))
+        val bo = items.filter(col("ckey") === md5(lit(boiler)))
+          .agg(count(lit(1)).as("boiler_cluster_size"))
+        card.crossJoin(broadcast(mg)).crossJoin(broadcast(sp))
+          .crossJoin(broadcast(bo))
+          .select(col("n_items"), col("n_clusters"), col("n_truth_groups"),
+            col("n_merged_clusters"), col("n_split_truths"),
+            col("boiler_cluster_size"),
+            col("b3_precision_ppm"), col("b3_recall_ppm"),
+            expr("CAST(2 * b3_precision_ppm * b3_recall_ppm" +
+              " div GREATEST(b3_precision_ppm + b3_recall_ppm, 1)" +
+              " AS BIGINT)").as("b3_f1_ppm"))
+      },
+      oracle = Some("""
+        WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS toks0
+                    FROM documents),
+        t1 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                   THEN list_concat(string_split(
+                     'subscribe to our newsletter for the latest updates',
+                     ' '), toks0)
+                   ELSE toks0 END AS toks
+               FROM t0 WHERE len(toks0) >= 12),
+        items AS (
+          SELECT doc_id * 10 AS item_id, doc_id AS truth,
+                 md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS ckey
+          FROM t1
+          UNION ALL
+          SELECT doc_id * 10 + 1, doc_id,
+                 md5(array_to_string(list_slice(
+                   list_filter(toks, (x, i) -> i % 13 != 0), 1, 8), ' '))
+          FROM t1 WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id * 10 + 2, doc_id,
+                 md5(array_to_string(list_slice(
+                   list_filter(toks, (x, i) -> i % 7 != 0), 1, 8), ' '))
+          FROM t1 WHERE doc_id % 5 = 0),
+        ct AS (SELECT ckey, truth, CAST(COUNT(*) AS BIGINT) AS n_ct
+               FROM items GROUP BY 1, 2),
+        nc AS (SELECT ckey, CAST(SUM(n_ct) AS BIGINT) AS n_c
+               FROM ct GROUP BY 1),
+        nt AS (SELECT truth, CAST(SUM(n_ct) AS BIGINT) AS n_t
+               FROM ct GROUP BY 1),
+        card AS (SELECT CAST(SUM(n_ct) AS BIGINT) AS n_items,
+                        SUM(CAST(n_ct AS HUGEINT) * n_ct
+                          * 1000000000000 // n_c) AS p12,
+                        SUM(CAST(n_ct AS HUGEINT) * n_ct
+                          * 1000000000000 // n_t) AS r12
+                 FROM ct JOIN nc USING (ckey) JOIN nt USING (truth)),
+        pr AS (SELECT n_items,
+                      CAST(p12 // (CAST(n_items AS HUGEINT) * 1000000)
+                        AS BIGINT) AS b3_precision_ppm,
+                      CAST(r12 // (CAST(n_items AS HUGEINT) * 1000000)
+                        AS BIGINT) AS b3_recall_ppm
+               FROM card),
+        mg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                      CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_merged_clusters
+               FROM (SELECT ckey, COUNT(DISTINCT truth) AS k
+                     FROM ct GROUP BY 1)),
+        sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_groups,
+                      CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_split_truths
+               FROM (SELECT truth, COUNT(DISTINCT ckey) AS k
+                     FROM ct GROUP BY 1)),
+        bo AS (SELECT CAST(COUNT(*) AS BIGINT) AS boiler_cluster_size
+               FROM items WHERE ckey = md5(
+                 'subscribe to our newsletter for the latest updates'))
+        SELECT n_items, n_clusters, n_truth_groups, n_merged_clusters,
+               n_split_truths, boiler_cluster_size,
+               b3_precision_ppm, b3_recall_ppm,
+               CAST(2 * b3_precision_ppm * b3_recall_ppm
+                 // GREATEST(b3_precision_ppm + b3_recall_ppm, 1)
+                 AS BIGINT) AS b3_f1_ppm
+        FROM pr CROSS JOIN mg CROSS JOIN sp CROSS JOIN bo"""))
   )
 
   /** Shared output of the q265/q278 component builder: round-6 labels,

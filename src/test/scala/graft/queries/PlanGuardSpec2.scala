@@ -701,4 +701,16 @@ class PlanGuardSpec2 extends SparkSpec {
       "TA certificate planned a SHUFFLED cross product (the 1-row " +
         "stat broadcasts are the only legal cross joins)")
   }
+
+  test("q315: B-cubed runs at contingency-cell cardinality — keyed aggs, never all-pairs") {
+    val p = plan("q315_bcubed_eval")
+    assert(p.contains("Scan ExistingRDD"),
+      "(ckey, truth) contingency lost its checkpoint cut")
+    assert(p.contains("hashpartitioning(ckey") ||
+      p.contains("hashpartitioning(truth"),
+      "contingency/marginal aggs not keyed on the cluster/truth keys")
+    assert(!p.contains("CartesianProduct"),
+      "B-cubed planned a SHUFFLED cross product (the 1-row card " +
+        "broadcasts are the only legal cross joins)")
+  }
 }
