@@ -18,7 +18,7 @@ object SparkEntry {
       Retrieval.defs ++ Tokenizer.defs ++ Graph.defs ++ Mining.defs ++
       Telemetry.defs ++ Insights.defs ++ StreamingGate.defs ++
       Mixing.defs ++ CorpusStats.defs ++ Multi.defs ++ Classifier.defs ++
-      Gps.defs
+      Boosting.defs ++ Gps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

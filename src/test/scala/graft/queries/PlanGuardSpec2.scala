@@ -713,4 +713,17 @@ class PlanGuardSpec2 extends SparkSpec {
       "B-cubed planned a SHUFFLED cross product (the 1-row card " +
         "broadcasts are the only legal cross joins)")
   }
+
+  test("q316: boosting report is a bounded LocalTableScan + one checkpointed vote pass") {
+    val p = plan("q316_adaboost_stumps")
+    assert(p.contains("LocalTableScan"),
+      "per-round picks not a bounded driver-side table")
+    assert(p.contains("Scan ExistingRDD"),
+      "final-vote pass lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "report plan re-scans the corpus (training rounds own the scans)")
+    assert(!p.contains("CartesianProduct"),
+      "vote/report planned a SHUFFLED cross product (the 1-row ensemble " +
+        "broadcast is the only legal cross join)")
+  }
 }
