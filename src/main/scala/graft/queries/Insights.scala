@@ -975,7 +975,121 @@ object Insights {
                  AS BIGINT) AS t_close_ok,
                CASE WHEN l_distinct >= 3 AND emd_ppm <= 200000
                  THEN 'release' ELSE 'suppress' END AS verdict
-        FROM emd ORDER BY c_nationkey, c_mktsegment"""))
+        FROM emd ORDER BY c_nationkey, c_mktsegment""")),
+
+    // ---- q317: exact paired permutation test (sign-flip DP) ----
+    // The EXACT companion to the resampling family: q299 bootstraps a
+    // CI, q293 applies McNemar's χ² approximation, q308 corrects a
+    // battery — none computes an exact finite-sample p-value. The
+    // paired sign-flip (Fisher) permutation test does: under H0 the
+    // per-pair difference d_i is symmetric, so every sign vector
+    // s ∈ {±1}^k is equally likely and p = #{s : |Σ sᵢdᵢ| ≥ |S_obs|} /
+    // 2^k — an exact count, no asymptotics, no sampling. The pairing
+    // audited: per source, does rating only a document's FIRST HALF
+    // change the stop-ratio quality verdict? (the "can we rate the
+    // prefix and skip the tail?" curation shortcut) — d_s = full-text
+    // passes − half-text passes. The count runs as a dynamic program
+    // over the offset distribution (k steps over a Σ|d|-wide integer
+    // array — model-sized driver state, the BPE-merge-table precedent),
+    // NEVER by enumerating 2^k vectors; the DuckDB oracle replays the
+    // same count by brute-force bitmask enumeration (2^20 rows), so the
+    // two engines agree only if the DP is exactly the enumeration.
+    //
+    // 100 TB posture: the corpus pays ONE pass (per-doc verdicts →
+    // per-source paired counts, a |sources|-row agg); the DP is
+    // O(k·Σ|d|) driver arithmetic on k collected integers. Beyond
+    // k ≈ 60 pairs you'd switch to sampled permutations; the exact
+    // count is the point at panel size.
+    "q317_permutation_test" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val base = Tables.documents(spark, dir)
+          .select(col("source"), split(trim(col("text")), " ").as("toks"))
+          .select(col("source"),
+            expr("CAST(size(toks) AS BIGINT)").as("n_tok"),
+            expr("CAST(size(filter(toks, x -> x = 'the' OR x = 'a'))" +
+              " AS BIGINT)").as("stop_full"),
+            expr("CAST(size(filter(slice(toks, 1," +
+              " GREATEST(size(toks) div 2, 1)), x -> x = 'the' OR" +
+              " x = 'a')) AS BIGINT)").as("stop_half"))
+          .select(col("source"),
+            (expr("(stop_full * 1000) div n_tok") >= 66L)
+              .cast("long").as("a"),
+            (expr("(stop_half * 1000) div GREATEST(n_tok div 2, 1)")
+              >= 66L).cast("long").as("b"))
+        val diffs = base.groupBy(col("source"))
+          .agg(sum(col("a") - col("b")).as("d"))
+          .localCheckpoint(false)
+        val ds = diffs.orderBy(col("source")).collect()
+          .map(_.getAs[Long]("d")) // ≤ |sources| rows — panel-sized
+        val k = ds.length
+        require(k <= 40, s"exact sign-flip DP sized for panels; got $k")
+        val span = ds.map(math.abs).sum.toInt
+        // DP over the signed-sum distribution: cnt(offset) of sign
+        // vectors reaching Σ sᵢdᵢ = offset − span after each step.
+        var cnt = new Array[Long](2 * span + 1)
+        cnt(span) = 1L
+        ds.foreach { d =>
+          val nxt = new Array[Long](2 * span + 1)
+          val ad = math.abs(d).toInt
+          var i = 0
+          while (i < cnt.length) {
+            if (cnt(i) != 0L) {
+              nxt(i + ad) += cnt(i)
+              nxt(i - ad) += cnt(i)
+            }
+            i += 1
+          }
+          cnt = nxt
+        }
+        val sObs = ds.sum
+        val nFlips = 1L << k
+        val nGe = cnt.zipWithIndex.collect {
+          case (c, i) if math.abs(i - span) >= math.abs(sObs) => c
+        }.sum
+        val stats = Seq((sObs, math.abs(sObs), nFlips, nGe,
+          nGe * 1000000L / nFlips))
+          .toDF("s_obs", "abs_s_obs", "n_flips", "n_ge", "p_ppm")
+        diffs.crossJoin(broadcast(stats)).orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH base AS MATERIALIZED (
+          SELECT source,
+                 ((stop_full * 1000) // n_tok >= 66)::BIGINT AS a,
+                 ((stop_half * 1000) // GREATEST(n_tok // 2, 1) >= 66)
+                   ::BIGINT AS b
+          FROM (SELECT source,
+                  CAST(len(toks) AS BIGINT) AS n_tok,
+                  CAST(len(list_filter(toks,
+                    x -> x = 'the' OR x = 'a')) AS BIGINT) AS stop_full,
+                  CAST(len(list_filter(list_slice(toks, 1,
+                      GREATEST(len(toks) // 2, 1)),
+                    x -> x = 'the' OR x = 'a')) AS BIGINT) AS stop_half
+                FROM (SELECT source, string_split(trim(text), ' ')
+                        AS toks FROM documents))),
+        diffs AS MATERIALIZED (
+          SELECT source, CAST(SUM(a - b) AS BIGINT) AS d,
+                 ROW_NUMBER() OVER (ORDER BY source) - 1 AS rn
+          FROM base GROUP BY source),
+        kk AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(d) AS BIGINT) AS s_obs
+          FROM diffs),
+        sums AS MATERIALIZED (
+          SELECT t.range AS m,
+                 CAST(SUM(CASE WHEN (t.range >> d.rn) & 1 = 1
+                   THEN d.d ELSE -d.d END) AS BIGINT) AS s
+          FROM range(2097152) t CROSS JOIN kk, diffs d
+          WHERE t.range < (1::BIGINT << kk.k)
+          GROUP BY t.range),
+        nges AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_ge
+          FROM sums CROSS JOIN kk WHERE ABS(s) >= ABS(kk.s_obs))
+        SELECT d.source, d.d, kk.s_obs, ABS(kk.s_obs) AS abs_s_obs,
+               (1::BIGINT << kk.k) AS n_flips, n.n_ge,
+               n.n_ge * 1000000 // (1::BIGINT << kk.k) AS p_ppm
+        FROM diffs d CROSS JOIN kk CROSS JOIN nges n
+        ORDER BY d.source"""))
   )
 
   /** Nigrini first-two-digits expectation log10(1 + 1/dd) for dd 10–99,

@@ -726,4 +726,17 @@ class PlanGuardSpec2 extends SparkSpec {
       "vote/report planned a SHUFFLED cross product (the 1-row ensemble " +
         "broadcast is the only legal cross join)")
   }
+
+  test("q317: permutation test is one source-keyed agg + a 1-row DP broadcast") {
+    val p = plan("q317_permutation_test")
+    assert(p.contains("Scan ExistingRDD"),
+      "per-source paired diffs lost their checkpoint cut")
+    assert(p.contains("LocalTableScan"),
+      "DP stats not a bounded driver-side table")
+    assert(!p.contains("Scan parquet"),
+      "report plan re-scans the corpus (the diff agg owns the one scan)")
+    assert(!p.contains("CartesianProduct"),
+      "permutation report planned a SHUFFLED cross product (the 1-row " +
+        "stats broadcast is the only legal cross join)")
+  }
 }
