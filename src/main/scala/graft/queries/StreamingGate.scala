@@ -450,6 +450,91 @@ object StreamingGate {
       .orderBy(col("user_id"), col("seg_start_us"))
   }
 
+  // ---- q318: streamed bottom-k distinct sketch --------------------
+
+  final case class BkEvent(shard: Long, h: Long)
+  final case class BkState(hs: List[Long])
+  final case class BkOut(shard: Long, h: Long)
+
+  private val BkK = 64
+
+  /** The bottom-k merge: state ∪ batch, k smallest distinct kept. Pure
+    * set algebra — idempotent and commutative, so the final state is
+    * independent of arrival order and batch layout (no watermark
+    * needed for determinism; NoTimeout). Emits the CURRENT k rows each
+    * invocation (update mode); the drain reconciles with a distinct +
+    * per-shard rank, which the last emission already satisfies. */
+  private def bkFn(shard: Long, rows: Iterator[BkEvent],
+      state: GroupState[BkState]): Iterator[BkOut] = {
+    val prev = state.getOption.map(_.hs).getOrElse(Nil)
+    val merged = (prev ++ rows.map(_.h)).distinct.sorted.take(BkK)
+    state.update(BkState(merged))
+    merged.iterator.map(h => BkOut(shard, h))
+  }
+
+  /** q318: drained per-shard bottom-64 sketch + estimator certificate
+    * (est = (k−1)·2⁴⁸/(h_k+1) vs exact distinct, signed ppm error). */
+  def streamedBottomK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = new GateRun(spark, "q318",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val src = spark.readStream
+        .schema(era.schema)
+        .parquet(run.srcDir)
+        .select((col("user_id") % 8).as("shard"),
+          expr("CAST(conv(substring(md5(concat('q318#'," +
+            " CAST(user_id AS STRING), '#', event_type)), 1, 12)," +
+            " 16, 10) AS BIGINT)")
+            .as("h"))
+        .as[BkEvent]
+      val q = src.groupByKey(_.shard)
+        .flatMapGroupsWithState[BkState, BkOut](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout())(bkFn)
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("update")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    val kth = spark.table(run.sink)
+      .select(col("shard"), col("h")).distinct()
+      .selectExpr("shard", "h",
+        "row_number() OVER (PARTITION BY shard ORDER BY h) AS rn")
+      .filter(col("rn") === BkK)
+      .select(col("shard"), col("h").as("kth_hash"))
+    val truth = spark.read.schema(era.schema)
+      .parquet(s"$dir/events.parquet")
+      .groupBy((col("user_id") % 8).as("shard"))
+      .agg(countDistinct(col("user_id"), col("event_type"))
+        .as("true_distinct"))
+    kth.join(truth, Seq("shard"))
+      .select(col("shard"), col("kth_hash"),
+        expr("CAST(63 * 281474976710656 div (kth_hash + 1) AS BIGINT)")
+          .as("est_distinct"),
+        col("true_distinct"))
+      .select(col("shard"), col("kth_hash"), col("est_distinct"),
+        col("true_distinct"),
+        expr("CASE WHEN est_distinct >= true_distinct" +
+          " THEN (est_distinct - true_distinct) * 1000000" +
+          " div true_distinct" +
+          " ELSE -((true_distinct - est_distinct) * 1000000" +
+          " div true_distinct) END").as("err_ppm"))
+      .orderBy(col("shard"))
+  }
+
   // ---- q268: the SAME custom state on transformWithState + timers ---
 
   final case class TwsSegState(events: List[(Long, Long)], timer_ms: Long)
@@ -2359,7 +2444,64 @@ object StreamingGate {
                  >= CAST(1843700 AS HUGEINT) * 1000000
                    * (n_batch + n_ref)
                  THEN 'drifted' ELSE 'consistent' END AS verdict
-        FROM ks ORDER BY batch_id""")))
+        FROM ks ORDER BY batch_id"""))) :+ (
+
+    // ---- q318: streamed bottom-k distinct sketch (28th streaming law) ----
+    // The STREAMING form of the corpus' cardinality-sketch family
+    // (q221 portable HLL, q257 bottom-k quantiles, q263 register-merge
+    // overlap — all batch): a per-shard bottom-k sketch maintained as
+    // custom state, k = 64 smallest 48-bit md5 hashes of the (user, event_type)
+    // activity key.
+    // The state function is a pure SET operation (merge + truncate), so
+    // the final sketch is arrival-order-free and batch-layout-free BY
+    // ALGEBRA — the property every other streaming law had to buy with
+    // watermark discipline, a bottom-k sketch gets from idempotent,
+    // commutative merge (what makes it the per-shard accumulator of
+    // choice on an unbounded ingest at 100 TB: k rows of state forever,
+    // mergeable across shards and across days). Update-mode emission
+    // re-publishes the current k rows each batch; the drain's final
+    // reconciliation (distinct → per-shard k smallest) is a no-op on
+    // the last emission by construction — and the gate emits the
+    // ESTIMATOR CERTIFICATE beside the sketch: est = (k−1)·2⁴⁸/(h_k+1)
+    // vs the exact per-shard distinct, signed error in ppm (the q221
+    // convention), everything in exact integers.
+    //
+    // 100 TB posture: per batch, work = |batch| in-row hashes + a
+    // k-row merge per shard; state is k longs per shard forever. The
+    // truth arm (exact distinct) is the one corpus-scale agg, present
+    // only because the gate is a certificate.
+    "q318_streamed_bottomk_distinct" -> QueryDef(
+      build = (spark, dir) => streamedBottomK(spark, dir),
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT user_id % 8 AS shard,
+                 ('0x' || substr(md5('q318#' ||
+                   CAST(user_id AS VARCHAR) || '#' || event_type),
+                   1, 12))::BIGINT AS h,
+                 user_id, event_type
+          FROM events),
+        dh AS (SELECT DISTINCT shard, h FROM e),
+        rk AS (SELECT shard, h, ROW_NUMBER() OVER
+                 (PARTITION BY shard ORDER BY h) AS rn
+               FROM dh),
+        kth AS (SELECT shard, CAST(h AS BIGINT) AS kth_hash
+                FROM rk WHERE rn = 64),
+        tru AS (SELECT shard,
+                       CAST(COUNT(DISTINCT (user_id, event_type))
+                         AS BIGINT) AS true_distinct
+                FROM e GROUP BY 1),
+        est AS (SELECT k.shard, k.kth_hash,
+                       CAST(63 * 281474976710656 // (k.kth_hash + 1)
+                         AS BIGINT) AS est_distinct,
+                       t.true_distinct
+                FROM kth k JOIN tru t USING (shard))
+        SELECT shard, kth_hash, est_distinct, true_distinct,
+               CASE WHEN est_distinct >= true_distinct
+                 THEN (est_distinct - true_distinct) * 1000000
+                   // true_distinct
+                 ELSE -((true_distinct - est_distinct) * 1000000
+                   // true_distinct) END AS err_ppm
+        FROM est ORDER BY shard""")))
 
   /** Run the COMPLETE-mode leaderboard gate to completion: the q275
     * 8-file split (event_id % 8, pinned mod-times, one file per

@@ -581,6 +581,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(fold(bySplit) == batchTop, "reverse-chunk fold diverged")
   }
 
+  test("streamed bottom-k fold is chop- and order-invariant, k-bounded (q318 law)") {
+    // q318's set algebra: folding hashes into a bottom-k state batch by
+    // batch yields the SAME sketch for any chop/order of the stream and
+    // equals the one-shot k smallest distinct — and the state never
+    // holds more than k values (the bounded-state claim itself).
+    val k = 8
+    val hashes = (1L to 60L).map(i => (i * 2654435761L) % 997L)
+    val oneShot = hashes.distinct.sorted.take(k)
+    def fold(chunks: Seq[Seq[Long]]): Seq[Long] =
+      chunks.foldLeft(List.empty[Long]) { (st, ch) =>
+        val next = (st ++ ch).distinct.sorted.take(k)
+        assert(next.size <= k, "state exceeded its k bound")
+        next
+      }
+    val byMod = (0 until 5).map(r => hashes.filter(_ % 5 == r))
+    val bySplit = hashes.grouped(11).toSeq.reverse
+    val withDupes = Seq(hashes, hashes.take(20)) // replayed prefix
+    assert(fold(byMod) == oneShot, "mod-chopped fold diverged")
+    assert(fold(bySplit) == oneShot, "reverse-chunk fold diverged")
+    assert(fold(withDupes) == oneShot, "idempotence under replay failed")
+  }
+
   test("streamed in-row model scorer ≡ batch bucketized scorer (q272 law)") {
     // The stream-static MODEL completeness law on a MemoryStream: the
     // stateless per-row scorer (Σ_tokens w[bucket] + bias, literal
