@@ -807,7 +807,128 @@ object Training {
         SELECT strategy, n_batches, total_tokens, padded_tokens,
                CAST((CAST(padded_tokens AS HUGEINT) - total_tokens)
                  * 1000000 // padded_tokens AS BIGINT) AS waste_ppm
-        FROM u ORDER BY strategy"""))
+        FROM u ORDER BY strategy""")),
+
+    // ---- q319: negative-sampling table (count^{3/4} smoothing) ----
+    // q262 generates the skip-gram PAIRS; this builds the other half of
+    // the word2vec data path — the negative-sampling table, allocated
+    // ∝ count(w)^{3/4} (the published smoothing that lifts rare-token
+    // exposure without handing the table to stopwords). The ¾ power is
+    // computed EXACTLY in integers — no libm, no pow(): floor(c^{3/4})
+    // = isqrt(isqrt(c³)) by the nested-radical identity
+    // floor(√floor(√n)) = floor(n^{1/4}), with isqrt built from the
+    // IEEE double sqrt plus a ±1 integer correction (squares compared
+    // in exact BIGINT), so the result is exact for every c³ < 2⁵³ —
+    // a reusable no-libm primitive alongside the q160 ⌊log2⌋ trick.
+    // Slots are then assigned by largest-remainder (the q122
+    // apportionment, here on smoothed weights) so exactly T = 65536
+    // slots allocate. The card is the FULL allocation table (output is
+    // vocab-bounded — the table is the product) with raw vs smoothed vs
+    // slot share per token; measured sf0.01: the corpus' one rare token
+    // ('dup', cnt 26 vs ~900 for the rest) gets its exposure lifted
+    // 2.3× (raw 957 ppm → smoothed 2225 ppm) — the ¾ power doing
+    // precisely its published job, visible because the card keeps the
+    // tail.
+    //
+    // 100 TB posture: the token-count agg is the vocab shuffle any
+    // counting pass pays; everything after runs at vocab cardinality
+    // (the largest-remainder rank is a vocab-bounded window — route
+    // through GlobalRank if the vocab ever approaches corpus scale).
+    "q319_negative_sampling_table" -> QueryDef(
+      build = (spark, dir) => {
+        val fr = Tables.documents(spark, dir)
+          .select(explode(split(trim(col("text")), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 5)
+        val sm = fr
+          .withColumn("x3", expr("cnt * cnt * cnt"))
+          .withColumn("r0",
+            expr("CAST(FLOOR(SQRT(CAST(x3 AS DOUBLE))) AS BIGINT)"))
+          .withColumn("r1", expr("r0" +
+            " + (CASE WHEN (r0 + 1) * (r0 + 1) <= x3 THEN 1 ELSE 0 END)" +
+            " - (CASE WHEN r0 * r0 > x3 THEN 1 ELSE 0 END)"))
+          .withColumn("y0",
+            expr("CAST(FLOOR(SQRT(CAST(r1 AS DOUBLE))) AS BIGINT)"))
+          .withColumn("w34", expr("y0" +
+            " + (CASE WHEN (y0 + 1) * (y0 + 1) <= r1 THEN 1 ELSE 0 END)" +
+            " - (CASE WHEN y0 * y0 > r1 THEN 1 ELSE 0 END)"))
+          .select(col("token"), col("cnt"), col("w34"))
+          .localCheckpoint(false)
+        val tot = sm.agg(sum(col("cnt")).as("c_tot"),
+          sum(col("w34")).as("w_tot"), count(lit(1)).as("vocab_n"))
+        val al = sm.crossJoin(broadcast(tot))
+          .withColumn("base", expr("(65536 * w34) div w_tot"))
+          .withColumn("rem", expr("(65536 * w34) % w_tot"))
+        val ranked = al.selectExpr("*",
+          "row_number() OVER (ORDER BY rem DESC, token) AS rk")
+        val lv = al.agg((lit(65536L) - sum(col("base"))).as("leftover"))
+        val sl = ranked.crossJoin(broadcast(lv))
+          .withColumn("slots",
+            expr("base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)"))
+          .localCheckpoint(false)
+        val chk = sl.agg(sum(col("slots")).as("allocated"))
+        sl.crossJoin(broadcast(chk))
+          .select(col("token"), col("cnt"), col("w34"), col("slots"),
+            expr("cnt * 1000000 div c_tot").as("raw_share_ppm"),
+            expr("w34 * 1000000 div w_tot").as("smooth_share_ppm"),
+            expr("slots * 1000000 div 65536").as("slot_ppm"),
+            col("vocab_n"), col("c_tot"), col("w_tot"),
+            lit(65536L).as("table_size"), col("allocated"))
+          .orderBy(col("slots").desc, col("token"))
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS w
+                     FROM documents),
+        fr AS (SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM tok GROUP BY 1 HAVING COUNT(*) >= 5),
+        s1 AS (SELECT token, cnt, cnt * cnt * cnt AS x3,
+                      CAST(FLOOR(SQRT(CAST(cnt * cnt * cnt AS DOUBLE)))
+                        AS BIGINT) AS r0
+               FROM fr),
+        s2 AS (SELECT token, cnt,
+                      r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= x3
+                              THEN 1 ELSE 0 END)
+                         - (CASE WHEN r0 * r0 > x3 THEN 1 ELSE 0 END)
+                        AS r1
+               FROM s1),
+        s3 AS (SELECT token, cnt, r1,
+                      CAST(FLOOR(SQRT(CAST(r1 AS DOUBLE))) AS BIGINT)
+                        AS y0
+               FROM s2),
+        s4 AS MATERIALIZED (SELECT token, cnt,
+                      y0 + (CASE WHEN (y0 + 1) * (y0 + 1) <= r1
+                              THEN 1 ELSE 0 END)
+                         - (CASE WHEN y0 * y0 > r1 THEN 1 ELSE 0 END)
+                        AS w34
+               FROM s3),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS c_tot,
+                       CAST(SUM(w34) AS BIGINT) AS w_tot,
+                       CAST(COUNT(*) AS BIGINT) AS vocab_n
+                FROM s4),
+        al AS MATERIALIZED (
+          SELECT token, cnt, w34, c_tot, w_tot, vocab_n,
+                 (65536 * w34) // w_tot AS base,
+                 (65536 * w34) % w_tot AS rem
+          FROM s4 CROSS JOIN tot),
+        lr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, token)
+                 AS rk
+               FROM al),
+        lv AS (SELECT CAST(65536 - SUM(base) AS BIGINT) AS leftover
+               FROM al),
+        sl AS MATERIALIZED (
+          SELECT token, cnt, w34, c_tot, w_tot, vocab_n,
+                 CAST(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                   AS BIGINT) AS slots
+          FROM lr CROSS JOIN lv),
+        chk AS (SELECT CAST(SUM(slots) AS BIGINT) AS allocated FROM sl)
+        SELECT token, cnt, w34, slots,
+               cnt * 1000000 // c_tot AS raw_share_ppm,
+               w34 * 1000000 // w_tot AS smooth_share_ppm,
+               slots * 1000000 // 65536 AS slot_ppm,
+               vocab_n, c_tot, w_tot,
+               CAST(65536 AS BIGINT) AS table_size, allocated
+        FROM sl CROSS JOIN chk
+        ORDER BY slots DESC, token"""))
   ) ++ runsDefs
 
   /** q309, appended to [[defs]] above (lazy: referenced before its

@@ -739,4 +739,16 @@ class PlanGuardSpec2 extends SparkSpec {
       "permutation report planned a SHUFFLED cross product (the 1-row " +
         "stats broadcast is the only legal cross join)")
   }
+
+  test("q319: sampling-table build runs at vocab cardinality after one token agg") {
+    val p = plan("q319_negative_sampling_table")
+    assert(p.contains("Scan ExistingRDD"),
+      "smoothed vocab table lost its checkpoint cut")
+    assert(p.contains("hashpartitioning(token") ||
+      p.contains("Scan ExistingRDD"),
+      "token count agg not token-keyed")
+    assert(!p.contains("CartesianProduct"),
+      "allocation planned a SHUFFLED cross product (the 1-row totals " +
+        "broadcasts are the only legal cross joins)")
+  }
 }

@@ -41,4 +41,30 @@ class Round11PropertySpec extends SparkSpec {
       s"post-reweight error of the round-1 stump is $ratioPpm ppm, not ~1/2" +
         " — the multiplier pair or polarity handling is wrong")
   }
+
+  // q319's no-libm power: the staged isqrt(isqrt(c³)) must equal
+  // floor(c^{3/4}) EXACTLY — i.e. satisfy the defining inequality
+  // w⁴ ≤ c³ < (w+1)⁴ — for every count, including where the double
+  // sqrt rounds across an integer boundary (the ±1 corrections exist
+  // for exactly those). Checked exhaustively for c up to 200k (beyond
+  // any vocab count in the gate's domain, and past the 2⁵³ concern
+  // since c³ ≤ 8·10¹⁵ < 2⁵³).
+  test("q319: staged integer 4th root is exact over the full count domain") {
+    val bad = spark.range(1L, 200001L).toDF("cnt")
+      .selectExpr("cnt", "cnt * cnt * cnt AS x3")
+      .selectExpr("cnt", "x3",
+        "CAST(FLOOR(SQRT(CAST(x3 AS DOUBLE))) AS BIGINT) AS r0")
+      .selectExpr("cnt", "x3",
+        "r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= x3 THEN 1 ELSE 0 END)" +
+          " - (CASE WHEN r0 * r0 > x3 THEN 1 ELSE 0 END) AS r1")
+      .selectExpr("cnt", "x3", "r1",
+        "CAST(FLOOR(SQRT(CAST(r1 AS DOUBLE))) AS BIGINT) AS y0")
+      .selectExpr("cnt", "x3",
+        "y0 + (CASE WHEN (y0 + 1) * (y0 + 1) <= r1 THEN 1 ELSE 0 END)" +
+          " - (CASE WHEN y0 * y0 > r1 THEN 1 ELSE 0 END) AS w")
+      .filter("NOT (w*w*w*w <= x3 AND x3 < (w+1)*(w+1)*(w+1)*(w+1))")
+      .count()
+    assert(bad == 0L,
+      s"$bad counts where isqrt(isqrt(c^3)) violates w^4 <= c^3 < (w+1)^4")
+  }
 }
