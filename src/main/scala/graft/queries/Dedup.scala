@@ -1671,7 +1671,146 @@ object Dedup {
                CAST(2 * b3_precision_ppm * b3_recall_ppm
                  // GREATEST(b3_precision_ppm + b3_recall_ppm, 1)
                  AS BIGINT) AS b3_f1_ppm
-        FROM pr CROSS JOIN mg CROSS JOIN sp CROSS JOIN bo"""))
+        FROM pr CROSS JOIN mg CROSS JOIN sp CROSS JOIN bo""")),
+
+    // ---- q320: chrF² character-n-gram similarity screen ----
+    // The TOKENIZATION-ROBUST member of the pair-similarity family:
+    // q44/q46 are word-set Jaccard (order-blind, token-boundary-bound),
+    // q284 is word-sequence ROUGE-L (order-aware, still token-bound);
+    // chrF (Popović '15, the MT-eval standard) scores CHARACTER n-gram
+    // multiset overlap, so it survives spacing/punctuation/morphology
+    // edits that break word-level metrics. chrF2 here: clipped char
+    // 2- and 3-gram precision/recall (Σ min(cnt_a, cnt_b) — multiset,
+    // not set), averaged over n, combined by the β=2 harmonic
+    // F = 5PR/(4P+R) — fully rational, exact in ppm floor-div. Scored
+    // over PLANTED transform pairs (the q315 corpus rules): an
+    // every-13th-token drop (light clone), an every-7th drop (heavy
+    // clone), and a same-source control pair — so the card is a
+    // DISCRIMINATION certificate: per pair class, n / mean / min / max
+    // chrF, and the classes must separate. Measured sf0.1: clone_light
+    // mean 0.941, clone_heavy 0.881 (min 0.827), control mean 0.534
+    // (max 0.799) — the clone band and the control band don't even
+    // touch, so a mid-band threshold classifies every planted pair.
+    //
+    // 100 TB posture: gram extraction is in-row (transform over a
+    // sequence — no UDF); the multiset intersection is a (pair, gram)-
+    // keyed equijoin over bounded candidate pairs (planted here; the
+    // q46 banded-LSH set in production) — never all-pairs.
+    "q320_chrf_screen" -> QueryDef(
+      build = (spark, dir) => {
+        val t = Tables.documents(spark, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 12 && col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat_ws(" ", col("toks")).as("s"),
+            expr("concat_ws(' ', filter(toks, (x, i) -> (i + 1) % 13" +
+              " != 0))").as("s13"),
+            expr("concat_ws(' ', filter(toks, (x, i) -> (i + 1) % 7" +
+              " != 0))").as("s7"))
+          .localCheckpoint(false)
+        val ctrl = t.select(col("doc_id"), col("s"))
+          .join(t.select((col("doc_id") - 5).as("doc_id"),
+            col("s").as("s_next")), Seq("doc_id"))
+        val pairs = t.select(lit("clone_light").as("ptype"),
+            col("doc_id"), col("s").as("ref"), col("s13").as("hyp"))
+          .unionAll(t.select(lit("clone_heavy").as("ptype"),
+            col("doc_id"), col("s").as("ref"), col("s7").as("hyp")))
+          .unionAll(ctrl.select(lit("control").as("ptype"),
+            col("doc_id"), col("s").as("ref"), col("s_next").as("hyp")))
+          .localCheckpoint(false)
+        def grams(side: String) = pairs.select(col("ptype"), col("doc_id"),
+            explode(expr(s"flatten(transform(array(2, 3), n ->" +
+              s" transform(sequence(1, length($side) - n + 1)," +
+              s" i -> struct(n AS n, substring($side, i, n) AS g))))"))
+              .as("x"))
+          .select(col("ptype"), col("doc_id"), col("x.n").as("n"),
+            col("x.g").as("g"))
+          .groupBy(col("ptype"), col("doc_id"), col("n"), col("g"))
+          .agg(count(lit(1)).as("c"))
+        val ov = grams("ref").withColumnRenamed("c", "cr")
+          .join(grams("hyp").withColumnRenamed("c", "ch"),
+            Seq("ptype", "doc_id", "n", "g"))
+          .groupBy(col("ptype"), col("doc_id"), col("n"))
+          .agg(sum(least(col("cr"), col("ch"))).as("ov"))
+        val sizes = pairs.select(col("ptype"), col("doc_id"),
+          expr("length(ref)").cast("long").as("lr"),
+          expr("length(hyp)").cast("long").as("lh"))
+        val pr = ov.join(sizes, Seq("ptype", "doc_id"))
+          .select(col("ptype"), col("doc_id"),
+            expr("ov * 1000000 div (lh - n + 1)").as("p"),
+            expr("ov * 1000000 div (lr - n + 1)").as("r"))
+          .groupBy(col("ptype"), col("doc_id"))
+          .agg(expr("sum(p) div 2").as("pa"),
+            expr("sum(r) div 2").as("ra"))
+          .select(col("ptype"), col("doc_id"),
+            expr("5 * pa * ra div GREATEST(4 * pa + ra, 1)")
+              .as("chrf_ppm"))
+        pr.groupBy(col("ptype"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("sum(chrf_ppm) div count(1)").as("mean_chrf_ppm"),
+            min(col("chrf_ppm")).as("min_chrf_ppm"),
+            max(col("chrf_ppm")).as("max_chrf_ppm"))
+          .orderBy(col("ptype"))
+      },
+      oracle = Some("""
+        WITH t AS MATERIALIZED (
+          SELECT doc_id, array_to_string(toks, ' ') AS s,
+                 array_to_string(list_filter(toks,
+                   (x, i) -> i % 13 != 0), ' ') AS s13,
+                 array_to_string(list_filter(toks,
+                   (x, i) -> i % 7 != 0), ' ') AS s7
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                FROM documents)
+          WHERE len(toks) >= 12 AND doc_id % 5 = 0),
+        pairs AS MATERIALIZED (
+          SELECT 'clone_light' AS ptype, doc_id, s AS ref, s13 AS hyp
+          FROM t
+          UNION ALL
+          SELECT 'clone_heavy', doc_id, s, s7 FROM t
+          UNION ALL
+          SELECT 'control', a.doc_id, a.s, b.s
+          FROM t a JOIN t b ON b.doc_id = a.doc_id + 5),
+        gr AS (SELECT ptype, doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cr
+               FROM (SELECT ptype, doc_id, n,
+                       unnest(list_transform(
+                         generate_series(1, len(ref) - n + 1),
+                         i -> substr(ref, CAST(i AS INT),
+                           CAST(n AS INT)))) AS g
+                     FROM pairs CROSS JOIN (SELECT unnest([2, 3]) AS n))
+               GROUP BY 1, 2, 3, 4),
+        gh AS (SELECT ptype, doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS ch
+               FROM (SELECT ptype, doc_id, n,
+                       unnest(list_transform(
+                         generate_series(1, len(hyp) - n + 1),
+                         i -> substr(hyp, CAST(i AS INT),
+                           CAST(n AS INT)))) AS g
+                     FROM pairs CROSS JOIN (SELECT unnest([2, 3]) AS n))
+               GROUP BY 1, 2, 3, 4),
+        ov AS (SELECT ptype, doc_id, n,
+                      CAST(SUM(LEAST(cr, ch)) AS BIGINT) AS ov
+               FROM gr JOIN gh USING (ptype, doc_id, n, g)
+               GROUP BY 1, 2, 3),
+        szs AS (SELECT ptype, doc_id,
+                       CAST(len(ref) AS BIGINT) AS lr,
+                       CAST(len(hyp) AS BIGINT) AS lh
+                FROM pairs),
+        pn AS (SELECT o.ptype, o.doc_id,
+                      o.ov * 1000000 // (s.lh - o.n + 1) AS p,
+                      o.ov * 1000000 // (s.lr - o.n + 1) AS r
+               FROM ov o JOIN szs s USING (ptype, doc_id)),
+        f AS (SELECT ptype, doc_id,
+                     CAST(SUM(p) // 2 AS BIGINT) AS pa,
+                     CAST(SUM(r) // 2 AS BIGINT) AS ra
+              FROM pn GROUP BY 1, 2),
+        fs AS (SELECT ptype, doc_id,
+                      5 * pa * ra // GREATEST(4 * pa + ra, 1)
+                        AS chrf_ppm
+               FROM f)
+        SELECT ptype, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(chrf_ppm) // COUNT(*) AS BIGINT)
+                 AS mean_chrf_ppm,
+               CAST(MIN(chrf_ppm) AS BIGINT) AS min_chrf_ppm,
+               CAST(MAX(chrf_ppm) AS BIGINT) AS max_chrf_ppm
+        FROM fs GROUP BY 1 ORDER BY ptype"""))
   )
 
   /** Shared output of the q265/q278 component builder: round-6 labels,

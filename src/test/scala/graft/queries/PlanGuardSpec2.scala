@@ -740,6 +740,18 @@ class PlanGuardSpec2 extends SparkSpec {
         "stats broadcast is the only legal cross join)")
   }
 
+  test("q320: chrF gram intersection is a gram-keyed equijoin over planted pairs") {
+    val p = plan("q320_chrf_screen")
+    assert(p.contains("Scan ExistingRDD"),
+      "planted pair corpus lost its checkpoint cut")
+    assert(p.contains("hashpartitioning(ptype") ||
+      p.contains("hashpartitioning(doc_id"),
+      "gram multiset agg/join not keyed on (ptype, doc_id, n, g)")
+    assert(!p.contains("CartesianProduct"),
+      "chrF screen planned a cross product (the gram overlap must be a " +
+        "keyed equijoin over bounded candidate pairs, never all-pairs)")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
