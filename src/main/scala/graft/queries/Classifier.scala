@@ -724,7 +724,80 @@ object Classifier {
           "acc_ppm", "survived", "winner")
           .orderBy(col("invlr"), col("rung"))
       },
-      oracle = Some(halvingOracle()))
+      oracle = Some(halvingOracle())),
+
+    // ---- q321: fairness audit of the trained curation classifier ----
+    // The BIAS counterpart to the privacy gates (q282 DP release, q283
+    // t-closeness): before a trained filter (q233) is allowed to gate a
+    // corpus, measure WHO it keeps. Groups = the document's source (the
+    // attribute mixing/weighting decisions key on); per group, exact
+    // ppm: selection rate (model keeps, z >= 0), TPR (= equal
+    // opportunity, Hardt et al. 2016 — of the rule-positive docs, how
+    // many the model keeps) and FPR (with TPR, equalized odds), plus
+    // the two decision statistics fairness reviews actually read:
+    // disparate impact = group rate / max group rate (the EEOC
+    // four-fifths rule, flagged at < 0.8) and the equal-opportunity
+    // gap = max TPR − group TPR. All floor-div ppm over exact counts;
+    // zero-positive groups guarded by GREATEST(n,1) on both sides.
+    // Measured sf0.1: FPR = 0 for every source (the fit never keeps a
+    // rule-negative), but DI spans 0.706–1.000 and SIX of twenty
+    // sources fail the four-fifths rule (max EO gap 0.126) — the
+    // filter inherits the label rule's per-source base-rate skew, the
+    // exact finding a mixing reweight (q223 raking) would consume.
+    //
+    // The oracle replays the ENTIRE 8-round training (the shared
+    // trainCtes chain — a drifted fit shows up here as a changed
+    // selection set), then mirrors the per-source rollup, so the hash
+    // certifies model + audit together.
+    //
+    // 100 TB posture: training as q233; the audit is ONE more
+    // source-keyed agg over the scored docs plus a 1-row max broadcast
+    // — group count is bounded (sources), the corpus never re-shuffles.
+    "q321_fairness_audit" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val x = synchronized {
+          lastX.foreach(_.unpersist(blocking = false))
+          val built = HashedLogReg.withLabelAndBias(
+            HashedLogReg.tokenFeatures(docs, "text", StopTerms),
+            ThreshPerMille)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          lastX = Some(built)
+          built
+        }
+        val n = docs.count()
+        val w = HashedLogReg.train(x, n, Rounds, InvLr)
+        val scored = HashedLogReg.score(x, w)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        val per = scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("y")).as("n_pos"),
+            sum(when(col("z") >= 0L, 1L).otherwise(0L)).as("n_sel"),
+            sum(when(col("z") >= 0L && col("y") === 1L, 1L)
+              .otherwise(0L)).as("n_sel_pos"))
+          .select(col("source"), col("n_docs"), col("n_pos"),
+            col("n_sel"),
+            expr("n_sel * 1000000L div n_docs").as("sel_rate_ppm"),
+            expr("n_sel_pos * 1000000L div GREATEST(n_pos, 1L)")
+              .as("tpr_ppm"),
+            expr("(n_sel - n_sel_pos) * 1000000L div " +
+              "GREATEST(n_docs - n_pos, 1L)").as("fpr_ppm"))
+          .localCheckpoint(false)
+        val mx = per.agg(max(col("sel_rate_ppm")).as("max_sel_ppm"),
+          max(col("tpr_ppm")).as("max_tpr_ppm"))
+        per.crossJoin(broadcast(mx))
+          .select(col("source"), col("n_docs"), col("n_pos"),
+            col("n_sel"), col("sel_rate_ppm"), col("tpr_ppm"),
+            col("fpr_ppm"),
+            expr("sel_rate_ppm * 1000000L div GREATEST(max_sel_ppm, 1L)")
+              .as("di_ppm"),
+            expr("max_tpr_ppm - tpr_ppm").as("eo_gap_ppm"),
+            expr("CAST(CASE WHEN sel_rate_ppm * 1000000L div " +
+              "GREATEST(max_sel_ppm, 1L) >= 800000 THEN 1 ELSE 0 END " +
+              "AS BIGINT)").as("four_fifths_pass"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(fairnessOracle(Rounds)))
   )
 
   /** q254's oracle: the shared training chain, the final scoring join,
@@ -978,6 +1051,43 @@ object Classifier {
                  AS BIGINT) AS agree
         FROM r CROSS JOIN nn GROUP BY 1 ORDER BY decile"""
   }
+
+  /** q321's oracle: the SAME unrolled training chain, then the final
+    * scoring join, the per-source fairness rollup, and the 1-row max
+    * rates joined back for disparate impact / equal-opportunity gap —
+    * every rate the same floor-div ppm over exact counts. */
+  private def fairnessOracle(rounds: Int): String =
+    s"""${trainCtes(rounds)},
+        zs AS (SELECT x.doc_id, MAX(x.y) AS y,
+                      CAST(SUM(x.x * w.wv) AS BIGINT) AS z
+               FROM x JOIN w$rounds w ON w.j = x.j GROUP BY x.doc_id),
+        per AS (SELECT d.source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(zs.y) AS BIGINT) AS n_pos,
+                       CAST(SUM(CASE WHEN zs.z >= 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_sel,
+                       CAST(SUM(CASE WHEN zs.z >= 0 AND zs.y = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sel_pos
+                FROM zs JOIN documents d ON d.doc_id = zs.doc_id
+                GROUP BY 1),
+        rates AS (SELECT source, n_docs, n_pos, n_sel,
+                         n_sel * 1000000 // n_docs AS sel_rate_ppm,
+                         n_sel_pos * 1000000 // GREATEST(n_pos, 1)
+                           AS tpr_ppm,
+                         (n_sel - n_sel_pos) * 1000000
+                           // GREATEST(n_docs - n_pos, 1) AS fpr_ppm
+                  FROM per),
+        mx AS (SELECT MAX(sel_rate_ppm) AS max_sel_ppm,
+                      MAX(tpr_ppm) AS max_tpr_ppm FROM rates)
+        SELECT r.source, r.n_docs, r.n_pos, r.n_sel, r.sel_rate_ppm,
+               r.tpr_ppm, r.fpr_ppm,
+               r.sel_rate_ppm * 1000000 // GREATEST(mx.max_sel_ppm, 1)
+                 AS di_ppm,
+               mx.max_tpr_ppm - r.tpr_ppm AS eo_gap_ppm,
+               CAST(CASE WHEN r.sel_rate_ppm * 1000000
+                 // GREATEST(mx.max_sel_ppm, 1) >= 800000
+                 THEN 1 ELSE 0 END AS BIGINT) AS four_fifths_pass
+        FROM rates r CROSS JOIN mx ORDER BY r.source"""
 
   /** q233's oracle: the full fixed-point training run unrolled. Round k
     * derives weight table w_k from w_{k-1} entirely in SQL — per-doc

@@ -752,6 +752,18 @@ class PlanGuardSpec2 extends SparkSpec {
         "keyed equijoin over bounded candidate pairs, never all-pairs)")
   }
 
+  test("q321: fairness audit is one source-keyed agg + a 1-row max broadcast") {
+    val p = plan("q321_fairness_audit")
+    assert(p.contains("Scan ExistingRDD"),
+      "per-source rate table lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "audit tail re-scans the corpus (training/scoring own the scans; " +
+        "the tail reads only the bounded per-source rate table)")
+    assert(!p.contains("CartesianProduct"),
+      "audit planned a SHUFFLED cross product (the 1-row max-rates " +
+        "broadcast is the only legal cross join)")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
