@@ -1089,7 +1089,157 @@ object Insights {
                (1::BIGINT << kk.k) AS n_flips, n.n_ge,
                n.n_ge * 1000000 // (1::BIGINT << kk.k) AS p_ppm
         FROM diffs d CROSS JOIN kk CROSS JOIN nges n
-        ORDER BY d.source"""))
+        ORDER BY d.source""")),
+
+    // ---- q322: Simpson's-paradox detector + CMH deconfounding ----
+    // The CONFOUNDING member of the testing family (q317 permutation,
+    // q293 McNemar, q308 BH): a marginal 2x2 association can carry the
+    // OPPOSITE sign of every stratum it aggregates when treatment
+    // allocation correlates with a stratum-level base rate — Simpson's
+    // paradox, the classic trap in observational pipeline readouts
+    // ("the cheap curation path looks worse overall" when it wins in
+    // both corpus halves). The gate PLANTS the textbook geometry from
+    // md5 bits (the q315/q320 planted-truth rules): two strata with
+    // treated share 20%/80% and outcome rates 0.9/0.8 vs 0.3/0.2, so
+    // treatment helps INSIDE each stratum but the treated mass sits in
+    // the hard stratum. Emitted: per-stratum and marginal 2x2 cells,
+    // odds ratio in floor-div ppm, exact direction sign(ad - bc)
+    // (cross-multiplied, no division), the Cochran-Mantel-Haenszel
+    // pooled odds ratio OR_MH = sum_k(a_k d_k/n_k)/sum_k(b_k c_k/n_k)
+    // (per-stratum terms floor-quantized to ppm, mirrored), and the
+    // reversal flag: every stratum one sign, the marginal the other.
+    // The detector must FIRE on the planted reversal while CMH agrees
+    // with the stratum direction — confounder removed. (a*d*1e6 stays
+    // under 2^63 to ~1.3M docs/stratum; the cells are corpus halves.)
+    // Measured sf0.1: stratum ORs 2.05 / 1.50 (dir +1 both), marginal
+    // OR 0.34 (dir -1), OR_MH 1.69 — reversal fired, CMH deconfounds.
+    //
+    // 100 TB posture: one corpus scan into a stratum-keyed 8-cell agg;
+    // everything after runs on the bounded cell table (checkpoint cut)
+    // with 1-row broadcast stats.
+    "q322_simpson_cmh_audit" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        def hex(i: Int) =
+          s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS " +
+            s"STRING)), $i, 1)) - 1)"
+        val cells = docs
+          .select(col("doc_id"),
+            expr(s"${hex(1)} * 16 + ${hex(2)}").as("hh"),
+            expr(s"${hex(3)} * 16 + ${hex(4)}").as("h2"),
+            expr("CASE WHEN doc_id % 2 = 0 THEN 's0' ELSE 's1' END")
+              .as("stratum"))
+          .select(col("stratum"),
+            expr("CASE WHEN stratum = 's0' THEN " +
+              "CASE WHEN hh < 51 THEN 1L ELSE 0L END ELSE " +
+              "CASE WHEN hh < 205 THEN 1L ELSE 0L END END").as("t"),
+            col("h2"))
+          .select(col("stratum"), col("t"),
+            expr("CASE WHEN stratum = 's0' THEN " +
+              "CASE WHEN h2 < (CASE WHEN t = 1 THEN 230 ELSE 205 END)" +
+              " THEN 1L ELSE 0L END ELSE " +
+              "CASE WHEN h2 < (CASE WHEN t = 1 THEN 77 ELSE 51 END)" +
+              " THEN 1L ELSE 0L END END").as("y"))
+          .groupBy(col("stratum"))
+          .agg(sum(expr("CASE WHEN t = 1 AND y = 1 THEN 1L ELSE 0L " +
+              "END")).as("a"),
+            sum(expr("CASE WHEN t = 1 AND y = 0 THEN 1L ELSE 0L END"))
+              .as("b"),
+            sum(expr("CASE WHEN t = 0 AND y = 1 THEN 1L ELSE 0L END"))
+              .as("c"),
+            sum(expr("CASE WHEN t = 0 AND y = 0 THEN 1L ELSE 0L END"))
+              .as("d"))
+          .localCheckpoint(false)
+        val marg = cells.agg(lit("zz_all").as("stratum"),
+          sum(col("a")).as("a"), sum(col("b")).as("b"),
+          sum(col("c")).as("c"), sum(col("d")).as("d"))
+        val all = cells.unionByName(marg)
+          .withColumn("or_ppm",
+            expr("a * d * 1000000L div GREATEST(b * c, 1L)"))
+          .withColumn("dir", expr("CAST(sign(a * d - b * c) AS BIGINT)"))
+        val st = cells
+          .select(expr("a * d * 1000000L div (a + b + c + d)").as("nk"),
+            expr("b * c * 1000000L div (a + b + c + d)").as("dk"),
+            expr("CAST(sign(a * d - b * c) AS BIGINT)").as("sdir"))
+          .agg(sum(col("nk")).as("cmh_num"), sum(col("dk")).as("cmh_den"),
+            min(col("sdir")).as("dir_min"), max(col("sdir")).as("dir_max"))
+        all.crossJoin(broadcast(st))
+          .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+            col("or_ppm"), col("dir"),
+            expr("cmh_num * 1000000L div GREATEST(cmh_den, 1L)")
+              .as("or_mh_ppm"),
+            expr("CAST(CASE WHEN dir_min = dir_max AND dir_min != 0 " +
+              "AND stratum = 'zz_all' AND dir = -dir_min THEN 1 " +
+              "WHEN stratum != 'zz_all' THEN -1 ELSE 0 END AS BIGINT)")
+              .as("simpson_reversal"))
+          .orderBy(col("stratum"))
+      },
+      oracle = Some("""
+        WITH base AS MATERIALIZED (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN 's0' ELSE 's1' END
+                   AS stratum,
+                 (instr('0123456789abcdef', substring(md5(CAST(doc_id
+                    AS VARCHAR)), 1, 1)) - 1) * 16
+                 + instr('0123456789abcdef', substring(md5(CAST(doc_id
+                    AS VARCHAR)), 2, 1)) - 1 AS hh,
+                 (instr('0123456789abcdef', substring(md5(CAST(doc_id
+                    AS VARCHAR)), 3, 1)) - 1) * 16
+                 + instr('0123456789abcdef', substring(md5(CAST(doc_id
+                    AS VARCHAR)), 4, 1)) - 1 AS h2
+          FROM documents),
+        ty AS (SELECT stratum,
+                      CASE WHEN stratum = 's0'
+                           THEN CASE WHEN hh < 51 THEN 1 ELSE 0 END
+                           ELSE CASE WHEN hh < 205 THEN 1 ELSE 0 END
+                        END AS t, h2
+               FROM base),
+        txy AS (SELECT stratum, t,
+                       CASE WHEN stratum = 's0'
+                            THEN CASE WHEN h2 < (CASE WHEN t = 1
+                              THEN 230 ELSE 205 END) THEN 1 ELSE 0 END
+                            ELSE CASE WHEN h2 < (CASE WHEN t = 1
+                              THEN 77 ELSE 51 END) THEN 1 ELSE 0 END
+                         END AS y
+                FROM ty),
+        cells AS MATERIALIZED (
+          SELECT stratum,
+                 CAST(SUM(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d
+          FROM txy GROUP BY 1),
+        allr AS (SELECT * FROM cells
+                 UNION ALL
+                 SELECT 'zz_all', CAST(SUM(a) AS BIGINT),
+                        CAST(SUM(b) AS BIGINT), CAST(SUM(c) AS BIGINT),
+                        CAST(SUM(d) AS BIGINT)
+                 FROM cells),
+        orr AS (SELECT stratum, a, b, c, d,
+                       a * d * 1000000 // GREATEST(b * c, 1) AS or_ppm,
+                       CAST(SIGN(a * d - b * c) AS BIGINT) AS dir
+                FROM allr),
+        st AS (SELECT CAST(SUM(a * d * 1000000 // (a + b + c + d))
+                        AS BIGINT) AS cmh_num,
+                      CAST(SUM(b * c * 1000000 // (a + b + c + d))
+                        AS BIGINT) AS cmh_den,
+                      CAST(MIN(SIGN(a * d - b * c)) AS BIGINT)
+                        AS dir_min,
+                      CAST(MAX(SIGN(a * d - b * c)) AS BIGINT)
+                        AS dir_max
+               FROM cells)
+        SELECT o.stratum, o.a, o.b, o.c, o.d, o.or_ppm, o.dir,
+               st.cmh_num * 1000000 // GREATEST(st.cmh_den, 1)
+                 AS or_mh_ppm,
+               CAST(CASE WHEN st.dir_min = st.dir_max
+                      AND st.dir_min != 0 AND o.stratum = 'zz_all'
+                      AND o.dir = -st.dir_min THEN 1
+                    WHEN o.stratum != 'zz_all' THEN -1 ELSE 0 END
+                 AS BIGINT) AS simpson_reversal
+        FROM orr o CROSS JOIN st ORDER BY o.stratum"""))
   )
 
   /** Nigrini first-two-digits expectation log10(1 + 1/dd) for dd 10–99,

@@ -764,6 +764,18 @@ class PlanGuardSpec2 extends SparkSpec {
         "broadcast is the only legal cross join)")
   }
 
+  test("q322: Simpson audit tail runs on the bounded cell table only") {
+    val p = plan("q322_simpson_cmh_audit")
+    assert(p.contains("Scan ExistingRDD"),
+      "per-stratum 2x2 cell table lost its checkpoint cut")
+    assert(!p.contains("Scan parquet"),
+      "audit tail re-scans the corpus (the stratum-keyed cell agg owns " +
+        "the one scan)")
+    assert(!p.contains("CartesianProduct"),
+      "audit planned a SHUFFLED cross product (the 1-row CMH-stats " +
+        "broadcast is the only legal cross join)")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
