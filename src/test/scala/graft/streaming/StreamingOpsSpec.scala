@@ -603,6 +603,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(fold(withDupes) == oneShot, "idempotence under replay failed")
   }
 
+  test("streamed count-min fold is chop- and order-invariant, state-bounded (q323 law)") {
+    // q323's counter algebra: folding events into a d×w counter matrix
+    // batch by batch yields the SAME matrix for any chop/order of the
+    // stream and equals the one-shot count — addition is associative
+    // and commutative — and per-shard matrices SUM to the global one
+    // (the cross-shard merge). State never exceeds d·w cells.
+    val d = 4; val w = 16
+    val events = (1L to 120L).map(i => (i * 2654435761L) % 37L)
+    def buckets(e: Long): Seq[Int] =
+      (0 until d).map(r => (((e + 1) * (r + 3) * 40503L) % w).toInt)
+    def fold(chunks: Seq[Seq[Long]]): Seq[Long] =
+      chunks.foldLeft(Array.fill(d * w)(0L)) { (st, ch) =>
+        ch.foreach(e => buckets(e).zipWithIndex.foreach {
+          case (b, r) => st(r * w + b) += 1 })
+        assert(st.length == d * w, "state exceeded its d*w bound")
+        st
+      }.toSeq
+    val oneShot = fold(Seq(events))
+    assert(fold((0 until 5).map(r => events.filter(_ % 5 == r)))
+      == oneShot, "mod-chopped fold diverged")
+    assert(fold(events.grouped(11).toSeq.reverse) == oneShot,
+      "reverse-chunk fold diverged")
+    // shard merge: per-shard matrices sum to the global matrix
+    val byShard = (0 until 3).map(s =>
+      fold(Seq(events.filter(_ % 3 == s))))
+    val summed = byShard.transpose.map(_.sum)
+    assert(summed == oneShot, "per-shard matrix sum diverged from global")
+  }
+
   test("streamed in-row model scorer ≡ batch bucketized scorer (q272 law)") {
     // The stream-static MODEL completeness law on a MemoryStream: the
     // stateless per-row scorer (Σ_tokens w[bucket] + bias, literal
