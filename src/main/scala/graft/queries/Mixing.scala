@@ -1098,6 +1098,146 @@ object Mixing {
                CASE WHEN ps.rank <= kst.k_star THEN 'drifted'
                  ELSE 'consistent' END AS verdict
         FROM ps CROSS JOIN kst
-        ORDER BY ps.rank"""))
+        ORDER BY ps.rank""")),
+
+    // ---- q324: optimal source→shard placement certificate ----
+    // The COMBINATORIAL-OPTIMALITY member of the layout family (q180
+    // balanced shards and q218 rendezvous are greedy/hash heuristics;
+    // this gate computes a PROVABLY optimal assignment and certifies
+    // it): place the 8 lexicographically-first sources onto 8 shards
+    // with capacities cap_j = T·(j+1) div 36, minimizing total
+    // |size_i − cap_j| movement cost — the assignment problem. Spark
+    // solves it by a suffix bitmask DP over the collected 8×8 integer
+    // cost matrix (g[i][mask] = min_j∈mask cost[i][j] + g[i+1][mask\j],
+    // 2^8·8·8 driver ops on 64 collected longs — the BPE-merge-table
+    // precedent), reconstructing the LEXICOGRAPHICALLY-SMALLEST argmin
+    // (per source, smallest shard achieving the suffix optimum — the
+    // near-equal source sizes make ties real, so the tie-break is
+    // load-bearing). The DuckDB oracle knows nothing of the DP: it
+    // ENUMERATES all 8! = 40320 permutations by incremental CTE joins
+    // and takes the (cost, s1..s8) lexicographic minimum — the hash
+    // match is itself the proof the DP equals the brute-force
+    // definition (the q317 proof pattern, applied to optimization).
+    //
+    // 100 TB posture: the one corpus-scale stage is the source-keyed
+    // size agg; the DP runs on a k×k matrix of driver longs (k =
+    // sources, dozens in practice) and the report is a bounded
+    // LocalTableScan. Exact DP is O(2^k·k²) — the certificate tool for
+    // small k; production placement at large k uses q218 rendezvous,
+    // whose regret this gate can now measure.
+    "q324_optimal_placement" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val sizes = docs.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("size_chars"))
+          .orderBy(col("source")).limit(8)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val k = sizes.length
+        val total = sizes.map(_._2).sum
+        val caps = (1 to k).map(j => total * j / 36L).toArray
+        val cost = Array.tabulate(k, k)((i, j) =>
+          math.abs(sizes(i)._2 - caps(j)))
+        // suffix DP over shard subsets
+        val full = (1 << k) - 1
+        val g = Array.fill(k + 1, 1 << k)(Long.MaxValue / 4)
+        g(k)(0) = 0L
+        for (i <- k - 1 to 0 by -1; mask <- 0 to full
+             if Integer.bitCount(mask) == k - i) {
+          var best = Long.MaxValue / 4
+          for (j <- 0 until k if (mask & (1 << j)) != 0) {
+            val c = cost(i)(j) + g(i + 1)(mask ^ (1 << j))
+            if (c < best) best = c
+          }
+          g(i)(mask) = best
+        }
+        // forward reconstruction, smallest shard first on ties
+        var mask = full
+        val pick = new Array[Int](k)
+        for (i <- 0 until k) {
+          val j = (0 until k).find(j => (mask & (1 << j)) != 0 &&
+            cost(i)(j) + g(i + 1)(mask ^ (1 << j)) == g(i)(mask)).get
+          pick(i) = j
+          mask ^= (1 << j)
+        }
+        val totalCost = g(0)(full)
+        import spark.implicits._
+        sizes.zipWithIndex.map { case ((s, sz), i) =>
+          (s, pick(i).toLong, sz, caps(pick(i)),
+            math.abs(sz - caps(pick(i))), totalCost)
+        }.toSeq
+          .toDF("source", "shard_id", "size_chars", "cap_chars",
+            "move_cost", "total_cost")
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH sz AS MATERIALIZED (
+          SELECT source, CAST(SUM(n_chars) AS BIGINT) AS size_chars
+          FROM documents GROUP BY 1 ORDER BY source LIMIT 8),
+        idx AS MATERIALIZED (
+          SELECT source, size_chars,
+                 ROW_NUMBER() OVER (ORDER BY source) - 1 AS i
+          FROM sz),
+        tt AS (SELECT CAST(SUM(size_chars) AS BIGINT) AS t FROM sz),
+        cap AS MATERIALIZED (
+          SELECT CAST(j AS BIGINT) AS j,
+                 CAST(tt.t * (j + 1) // 36 AS BIGINT) AS cap_chars
+          FROM range(8) r(j) CROSS JOIN tt),
+        c AS MATERIALIZED (
+          SELECT idx.i, cap.j,
+                 CAST(ABS(idx.size_chars - cap.cap_chars) AS BIGINT)
+                   AS cost
+          FROM idx CROSS JOIN cap),
+        -- enumerate all 8! permutations incrementally
+        p1 AS (SELECT j AS s0 FROM range(8) r(j)),
+        p2 AS (SELECT s0, j AS s1 FROM p1 CROSS JOIN range(8) r(j)
+               WHERE j != s0),
+        p3 AS (SELECT s0, s1, j AS s2 FROM p2 CROSS JOIN range(8) r(j)
+               WHERE j != s0 AND j != s1),
+        p4 AS (SELECT s0, s1, s2, j AS s3
+               FROM p3 CROSS JOIN range(8) r(j)
+               WHERE j != s0 AND j != s1 AND j != s2),
+        p5 AS (SELECT s0, s1, s2, s3, j AS s4
+               FROM p4 CROSS JOIN range(8) r(j)
+               WHERE j != s0 AND j != s1 AND j != s2 AND j != s3),
+        p6 AS (SELECT s0, s1, s2, s3, s4, j AS s5
+               FROM p5 CROSS JOIN range(8) r(j)
+               WHERE j != s0 AND j != s1 AND j != s2 AND j != s3
+                 AND j != s4),
+        p7 AS (SELECT s0, s1, s2, s3, s4, s5, j AS s6
+               FROM p6 CROSS JOIN range(8) r(j)
+               WHERE j != s0 AND j != s1 AND j != s2 AND j != s3
+                 AND j != s4 AND j != s5),
+        p8 AS (SELECT s0, s1, s2, s3, s4, s5, s6,
+                      28 - (s0 + s1 + s2 + s3 + s4 + s5 + s6) AS s7
+               FROM p7),
+        scored AS (
+          SELECT p8.*,
+                 (SELECT cost FROM c WHERE i = 0 AND j = s0)
+               + (SELECT cost FROM c WHERE i = 1 AND j = s1)
+               + (SELECT cost FROM c WHERE i = 2 AND j = s2)
+               + (SELECT cost FROM c WHERE i = 3 AND j = s3)
+               + (SELECT cost FROM c WHERE i = 4 AND j = s4)
+               + (SELECT cost FROM c WHERE i = 5 AND j = s5)
+               + (SELECT cost FROM c WHERE i = 6 AND j = s6)
+               + (SELECT cost FROM c WHERE i = 7 AND j = s7) AS total
+          FROM p8),
+        best AS (SELECT * FROM scored
+                 ORDER BY total, s0, s1, s2, s3, s4, s5, s6 LIMIT 1),
+        asg AS (SELECT 0 AS i, s0 AS j, total FROM best
+                UNION ALL SELECT 1, s1, total FROM best
+                UNION ALL SELECT 2, s2, total FROM best
+                UNION ALL SELECT 3, s3, total FROM best
+                UNION ALL SELECT 4, s4, total FROM best
+                UNION ALL SELECT 5, s5, total FROM best
+                UNION ALL SELECT 6, s6, total FROM best
+                UNION ALL SELECT 7, s7, total FROM best)
+        SELECT idx.source, CAST(asg.j AS BIGINT) AS shard_id,
+               idx.size_chars, cap.cap_chars,
+               CAST(ABS(idx.size_chars - cap.cap_chars) AS BIGINT)
+                 AS move_cost,
+               CAST(asg.total AS BIGINT) AS total_cost
+        FROM asg JOIN idx ON idx.i = asg.i
+        JOIN cap ON cap.j = asg.j
+        ORDER BY idx.source"""))
   )
 }

@@ -776,6 +776,17 @@ class PlanGuardSpec2 extends SparkSpec {
         "broadcast is the only legal cross join)")
   }
 
+  test("q324: placement report is a bounded LocalTableScan (DP is driver arithmetic)") {
+    val p = plan("q324_optimal_placement")
+    assert(p.contains("LocalTableScan"),
+      "assignment report not a bounded driver-side table")
+    assert(!p.contains("Scan parquet"),
+      "report plan re-scans the corpus (the source-size agg owns the " +
+        "one scan, collected at k rows)")
+    assert(!p.contains("CartesianProduct"),
+      "placement report planned a cross product")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
