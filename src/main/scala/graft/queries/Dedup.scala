@@ -1269,104 +1269,13 @@ object Dedup {
     // per side).
     "q302_record_linkage" -> QueryDef(
       build = (spark, dir) => {
-        import org.apache.spark.sql.types.DecimalType
-        val dec = DecimalType(38, 0)
-        def coin(salt: String) =
-          conv(substring(md5(concat(lit(salt),
-            col("k").cast("string"))), 1, 12), 16, 10)
-            .cast("long") % 1000000L
-        val base = Tables.customer(spark, dir).select(
-          col("c_custkey").as("k"),
-          col("c_nationkey").cast("long").as("nat"),
-          expr("(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)" +
-            " div 50000").as("band"),
-          col("c_mktsegment").as("seg"),
-          (col("c_custkey") % 1000L).as("tok"))
-        val a = base.filter(coin("q302A#") < 900000L)
-          .select(col("k").as("a_key"), col("nat"), col("band"),
-            col("seg"), col("tok"))
-        val nextSeg = when(col("seg") === "AUTOMOBILE", "BUILDING")
-          .when(col("seg") === "BUILDING", "FURNITURE")
-          .when(col("seg") === "FURNITURE", "HOUSEHOLD")
-          .when(col("seg") === "HOUSEHOLD", "MACHINERY")
-          .otherwise("AUTOMOBILE")
-        val b = base.filter(coin("q302B#") < 900000L).select(
-          col("k").as("b_key"),
-          when(coin("q302N#") < 50000L, (col("nat") + 1) % 25)
-            .otherwise(col("nat")).as("nat"),
-          when(coin("q302D#") < 100000L, col("band") + 1)
-            .otherwise(col("band")).as("band"),
-          when(coin("q302S#") < 150000L, nextSeg)
-            .otherwise(col("seg")).as("seg"),
-          when(coin("q302T#") < 100000L, (col("tok") + 1) % 1000)
-            .otherwise(col("tok")).as("tok"))
-        def proj(df: DataFrame) = df.select(
-          col("x.a_key").as("a_key"), col("y.b_key").as("b_key"),
-          when(col("x.tok") === col("y.tok"), 1L).otherwise(0L)
-            .as("g_tok"),
-          when(col("x.seg") === col("y.seg"), 1L).otherwise(0L)
-            .as("g_seg"),
-          when(col("x.band") === col("y.band"), 1L).otherwise(0L)
-            .as("g_band"))
-        val r1 = a.as("x").join(b.as("y"),
-          col("x.nat") === col("y.nat") && col("x.band") === col("y.band"))
-        val r2 = a.as("x").join(b.as("y"),
-          col("x.nat") === col("y.nat") && col("x.seg") === col("y.seg"))
-        val cand = proj(r1).union(proj(r2)).distinct()
-        val pat = cand
-          .groupBy((col("g_tok") * 4 + col("g_seg") * 2 + col("g_band"))
-            .as("pid"))
+        val lp = linkageParts(spark, dir)
+        val pat = lp.cand
+          .groupBy(col("pid"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(when(col("a_key") === col("b_key"), 1L).otherwise(0L))
               .as("n_true"))
-        def sFor(field: String) = {
-          val fa = a.groupBy(col(field).as("v"))
-            .agg(count(lit(1)).as("ca"))
-          val fb = b.groupBy(col(field).as("v"))
-            .agg(count(lit(1)).as("cb"))
-          fa.join(fb, "v")
-            .agg(sum(col("ca").cast(dec) * col("cb")).as(s"s_$field"))
-        }
-        val st = a.agg(count(lit(1)).as("n_a"))
-          .crossJoin(b.agg(count(lit(1)).as("n_b")))
-          .crossJoin(sFor("tok")).crossJoin(sFor("seg"))
-          .crossJoin(sFor("band"))
-          .crossJoin(a.join(b, col("a_key") === col("b_key"))
-            .agg(count(lit(1)).as("n_true_total")))
-          .withColumn("nab", (col("n_a").cast(dec) * col("n_b")).cast(dec))
-          .withColumn("f_tok_a", expr(
-            "CAST(CAST(900000 AS DECIMAL(38,0)) * nab div s_tok AS BIGINT)"))
-          .withColumn("f_tok_d", expr(
-            "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
-              " div (nab - s_tok) AS BIGINT)"))
-          .withColumn("f_seg_a", expr(
-            "CAST(CAST(900000 AS DECIMAL(38,0)) * nab div s_seg AS BIGINT)"))
-          .withColumn("f_seg_d", expr(
-            "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
-              " div (nab - s_seg) AS BIGINT)"))
-          .withColumn("f_band_a", expr(
-            "CAST(CAST(900000 AS DECIMAL(38,0)) * nab div s_band AS BIGINT)"))
-          .withColumn("f_band_d", expr(
-            "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
-              " div (nab - s_band) AS BIGINT)"))
-        val grid = spark.range(8).select(col("id").as("pid"),
-          expr("id div 4 % 2").as("g_tok"),
-          expr("id div 2 % 2").as("g_seg"),
-          expr("id % 2").as("g_band"))
-        val scored = grid.crossJoin(broadcast(st))
-          .withColumn("f1", when(col("g_tok") === 1L, col("f_tok_a"))
-            .otherwise(col("f_tok_d")))
-          .withColumn("f2", when(col("g_seg") === 1L, col("f_seg_a"))
-            .otherwise(col("f_seg_d")))
-          .withColumn("f3", when(col("g_band") === 1L, col("f_band_a"))
-            .otherwise(col("f_band_d")))
-          .withColumn("score_ppm12", expr(
-            "CAST(CAST(f1 AS DECIMAL(38,0)) * f2 * f3" +
-              " div 1000000 AS BIGINT)"))
-          .withColumn("decision",
-            when(col("score_ppm12") >= 64000000000000L, "match")
-              .when(col("score_ppm12") >= 1000000000000L, "possible")
-              .otherwise("non_match"))
+        val scored = lp.grid
           .join(pat, Seq("pid"), "left")
           .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
           .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
@@ -1391,118 +1300,8 @@ object Dedup {
               .as("match_recall_ppm"))
           .orderBy(col("pid"))
       },
-      oracle = Some("""
-        WITH base AS (
-          SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
-                 (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)
-                   // 50000 AS band,
-                 c_mktsegment AS seg, c_custkey % 1000 AS tok
-          FROM customer),
-        a AS (SELECT k AS a_key, nat, band, seg, tok FROM base
-              WHERE ('0x' || substr(md5('q302A#' || CAST(k AS VARCHAR)),
-                1, 12))::BIGINT % 1000000 < 900000),
-        b AS (SELECT k AS b_key,
-                CASE WHEN ('0x' || substr(md5('q302N#' ||
-                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 50000
-                  THEN (nat + 1) % 25 ELSE nat END AS nat,
-                CASE WHEN ('0x' || substr(md5('q302D#' ||
-                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 100000
-                  THEN band + 1 ELSE band END AS band,
-                CASE WHEN ('0x' || substr(md5('q302S#' ||
-                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 150000
-                  THEN CASE seg WHEN 'AUTOMOBILE' THEN 'BUILDING'
-                    WHEN 'BUILDING' THEN 'FURNITURE'
-                    WHEN 'FURNITURE' THEN 'HOUSEHOLD'
-                    WHEN 'HOUSEHOLD' THEN 'MACHINERY'
-                    ELSE 'AUTOMOBILE' END
-                  ELSE seg END AS seg,
-                CASE WHEN ('0x' || substr(md5('q302T#' ||
-                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 100000
-                  THEN (tok + 1) % 1000 ELSE tok END AS tok
-              FROM base
-              WHERE ('0x' || substr(md5('q302B#' || CAST(k AS VARCHAR)),
-                1, 12))::BIGINT % 1000000 < 900000),
-        cand AS (
-          SELECT x.a_key, y.b_key,
-                 CASE WHEN x.tok = y.tok THEN 1 ELSE 0 END AS g_tok,
-                 CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END AS g_seg,
-                 CASE WHEN x.band = y.band THEN 1 ELSE 0 END AS g_band
-          FROM a x JOIN b y ON x.nat = y.nat AND x.band = y.band
-          UNION
-          SELECT x.a_key, y.b_key,
-                 CASE WHEN x.tok = y.tok THEN 1 ELSE 0 END,
-                 CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END,
-                 CASE WHEN x.band = y.band THEN 1 ELSE 0 END
-          FROM a x JOIN b y ON x.nat = y.nat AND x.seg = y.seg),
-        pat AS (
-          SELECT g_tok * 4 + g_seg * 2 + g_band AS pid,
-                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                 CAST(SUM(CASE WHEN a_key = b_key THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_true
-          FROM cand GROUP BY 1),
-        st AS (
-          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
-                 (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
-                 (SELECT CAST(SUM(CAST(fa.ca AS HUGEINT) * fb.cb)
-                    AS HUGEINT)
-                  FROM (SELECT tok AS v, COUNT(*) AS ca FROM a GROUP BY 1)
-                    fa JOIN (SELECT tok AS v, COUNT(*) AS cb FROM b
-                    GROUP BY 1) fb USING (v)) AS s_tok,
-                 (SELECT CAST(SUM(CAST(fa.ca AS HUGEINT) * fb.cb)
-                    AS HUGEINT)
-                  FROM (SELECT seg AS v, COUNT(*) AS ca FROM a GROUP BY 1)
-                    fa JOIN (SELECT seg AS v, COUNT(*) AS cb FROM b
-                    GROUP BY 1) fb USING (v)) AS s_seg,
-                 (SELECT CAST(SUM(CAST(fa.ca AS HUGEINT) * fb.cb)
-                    AS HUGEINT)
-                  FROM (SELECT band AS v, COUNT(*) AS ca FROM a GROUP BY 1)
-                    fa JOIN (SELECT band AS v, COUNT(*) AS cb FROM b
-                    GROUP BY 1) fb USING (v)) AS s_band,
-                 (SELECT CAST(COUNT(*) AS BIGINT)
-                  FROM a JOIN b ON a_key = b_key) AS n_true_total),
-        stf AS (
-          SELECT *, CAST(n_a AS HUGEINT) * n_b AS nab,
-                 CAST(900000 * (CAST(n_a AS HUGEINT) * n_b) // s_tok
-                   AS BIGINT) AS f_tok_a,
-                 CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
-                   // (CAST(n_a AS HUGEINT) * n_b - s_tok) AS BIGINT)
-                   AS f_tok_d,
-                 CAST(900000 * (CAST(n_a AS HUGEINT) * n_b) // s_seg
-                   AS BIGINT) AS f_seg_a,
-                 CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
-                   // (CAST(n_a AS HUGEINT) * n_b - s_seg) AS BIGINT)
-                   AS f_seg_d,
-                 CAST(900000 * (CAST(n_a AS HUGEINT) * n_b) // s_band
-                   AS BIGINT) AS f_band_a,
-                 CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
-                   // (CAST(n_a AS HUGEINT) * n_b - s_band) AS BIGINT)
-                   AS f_band_d
-          FROM st),
-        grid AS (
-          SELECT CAST(range AS BIGINT) AS pid,
-                 CAST(range // 4 % 2 AS BIGINT) AS g_tok,
-                 CAST(range // 2 % 2 AS BIGINT) AS g_seg,
-                 CAST(range % 2 AS BIGINT) AS g_band
-          FROM range(0, 8)),
-        scored AS (
-          SELECT g.pid, g.g_tok, g.g_seg, g.g_band,
-                 COALESCE(p.n_pairs, 0) AS n_pairs,
-                 COALESCE(p.n_true, 0) AS n_true,
-                 CAST(CAST(CASE WHEN g.g_tok = 1 THEN s.f_tok_a
-                     ELSE s.f_tok_d END AS HUGEINT)
-                   * CASE WHEN g.g_seg = 1 THEN s.f_seg_a
-                     ELSE s.f_seg_d END
-                   * CASE WHEN g.g_band = 1 THEN s.f_band_a
-                     ELSE s.f_band_d END // 1000000 AS BIGINT)
-                   AS score_ppm12,
-                 s.n_a, s.n_b, s.n_true_total
-          FROM grid g CROSS JOIN stf s
-          LEFT JOIN pat p ON p.pid = g.pid),
-        dec AS (
-          SELECT *, CASE WHEN score_ppm12 >= 64000000000000 THEN 'match'
-                 WHEN score_ppm12 >= 1000000000000 THEN 'possible'
-                 ELSE 'non_match' END AS decision
-          FROM scored),
+      oracle = Some(s"""
+        WITH $linkageCtes,
         summ AS (
           SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_cand,
                  CAST(SUM(n_true) AS BIGINT) AS n_true_in_cand,
@@ -1810,8 +1609,408 @@ object Dedup {
                  AS mean_chrf_ppm,
                CAST(MIN(chrf_ppm) AS BIGINT) AS min_chrf_ppm,
                CAST(MAX(chrf_ppm) AS BIGINT) AS max_chrf_ppm
-        FROM fs GROUP BY 1 ORDER BY ptype"""))
+        FROM fs GROUP BY 1 ORDER BY ptype""")),
+
+    // ---- q325: entity-resolution capstone (block→score→match→cluster→eval) ----
+    // The ER production path as ONE lineage — the composition gate the
+    // linkage family lacked (the q271/q300 capstone pattern applied to
+    // entity resolution): q302's registries and Fellegi–Sunter scoring
+    // (the SHARED linkageParts builder — the capstone cannot drift
+    // from the pairwise gate), match-class pairs promoted to an entity
+    // GRAPH (a-side node 2k, b-side 2k+1), 6 rounds of min-label
+    // propagation (the q265 recipe; round-6-vs-5 change count emitted
+    // as the convergence certificate), and the resulting clustering
+    // evaluated with B³ against the true entity key (the q315 metric).
+    // Pairwise decisions ≠ cluster quality: transitive closure chains
+    // false matches into over-merged entities — the classic ER failure
+    // pairwise precision cannot see; B³ on the clustered graph can,
+    // and this gate certifies the whole chain end-to-end (a drifted
+    // registry, a scoring slip, a propagation bug, or a B³ error all
+    // cascade to the hash). Measured sf0.1: 26,973 records, 11,835
+    // match pairs against 12,099 true pairs, yet 1,153 OVER-MERGED
+    // clusters pull B³ precision to 0.925 (q302's pairwise precision
+    // is far higher) — exactly the closure effect the capstone exists
+    // to expose; propagation converged (round-6 changes = 0).
+    //
+    // 100 TB posture: everything q302 pays (blocked equijoins, keyed
+    // pattern census), plus per-round ONE node-keyed equijoin +
+    // partial/final min on the MATCH graph (≈ true-pair cardinality,
+    // far below candidate cardinality), plus the B³ contingency aggs
+    // at cell cardinality. No all-pairs stage anywhere.
+    "q325_er_capstone" -> QueryDef(
+      build = (spark, dir) => {
+        val lp = linkageParts(spark, dir)
+        val grid8 = lp.grid.localCheckpoint(false)
+        val matchPids = grid8.filter(col("decision") === "match")
+          .select(col("pid"))
+        val mp = lp.cand.join(broadcast(matchPids), Seq("pid"))
+          .select(col("a_key"), col("b_key")).localCheckpoint(false)
+        val nodes = lp.a
+          .select((col("a_key") * 2).as("node"), col("a_key").as("truth"))
+          .unionAll(lp.b.select((col("b_key") * 2 + 1).as("node"),
+            col("b_key").as("truth")))
+          .localCheckpoint(false)
+        val e = mp.select((col("a_key") * 2).as("x"),
+          (col("b_key") * 2 + 1).as("y"))
+        val sym = e.union(e.select(col("y").as("x"), col("x").as("y")))
+        var lbl = nodes
+          .select(col("node"), col("truth"), col("node").as("lbl"))
+          .localCheckpoint(false)
+        var prev = lbl
+        for (_ <- 1 to 6) {
+          prev = lbl
+          val nbr = sym
+            .join(lbl.select(col("node").as("x"), col("lbl").as("xlbl")),
+              Seq("x"))
+            .groupBy(col("y")).agg(min(col("xlbl")).as("nlbl"))
+            .withColumnRenamed("y", "node")
+          lbl = lbl.join(nbr, Seq("node"), "left")
+            .select(col("node"), col("truth"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
+                .as("lbl"))
+            .localCheckpoint(false)
+        }
+        val ct = lbl.groupBy(col("lbl"), col("truth"))
+          .agg(count(lit(1)).as("n_ct")).localCheckpoint(false)
+        val nc = ct.groupBy(col("lbl")).agg(sum(col("n_ct")).as("n_c"))
+        val nt = ct.groupBy(col("truth")).agg(sum(col("n_ct")).as("n_t"))
+        val card = ct.join(nc, Seq("lbl")).join(nt, Seq("truth"))
+          .agg(sum(col("n_ct")).as("n_records"),
+            sum(expr("CAST(n_ct AS DECIMAL(38,0)) * n_ct" +
+              " * 1000000000000 div n_c")).as("p12"),
+            sum(expr("CAST(n_ct AS DECIMAL(38,0)) * n_ct" +
+              " * 1000000000000 div n_t")).as("r12"))
+          .select(col("n_records"),
+            expr("CAST(p12 div (CAST(n_records AS DECIMAL(38,0))" +
+              " * 1000000) AS BIGINT)").as("b3_precision_ppm"),
+            expr("CAST(r12 div (CAST(n_records AS DECIMAL(38,0))" +
+              " * 1000000) AS BIGINT)").as("b3_recall_ppm"))
+        val mg = ct.groupBy(col("lbl"))
+          .agg(countDistinct(col("truth")).as("k"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(when(col("k") > 1, 1L).otherwise(0L))
+              .as("n_merged_clusters"))
+        val sp = ct.groupBy(col("truth"))
+          .agg(countDistinct(col("lbl")).as("k"))
+          .agg(sum(when(col("k") > 1, 1L).otherwise(0L))
+            .as("n_split_truths"))
+        val np = mp.agg(count(lit(1)).as("n_match_pairs"))
+        val tp = grid8.agg(max(col("n_true_total")).as("n_true_pairs"))
+        val chg = lbl.select(col("node"), col("lbl").as("l6"))
+          .join(prev.select(col("node"), col("lbl").as("l5")),
+            Seq("node"))
+          .agg(sum(when(col("l6") =!= col("l5"), 1L).otherwise(0L))
+            .as("n_changed_last_round"))
+        card.crossJoin(broadcast(np)).crossJoin(broadcast(tp))
+          .crossJoin(broadcast(mg)).crossJoin(broadcast(sp))
+          .crossJoin(broadcast(chg))
+          .select(col("n_records"), col("n_true_pairs"),
+            col("n_match_pairs"), col("n_clusters"),
+            col("n_merged_clusters"), col("n_split_truths"),
+            col("n_changed_last_round"),
+            col("b3_precision_ppm"), col("b3_recall_ppm"),
+            expr("CAST(2 * b3_precision_ppm * b3_recall_ppm" +
+              " div GREATEST(b3_precision_ppm + b3_recall_ppm, 1)" +
+              " AS BIGINT)").as("b3_f1_ppm"))
+      },
+      oracle = Some {
+        val rounds = (1 to 6).map { k =>
+          s"""l$k AS (SELECT l.node, l.truth,
+                    LEAST(l.lbl, COALESCE(m.mn, l.lbl)) AS lbl
+             FROM l${k - 1} l LEFT JOIN (
+               SELECT s.y AS node, MIN(l2.lbl) AS mn
+               FROM sym s JOIN l${k - 1} l2 ON l2.node = s.x
+               GROUP BY 1) m ON m.node = l.node)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH $linkageCtes,
+        mp AS MATERIALIZED (
+          SELECT c.a_key, c.b_key
+          FROM cand c JOIN dec d
+            ON d.pid = c.g_tok * 4 + c.g_seg * 2 + c.g_band
+          WHERE d.decision = 'match'),
+        nodes AS MATERIALIZED (
+          SELECT a_key * 2 AS node, a_key AS truth FROM a
+          UNION ALL
+          SELECT b_key * 2 + 1, b_key FROM b),
+        e AS (SELECT a_key * 2 AS x, b_key * 2 + 1 AS y FROM mp),
+        sym AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+        l0 AS (SELECT node, truth, node AS lbl FROM nodes),
+        $rounds,
+        ct AS MATERIALIZED (
+          SELECT lbl, truth, CAST(COUNT(*) AS BIGINT) AS n_ct
+          FROM l6 GROUP BY 1, 2),
+        nc AS (SELECT lbl, CAST(SUM(n_ct) AS BIGINT) AS n_c
+               FROM ct GROUP BY 1),
+        nt AS (SELECT truth, CAST(SUM(n_ct) AS BIGINT) AS n_t
+               FROM ct GROUP BY 1),
+        card AS (SELECT CAST(SUM(n_ct) AS BIGINT) AS n_records,
+                        SUM(CAST(n_ct AS HUGEINT) * n_ct
+                          * 1000000000000 // n_c) AS p12,
+                        SUM(CAST(n_ct AS HUGEINT) * n_ct
+                          * 1000000000000 // n_t) AS r12
+                 FROM ct JOIN nc USING (lbl) JOIN nt USING (truth)),
+        pr AS (SELECT n_records,
+                      CAST(p12 // (CAST(n_records AS HUGEINT) * 1000000)
+                        AS BIGINT) AS b3_precision_ppm,
+                      CAST(r12 // (CAST(n_records AS HUGEINT) * 1000000)
+                        AS BIGINT) AS b3_recall_ppm
+               FROM card),
+        mg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                      CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_merged_clusters
+               FROM (SELECT lbl, COUNT(DISTINCT truth) AS k
+                     FROM ct GROUP BY 1)),
+        sp AS (SELECT CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_split_truths
+               FROM (SELECT truth, COUNT(DISTINCT lbl) AS k
+                     FROM ct GROUP BY 1)),
+        np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match_pairs FROM mp),
+        tp AS (SELECT CAST(MAX(n_true_total) AS BIGINT) AS n_true_pairs
+               FROM dec),
+        chg AS (SELECT CAST(SUM(CASE WHEN a6.lbl <> a5.lbl
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_changed_last_round
+                FROM l6 a6 JOIN l5 a5 USING (node))
+        SELECT pr.n_records, tp.n_true_pairs, np.n_match_pairs,
+               mg.n_clusters, mg.n_merged_clusters, sp.n_split_truths,
+               chg.n_changed_last_round,
+               pr.b3_precision_ppm, pr.b3_recall_ppm,
+               CAST(2 * pr.b3_precision_ppm * pr.b3_recall_ppm
+                 // GREATEST(pr.b3_precision_ppm + pr.b3_recall_ppm, 1)
+                 AS BIGINT) AS b3_f1_ppm
+        FROM pr CROSS JOIN np CROSS JOIN tp CROSS JOIN mg
+        CROSS JOIN sp CROSS JOIN chg"""
+      })
   )
+
+  /** Shared output of the q302/q325 Fellegi–Sunter linkage builder:
+    * the two noisy registries, the blocked candidate pairs (agreement
+    * flags + pattern id), and the 8-row scored pattern grid with
+    * decisions — one construction, two gates, so the capstone cannot
+    * drift from the pairwise gate's registries or scoring. */
+  private final case class LinkageParts(a: DataFrame, b: DataFrame,
+      cand: DataFrame, grid: DataFrame)
+
+  /** q302/q325's shared linkage front: md5-coin field noise over
+    * `customer`, two-pass blocking, frequency-based u statistics, and
+    * the integer-ppm FS factor products (see q302's docstring for the
+    * full derivation). */
+  private def linkageParts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): LinkageParts = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def coin(salt: String) =
+      conv(substring(md5(concat(lit(salt),
+        col("k").cast("string"))), 1, 12), 16, 10)
+        .cast("long") % 1000000L
+    val base = Tables.customer(spark, dir).select(
+      col("c_custkey").as("k"),
+      col("c_nationkey").cast("long").as("nat"),
+      expr("(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)" +
+        " div 50000").as("band"),
+      col("c_mktsegment").as("seg"),
+      (col("c_custkey") % 1000L).as("tok"))
+    val a = base.filter(coin("q302A#") < 900000L)
+      .select(col("k").as("a_key"), col("nat"), col("band"),
+        col("seg"), col("tok"))
+    val nextSeg = when(col("seg") === "AUTOMOBILE", "BUILDING")
+      .when(col("seg") === "BUILDING", "FURNITURE")
+      .when(col("seg") === "FURNITURE", "HOUSEHOLD")
+      .when(col("seg") === "HOUSEHOLD", "MACHINERY")
+      .otherwise("AUTOMOBILE")
+    val b = base.filter(coin("q302B#") < 900000L).select(
+      col("k").as("b_key"),
+      when(coin("q302N#") < 50000L, (col("nat") + 1) % 25)
+        .otherwise(col("nat")).as("nat"),
+      when(coin("q302D#") < 100000L, col("band") + 1)
+        .otherwise(col("band")).as("band"),
+      when(coin("q302S#") < 150000L, nextSeg)
+        .otherwise(col("seg")).as("seg"),
+      when(coin("q302T#") < 100000L, (col("tok") + 1) % 1000)
+        .otherwise(col("tok")).as("tok"))
+    def proj(df: DataFrame) = df.select(
+      col("x.a_key").as("a_key"), col("y.b_key").as("b_key"),
+      when(col("x.tok") === col("y.tok"), 1L).otherwise(0L)
+        .as("g_tok"),
+      when(col("x.seg") === col("y.seg"), 1L).otherwise(0L)
+        .as("g_seg"),
+      when(col("x.band") === col("y.band"), 1L).otherwise(0L)
+        .as("g_band"))
+    val r1 = a.as("x").join(b.as("y"),
+      col("x.nat") === col("y.nat") && col("x.band") === col("y.band"))
+    val r2 = a.as("x").join(b.as("y"),
+      col("x.nat") === col("y.nat") && col("x.seg") === col("y.seg"))
+    val cand = proj(r1).union(proj(r2)).distinct()
+      .withColumn("pid",
+        col("g_tok") * 4 + col("g_seg") * 2 + col("g_band"))
+    def sFor(field: String) = {
+      val fa = a.groupBy(col(field).as("v"))
+        .agg(count(lit(1)).as("ca"))
+      val fb = b.groupBy(col(field).as("v"))
+        .agg(count(lit(1)).as("cb"))
+      fa.join(fb, "v")
+        .agg(sum(col("ca").cast(dec) * col("cb")).as(s"s_$field"))
+    }
+    val st = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(sFor("tok")).crossJoin(sFor("seg"))
+      .crossJoin(sFor("band"))
+      .crossJoin(a.join(b, col("a_key") === col("b_key"))
+        .agg(count(lit(1)).as("n_true_total")))
+      .withColumn("nab", (col("n_a").cast(dec) * col("n_b")).cast(dec))
+      .withColumn("f_tok_a", expr(
+        "CAST(CAST(900000 AS DECIMAL(38,0)) * nab div s_tok AS BIGINT)"))
+      .withColumn("f_tok_d", expr(
+        "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
+          " div (nab - s_tok) AS BIGINT)"))
+      .withColumn("f_seg_a", expr(
+        "CAST(CAST(900000 AS DECIMAL(38,0)) * nab div s_seg AS BIGINT)"))
+      .withColumn("f_seg_d", expr(
+        "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
+          " div (nab - s_seg) AS BIGINT)"))
+      .withColumn("f_band_a", expr(
+        "CAST(CAST(900000 AS DECIMAL(38,0)) * nab div s_band AS BIGINT)"))
+      .withColumn("f_band_d", expr(
+        "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
+          " div (nab - s_band) AS BIGINT)"))
+    val gridBase = spark.range(8).select(col("id").as("pid"),
+      expr("id div 4 % 2").as("g_tok"),
+      expr("id div 2 % 2").as("g_seg"),
+      expr("id % 2").as("g_band"))
+    val grid = gridBase.crossJoin(broadcast(st))
+      .withColumn("f1", when(col("g_tok") === 1L, col("f_tok_a"))
+        .otherwise(col("f_tok_d")))
+      .withColumn("f2", when(col("g_seg") === 1L, col("f_seg_a"))
+        .otherwise(col("f_seg_d")))
+      .withColumn("f3", when(col("g_band") === 1L, col("f_band_a"))
+        .otherwise(col("f_band_d")))
+      .withColumn("score_ppm12", expr(
+        "CAST(CAST(f1 AS DECIMAL(38,0)) * f2 * f3" +
+          " div 1000000 AS BIGINT)"))
+      .withColumn("decision",
+        when(col("score_ppm12") >= 64000000000000L, "match")
+          .when(col("score_ppm12") >= 1000000000000L, "possible")
+          .otherwise("non_match"))
+    LinkageParts(a, b, cand, grid)
+  }
+
+  /** The shared WITH-chain of the linkage replay (registries → blocked
+    * candidates → pattern census → u statistics → scored/decided
+    * pattern grid `dec`) — q302's summary tail and q325's clustering
+    * tail both append to it, so neither oracle can drift from the
+    * other's registries or scoring. */
+  private def linkageCtes: String = """base AS (
+          SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nat,
+                 (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)
+                   // 50000 AS band,
+                 c_mktsegment AS seg, c_custkey % 1000 AS tok
+          FROM customer),
+        a AS (SELECT k AS a_key, nat, band, seg, tok FROM base
+              WHERE ('0x' || substr(md5('q302A#' || CAST(k AS VARCHAR)),
+                1, 12))::BIGINT % 1000000 < 900000),
+        b AS (SELECT k AS b_key,
+                CASE WHEN ('0x' || substr(md5('q302N#' ||
+                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 50000
+                  THEN (nat + 1) % 25 ELSE nat END AS nat,
+                CASE WHEN ('0x' || substr(md5('q302D#' ||
+                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 100000
+                  THEN band + 1 ELSE band END AS band,
+                CASE WHEN ('0x' || substr(md5('q302S#' ||
+                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 150000
+                  THEN CASE seg WHEN 'AUTOMOBILE' THEN 'BUILDING'
+                    WHEN 'BUILDING' THEN 'FURNITURE'
+                    WHEN 'FURNITURE' THEN 'HOUSEHOLD'
+                    WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+                    ELSE 'AUTOMOBILE' END
+                  ELSE seg END AS seg,
+                CASE WHEN ('0x' || substr(md5('q302T#' ||
+                    CAST(k AS VARCHAR)), 1, 12))::BIGINT % 1000000 < 100000
+                  THEN (tok + 1) % 1000 ELSE tok END AS tok
+              FROM base
+              WHERE ('0x' || substr(md5('q302B#' || CAST(k AS VARCHAR)),
+                1, 12))::BIGINT % 1000000 < 900000),
+        cand AS (
+          SELECT x.a_key, y.b_key,
+                 CASE WHEN x.tok = y.tok THEN 1 ELSE 0 END AS g_tok,
+                 CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END AS g_seg,
+                 CASE WHEN x.band = y.band THEN 1 ELSE 0 END AS g_band
+          FROM a x JOIN b y ON x.nat = y.nat AND x.band = y.band
+          UNION
+          SELECT x.a_key, y.b_key,
+                 CASE WHEN x.tok = y.tok THEN 1 ELSE 0 END,
+                 CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END,
+                 CASE WHEN x.band = y.band THEN 1 ELSE 0 END
+          FROM a x JOIN b y ON x.nat = y.nat AND x.seg = y.seg),
+        pat AS (
+          SELECT g_tok * 4 + g_seg * 2 + g_band AS pid,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN a_key = b_key THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_true
+          FROM cand GROUP BY 1),
+        st AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+                 (SELECT CAST(SUM(CAST(fa.ca AS HUGEINT) * fb.cb)
+                    AS HUGEINT)
+                  FROM (SELECT tok AS v, COUNT(*) AS ca FROM a GROUP BY 1)
+                    fa JOIN (SELECT tok AS v, COUNT(*) AS cb FROM b
+                    GROUP BY 1) fb USING (v)) AS s_tok,
+                 (SELECT CAST(SUM(CAST(fa.ca AS HUGEINT) * fb.cb)
+                    AS HUGEINT)
+                  FROM (SELECT seg AS v, COUNT(*) AS ca FROM a GROUP BY 1)
+                    fa JOIN (SELECT seg AS v, COUNT(*) AS cb FROM b
+                    GROUP BY 1) fb USING (v)) AS s_seg,
+                 (SELECT CAST(SUM(CAST(fa.ca AS HUGEINT) * fb.cb)
+                    AS HUGEINT)
+                  FROM (SELECT band AS v, COUNT(*) AS ca FROM a GROUP BY 1)
+                    fa JOIN (SELECT band AS v, COUNT(*) AS cb FROM b
+                    GROUP BY 1) fb USING (v)) AS s_band,
+                 (SELECT CAST(COUNT(*) AS BIGINT)
+                  FROM a JOIN b ON a_key = b_key) AS n_true_total),
+        stf AS (
+          SELECT *, CAST(n_a AS HUGEINT) * n_b AS nab,
+                 CAST(900000 * (CAST(n_a AS HUGEINT) * n_b) // s_tok
+                   AS BIGINT) AS f_tok_a,
+                 CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
+                   // (CAST(n_a AS HUGEINT) * n_b - s_tok) AS BIGINT)
+                   AS f_tok_d,
+                 CAST(900000 * (CAST(n_a AS HUGEINT) * n_b) // s_seg
+                   AS BIGINT) AS f_seg_a,
+                 CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
+                   // (CAST(n_a AS HUGEINT) * n_b - s_seg) AS BIGINT)
+                   AS f_seg_d,
+                 CAST(900000 * (CAST(n_a AS HUGEINT) * n_b) // s_band
+                   AS BIGINT) AS f_band_a,
+                 CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
+                   // (CAST(n_a AS HUGEINT) * n_b - s_band) AS BIGINT)
+                   AS f_band_d
+          FROM st),
+        grid AS (
+          SELECT CAST(range AS BIGINT) AS pid,
+                 CAST(range // 4 % 2 AS BIGINT) AS g_tok,
+                 CAST(range // 2 % 2 AS BIGINT) AS g_seg,
+                 CAST(range % 2 AS BIGINT) AS g_band
+          FROM range(0, 8)),
+        scored AS (
+          SELECT g.pid, g.g_tok, g.g_seg, g.g_band,
+                 COALESCE(p.n_pairs, 0) AS n_pairs,
+                 COALESCE(p.n_true, 0) AS n_true,
+                 CAST(CAST(CASE WHEN g.g_tok = 1 THEN s.f_tok_a
+                     ELSE s.f_tok_d END AS HUGEINT)
+                   * CASE WHEN g.g_seg = 1 THEN s.f_seg_a
+                     ELSE s.f_seg_d END
+                   * CASE WHEN g.g_band = 1 THEN s.f_band_a
+                     ELSE s.f_band_d END // 1000000 AS BIGINT)
+                   AS score_ppm12,
+                 s.n_a, s.n_b, s.n_true_total
+          FROM grid g CROSS JOIN stf s
+          LEFT JOIN pat p ON p.pid = g.pid),
+        dec AS (
+          SELECT *, CASE WHEN score_ppm12 >= 64000000000000 THEN 'match'
+                 WHEN score_ppm12 >= 1000000000000 THEN 'possible'
+                 ELSE 'non_match' END AS decision
+          FROM scored)"""
 
   /** Shared output of the q265/q278 component builder: round-6 labels,
     * round-5 labels (the convergence certificate's other half), and the

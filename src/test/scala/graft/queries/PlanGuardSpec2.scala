@@ -787,6 +787,21 @@ class PlanGuardSpec2 extends SparkSpec {
       "placement report planned a cross product")
   }
 
+  test("q325: ER capstone tail is keyed aggs over the checkpointed contingency") {
+    val p = plan("q325_er_capstone")
+    assert(p.contains("Scan ExistingRDD"),
+      "match graph / contingency lost its checkpoint cut")
+    assert(p.contains("hashpartitioning(lbl") ||
+      p.contains("hashpartitioning(truth"),
+      "B-cubed rollup not keyed on cluster/truth labels")
+    assert(!p.contains("Scan parquet"),
+      "capstone tail re-scans the corpus (the linkage front owns the " +
+        "scans; the tail runs on checkpointed match/label tables)")
+    assert(!p.contains("CartesianProduct"),
+      "capstone planned a SHUFFLED cross product (the 1-row count " +
+        "broadcasts are the only legal cross joins)")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
