@@ -1239,7 +1239,101 @@ object Insights {
                       AND o.dir = -st.dir_min THEN 1
                     WHEN o.stratum != 'zz_all' THEN -1 ELSE 0 END
                  AS BIGINT) AS simpson_reversal
-        FROM orr o CROSS JOIN st ORDER BY o.stratum"""))
+        FROM orr o CROSS JOIN st ORDER BY o.stratum""")),
+
+    // ---- q327: exact Mann–Whitney U battery (per-source vs rest) ----
+    // The RANK-SUM member of the two-sample testing family (q286 KS is
+    // CDF-distance, q317 permutation is exact resampling, q308 BH is
+    // the correction layer): does source s draw its doc lengths from
+    // the same distribution as the rest? U is computed EXACTLY with
+    // midranks — ties get rank (first+last)/2, carried ×2 so integers
+    // never halve: r2 = 2·cum + t + 1 per distinct value, 2U₁ = ΣR₂ −
+    // n₁(n₁+1) — and the tie-corrected variance enters the normal
+    // approximation as one exact rational comparison: z² =
+    // (2U−n₁n₂)²·3n(n−1) / (n₁n₂·((n+1)n(n−1) − T)), T = Σ(t³−t),
+    // emitted in milli (the q293 convention) against the 3841 literal
+    // (z ≥ 1.96). Products ride DECIMAL(38,0)/HUGEINT — the numerator
+    // passes 10²⁴ at sf0.1 (the q258 overflow lesson).
+    //
+    // 100 TB posture: corpus-scale work is ONE value-keyed count agg
+    // and ONE source-keyed rollup; the rank prefix-sum window runs on
+    // the DISTINCT-VALUE table (bounded — doc-length support), never
+    // a global row window; globals are a 1-row broadcast.
+    // Measured sf0.1: 3/20 sources cross z² = 3.841 uncorrected (max
+    // 5.33) — about what 20 tests at α=0.05 produce under H0, which is
+    // precisely the multiple-testing exposure the q308 BH layer exists
+    // to control.
+    "q327_mann_whitney" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val vals = docs.groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("t"))
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = vals
+          .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+          .select(col("v"), col("t"),
+            (lit(2L) * col("cum") + col("t") + 1L).as("r2"))
+          .localCheckpoint(false)
+        val glob = ranked.agg(sum(col("t")).as("n"),
+          sum(expr("t * t * t - t")).as("tie_t"))
+        val per = docs
+          .join(broadcast(ranked.select(col("v").as("n_chars"),
+            col("r2"))), Seq("n_chars"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n1"), sum(col("r2")).as("r1_2"))
+        per.crossJoin(broadcast(glob))
+          .select(col("source"), col("n1"), (col("n") - col("n1")).as("n2"),
+            (col("r1_2") - col("n1") * (col("n1") + 1L)).as("u2"),
+            col("n"), col("tie_t"))
+          .select(col("source"), col("n1"), col("n2"), col("u2"),
+            expr("CAST(CAST(u2 - n1 * n2 AS DECIMAL(38,0))" +
+              " * (u2 - n1 * n2) * 3 * n * (n - 1) * 1000" +
+              " div GREATEST(CAST(n1 AS DECIMAL(38,0)) * n2" +
+              " * ((n + 1) * CAST(n AS DECIMAL(38,0)) * (n - 1) - tie_t)," +
+              " 1) AS BIGINT)").as("z2_milli"))
+          .withColumn("significant",
+            expr("CAST(CASE WHEN z2_milli >= 3841 THEN 1 ELSE 0 END" +
+              " AS BIGINT)"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, source, n_chars FROM documents),
+        vals AS MATERIALIZED (
+          SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS t
+          FROM d GROUP BY 1),
+        ranked AS MATERIALIZED (
+          SELECT v, t,
+                 2 * COALESCE(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + t + 1 AS r2
+          FROM vals),
+        gg AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                       CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t
+                FROM ranked),
+        per AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n1,
+                       CAST(SUM(r.r2) AS BIGINT) AS r1_2
+                FROM d JOIN ranked r ON r.v = d.n_chars
+                GROUP BY 1),
+        st AS (SELECT p.source, p.n1, g.n - p.n1 AS n2,
+                      p.r1_2 - p.n1 * (p.n1 + 1) AS u2,
+                      g.n, g.tie_t
+               FROM per p CROSS JOIN gg g)
+        SELECT source, n1, n2, u2,
+               CAST(CAST(u2 - n1 * n2 AS HUGEINT)
+                 * (u2 - n1 * n2) * 3 * n * (n - 1) * 1000
+                 // GREATEST(CAST(n1 AS HUGEINT) * n2
+                 * ((n + 1) * CAST(n AS HUGEINT) * (n - 1) - tie_t),
+                 1) AS BIGINT) AS z2_milli,
+               CAST(CASE WHEN CAST(CAST(u2 - n1 * n2 AS HUGEINT)
+                 * (u2 - n1 * n2) * 3 * n * (n - 1) * 1000
+                 // GREATEST(CAST(n1 AS HUGEINT) * n2
+                 * ((n + 1) * CAST(n AS HUGEINT) * (n - 1) - tie_t),
+                 1) AS BIGINT) >= 3841 THEN 1 ELSE 0 END AS BIGINT)
+                 AS significant
+        FROM st ORDER BY source"""))
   )
 
   /** Nigrini first-two-digits expectation log10(1 + 1/dd) for dd 10–99,

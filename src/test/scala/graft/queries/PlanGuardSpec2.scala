@@ -813,6 +813,18 @@ class PlanGuardSpec2 extends SparkSpec {
         "the banded LSH equijoin + the keyed control join)")
   }
 
+  test("q327: Mann-Whitney ranks come from the distinct-value table, not a row window") {
+    val p = plan("q327_mann_whitney")
+    assert(p.contains("Scan ExistingRDD"),
+      "midrank value table lost its checkpoint cut")
+    assert(p.contains("hashpartitioning(source") ||
+      p.contains("hashpartitioning(n_chars"),
+      "rank-sum rollup not keyed on source/value")
+    assert(!p.contains("CartesianProduct"),
+      "U battery planned a SHUFFLED cross product (the 1-row globals " +
+        "broadcast is the only legal cross join)")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
