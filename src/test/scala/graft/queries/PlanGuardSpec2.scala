@@ -825,6 +825,17 @@ class PlanGuardSpec2 extends SparkSpec {
         "broadcast is the only legal cross join)")
   }
 
+  test("q328: KM report is a bounded LocalTableScan (fold is driver arithmetic)") {
+    val p = plan("q328_kaplan_meier")
+    assert(p.contains("LocalTableScan"),
+      "survival curve not a bounded driver-side table")
+    assert(!p.contains("Scan parquet"),
+      "report plan re-scans the corpus (the order-keyed and " +
+        "bucket-keyed aggs own the scans, collected at support size)")
+    assert(!p.contains("CartesianProduct"),
+      "KM report planned a cross product")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
