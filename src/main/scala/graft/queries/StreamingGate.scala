@@ -647,6 +647,74 @@ object StreamingGate {
       .orderBy(col("ak"))
   }
 
+  // ---- q329: streamed dead-letter (quarantine) conservation law ----
+
+  /** q329: a corrupt-line stream split into main + DLQ inside the
+    * micro-batch pipeline; the drained rollup certifies the split is a
+    * PARTITION — nothing lost, nothing duplicated, main parsed
+    * faithfully, DLQ raw lines kept byte-faithfully (length-sum
+    * fingerprint). Lines are constructed with explicit concat (never
+    * to_json) so BOTH arms' bytes are engine-reproducible. */
+  def streamedDeadLetter(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q329",
+      Seq("events.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val src = spark.readStream
+        .schema(era.schema)
+        .parquet(run.srcDir)
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"),
+          coalesce(col("event_type"), lit("")).as("etype"),
+          expr("CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)")
+            .as("cents"))
+        .select(col("event_id"),
+          expr("concat('{\"event_id\":', CAST(event_id AS STRING), " +
+            "',\"etype\":\"', etype, '\",\"cents\":', " +
+            "CAST(cents AS STRING), '}')").as("full"))
+        // corruption planted at the HEAD (opening brace dropped): the
+        // whole object is unparseable, so PERMISSIVE partial-results
+        // salvage (spark.sql.json.enablePartialResults) cannot rescue
+        // any field — the row must route to the DLQ
+        .select(expr("CASE WHEN event_id % 13 = 0 " +
+          "THEN substring(full, 2) ELSE full END").as("line"))
+      val parsed = src
+        .select(col("line"),
+          from_json(col("line"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id BIGINT, etype STRING, cents BIGINT")).as("j"))
+        .select(
+          when(col("j.event_id").isNotNull, col("j.etype"))
+            .otherwise(lit("zz_dlq")).as("etype"),
+          coalesce(col("j.cents"), lit(0L)).as("cents"),
+          coalesce(col("j.event_id"), lit(0L)).as("eid"),
+          length(col("line")).cast("long").as("raw_len"))
+      val q = parsed.writeStream
+        .format("memory")
+        .queryName(run.sink)
+        .outputMode("append")
+        .option("checkpointLocation", run.ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+    spark.table(run.sink)
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("eid")).as("sum_eid"),
+        sum(col("raw_len")).as("sum_raw_len"))
+      .orderBy(col("etype"))
+  }
+
   // ---- q268: the SAME custom state on transformWithState + timers ---
 
   final case class TwsSegState(events: List[(Long, Long)], timer_ms: Long)
@@ -2684,7 +2752,59 @@ object StreamingGate {
                  AS BIGINT) AS is_true_hh
         FROM est e CROSS JOIN nn
         WHERE e.est >= nn.n // 50
-        ORDER BY e.ak""")))
+        ORDER BY e.ak"""))) :+ (
+
+    // ---- q329: streamed dead-letter conservation law (30th law) ----
+    // The streaming form of the ingest quarantine contract (batch:
+    // `JsonBatchReader.readAccounted` + the PipelineSpec quarantine
+    // case — spec-gated only, until now): a stream of JSON lines with
+    // PLANTED corruption (every 13th line loses its opening brace, so
+    // the whole object is unparseable and Spark's partial-results
+    // salvage cannot rescue a field) is split in-flight into main
+    // (parsed) and DLQ (raw line) arms. The drained rollup certifies
+    // the split is a PARTITION of the input — per-type counts, cents
+    // and id sums on the main arm (parse fidelity), count and raw
+    // byte-length sum on the DLQ arm (the quarantined lines kept
+    // byte-faithfully) — nothing lost, nothing duplicated, nothing
+    // silently nulled into the main table (the reference's §1.3
+    // failure mode, now oracle-certified under streaming delivery).
+    // Lines are built with explicit concat (never to_json), so both
+    // arms' bytes are engine-reproducible and DuckDB can recompute
+    // every fingerprint from the events table alone.
+    //
+    // 100 TB posture: stateless map — no state, no watermark, no
+    // shuffle in-flight; the drain rollup is one keyed agg. The DLQ
+    // arm is the part that matters at scale: corrupt lines cost one
+    // routed row, never a failed job.
+    "q329_streamed_dead_letter" -> QueryDef(
+      build = (spark, dir) => streamedDeadLetter(spark, dir),
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT event_id, COALESCE(event_type, '') AS etype,
+                 CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)
+                   AS cents,
+                 length('{"event_id":' || CAST(event_id AS VARCHAR)
+                   || ',"etype":"' || COALESCE(event_type, '')
+                   || '","cents":'
+                   || CAST(CAST(ROUND(COALESCE(value, 0) * 100)
+                        AS BIGINT) AS VARCHAR)
+                   || '}') AS full_len
+          FROM events WHERE event_id IS NOT NULL),
+        main AS (SELECT etype, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                        CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+                        CAST(SUM(full_len) AS BIGINT) AS sum_raw_len
+                 FROM e WHERE event_id % 13 != 0 GROUP BY 1),
+        dlq AS (SELECT 'zz_dlq' AS etype,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(0 AS BIGINT) AS sum_cents,
+                       CAST(0 AS BIGINT) AS sum_eid,
+                       CAST(SUM(full_len - 1) AS BIGINT) AS sum_raw_len
+                FROM e WHERE event_id % 13 = 0)
+        SELECT * FROM main
+        UNION ALL
+        SELECT * FROM dlq
+        ORDER BY etype""")))
 
 
   /** Run the COMPLETE-mode leaderboard gate to completion: the q275

@@ -632,6 +632,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(summed == oneShot, "per-shard matrix sum diverged from global")
   }
 
+  test("dead-letter routing is salvage-proof on head corruption (q329 law)") {
+    // q329 plants corruption at the HEAD (opening brace dropped) so the
+    // whole object is unparseable — PERMISSIVE partial-results salvage
+    // must not rescue a field and leak a corrupt row into the main arm.
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, etype STRING, cents BIGINT")
+    val lines = (1L to 26L).map { i =>
+      val full = s"""{"event_id":$i,"etype":"t${i % 3}","cents":${i * 7}}"""
+      if (i % 13 == 0) full.substring(1) else full
+    }
+    val routed = lines.toDF("line")
+      .select(col("line"), from_json(col("line"), schema).as("j"))
+      .select(when(col("j.event_id").isNotNull, lit("main"))
+        .otherwise(lit("dlq")).as("arm"))
+      .groupBy("arm").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(routed("main") == 24L, "a parseable line missed the main arm")
+    assert(routed("dlq") == 2L,
+      "a head-corrupted line was salvaged into the main arm")
+  }
+
   test("streamed in-row model scorer ≡ batch bucketized scorer (q272 law)") {
     // The stream-static MODEL completeness law on a MemoryStream: the
     // stateless per-row scorer (Σ_tokens w[bucket] + bias, literal
