@@ -2037,15 +2037,8 @@ object Analytics {
             sum(lit(1L) - col("ev")).as("c"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           .sortBy(_._1)
-        val totals = steps.map(s => s._2 + s._3)
-        val nRisk = totals.scanRight(0L)(_ + _).init
-        var s = 1000000L
-        val rows = steps.zip(nRisk).map { case ((t, d, c), nr) =>
-          s = s * (nr - d) / nr
-          (t, nr, d, c, s)
-        }
         import spark.implicits._
-        rows.toSeq
+        kmFold(steps)
           .toDF("t", "n_risk", "n_events", "n_censored", "s_ppm")
           .orderBy(col("t"))
       },
@@ -2088,6 +2081,23 @@ object Analytics {
                CAST(s_ppm AS BIGINT) AS s_ppm
         FROM km ORDER BY t"""))
   )
+
+  /** q328's product-limit fold over the sorted (t, d, c) support:
+    * suffix-sum risk sets, then S_t = S_{t−1}·(n_t−d_t) div n_t with
+    * per-step floor quantization in ppm. Factored so
+    * Round11PropertySpec can pin the estimator on a hand case against
+    * the textbook rational values (the q289 lesson: a shared wrong
+    * formula hash-matches; an independent pin does not). */
+  private[queries] def kmFold(
+      steps: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long, Long)] = {
+    val totals = steps.map(s => s._2 + s._3)
+    val nRisk = totals.scanRight(0L)(_ + _).init
+    var s = 1000000L
+    steps.zip(nRisk).map { case ((t, d, c), nr) =>
+      s = s * (nr - d) / nr
+      (t, nr, d, c, s)
+    }
+  }
 
   /** q104's SQL — shared verbatim by both engines (ANSI recursive CTE). */
   private def recursiveChainSql(table: String): String = s"""

@@ -1516,34 +1516,7 @@ object Dedup {
           .unionAll(ctrl.select(lit("control").as("ptype"),
             col("doc_id"), col("s").as("ref"), col("s_next").as("hyp")))
           .localCheckpoint(false)
-        def grams(side: String) = pairs.select(col("ptype"), col("doc_id"),
-            explode(expr(s"flatten(transform(array(2, 3), n ->" +
-              s" transform(sequence(1, length($side) - n + 1)," +
-              s" i -> struct(n AS n, substring($side, i, n) AS g))))"))
-              .as("x"))
-          .select(col("ptype"), col("doc_id"), col("x.n").as("n"),
-            col("x.g").as("g"))
-          .groupBy(col("ptype"), col("doc_id"), col("n"), col("g"))
-          .agg(count(lit(1)).as("c"))
-        val ov = grams("ref").withColumnRenamed("c", "cr")
-          .join(grams("hyp").withColumnRenamed("c", "ch"),
-            Seq("ptype", "doc_id", "n", "g"))
-          .groupBy(col("ptype"), col("doc_id"), col("n"))
-          .agg(sum(least(col("cr"), col("ch"))).as("ov"))
-        val sizes = pairs.select(col("ptype"), col("doc_id"),
-          expr("length(ref)").cast("long").as("lr"),
-          expr("length(hyp)").cast("long").as("lh"))
-        val pr = ov.join(sizes, Seq("ptype", "doc_id"))
-          .select(col("ptype"), col("doc_id"),
-            expr("ov * 1000000 div (lh - n + 1)").as("p"),
-            expr("ov * 1000000 div (lr - n + 1)").as("r"))
-          .groupBy(col("ptype"), col("doc_id"))
-          .agg(expr("sum(p) div 2").as("pa"),
-            expr("sum(r) div 2").as("ra"))
-          .select(col("ptype"), col("doc_id"),
-            expr("5 * pa * ra div GREATEST(4 * pa + ra, 1)")
-              .as("chrf_ppm"))
-        pr.groupBy(col("ptype"))
+        chrfScores(pairs).groupBy(col("ptype"))
           .agg(count(lit(1)).as("n_pairs"),
             expr("sum(chrf_ppm) div count(1)").as("mean_chrf_ppm"),
             min(col("chrf_ppm")).as("min_chrf_ppm"),
@@ -1995,6 +1968,42 @@ object Dedup {
           .when(col("score_ppm12") >= 1000000000000L, "possible")
           .otherwise("non_match"))
     LinkageParts(a, b, cand, grid)
+  }
+
+  /** q320's chrF² scorer over (ptype, doc_id, ref, hyp) pairs: clipped
+    * character 2/3-gram multiset precision/recall, averaged over n,
+    * combined by the β=2 harmonic F = 5PR/(4P+R), exact in ppm
+    * floor-div. Factored so Round11PropertySpec can pin the scorer
+    * against an independent Scala multiset implementation on hand
+    * pairs (the q289 lesson). */
+  private[queries] def chrfScores(pairs: DataFrame): DataFrame = {
+    def grams(side: String) = pairs.select(col("ptype"), col("doc_id"),
+        explode(expr(s"flatten(transform(array(2, 3), n ->" +
+          s" transform(sequence(1, length($side) - n + 1)," +
+          s" i -> struct(n AS n, substring($side, i, n) AS g))))"))
+          .as("x"))
+      .select(col("ptype"), col("doc_id"), col("x.n").as("n"),
+        col("x.g").as("g"))
+      .groupBy(col("ptype"), col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val ov = grams("ref").withColumnRenamed("c", "cr")
+      .join(grams("hyp").withColumnRenamed("c", "ch"),
+        Seq("ptype", "doc_id", "n", "g"))
+      .groupBy(col("ptype"), col("doc_id"), col("n"))
+      .agg(sum(least(col("cr"), col("ch"))).as("ov"))
+    val sizes = pairs.select(col("ptype"), col("doc_id"),
+      expr("length(ref)").cast("long").as("lr"),
+      expr("length(hyp)").cast("long").as("lh"))
+    ov.join(sizes, Seq("ptype", "doc_id"))
+      .select(col("ptype"), col("doc_id"),
+        expr("ov * 1000000 div (lh - n + 1)").as("p"),
+        expr("ov * 1000000 div (lr - n + 1)").as("r"))
+      .groupBy(col("ptype"), col("doc_id"))
+      .agg(expr("sum(p) div 2").as("pa"),
+        expr("sum(r) div 2").as("ra"))
+      .select(col("ptype"), col("doc_id"),
+        expr("5 * pa * ra div GREATEST(4 * pa + ra, 1)")
+          .as("chrf_ppm"))
   }
 
   /** The shared WITH-chain of the linkage replay (registries → blocked

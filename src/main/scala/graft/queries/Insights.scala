@@ -1150,29 +1150,7 @@ object Insights {
             sum(expr("CASE WHEN t = 0 AND y = 0 THEN 1L ELSE 0L END"))
               .as("d"))
           .localCheckpoint(false)
-        val marg = cells.agg(lit("zz_all").as("stratum"),
-          sum(col("a")).as("a"), sum(col("b")).as("b"),
-          sum(col("c")).as("c"), sum(col("d")).as("d"))
-        val all = cells.unionByName(marg)
-          .withColumn("or_ppm",
-            expr("a * d * 1000000L div GREATEST(b * c, 1L)"))
-          .withColumn("dir", expr("CAST(sign(a * d - b * c) AS BIGINT)"))
-        val st = cells
-          .select(expr("a * d * 1000000L div (a + b + c + d)").as("nk"),
-            expr("b * c * 1000000L div (a + b + c + d)").as("dk"),
-            expr("CAST(sign(a * d - b * c) AS BIGINT)").as("sdir"))
-          .agg(sum(col("nk")).as("cmh_num"), sum(col("dk")).as("cmh_den"),
-            min(col("sdir")).as("dir_min"), max(col("sdir")).as("dir_max"))
-        all.crossJoin(broadcast(st))
-          .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
-            col("or_ppm"), col("dir"),
-            expr("cmh_num * 1000000L div GREATEST(cmh_den, 1L)")
-              .as("or_mh_ppm"),
-            expr("CAST(CASE WHEN dir_min = dir_max AND dir_min != 0 " +
-              "AND stratum = 'zz_all' AND dir = -dir_min THEN 1 " +
-              "WHEN stratum != 'zz_all' THEN -1 ELSE 0 END AS BIGINT)")
-              .as("simpson_reversal"))
-          .orderBy(col("stratum"))
+        simpsonReport(cells)
       },
       oracle = Some("""
         WITH base AS MATERIALIZED (
@@ -1264,40 +1242,9 @@ object Insights {
     // precisely the multiple-testing exposure the q308 BH layer exists
     // to control.
     "q327_mann_whitney" -> QueryDef(
-      build = (spark, dir) => {
-        val docs = Tables.documents(spark, dir)
-          .select(col("doc_id"), col("source"), col("n_chars"))
-        val vals = docs.groupBy(col("n_chars").as("v"))
-          .agg(count(lit(1)).as("t"))
-        val w = Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val ranked = vals
-          .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
-          .select(col("v"), col("t"),
-            (lit(2L) * col("cum") + col("t") + 1L).as("r2"))
-          .localCheckpoint(false)
-        val glob = ranked.agg(sum(col("t")).as("n"),
-          sum(expr("t * t * t - t")).as("tie_t"))
-        val per = docs
-          .join(broadcast(ranked.select(col("v").as("n_chars"),
-            col("r2"))), Seq("n_chars"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n1"), sum(col("r2")).as("r1_2"))
-        per.crossJoin(broadcast(glob))
-          .select(col("source"), col("n1"), (col("n") - col("n1")).as("n2"),
-            (col("r1_2") - col("n1") * (col("n1") + 1L)).as("u2"),
-            col("n"), col("tie_t"))
-          .select(col("source"), col("n1"), col("n2"), col("u2"),
-            expr("CAST(CAST(u2 - n1 * n2 AS DECIMAL(38,0))" +
-              " * (u2 - n1 * n2) * 3 * n * (n - 1) * 1000" +
-              " div GREATEST(CAST(n1 AS DECIMAL(38,0)) * n2" +
-              " * ((n + 1) * CAST(n AS DECIMAL(38,0)) * (n - 1) - tie_t)," +
-              " 1) AS BIGINT)").as("z2_milli"))
-          .withColumn("significant",
-            expr("CAST(CASE WHEN z2_milli >= 3841 THEN 1 ELSE 0 END" +
-              " AS BIGINT)"))
-          .orderBy(col("source"))
-      },
+      build = (spark, dir) =>
+        mannWhitneyReport(Tables.documents(spark, dir)
+          .select(col("source"), col("n_chars"))),
       oracle = Some("""
         WITH d AS MATERIALIZED (
           SELECT doc_id, source, n_chars FROM documents),
@@ -1335,6 +1282,75 @@ object Insights {
                  AS significant
         FROM st ORDER BY source"""))
   )
+
+  /** q327's full Mann–Whitney battery over (source, n_chars) rows:
+    * ×2-scaled midranks from the distinct-value table, 2U = ΣR₂ −
+    * n₁(n₁+1), and the tie-corrected z² in milli. Factored so
+    * Round11PropertySpec can pin U and z² on hand cases with known
+    * closed forms (the q289 lesson). */
+  private[queries] def mannWhitneyReport(docs: DataFrame): DataFrame = {
+    val vals = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      .select(col("v"), col("t"),
+        (lit(2L) * col("cum") + col("t") + 1L).as("r2"))
+      .localCheckpoint(false)
+    val glob = ranked.agg(sum(col("t")).as("n"),
+      sum(expr("t * t * t - t")).as("tie_t"))
+    val per = docs
+      .join(broadcast(ranked.select(col("v").as("n_chars"),
+        col("r2"))), Seq("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n1"), sum(col("r2")).as("r1_2"))
+    per.crossJoin(broadcast(glob))
+      .select(col("source"), col("n1"), (col("n") - col("n1")).as("n2"),
+        (col("r1_2") - col("n1") * (col("n1") + 1L)).as("u2"),
+        col("n"), col("tie_t"))
+      .select(col("source"), col("n1"), col("n2"), col("u2"),
+        expr("CAST(CAST(u2 - n1 * n2 AS DECIMAL(38,0))" +
+          " * (u2 - n1 * n2) * 3 * n * (n - 1) * 1000" +
+          " div GREATEST(CAST(n1 AS DECIMAL(38,0)) * n2" +
+          " * ((n + 1) * CAST(n AS DECIMAL(38,0)) * (n - 1) - tie_t)," +
+          " 1) AS BIGINT)").as("z2_milli"))
+      .withColumn("significant",
+        expr("CAST(CASE WHEN z2_milli >= 3841 THEN 1 ELSE 0 END" +
+          " AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
+  /** q322's report tail over a (stratum, a, b, c, d) cell table:
+    * per-stratum + marginal odds ratios (floor-div ppm), exact
+    * cross-multiplied direction signs, the CMH pooled OR, and the
+    * reversal flag. Factored so Round11PropertySpec can pin OR_MH on a
+    * hand case with a rational closed form (the q289 lesson). */
+  private[queries] def simpsonReport(cells: DataFrame): DataFrame = {
+    val marg = cells.agg(lit("zz_all").as("stratum"),
+      sum(col("a")).as("a"), sum(col("b")).as("b"),
+      sum(col("c")).as("c"), sum(col("d")).as("d"))
+    val all = cells.unionByName(marg)
+      .withColumn("or_ppm",
+        expr("a * d * 1000000L div GREATEST(b * c, 1L)"))
+      .withColumn("dir", expr("CAST(sign(a * d - b * c) AS BIGINT)"))
+    val st = cells
+      .select(expr("a * d * 1000000L div (a + b + c + d)").as("nk"),
+        expr("b * c * 1000000L div (a + b + c + d)").as("dk"),
+        expr("CAST(sign(a * d - b * c) AS BIGINT)").as("sdir"))
+      .agg(sum(col("nk")).as("cmh_num"), sum(col("dk")).as("cmh_den"),
+        min(col("sdir")).as("dir_min"), max(col("sdir")).as("dir_max"))
+    all.crossJoin(broadcast(st))
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        col("or_ppm"), col("dir"),
+        expr("cmh_num * 1000000L div GREATEST(cmh_den, 1L)")
+          .as("or_mh_ppm"),
+        expr("CAST(CASE WHEN dir_min = dir_max AND dir_min != 0 " +
+          "AND stratum = 'zz_all' AND dir = -dir_min THEN 1 " +
+          "WHEN stratum != 'zz_all' THEN -1 ELSE 0 END AS BIGINT)")
+          .as("simpson_reversal"))
+      .orderBy(col("stratum"))
+  }
 
   /** Nigrini first-two-digits expectation log10(1 + 1/dd) for dd 10–99,
     * in ppm. Computed ONCE driver-side and embedded as identical integer

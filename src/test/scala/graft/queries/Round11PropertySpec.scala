@@ -67,4 +67,99 @@ class Round11PropertySpec extends SparkSpec {
     assert(bad == 0L,
       s"$bad counts where isqrt(isqrt(c^3)) violates w^4 <= c^3 < (w+1)^4")
   }
+
+  // q322's CMH on a hand case with a RATIONAL closed form: strata
+  // (6,2,2,6) and (3,1,3,9), both n=16, give OR_MH =
+  // (36/16 + 27/16)/(4/16 + 3/16) = 63/7 = 9 exactly — and every ppm
+  // floor-div lands on an integer, so the pin is exact, not banded.
+  test("q322: CMH pooled odds ratio matches the closed form on a hand case") {
+    import spark.implicits._
+    val cells = Seq(("s1", 6L, 2L, 2L, 6L), ("s2", 3L, 1L, 3L, 9L))
+      .toDF("stratum", "a", "b", "c", "d").localCheckpoint(false)
+    val rows = Insights.simpsonReport(cells).collect()
+    val byStratum = rows.map(r => r.getString(0) -> r).toMap
+    assert(rows.forall(_.getAs[Long]("or_mh_ppm") == 9000000L),
+      "OR_MH != 9.000000 on the closed-form hand case")
+    assert(byStratum("s1").getAs[Long]("dir") == 1L &&
+      byStratum("s2").getAs[Long]("dir") == 1L &&
+      byStratum("zz_all").getAs[Long]("dir") == 1L,
+      "direction signs wrong on the hand case")
+    assert(byStratum("zz_all").getAs[Long]("simpson_reversal") == 0L,
+      "reversal flagged where marginal and strata agree")
+  }
+
+  // q327's U and z² on hand cases with known values. Disjoint samples
+  // {1,2,3} vs {4,5,6}: U = 0, z² = 81·90/(9·210) = 27/7 = 3.857…, so
+  // z2_milli = 3857 — one milli above the 3841 decision literal (the
+  // pin exercises the boundary). Tied samples {1,1,2} vs {1,2,2}:
+  // 2U = 6, T = 48, z² = 810/1458 → 555 milli, not significant.
+  test("q327: Mann-Whitney U and tie-corrected z² match closed forms") {
+    import spark.implicits._
+    val disjoint = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("source", "n_chars")
+    val r1 = Insights.mannWhitneyReport(disjoint).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(r1("a").getAs[Long]("u2") == 0L, "2U != 0 on disjoint samples")
+    assert(r1("a").getAs[Long]("z2_milli") == 3857L &&
+      r1("a").getAs[Long]("significant") == 1L,
+      "z² milli != 3857 (or not significant) on the boundary hand case")
+    val tied = Seq(("a", 1L), ("a", 1L), ("a", 2L),
+      ("b", 1L), ("b", 2L), ("b", 2L)).toDF("source", "n_chars")
+    val r2 = Insights.mannWhitneyReport(tied).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(r2("a").getAs[Long]("u2") == 6L,
+      "midrank 2U != 6 on the tied hand case")
+    assert(r2("a").getAs[Long]("z2_milli") == 555L &&
+      r2("a").getAs[Long]("significant") == 0L,
+      "tie-corrected z² milli != 555 on the tied hand case")
+  }
+
+  // q328's product-limit fold on the textbook hand case: 10 at risk,
+  // 2 events at t=1 (S = 8/10), a censor at t=2 (S unchanged — the
+  // defining difference from naive survival), 1 event at t=3 among 7
+  // at risk (S = 0.8·6/7 = 685714 ppm floored), trailing censors only.
+  test("q328: Kaplan-Meier fold matches the textbook rational curve") {
+    val out = Analytics.kmFold(
+      Seq((1L, 2L, 0L), (2L, 0L, 1L), (3L, 1L, 0L), (5L, 0L, 6L)))
+    assert(out.map(_._2) == Seq(10L, 8L, 7L, 6L), "risk sets wrong")
+    assert(out.map(_._5) == Seq(800000L, 800000L, 685714L, 685714L),
+      "survival curve diverges from the textbook rational values " +
+        "(a censor must not move S; an event must multiply by (n-d)/n)")
+  }
+
+  // q320's chrF² scorer vs an independent Scala multiset
+  // implementation on hand pairs — clipping (multiset min), the n
+  // average, and the β=2 combination all re-derived without SQL.
+  test("q320: chrF scorer matches an independent multiset implementation") {
+    import spark.implicits._
+    def chrfRef(ref: String, hyp: String): Long = {
+      def grams(s: String, n: Int) =
+        s.sliding(n).toSeq.groupBy(identity).map { case (g, xs) =>
+          g -> xs.size.toLong }
+      val (ps, rs) = Seq(2, 3).map { n =>
+        val gr = grams(ref, n); val gh = grams(hyp, n)
+        val ov = gh.map { case (g, ch) =>
+          math.min(ch, gr.getOrElse(g, 0L)) }.sum
+        (ov * 1000000L / (hyp.length - n + 1),
+          ov * 1000000L / (ref.length - n + 1))
+      }.unzip
+      val pa = ps.sum / 2; val ra = rs.sum / 2
+      5 * pa * ra / math.max(4 * pa + ra, 1L)
+    }
+    val pairs = Seq(
+      ("x", 1L, "hello world", "hello world"),
+      ("x", 2L, "abab", "aba"),
+      ("x", 3L, "abcdefgh", "abcxefgh"),
+      ("x", 4L, "aaaa", "aabaa"))
+      .toDF("ptype", "doc_id", "ref", "hyp")
+    val got = Dedup.chrfScores(pairs).collect()
+      .map(r => r.getLong(1) -> r.getAs[Long]("chrf_ppm")).toMap
+    assert(got(1L) == 1000000L, "identical strings must score exactly 1")
+    Seq(("abab", "aba", 2L), ("abcdefgh", "abcxefgh", 3L),
+      ("aaaa", "aabaa", 4L)).foreach { case (r, h, id) =>
+      assert(got(id) == chrfRef(r, h),
+        s"chrF($r, $h) = ${got(id)} diverges from the independent " +
+          s"multiset value ${chrfRef(r, h)}")
+    }
+  }
 }
