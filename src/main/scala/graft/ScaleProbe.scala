@@ -1107,6 +1107,41 @@ object ScaleProbe {
       }
     }
 
+    // editcap probe: q326's verify-stage cost law. Full Levenshtein is
+    // O(L²) per pair; the thresholded form (levenshtein(a, b, K)) is
+    // O(K·L) — banded DP with early exit — so on candidate pairs whose
+    // distance blows the cap (the overwhelming majority at scale, where
+    // LSH candidates are screened before exact verify), the cap turns a
+    // quadratic kernel into a linear one. Pairs: 64 "near" (8-char edit
+    // — inside the band, both forms do real work) + 64 "far" (reversed
+    // — the cap exits immediately, the full form pays the whole L²).
+    if (enabled("editcap")) {
+      import spark.implicits._
+      def pairs(len: Int) = {
+        val base = graft.core.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 64)
+          .select(expr(s"substring(repeat(concat(text, ' '), " +
+            s"$len div length(text) + 1), 1, $len)").as("a"))
+        base.select(col("a"),
+            expr("concat('XXXXXXXX', substring(a, 9))").as("b"))
+          .unionAll(base.select(col("a"), reverse(col("a")).as("b")))
+          .localCheckpoint(false)
+      }
+      def run(df: org.apache.spark.sql.DataFrame, capped: Boolean): Long =
+        df.select(sum(if (capped) levenshtein(col("a"), col("b"), 64)
+          else levenshtein(col("a"), col("b"))).as("s"))
+          .head().getLong(0)
+      run(pairs(500), capped = true); run(pairs(500), capped = false)
+      Seq(1000, 4000, 16000).foreach { len =>
+        val df = pairs(len)
+        System.gc()
+        val (fSec, fSum) = timed(run(df, capped = false))
+        System.gc()
+        val (cSec, cSum) = timed(run(df, capped = true))
+        println(f"""{"probe":"editcap","len":$len,"pairs":128,"full_sec":$fSec%.3f,"capped_sec":$cSec%.3f,"full_sum":$fSum,"capped_sum":$cSum}""")
+      }
+    }
+
     spark.stop()
   }
 }

@@ -1587,11 +1587,18 @@ object Dedup {
     // ---- q326: thresholded edit-distance verify stage ----
     // The EDIT-DISTANCE member of the verify-stage family (q55 verifies
     // LSH candidates with exact cosine, q46 with exact Jaccard, q284
-    // with LCS, q320 with chrF): banded Levenshtein with an early-exit
-    // threshold — the production verify after candidate generation,
-    // because the threshold caps the DP at O(K·n) instead of O(n²) per
-    // pair (Spark's built-in `levenshtein(l, r, K)` short-circuits to
-    // −1 above K; no UDF). Candidates are the q46 recall-1 screen
+    // with LCS, q320 with chrF): thresholded Levenshtein — the
+    // production verify after candidate generation (Spark's built-in
+    // `levenshtein(l, r, K)` returns −1 above K; no UDF). What the cap
+    // actually buys on Spark 4.1 is MEASURED, not assumed (ScaleProbe
+    // "editcap"): ~1.8× per pair at equal lengths (the textbook O(K·L)
+    // band does not survive measurement — per-char UTF8 decode
+    // dominates, so both forms grow ~quadratically) plus the immediate
+    // −1 short-circuit when lengths differ by more than K. At this
+    // gate's document lengths (≤ ~500 chars) per-pair cost is
+    // microseconds either way; the cap's semantic value — a bounded
+    // distance domain and an explicit reject code — is what the
+    // decision columns certify. Candidates are the q46 recall-1 screen
     // (shingle-Jaccard ≥ 0.4 — the set whose completeness the q46
     // oracle already certifies); per pair the gate emits the capped
     // distance (K = 64), the relative accept decision
