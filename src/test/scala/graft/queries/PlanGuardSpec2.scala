@@ -847,6 +847,17 @@ class PlanGuardSpec2 extends SparkSpec {
       "forecast card planned a cross product")
   }
 
+  test("q331: Ljung-Box card is a bounded LocalTableScan") {
+    val p = plan("q331_ljung_box")
+    assert(p.contains("LocalTableScan"),
+      "autocorrelation card not a bounded driver-side table")
+    assert(!p.contains("Scan parquet"),
+      "report plan re-scans the corpus (the week-keyed agg owns the " +
+        "one scan, collected at calendar size)")
+    assert(!p.contains("CartesianProduct"),
+      "Ljung-Box card planned a cross product")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
