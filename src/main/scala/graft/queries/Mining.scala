@@ -747,7 +747,72 @@ object Mining {
           "cum_reward_ppm")
           .orderBy(col("t"))
       },
-      oracle = Some(Ucb.oracle))
+      oracle = Some(Ucb.oracle)),
+
+    // ---- q332: association rules with exact support/confidence/lift ----
+    // The RULE-mining member of the basket family (q105/q106 build the
+    // co-purchase GRAPH; nothing emits the directed rules a
+    // recommender/curation policy consumes): from order baskets
+    // (distinct parts per order), all directed rules u→v with pair
+    // support ≥ 3, scored exactly in ppm — confidence = supp(u,v)·10⁶
+    // div supp(u), lift = supp(u,v)·N·10⁶ div (supp(u)·supp(v))
+    // (lift > 10⁶ ⟺ positive association; products ≤ N·supp² stay
+    // under 2⁶³ to ~10⁵ orders/part, DECIMAL-free by domain). Top 20
+    // by (lift DESC, conf DESC, u, v) — a total order.
+    //
+    // 100 TB posture: pair generation is the order-keyed self-join
+    // (bounded by basket size, the q106 pattern — never all part
+    // pairs); supports are part-keyed aggs; the rule table is
+    // pair-cardinality and the top-k is a TakeOrdered heap, no global
+    // sort.
+    "q332_association_rules" -> QueryDef(
+      build = (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct().localCheckpoint(false)
+        val nOrders = li.select(col("o")).distinct().count()
+        val item = li.groupBy(col("p")).agg(count(lit(1)).as("supp"))
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("supp_uv"))
+          .filter(col("supp_uv") >= 3)
+        pairs
+          .join(item.select(col("p").as("u"), col("supp").as("supp_u")),
+            Seq("u"))
+          .join(item.select(col("p").as("v"), col("supp").as("supp_v")),
+            Seq("v"))
+          .select(col("u"), col("v"), col("supp_uv"), col("supp_u"),
+            col("supp_v"),
+            expr("supp_uv * 1000000L div supp_u").as("conf_ppm"),
+            expr(s"supp_uv * ${nOrders}L * 1000000L div " +
+              "(supp_u * supp_v)").as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+            col("u"), col("v"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM li),
+        item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS supp
+                 FROM li GROUP BY 1),
+        pairs AS (
+          SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS supp_uv
+          FROM li a JOIN li b ON b.o = a.o AND b.p != a.p
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        SELECT p.u, p.v, p.supp_uv,
+               iu.supp AS supp_u, iv.supp AS supp_v,
+               p.supp_uv * 1000000 // iu.supp AS conf_ppm,
+               p.supp_uv * nn.n * 1000000 // (iu.supp * iv.supp)
+                 AS lift_ppm
+        FROM pairs p
+        JOIN item iu ON iu.p = p.u
+        JOIN item iv ON iv.p = p.v
+        CROSS JOIN nn
+        ORDER BY lift_ppm DESC, conf_ppm DESC, u, v
+        LIMIT 20"""))
   )
 }
 

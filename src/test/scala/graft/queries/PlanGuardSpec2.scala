@@ -858,6 +858,18 @@ class PlanGuardSpec2 extends SparkSpec {
       "Ljung-Box card planned a cross product")
   }
 
+  test("q332: rule mining is basket-keyed joins + a top-k heap, no global sort") {
+    val p = plan("q332_association_rules")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 rules not a TakeOrdered heap")
+    assert(p.contains("hashpartitioning(o") ||
+      p.contains("hashpartitioning(u") || p.contains("hashpartitioning(p"),
+      "pair/support aggs not keyed on order/part")
+    assert(!p.contains("CartesianProduct"),
+      "rule mining planned a cross product (pairs must come from the " +
+        "order-keyed basket self-join)")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
