@@ -870,6 +870,16 @@ class PlanGuardSpec2 extends SparkSpec {
         "order-keyed basket self-join)")
   }
 
+  test("q333: capture-recapture is coin filters + a doc-keyed semi-join") {
+    val p = plan("q333_capture_recapture")
+    assert(p.contains("LeftSemi") || p.contains("left_semi") ||
+      p.contains("hashpartitioning(doc_id"),
+      "recapture overlap not a doc-keyed semi-join")
+    assert(!p.contains("CartesianProduct"),
+      "certificate planned a SHUFFLED cross product (the 1-row count " +
+        "broadcasts are the only legal cross joins)")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
