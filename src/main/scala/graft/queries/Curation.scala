@@ -1203,6 +1203,145 @@ object Curation {
                su.total_shingles * 1000000 - su.sum_credit_micro
                  AS trunc_deficit_micro
         FROM rk CROSS JOIN su
-        ORDER BY rank_shapley"""))
+        ORDER BY rank_shapley""")),
+
+    // ---- q334: boilerplate-removal transform + self-certificate ----
+    // The dedup family DETECTS boilerplate (q315 measures how shared
+    // banners corrupt head-fingerprint clustering); nothing yet
+    // REMOVES it — the trafilatura-class cleaning transform every
+    // crawl pipeline runs before dedup/training. Planted corpus (this
+    // gate owns its planting): docs ≡0 (mod 11) get the 8-token banner
+    // prepended. Cleaner: df of the head-8-token fingerprint across
+    // the corpus; heads with df ≥ 20 are boilerplate → strip the first
+    // 8 tokens. The card certifies the TRANSFORM, not just the
+    // detection: planted-banner recall (every planted doc stripped),
+    // false-strip count (legitimately repeated heads caught in the
+    // net), residual high-df heads AFTER cleaning (the fixpoint
+    // check), and an untouched-docs checksum identity — Σ of 48-bit
+    // md5 of the cleaned text over non-stripped docs must equal the
+    // same sum over their originals, so the cleaner provably did not
+    // touch what it did not claim to strip.
+    //
+    // 100 TB posture: two head-keyed df aggs (before/after) + one
+    // checksum agg — the same shuffles an exact-dedup pass pays; the
+    // strip itself is an in-row slice, no UDF. Measured sf0.1: all 443
+    // planted banners stripped (recall 1.000000), zero false strips,
+    // zero residual high-df heads, untouched checksum identity holds.
+    "q334_boilerplate_removal" -> QueryDef(
+      build = (spark, dir) => {
+        val boiler = "subscribe to our newsletter for the latest updates"
+        val t = Tables.documents(spark, dir)
+          .select(col("doc_id"), split(trim(col("text")), " ").as("toks0"))
+          .filter(size(col("toks0")) >= 12)
+          .select(col("doc_id"),
+            expr("CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END " +
+              "AS BIGINT)").as("planted"),
+            when(col("doc_id") % 11 === 0,
+              concat(split(lit(boiler), " "), col("toks0")))
+              .otherwise(col("toks0")).as("toks"))
+          .localCheckpoint(false)
+        val withHead = t.withColumn("head",
+          md5(concat_ws(" ", slice(col("toks"), 1, 8))))
+        val df = withHead.groupBy(col("head"))
+          .agg(count(lit(1)).as("df"))
+        val cleaned = withHead
+          .join(df, Seq("head"))
+          .select(col("doc_id"), col("planted"),
+            expr("CAST(CASE WHEN df >= 20 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("stripped"),
+            expr("CASE WHEN df >= 20 THEN slice(toks, 9, " +
+              "size(toks) - 8) ELSE toks END").as("ctoks"),
+            col("toks"))
+          .localCheckpoint(false)
+        val resid = cleaned
+          .select(md5(concat_ws(" ", slice(col("ctoks"), 1, 8)))
+            .as("chead"))
+          .groupBy(col("chead")).agg(count(lit(1)).as("cdf"))
+          .agg(sum(when(col("cdf") >= 20, 1L).otherwise(0L))
+            .as("residual_high_df_heads"))
+        def cks(c: String) =
+          expr(s"CAST(conv(substring(md5(concat_ws(' ', $c)), 1, 12)," +
+            " 16, 10) AS BIGINT)")
+        val card = cleaned.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("planted")).as("n_planted"),
+          sum(col("stripped")).as("n_stripped"),
+          sum(col("planted") * col("stripped")).as("n_stripped_planted"),
+          sum(expr("stripped * (1 - planted)")).as("n_false_strips"),
+          sum(when(col("stripped") === 0L, cks("ctoks")).otherwise(0L))
+            .as("untouched_cks_clean"),
+          sum(when(col("stripped") === 0L, cks("toks")).otherwise(0L))
+            .as("untouched_cks_orig"))
+        card.crossJoin(broadcast(resid))
+          .select(col("n_docs"), col("n_planted"), col("n_stripped"),
+            col("n_stripped_planted"), col("n_false_strips"),
+            expr("n_stripped_planted * 1000000L div " +
+              "GREATEST(n_planted, 1L)").as("banner_recall_ppm"),
+            col("residual_high_df_heads"),
+            expr("CAST(CASE WHEN untouched_cks_clean = " +
+              "untouched_cks_orig THEN 1 ELSE 0 END AS BIGINT)")
+              .as("untouched_identity"))
+      },
+      oracle = Some("""
+        WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ')
+                      AS toks0
+                    FROM documents),
+        t AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS planted,
+                 CASE WHEN doc_id % 11 = 0
+                   THEN list_concat(string_split(
+                     'subscribe to our newsletter for the latest updates',
+                     ' '), toks0)
+                   ELSE toks0 END AS toks
+          FROM t0 WHERE len(toks0) >= 12),
+        wh AS (SELECT doc_id, planted, toks,
+                      md5(array_to_string(list_slice(toks, 1, 8), ' '))
+                        AS head
+               FROM t),
+        dfh AS (SELECT head, CAST(COUNT(*) AS BIGINT) AS df
+                FROM wh GROUP BY 1),
+        cleaned AS MATERIALIZED (
+          SELECT w.doc_id, w.planted,
+                 CAST(CASE WHEN d.df >= 20 THEN 1 ELSE 0 END AS BIGINT)
+                   AS stripped,
+                 CASE WHEN d.df >= 20
+                   THEN list_slice(w.toks, 9, len(w.toks))
+                   ELSE w.toks END AS ctoks,
+                 w.toks
+          FROM wh w JOIN dfh d USING (head)),
+        resid AS (
+          SELECT CAST(SUM(CASE WHEN cdf >= 20 THEN 1 ELSE 0 END)
+            AS BIGINT) AS residual_high_df_heads
+          FROM (SELECT md5(array_to_string(list_slice(ctoks, 1, 8),
+                  ' ')) AS chead, COUNT(*) AS cdf
+                FROM cleaned GROUP BY 1)),
+        card AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(planted) AS BIGINT) AS n_planted,
+                 CAST(SUM(stripped) AS BIGINT) AS n_stripped,
+                 CAST(SUM(planted * stripped) AS BIGINT)
+                   AS n_stripped_planted,
+                 CAST(SUM(stripped * (1 - planted)) AS BIGINT)
+                   AS n_false_strips,
+                 CAST(SUM(CASE WHEN stripped = 0 THEN
+                   ('0x' || substr(md5(array_to_string(ctoks, ' ')),
+                     1, 12))::BIGINT ELSE 0 END) AS BIGINT)
+                   AS untouched_cks_clean,
+                 CAST(SUM(CASE WHEN stripped = 0 THEN
+                   ('0x' || substr(md5(array_to_string(toks, ' ')),
+                     1, 12))::BIGINT ELSE 0 END) AS BIGINT)
+                   AS untouched_cks_orig
+          FROM cleaned)
+        SELECT c.n_docs, c.n_planted, c.n_stripped,
+               c.n_stripped_planted, c.n_false_strips,
+               c.n_stripped_planted * 1000000
+                 // GREATEST(c.n_planted, 1) AS banner_recall_ppm,
+               r.residual_high_df_heads,
+               CAST(CASE WHEN c.untouched_cks_clean =
+                 c.untouched_cks_orig THEN 1 ELSE 0 END AS BIGINT)
+                 AS untouched_identity
+        FROM card c CROSS JOIN resid r"""))
   )
 }

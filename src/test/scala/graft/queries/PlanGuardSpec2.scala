@@ -880,6 +880,18 @@ class PlanGuardSpec2 extends SparkSpec {
         "broadcasts are the only legal cross joins)")
   }
 
+  test("q334: boilerplate removal is head-keyed df aggs over checkpoint cuts") {
+    val p = plan("q334_boilerplate_removal")
+    assert(p.contains("Scan ExistingRDD"),
+      "planted/cleaned corpus lost its checkpoint cut")
+    assert(p.contains("hashpartitioning(chead") ||
+      p.contains("hashpartitioning(head"),
+      "df aggs not keyed on the head fingerprint")
+    assert(!p.contains("CartesianProduct"),
+      "cleaning certificate planned a cross product (the 1-row " +
+        "residual broadcast is the only legal cross join)")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
