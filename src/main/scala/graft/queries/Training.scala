@@ -1046,6 +1046,98 @@ object Training {
                    * (2 * CAST(n1 AS HUGEINT) * n2 - n) THEN 'random'
                  WHEN dev < 0 THEN 'clustered'
                  ELSE 'alternating' END AS verdict
-        FROM f ORDER BY ordering"""))
+        FROM f ORDER BY ordering""")),
+
+    // ---- q335: single-batch packing optimality certificate ----
+    // The q324 move (exact optimum as the heuristic's measuring stick)
+    // applied to the packing family: q87 packs greedily in pick order;
+    // HOW MUCH fill does greed leave on the table? On a bounded
+    // instance (docs ≡0 mod 29, token counts as weights) the gate
+    // computes the EXACT best single-batch fill ≤ 2048 by subset-sum
+    // reachability DP (driver bitset over ~170 collected items × 2049
+    // sums — the q324 precedent) beside the q87-style greedy
+    // (pick-order, skip-if-overflow — a deterministic fold), and
+    // certifies the gap. The oracle re-derives BOTH folds in a
+    // different paradigm entirely — recursive-CTE reachability with
+    // UNION dedup for the DP, a recursive running fold for the greedy
+    // — so a DP bug, a greedy-order slip, or an off-by-one budget all
+    // hash-mismatch.
+    //
+    // 100 TB posture: the instance is one filtered projection
+    // (bounded by construction — optimality certificates are small-k
+    // tools; production packs with q87's windowed greedy, whose regret
+    // this gate now measures); the report is a LocalTableScan.
+    // Measured sf0.1: 173 items, optimal fill hits the budget EXACTLY
+    // (2048/2048) while greedy leaves 7 tokens (0.9966 of optimal) —
+    // greed is near-optimal here, and now that is a number, not a hope.
+    "q335_packing_optimality" -> QueryDef(
+      build = (spark, dir) => {
+        val budget = 2048
+        val items = Tables.documents(spark, dir)
+          .filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long")
+              .as("n_tokens"),
+            pickKey.as("pick"))
+          .orderBy(col("pick"), col("doc_id"))
+          .collect().map(r => r.getLong(1))
+        // exact: subset-sum reachability over the budget
+        val reach = Array.fill(budget + 1)(false)
+        reach(0) = true
+        items.foreach { w =>
+          if (w <= budget)
+            for (s <- budget - w.toInt to 0 by -1)
+              if (reach(s)) reach(s + w.toInt) = true
+        }
+        val optimal = (budget to 0 by -1).find(reach(_)).get.toLong
+        // q87-style greedy: pick order, skip what no longer fits
+        val greedy = items.foldLeft(0L) { (cum, w) =>
+          if (cum + w <= budget) cum + w else cum
+        }
+        import spark.implicits._
+        Seq((items.length.toLong, items.sum, budget.toLong, greedy,
+          optimal, optimal - greedy,
+          greedy * 1000000L / math.max(optimal, 1L),
+          optimal * 1000000L / budget))
+          .toDF("n_items", "total_tokens", "budget", "greedy_fill",
+            "optimal_fill", "gap", "greedy_vs_optimal_ppm",
+            "optimal_vs_budget_ppm")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE items AS MATERIALIZED (
+          SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS w,
+                 ROW_NUMBER() OVER (ORDER BY $SqlPickKey, doc_id) AS rn
+          FROM documents WHERE doc_id % 29 = 0),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(w) AS BIGINT) AS tot
+               FROM items),
+        reach AS (
+          SELECT 0 AS i, CAST(0 AS BIGINT) AS s
+          UNION
+          SELECT r.i + 1, r.s + f.f * t.w
+          FROM reach r
+          JOIN items t ON t.rn = r.i + 1
+          CROSS JOIN (SELECT UNNEST([0, 1]) AS f) f
+          WHERE r.s + f.f * t.w <= 2048),
+        best AS (SELECT CAST(MAX(s) AS BIGINT) AS optimal_fill
+                 FROM reach CROSS JOIN nn WHERE i = nn.n),
+        greedy AS (
+          SELECT 0 AS i, CAST(0 AS BIGINT) AS cum
+          UNION ALL
+          SELECT g.i + 1,
+                 g.cum + CASE WHEN g.cum + t.w <= 2048 THEN t.w
+                   ELSE 0 END
+          FROM greedy g JOIN items t ON t.rn = g.i + 1),
+        gf AS (SELECT CAST(cum AS BIGINT) AS greedy_fill
+               FROM greedy CROSS JOIN nn WHERE i = nn.n)
+        SELECT nn.n AS n_items, nn.tot AS total_tokens,
+               CAST(2048 AS BIGINT) AS budget,
+               gf.greedy_fill, b.optimal_fill,
+               b.optimal_fill - gf.greedy_fill AS gap,
+               gf.greedy_fill * 1000000
+                 // GREATEST(b.optimal_fill, 1) AS greedy_vs_optimal_ppm,
+               b.optimal_fill * 1000000 // 2048 AS optimal_vs_budget_ppm
+        FROM nn CROSS JOIN best b CROSS JOIN gf"""))
   )
 }

@@ -892,6 +892,17 @@ class PlanGuardSpec2 extends SparkSpec {
         "residual broadcast is the only legal cross join)")
   }
 
+  test("q335: packing-optimality report is a bounded LocalTableScan") {
+    val p = plan("q335_packing_optimality")
+    assert(p.contains("LocalTableScan"),
+      "optimality card not a bounded driver-side table")
+    assert(!p.contains("Scan parquet"),
+      "report plan re-scans the corpus (the filtered instance " +
+        "projection owns the one scan, collected at instance size)")
+    assert(!p.contains("CartesianProduct"),
+      "optimality card planned a cross product")
+  }
+
   test("q319: sampling-table build runs at vocab cardinality after one token agg") {
     val p = plan("q319_negative_sampling_table")
     assert(p.contains("Scan ExistingRDD"),
