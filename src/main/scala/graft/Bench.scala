@@ -79,13 +79,14 @@ object Bench {
 
     // q60's staged media corpus (written during the warmup pass when the
     // host is fresh — Multimodal.stagedAssets) gets the same page-cache
-    // treatment as sfDir: without it the timed scans of the ~1 GB staging
-    // dir race the host's disk/writeback instead of measuring the engine
-    // (the r10 driver read q60 at 6.89 s where two clean-host runs with a
-    // warm staging dir measured 2.72/2.83 s; sfDir bytes are prewarmed
-    // above, staged bytes were not).
-    val stageRoot = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-media-stage")
+    // treatment as sfDir. Since round 12 the stage root prefers tmpfs
+    // (/dev/shm) where the bytes are memory-resident by construction and
+    // this prewarm is a fast no-op; on the tmpdir fallback it still
+    // matters — without it the timed scans of the ~1 GB staging dir race
+    // the host's disk/writeback instead of measuring the engine (the r10
+    // driver read q60 at 6.89 s where two clean-host runs with a warm
+    // staging dir measured 2.72/2.83 s).
+    val stageRoot = graft.operators.Multimodal.stageRoot
     if (java.nio.file.Files.isDirectory(stageRoot)) {
       java.nio.file.Files.list(stageRoot).forEach { d =>
         if (java.nio.file.Files.isDirectory(d)) prewarmPageCache(d.toString)

@@ -2188,20 +2188,30 @@ object Analytics {
     // and the test says so instead of hallucinating seasonality.
     "q331_ljung_box" -> QueryDef(
       build = (spark, dir) => {
-        val xs = Tables.orders(spark, dir)
+        val series = Tables.orders(spark, dir)
           .select(expr("datediff(CAST(o_orderdate AS DATE), " +
               "CAST('1995-01-01' AS DATE)) div 7").as("wk"),
             expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
           .groupBy(col("wk")).agg(sum(col("cents")).as("cents"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-          .sortBy(_._1).map(_._2).map(BigInt(_))
-        val n = BigInt(xs.length)
-        val s = xs.sum
+          .sortBy(_._1)
+        val byWk = series.toMap
+        val n = BigInt(series.length)
+        val s = series.map(t => BigInt(t._2)).sum
         def g(k: Int): BigInt = {
-          val a = xs.dropRight(k).zip(xs.drop(k))
+          // Pair by wk VALUE (b.wk = a.wk + k), exactly the oracle's
+          // join — positional pairing over the sorted series agrees
+          // only when every week between min and max is populated, and
+          // a sparse series would silently change the statistic's
+          // meaning (round-11 ADVICE). The S² term uses the measured
+          // pair count nk (≡ n − k on a dense calendar) for the same
+          // reason.
+          val a = series.flatMap { case (wk, v) =>
+            byWk.get(wk + k).map(v2 => (BigInt(v), BigInt(v2))) }
+          val nk = BigInt(a.length)
           n * n * a.map { case (u, v) => u * v }.sum -
             n * s * a.map { case (u, v) => u + v }.sum +
-            (n - k) * s * s
+            nk * s * s
         }
         val g0 = g(0)
         val rhos = (1 to 8).map(k => (k.toLong,

@@ -1259,9 +1259,15 @@ object Curation {
           .groupBy(col("chead")).agg(count(lit(1)).as("cdf"))
           .agg(sum(when(col("cdf") >= 20, 1L).otherwise(0L))
             .as("residual_high_df_heads"))
+        // Each term is a 48-bit md5 prefix; the SUM is carried in
+        // DECIMAL(38,0) (HUGEINT on the DuckDB side) so the identity
+        // check stays exact at ANY corpus size — a BIGINT accumulator
+        // would wrap silently in Spark and error in DuckDB beyond a few
+        // 10^4 untouched docs (round-11 ADVICE). Only the equality flag
+        // leaves the query, so the wide type never reaches the output.
         def cks(c: String) =
           expr(s"CAST(conv(substring(md5(concat_ws(' ', $c)), 1, 12)," +
-            " 16, 10) AS BIGINT)")
+            " 16, 10) AS DECIMAL(38,0))")
         val card = cleaned.agg(
           count(lit(1)).as("n_docs"),
           sum(col("planted")).as("n_planted"),
@@ -1325,13 +1331,13 @@ object Curation {
                    AS n_stripped_planted,
                  CAST(SUM(stripped * (1 - planted)) AS BIGINT)
                    AS n_false_strips,
-                 CAST(SUM(CASE WHEN stripped = 0 THEN
+                 SUM(CASE WHEN stripped = 0 THEN
                    ('0x' || substr(md5(array_to_string(ctoks, ' ')),
-                     1, 12))::BIGINT ELSE 0 END) AS BIGINT)
+                     1, 12))::BIGINT ELSE 0 END)
                    AS untouched_cks_clean,
-                 CAST(SUM(CASE WHEN stripped = 0 THEN
+                 SUM(CASE WHEN stripped = 0 THEN
                    ('0x' || substr(md5(array_to_string(toks, ' ')),
-                     1, 12))::BIGINT ELSE 0 END) AS BIGINT)
+                     1, 12))::BIGINT ELSE 0 END)
                    AS untouched_cks_orig
           FROM cleaned)
         SELECT c.n_docs, c.n_planted, c.n_stripped,

@@ -987,8 +987,10 @@ object Dedup {
           .orderBy(col("bin"))
       },
       oracle = Some(s"""
-        WITH s AS (SELECT doc_id, sig, n_sh
-                   FROM read_parquet('${Gps.VerifyOutToken}/_q252_input/*.parquet')),
+        WITH s AS (SELECT doc_id, MAX(n_sh) AS n_sh,
+                          list(v ORDER BY h) AS sig
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q252_input/*.parquet')
+                   GROUP BY doc_id),
         base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
                  FROM documents WHERE doc_id % 17 = 0),
         var AS (SELECT doc_id * 4 + 0 AS doc_id, t FROM base
@@ -1863,7 +1865,13 @@ object Dedup {
                  AS BIGINT) AS b3_f1_ppm
         FROM pr CROSS JOIN np CROSS JOIN tp CROSS JOIN mg
         CROSS JOIN sp CROSS JOIN chg"""
-      })
+      },
+      // Round-12 headline (VERDICT r11 #2): the benched set had no
+      // entity-resolution/label-propagation shape, yet this is the
+      // corpus' most expensive composed lineage and the one a 100 TB
+      // dedup run actually pays — block → FS-score → match → 6-round
+      // cluster → B³ in one plan.
+      headline = true)
   )
 
   /** Shared output of the q302/q325 Fellegi–Sunter linkage builder:
@@ -1984,9 +1992,17 @@ object Dedup {
     * against an independent Scala multiset implementation on hand
     * pairs (the q289 lesson). */
   private[queries] def chrfScores(pairs: DataFrame): DataFrame = {
+    // The inner filter is a no-op for length($side) >= n, but when the
+    // string is SHORTER than n Spark's sequence(1, length-n+1) yields a
+    // DESCENDING [1, 0] (DuckDB's generate_series is empty there) and
+    // would emit bogus grams including an invalid substring start 0 —
+    // the filter drops exactly that engine-divergent case (round-11
+    // ADVICE; unreachable in q320 only thanks to its >=12-token filter,
+    // guarded here so the helper is safe for any caller).
     def grams(side: String) = pairs.select(col("ptype"), col("doc_id"),
         explode(expr(s"flatten(transform(array(2, 3), n ->" +
-          s" transform(sequence(1, length($side) - n + 1)," +
+          s" transform(filter(sequence(1, length($side) - n + 1)," +
+          s" i -> i >= 1 AND i <= length($side) - n + 1)," +
           s" i -> struct(n AS n, substring($side, i, n) AS g))))"))
           .as("x"))
       .select(col("ptype"), col("doc_id"), col("x.n").as("n"),

@@ -1023,7 +1023,12 @@ object Insights {
         val ds = diffs.orderBy(col("source")).collect()
           .map(_.getAs[Long]("d")) // ≤ |sources| rows — panel-sized
         val k = ds.length
-        require(k <= 40, s"exact sign-flip DP sized for panels; got $k")
+        // k ≤ 21, not the DP's own 40-capacity: the oracle enumerates
+        // sign masks from range(2097152) = 2^21, so a larger panel would
+        // silently under-count there and surface as a confusing hash
+        // mismatch instead of this clear error (round-11 ADVICE).
+        require(k <= 21, s"exact sign-flip test sized for panels ≤ 21" +
+          s" sources (oracle enumerates 2^21 sign masks); got $k")
         val span = ds.map(math.abs).sum.toInt
         // DP over the signed-sum distribution: cnt(offset) of sign
         // vectors reaching Σ sᵢdᵢ = offset − span after each step.

@@ -1133,6 +1133,12 @@ object Mixing {
           .orderBy(col("source")).limit(8)
           .collect().map(r => (r.getString(0), r.getLong(1)))
         val k = sizes.length
+        // The oracle hardcodes the 8-source instance (permutation CTEs
+        // p1..p8, s7 = 28 − Σ, caps over range(8)); a corpus with fewer
+        // distinct sources would run the DP fine here but mismatch a
+        // broken oracle — fail loudly instead (round-11 ADVICE).
+        require(k == 8, s"q324's certificate is the fixed 8-source" +
+          s" instance (oracle enumerates 8! permutations); got $k")
         val total = sizes.map(_._2).sum
         val caps = (1 to k).map(j => total * j / 36L).toArray
         val cost = Array.tabulate(k, k)((i, j) =>

@@ -131,10 +131,13 @@ object Multi {
           .orderBy(col("n_frames"))
       },
       oracle = Some(s"""
-        WITH v AS (SELECT CAST(n_frames AS BIGINT) AS n_frames,
-                          CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
-                          frame_sums
-                   FROM read_parquet('${Gps.VerifyOutToken}/_q228_input/*.parquet')),
+        WITH v AS (SELECT asset_id,
+                          CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+                          CAST(MAX(w) AS BIGINT) AS w,
+                          CAST(MAX(h) AS BIGINT) AS h,
+                          list(frame_sum ORDER BY idx) AS frame_sums
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q228_input/*.parquet')
+                   GROUP BY asset_id),
         d AS (SELECT n_frames, w * h * n_frames AS px_before,
                      (n_frames + 2) // 3 AS frames_kept,
                      w * h * ((n_frames + 2) // 3) AS px_after,
@@ -303,13 +306,13 @@ object Multi {
       build = (spark, dir) =>
         Multimodal.shotProfile(spark, assetCount(dir)),
       oracle = Some(s"""
-        WITH v AS (SELECT asset_id, CAST(n_frames AS BIGINT) AS n_frames,
+        WITH d AS (SELECT asset_id, CAST(n_frames AS BIGINT) AS n_frames,
                           CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
-                          diffs
+                          CAST(idx AS BIGINT) AS i,
+                          CAST(diff AS BIGINT) AS dv
                    FROM read_parquet('${Gps.VerifyOutToken}/_q249_input/*.parquet')),
-        d AS (SELECT asset_id, n_frames, w, h, t.i, t.dv
-              FROM v, LATERAL (SELECT unnest(diffs) AS dv,
-                                      generate_subscripts(diffs, 1) AS i) t),
+        v AS (SELECT asset_id, MAX(n_frames) AS n_frames
+              FROM d GROUP BY asset_id),
         b AS (SELECT asset_id, i,
                      CASE WHEN dv > w * h * 32 THEN 1 ELSE 0 END AS bnd
               FROM d),

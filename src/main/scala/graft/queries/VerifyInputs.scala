@@ -101,22 +101,27 @@ object VerifyInputs {
     // (stride 3) and its surviving pixel content from these, and must
     // match what the gate measures by decoding the sampler's re-encoded
     // output — content equality through the codec round-trip.
+    // Staged EXPLODED (one row per frame, 1-based idx) rather than as a
+    // list column: the driver's rows-only comparator sorts every staged
+    // table with pandas, and ndarray cells are unhashable there — the
+    // r11 `_q228/_q249/_q252_input` red rows. The oracle rebuilds the
+    // list with list(frame_sum ORDER BY idx); every video has ≥ 8
+    // frames, so no asset can vanish in the exploded form.
     locally {
       import spark.implicits._
       import graft.operators.Multimodal
       Multimodal.syntheticAssets(spark, Multi.assetCount(sfDir))
         .filter(_.meta.kind == "video")
-        .map { a =>
+        .flatMap { a =>
           val d = Multimodal.VideoCodec.decode(a.payload)
-          val sums = d.frames.map { f =>
+          d.frames.iterator.zipWithIndex.map { case (f, j) =>
             var s = 0L
             var i = 0
             while (i < f.length) { s += (f(i) & 0xff); i += 1 }
-            s
+            (a.asset_id, a.meta.nFrames, d.width, d.height, j + 1L, s)
           }
-          (a.asset_id, a.meta.nFrames, d.width, d.height, sums)
         }
-        .toDF("asset_id", "n_frames", "w", "h", "frame_sums")
+        .toDF("asset_id", "n_frames", "w", "h", "idx", "frame_sum")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q228_input")
     }
     // q230: per-asset resize-audit rows (source geometry + measured
@@ -148,12 +153,26 @@ object VerifyInputs {
     // DuckDB independently re-derives the cut classification and the
     // shot segmentation (boundary prefix-sum) that the gate computes
     // in-row during its decode pass.
+    // Exploded like _q228_input (pandas-sortable scalars only); idx is
+    // the 1-based diff subscript the oracle's generate_subscripts used.
     graft.operators.Multimodal.videoDiffRows(spark, Multi.assetCount(sfDir))
+      .select(col("asset_id"), col("n_frames"), col("w"), col("h"),
+        posexplode(col("diffs")).as(Seq("idx0", "diff")))
+      .select(col("asset_id"), col("n_frames"), col("w"), col("h"),
+        (col("idx0") + 1L).cast("long").as("idx"), col("diff"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q249_input")
     // q252: the audit sample's minhash signatures; DuckDB recomputes
     // the exact shingle Jaccard from raw documents and the estimator
     // from these rows, independently.
+    // Exploded like _q228_input (pandas-sortable scalars only); h is
+    // the 0-based hash index, the oracle rebuilds sig with
+    // list(v ORDER BY h). Signatures are always 64-long, so no doc can
+    // vanish in the exploded form.
     Dedup.minhashAuditSig(spark, sfDir)
+      .select(col("doc_id"), col("n_sh"),
+        posexplode(col("sig")).as(Seq("h", "v")))
+      .select(col("doc_id"), col("n_sh"), col("h").cast("long").as("h"),
+        col("v"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q252_input")
     // q234: the per-image perceptual hashes (real decode + dHash) over
     // the planted-copy corpus; DuckDB independently re-runs banding,
@@ -165,9 +184,28 @@ object VerifyInputs {
     // rows the gate's Spark side round-trips through its own temp CSV.
     // DuckDB parses THIS copy; agg equality proves both parsers read
     // the quoted/comma-bearing field identically.
-    Relational.csvRoundTripRows(spark, sfDir)
-      .coalesce(1).write.mode("overwrite")
-      .option("header", "true").option("escape", "\"")
-      .csv(s"$outDir/_q226_input")
+    //
+    // Layout: the dir holds a PARQUET copy (what the driver's rows-only
+    // comparator reads — a CSV-only dir crashed its pyarrow dataset
+    // scan every round) PLUS the CSV as `_data.csv`: pyarrow's dataset
+    // discovery ignores `_`/`.`-prefixed files (the `_SUCCESS` rule),
+    // while the oracle's read_csv('.../*.csv') glob still matches it.
+    locally {
+      val rows = Relational.csvRoundTripRows(spark, sfDir)
+      rows.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_q226_input")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q226csv")
+      rows.coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(
+        _.getFileName.toString.endsWith(".csv")).findFirst.get
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$outDir/_q226_input/_data.csv"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

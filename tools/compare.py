@@ -129,6 +129,33 @@ def run_self_checks(outdir):
     return n_pass, n_fail
 
 
+def check_staging_tables(outdir):
+    """Driver-replica check over the `_q*_input` staging dirs.
+
+    The driver's comparator reads EVERY outdir subdir as a parquet
+    dataset and sorts it with pandas (rows-only check when no oracle
+    exists). In r11 four staging tables crashed it: list-typed columns
+    are unhashable in pandas sort_values, and a CSV-only dir breaks the
+    pyarrow dataset scan. Replicate exactly that read+sort here so a
+    regression fails locally, not in CORRECTNESS_r{N}.json."""
+    import os
+    import pyarrow.dataset as pads
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(outdir)):
+        path = f"{outdir}/{name}"
+        if not (name.startswith("_q") and os.path.isdir(path)):
+            continue
+        try:
+            df = pads.dataset(path, format="parquet").to_table().to_pandas()
+            df.sort_values(by=list(df.columns), inplace=True)
+            print(f"PASS {name} (staging: {len(df)} rows, driver-sortable)")
+            n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name} (staging): {type(e).__name__}: {e}")
+            n_fail += 1
+    return n_pass, n_fail
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -182,6 +209,9 @@ def main():
     sp, sf_ = run_self_checks(outdir)
     n_pass += sp
     n_fail += sf_
+    stp, stf = check_staging_tables(outdir)
+    n_pass += stp
+    n_fail += stf
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
