@@ -2804,7 +2804,51 @@ object StreamingGate {
         SELECT * FROM main
         UNION ALL
         SELECT * FROM dlq
-        ORDER BY etype""")))
+        ORDER BY etype"""))) :+ (
+
+    // ---- q336: concurrent writers sharing one table (31st law) ----
+    // The 30 prior laws all gate ONE pipeline; the operational contract
+    // still unproven was two INDEPENDENT writers sharing a sink table —
+    // the multi-source warehouse shape (regional ingest jobs, a
+    // backfill running beside live ingest). Writers A and B are
+    // separate AvailableNow pipelines in SEPARATE Spark sessions
+    // (newSession() — isolated SQLConf, shared catalog: the sink flips
+    // partitionOverwriteMode around each write, so two writers sharing
+    // one session would race that conf; per-writer sessions are the
+    // correct deployment and this gate encodes it), draining disjoint
+    // event halves into the SAME IdempotentParquetSink table under
+    // disjoint batch-id spaces (A stamps 0..3, B stamps 100..103 —
+    // dynamic-partition overwrites on disjoint batch_id partitions
+    // stage independently, the plain-parquet dual of Iceberg's
+    // concurrent snapshot appends). Then writer B is REPLAYED WHOLE
+    // from a fresh checkpoint — the crash-lost-checkpoint scenario —
+    // and the table must come out bit-identical: replay_delta (row
+    // count after − before) is the in-data certificate, and the
+    // per-batch rollup hash catches any row that moved, duplicated, or
+    // vanished. The oracle recomputes every batch's content from the
+    // events table arithmetic alone.
+    //
+    // 100 TB posture: per batch one dynamic-partition overwrite of that
+    // batch's rows — no cross-writer coordination, no table-wide
+    // rewrite; writers scale independently exactly because the batch-id
+    // space partitions the table.
+    "q336_concurrent_writers" -> QueryDef(
+      build = (spark, dir) => streamedConcurrentWriters(spark, dir),
+      oracle = Some("""
+        WITH e AS (SELECT event_id, event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                          CASE WHEN event_id % 2 = 0
+                               THEN (event_id // 2) % 4
+                               ELSE 100 + (event_id // 2) % 4
+                          END AS batch_id
+                   FROM events)
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CASE WHEN batch_id >= 100 THEN 'b' ELSE 'a' END AS writer,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+               CAST(0 AS BIGINT) AS replay_delta
+        FROM e GROUP BY batch_id ORDER BY batch_id""")))
 
 
   /** Run the COMPLETE-mode leaderboard gate to completion: the q275
@@ -3125,5 +3169,128 @@ object StreamingGate {
         countDistinct(col("event_id")).as("n_distinct"),
         sum(round(col("value") * 100).cast("long")).as("cents_total"))
       .orderBy(col("event_type"))
+  }
+
+  /** q336: run the two-writer shared-table scenario to completion.
+    * Writers A and B are independent AvailableNow pipelines in SEPARATE
+    * Spark sessions, each draining its own 4-file source (event halves
+    * by event_id parity, files by (event_id div 2) % 4, mod-times
+    * pinned so file→batch mapping is deterministic) into ONE
+    * [[graft.streaming.IdempotentParquetSink]] table under disjoint
+    * batch-id spaces. The table is bootstrapped (schema + batch_id
+    * partition spec) BEFORE either writer starts — concurrent
+    * create-if-missing is the one step that genuinely races, and
+    * production does it as DDL for the same reason. After both drain,
+    * writer B replays WHOLE from a fresh checkpoint; the sink's
+    * idempotent partition overwrite must leave the table unchanged. */
+  def streamedConcurrentWriters(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.IdempotentParquetSink
+    val runA = new GateRun(spark, "q336a", Seq())
+    val runB = new GateRun(spark, "q336b", Seq())
+    val table = "q336_shared_table"
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // clear a previous JVM's surviving managed-table directory (the
+      // q280 lesson: the in-memory catalog forgets, the warehouse does
+      // not), and forget any stale sink validation for the name
+      locally {
+        val wh = Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"))
+        if (Files.exists(wh))
+          Files.list(wh)
+            .filter(p => p.getFileName.toString.startsWith(table))
+            .forEach(root => Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p)))
+      }
+      IdempotentParquetSink.invalidate(spark, table)
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+      Seq((0, runA), (1, runB)).foreach { case (w, run) =>
+        (0 until 4).foreach { f =>
+          val stage = s"${run.srcDir}/stage_f$f"
+          ev.filter(col("event_id") % 2 === w &&
+              expr("(event_id div 2) % 4") === f)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = Files.list(Paths.get(stage)).filter(p =>
+            p.toString.endsWith(".parquet")).findFirst().get()
+          val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
+          Files.move(part, dest)
+          Files.walk(Paths.get(stage))
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1600000000000L
+              + f * 60000L))
+        }
+      }
+      // Bootstrap: a zero-row write creates the table with the sink's
+      // batch_id-first partition spec and validates it, so neither
+      // writer hits the create-if-missing race.
+      IdempotentParquetSink.write(ev.limit(0), table, batchId = -1L)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("cents", LongType)))
+      def writer(sess: SparkSession, srcDir: String, ckpt: String,
+          offset: Long) =
+        sess.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            IdempotentParquetSink.write(batch, table, offset + id)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      val qa = writer(spark.newSession(), runA.srcDir, runA.ckpt, 0L)
+      val qb = writer(spark.newSession(), runB.srcDir, runB.ckpt, 100L)
+      try { qa.awaitTermination(); qb.awaitTermination() }
+      finally {
+        if (qa.isActive) qa.stop()
+        if (qb.isActive) qb.stop()
+      }
+      // The readers below run in the MAIN session while the writers
+      // wrote through their own sessions: the relation cache
+      // (SessionCatalog.tableRelationCache) is per-session, so refresh
+      // before every read or the main session serves a stale file
+      // listing of partitions the replay has since rewritten.
+      spark.catalog.refreshTable(table)
+      val c1 = spark.table(table).count()
+      // Replay writer B wholesale from a FRESH checkpoint (crash that
+      // lost the checkpoint but not the table): every B batch re-runs
+      // and must overwrite its own partition with identical rows.
+      val ckptB2 = Files.createTempDirectory("q336b_ckpt2").toString
+      val qb2 = writer(spark.newSession(), runB.srcDir, ckptB2, 100L)
+      try qb2.awaitTermination() finally {
+        if (qb2.isActive) qb2.stop()
+        Files.walk(Paths.get(ckptB2))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      spark.catalog.refreshTable(table)
+      val c2 = spark.table(table).count()
+      val out = spark.table(table)
+        .groupBy(col(IdempotentParquetSink.BatchCol).cast(LongType)
+          .as("batch_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("event_id")).as("sum_eid"))
+        .select(col("batch_id"),
+          when(col("batch_id") >= 100L, lit("b")).otherwise(lit("a"))
+            .as("writer"),
+          col("n"), col("sum_cents"), col("sum_eid"),
+          lit(c2 - c1).as("replay_delta"))
+        .orderBy(col("batch_id"))
+        .localCheckpoint(false)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      out
+    } finally {
+      runA.cleanup()
+      runB.cleanup()
+    }
   }
 }

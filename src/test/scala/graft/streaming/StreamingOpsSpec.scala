@@ -693,4 +693,49 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.map(_._2).toSet == Set(0L, 1L),
       "fixture exercises both label classes")
   }
+
+  test("two sessions write one sink table concurrently; replay is a no-op (q336 law)") {
+    // The q336 contract at unit scale: writers in SEPARATE sessions
+    // (per-writer SQLConf — the sink flips partitionOverwriteMode around
+    // each write, so one shared session would race it) appending
+    // disjoint batch-id spaces to ONE IdempotentParquetSink table must
+    // commute, and replaying a batch must leave the table bit-identical.
+    import spark.implicits._
+    val table = "q336_spec_shared"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    IdempotentParquetSink.invalidate(spark, table)
+    // bootstrap schema + partition spec before the writers race
+    IdempotentParquetSink.write(
+      Seq.empty[Long].toDF("id"), table, batchId = -1L)
+    val sa = spark.newSession()
+    val sb = spark.newSession()
+    def rows(s: org.apache.spark.sql.SparkSession, from: Long) =
+      s.range(from, from + 5).toDF("id")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ta = new Thread(() =>
+      try (0L to 1L).foreach(b =>
+        IdempotentParquetSink.write(rows(sa, b * 5), table, b))
+      catch { case e: Throwable => errs.add(e) })
+    val tb = new Thread(() =>
+      try (0L to 1L).foreach(b =>
+        IdempotentParquetSink.write(rows(sb, 1000 + b * 5), table, 100 + b))
+      catch { case e: Throwable => errs.add(e) })
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert(errs.isEmpty, s"concurrent writer threw: ${errs.peek()}")
+    spark.catalog.refreshTable(table)
+    def snapshot() = spark.table(table)
+      .select(col("id"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = ((0L to 4L).map(i => (i, 0L)) ++
+      (5L to 9L).map(i => (i, 1L)) ++
+      (1000L to 1004L).map(i => (i, 100L)) ++
+      (1005L to 1009L).map(i => (i, 101L))).sorted
+    assert(snapshot() == expected,
+      "concurrent disjoint-batch writes did not commute to the union")
+    // replay writer B's first batch — identical rows, same batch id
+    IdempotentParquetSink.write(rows(sb, 1000), table, 100)
+    spark.catalog.refreshTable(table)
+    assert(snapshot() == expected, "replaying a batch changed the table")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
