@@ -62,7 +62,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSessionFactory.localFromEnv(32, "graft-bench")
     val queries = SparkEntry.queries
-    val names = SparkEntry.headlines
+    // Optional args name a headline subset for focused re-measure work
+    // (the STANDING RE-MEASURE RULE in BASELINE.md needs per-query
+    // isolation); the driver always invokes arg-less = full protocol.
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.headlines
 
     prewarmPageCache(sfDir)
     val meter = new ShuffleMeter
@@ -153,7 +156,7 @@ object Bench {
     // the same (untimed, pre-generated, page-cache-warm) input files;
     // report the min. Repeat 1 doubles as warmup (file-source listing code,
     // JSON parse codegen, parquet writer paths all JIT-compile there).
-    val ingest = try {
+    val ingest = if (args.nonEmpty) "" else try {
       val rows = if (sfDir.contains("sf0.1")) 600000L
         else if (sfDir.contains("sf0.01")) 60000L else 6000L
       val stamp = java.lang.management.ManagementFactory.getRuntimeMXBean.getName

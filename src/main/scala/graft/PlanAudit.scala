@@ -18,7 +18,16 @@ object PlanAudit {
       else SparkEntry.headlines.filterNot(_.startsWith("q139"))
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // Execute BEFORE explaining (VERDICT r11 #6): an un-run plan prints
+      // `isFinalPlan=false` — the shape AQE *proposed*, not the one that
+      // ran. collect() materializes this exact QueryExecution (count()
+      // would build a different one), so the explain below is the
+      // runtime-final plan: AQE's coalesced exchanges, runtime join
+      // demotions/promotions, and skew splits all visible. Headline
+      // outputs are aggregate/top-k sized, so collect() is bounded.
+      df.collect()
+      df.explain("formatted")
     }
     spark.stop()
   }

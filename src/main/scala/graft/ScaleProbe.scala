@@ -623,6 +623,31 @@ object ScaleProbe {
       }
     }
 
+    // q60split probe: decompose the q60 headline's wall time over the
+    // STAGED corpus (the exact asset bytes the headline scans) into
+    // additive layers — raw payload scan, typed-Encoder deserialize,
+    // codec decode + histogram, full profile agg — so a bench drift can
+    // be attributed to the layer that moved instead of re-litigated as
+    // host weather each round.
+    if (enabled("q60split")) {
+      import graft.operators.Multimodal
+      import org.apache.spark.sql.functions.{length => flen, sum => fsum}
+      val n = 50000L
+      val staged = Multimodal.stagedAssets(spark, n) // stages once, untimed
+      staged.count() // warmup listing + footers
+      def best2(f: => Long): Double =
+        (1 to 2).map { _ => System.gc(); timed(f)._1 }.min
+      val scan = best2(staged.toDF().agg(fsum(flen(col("payload"))))
+        .head.getLong(0))
+      val deser = {
+        import spark.implicits._
+        best2(staged.map(_.payload.length.toLong).reduce(_ + _))
+      }
+      val decode = best2(Multimodal.extractFeatures(staged).count())
+      val full = best2(Multimodal.featureProfile(spark, n).count())
+      println(f"""{"probe":"q60split","n":$n,"scan_sec":$scan%.3f,"deser_sec":$deser%.3f,"decode_sec":$decode%.3f,"full_sec":$full%.3f}""")
+    }
+
     // audiocost probe: where does q60's wall time go after the round-8
     // real WAV codec — generation (encode) vs feature extraction
     // (decode), split by media kind.

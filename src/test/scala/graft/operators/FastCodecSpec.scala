@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hand-rolled hot-format decoders (MediaDecoders) must be the SAME
+  * codec as the JDK ImageIO path they replace — proven byte-for-byte on
+  * three payload families:
+  *
+  *  1. our own encoders' output (the staged q60 corpus profile:
+  *     literal-LZW gray GIFs, stored-deflate gray PNGs),
+  *  2. JDK-WRITTEN payloads (ImageIO's GIF writer emits real
+  *     dictionary-compressed LZW; its PNG writer emits real deflate +
+  *     adaptive filters) — this is what makes the fast paths full
+  *     codecs rather than fixture-shaped shortcuts,
+  *  3. profile edges: non-square dims, 1-frame GIFs, palettes smaller
+  *     than 256, and unsupported PNG profiles falling back (None).
+  */
+class FastCodecSpec extends AnyFunSuite {
+  System.setProperty("java.awt.headless", "true")
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  private def jdkDecodeGifFrames(payload: Array[Byte]): Array[Array[Byte]] = {
+    // The pre-fast-path ImageIO loop, verbatim semantics: read frames
+    // until out-of-range, gray = palette red channel.
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      r.setInput(iis, false, true)
+      val frames = Array.newBuilder[Array[Byte]]
+      var n = 0
+      var done = false
+      while (!done) {
+        try {
+          val img = r.read(n)
+          val w = img.getWidth
+          val h = img.getHeight
+          img.getColorModel match {
+            case icm: java.awt.image.IndexColorModel =>
+              val idx = new Array[Byte](w * h)
+              img.getRaster.getDataElements(0, 0, w, h, idx)
+              val lut = new Array[Byte](icm.getMapSize)
+              var i = 0
+              while (i < lut.length) { lut(i) = icm.getRed(i).toByte; i += 1 }
+              val gray = new Array[Byte](w * h)
+              i = 0
+              while (i < gray.length) { gray(i) = lut(idx(i) & 0xff); i += 1 }
+              frames += gray
+            case _ => fail("JDK GIF frame decoded to a non-indexed model")
+          }
+          n += 1
+        } catch { case _: IndexOutOfBoundsException => done = true }
+      }
+      frames.result()
+    } finally { r.dispose(); iis.close() }
+  }
+
+  test("GIF fast path == ImageIO on our literal-LZW corpus payloads") {
+    for (id <- Seq(2L, 5L, 14L, 23L, 101L)) {
+      val payload = Multimodal.VideoCodec.encodeGif(id, 42L, 64, 64,
+        nFrames = 8 + (id % 8).toInt)
+      val fast = MediaDecoders.decodeGif(payload)
+        .getOrElse(fail(s"fast path rejected corpus payload id=$id"))
+      val jdk = jdkDecodeGifFrames(payload)
+      assert(fast.length == jdk.length, s"frame count id=$id")
+      fast.zip(jdk).foreach { case (f, j) =>
+        assert(f.width == 64 && f.height == 64)
+        assert(java.util.Arrays.equals(f.gray, j))
+      }
+    }
+  }
+
+  test("GIF fast path == ImageIO on JDK-WRITTEN compressed LZW (dictionary growth)") {
+    // The JDK GIF writer produces real variable-width dictionary LZW —
+    // decoding it exercises table growth, code-width bumps, and clears
+    // that our own literal-only encoder never emits.
+    val r = rng(7)
+    for ((w, h) <- Seq((64, 64), (97, 31), (16, 200), (1, 1), (255, 3))) {
+      val gray = new Array[Byte](w * h)
+      // half structured (runs compress => dictionary grows), half noise
+      var i = 0
+      while (i < gray.length / 2) { gray(i) = ((i / 7) % 251).toByte; i += 1 }
+      while (i < gray.length) { gray(i) = r.nextInt(256).toByte; i += 1 }
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      assert(javax.imageio.ImageIO.write(img, "gif", ios))
+      ios.close()
+      val payload = bos.toByteArray
+      val fast = MediaDecoders.decodeGif(payload)
+        .getOrElse(fail(s"fast path rejected JDK-written GIF ${w}x$h"))
+      assert(fast.length == 1)
+      assert(fast.head.width == w && fast.head.height == h)
+      // The ground truth is the raster the writer was GIVEN: the fast
+      // path must recover it exactly through the writer's real
+      // dictionary LZW. (Identity palette => gray == source bytes.)
+      assert(java.util.Arrays.equals(fast.head.gray, gray),
+        s"fast != source ${w}x$h")
+      // Cross-check vs the JDK reader too — except where the JDK reader
+      // itself misdecodes its own writer's output: at 255x3 (and other
+      // width-255 shapes) ImageIO returns zeros after the first row
+      // while the fast path recovers the planted raster bit-exactly, so
+      // the JDK raster is only authoritative when its round-trip is
+      // lossless. (Found by this spec; kept as a permanent regression
+      // pin that the fast path does NOT inherit the JDK bug.)
+      val jdk = jdkDecodeGifFrames(payload)
+      if (java.util.Arrays.equals(jdk.head, gray))
+        assert(java.util.Arrays.equals(fast.head.gray, jdk.head))
+      else assert(w == 255, s"JDK misdecode at unexpected dims ${w}x$h")
+    }
+  }
+
+  test("VideoCodec.decode (fast-path wired) == the JDK frame loop") {
+    for (id <- Seq(8L, 11L, 20L)) {
+      val payload = Multimodal.VideoCodec.encodeGif(id, 42L, 64, 64,
+        nFrames = 8 + (id % 8).toInt)
+      val d = Multimodal.VideoCodec.decode(payload)
+      val jdk = jdkDecodeGifFrames(payload)
+      assert(d.frames.length == jdk.length)
+      d.frames.zip(jdk).foreach { case (f, j) =>
+        assert(java.util.Arrays.equals(f, j))
+      }
+    }
+  }
+
+  test("PNG fast path == ImageIO on our stored-deflate corpus payloads") {
+    for (id <- Seq(0L, 3L, 9L, 33L)) {
+      val w = 64 + (id % 4).toInt * 32
+      val h = 64 + (id % 3).toInt * 32
+      val payload = Multimodal.ImageCodec.encodePng(id, 42L, w, h)
+      val fast = MediaDecoders.decodeGrayPng(payload)
+        .getOrElse(fail(s"fast path rejected corpus PNG id=$id"))
+      assert(fast.width == w && fast.height == h)
+      // corpus PNGs carry the raw keystream raster — compare to source
+      val expected = Multimodal.Keystream.bytes(id, 42L, w * h)
+      assert(java.util.Arrays.equals(fast.gray, expected))
+    }
+  }
+
+  test("PNG fast path == ImageIO on JDK-WRITTEN deflate+filtered PNGs") {
+    val r = rng(13)
+    for ((w, h) <- Seq((64, 64), (81, 27), (3, 300), (1, 1))) {
+      val gray = new Array[Byte](w * h)
+      var i = 0
+      // gradients force the JDK writer's adaptive filters (Sub/Up/
+      // Average/Paeth) rather than filter-0 rows
+      while (i < gray.length) {
+        gray(i) = (((i % w) + (i / w) + r.nextInt(3)) % 256).toByte; i += 1
+      }
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val payload = bos.toByteArray
+      val fast = MediaDecoders.decodeGrayPng(payload)
+        .getOrElse(fail(s"fast path rejected JDK-written PNG ${w}x$h"))
+      val viaImageIO = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val jdk = new Array[Byte](w * h)
+      viaImageIO.getRaster.getDataElements(0, 0, w, h, jdk)
+      assert(fast.width == w && fast.height == h)
+      assert(java.util.Arrays.equals(fast.gray, jdk))
+    }
+  }
+
+  test("unsupported profiles fall back: color PNG => None, non-GIF => None") {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 4, 0xff8040)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    assert(MediaDecoders.decodeGrayPng(bos.toByteArray).isEmpty)
+    assert(MediaDecoders.decodeGif("definitely not a gif".getBytes).isEmpty)
+    assert(MediaDecoders.decodeGrayPng(Array[Byte](1, 2, 3)).isEmpty)
+    // and ImageCodec.decode still decodes the color PNG via the fallback
+    val d = Multimodal.ImageCodec.decode(bos.toByteArray)
+    assert(d.width == 16 && d.height == 16)
+  }
+}
