@@ -1879,14 +1879,14 @@ object Dedup {
     * flags + pattern id), and the 8-row scored pattern grid with
     * decisions — one construction, two gates, so the capstone cannot
     * drift from the pairwise gate's registries or scoring. */
-  private final case class LinkageParts(a: DataFrame, b: DataFrame,
+  private[queries] final case class LinkageParts(a: DataFrame, b: DataFrame,
       cand: DataFrame, grid: DataFrame)
 
   /** q302/q325's shared linkage front: md5-coin field noise over
     * `customer`, two-pass blocking, frequency-based u statistics, and
     * the integer-ppm FS factor products (see q302's docstring for the
     * full derivation). */
-  private def linkageParts(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def linkageParts(spark: org.apache.spark.sql.SparkSession,
       dir: String): LinkageParts = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
@@ -1901,9 +1901,26 @@ object Dedup {
         " div 50000").as("band"),
       col("c_mktsegment").as("seg"),
       (col("c_custkey") % 1000L).as("tok"))
+    // Both registries are MATERIALIZED (lazy local checkpoint) before
+    // any blocking join: the md5-coin noise expressions are
+    // deterministic, so without the cut Catalyst collapses them past
+    // the join and re-evaluates them once per CANDIDATE row (~1.7M ×
+    // several md5s at sf0.1 — measured 3.2-3.9 s in the q325 phase
+    // probe) instead of once per registry row (~13.5k). A production
+    // linkage pipeline stages its cleaned registries for exactly this
+    // reason; every downstream consumer (blocking joins, u-statistics,
+    // true-pair count) reads the staged rows.
+    // The registries are also SPREAD across the session's parallelism
+    // before staging: at this SF `customer` is a single parquet split,
+    // so without the spread the broadcast blocking joins stream ~1.8M
+    // candidate rows through ONE task (measured: the candidate distinct
+    // alone at 2.4-3.5 s). At production scale the probe side arrives
+    // in many splits and this is a no-op by construction.
     val a = base.filter(coin("q302A#") < 900000L)
       .select(col("k").as("a_key"), col("nat"), col("band"),
         col("seg"), col("tok"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(false)
     val nextSeg = when(col("seg") === "AUTOMOBILE", "BUILDING")
       .when(col("seg") === "BUILDING", "FURNITURE")
       .when(col("seg") === "FURNITURE", "HOUSEHOLD")
@@ -1919,6 +1936,8 @@ object Dedup {
         .otherwise(col("seg")).as("seg"),
       when(coin("q302T#") < 100000L, (col("tok") + 1) % 1000)
         .otherwise(col("tok")).as("tok"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(false)
     def proj(df: DataFrame) = df.select(
       col("x.a_key").as("a_key"), col("y.b_key").as("b_key"),
       when(col("x.tok") === col("y.tok"), 1L).otherwise(0L)
