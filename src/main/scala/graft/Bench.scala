@@ -50,8 +50,12 @@ object Bench {
 
   private def prewarmPageCache(dir: String, ext: String = ".parquet"): Unit = {
     val buf = new Array[Byte](1 << 20)
-    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
-      if (p.toString.endsWith(ext)) {
+    // walk (not list): testdata SF dirs hold single-file tables, but
+    // Spark-written fixtures (the ScaleFixtures sf1 rehearsal corpus)
+    // are table.parquet DIRECTORIES of part files — prewarm both.
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p) &&
+        (p.toString.endsWith(ext) || p.getParent.toString.endsWith(ext))) {
         val in = java.nio.file.Files.newInputStream(p)
         try { while (in.read(buf) >= 0) () } finally in.close()
       }
@@ -157,7 +161,8 @@ object Bench {
     // report the min. Repeat 1 doubles as warmup (file-source listing code,
     // JSON parse codegen, parquet writer paths all JIT-compile there).
     val ingest = if (args.nonEmpty) "" else try {
-      val rows = if (sfDir.contains("sf0.1")) 600000L
+      val rows = if (sfDir.contains("sf1")) 6000000L
+        else if (sfDir.contains("sf0.1")) 600000L
         else if (sfDir.contains("sf0.01")) 60000L else 6000L
       val stamp = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
         .replaceAll("[^0-9a-zA-Z]", "")

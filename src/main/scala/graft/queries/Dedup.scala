@@ -1871,7 +1871,189 @@ object Dedup {
       // corpus' most expensive composed lineage and the one a 100 TB
       // dedup run actually pays — block → FS-score → match → 6-round
       // cluster → B³ in one plan.
-      headline = true)
+      headline = true),
+
+    // ---- q338: dynamic blocking with a block-size cap ----
+    // The sf1 rehearsal's one super-linear row, fixed: q302/q325 block
+    // on FIXED-cardinality keys ((nat, seg): 125 values), so 10×
+    // registries → ~10× per-block occupancy → ~100× candidate pairs
+    // (measured: 30.6 MB → 2.11 GB shuffle at sf1). Production ER
+    // bounds this with DYNAMIC blocking (Whang et al.'s block-size
+    // caps / the MapReduce ER literature): blocks whose occupancy
+    // exceeds the cap C are SPLIT by extending the key with the next
+    // field — (nat,seg) → +band → +tok — until they fit; pairs are
+    // generated only at each block's final level. Candidate mass is
+    // then ≤ C·|rows| per level BY CONSTRUCTION (each row meets ≤ C
+    // partners where it pairs) — linear in the corpus where fixed
+    // blocking is quadratic. The price is recall: a true pair whose
+    // sides DISAGREE on the splitting field of an oversized block is
+    // lost — this card MEASURES that trade instead of hand-waving it:
+    // exact candidate-reduction ppm and recall ppm vs full (nat,seg)
+    // blocking, per-level block/split/pair/true-pair counts, and the
+    // enforced-cap certificates (max kept occupancy ≤ 12 at levels 0/1).
+    // Full-blocking candidate mass is computed as Σ cnt_a·cnt_b over
+    // the block census — the 1.7M-pair baseline is NEVER materialized.
+    //
+    // 100 TB posture: per-level candidate joins are keyed equijoins
+    // with bounded fan-out (the cap); the block censuses are partial
+    // aggregations; the split keys are kilobyte broadcasts.
+    "q338_dynamic_blocking" -> QueryDef(
+      build = (spark, dir) => {
+        val cap = 12L
+        val lp = linkageParts(spark, dir)
+        val a = lp.a
+        val b = lp.b
+        def census(df: DataFrame, side: String, keys: Seq[String]) =
+          df.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as(s"cnt_$side"))
+        val k0 = Seq("nat", "seg")
+        val k1 = Seq("nat", "seg", "band")
+        val k2 = Seq("nat", "seg", "band", "tok")
+        val blk0 = census(a, "a", k0).join(census(b, "b", k0), k0)
+          .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
+          .localCheckpoint(false)
+        val keep0 = blk0.filter(col("occ") <= cap)
+        val split0 = blk0.filter(col("occ") > cap)
+          .select(k0.map(col): _*).localCheckpoint(false)
+        val a1 = a.join(broadcast(split0), k0)
+        val b1 = b.join(broadcast(split0), k0)
+        val blk1 = census(a1, "a", k1).join(census(b1, "b", k1), k1)
+          .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
+          .localCheckpoint(false)
+        val keep1 = blk1.filter(col("occ") <= cap)
+        val split1 = blk1.filter(col("occ") > cap)
+          .select(k1.map(col): _*).localCheckpoint(false)
+        val a2 = a1.join(broadcast(split1), k1)
+        val b2 = b1.join(broadcast(split1), k1)
+        val blk2 = census(a2, "a", k2).join(census(b2, "b", k2), k2)
+          .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
+          .localCheckpoint(false)
+        // pairs at each block's FINAL level (x restricted to the level's
+        // kept keys; key equality puts y in the same block)
+        def pairStats(ax: DataFrame, keys: Seq[String], name: String) = {
+          val x = ax.as("x")
+          val y = b.as("y")
+          x.join(y, keys.map(k => col(s"x.$k") === col(s"y.$k"))
+              .reduce(_ && _))
+            .agg(count(lit(1)).as(s"cand_$name"),
+              coalesce(sum(when(col("x.a_key") === col("y.b_key"), 1L)
+                .otherwise(0L)), lit(0L)).as(s"true_$name"))
+        }
+        val p0 = pairStats(a.join(broadcast(
+          keep0.select(k0.map(col): _*)), k0), k0, "l0")
+        val p1 = pairStats(a1.join(broadcast(
+          keep1.select(k1.map(col): _*)), k1), k1, "l1")
+        val p2 = pairStats(a2, k2, "l2")
+        val fullCand = blk0.agg(sum(col("cnt_a") * col("cnt_b"))
+          .as("cand_full"))
+        val fullTrue = a.as("x").join(b.as("y"),
+            col("x.a_key") === col("y.b_key") &&
+              col("x.nat") === col("y.nat") &&
+              col("x.seg") === col("y.seg"))
+          .agg(count(lit(1)).as("true_full"))
+        val blocks = blk0.agg(count(lit(1)).as("n_blocks0"))
+          .crossJoin(broadcast(split0.agg(count(lit(1)).as("n_split0"))))
+          .crossJoin(broadcast(blk1.agg(count(lit(1)).as("n_blocks1"))))
+          .crossJoin(broadcast(split1.agg(count(lit(1)).as("n_split1"))))
+          .crossJoin(broadcast(blk2.agg(count(lit(1)).as("n_blocks2"))))
+          .crossJoin(broadcast(keep0.agg(
+            coalesce(max(col("occ")), lit(-1L)).as("max_occ_kept0"))))
+          .crossJoin(broadcast(keep1.agg(
+            coalesce(max(col("occ")), lit(-1L)).as("max_occ_kept1"))))
+          .crossJoin(broadcast(blk2.agg(
+            coalesce(max(col("occ")), lit(-1L)).as("max_occ2"))))
+        blocks.crossJoin(broadcast(p0)).crossJoin(broadcast(p1))
+          .crossJoin(broadcast(p2))
+          .crossJoin(broadcast(fullCand)).crossJoin(broadcast(fullTrue))
+          .select(col("n_blocks0"), col("n_split0"), col("n_blocks1"),
+            col("n_split1"), col("n_blocks2"),
+            col("cand_l0"), col("cand_l1"), col("cand_l2"),
+            (col("cand_l0") + col("cand_l1") + col("cand_l2"))
+              .as("cand_total"),
+            col("cand_full"),
+            expr("(cand_l0 + cand_l1 + cand_l2) * 1000000" +
+              " div cand_full").as("reduction_ppm"),
+            (col("true_l0") + col("true_l1") + col("true_l2"))
+              .as("true_total"),
+            col("true_full"),
+            expr("(true_l0 + true_l1 + true_l2) * 1000000" +
+              " div GREATEST(true_full, 1)").as("recall_ppm"),
+            col("max_occ_kept0"), col("max_occ_kept1"), col("max_occ2"))
+      },
+      oracle = Some(s"""
+        WITH $linkageCtes,
+        ca0 AS (SELECT nat, seg, COUNT(*) AS cnt_a FROM a GROUP BY 1, 2),
+        cb0 AS (SELECT nat, seg, COUNT(*) AS cnt_b FROM b GROUP BY 1, 2),
+        blk0 AS (SELECT nat, seg, cnt_a, cnt_b,
+                        GREATEST(cnt_a, cnt_b) AS occ
+                 FROM ca0 JOIN cb0 USING (nat, seg)),
+        keep0 AS (SELECT * FROM blk0 WHERE occ <= 12),
+        split0 AS (SELECT nat, seg FROM blk0 WHERE occ > 12),
+        a1 AS (SELECT x.* FROM a x JOIN split0 USING (nat, seg)),
+        b1 AS (SELECT y.* FROM b y JOIN split0 USING (nat, seg)),
+        ca1 AS (SELECT nat, seg, band, COUNT(*) AS cnt_a FROM a1
+                GROUP BY 1, 2, 3),
+        cb1 AS (SELECT nat, seg, band, COUNT(*) AS cnt_b FROM b1
+                GROUP BY 1, 2, 3),
+        blk1 AS (SELECT nat, seg, band, cnt_a, cnt_b,
+                        GREATEST(cnt_a, cnt_b) AS occ
+                 FROM ca1 JOIN cb1 USING (nat, seg, band)),
+        keep1 AS (SELECT * FROM blk1 WHERE occ <= 12),
+        split1 AS (SELECT nat, seg, band FROM blk1 WHERE occ > 12),
+        a2 AS (SELECT x.* FROM a1 x JOIN split1 USING (nat, seg, band)),
+        b2 AS (SELECT y.* FROM b1 y JOIN split1 USING (nat, seg, band)),
+        ca2 AS (SELECT nat, seg, band, tok, COUNT(*) AS cnt_a FROM a2
+                GROUP BY 1, 2, 3, 4),
+        cb2 AS (SELECT nat, seg, band, tok, COUNT(*) AS cnt_b FROM b2
+                GROUP BY 1, 2, 3, 4),
+        blk2 AS (SELECT nat, seg, band, tok,
+                        GREATEST(cnt_a, cnt_b) AS occ
+                 FROM ca2 JOIN cb2 USING (nat, seg, band, tok)),
+        p0 AS (SELECT COUNT(*) AS cand_l0,
+                      COALESCE(SUM(CASE WHEN x.a_key = y.b_key
+                        THEN 1 ELSE 0 END), 0) AS true_l0
+               FROM a x JOIN keep0 k ON x.nat = k.nat AND x.seg = k.seg
+               JOIN b y ON y.nat = x.nat AND y.seg = x.seg),
+        p1 AS (SELECT COUNT(*) AS cand_l1,
+                      COALESCE(SUM(CASE WHEN x.a_key = y.b_key
+                        THEN 1 ELSE 0 END), 0) AS true_l1
+               FROM a1 x JOIN keep1 k ON x.nat = k.nat AND x.seg = k.seg
+                 AND x.band = k.band
+               JOIN b y ON y.nat = x.nat AND y.seg = x.seg
+                 AND y.band = x.band),
+        p2 AS (SELECT COUNT(*) AS cand_l2,
+                      COALESCE(SUM(CASE WHEN x.a_key = y.b_key
+                        THEN 1 ELSE 0 END), 0) AS true_l2
+               FROM a2 x JOIN b y ON y.nat = x.nat AND y.seg = x.seg
+                 AND y.band = x.band AND y.tok = x.tok),
+        fc AS (SELECT CAST(SUM(cnt_a * cnt_b) AS BIGINT) AS cand_full
+               FROM blk0),
+        ft AS (SELECT COUNT(*) AS true_full
+               FROM a x JOIN b y ON x.a_key = y.b_key
+                 AND x.nat = y.nat AND x.seg = y.seg)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM blk0) AS n_blocks0,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM split0) AS n_split0,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM blk1) AS n_blocks1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM split1) AS n_split1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM blk2) AS n_blocks2,
+               CAST(cand_l0 AS BIGINT) AS cand_l0,
+               CAST(cand_l1 AS BIGINT) AS cand_l1,
+               CAST(cand_l2 AS BIGINT) AS cand_l2,
+               CAST(cand_l0 + cand_l1 + cand_l2 AS BIGINT) AS cand_total,
+               cand_full,
+               CAST((cand_l0 + cand_l1 + cand_l2) * 1000000
+                 // cand_full AS BIGINT) AS reduction_ppm,
+               CAST(true_l0 + true_l1 + true_l2 AS BIGINT) AS true_total,
+               CAST(true_full AS BIGINT) AS true_full,
+               CAST((true_l0 + true_l1 + true_l2) * 1000000
+                 // GREATEST(true_full, 1) AS BIGINT) AS recall_ppm,
+               (SELECT CAST(COALESCE(MAX(occ), -1) AS BIGINT)
+                FROM keep0) AS max_occ_kept0,
+               (SELECT CAST(COALESCE(MAX(occ), -1) AS BIGINT)
+                FROM keep1) AS max_occ_kept1,
+               (SELECT CAST(COALESCE(MAX(occ), -1) AS BIGINT)
+                FROM blk2) AS max_occ2
+        FROM p0 CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN fc CROSS JOIN ft"""))
   )
 
   /** Shared output of the q302/q325 Fellegi–Sunter linkage builder:

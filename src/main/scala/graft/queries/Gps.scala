@@ -25,7 +25,8 @@ object Gps {
 
   /** Row count scaled to the testdata SF, mirroring lineitem's ~6k/sf0.001. */
   def inputRows(dir: String): Long =
-    if (dir.contains("sf0.1")) 600000L
+    if (dir.contains("sf1")) 6000000L // ScaleFixtures sf1 rehearsal dirs
+    else if (dir.contains("sf0.1")) 600000L
     else if (dir.contains("sf0.01")) 60000L else 6000L
 
   /** The deterministic enriched batch every q70 consumer agrees on. */

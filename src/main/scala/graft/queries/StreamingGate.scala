@@ -81,10 +81,27 @@ object StreamingGate {
       java.nio.file.Files.createTempDirectory(gate + "_ckpt").toString
     private val srcPath = java.nio.file.Files.createTempDirectory(gate + "_src")
     val srcDir: String = srcPath.toString
-    links.foreach { case (name, target) =>
-      java.nio.file.Files.createSymbolicLink(
-        srcPath.resolve(name), java.nio.file.Paths.get(target))
+    /** Stage a fixture under the source dir. Single-file targets (the
+      * driver testdata layout) link 1:1; DIRECTORY targets (Spark-written
+      * fixtures — the ScaleFixtures sf1 rehearsal corpus) are flattened
+      * by linking each part file under the staged stem, because the file
+      * stream source does not recurse through a symlinked directory. */
+    def stage(name: String, target: String): Unit = {
+      val t = java.nio.file.Paths.get(target)
+      if (java.nio.file.Files.isDirectory(t)) {
+        val stem = name.stripSuffix(".parquet")
+        val parts = java.nio.file.Files.list(t).filter(
+          p => p.toString.endsWith(".parquet")).sorted().iterator()
+        var i = 0
+        while (parts.hasNext) {
+          java.nio.file.Files.createSymbolicLink(
+            srcPath.resolve(f"${stem}_p$i%04d.parquet"), parts.next())
+          i += 1
+        }
+      } else java.nio.file.Files.createSymbolicLink(
+        srcPath.resolve(name), t)
     }
+    links.foreach { case (name, target) => stage(name, target) }
     /** Delete the temp dirs (symlinks only — never their targets). The
       * sink table stays readable until the NEXT run of the same gate. */
     def cleanup(): Unit = Seq(java.nio.file.Paths.get(ckpt), srcPath)
@@ -998,9 +1015,7 @@ object StreamingGate {
       }
       writeDim("v1"); runOnce()
       writeDim("v2")
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(run.srcDir, "events_b.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      run.stage("events_b.parquet", s"$dir/events.parquet")
       runOnce()
       spark.read.parquet(outDir.toString)
         .groupBy(col("label"))
@@ -1020,6 +1035,68 @@ object StreamingGate {
             .sorted(java.util.Comparator.reverseOrder())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
+    }
+  }
+
+  /** q337: the pipeline-upgrade contract (32nd law). TWO sequential
+    * AvailableNow runs share ONE checkpoint and ONE durable parquet
+    * file sink, but between them the QUERY SHAPE changes: run 1's
+    * projection emits (event_id, event_type, cents); run 2 — the
+    * upgraded pipeline — additionally derives `band = cents % 7`. The
+    * checkpoint confines run 2 to the newly staged corpus copy (no
+    * reprocessing), the sink's commit log accrues files of BOTH
+    * schemas, and the merged-schema read shows exactly one complete
+    * v1-era copy (band NULL) and one complete v2-era copy — a column
+    * added to a live pipeline becomes visible at the next restart
+    * without rewriting history, the plain-parquet dual of an Iceberg
+    * ADD COLUMN. Projection changes between restarts are one of the
+    * recovery-compatible changes Structured Streaming documents; this
+    * gate turns that promise into a hash-checked law. */
+  def streamedSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val run = new GateRun(spark, "q337",
+      Seq("events_a.parquet" -> s"$dir/events.parquet"))
+    val era = eventsEra(spark, dir)
+    val outDir = java.nio.file.Files.createTempDirectory("q337_sink")
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      def runOnce(upgraded: Boolean): Unit = {
+        val base = spark.readStream.schema(era.schema).parquet(run.srcDir)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+        val shaped =
+          if (upgraded) base.withColumn("band", col("cents") % 7)
+          else base
+        val q = shaped.writeStream.format("parquet")
+          .option("path", outDir.toString)
+          .outputMode("append").option("checkpointLocation", run.ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runOnce(upgraded = false)
+      // the upgrade window: new corpus arrives AND the jar changes
+      run.stage("events_b.parquet", s"$dir/events.parquet")
+      runOnce(upgraded = true)
+      // exactly-once read through the sink's commit log, schemas merged
+      spark.read.option("mergeSchema", "true").parquet(outDir.toString)
+        .withColumn("schema_era",
+          when(col("band").isNull, "v1").otherwise("v2"))
+        .groupBy(col("schema_era"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("event_id")).as("sum_eid"),
+          coalesce(sum(col("band")), lit(-1L)).as("sum_band"))
+        .orderBy(col("schema_era"), col("event_type"))
+        .localCheckpoint()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+      java.nio.file.Files.walk(outDir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
@@ -2848,7 +2925,47 @@ object StreamingGate {
                CAST(SUM(cents) AS BIGINT) AS sum_cents,
                CAST(SUM(event_id) AS BIGINT) AS sum_eid,
                CAST(0 AS BIGINT) AS replay_delta
-        FROM e GROUP BY batch_id ORDER BY batch_id""")))
+        FROM e GROUP BY batch_id ORDER BY batch_id"""))) :+ (
+
+    // ---- q337: schema evolution across a checkpoint restart (32nd law) ----
+    // q231 proved a STATIC-SIDE change (dimension v1→v2) becomes
+    // visible at restart; q336 proved two writers share a table; the
+    // contract still ungated was the PIPELINE ITSELF changing shape
+    // between restarts — the most common upgrade there is (add a
+    // derived column, redeploy, keep the checkpoint). Run 1 writes
+    // (event_id, event_type, cents); the upgraded run 2 adds
+    // band = cents % 7 and resumes from the SAME checkpoint over the
+    // SAME durable file sink: the checkpoint confines it to the newly
+    // staged corpus copy, the sink's commit log accrues both schemas,
+    // and the mergeSchema read must show one COMPLETE v1-era corpus
+    // copy (band NULL ⇒ sum_band = -1 sentinel) and one COMPLETE
+    // v2-era copy with exact band sums — upgrade without reprocessing
+    // or history rewrite (the plain-parquet dual of Iceberg ADD
+    // COLUMN). The oracle recomputes both eras from events arithmetic
+    // alone; a lost offset (era double-read), a leaked old-shape row
+    // in run 2, or a merge that drops either schema all break the hash.
+    //
+    // 100 TB posture: nothing scales with history — run 2 touches only
+    // new files; the schema merge is a footer-level operation per file,
+    // never a data rewrite.
+    "q337_streamed_schema_evolution" -> QueryDef(
+      build = (spark, dir) => streamedSchemaEvolution(spark, dir),
+      oracle = Some("""
+        WITH e AS (SELECT event_id, event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events)
+        SELECT 'v1' AS schema_era, event_type, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+               CAST(-1 AS BIGINT) AS sum_band
+        FROM e GROUP BY event_type
+        UNION ALL
+        SELECT 'v2', event_type, COUNT(*),
+               CAST(SUM(cents) AS BIGINT),
+               CAST(SUM(event_id) AS BIGINT),
+               CAST(SUM(cents % 7) AS BIGINT)
+        FROM e GROUP BY event_type
+        ORDER BY schema_era, event_type""")))
 
 
   /** Run the COMPLETE-mode leaderboard gate to completion: the q275

@@ -914,4 +914,15 @@ class PlanGuardSpec2 extends SparkSpec {
       "allocation planned a SHUFFLED cross product (the 1-row totals " +
         "broadcasts are the only legal cross joins)")
   }
+
+  test("q338: dynamic blocking is capped keyed equijoins — never all-pairs") {
+    val p = plan("q338_dynamic_blocking")
+    assert(!p.contains("CartesianProduct"),
+      "dynamic blocking planned a SHUFFLED cross product (the 1-row " +
+        "stat broadcasts are the only legal cross joins)")
+    assert(p.contains("BroadcastHashJoin"),
+      "split/keep key restrictions should broadcast onto the registries")
+    assert(p.contains("hashpartitioning(nat") || p.contains("HashAggregate"),
+      "block censuses not keyed partial aggregations")
+  }
 }
