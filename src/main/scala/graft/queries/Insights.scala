@@ -1285,7 +1285,62 @@ object Insights {
                  * ((n + 1) * CAST(n AS HUGEINT) * (n - 1) - tie_t),
                  1) AS BIGINT) >= 3841 THEN 1 ELSE 0 END AS BIGINT)
                  AS significant
-        FROM st ORDER BY source"""))
+        FROM st ORDER BY source""")),
+
+    // ---- q339: Kruskal–Wallis k-group omnibus rank test ----
+    // See [[kruskalWallisReport]] — the k-group generalization of
+    // q327's per-source-vs-rest battery: ONE omnibus H test answers
+    // "do the 20 sources draw doc lengths from one distribution?"
+    // before any per-source drill-down (run the omnibus first, then
+    // the battery — the standard testing ladder). Measured sf0.1:
+    // H′ = 26.490 vs the 30.144 df=19 critical — the
+    // omnibus does NOT reject, exactly the verdict the q327 battery's
+    // 3-of-20 uncorrected crossings (≈ α·k under H0) suggested, and
+    // the agreement of the two tests on the same fixture is itself
+    // the cross-check.
+    "q339_kruskal_wallis" -> QueryDef(
+      build = (spark, dir) =>
+        kruskalWallisReport(Tables.documents(spark, dir)
+          .select(col("source"), col("n_chars"))),
+      oracle = Some("""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, source, n_chars FROM documents),
+        vals AS MATERIALIZED (
+          SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS t
+          FROM d GROUP BY 1),
+        ranked AS MATERIALIZED (
+          SELECT v, t,
+                 2 * COALESCE(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + t + 1 AS r2
+          FROM vals),
+        gg AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                      CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t
+               FROM ranked),
+        per AS MATERIALIZED (
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(r.r2) AS BIGINT) AS r2_g
+          FROM d JOIN ranked r ON r.v = d.n_chars
+          GROUP BY 1),
+        sk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                      SUM(CAST(r2_g AS HUGEINT) * r2_g * 1000000000
+                        // (4 * n_g)) AS s9
+               FROM per),
+        h AS (SELECT g.n, g.tie_t, sk.k,
+                     CAST((12 * sk.s9 - CAST(3 AS HUGEINT) * g.n
+                       * (g.n + 1) * (g.n + 1) * 1000000000)
+                       * (g.n - 1) * 1000
+                       // ((CAST(g.n AS HUGEINT) * g.n * g.n - g.n
+                         - g.tie_t) * 1000000000) AS BIGINT) AS h_milli
+              FROM gg g CROSS JOIN sk)
+        SELECT p.source, p.n_g,
+               p.r2_g * 1000 // (2 * p.n_g) AS meanrank_milli,
+               h.k, h.n, h.tie_t, h.h_milli,
+               CAST(CASE WHEN h.k != 20 THEN error(
+                   'q339: chi-square literal pinned to df=19 (k=20 sources)')
+                 WHEN h.h_milli >= 30144 THEN 1 ELSE 0 END AS BIGINT)
+                 AS significant
+        FROM per p CROSS JOIN h ORDER BY p.source"""))
   )
 
   /** q327's full Mann–Whitney battery over (source, n_chars) rows:
@@ -1323,6 +1378,71 @@ object Insights {
       .withColumn("significant",
         expr("CAST(CASE WHEN z2_milli >= 3841 THEN 1 ELSE 0 END" +
           " AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
+  /** q339's Kruskal–Wallis battery over (source, n_chars) rows: the
+    * k-GROUP generalization of q327's two-sample rank test (one H test
+    * across all sources at once instead of 20 source-vs-rest U tests —
+    * the omnibus "are these sources even drawn alike?" gate a mixture
+    * designer runs BEFORE per-source drill-downs). Same ×2-scaled
+    * midranks from the distinct-value table; per group the exact
+    * rational R_g²/n_g is carried at 10⁹ scale with ONE floor-div per
+    * group (engine-identical in DECIMAL(38,0)/HUGEINT), then
+    *   H′ = (12·S − 3·n(n+1)²·10⁹)·(n−1)·1000
+    *        div ((n³−n−T)·10⁹)          [milli]
+    * using (n³−n)/(n(n+1)) = n−1 to keep every product under 10³⁰
+    * (the q258 overflow lesson applied at design time). T = Σ(t³−t)
+    * is the same tie term q327 carries. The decision compares against
+    * the χ²₀.₀₅ df=19 literal 30144 milli, guarded by require(k = 20)
+    * so the literal can never silently misapply (the q317/q324
+    * ADVICE lesson). Per-source mean ranks (milli) ship as the
+    * diagnostic that tells you WHICH groups sit high/low.
+    *
+    * 100 TB posture: identical to q327 — one value-keyed count agg,
+    * one source-keyed rollup, the rank window on the bounded
+    * distinct-value table, 1-row global broadcast. */
+  private[queries] def kruskalWallisReport(docs: DataFrame): DataFrame = {
+    val vals = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      .select(col("v"), col("t"),
+        (lit(2L) * col("cum") + col("t") + 1L).as("r2"))
+      .localCheckpoint(false)
+    val glob = ranked.agg(sum(col("t")).as("n"),
+      sum(expr("t * t * t - t")).as("tie_t"))
+    val per = docs
+      .join(broadcast(ranked.select(col("v").as("n_chars"),
+        col("r2"))), Seq("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_g"), sum(col("r2")).as("r2_g"))
+      .localCheckpoint(false)
+    val s = per.agg(count(lit(1)).as("k"),
+      // the per-group term is ~1.8e18 at sf0.1 — Spark's `div` returns
+      // BIGINT, so the SUM must be carried back in DECIMAL(38,0) or 20
+      // such terms overflow long (ANSI mode faults, it doesn't wrap)
+      sum(expr("CAST(CAST(r2_g AS DECIMAL(38,0)) * r2_g * 1000000000" +
+        " div (4 * n_g) AS DECIMAL(38,0))")).as("s9"))
+    val h = glob.crossJoin(s).select(col("n"), col("tie_t"), col("k"),
+      expr("CAST((12 * s9 - CAST(3 AS DECIMAL(38,0)) * n * (n + 1)" +
+        " * (n + 1) * 1000000000) * (n - 1) * 1000" +
+        " div ((CAST(n AS DECIMAL(38,0)) * n * n - n - tie_t)" +
+        " * 1000000000) AS BIGINT)").as("h_milli"))
+    per.crossJoin(broadcast(h))
+      .select(col("source"), col("n_g"),
+        expr("r2_g * 1000 div (2 * n_g)").as("meanrank_milli"),
+        col("k"), col("n"), col("tie_t"), col("h_milli"),
+        // χ²₀.₀₅ at df = k−1 = 19; the raise_error pins the literal's
+        // df — a corpus with ≠20 sources fails LOUDLY instead of
+        // applying the wrong critical value (the q317/q324 ADVICE
+        // lesson); the oracle carries the same guard via error()
+        expr("CAST(CASE WHEN k != 20 THEN raise_error(" +
+          "'q339: chi-square literal pinned to df=19 (k=20 sources)')" +
+          " WHEN h_milli >= 30144 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("significant"))
       .orderBy(col("source"))
   }
 
