@@ -2264,7 +2264,102 @@ object Analytics {
         SELECT r.k AS lag, r.rho_ppm, q.q_milli,
                CAST(CASE WHEN q.q_milli >= 15507 THEN 1 ELSE 0 END
                  AS BIGINT) AS reject_h0
-        FROM rho r CROSS JOIN q ORDER BY r.k"""))
+        FROM rho r CROSS JOIN q ORDER BY r.k""")),
+
+    // ---- q340: incremental view maintenance certificate ----
+    // The warehouse trick every large deployment runs and few gate: a
+    // materialized aggregate view is maintained by MERGING the delta
+    // batch's partial aggregates into the stored state (delta-sized
+    // work) instead of recomputing over the corpus. This gate runs
+    // BOTH paths in one plan — base/delta split by an md5 coin
+    // (~10% of orders are "the new batch"), view = per-priority
+    // (n, sum_cents, max_cents) — and certifies merge ≡ recompute per
+    // group per statistic, with the average DERIVED from merged sums
+    // at read time in exact micro units (maintaining avg directly is
+    // the classic IVM bug: averages don't merge, sums do; the card
+    // encodes the correct discipline). COUNT/SUM/MAX merge for
+    // insert-only deltas; distinct-count deliberately absent — it is
+    // NOT algebraically mergeable without a sketch (that path is the
+    // q221/q263 HLL register algebra).
+    //
+    // 100 TB posture: maintenance cost is ONE delta-sized partial agg
+    // + a group-cardinality merge join — the entire point of IVM; the
+    // recompute arm exists only as the certificate's reference.
+    "q340_incremental_view" -> QueryDef(
+      build = (spark, dir) => {
+        val o = Tables.orders(spark, dir).select(
+          col("o_orderpriority").as("prio"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(conv(substring(md5(concat('q340#', " +
+            "CAST(o_orderkey AS STRING))), 1, 12), 16, 10)" +
+            " AS BIGINT) % 10").as("coin"))
+        def view(df: DataFrame, sfx: String) = df.groupBy(col("prio"))
+          .agg(count(lit(1)).as(s"n_$sfx"),
+            sum(col("cents")).as(s"sum_$sfx"),
+            max(col("cents")).as(s"max_$sfx"))
+        val base = view(o.filter(col("coin") >= 1), "base")
+        val delta = view(o.filter(col("coin") < 1), "delta")
+        val merged = base.join(delta, Seq("prio"), "full_outer")
+          .select(col("prio"),
+            (coalesce(col("n_base"), lit(0L)) +
+              coalesce(col("n_delta"), lit(0L))).as("n_merged"),
+            (coalesce(col("sum_base"), lit(0L)) +
+              coalesce(col("sum_delta"), lit(0L))).as("sum_merged"),
+            greatest(coalesce(col("max_base"), lit(Long.MinValue)),
+              coalesce(col("max_delta"), lit(Long.MinValue)))
+              .as("max_merged"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+            coalesce(col("sum_delta"), lit(0L)).as("sum_delta"))
+        val full = view(o, "full")
+        merged.join(full, Seq("prio"))
+          .select(col("prio"), col("n_delta"), col("sum_delta"),
+            col("n_merged"), col("sum_merged"), col("max_merged"),
+            expr("sum_merged * 1000000 div n_merged").as("avg_micro"),
+            expr("CAST(CASE WHEN n_merged = n_full" +
+              " AND sum_merged = sum_full" +
+              " AND max_merged = max_full THEN 1 ELSE 0 END AS BIGINT)")
+              .as("merge_equals_recompute"))
+          .orderBy(col("prio"))
+      },
+      oracle = Some("""
+        WITH o AS MATERIALIZED (
+          SELECT o_orderpriority AS prio,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(('0x' || substr(
+                   md5(concat('q340#', CAST(o_orderkey AS VARCHAR))),
+                   1, 12)) AS BIGINT) % 10 AS coin
+          FROM orders),
+        vb AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_base,
+                      CAST(SUM(cents) AS BIGINT) AS sum_base,
+                      MAX(cents) AS max_base
+               FROM o WHERE coin >= 1 GROUP BY 1),
+        vd AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_delta,
+                      CAST(SUM(cents) AS BIGINT) AS sum_delta,
+                      MAX(cents) AS max_delta
+               FROM o WHERE coin < 1 GROUP BY 1),
+        vf AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_full,
+                      CAST(SUM(cents) AS BIGINT) AS sum_full,
+                      MAX(cents) AS max_full
+               FROM o GROUP BY 1),
+        m AS (SELECT COALESCE(vb.prio, vd.prio) AS prio,
+                     COALESCE(n_base, 0) + COALESCE(n_delta, 0)
+                       AS n_merged,
+                     COALESCE(sum_base, 0) + COALESCE(sum_delta, 0)
+                       AS sum_merged,
+                     GREATEST(COALESCE(max_base, -9223372036854775808),
+                       COALESCE(max_delta, -9223372036854775808))
+                       AS max_merged,
+                     COALESCE(n_delta, 0) AS n_delta,
+                     COALESCE(sum_delta, 0) AS sum_delta
+              FROM vb FULL OUTER JOIN vd USING (prio))
+        SELECT m.prio, m.n_delta, m.sum_delta, m.n_merged,
+               m.sum_merged, m.max_merged,
+               m.sum_merged * 1000000 // m.n_merged AS avg_micro,
+               CAST(CASE WHEN m.n_merged = vf.n_full
+                 AND m.sum_merged = vf.sum_full
+                 AND m.max_merged = vf.max_full THEN 1 ELSE 0 END
+                 AS BIGINT) AS merge_equals_recompute
+        FROM m JOIN vf USING (prio) ORDER BY m.prio"""))
   )
 
   /** q328's product-limit fold over the sorted (t, d, c) support:
