@@ -1348,6 +1348,121 @@ object Curation {
                CAST(CASE WHEN c.untouched_cks_clean =
                  c.untouched_cks_orig THEN 1 ELSE 0 END AS BIGINT)
                  AS untouched_identity
-        FROM card c CROSS JOIN resid r"""))
+        FROM card c CROSS JOIN resid r""")),
+
+    // ---- q341: Luhn-validated PII detection ----
+    // The CHECKSUM-gated upgrade of q64's regex scrub: a 16-digit
+    // string is only a payment-card number if it passes the Luhn mod-10
+    // check, and a scrubber that masks every \d{16} (the q64 shape)
+    // over-redacts — this gate measures that gap exactly. Deterministic
+    // plant-then-detect (the q234/q334 pattern): every 10th doc gets a
+    // 16-digit number appended — doc_id % 20 == 0 gets a VALID card
+    // (check digit computed by the same Luhn arithmetic), the others a
+    // BROKEN one (check + 5 mod 10, guaranteed wrong) — then detection
+    // regex-extracts all 16-digit candidates and validates each. The
+    // Luhn digit arithmetic is generated by ONE Scala helper
+    // ([[luhnSumSql]]) embedded verbatim in the Spark expression AND
+    // the DuckDB oracle text, so the two engines cannot drift on the
+    // weights. Per-source card: candidates, Luhn-valid, Luhn-broken,
+    // the naive scrubber's overcount (= broken — what regex-only
+    // masking would falsely redact), and the valid-equals-planted
+    // certificate.
+    //
+    // 100 TB posture: plant + extract + validate are per-row codegen'd
+    // expressions (zero shuffle until the source rollup); validation
+    // is 16 substring-int ops per candidate, no UDF.
+    "q341_luhn_pii" -> QueryDef(
+      build = (spark, dir) => {
+        val card15 = "lpad(CAST((doc_id * 7919 + 123457) %" +
+          " 1000000000000000 AS STRING), 15, '0')"
+        val check = s"(10 - (${luhnSumSql(card15, 15)}) % 10) % 10"
+        val planted = "CASE WHEN doc_id % 10 != 0 THEN text " +
+          s"WHEN doc_id % 20 = 0 THEN concat(text, ' ', $card15, " +
+          s"CAST($check AS STRING)) " +
+          s"ELSE concat(text, ' ', $card15, " +
+          s"CAST(($check + 5) % 10 AS STRING)) END"
+        val cands = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            expr(s"regexp_extract_all($planted, '\\\\d{16}', 0)")
+              .as("cands"))
+        cands
+          .select(col("doc_id"), col("source"), explode_outer(col("cands")).as("c"))
+          .withColumn("ok", when(col("c").isNull, lit(null))
+            .otherwise(expr(s"CAST((${luhnSumSql("c", 16)}) % 10 = 0" +
+              " AS BOOLEAN)")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("c")).as("n_cand"),
+            sum(when(col("ok") === true, 1L).otherwise(0L)).as("n_valid"),
+            sum(when(col("ok") === false, 1L).otherwise(0L)).as("n_broken"),
+            sum(when(col("doc_id") % 20 === 0, 1L).otherwise(0L))
+              .as("n_planted_valid"))
+          .select(col("source"), col("n_rows"), col("n_cand"),
+            col("n_valid"), col("n_broken"),
+            col("n_broken").as("naive_overcount"),
+            expr("CAST(CASE WHEN n_valid = n_planted_valid" +
+              " THEN 1 ELSE 0 END AS BIGINT)").as("valid_eq_planted"))
+          .orderBy(col("source"))
+      },
+      oracle = Some {
+        val card15 = "lpad(CAST((doc_id * 7919 + 123457) %" +
+          " 1000000000000000 AS VARCHAR), 15, '0')"
+        val check = s"(10 - (${luhnSumSql(card15, 15)}) % 10) % 10"
+        s"""
+        WITH planted AS MATERIALIZED (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 10 != 0 THEN text
+                      WHEN doc_id % 20 = 0 THEN concat(text, ' ',
+                        $card15, CAST($check AS VARCHAR))
+                      ELSE concat(text, ' ', $card15,
+                        CAST(($check + 5) % 10 AS VARCHAR)) END AS t2
+          FROM documents),
+        ex AS MATERIALIZED (
+          SELECT doc_id, source,
+                 unnest(list_concat(
+                   regexp_extract_all(t2, '\\d{16}'), [NULL])) AS c
+          FROM planted),
+        -- list_concat(..., [NULL]) + the rn filter replays Spark's
+        -- explode_outer (docs with no candidate keep one NULL row;
+        -- docs with candidates drop the padding NULL)
+        keep AS (SELECT doc_id, source, c,
+                        COUNT(*) OVER (PARTITION BY doc_id) AS nr
+                 FROM ex),
+        rows2 AS (SELECT doc_id, source, c FROM keep
+                  WHERE c IS NOT NULL OR nr = 1),
+        v AS (SELECT doc_id, source, c,
+                     CASE WHEN c IS NULL THEN NULL
+                          WHEN (${luhnSumSql("c", 16)}) % 10 = 0
+                          THEN TRUE ELSE FALSE END AS ok
+              FROM rows2)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(c) AS BIGINT) AS n_cand,
+               CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_valid,
+               CAST(SUM(CASE WHEN ok = FALSE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_broken,
+               CAST(SUM(CASE WHEN ok = FALSE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS naive_overcount,
+               CAST(CASE WHEN SUM(CASE WHEN ok THEN 1 ELSE 0 END) =
+                 SUM(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END)
+                 THEN 1 ELSE 0 END AS BIGINT) AS valid_eq_planted
+        FROM v GROUP BY source ORDER BY source"""
+      })
   )
+
+  /** q341's Luhn mod-10 digit sum over a fixed-length digit string
+    * expression: 1-based odd positions doubled (digits > 9 reduced by
+    * 9), which is the payment-card weighting for BOTH the 15-digit
+    * prefix (computing a check digit to be appended at position 16)
+    * and the full 16-digit validation. Emitted as engine-neutral SQL
+    * (substring/CAST/CASE only) and embedded verbatim in the Spark
+    * expression and the DuckDB oracle, so the weights cannot drift
+    * between engines. */
+  private def luhnSumSql(s: String, len: Int): String =
+    (1 to len).map { i =>
+      val d = s"CAST(substring($s, $i, 1) AS INT)"
+      if (i % 2 == 1)
+        s"(CASE WHEN $d >= 5 THEN $d * 2 - 9 ELSE $d * 2 END)"
+      else d
+    }.mkString("(", " + ", ")")
 }
