@@ -374,6 +374,72 @@ object Multimodal {
         col("zc_ppm"), col("mean_energy"), col("peak_abs"))
       .orderBy(col("n_chunks"))
 
+  // ---- tone detection: Goertzel single-bin DFT probe -----------------
+
+  /** Goertzel power of `freq` Hz over the first `n` decoded samples —
+    * the O(n)-per-bin single-frequency DFT probe a speech pipeline runs
+    * for tone/DTMF/calibration-signal detection when a full FFT is
+    * waste (k probe bins ≪ window size). StrictMath keeps the
+    * recurrence bit-reproducible across JVMs. */
+  def goertzelPower(d: AudioCodec.DecodedAudio, n: Int,
+      freq: Double): Double = {
+    val c = 2.0 * StrictMath.cos(2.0 * StrictMath.PI * freq / d.sampleRate)
+    var s1 = 0.0
+    var s2 = 0.0
+    var i = 0
+    val lim = math.min(n, d.nSamples)
+    while (i < lim) {
+      val s0 = d.sample(i) + c * s1 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    s1 * s1 + s2 * s2 - c * s1 * s2
+  }
+
+  /** The 8 probe frequencies (Hz) of the q342 tone battery. */
+  val ToneBins: Array[Double] = Array.tabulate(8)(k => 400.0 * (k + 1))
+
+  /** Per-asset tone-detection rows through a FULL real-codec round
+    * trip: a pure sine at the planted bin's frequency (StrictMath —
+    * bit-reproducible PCM), encoded by the REAL JDK WAV writer,
+    * decoded back, then probed at all 8 bins with [[goertzelPower]].
+    * detected_bin = argmax power (lowest bin on ties), leak_ppm =
+    * second-highest/highest power in ppm (how far from ambiguous the
+    * detection sat). Materialized by Verify as `_q342_input`; the
+    * kernel itself is spec-pinned (FastCodecSpec golden case).
+    * Partition-local like every media kernel — payloads never shuffle. */
+  def toneRows(spark: SparkSession, nAssets: Long): DataFrame = {
+    import spark.implicits._
+    val m = nAssets / 3 // the audio arm's share of the corpus
+    spark.range(m).mapPartitions(_.map { id =>
+      val bin = (id % 8).toInt
+      val sr = 16000
+      val ns = 1600 // 100 ms
+      val pcm = new Array[Byte](ns * 2)
+      var i = 0
+      while (i < ns) {
+        val v = StrictMath.round(9000.0 * StrictMath.sin(
+          2.0 * StrictMath.PI * ToneBins(bin) * i / sr)).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val d = AudioCodec.decode(AudioCodec.encodePcmWav(pcm, sr))
+      val powers = ToneBins.map(f => goertzelPower(d, ns, f))
+      var best = 0
+      var second = -1
+      var k = 1
+      while (k < powers.length) {
+        if (powers(k) > powers(best)) { second = best; best = k }
+        else if (second < 0 || powers(k) > powers(second)) second = k
+        k += 1
+      }
+      val leakPpm =
+        if (powers(best) <= 0.0) 1000000L
+        else StrictMath.floor(powers(second) / powers(best) * 1e6).toLong
+      (id, bin.toLong, best.toLong, leakPpm)
+    }).toDF("asset_id", "planted_bin", "detected_bin", "leak_ppm")
+  }
+
   // ---- sample-rate conversion: 2:1 decimation ------------------------
 
   /** 2:1 decimation kernel: adjacent sample pairs average via

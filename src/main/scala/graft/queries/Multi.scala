@@ -383,6 +383,49 @@ object Multi {
                  AS BIGINT) AS n_len_mismatch,
                CAST(SUM(CASE WHEN rate_out * 2 <> rate_in THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_rate_mismatch
-        FROM f GROUP BY n_chunks ORDER BY n_chunks"""))
+        FROM f GROUP BY n_chunks ORDER BY n_chunks""")),
+
+    // ---- q342: Goertzel tone-detection battery (REAL codec) ----
+    // The single-bin DFT probe a speech/calibration pipeline runs when
+    // a full FFT is waste (k probe bins ≪ window): pure sines planted
+    // at each of 8 bins (StrictMath PCM — bit-reproducible), pushed
+    // through the REAL JDK WAV writer and reader, then probed with the
+    // Goertzel recurrence at all 8 bins. The card certifies per bin:
+    // every detection lands on the planted bin and the worst
+    // second/top power leak stays far from ambiguous (the codec
+    // round-trip would smear a broken writer/reader straight into
+    // these numbers). Oracle pattern as q208/q267: Verify materializes
+    // the per-asset rows (`_q342_input`), DuckDB re-aggregates over
+    // identical inputs; the kernel is spec-pinned (FastCodecSpec
+    // golden tone).
+    //
+    // 100 TB posture: synth → encode → decode → 8 probes is one
+    // partition-local pass per asset (payloads never shuffle); the
+    // rollup is 8 rows.
+    "q342_goertzel_tones" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        Multimodal.toneRows(spark, assetCount(dir))
+          .groupBy(col("planted_bin"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(when(col("detected_bin") === col("planted_bin"), 1L)
+              .otherwise(0L)).as("n_correct"),
+            max(col("leak_ppm")).as("max_leak_ppm"))
+          .select(col("planted_bin"), col("n_assets"), col("n_correct"),
+            expr("n_correct * 1000000 div n_assets").as("accuracy_ppm"),
+            col("max_leak_ppm"))
+          .orderBy(col("planted_bin"))
+      },
+      oracle = Some(s"""
+        WITH f AS (SELECT * FROM
+          read_parquet('${Gps.VerifyOutToken}/_q342_input/*.parquet'))
+        SELECT planted_bin, CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(SUM(CASE WHEN detected_bin = planted_bin
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN detected_bin = planted_bin
+                 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+                 AS accuracy_ppm,
+               MAX(leak_ppm) AS max_leak_ppm
+        FROM f GROUP BY planted_bin ORDER BY planted_bin"""))
   )
 }

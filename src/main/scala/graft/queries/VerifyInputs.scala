@@ -91,6 +91,10 @@ object VerifyInputs {
     // re-aggregates the per-duration profile over identical rows.
     graft.operators.Multimodal.audioStatRows(spark, Multi.assetCount(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q208_input")
+    // q342: the per-asset Goertzel tone detections (real WAV round
+    // trip); DuckDB re-aggregates the per-bin accuracy/leak card.
+    graft.operators.Multimodal.toneRows(spark, Multi.assetCount(sfDir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q342_input")
     // q267: the per-asset 2:1 resample round-trip measurements (decode →
     // decimate → real re-encode → decode); DuckDB re-aggregates the
     // profile and the length/rate certificates over identical rows.

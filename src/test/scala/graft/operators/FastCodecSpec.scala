@@ -167,6 +167,38 @@ class FastCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("Goertzel probe: a planted pure tone wins its own bin through the real codec") {
+    // 1200 Hz sine (bin index 2 of the q342 battery), full WAV round
+    // trip: the planted bin's power must dominate every other probe by
+    // orders of magnitude, and an off-battery signal (DC) must not.
+    val sr = 16000
+    val ns = 1600
+    val pcm = new Array[Byte](ns * 2)
+    var i = 0
+    while (i < ns) {
+      val v = StrictMath.round(9000.0 * StrictMath.sin(
+        2.0 * StrictMath.PI * 1200.0 * i / sr)).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val d = Multimodal.AudioCodec.decode(
+      Multimodal.AudioCodec.encodePcmWav(pcm, sr))
+    val powers = Multimodal.ToneBins.map(f =>
+      Multimodal.goertzelPower(d, ns, f))
+    val best = powers.indexOf(powers.max)
+    assert(best == 2, s"argmax bin $best != planted 2")
+    powers.zipWithIndex.filter(_._2 != 2).foreach { case (p, k) =>
+      assert(p < powers(2) / 1e6,
+        s"bin $k leaks ${p / powers(2)} of the planted power")
+    }
+    // silence probes to ~zero on every bin
+    val quiet = Multimodal.AudioCodec.decode(
+      Multimodal.AudioCodec.encodePcmWav(new Array[Byte](ns * 2), sr))
+    Multimodal.ToneBins.foreach(f =>
+      assert(Multimodal.goertzelPower(quiet, ns, f) == 0.0))
+  }
+
   test("unsupported profiles fall back: color PNG => None, non-GIF => None") {
     val img = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
