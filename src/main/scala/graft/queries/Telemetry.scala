@@ -221,6 +221,145 @@ object Telemetry {
                CAST(SUM(CAST(ROUND(speed_kmh * 100) AS BIGINT)) AS BIGINT)
                  * 10000 // COUNT(speed_kmh) AS avg_speed_ukmh
         FROM legs GROUP BY vehicle_id, trip_seq
-        ORDER BY vehicle_id, trip_seq"""))
+        ORDER BY vehicle_id, trip_seq""")),
+
+    // ---- q343: grid-density hotspot clustering (DBSCAN-core on cells) ----
+    // Depot/congestion discovery — the density-based cluster op beside
+    // q129's pairwise proximity join: fixes land in 2°×2° grid cells
+    // (SHIFTED to nonnegative before the div — Spark `div` truncates
+    // while DuckDB `//` floors, so negative coordinates would split
+    // cells differently per engine), HOT cells are the density tail
+    // (count ≥ 8 AND count·C ≥ 4·N — the 4×-mean rule cross-multiplied
+    // so it is scale-free AND exact-integer), and hot cells cluster by
+    // 4 unrolled rounds of 3×3-neighborhood min-label (the q325/q265
+    // relational CC recipe; self included, so no separate least).
+    // Plant-then-detect: 2% extra fixes at 5 depot centers with ±1.5°
+    // md5 jitter — the oracle REGENERATES the plants from the same
+    // integer arithmetic over range(), so nothing extra is staged; the
+    // uniform base fleet contributes no hot cells at the 4×-mean bar,
+    // and each depot's 3×3 spill folds into exactly one cluster
+    // (every hot patch cell is adjacent to the certainly-hot center).
+    // Measured sf0.1: exactly 5 clusters, 5 cells each (the plus-shaped
+    // patch: ±1.5° jitter puts 2/3 of each axis in the center cell, so
+    // corners miss the bar), converged (changed_last_round = 0).
+    //
+    // 100 TB posture: one cell-keyed count agg over the corpus; the
+    // hot set is tail-sized, so propagation rounds and the rollup run
+    // on kilobytes; no pairwise stage anywhere (contrast q129, which
+    // pays candidate pairs for exact distances).
+    "q343_grid_hotspots" -> QueryDef(
+      build = (spark, dir) => {
+        val n = Gps.inputRows(dir)
+        val m = n / 50
+        val base = GpsGenerator.batch(spark, n).select(
+          (round(col("latitude") * 1000000).cast(LongType)
+            + 90000000L).as("slat"),
+          (round(col("longitude") * 1000000).cast(LongType)
+            + 180000000L).as("slon"))
+        def jit(salt: String) =
+          s"(CAST(conv(substring(md5(concat('$salt', " +
+            s"CAST(id AS STRING))), 1, 12), 16, 10) AS BIGINT)" +
+            s" % 3000001 - 1500000)"
+        val plants = spark.range(m).select(
+          expr(s"(10 + 15 * (id % 5)) * 2000000 + 1000000 + ${jit("q343x#")}")
+            .as("slat"),
+          expr(s"(20 + 30 * (id % 5)) * 2000000 + 1000000 + ${jit("q343y#")}")
+            .as("slon"))
+        val cells = base.unionAll(plants)
+          .select(expr("slat div 2000000").as("cx"),
+            expr("slon div 2000000").as("cy"))
+          .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false)
+        val st = cells.agg(count(lit(1)).as("n_cells_nonempty"),
+          sum(col("cnt")).as("n_fix"))
+        val hot = cells.crossJoin(broadcast(st))
+          .filter(col("cnt") >= 8L &&
+            col("cnt") * col("n_cells_nonempty") >= col("n_fix") * 4L)
+          .select(col("cx"), col("cy"), col("cnt"),
+            (col("cx") * 1000L + col("cy")).as("ckey"))
+          .localCheckpoint(false)
+        val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+          yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+        var lbl = hot.select(col("cx"), col("cy"), col("cnt"),
+          col("ckey").as("lbl")).localCheckpoint(false)
+        var prev = lbl
+        for (_ <- 1 to 4) {
+          prev = lbl
+          val msgs = lbl.withColumn("o", explode(offs))
+            .select((col("cx") + col("o.dx")).as("cx"),
+              (col("cy") + col("o.dy")).as("cy"), col("lbl"))
+          lbl = hot.select(col("cx"), col("cy"), col("cnt"))
+            .join(msgs, Seq("cx", "cy"))
+            .groupBy(col("cx"), col("cy"))
+            .agg(max(col("cnt")).as("cnt"), min(col("lbl")).as("lbl"))
+            .localCheckpoint(false)
+        }
+        val glob = lbl.agg(count(lit(1)).as("n_hot_cells"),
+          countDistinct(col("lbl")).as("n_clusters"))
+        val chg = lbl.select(col("cx"), col("cy"), col("lbl").as("l4"))
+          .join(prev.select(col("cx"), col("cy"), col("lbl").as("l3")),
+            Seq("cx", "cy"))
+          .agg(sum(when(col("l4") =!= col("l3"), 1L).otherwise(0L))
+            .as("changed_last_round"))
+        lbl.groupBy(col("lbl").as("cluster_id"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_fixes"),
+            min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
+            min(col("cy")).as("min_cy"), max(col("cy")).as("max_cy"))
+          .crossJoin(broadcast(glob)).crossJoin(broadcast(chg))
+          .orderBy(col("cluster_id"))
+      },
+      oracle = Some {
+        val jitX = "(CAST(('0x' || substr(md5(concat('q343x#', " +
+          "CAST(id AS VARCHAR))), 1, 12)) AS BIGINT) % 3000001 - 1500000)"
+        val jitY = "(CAST(('0x' || substr(md5(concat('q343y#', " +
+          "CAST(id AS VARCHAR))), 1, 12)) AS BIGINT) % 3000001 - 1500000)"
+        val rounds = (1 to 4).map { k =>
+          s"""l$k AS (SELECT h.cx, h.cy, h.cnt, (
+               SELECT MIN(p.lbl) FROM l${k - 1} p
+               WHERE p.cx BETWEEN h.cx - 1 AND h.cx + 1
+                 AND p.cy BETWEEN h.cy - 1 AND h.cy + 1) AS lbl
+             FROM l${k - 1} h)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH pts AS MATERIALIZED (
+          SELECT CAST(round(latitude * 1000000) AS BIGINT) + 90000000
+                   AS slat,
+                 CAST(round(longitude * 1000000) AS BIGINT) + 180000000
+                   AS slon
+          FROM read_parquet('${Gps.VerifyOutToken}/_q70_input/*.parquet')
+          UNION ALL
+          SELECT (10 + 15 * (id % 5)) * 2000000 + 1000000 + $jitX,
+                 (20 + 30 * (id % 5)) * 2000000 + 1000000 + $jitY
+          FROM (SELECT rn - 1 AS id FROM (
+                  SELECT ROW_NUMBER() OVER () AS rn FROM
+                    read_parquet('${Gps.VerifyOutToken}/_q70_input/*.parquet'))
+                WHERE rn <= (SELECT COUNT(*) // 50 FROM
+                  read_parquet('${Gps.VerifyOutToken}/_q70_input/*.parquet')))),
+        cells AS MATERIALIZED (
+          SELECT slat // 2000000 AS cx, slon // 2000000 AS cy,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pts GROUP BY 1, 2),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+                      CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+        l0 AS MATERIALIZED (
+          SELECT cx, cy, cnt, cx * 1000 + cy AS lbl
+          FROM cells CROSS JOIN st
+          WHERE cnt >= 8 AND cnt * c >= n * 4),
+        $rounds,
+        gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_cells,
+                        CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_clusters
+                 FROM l4),
+        chg AS (SELECT CAST(SUM(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0
+                   END) AS BIGINT) AS changed_last_round
+                FROM l4 a JOIN l3 b ON a.cx = b.cx AND a.cy = b.cy)
+        SELECT l.lbl AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(l.cnt) AS BIGINT) AS n_fixes,
+               MIN(l.cx) AS min_cx, MAX(l.cx) AS max_cx,
+               MIN(l.cy) AS min_cy, MAX(l.cy) AS max_cy,
+               g.n_hot_cells, g.n_clusters, ch.changed_last_round
+        FROM l4 l CROSS JOIN gl g CROSS JOIN chg ch
+        GROUP BY l.lbl, g.n_hot_cells, g.n_clusters, ch.changed_last_round
+        ORDER BY cluster_id"""
+      })
   )
 }
