@@ -1138,6 +1138,142 @@ object Training {
                gf.greedy_fill * 1000000
                  // GREATEST(b.optimal_fill, 1) AS greedy_vs_optimal_ppm,
                b.optimal_fill * 1000000 // 2048 AS optimal_vs_budget_ppm
-        FROM nn CROSS JOIN best b CROSS JOIN gf"""))
+        FROM nn CROSS JOIN best b CROSS JOIN gf""")),
+
+    // ---- q345: token-budget data selection + LP-bound certificate ----
+    // "Spend a 20% token budget on the richest documents" — the
+    // knapsack-shaped SELECTION every curation pipeline runs (value =
+    // distinct tokens, cost = tokens; value density = type-token
+    // ratio). Greedy takes the density-ranked PREFIX while it fits —
+    // exactly the fractional-LP optimum truncated at the first
+    // non-fitting item, so the LP UPPER BOUND is computable in the
+    // same plan: UB = prefix value + leftover budget × next item's
+    // density (exact integer micro units). OPT is sandwiched
+    // greedy ≤ OPT ≤ UB, so gap_ppm CERTIFIES how far greedy can
+    // possibly be from the unknowable integer optimum (measured
+    // sf0.1: gap 1 ppm — at corpus scale the fractional item is
+    // noise, which is WHY production uses greedy). Per-source rows
+    // show how density selection redistributes the mix vs the corpus
+    // share (the selection-bias view a mixture designer checks).
+    //
+    // 100 TB posture: the density rank rides the stat-routed
+    // [[graft.operators.GlobalRank]] (naive below the measured ~2M
+    // crossover, sharded two-pass above); the budget cut is a prefix
+    // sum in that order (the q155/q180 sharded recipe above
+    // crossover); everything after runs at source cardinality.
+    "q345_budget_selection" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.GlobalRank
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), " ")).cast("long").as("cost"),
+            size(array_distinct(split(trim(col("text")), " ")))
+              .cast("long").as("score"))
+          .withColumn("ratio", expr("score * 1000000 div cost"))
+          .localCheckpoint(false)
+        val nRows = d.count()
+        val tot = d.agg(sum(col("cost")).as("total_cost"),
+          count(lit(1)).as("n_docs"))
+          .withColumn("budget", expr("total_cost div 5"))
+        val (_, ranked) = GlobalRank.withRankAndPrefixAuto(
+          d, "ratio", "doc_id", rowCount = Some(nRows))
+        val w = Window.orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pre = ranked
+          .withColumn("cumcost", sum(col("cost")).over(w))
+          .withColumn("cumscore", sum(col("score")).over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("selected",
+            when(col("cumcost") <= col("budget"), 1L).otherwise(0L))
+          .localCheckpoint(false)
+        val sel = pre.agg(
+          sum(when(col("selected") === 1L, col("cost")).otherwise(0L))
+            .as("sel_cost"),
+          sum(when(col("selected") === 1L, col("score")).otherwise(0L))
+            .as("sel_score"),
+          sum(col("selected")).as("n_selected"))
+        val nxt = pre.filter(col("selected") === 0L)
+          .orderBy(col("rn")).limit(1)
+          .select(col("score").as("nx_score"), col("cost").as("nx_cost"))
+        val card = tot.crossJoin(broadcast(sel))
+          .crossJoin(broadcast(nxt))
+          .withColumn("greedy_micro", expr("sel_score * 1000000"))
+          .withColumn("lp_ub_micro", expr("sel_score * 1000000 + " +
+            "(budget - sel_cost) * nx_score * 1000000 div nx_cost"))
+          .withColumn("gap_ppm", expr("(lp_ub_micro - greedy_micro)" +
+            " * 1000000 div GREATEST(lp_ub_micro, 1)"))
+        pre.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_src"),
+            sum(col("selected")).as("n_sel_src"),
+            sum(when(col("selected") === 1L, col("cost")).otherwise(0L))
+              .as("sel_cost_src"))
+          .crossJoin(broadcast(card.select(col("n_docs"),
+            col("total_cost"), col("budget"), col("n_selected"),
+            col("sel_cost"), col("greedy_micro"), col("lp_ub_micro"),
+            col("gap_ppm"))))
+          .withColumn("sel_share_ppm",
+            expr("n_sel_src * 1000000 div GREATEST(n_selected, 1)"))
+          .withColumn("corpus_share_ppm",
+            expr("n_docs_src * 1000000 div n_docs"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, source,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS cost,
+                 CAST(len(list_distinct(string_split(trim(text), ' ')))
+                   AS BIGINT) AS score
+          FROM documents),
+        r AS MATERIALIZED (
+          SELECT *, score * 1000000 // cost AS ratio FROM d),
+        tot AS (SELECT CAST(SUM(cost) AS BIGINT) AS total_cost,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(cost) AS BIGINT) // 5 AS budget
+                FROM r),
+        ranked AS MATERIALIZED (
+          SELECT *,
+                 CAST(ROW_NUMBER() OVER (ORDER BY ratio DESC, doc_id)
+                   AS BIGINT) AS rn,
+                 CAST(SUM(cost) OVER (ORDER BY ratio DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumcost
+          FROM r),
+        pre AS MATERIALIZED (
+          SELECT ranked.*,
+                 CASE WHEN cumcost <= (SELECT budget FROM tot)
+                   THEN 1 ELSE 0 END AS selected
+          FROM ranked),
+        sel AS (SELECT CAST(SUM(CASE WHEN selected = 1 THEN cost
+                  ELSE 0 END) AS BIGINT) AS sel_cost,
+                CAST(SUM(CASE WHEN selected = 1 THEN score ELSE 0 END)
+                  AS BIGINT) AS sel_score,
+                CAST(SUM(selected) AS BIGINT) AS n_selected
+                FROM pre),
+        nxt AS (SELECT score AS nx_score, cost AS nx_cost FROM pre
+                WHERE selected = 0 ORDER BY rn LIMIT 1),
+        card AS (SELECT t.*, s.*, n.nx_score, n.nx_cost,
+                        s.sel_score * 1000000 AS greedy_micro,
+                        s.sel_score * 1000000 + (t.budget - s.sel_cost)
+                          * n.nx_score * 1000000 // n.nx_cost
+                          AS lp_ub_micro
+                 FROM tot t CROSS JOIN sel s CROSS JOIN nxt n)
+        SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_docs_src,
+               CAST(SUM(p.selected) AS BIGINT) AS n_sel_src,
+               CAST(SUM(CASE WHEN p.selected = 1 THEN p.cost ELSE 0
+                 END) AS BIGINT) AS sel_cost_src,
+               c.n_docs, c.total_cost, c.budget, c.n_selected,
+               c.sel_cost, c.greedy_micro, c.lp_ub_micro,
+               (c.lp_ub_micro - c.greedy_micro) * 1000000
+                 // GREATEST(c.lp_ub_micro, 1) AS gap_ppm,
+               CAST(SUM(p.selected) AS BIGINT) * 1000000
+                 // GREATEST(c.n_selected, 1) AS sel_share_ppm,
+               CAST(COUNT(*) AS BIGINT) * 1000000 // c.n_docs
+                 AS corpus_share_ppm
+        FROM pre p CROSS JOIN card c
+        GROUP BY p.source, c.n_docs, c.total_cost, c.budget,
+                 c.n_selected, c.sel_cost, c.greedy_micro,
+                 c.lp_ub_micro
+        ORDER BY p.source"""))
   )
 }
