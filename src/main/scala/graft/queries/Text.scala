@@ -913,6 +913,104 @@ object Text {
                  AS boundary_rate_ppm
         FROM docs CROSS JOIN tot
         GROUP BY 1, 3, 4, 5, 6
-        ORDER BY n_bounds"""))
+        ORDER BY n_bounds""")),
+
+    // ---- q346: shingle CONTAINMENT (near-superset / quote detection) ----
+    // The asymmetric dual of q44's Jaccard: resemblance misses a short
+    // document swallowed by a long one (|∩|/|∪| is diluted by the
+    // container's size), but containment C(A⊆B) = |S_A∩S_B|/|S_A| does
+    // not — the Broder '97 distinction, and the measure quote/boiler
+    // mining actually needs. Plant-then-detect: every 25th doc swallows
+    // its neighbor (text ⊕ ' ' ⊕ next doc's text — the neighbor's token
+    // sequence lands INTACT, so all its 3-gram shingles appear and
+    // planted pairs sit at containment = 10⁶ ppm exactly); detection is
+    // the q44 shingle equijoin shape (map-side 64-bit hash projection,
+    // spread before shingling) with the asymmetric normalization and a
+    // ≥0.9 threshold on ≥8-shingle contained sides. jaccard_ppm ships
+    // beside containment_ppm as the motivating evidence: the planted
+    // pairs' Jaccard is exactly the dilution that hides them from q44.
+    //
+    // 100 TB posture: same candidate regime as q44 (this corpus sits
+    // far below the hot-shingle crossover; past it the stat-routed
+    // PrefixFilterJoin / q46 LSH front takes over — routing changes the
+    // plan, never the rows); the pair rollup is candidate-bounded.
+    "q346_shingle_containment" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val aug = d.join(
+            d.select((col("doc_id") - 1L).as("doc_id"),
+              col("text").as("ntext")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 25 === 0L && col("ntext").isNotNull,
+              concat(col("text"), lit(" "), col("ntext")))
+              .otherwise(col("text")).as("text"))
+        val sh = Tables.spread(aug)
+          .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+          .select(col("doc_id"), col("sh"),
+            size(col("sh")).cast("long").as("n_sh"))
+        val ex = sh.select(col("doc_id"), col("n_sh"),
+            explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), col("n_sh"),
+            xxhash64(col("shingle")).as("shash"))
+          .localCheckpoint(false)
+        val a = ex.select(col("doc_id").as("doc_small"),
+          col("n_sh").as("n_small"), col("shash"))
+        val b = ex.select(col("doc_id").as("doc_big"),
+          col("n_sh").as("n_big"), col("shash"))
+        a.join(b, Seq("shash"))
+          .filter(col("doc_small") =!= col("doc_big"))
+          .groupBy(col("doc_small"), col("doc_big"),
+            col("n_small"), col("n_big"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter(col("n_small") >= 8L &&
+            expr("n_common * 1000000 div n_small") >= 900000L)
+          .select(col("doc_small"), col("doc_big"), col("n_small"),
+            col("n_big"), col("n_common"),
+            expr("n_common * 1000000 div n_small").as("containment_ppm"),
+            expr("n_common * 1000000 div (n_small + n_big - n_common)")
+              .as("jaccard_ppm"),
+            expr("CAST(CASE WHEN doc_big % 25 = 0" +
+              " AND doc_small = doc_big + 1 THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("planted"))
+          .orderBy(col("doc_small"), col("doc_big"))
+      },
+      oracle = Some("""
+        WITH aug AS MATERIALIZED (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 25 = 0 AND n.text IS NOT NULL
+                      THEN concat(d.text, ' ', n.text)
+                      ELSE d.text END AS text
+          FROM documents d
+          LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
+        sh AS MATERIALIZED (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
+          FROM aug),
+        ex AS MATERIALIZED (
+          SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+                 UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+                 a.n_sh AS n_small, b.n_sh AS n_big,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle
+            AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_small, doc_big, n_small, n_big, n_common,
+               n_common * 1000000 // n_small AS containment_ppm,
+               n_common * 1000000 // (n_small + n_big - n_common)
+                 AS jaccard_ppm,
+               CAST(CASE WHEN doc_big % 25 = 0
+                 AND doc_small = doc_big + 1 THEN 1 ELSE 0 END
+                 AS BIGINT) AS planted
+        FROM pairs
+        WHERE n_small >= 8
+          AND n_common * 1000000 // n_small >= 900000
+        ORDER BY doc_small, doc_big"""))
   )
 }
