@@ -1244,6 +1244,88 @@ object Mixing {
                CAST(asg.total AS BIGINT) AS total_cost
         FROM asg JOIN idx ON idx.i = asg.i
         JOIN cap ON cap.j = asg.j
-        ORDER BY idx.source"""))
+        ORDER BY idx.source""")),
+
+    // ---- q348: recency-decayed mixture allocation ----
+    // Freshness-weighted sampling — the mixing knob a continually
+    // trained model turns (yesterday's events matter more than last
+    // quarter's): per event type, a half-life-per-week decayed count
+    // score = Σ_w n_w·1000 div 2^age_w, EXACT integers (2^age is
+    // float-exact to 2^52 and both engines floor-div per bucket
+    // identically; ages > 40 weeks contribute nothing and are cut so
+    // the power stays in range), then a 1000-seat largest-remainder
+    // (Hamilton) apportionment of the decayed weights — the q281 seat
+    // recipe on recency weights instead of variances, seats summing to
+    // exactly 1000 by construction. The plain-count weight ships
+    // beside the decayed one, so the card SHOWS the rebalance recency
+    // causes (the whole point of the knob).
+    //
+    // 100 TB posture: one (type, week)-keyed count agg over the
+    // corpus; decay/apportionment run at |types|·|weeks| cardinality;
+    // the max-week global is a 1-row broadcast.
+    "q348_decayed_mixture" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = Tables.events(spark, dir).select(col("event_type"),
+          expr("datediff(CAST(ts AS DATE), CAST('1970-01-01' AS DATE))" +
+            " div 7").as("wk"))
+        val wkc = ev.groupBy(col("event_type"), col("wk"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(false)
+        val mx = wkc.agg(max(col("wk")).as("mxw"))
+        val dec = wkc.crossJoin(broadcast(mx))
+          .withColumn("age", col("mxw") - col("wk"))
+          .filter(col("age") <= 40L)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n_total"),
+            sum(expr("n * 1000 div CAST(pow(2, age) AS BIGINT)"))
+              .as("decayed_milli"))
+          .localCheckpoint(false)
+        val tot = dec.agg(sum(col("decayed_milli")).as("td"),
+          sum(col("n_total")).as("tn"))
+        val seats = dec.crossJoin(broadcast(tot))
+          .withColumn("weight_ppm",
+            expr("decayed_milli * 1000000 div td"))
+          .withColumn("plain_ppm", expr("n_total * 1000000 div tn"))
+          .withColumn("fl", expr("decayed_milli * 1000 div td"))
+          .withColumn("rem", expr("decayed_milli * 1000 % td"))
+        val short = seats.agg((lit(1000L) - sum(col("fl"))).as("k"))
+        val w = Window.orderBy(col("rem").desc, col("event_type"))
+        seats.crossJoin(broadcast(short))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select(col("event_type"), col("n_total"),
+            col("decayed_milli"), col("plain_ppm"), col("weight_ppm"),
+            (col("fl") + when(col("rk") <= col("k"), 1L).otherwise(0L))
+              .as("seats"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT event_type,
+                           datediff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) // 7 AS wk
+                    FROM events),
+        wkc AS MATERIALIZED (
+          SELECT event_type, wk, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1, 2),
+        mx AS (SELECT MAX(wk) AS mxw FROM wkc),
+        dec AS MATERIALIZED (
+          SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total,
+                 CAST(SUM(n * 1000 // CAST(pow(2, mxw - wk) AS BIGINT))
+                   AS BIGINT) AS decayed_milli
+          FROM wkc CROSS JOIN mx
+          WHERE mxw - wk <= 40 GROUP BY 1),
+        tot AS (SELECT CAST(SUM(decayed_milli) AS BIGINT) AS td,
+                       CAST(SUM(n_total) AS BIGINT) AS tn FROM dec),
+        s AS (SELECT d.*, t.td, t.tn,
+                     d.decayed_milli * 1000000 // t.td AS weight_ppm,
+                     d.n_total * 1000000 // t.tn AS plain_ppm,
+                     d.decayed_milli * 1000 // t.td AS fl,
+                     d.decayed_milli * 1000 % t.td AS rem
+              FROM dec d CROSS JOIN tot t),
+        short AS (SELECT 1000 - CAST(SUM(fl) AS BIGINT) AS k FROM s)
+        SELECT s.event_type, s.n_total, s.decayed_milli, s.plain_ppm,
+               s.weight_ppm,
+               s.fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY s.rem DESC,
+                 s.event_type) <= sh.k THEN 1 ELSE 0 END AS seats
+        FROM s CROSS JOIN short sh ORDER BY s.event_type"""))
   )
 }
