@@ -53,13 +53,13 @@ object Bench {
     // walk (not list): testdata SF dirs hold single-file tables, but
     // Spark-written fixtures (the ScaleFixtures sf1 rehearsal corpus)
     // are table.parquet DIRECTORIES of part files — prewarm both.
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+    graft.core.DirIO.walk(java.nio.file.Paths.get(dir))(_.forEach { p =>
       if (java.nio.file.Files.isRegularFile(p) &&
         (p.toString.endsWith(ext) || p.getParent.toString.endsWith(ext))) {
         val in = java.nio.file.Files.newInputStream(p)
         try { while (in.read(buf) >= 0) () } finally in.close()
       }
-    }
+    })
   }
 
   def main(args: Array[String]): Unit = {
@@ -95,9 +95,9 @@ object Bench {
     // staging dir measured 2.72/2.83 s).
     val stageRoot = graft.operators.Multimodal.stageRoot
     if (java.nio.file.Files.isDirectory(stageRoot)) {
-      java.nio.file.Files.list(stageRoot).forEach { d =>
+      graft.core.DirIO.list(stageRoot)(_.forEach { d =>
         if (java.nio.file.Files.isDirectory(d)) prewarmPageCache(d.toString)
-      }
+      })
     }
 
     // Timed runs are interleaved round-robin (pass 1 runs every query
@@ -161,9 +161,7 @@ object Bench {
     // report the min. Repeat 1 doubles as warmup (file-source listing code,
     // JSON parse codegen, parquet writer paths all JIT-compile there).
     val ingest = if (args.nonEmpty) "" else try {
-      val rows = if (sfDir.contains("sf1")) 6000000L
-        else if (sfDir.contains("sf0.1")) 600000L
-        else if (sfDir.contains("sf0.01")) 60000L else 6000L
+      val rows = graft.core.SfDir.scaled(sfDir, 6000L)
       val stamp = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
         .replaceAll("[^0-9a-zA-Z]", "")
       val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString

@@ -843,8 +843,8 @@ object ScaleProbe {
             (pmod(col("id") * 31L, lit(10000L)).cast("double") / 100.0).as("value"))
           val tmp = java.nio.file.Paths.get(baseDir, "gen")
           df.coalesce(1).write.parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp)
-            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          val part = graft.core.DirIO.list(tmp)(
+            _.filter(p => p.toString.endsWith(".parquet")).findFirst().get())
           java.nio.file.Files.move(part, srcDir.resolve("events.parquet"))
         }
         def drain(ckpt: String): Double = {
@@ -895,8 +895,8 @@ object ScaleProbe {
         keyed.filter(epochCol >= lo + i * span &&
             (epochCol < lo + (i + 1) * span || i == slices - 1))
           .coalesce(1).write.parquet(sliceDir.toString)
-        val part = java.nio.file.Files.list(sliceDir)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val part = graft.core.DirIO.list(sliceDir)(
+          _.filter(p => p.toString.endsWith(".parquet")).findFirst().get())
         val dest = srcDir.resolve(f"slice-$i%02d.parquet")
         java.nio.file.Files.move(part, dest)
         java.nio.file.Files.setLastModifiedTime(dest,

@@ -118,8 +118,7 @@ object Multimodal {
       try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileSystemException =>
         // another staging won the race — keep theirs, drop ours
-        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+        graft.core.DirIO.deleteRecursively(tmp)
       }
     }
     spark.read.parquet(dest.toString).as[MediaAsset]

@@ -23,11 +23,10 @@ object Gps {
   /** Placeholder in oracle SQL that Verify replaces with its outDir. */
   val VerifyOutToken = "__VERIFY_OUT__"
 
-  /** Row count scaled to the testdata SF, mirroring lineitem's ~6k/sf0.001. */
-  def inputRows(dir: String): Long =
-    if (dir.contains("sf1")) 6000000L // ScaleFixtures sf1 rehearsal dirs
-    else if (dir.contains("sf0.1")) 600000L
-    else if (dir.contains("sf0.01")) 60000L else 6000L
+  /** Row count scaled to the testdata SF, mirroring lineitem's ~6k/sf0.001
+    * (centralized exact-tag parsing — covers the ScaleFixtures sf1
+    * rehearsal dirs; ADVICE r12 #4). */
+  def inputRows(dir: String): Long = graft.core.SfDir.scaled(dir, 6000L)
 
   /** The deterministic enriched batch every q70 consumer agrees on. */
   def enrichedBatch(spark: SparkSession, dir: String): DataFrame =

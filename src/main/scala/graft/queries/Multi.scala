@@ -21,10 +21,7 @@ object Multi {
 
   /** Asset count for a SF dir — shared by the query and VerifyInputs so
     * the materialized rows always match the gate query's corpus. */
-  def assetCount(dir: String): Long =
-    if (dir.contains("sf1")) 500000L // ScaleFixtures sf1 rehearsal dirs
-    else if (dir.contains("sf0.1")) 50000L
-    else if (dir.contains("sf0.01")) 5000L else 500L
+  def assetCount(dir: String): Long = graft.core.SfDir.scaled(dir, 500L)
 
   /** q234's per-image perceptual hashes: the image corpus plus an
     * exact-2× upscaled copy of every 8th image (dHash-invariant — the

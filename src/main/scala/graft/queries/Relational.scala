@@ -355,11 +355,7 @@ object Relational {
               max(col("tricky")).as("tricky_max"))
             .orderBy(col("lang"))
             .localCheckpoint() // so the temp dir can be deleted
-        } finally {
-          java.nio.file.Files.walk(tmp)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+        } finally graft.core.DirIO.deleteRecursively(tmp)
       },
       oracle = Some(s"""
         SELECT lang, COUNT(*) AS n,

@@ -90,13 +90,15 @@ object StreamingGate {
       val t = java.nio.file.Paths.get(target)
       if (java.nio.file.Files.isDirectory(t)) {
         val stem = name.stripSuffix(".parquet")
-        val parts = java.nio.file.Files.list(t).filter(
-          p => p.toString.endsWith(".parquet")).sorted().iterator()
-        var i = 0
-        while (parts.hasNext) {
-          java.nio.file.Files.createSymbolicLink(
-            srcPath.resolve(f"${stem}_p$i%04d.parquet"), parts.next())
-          i += 1
+        graft.core.DirIO.list(t) { st =>
+          val parts = st.filter(
+            p => p.toString.endsWith(".parquet")).sorted().iterator()
+          var i = 0
+          while (parts.hasNext) {
+            java.nio.file.Files.createSymbolicLink(
+              srcPath.resolve(f"${stem}_p$i%04d.parquet"), parts.next())
+            i += 1
+          }
         }
       } else java.nio.file.Files.createSymbolicLink(
         srcPath.resolve(name), t)
@@ -107,9 +109,7 @@ object StreamingGate {
     def cleanup(): Unit = Seq(java.nio.file.Paths.get(ckpt), srcPath)
       .foreach { root =>
         if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          graft.core.DirIO.deleteRecursively(root)
       }
   }
 
@@ -1031,9 +1031,7 @@ object StreamingGate {
       run.cleanup()
       Seq(dimDir, outDir).foreach { root =>
         if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          graft.core.DirIO.deleteRecursively(root)
       }
     }
   }
@@ -1094,9 +1092,7 @@ object StreamingGate {
         case None    => spark.conf.unset(NanosKey)
       }
       run.cleanup()
-      java.nio.file.Files.walk(outDir)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.core.DirIO.deleteRecursively(outDir)
     }
   }
 
@@ -1151,9 +1147,7 @@ object StreamingGate {
         case None    => spark.conf.unset(NanosKey)
       }
       run.cleanup()
-      java.nio.file.Files.walk(outDir)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.core.DirIO.deleteRecursively(outDir)
     }
   }
 
@@ -1564,17 +1558,15 @@ object StreamingGate {
       val tmp = java.nio.file.Paths.get(run.srcDir, s"_stage$k")
       staged.filter(pmod(col("doc_id"), lit(3)) === k)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val part = graft.core.DirIO.list(tmp)(
+        _.filter(p => p.toString.endsWith(".parquet")).findFirst().get())
       val dst = java.nio.file.Paths.get(run.srcDir, s"batch$k.parquet")
       java.nio.file.Files.move(part, dst)
       // ascending mtimes pin the batch order (the RESULT is order-
       // independent; this keeps the drain sequence deterministic)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
-      java.nio.file.Files.walk(tmp)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.core.DirIO.deleteRecursively(tmp)
     }
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
@@ -1726,13 +1718,11 @@ object StreamingGate {
         val stage = s"${run.srcDir}/stage_f$f"
         ev.filter(col("event_id") % 8 === f)
           .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = Files.list(Paths.get(stage)).filter(p =>
-          p.toString.endsWith(".parquet")).findFirst().get()
+        val part = graft.core.DirIO.list(Paths.get(stage))(_.filter(p =>
+          p.toString.endsWith(".parquet")).findFirst().get())
         val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
         Files.move(part, dest)
-        Files.walk(Paths.get(stage))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+        graft.core.DirIO.deleteRecursively(Paths.get(stage))
         // pin the batch order: the file source sorts by mod-time
         Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1600000000000L
@@ -1799,11 +1789,9 @@ object StreamingGate {
         val wh = Paths.get(spark.conf.get("spark.sql.warehouse.dir")
           .stripPrefix("file:"))
         if (Files.exists(wh))
-          Files.list(wh)
-            .filter(p => p.getFileName.toString.startsWith(table))
-            .forEach(root => Files.walk(root)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p)))
+          graft.core.DirIO.list(wh)(
+            _.filter(p => p.getFileName.toString.startsWith(table))
+              .forEach(root => graft.core.DirIO.deleteRecursively(root)))
       }
       val ev = spark.read.schema(era.schema)
         .parquet(s"$dir/events.parquet")
@@ -1816,13 +1804,11 @@ object StreamingGate {
         val stage = s"${run.srcDir}/stage_f$f"
         ev.filter(col("event_id") % 8 === f)
           .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = Files.list(Paths.get(stage)).filter(p =>
-          p.toString.endsWith(".parquet")).findFirst().get()
+        val part = graft.core.DirIO.list(Paths.get(stage))(_.filter(p =>
+          p.toString.endsWith(".parquet")).findFirst().get())
         val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
         Files.move(part, dest)
-        Files.walk(Paths.get(stage))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+        graft.core.DirIO.deleteRecursively(Paths.get(stage))
         Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1600000000000L
             + f * 60000L))
@@ -2996,11 +2982,9 @@ object StreamingGate {
         val wh = Paths.get(spark.conf.get("spark.sql.warehouse.dir")
           .stripPrefix("file:"))
         if (Files.exists(wh))
-          Files.list(wh)
-            .filter(p => p.getFileName.toString.startsWith(table))
-            .forEach(root => Files.walk(root)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p)))
+          graft.core.DirIO.list(wh)(
+            _.filter(p => p.getFileName.toString.startsWith(table))
+              .forEach(root => graft.core.DirIO.deleteRecursively(root)))
       }
       val ev = spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_type"), col("event_id"),
@@ -3009,13 +2993,11 @@ object StreamingGate {
         val stage = s"${run.srcDir}/stage_f$f"
         ev.filter(col("event_id") % 8 === f)
           .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = Files.list(Paths.get(stage)).filter(p =>
-          p.toString.endsWith(".parquet")).findFirst().get()
+        val part = graft.core.DirIO.list(Paths.get(stage))(_.filter(p =>
+          p.toString.endsWith(".parquet")).findFirst().get())
         val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
         Files.move(part, dest)
-        Files.walk(Paths.get(stage))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+        graft.core.DirIO.deleteRecursively(Paths.get(stage))
         // pin the batch order: the file source sorts by mod-time
         Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1600000000000L
@@ -3096,13 +3078,11 @@ object StreamingGate {
         val stage = s"${run.srcDir}/stage_f$f"
         o.filter(col("id") % 8 === f)
           .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = Files.list(Paths.get(stage)).filter(p =>
-          p.toString.endsWith(".parquet")).findFirst().get()
+        val part = graft.core.DirIO.list(Paths.get(stage))(_.filter(p =>
+          p.toString.endsWith(".parquet")).findFirst().get())
         val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
         Files.move(part, dest)
-        Files.walk(Paths.get(stage))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+        graft.core.DirIO.deleteRecursively(Paths.get(stage))
         Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1600000000000L
             + f * 60000L))
@@ -3187,13 +3167,11 @@ object StreamingGate {
         val stage = s"${run.srcDir}/stage_f$f"
         ev.filter(col("event_id") % 8 === f)
           .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = Files.list(Paths.get(stage)).filter(p =>
-          p.toString.endsWith(".parquet")).findFirst().get()
+        val part = graft.core.DirIO.list(Paths.get(stage))(_.filter(p =>
+          p.toString.endsWith(".parquet")).findFirst().get())
         val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
         Files.move(part, dest)
-        Files.walk(Paths.get(stage))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+        graft.core.DirIO.deleteRecursively(Paths.get(stage))
         Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1600000000000L
             + f * 60000L))
@@ -3315,11 +3293,9 @@ object StreamingGate {
         val wh = Paths.get(spark.conf.get("spark.sql.warehouse.dir")
           .stripPrefix("file:"))
         if (Files.exists(wh))
-          Files.list(wh)
-            .filter(p => p.getFileName.toString.startsWith(table))
-            .forEach(root => Files.walk(root)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p)))
+          graft.core.DirIO.list(wh)(
+            _.filter(p => p.getFileName.toString.startsWith(table))
+              .forEach(root => graft.core.DirIO.deleteRecursively(root)))
       }
       IdempotentParquetSink.invalidate(spark, table)
       val ev = spark.read.parquet(s"$dir/events.parquet")
@@ -3331,13 +3307,11 @@ object StreamingGate {
           ev.filter(col("event_id") % 2 === w &&
               expr("(event_id div 2) % 4") === f)
             .coalesce(1).write.mode("overwrite").parquet(stage)
-          val part = Files.list(Paths.get(stage)).filter(p =>
-            p.toString.endsWith(".parquet")).findFirst().get()
+          val part = graft.core.DirIO.list(Paths.get(stage))(_.filter(p =>
+            p.toString.endsWith(".parquet")).findFirst().get())
           val dest = Paths.get(run.srcDir, f"f$f%d.parquet")
           Files.move(part, dest)
-          Files.walk(Paths.get(stage))
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
+          graft.core.DirIO.deleteRecursively(Paths.get(stage))
           Files.setLastModifiedTime(dest,
             java.nio.file.attribute.FileTime.fromMillis(1600000000000L
               + f * 60000L))
@@ -3384,9 +3358,7 @@ object StreamingGate {
       val qb2 = writer(spark.newSession(), runB.srcDir, ckptB2, 100L)
       try qb2.awaitTermination() finally {
         if (qb2.isActive) qb2.stop()
-        Files.walk(Paths.get(ckptB2))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+        graft.core.DirIO.deleteRecursively(Paths.get(ckptB2))
       }
       spark.catalog.refreshTable(table)
       val c2 = spark.table(table).count()

@@ -202,14 +202,12 @@ object VerifyInputs {
       rows.coalesce(1).write.mode("overwrite")
         .option("header", "true").option("escape", "\"")
         .csv(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(
-        _.getFileName.toString.endsWith(".csv")).findFirst.get
+      val part = graft.core.DirIO.list(tmp)(_.filter(
+        _.getFileName.toString.endsWith(".csv")).findFirst.get)
       java.nio.file.Files.move(part,
         java.nio.file.Paths.get(s"$outDir/_q226_input/_data.csv"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.walk(tmp)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.core.DirIO.deleteRecursively(tmp)
     }
   }
 }
