@@ -21,6 +21,17 @@ package graft.operators
   */
 object MediaDecoders {
 
+  /** Raster-size ceiling for the fast paths (2^28 samples ≈ 268 MB/
+    * frame). A LYING header must not drive the allocation: a malformed
+    * 65535×65535 GIF descriptor would attempt ~4.3 GB (and its Int
+    * product wraps NEGATIVE — NegativeArraySizeException was not in any
+    * catch list pre-round-13). Checked in LONG arithmetic BEFORE any
+    * allocation; oversized-but-honest payloads simply fall back to
+    * ImageIO (no divergence — just no fast path), and the accounted
+    * decode path (`Multimodal.decodeAccounted`) pre-screens the same
+    * bound so a lying header never reaches ImageIO's allocator either. */
+  val MaxRasterSamples: Long = 1L << 28
+
   // ------------------------------------------------------------------
   // GIF
   // ------------------------------------------------------------------
@@ -69,9 +80,20 @@ object MediaDecoders {
               lut = grayLut(p, pos, n); pos += 3 * n
             }
             if (lut == null) return None // no palette in scope: not decodable
+            // LONG-arithmetic dim guard BEFORE the raster allocation: the
+            // u16 descriptor is untrusted; 65535*65535 wraps negative as
+            // Int and anything near Int.MaxValue is an OOM attempt.
+            if (fw <= 0 || fh <= 0 ||
+              fw.toLong * fh > MaxRasterSamples) return None
             val interlaced = (fp & 0x40) != 0
             val idx = new Array[Byte](fw * fh)
             pos = lzw(p, pos, idx)
+            // negative pos = the code stream ended (or hit EOI) before
+            // filling the descriptor's raster — structural truncation;
+            // a zero-padded partial frame must NOT be returned as Some
+            // (ImageIO errors on the same payload — fall through so the
+            // fallback produces the authoritative error).
+            if (pos < 0) return None
             var gray = idx
             var i = 0
             while (i < idx.length) { gray(i) = lut(idx(i) & 0xff); i += 1 }
@@ -97,10 +119,14 @@ object MediaDecoders {
   /** GIF-variant LZW over the sub-block stream starting at `pos`
     * (minimum-code-size byte first). Decodes until EOI / output full /
     * stream end, then skips to the end of the sub-block chain; returns
-    * the position after its terminator. Standard table decoder: prefix
-    * chain + last-byte arrays, codes LSB-first, code width grows at
-    * table-fill boundaries up to 12 bits, CLEAR resets, full-table
-    * "deferred clear" keeps emitting 12-bit codes until CLEAR. */
+    * the position after its terminator — NEGATED (as `-pos`) when the
+    * code stream ended before filling `out` (truncated/corrupt payload:
+    * the caller must treat the frame as undecodable rather than return
+    * a zero-padded raster that diverges from ImageIO's error). Standard
+    * table decoder: prefix chain + last-byte arrays, codes LSB-first,
+    * code width grows at table-fill boundaries up to 12 bits, CLEAR
+    * resets, full-table "deferred clear" keeps emitting 12-bit codes
+    * until CLEAR. */
   private def lzw(p: Array[Byte], start: Int, out: Array[Byte]): Int = {
     var pos = start
     val minCode = p(pos) & 0xff; pos += 1
@@ -178,7 +204,7 @@ object MediaDecoders {
       val len = p(pos) & 0xff; pos += 1
       if (len == 0) ended = true else pos += len
     }
-    pos
+    if (outPos < out.length) -pos else pos // negative = truncated stream
   }
 
   /** GIF 4-pass interlace → sequential row order. */
@@ -221,8 +247,20 @@ object MediaDecoders {
       val bitDepth = p(24) & 0xff
       val colorType = p(25) & 0xff
       val interlace = p(28) & 0xff
+      // LONG-arithmetic guard on the FILTERED buffer size (w+1)*h — the
+      // array actually allocated below. The former w*h check let w=1,
+      // h≈Int.MaxValue through and (w+1)*h wrapped negative (ADVICE r12
+      // #1); MaxRasterSamples additionally rejects honest-but-absurd
+      // headers before a multi-GB allocation.
       if (bitDepth != 8 || colorType != 0 || interlace != 0 ||
-        w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue - 16) return None
+        w <= 0 || h <= 0 || (w.toLong + 1) * h > Int.MaxValue - 16 ||
+        w.toLong * h > MaxRasterSamples) return None
+      // CRC the IHDR we just trusted (tag+body = bytes [12, 29), CRC at
+      // [29, 33)) — the JDK reader rejects a corrupted critical chunk,
+      // so the fast path must too, not decode from a lying header.
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, 12, 17)
+      if (crc.getValue.toInt != be32(29)) return None
       // gather IDAT spans
       val inf = new java.util.zip.Inflater()
       val raw = new Array[Byte]((w + 1) * h)
@@ -231,8 +269,15 @@ object MediaDecoders {
       var sawEnd = false
       while (!sawEnd && off + 8 <= p.length) {
         val len = be32(off)
+        // untrusted chunk length: negative, or running past the payload
+        // end (truncated file / lying length; LONG sum — off+12+len can
+        // wrap as Int for a 2^31-ish lie) → not decodable here
+        if (len < 0 || off + 12L + len > p.length) return None
         val tag = be32(off + 4)
         if (tag == 0x49444154) { // IDAT
+          crc.reset()
+          crc.update(p, off + 4, len + 4)
+          if (crc.getValue.toInt != be32(off + 8 + len)) return None
           inf.setInput(p, off + 8, len)
           while (!inf.needsInput() && !inf.finished() && rawLen < raw.length)
             rawLen += inf.inflate(raw, rawLen, raw.length - rawLen)

@@ -199,6 +199,139 @@ class FastCodecSpec extends AnyFunSuite {
       assert(Multimodal.goertzelPower(quiet, ns, f) == 0.0))
   }
 
+  // ---- malformed-input fuzz (round 13: the fast paths must REJECT what
+  // they cannot prove well-formed — None, never a throw, never a
+  // zero-padded partial raster, never an allocation driven by a lying
+  // header). VERDICT r12 "What's wrong #2" / ADVICE r12 #1-#2. ----
+
+  private def validGif(): Array[Byte] =
+    Multimodal.VideoCodec.encodeGif(5L, 42L, 64, 64, nFrames = 3)
+
+  private def validPng(): Array[Byte] =
+    Multimodal.ImageCodec.encodePng(3L, 42L, 96, 64)
+
+  test("truncated GIF payloads: None at every cut, never a throw") {
+    val p = validGif()
+    for (cut <- Seq(4, 12, 40, p.length / 4, p.length / 2, p.length - 3)) {
+      val t = java.util.Arrays.copyOf(p, cut)
+      assert(MediaDecoders.decodeGif(t).isEmpty, s"cut=$cut")
+    }
+  }
+
+  test("GIF with a lying 65535x65535 frame descriptor: None, no allocation") {
+    // Handcrafted minimal GIF: valid screen + 2-entry GCT, then an image
+    // descriptor whose u16 dims are maximal lies (fw*fh wraps negative
+    // as Int — the pre-round-13 code attempted new Array[Byte](fw*fh)).
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    out.write(Array[Byte](2, 0, 2, 0))          // screen 2x2
+    out.write(0x80); out.write(0); out.write(0) // GCT(2), bg, aspect
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1)) // palette
+    out.write(0x2c)                             // image descriptor
+    out.write(Array[Byte](0, 0, 0, 0))          // left, top
+    out.write(Array[Byte](-1, -1, -1, -1))      // fw=65535, fh=65535
+    out.write(0)                                // no LCT, not interlaced
+    out.write(2)                                // LZW min code size
+    out.write(1); out.write(0x04); out.write(0) // one data byte, term
+    out.write(0x3b)
+    assert(MediaDecoders.decodeGif(out.toByteArray).isEmpty)
+  }
+
+  test("GIF whose LZW stream ends before the raster fills: None, not zero-padded") {
+    // 4x4 frame (16 pixels) but the code stream carries a clear code and
+    // a single literal then terminates — pre-round-13 this returned a
+    // Some with 15 zero-padded pixels, silently diverging from ImageIO.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    out.write(Array[Byte](4, 0, 4, 0))
+    out.write(0x80); out.write(0); out.write(0)
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1))
+    out.write(0x2c)
+    out.write(Array[Byte](0, 0, 0, 0))
+    out.write(Array[Byte](4, 0, 4, 0))          // fw=4, fh=4
+    out.write(0)
+    out.write(2)                                // min code 2: clear=4, eoi=5
+    out.write(1); out.write(0x04 | (0x00 << 3)) // clear(4) + literal 0 (3-bit codes)
+    out.write(0)                                // terminator
+    out.write(0x3b)
+    assert(MediaDecoders.decodeGif(out.toByteArray).isEmpty)
+  }
+
+  test("GIF random corruption sweep: decode returns, never throws") {
+    val base = validGif()
+    val r = rng(99)
+    for (trial <- 0 until 300) {
+      val p = base.clone()
+      val flips = 1 + r.nextInt(4)
+      for (_ <- 0 until flips)
+        p(r.nextInt(p.length)) = r.nextInt(256).toByte
+      // any outcome is fine except an escaped exception
+      MediaDecoders.decodeGif(p)
+      val cut = 1 + r.nextInt(p.length - 1)
+      MediaDecoders.decodeGif(java.util.Arrays.copyOf(p, cut))
+    }
+  }
+
+  test("PNG with an overflowing (w+1)*h header: None before any allocation") {
+    val p = validPng()
+    // patch IHDR to w=1, h=0x7ffffff0: the old w*h guard passed this and
+    // (w+1)*h wrapped negative at the allocation (ADVICE r12 #1); the
+    // IHDR CRC is recomputed so the DIM guard itself is what rejects.
+    def putBe32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+      a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+    }
+    putBe32(p, 16, 1)          // w
+    putBe32(p, 20, 0x7ffffff0) // h
+    val crc = new java.util.zip.CRC32()
+    crc.update(p, 12, 17)
+    putBe32(p, 29, crc.getValue.toInt)
+    assert(MediaDecoders.decodeGrayPng(p).isEmpty)
+  }
+
+  test("PNG with a lying 2^31-ish chunk length: None (no Int wrap)") {
+    val p = validPng()
+    def putBe32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+      a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+    }
+    putBe32(p, 33, 0x7fffffff) // first post-IHDR chunk length lies
+    assert(MediaDecoders.decodeGrayPng(p).isEmpty)
+  }
+
+  test("PNG CRC corruption (IHDR and IDAT): None — a lying header is rejected") {
+    val h = validPng()
+    h(16) = (h(16) ^ 1).toByte // corrupt width without fixing IHDR CRC
+    assert(MediaDecoders.decodeGrayPng(h).isEmpty)
+    val d = validPng()
+    d(45) = (d(45) ^ 0x40).toByte // a byte inside the IDAT body
+    assert(MediaDecoders.decodeGrayPng(d).isEmpty)
+  }
+
+  test("truncated PNG payloads: None at every data-losing cut, never a throw") {
+    // (a cut that only clips the IEND trailer keeps every IDAT byte and
+    // legitimately still decodes — ImageIO accepts it too — so the cut
+    // list stops short of that case)
+    val p = validPng()
+    for (cut <- Seq(7, 20, 33, 50, p.length / 4, p.length / 2)) {
+      val t = java.util.Arrays.copyOf(p, cut)
+      assert(MediaDecoders.decodeGrayPng(t).isEmpty, s"cut=$cut")
+    }
+  }
+
+  test("PNG random corruption sweep: decode returns, never throws") {
+    val base = validPng()
+    val r = rng(101)
+    for (trial <- 0 until 300) {
+      val p = base.clone()
+      for (_ <- 0 to r.nextInt(4))
+        p(r.nextInt(p.length)) = r.nextInt(256).toByte
+      MediaDecoders.decodeGrayPng(p)
+      MediaDecoders.decodeGrayPng(
+        java.util.Arrays.copyOf(p, 1 + r.nextInt(p.length - 1)))
+    }
+  }
+
   test("unsupported profiles fall back: color PNG => None, non-GIF => None") {
     val img = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
