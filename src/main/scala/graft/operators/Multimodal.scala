@@ -151,6 +151,297 @@ object Multimodal {
     }
   }
 
+  // ---- accounted decode: the media dead-letter law (round 13) --------
+  //
+  // At 100 TB corrupt assets are a statistical certainty; one bad
+  // byte-string must quarantine, never kill the task (VERDICT r12
+  // "What's wrong #2" — the q329 JSON dead-letter pattern applied to
+  // media decode). Two-layer defense:
+  //   1. HEADER SCREEN: parse the container's self-declared dimensions
+  //      CHEAPLY (no allocation) and reject anything whose raster claim
+  //      exceeds [[MediaDecoders.MaxRasterSamples]] — a lying header
+  //      must never reach ANY allocator, including ImageIO's (the fast
+  //      paths already bail to None, but the ImageIO fallback would
+  //      happily allocate a 4 GB raster from a 65535×65535 lie).
+  //   2. ACCOUNTED DISPATCH: the codec call runs under NonFatal capture
+  //      plus metadata-vs-content consistency checks (decoded dims ==
+  //      meta dims; decoded frame count == meta count; PCM bytes ==
+  //      the WAV header's own declared length — the JDK WAVE reader
+  //      returns SHORT data without erroring on a truncated payload).
+  // Verdicts are deliberately coarse (two reasons) so they are
+  // deterministic across codecs and replayable by the q350 oracle.
+
+  /** Header claims a raster larger than the engine decodes. */
+  val ReasonOversized = "oversized_dims"
+  /** Any decode failure / truncation / metadata-content mismatch. */
+  val ReasonCorrupt = "corrupt_payload"
+  /** Decoded clean. */
+  val ReasonOk = "ok"
+
+  /** Cheap, allocation-free screen of the container's self-declared
+    * dimensions. Returns Some(reason) only for a PROVEN oversized
+    * claim; any parse confusion returns None and the accounted decode
+    * classifies the asset instead. */
+  def headerScreen(kind: String, p: Array[Byte]): Option[String] = kind match {
+    case "image" => pngDimsScreen(p)
+    case "video" => gifDimsScreen(p)
+    case _       => None // WAV: length claims are checked post-decode
+  }
+
+  private def pngDimsScreen(p: Array[Byte]): Option[String] = {
+    if (p.length < 33 || (p(0) & 0xff) != 0x89 || p(1) != 'P') return None
+    def be32(off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    val w = be32(16)
+    val h = be32(20)
+    if (w > 0 && h > 0 && (w * h > MediaDecoders.MaxRasterSamples ||
+      (w + 1) * h > Int.MaxValue - 16)) Some(ReasonOversized)
+    else None
+  }
+
+  /** Walk the GIF block structure (skipping LZW data) and check every
+    * frame descriptor's u16 dims against the raster cap. */
+  private def gifDimsScreen(p: Array[Byte]): Option[String] = {
+    if (p.length < 13 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F') return None
+    try {
+      var pos = 6
+      def u8: Int = { val v = p(pos) & 0xff; pos += 1; v }
+      def u16: Long = {
+        val v = (p(pos) & 0xffL) | ((p(pos + 1) & 0xffL) << 8); pos += 2; v
+      }
+      val sw = u16; val sh = u16
+      if (sw * sh > MediaDecoders.MaxRasterSamples) return Some(ReasonOversized)
+      val packed = u8
+      pos += 2
+      if ((packed & 0x80) != 0) pos += 3 * (2 << (packed & 7))
+      var guard = 0
+      while (guard < 4096) {
+        guard += 1
+        (u8: @annotation.switch) match {
+          case 0x3b => return None
+          case 0x21 =>
+            u8
+            var len = u8
+            while (len != 0) { pos += len; len = u8 }
+          case 0x2c =>
+            u16; u16
+            val fw = u16; val fh = u16
+            if (fw * fh > MediaDecoders.MaxRasterSamples)
+              return Some(ReasonOversized)
+            val fp = u8
+            if ((fp & 0x80) != 0) pos += 3 * (2 << (fp & 7))
+            u8 // LZW min code size
+            var len = u8
+            while (len != 0) { pos += len; len = u8 }
+          case _ => return None // unknown block: let the decode classify
+        }
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Does the payload's container signature match the format its
+    * metadata declares? Cheap and decisive — SOME JDK codecs skip
+    * signature validation when driven directly (the GIF ImageReader
+    * happily parses past a flipped magic because format selection
+    * normally happens in the SPI sniff we bypass for speed), so the
+    * accounted path must own this check. Unknown formats make no
+    * claim. */
+  private def magicMatches(format: String, p: Array[Byte]): Boolean =
+    format match {
+      case "png" => p.length > 4 && (p(0) & 0xff) == 0x89 &&
+        p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+      case "gif" => p.length > 3 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
+      case "wav" => p.length > 4 && p(0) == 'R' && p(1) == 'I' &&
+        p(2) == 'F' && p(3) == 'F'
+      case _ => true
+    }
+
+  /** Screen + decode + consistency-check one asset: Right(decoded
+    * samples) or Left(coarse reason). Never throws on payload content. */
+  def decodeScreened(a: MediaAsset): Either[String, Array[Byte]] = {
+    if (!magicMatches(a.meta.format, a.payload)) return Left(ReasonCorrupt)
+    headerScreen(a.meta.kind, a.payload) match {
+      case Some(reason) => return Left(reason)
+      case None         =>
+    }
+    try {
+      a.meta.kind match {
+        case "image" =>
+          val d = ImageCodec.decode(a.payload)
+          if (d.width != a.meta.width || d.height != a.meta.height)
+            Left(ReasonCorrupt)
+          else Right(d.gray)
+        case "audio" =>
+          val d = AudioCodec.decode(a.payload)
+          if (d.declaredBytes >= 0 && d.pcm.length < d.declaredBytes)
+            Left(ReasonCorrupt) // short read: truncated behind a full-size header
+          else Right(d.pcm)
+        case _ =>
+          val d = VideoCodec.decode(a.payload)
+          if (d.frames.length != a.meta.nFrames) Left(ReasonCorrupt)
+          else Right(d.flat)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Left(ReasonCorrupt) }
+  }
+
+  /** Per-asset accounted decode verdicts + integer content stats (count
+    * and unsigned sum of decoded samples — bit-deterministic, so the
+    * gate hashes them). One partition-local pass; payloads never
+    * shuffle; rejects carry zeroed stats and their reason. */
+  final case class MediaScreened(asset_id: Long, kind: String, n_bytes: Int,
+      reason: String, n_samples: Long, sample_sum: Long)
+
+  def screenedStats(assets: Dataset[MediaAsset]): Dataset[MediaScreened] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      decodeScreened(a) match {
+        case Right(samples) =>
+          var s = 0L
+          var i = 0
+          while (i < samples.length) { s += (samples(i) & 0xff); i += 1 }
+          MediaScreened(a.asset_id, a.meta.kind, a.payload.length,
+            ReasonOk, samples.length.toLong, s)
+        case Left(reason) =>
+          MediaScreened(a.asset_id, a.meta.kind, a.payload.length,
+            reason, 0L, 0L)
+      }
+    })
+  }
+
+  /** [[extractFeatures]] with the dead-letter law — ONE decode per
+    * asset: good rows carry the exact feature vector of the fail-fast
+    * pipeline with a null reason; undecodable rows carry an empty
+    * feature and their reason. The full row travels on both sides (the
+    * q329 "carry the row alongside the marker" pattern), so the caller
+    * splits with [[splitFeaturesAccounted]]. */
+  final case class MediaFeaturesAccounted(
+      asset_id: Long, kind: String, n_bytes: Int,
+      feature: Array[Float], reject_reason: Option[String])
+
+  def extractFeaturesAccounted(assets: Dataset[MediaAsset])
+      : Dataset[MediaFeaturesAccounted] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val hist = new Array[Int](256)
+      it.map { a =>
+        decodeScreened(a) match {
+          case Right(decoded) =>
+            java.util.Arrays.fill(hist, 0)
+            var i = 0
+            while (i < decoded.length) { hist(decoded(i) & 0xff) += 1; i += 1 }
+            val total = math.max(decoded.length, 1).toFloat
+            MediaFeaturesAccounted(a.asset_id, a.meta.kind,
+              a.payload.length, hist.map(_ / total), None)
+          case Left(reason) =>
+            MediaFeaturesAccounted(a.asset_id, a.meta.kind,
+              a.payload.length, Array.emptyFloatArray, Some(reason))
+        }
+      }
+    }
+  }
+
+  /** (features of decodable assets, quarantine rows with reasons). The
+    * accounted batch is persisted by the CALLER before splitting when
+    * it will consume both sides (same rule as
+    * [[graft.sources.JsonBatchReader.splitAccounted]] — a production
+    * run lands the accounted pass in a table once and reads the two
+    * slices from there; re-decoding per side is the anti-pattern). */
+  def splitFeaturesAccounted(rows: Dataset[MediaFeaturesAccounted])
+      : (DataFrame, DataFrame) = {
+    val df = rows.toDF()
+    (df.filter(col("reject_reason").isNull).drop("reject_reason"),
+      df.filter(col("reject_reason").isNotNull)
+        .select(col("asset_id"), col("kind"), col("n_bytes"),
+          col("reject_reason")))
+  }
+
+  // ---- deterministic corruption planting (q350 fixture) --------------
+
+  /** Corrupt every `everyNth` asset, cycling three corruption classes:
+    * 0 = truncate at half (header survives, data doesn't), 1 = flip the
+    * magic bytes (no codec claims it), 2 = lying header (dims/length
+    * claims the content can't honor). Pure byte transforms keyed on
+    * asset_id — any executor plants identical corruption, and the q350
+    * oracle replays the class arithmetic independently.
+    *
+    * The class cycle is ((id/everyNth)/3)%3, period NINE in the planted
+    * index — NOT %3, which would lock class to kind: with kind = id%3
+    * and id = everyNth·k, (everyNth·k)%3 has the same period-3 phase as
+    * k%3 whenever everyNth ⊥ 3, so each kind would only ever see ONE
+    * class (found when the first gate run produced 6 groups instead of
+    * all 9 kind×class combos). */
+  def withPlantedCorruption(assets: Dataset[MediaAsset],
+      everyNth: Long): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      if (a.asset_id % everyNth != 0L) a
+      else (a.asset_id / everyNth / 3 % 3) match {
+        case 0 =>
+          a.copy(payload =
+            java.util.Arrays.copyOf(a.payload, a.payload.length / 2))
+        case 1 =>
+          val p = a.payload.clone()
+          var i = 0
+          while (i < 4 && i < p.length) { p(i) = (p(i) ^ 0xff).toByte; i += 1 }
+          a.copy(payload = p)
+        case _ =>
+          a.copy(payload = lyingHeader(a.meta.kind, a.payload))
+      }
+    })
+  }
+
+  /** Class-2 corruption: a header whose size claims the content cannot
+    * honor. Images/videos lie about dims (caught by the header screen
+    * BEFORE any allocator); audio lies about PCM length (caught by the
+    * post-decode declared-vs-actual check). */
+  private def lyingHeader(kind: String, p: Array[Byte]): Array[Byte] =
+    kind match {
+      case "image" =>
+        val q = p.clone()
+        def be32(off: Int, v: Int): Unit = {
+          q(off) = (v >>> 24).toByte; q(off + 1) = (v >>> 16).toByte
+          q(off + 2) = (v >>> 8).toByte; q(off + 3) = v.toByte
+        }
+        be32(16, 1)
+        be32(20, 0x7ffffff0)
+        val crc = new java.util.zip.CRC32()
+        crc.update(q, 12, 17)
+        be32(29, crc.getValue.toInt) // valid CRC: the DIM claim is the lie
+        q
+      case "video" =>
+        val q = p.clone()
+        // frame descriptor sits right after the fixed 256-entry GCT in
+        // [[VideoCodec.encodeGrayGif]]'s layout: 6 header + 7 screen +
+        // 768 palette, then 0x2c left(2) top(2) fw(2) fh(2)
+        val d = 6 + 7 + 768
+        if (q.length > d + 9 && (q(d) & 0xff) == 0x2c) {
+          q(d + 5) = -1; q(d + 6) = -1 // fw = 65535
+          q(d + 7) = -1; q(d + 8) = -1 // fh = 65535
+        }
+        q
+      case _ =>
+        val q = p.clone()
+        // find the RIFF data chunk tag in the header region and double
+        // its declared size — the reader will promise PCM that isn't
+        // there
+        var i = 12
+        var done = false
+        while (!done && i + 8 < math.min(q.length, 128)) {
+          if (q(i) == 'd' && q(i + 1) == 'a' && q(i + 2) == 't' &&
+            q(i + 3) == 'a') {
+            val sz = (q(i + 4) & 0xffL) | ((q(i + 5) & 0xffL) << 8) |
+              ((q(i + 6) & 0xffL) << 16) | ((q(i + 7) & 0xffL) << 24)
+            val lie = math.min(sz * 2, Int.MaxValue.toLong)
+            q(i + 4) = lie.toByte; q(i + 5) = (lie >> 8).toByte
+            q(i + 6) = (lie >> 16).toByte; q(i + 7) = (lie >> 24).toByte
+            done = true
+          } else i += 1
+        }
+        q
+    }
+
   /** Frame sampling for video assets: REAL codec round-trip — decode the
     * animated GIF, keep every `everyN`-th frame (0, N, 2N, …), re-encode
     * the survivors; non-video passes through untouched. The transform the
@@ -947,7 +1238,8 @@ object Multimodal {
       }.getOrElse(throw new IllegalStateException("no JDK WAVE reader"))
     }
 
-    final case class DecodedAudio(sampleRate: Int, channels: Int, pcm: Array[Byte]) {
+    final case class DecodedAudio(sampleRate: Int, channels: Int, pcm: Array[Byte],
+        declaredBytes: Long = -1L) {
       /** PCM frame count (16-bit samples per channel). */
       def nSamples: Int = pcm.length / 2 / channels
       /** Signed 16-bit little-endian sample i (first channel). */
@@ -1009,6 +1301,13 @@ object Multimodal {
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16,
           s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+        // the container's own claim of how much PCM follows — the
+        // accounted decode path compares it to what actually arrived
+        // (a truncated payload keeps its full-size header; the JDK
+        // reader just returns short without erroring)
+        val declaredBytes =
+          if (ais.getFrameLength < 0 || fmt.getFrameSize <= 0) -1L
+          else ais.getFrameLength * fmt.getFrameSize
         val out = new java.io.ByteArrayOutputStream(
           math.max(64, ais.available()))
         val buf = new Array[Byte](8192)
@@ -1023,7 +1322,8 @@ object Multimodal {
             val t = raw(i); raw(i) = raw(i + 1); raw(i + 1) = t; i += 2
           }
         }
-        DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, raw)
+        DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, raw,
+          declaredBytes)
       } finally ais.close()
     }
   }

@@ -423,6 +423,63 @@ object Multi {
                  THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
                  AS accuracy_ppm,
                MAX(leak_ppm) AS max_leak_ppm
-        FROM f GROUP BY planted_bin ORDER BY planted_bin"""))
+        FROM f GROUP BY planted_bin ORDER BY planted_bin""")),
+
+    // ---- q350: media dead-letter quarantine law (round 13) ----
+    // VERDICT r12 "What's wrong #2": at 100 TB corrupt assets are a
+    // statistical certainty — one bad byte-string must QUARANTINE with
+    // a reason, never kill the task (the q329 JSON dead-letter law,
+    // applied to media decode). The fixture plants deterministic
+    // corruption over every 17th asset, cycling three classes (truncate
+    // at half / flip the magic bytes / lying header dims-or-length),
+    // then runs the accounted decode ([[Multimodal.screenedStats]]:
+    // header screen → codec under NonFatal capture → metadata-content
+    // consistency) and profiles per (kind, verdict): counts + integer
+    // content stats of everything that decoded clean.
+    //
+    // The ORACLE derives the EXPECTED verdict of every asset from the
+    // planting arithmetic alone (kind = id%3, class = (id/17/3)%3 —
+    // pure id arithmetic DuckDB replays independently); the engine groups by
+    // its ACTUAL verdicts. Any asset the engine misclassifies — a
+    // corrupt payload that crashed instead of quarantining, a lying
+    // header that reached an allocator, a good asset wrongly rejected —
+    // shifts a group count/sum and hash-mismatches. Content stats of
+    // clean assets re-aggregate from the staged per-asset rows
+    // (`_q350_input`, the q60 pattern); the codecs themselves stay
+    // spec-pinned (FastCodecSpec + MediaQuarantineSpec).
+    //
+    // 100 TB posture: screen + decode + verdict is one partition-local
+    // pass (payloads never shuffle); the rollup is |kind × reason|
+    // rows. The header screen is what makes the law SAFE at scale: a
+    // lying 65535×65535 descriptor is rejected by u16 arithmetic before
+    // ANY allocator (including ImageIO's) sees it.
+    "q350_media_quarantine" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        Multimodal.screenedStats(Multimodal.withPlantedCorruption(
+          Multimodal.syntheticAssets(spark, assetCount(dir)),
+          everyNth = 17L))
+          .toDF()
+          .groupBy(col("kind"), col("reason"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("n_samples")).as("total_samples"),
+            sum(col("sample_sum")).as("total_sample_sum"))
+          .orderBy(col("kind"), col("reason"))
+      },
+      oracle = Some(s"""
+        WITH f AS (SELECT asset_id, n_samples, sample_sum
+                   FROM read_parquet('${Gps.VerifyOutToken}/_q350_input/*.parquet')),
+        e AS (SELECT CASE asset_id % 3 WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     CASE WHEN asset_id % 17 <> 0 THEN 'ok'
+                          WHEN (asset_id // 17 // 3) % 3 = 2
+                            AND asset_id % 3 <> 1 THEN 'oversized_dims'
+                          ELSE 'corrupt_payload' END AS reason,
+                     n_samples, sample_sum
+              FROM f)
+        SELECT kind, reason, CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+               CAST(SUM(sample_sum) AS BIGINT) AS total_sample_sum
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

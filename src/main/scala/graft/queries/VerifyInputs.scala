@@ -95,6 +95,17 @@ object VerifyInputs {
     // trip); DuckDB re-aggregates the per-bin accuracy/leak card.
     graft.operators.Multimodal.toneRows(spark, Multi.assetCount(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q342_input")
+    // q350: the per-asset accounted-decode stats over the corrupted
+    // corpus. Only (asset_id, n_samples, sample_sum) is staged — the
+    // oracle derives kind AND the expected verdict from id arithmetic
+    // independently, so the engine's actual verdicts are cross-checked
+    // against the planting rule, not replayed.
+    graft.operators.Multimodal.screenedStats(
+      graft.operators.Multimodal.withPlantedCorruption(
+        graft.operators.Multimodal.syntheticAssets(
+          spark, Multi.assetCount(sfDir)), everyNth = 17L))
+      .toDF().select(col("asset_id"), col("n_samples"), col("sample_sum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q350_input")
     // q267: the per-asset 2:1 resample round-trip measurements (decode →
     // decimate → real re-encode → decode); DuckDB re-aggregates the
     // profile and the length/rate certificates over identical rows.

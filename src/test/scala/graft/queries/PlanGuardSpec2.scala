@@ -915,6 +915,21 @@ class PlanGuardSpec2 extends SparkSpec {
         "broadcasts are the only legal cross joins)")
   }
 
+  test("q350: accounted media decode is one partition-local pass; rollup at group cardinality") {
+    val p = plan("q350_media_quarantine")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "screen/decode/verdict kernel not partition-local")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "quarantine profile planned a cross product")
+    assert(p.contains("HashAggregate"),
+      "kind×reason rollup lost its partial aggregation")
+    // payloads must never shuffle: the only exchange is the |kind×reason|
+    // group rollup + the final sort
+    assert(!p.contains("Exchange hashpartitioning(asset_id"),
+      "per-asset rows shuffled — the verdict pass must stay in place")
+  }
+
   test("q338: dynamic blocking is capped keyed equijoins — never all-pairs") {
     val p = plan("q338_dynamic_blocking")
     assert(!p.contains("CartesianProduct"),
