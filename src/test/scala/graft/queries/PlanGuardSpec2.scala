@@ -940,4 +940,21 @@ class PlanGuardSpec2 extends SparkSpec {
     assert(p.contains("hashpartitioning(nat") || p.contains("HashAggregate"),
       "block censuses not keyed partial aggregations")
   }
+
+  test("q349: the benched ER capstone's tail runs keyed joins over checkpoint cuts") {
+    // The capped candidate generation itself sits behind the dmp/mp
+    // localCheckpoint cuts in this frame's explain; its join shape
+    // (broadcast split/keep restrictions, keyed block equijoins, no
+    // all-pairs) is pinned by the q338 guard on the SHARED dynBlocks
+    // builder — q349 cannot regress it without q338 regressing too.
+    val p = plan("q349_er_capstone_dynamic")
+    assert(!p.contains("CartesianProduct"),
+      "dynamic ER capstone planned a SHUFFLED cross product (the 1-row " +
+        "stat/cert broadcasts are the only legal cross joins)")
+    assert(p.contains("Scan ExistingRDD"),
+      "match graph / candidate set lost their checkpoint cuts")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "B³ contingency joins not keyed")
+  }
 }
