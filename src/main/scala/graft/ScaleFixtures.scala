@@ -24,9 +24,18 @@ import org.apache.spark.sql.functions._
   *   - documents.text goes through a per-copy alphabet rotation
   *     (`translate`): within-copy shingle/fingerprint structure is
   *     EXACTLY the source's, cross-copy vocabularies are disjoint;
-  *   - embeddings.embedding is circularly shifted by the copy index:
-  *     within-copy dot products (and norms) are EXACTLY the source's,
-  *     cross-copy pairs decorrelate.
+  *   - embeddings.embedding is multiplied elementwise by a per-copy
+  *     DETERMINISTIC ±1 sign pattern (a diagonal orthogonal transform):
+  *     within-copy dot products and norms are EXACTLY the source's
+  *     (both sides carry the same signs), cross-copy dots become
+  *     sign-randomized sums ≈ N(0, 1/dim) — no cross-copy pair
+  *     survives a 0.38 cosine threshold. Round 13 replaced the earlier
+  *     circular shift here: shifted copies of SMOOTH embeddings retain
+  *     real autocorrelation, and the round-12 rehearsal's q55 row read
+  *     "×31 shuffle" that was actually ×32.6 OUTPUT growth — 19,219
+  *     legitimate cross-copy pairs ≥ 0.38 created by the fixture, not
+  *     an engine scaling flaw (the gate's bucket bits already grow
+  *     log N: 7 → 10 across the pair).
   *
   * Run: `sbt "runMain graft.ScaleFixtures <srcDir> <destDir> <copies>"`
   * (defaults: /root/testdata/sf0.1 → /dev/shm/graft-sf1, 10 copies —
@@ -99,12 +108,28 @@ object ScaleFixtures {
       }), "documents", 8)
 
     val kVec = stride("embeddings", "vec_id")
+    val dim = read("embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
     write(replicate(read("embeddings"), Map("vec_id" -> kVec),
       extra = (d, i) =>
-        // circular shift by i: slice(arr, i+1, n-i) ++ slice(arr, 1, i)
+        // per-copy signed permutation (seeded Fisher–Yates + ±1 signs —
+        // a signed permutation matrix, i.e. orthogonal): within-copy
+        // dots/norms are EXACTLY the source's, and a same-source pair
+        // across copies becomes Σ ±u_{π(k)}·u_{σ(k)} with variance
+        // ~1/dim — ~3σ below the 0.38 threshold. Sign flips ALONE are
+        // not enough: these embeddings hold ~35% of their mass in 4
+        // dims, so diag(±1) left same-vector cross-copy cosines at
+        // σ≈0.2 and thousands of ≥0.38 survivors (measured).
         if (i == 0) d
-        else d.withColumn("embedding", expr(
-          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i)," +
-            s" slice(embedding, 1, $i))"))), "embeddings", 8)
+        else {
+          val rng = new scala.util.Random(1000003L * i)
+          val perm = rng.shuffle((0 until dim).toVector)
+          val cols = (0 until dim).map { k =>
+            col("embedding")(perm(k)) *
+              lit((if (rng.nextBoolean()) 1.0f else -1.0f))
+          }
+          d.withColumn("embedding", array(cols: _*))
+        }),
+      "embeddings", 8)
   }
 }

@@ -37,6 +37,32 @@ object Vectors {
       .select(col("qid"), col("vec_id"), lit(true).as("in_exact_topk"))
   }
 
+  /** q351's planted-copy offset and stride (shared with VerifyInputs). */
+  private[queries] val PlantOff = 10000000L
+  private[queries] val PlantEvery = 25L
+
+  /** q351's corpus: the embeddings table plus a JITTERED copy of every
+    * 25th vector (deterministic Murmur3-keyed per-element perturbation,
+    * ‖δ‖² ≈ 0.026 on unit vectors → planted cosine ≈ 0.987 — the
+    * production near-dup zone). The testdata embeddings are pure noise
+    * vectors (cos background N(0, 1/√64); max source pair 0.6), so at a
+    * 0.80 threshold EVERY output pair is planted and output cardinality
+    * is ∝ N by construction — the property that makes the q351
+    * rehearsal row linear where q55's 3σ-threshold output is ∝ N²
+    * tail-pair math. */
+  private[queries] def plantedNearDupCorpus(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val copies = base
+      .filter(pmod(col("vec_id"), lit(PlantEvery)) === 0L)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, j) ->" +
+          " CAST(x + (pmod(hash(vec_id, j), 7) - 3) * 0.01D AS FLOAT))"))
+      .withColumn("vec_id", col("vec_id") + lit(PlantOff))
+    base.unionAll(copies)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- q50: exact brute-force cosine top-k (broadcast query side) ----
@@ -1454,7 +1480,110 @@ object Vectors {
                  OR st.d_star = st.n_docs THEN 1 ELSE 0 END AS BIGINT)
                  AS sound
         FROM topk t CROSS JOIN st CROSS JOIN ts
-        ORDER BY t.combined DESC, t.vec_id"""))
+        ORDER BY t.combined DESC, t.vec_id""")),
+
+    // ---- q351: near-dup at the PRODUCTION threshold (round 13) ----
+    // VERDICT r12 #3 closed by measurement + this gate. The round-12
+    // rehearsal flagged q55's ×31 shuffle at 10× data as "fixed bucket
+    // bits" — round-13 diagnosis: the bits already grow log N in the
+    // gate (autoLshBits from the corpus count, 7 → 10 across the
+    // rehearsal pair), the candidate stage is map-side (total shuffle
+    // 11 KB at sf0.1), and the ×31 is OUTPUT growth: q55's 0.38
+    // threshold sits at 3.04σ of the noise-vector cosine background
+    // (σ = 1/√64 = 0.125), so tail pairs over threshold grow ∝ N² BY
+    // MATH — 850 → 27.7k verified pairs, shuffle ∝ output, per-pair
+    // bytes flat. No bits policy fixes distribution-tail physics; the
+    // production operating point does: at the ≥ 0.80 near-dup zone
+    // (6.4σ) the background VANISHES and output is exactly the planted
+    // near-dups, ∝ N. This gate pins that operating point: the q55
+    // pipeline (16 tables, autoLshBits — the derived bits value is
+    // REPLAYED by the oracle from the staged corpus count via the same
+    // ceil(log2(n/30)) law) over [[plantedNearDupCorpus]], certifying
+    // planted recall = 10⁶ ppm and background = 0. The sf1 rehearsal
+    // row for q351 is the ~linear acceptance test.
+    //
+    // 100 TB posture: bucket equijoin candidates (no all-pairs), bits
+    // ∝ log N holds occupancy flat, shuffle carries only verified
+    // pairs — which at the production threshold are ∝ corpus dups.
+    "q351_neardup_production" -> QueryDef(
+      build = (spark, dir) => {
+        val corpus = plantedNearDupCorpus(spark, dir)
+        val bits = graft.functions.VectorKernels.autoLshBits(corpus.count())
+        val emb = corpus
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+          .withColumn("nrm", norm(col("e")))
+          .withColumn("buckets", lshBuckets(col("e"), 16, bits))
+        val cand = emb.select(col("vec_id"), col("e"), col("nrm"),
+          explode(col("buckets")).as("bucket"))
+        val a = cand.select(col("bucket"), col("vec_id").as("id_a"),
+          col("e").as("ea"), col("nrm").as("na"))
+        val b = cand.select(col("bucket"), col("vec_id").as("id_b"),
+          col("e").as("eb"), col("nrm").as("nb"))
+        val pairs = a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+          .filter(col("cos") >= 0.80)
+          .dropDuplicates("id_a", "id_b")
+          .localCheckpoint(false)
+        val cnts = corpus.agg(
+          sum(when(col("vec_id") < PlantOff, 1L).otherwise(0L))
+            .as("n_base"),
+          sum(when(col("vec_id") >= PlantOff, 1L).otherwise(0L))
+            .as("n_planted"))
+        val pc = pairs.agg(count(lit(1)).as("pairs_total"),
+          coalesce(sum(when(col("id_b") === col("id_a") + PlantOff, 1L)
+            .otherwise(0L)), lit(0L)).as("planted_recalled"))
+        cnts.crossJoin(broadcast(pc))
+          .select(col("n_base"), col("n_planted"),
+            lit(bits.toLong).as("lsh_bits"),
+            col("pairs_total"), col("planted_recalled"),
+            expr("planted_recalled * 1000000 div n_planted")
+              .as("recall_ppm"),
+            (col("pairs_total") - col("planted_recalled"))
+              .as("background_pairs"))
+      },
+      // Oracle over the STAGED planted corpus (`_q351_emb` exploded to
+      // driver-sortable scalars) + staged bucket assignments
+      // (`_q351_input`, the q55 pattern): candidate generation, exact
+      // cosine verify, the planted/background split, AND the derived
+      // bits value (re-computed from the staged corpus count with the
+      // same clamp(ceil(log2(n/30))) law) are all replayed in DuckDB.
+      oracle = Some(s"""
+        WITH eb AS (SELECT vec_id, CAST(list(val ORDER BY j) AS DOUBLE[])
+                      AS emb
+                    FROM read_parquet('${Gps.VerifyOutToken}/_q351_emb/*.parquet')
+                    GROUP BY vec_id),
+        b AS (SELECT bucket, vec_id
+              FROM read_parquet('${Gps.VerifyOutToken}/_q351_input/*.parquet')),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+                 FROM b a JOIN b bb
+                   ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id),
+        pairs AS (SELECT c.id_a, c.id_b
+                  FROM cand c
+                  JOIN eb ea ON ea.vec_id = c.id_a
+                  JOIN eb e2 ON e2.vec_id = c.id_b
+                  WHERE list_cosine_similarity(ea.emb, e2.emb) >= 0.80),
+        cnts AS (SELECT CAST(SUM(CASE WHEN vec_id < 10000000
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                        CAST(SUM(CASE WHEN vec_id >= 10000000
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+                 FROM eb),
+        bits AS (SELECT LEAST(24, GREATEST(4,
+                   CAST(CEIL(LOG2((SELECT COUNT(*) FROM eb) / 30.0))
+                     AS BIGINT))) AS lsh_bits),
+        pc AS (SELECT CAST(COUNT(*) AS BIGINT) AS pairs_total,
+                      CAST(COALESCE(SUM(CASE WHEN id_b = id_a + 10000000
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                        AS planted_recalled
+               FROM pairs)
+        SELECT cnts.n_base, cnts.n_planted, bits.lsh_bits,
+               pc.pairs_total, pc.planted_recalled,
+               pc.planted_recalled * 1000000 // cnts.n_planted
+                 AS recall_ppm,
+               pc.pairs_total - pc.planted_recalled AS background_pairs
+        FROM cnts CROSS JOIN bits CROSS JOIN pc"""),
+      headline = true)
   )
 
   /** DuckDB replay of q260: the same integer power iteration, unrolled

@@ -48,6 +48,25 @@ object VerifyInputs {
           explode(lshBuckets(vec64(col("embedding")), 16, bits)).as("bucket"))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q55_input")
     }
+    // q351: the production-threshold planted corpus, staged twice —
+    // bucket assignments (q55 pattern) and the corpus embeddings
+    // EXPLODED to driver-sortable scalars (vec_id, j, val; the _q228
+    // lesson — array cells crash the pandas rows-only comparator).
+    // DuckDB rebuilds the vectors with list(val ORDER BY j), re-runs
+    // candidate generation + exact cosine verify + the planted split,
+    // and re-derives the bits value from the staged corpus count.
+    locally {
+      import graft.functions.VectorFunctions.{lshBuckets, vec64}
+      val corpus = Vectors.plantedNearDupCorpus(spark, sfDir)
+        .localCheckpoint(false)
+      val bits = graft.functions.VectorKernels.autoLshBits(corpus.count())
+      corpus.select(col("vec_id"),
+          explode(lshBuckets(vec64(col("embedding")), 16, bits)).as("bucket"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q351_input")
+      corpus.select(col("vec_id"),
+          posexplode(vec64(col("embedding"))).as(Seq("j", "val")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_q351_emb")
+    }
     // q51: the 8-table/4-bit ANN bucket assignments; DuckDB re-runs
     // candidate generation, exact cosine re-rank, and the exact-top-5
     // evidence join (the latter from raw embeddings, fully independent).

@@ -941,6 +941,20 @@ class PlanGuardSpec2 extends SparkSpec {
       "block censuses not keyed partial aggregations")
   }
 
+  test("q351: production-threshold near-dup card is aggs over the checkpointed pair set") {
+    // the LSH candidate join itself sits behind the pairs checkpoint;
+    // its bucket-equijoin shape is pinned by q55's guard (same pipeline,
+    // same lshBuckets kernel) — this frame must stay 1-row aggregations
+    // with the pair-set cut, no cross product beyond the 1-row broadcast
+    val p = plan("q351_neardup_production")
+    assert(!p.contains("CartesianProduct"),
+      "production near-dup card planned a SHUFFLED cross product")
+    assert(p.contains("Scan ExistingRDD"),
+      "verified pair set lost its checkpoint cut")
+    assert(p.contains("HashAggregate"),
+      "corpus/pair certificates lost their partial aggregations")
+  }
+
   test("q349: the benched ER capstone's tail runs keyed joins over checkpoint cuts") {
     // The capped candidate generation itself sits behind the dmp/mp
     // localCheckpoint cuts in this frame's explain; its join shape
