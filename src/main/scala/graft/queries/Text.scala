@@ -231,6 +231,72 @@ object Text {
         ORDER BY doc_a, doc_b"""),
       headline = true),
 
+    // ---- q352: the q44 router's decision, gated exactly (round 13) ----
+    // VERDICT r12 #5: the stat router (NgramJaccard.similarPairsAuto*)
+    // answers q44's by-design super-linear candidate mass, but nothing
+    // GATED its decision. This card computes the EXACT routing
+    // statistic — candidate co-occurrence mass Σ df(df−1)/2 per doc,
+    // the quantity the one-action sampled statistic estimates — plus
+    // the pinned crossover constant and the resulting route. The
+    // oracle replays the census with STRING shingles (doubling as the
+    // xxhash collision check, like q44 itself) and the same literal
+    // crossover, so a silent retune of CrossoverMassPerDoc, a drifted
+    // shingle kernel, or a broken mass formula all hash-mismatch.
+    // Decision on this corpus: 'naive' at every SF INCLUDING the sf1
+    // rehearsal (cross-copy vocabularies are disjoint by fixture
+    // design, so mass/doc stays ~flat at 10× — the router is right NOT
+    // to flip; the regime where it must flip, docs²·|boilerplate|
+    // co-shingle growth, is measured in BASELINE.md's "prefixjoin"
+    // probe table where the 4e4 constant was calibrated).
+    //
+    // 100 TB posture: one shingle-keyed count agg (partial/final) +
+    // two 1-row aggregates; the decision itself costs ~one stat pass.
+    "q352_router_decision" -> QueryDef(
+      build = (spark, dir) => {
+        val d = Tables.spread(Tables.documents(spark, dir))
+          .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        val ex = d
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+        val dfc = ex.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+        val mass = dfc.agg(coalesce(sum(expr("df * (df - 1) div 2")),
+          lit(0L)).as("shingle_mass"))
+        val nd = ex.agg(countDistinct(col("doc_id")).as("n_docs"))
+        val xoMilli =
+          (graft.operators.NgramJaccard.CrossoverMassPerDoc * 1000).toLong
+        nd.crossJoin(broadcast(mass))
+          .withColumn("mass_per_doc_milli",
+            expr("shingle_mass * 1000 div n_docs"))
+          .select(col("n_docs"), col("shingle_mass"),
+            col("mass_per_doc_milli"),
+            lit(xoMilli).as("crossover_milli"),
+            when(col("mass_per_doc_milli") > xoMilli, "prefix")
+              .otherwise("naive").as("decision"))
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
+          FROM documents),
+        ex AS (
+          SELECT doc_id, UNNEST(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0),
+        dfc AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY 1),
+        m AS (SELECT CAST(COALESCE(SUM(df * (df - 1) // 2), 0) AS BIGINT)
+                AS shingle_mass FROM dfc),
+        nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM ex)
+        SELECT nd.n_docs, m.shingle_mass,
+               m.shingle_mass * 1000 // nd.n_docs AS mass_per_doc_milli,
+               CAST(40000000 AS BIGINT) AS crossover_milli,
+               CASE WHEN m.shingle_mass * 1000 // nd.n_docs > 40000000
+                 THEN 'prefix' ELSE 'naive' END AS decision
+        FROM nd CROSS JOIN m""")),
+
     // ---- q49: char-n-gram language ID distribution ----
     // Content-based heuristic classifier (TextFunctions.charNgramLangId).
     // The synthetic corpus text is English-ish regardless of its `lang`
