@@ -1738,6 +1738,8 @@ object Dedup {
           FROM cand c JOIN dec d
             ON d.pid = c.g_tok * 4 + c.g_seg * 2 + c.g_band
           WHERE d.decision = 'match'),
+        edges AS (SELECT a_key * 2 AS x, b_key * 2 + 1 AS y FROM mp),
+        np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match_pairs FROM mp),
         $erTailCtes
         SELECT $erTailSelect
         FROM pr CROSS JOIN np CROSS JOIN tp CROSS JOIN mg
@@ -1913,11 +1915,41 @@ object Dedup {
     // duplicate-free BY CONSTRUCTION — one shuffle fewer than q325's
     // overlapping two-pass blocking.
     //
+    // TWO MORE SCALE DEFENSES, both found BY the round-13 sf1
+    // rehearsal (the clique form first measured ×18.6 shuffle at 10×):
+    //
+    // 1. BLOCK PURGING at the final level: the key hierarchy is
+    //    finite, and at 10× data the level-2 residue saturates (blk2
+    //    occupancy reached 27 at cap 12). The standard ER answer (the
+    //    block-purging step of the MapReduce blocking literature):
+    //    final-level blocks still over the cap generate NO pairs; the
+    //    purge count and its recall price are certificates in this
+    //    card. Candidate mass is then ≤ cap·rows at EVERY level with
+    //    no residue escape hatch. (q338 deliberately keeps the
+    //    uncapped residue measurable — its max_occ2 certificate is how
+    //    the saturation was caught.)
+    // 2. SUPERNODE (star) REDUCTION of the level-2 match graph: every
+    //    level-2 candidate pair agrees on all four fields (the block
+    //    key IS the field tuple — a complete bipartite pid-7 clique),
+    //    and at sf1 density those coincidental all-agree pairs are
+    //    ×99 the sf0.1 match count (793k pairs among 121k true — the
+    //    4 quasi-identifiers stop discriminating at 10× density, B³
+    //    precision honestly collapses to 0.270 IN THE CARD). The
+    //    clustering doesn't need the clique: a star to each block's
+    //    min node has IDENTICAL connected components at (na+nb−1)
+    //    edges instead of na·nb, so level-2 pairs are NEVER
+    //    materialized — pair counts come exactly from the block
+    //    censuses, and the propagation graph stays ∝ members.
+    //    (Verified: the sf0.1 and sf1 cards are bit-identical between
+    //    the clique and star forms.)
+    //
+    // Measured acceptance (round-13 rehearsal): shuffle ×11.7 at 10×
+    // data (vs ×18.6 clique, ×69 for q325's fixed keys), wall ×1.4.
+    //
     // 100 TB posture: everything is keyed equijoins with bounded
-    // fan-out (the cap) + kilobyte broadcasts of split keys; the
-    // propagation rounds run on the match graph (≈ true-pair
-    // cardinality); sf1 rehearsal must show ~linear shuffle where q325
-    // showed ×69 (the round-13 rehearsal row is the acceptance test).
+    // fan-out (the cap, enforced at all three levels) + kilobyte
+    // broadcasts of split/keep keys; the propagation rounds run on the
+    // star-reduced match graph (∝ members).
     "q349_er_capstone_dynamic" -> QueryDef(
       build = (spark, dir) => {
         val lp = linkageParts(spark, dir)
@@ -1938,26 +1970,71 @@ object Dedup {
               when(col("x.band") === col("y.band"), 1L).otherwise(0L)
                 .as("g_band"))
         }
-        val dmp = pairFlags(a.join(broadcast(
+        val keep2 = db.blk2.filter(col("occ") <= 12L)
+        // Levels 0/1 materialize pairs (≤ cap·rows each, mixed pids).
+        val dmp01 = pairFlags(a.join(broadcast(
             db.keep0.select(DynKeys0.map(col): _*)), DynKeys0), DynKeys0)
           .unionAll(pairFlags(db.a1.join(broadcast(
             db.keep1.select(DynKeys1.map(col): _*)), DynKeys1), DynKeys1))
-          .unionAll(pairFlags(db.a2, DynKeys2))
           .withColumn("pid",
             col("g_tok") * 4 + col("g_seg") * 2 + col("g_band"))
           .localCheckpoint(false)
         val matchPids = grid8.filter(col("decision") === "match")
           .select(col("pid"))
-        val mp = dmp.join(broadcast(matchPids), Seq("pid"))
-          .select(col("a_key"), col("b_key")).localCheckpoint(false)
-        val certs = dmp.agg(count(lit(1)).as("cand_total"))
+        val mp01 = dmp01.join(broadcast(matchPids), Seq("pid"))
+          .select(col("a_key"), col("b_key"))
+        // Level 2 NEVER materializes its pairs: every level-2 candidate
+        // agrees on all four fields (the block key IS the field tuple),
+        // i.e. the block is a complete bipartite pid-7 clique. For the
+        // CLUSTERING a star to the block's min node has identical
+        // connected components at (na+nb−1) edges instead of na·nb —
+        // the supernode reduction that keeps the propagation graph ∝
+        // members where the sf1 rehearsal first measured the clique
+        // form blowing the match graph up ×99. Pair COUNTS come exactly
+        // from the block censuses (Σ cnt_a·cnt_b), so the card's
+        // candidate/match arithmetic is unchanged.
+        val p7 = grid8
+          .filter(col("pid") === 7 && col("decision") === "match")
+          .select(lit(1).as("p7"))
+        val k2m = keep2.crossJoin(broadcast(p7)).localCheckpoint(false)
+        val a2m = db.a2.join(broadcast(
+          k2m.select(DynKeys2.map(col): _*)), DynKeys2)
+        val b2m = db.b2.join(broadcast(
+          k2m.select(DynKeys2.map(col): _*)), DynKeys2)
+        val mins = a2m.groupBy(DynKeys2.map(col): _*)
+          .agg(min(col("a_key") * 2).as("ma"))
+          .join(b2m.groupBy(DynKeys2.map(col): _*)
+            .agg(min(col("b_key") * 2 + 1).as("mb")), DynKeys2)
+          .select(DynKeys2.map(col) :+
+            least(col("ma"), col("mb")).as("rep"): _*)
+        val e2 = a2m.join(mins, DynKeys2)
+          .select((col("a_key") * 2).as("x"), col("rep").as("y"))
+          .unionAll(b2m.join(mins, DynKeys2)
+            .select((col("b_key") * 2 + 1).as("x"), col("rep").as("y")))
+          .filter(col("x") =!= col("y"))
+        val edges = mp01
+          .select((col("a_key") * 2).as("x"), (col("b_key") * 2 + 1).as("y"))
+          .unionAll(e2)
+          .localCheckpoint(false)
+        val np = mp01.agg(count(lit(1)).as("c01"))
+          .crossJoin(broadcast(k2m.agg(
+            coalesce(sum(col("cnt_a") * col("cnt_b")), lit(0L)).as("c2"))))
+          .select((col("c01") + col("c2")).as("n_match_pairs"))
+        val certs = dmp01.agg(count(lit(1)).as("c01d"))
+          .crossJoin(broadcast(keep2.agg(
+            coalesce(sum(col("cnt_a") * col("cnt_b")), lit(0L)).as("c2d"))))
+          .select((col("c01d") + col("c2d")).as("cand_total"))
           .crossJoin(broadcast(db.blk0.agg(
             sum(col("cnt_a") * col("cnt_b")).as("cand_full"))))
           .crossJoin(broadcast(db.keep0.agg(
             coalesce(max(col("occ")), lit(-1L)).as("max_occ_kept0"))))
           .crossJoin(broadcast(db.keep1.agg(
             coalesce(max(col("occ")), lit(-1L)).as("max_occ_kept1"))))
-        erCapstoneCard(lp, grid8, mp)
+          .crossJoin(broadcast(keep2.agg(
+            coalesce(max(col("occ")), lit(-1L)).as("max_occ_kept2"))))
+          .crossJoin(broadcast(db.blk2.filter(col("occ") > 12L)
+            .agg(count(lit(1)).as("n_purged_blocks"))))
+        erCapstoneCardFromEdges(lp, grid8, edges, np)
           .crossJoin(broadcast(certs))
           .select(col("n_records"), col("n_true_pairs"),
             col("n_match_pairs"), col("n_clusters"),
@@ -1968,12 +2045,13 @@ object Dedup {
             col("cand_total"), col("cand_full"),
             expr("cand_total * 1000000 div cand_full")
               .as("reduction_ppm"),
-            col("max_occ_kept0"), col("max_occ_kept1"))
+            col("max_occ_kept0"), col("max_occ_kept1"),
+            col("max_occ_kept2"), col("n_purged_blocks"))
       },
       oracle = Some(s"""
         WITH $linkageCtes,
         $dynBlockCtes,
-        dmp AS MATERIALIZED (
+        dmp01 AS MATERIALIZED (
           SELECT x.a_key, y.b_key,
                  CASE WHEN x.tok = y.tok THEN 1 ELSE 0 END AS g_tok,
                  CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END AS g_seg,
@@ -1988,33 +2066,58 @@ object Dedup {
           FROM a1 x JOIN keep1 k ON x.nat = k.nat AND x.seg = k.seg
             AND x.band = k.band
           JOIN b y ON y.nat = x.nat AND y.seg = x.seg
-            AND y.band = x.band
-          UNION ALL
-          SELECT x.a_key, y.b_key,
-                 CASE WHEN x.tok = y.tok THEN 1 ELSE 0 END,
-                 CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END,
-                 CASE WHEN x.band = y.band THEN 1 ELSE 0 END
-          FROM a2 x JOIN b y ON y.nat = x.nat AND y.seg = x.seg
-            AND y.band = x.band AND y.tok = x.tok),
-        mp AS MATERIALIZED (
+            AND y.band = x.band),
+        mp01 AS MATERIALIZED (
           SELECT c.a_key, c.b_key
-          FROM dmp c JOIN dec d
+          FROM dmp01 c JOIN dec d
             ON d.pid = c.g_tok * 4 + c.g_seg * 2 + c.g_band
           WHERE d.decision = 'match'),
+        p7 AS (SELECT 1 AS p7 FROM dec
+               WHERE pid = 7 AND decision = 'match'),
+        k2m AS MATERIALIZED (SELECT k.* FROM keep2 k CROSS JOIN p7),
+        a2m AS MATERIALIZED (SELECT x.* FROM a2 x
+                JOIN k2m USING (nat, seg, band, tok)),
+        b2m AS MATERIALIZED (SELECT y.* FROM b2 y
+                JOIN k2m USING (nat, seg, band, tok)),
+        mins AS MATERIALIZED (SELECT nat, seg, band, tok, LEAST(ma, mb) AS rep FROM
+          (SELECT nat, seg, band, tok, MIN(a_key * 2) AS ma
+           FROM a2m GROUP BY 1, 2, 3, 4) aa
+          JOIN (SELECT nat, seg, band, tok, MIN(b_key * 2 + 1) AS mb
+                FROM b2m GROUP BY 1, 2, 3, 4) bb
+          USING (nat, seg, band, tok)),
+        e2 AS MATERIALIZED (SELECT a_key * 2 AS x, rep AS y
+               FROM a2m JOIN mins USING (nat, seg, band, tok)
+               WHERE a_key * 2 <> rep
+               UNION ALL
+               SELECT b_key * 2 + 1, rep
+               FROM b2m JOIN mins USING (nat, seg, band, tok)
+               WHERE b_key * 2 + 1 <> rep),
+        edges AS MATERIALIZED (SELECT a_key * 2 AS x, b_key * 2 + 1 AS y FROM mp01
+                  UNION ALL SELECT x, y FROM e2),
+        np AS (SELECT CAST((SELECT COUNT(*) FROM mp01)
+                 + (SELECT COALESCE(SUM(cnt_a * cnt_b), 0) FROM k2m)
+                 AS BIGINT) AS n_match_pairs),
         certs AS (
-          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dmp) AS cand_total,
+          SELECT CAST((SELECT COUNT(*) FROM dmp01)
+                   + (SELECT COALESCE(SUM(cnt_a * cnt_b), 0) FROM keep2)
+                   AS BIGINT) AS cand_total,
                  (SELECT CAST(SUM(cnt_a * cnt_b) AS BIGINT) FROM blk0)
                    AS cand_full,
                  (SELECT CAST(COALESCE(MAX(occ), -1) AS BIGINT)
                   FROM keep0) AS max_occ_kept0,
                  (SELECT CAST(COALESCE(MAX(occ), -1) AS BIGINT)
-                  FROM keep1) AS max_occ_kept1),
+                  FROM keep1) AS max_occ_kept1,
+                 (SELECT CAST(COALESCE(MAX(occ), -1) AS BIGINT)
+                  FROM keep2) AS max_occ_kept2,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM blk2
+                  WHERE occ > 12) AS n_purged_blocks),
         $erTailCtes
         SELECT $erTailSelect,
                certs.cand_total, certs.cand_full,
                CAST(certs.cand_total * 1000000 // certs.cand_full
                  AS BIGINT) AS reduction_ppm,
-               certs.max_occ_kept0, certs.max_occ_kept1
+               certs.max_occ_kept0, certs.max_occ_kept1,
+               certs.max_occ_kept2, certs.n_purged_blocks
         FROM pr CROSS JOIN np CROSS JOIN tp CROSS JOIN mg
         CROSS JOIN sp CROSS JOIN chg CROSS JOIN certs"""),
       headline = true)
@@ -2033,14 +2136,24 @@ object Dedup {
     * candidate cardinality); B³ contingency aggs at cell cardinality.
     * No all-pairs stage. */
   private def erCapstoneCard(lp: LinkageParts, grid8: DataFrame,
-      mp: DataFrame): DataFrame = {
+      mp: DataFrame): DataFrame =
+    erCapstoneCardFromEdges(lp, grid8,
+      mp.select((col("a_key") * 2).as("x"), (col("b_key") * 2 + 1).as("y")),
+      mp.agg(count(lit(1)).as("n_match_pairs")))
+
+  /** Edge-list form of the capstone tail: `edges` is any (x, y) node
+    * graph whose connected components equal the match clustering, and
+    * `np` a 1-row n_match_pairs frame — q349 passes a SUPERNODE-reduced
+    * graph (stars per all-agree clique) with the exact clique pair
+    * count, so the propagation cost is ∝ members, not members². */
+  private def erCapstoneCardFromEdges(lp: LinkageParts, grid8: DataFrame,
+      edges: DataFrame, np0: DataFrame): DataFrame = {
     val nodes = lp.a
       .select((col("a_key") * 2).as("node"), col("a_key").as("truth"))
       .unionAll(lp.b.select((col("b_key") * 2 + 1).as("node"),
         col("b_key").as("truth")))
       .localCheckpoint(false)
-    val e = mp.select((col("a_key") * 2).as("x"),
-      (col("b_key") * 2 + 1).as("y"))
+    val e = edges
     val sym = e.union(e.select(col("y").as("x"), col("x").as("y")))
     var lbl = nodes
       .select(col("node"), col("truth"), col("node").as("lbl"))
@@ -2083,7 +2196,7 @@ object Dedup {
       .agg(countDistinct(col("lbl")).as("k"))
       .agg(sum(when(col("k") > 1, 1L).otherwise(0L))
         .as("n_split_truths"))
-    val np = mp.agg(count(lit(1)).as("n_match_pairs"))
+    val np = np0
     val tp = grid8.agg(max(col("n_true_total")).as("n_true_pairs"))
     val chg = lbl.select(col("node"), col("lbl").as("l6"))
       .join(prev.select(col("node"), col("lbl").as("l5")),
@@ -2348,13 +2461,17 @@ object Dedup {
                 GROUP BY 1, 2, 3, 4),
         cb2 AS (SELECT nat, seg, band, tok, COUNT(*) AS cnt_b FROM b2
                 GROUP BY 1, 2, 3, 4),
-        blk2 AS (SELECT nat, seg, band, tok,
+        blk2 AS (SELECT nat, seg, band, tok, cnt_a, cnt_b,
                         GREATEST(cnt_a, cnt_b) AS occ
-                 FROM ca2 JOIN cb2 USING (nat, seg, band, tok))"""
+                 FROM ca2 JOIN cb2 USING (nat, seg, band, tok)),
+        keep2 AS (SELECT * FROM blk2 WHERE occ <= 12)"""
 
-  /** The ER capstone's clustering-tail CTE chain (expects `mp` with the
-    * decided match pairs already defined) — shared verbatim by the q325
-    * and q349 oracles, mirroring [[erCapstoneCard]]. */
+  /** The ER capstone's clustering-tail CTE chain (expects `edges(x, y)`
+    * — the match graph — and `np(n_match_pairs)` already defined by the
+    * caller: q325 derives both from its pair set `mp`; q349 passes the
+    * supernode-reduced star graph with the exact clique pair count) —
+    * shared verbatim by both oracles, mirroring
+    * [[erCapstoneCardFromEdges]]. */
   private def erTailCtes: String = {
     val rounds = (1 to 6).map { k =>
       s"""l$k AS (SELECT l.node, l.truth,
@@ -2368,8 +2485,7 @@ object Dedup {
           SELECT a_key * 2 AS node, a_key AS truth FROM a
           UNION ALL
           SELECT b_key * 2 + 1, b_key FROM b),
-        e AS (SELECT a_key * 2 AS x, b_key * 2 + 1 AS y FROM mp),
-        sym AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+        sym AS (SELECT x, y FROM edges UNION ALL SELECT y, x FROM edges),
         l0 AS (SELECT node, truth, node AS lbl FROM nodes),
         $rounds,
         ct AS MATERIALIZED (
@@ -2400,7 +2516,6 @@ object Dedup {
                         AS BIGINT) AS n_split_truths
                FROM (SELECT truth, COUNT(DISTINCT lbl) AS k
                      FROM ct GROUP BY 1)),
-        np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match_pairs FROM mp),
         tp AS (SELECT CAST(MAX(n_true_total) AS BIGINT) AS n_true_pairs
                FROM dec),
         chg AS (SELECT CAST(SUM(CASE WHEN a6.lbl <> a5.lbl
