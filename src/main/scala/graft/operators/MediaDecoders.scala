@@ -28,7 +28,7 @@ object MediaDecoders {
     * catch list pre-round-13). Checked in LONG arithmetic BEFORE any
     * allocation; oversized-but-honest payloads simply fall back to
     * ImageIO (no divergence — just no fast path), and the accounted
-    * decode path (`Multimodal.decodeAccounted`) pre-screens the same
+    * decode path (`Multimodal.decodeScreened`) pre-screens the same
     * bound so a lying header never reaches ImageIO's allocator either. */
   val MaxRasterSamples: Long = 1L << 28
 
