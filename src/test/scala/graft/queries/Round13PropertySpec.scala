@@ -39,6 +39,64 @@ class Round13PropertySpec extends SparkSpec {
     }
   }
 
+  test("q349 supernode claim: star edges give the same components as clique edges") {
+    // The q349 argument: a complete bipartite all-agree block can
+    // propagate as a star to its min node with IDENTICAL connected
+    // components. Pin it independently: random bipartite blocks +
+    // random extra cross-block pairs, components computed by an
+    // in-test union-find over BOTH edge forms, and by the 6-round
+    // min-label recipe over the star form — all three must agree.
+    val rng = new scala.util.Random(4213L)
+    for (trial <- 0 until 20) {
+      val nBlocks = 1 + rng.nextInt(6)
+      val blocks = (0 until nBlocks).map { b =>
+        val as = (0 until 1 + rng.nextInt(5)).map(_ => rng.nextInt(200) * 2)
+        val bs = (0 until 1 + rng.nextInt(5)).map(_ => rng.nextInt(200) * 2 + 1)
+        (as.distinct, bs.distinct)
+      }
+      val extra = (0 until rng.nextInt(5)).map(_ =>
+        (rng.nextInt(200) * 2, rng.nextInt(200) * 2 + 1))
+      val clique = blocks.flatMap { case (as, bs) =>
+        for (a <- as; b <- bs) yield (a, b)
+      } ++ extra
+      val star = blocks.flatMap { case (as, bs) =>
+        val rep = (as ++ bs).min
+        (as ++ bs).filter(_ != rep).map(n => (n, rep))
+      } ++ extra
+      val nodes = (blocks.flatMap(t => t._1 ++ t._2) ++
+        extra.flatMap(t => Seq(t._1, t._2))).distinct
+      def components(edges: Seq[(Int, Int)]): Map[Int, Int] = {
+        val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        nodes.map(n => n -> find(n)).toMap
+      }
+      val cc = components(clique)
+      val cs = components(star)
+      assert(nodes.forall(n => cc(n) == cs(n)), s"trial $trial: star != clique")
+      // 6-round min-label propagation over the star form reaches the
+      // same labels on these bounded-diameter graphs (the q349 card's
+      // n_changed_last_round = 0 convergence certificate at both SFs
+      // is the corpus-scale witness; this is the closed-form one)
+      var lbl = nodes.map(n => n -> n).toMap
+      val sym = star.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      for (_ <- 1 to 6) {
+        val nbrMin = sym.groupBy(_._2).map { case (n, es) =>
+          n -> es.map(e => lbl(e._1)).min
+        }
+        lbl = lbl.map { case (n, l) =>
+          n -> math.min(l, nbrMin.getOrElse(n, l))
+        }
+      }
+      assert(nodes.forall(n => lbl(n) == cc(n)),
+        s"trial $trial: 6-round propagation did not reach the components")
+    }
+  }
+
   test("q351 planted jitter lands in the production near-dup zone") {
     // every planted copy must sit FAR above the 0.80 threshold and far
     // below 1.0 (a no-op jitter would make the gate vacuous); the
