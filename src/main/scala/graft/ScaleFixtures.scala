@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
   *   - documents.text goes through a per-copy alphabet rotation
   *     (`translate`): within-copy shingle/fingerprint structure is
   *     EXACTLY the source's, cross-copy vocabularies are disjoint;
-  *   - embeddings.embedding is multiplied elementwise by a per-copy
-  *     DETERMINISTIC ±1 sign pattern (a diagonal orthogonal transform):
-  *     within-copy dot products and norms are EXACTLY the source's
-  *     (both sides carry the same signs), cross-copy dots become
+  *   - embeddings.embedding goes through a per-copy DETERMINISTIC
+  *     SIGNED PERMUTATION (seeded Fisher–Yates + ±1 signs — an
+  *     orthogonal transform; plain diag(±1) was measured insufficient,
+  *     see the inline note): within-copy dot products and norms equal
+  *     the source's exactly in real arithmetic (up to float summation
+  *     order, since permuting coordinates reorders the accumulation),
+  *     cross-copy dots become
   *     sign-randomized sums ≈ N(0, 1/dim) — no cross-copy pair
   *     survives a 0.38 cosine threshold. Round 13 replaced the earlier
   *     circular shift here: shifted copies of SMOOTH embeddings retain

@@ -193,6 +193,12 @@ object Multimodal {
     def be32(off: Int): Long =
       ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xff) << 16) |
         ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    // Only trust the dim bytes if the first chunk really is a 13-byte
+    // IHDR — otherwise offsets 16/20 are garbage and the asset must be
+    // classified by the accounted decode, not mislabeled oversized
+    // (ADVICE r13).
+    if (be32(8) != 13L || p(12) != 'I' || p(13) != 'H' ||
+      p(14) != 'D' || p(15) != 'R') return None
     val w = be32(16)
     val h = be32(20)
     if (w > 0 && h > 0 && (w * h > MediaDecoders.MaxRasterSamples ||
@@ -396,7 +402,7 @@ object Multimodal {
     * honor. Images/videos lie about dims (caught by the header screen
     * BEFORE any allocator); audio lies about PCM length (caught by the
     * post-decode declared-vs-actual check). */
-  private def lyingHeader(kind: String, p: Array[Byte]): Array[Byte] =
+  private[operators] def lyingHeader(kind: String, p: Array[Byte]): Array[Byte] =
     kind match {
       case "image" =>
         val q = p.clone()
@@ -416,10 +422,15 @@ object Multimodal {
         // [[VideoCodec.encodeGrayGif]]'s layout: 6 header + 7 screen +
         // 768 palette, then 0x2c left(2) top(2) fw(2) fh(2)
         val d = 6 + 7 + 768
-        if (q.length > d + 9 && (q(d) & 0xff) == 0x2c) {
-          q(d + 5) = -1; q(d + 6) = -1 // fw = 65535
-          q(d + 7) = -1; q(d + 8) = -1 // fh = 65535
-        }
+        // Fixture code: a layout drift in encodeGrayGif must fail HERE,
+        // loudly — silently returning the clean payload would turn the
+        // class-2 video plants into no-ops and fail the q350 gate with
+        // a symptom far from this cause (ADVICE r13).
+        require(q.length > d + 9 && (q(d) & 0xff) == 0x2c,
+          s"lyingHeader: GIF frame descriptor not at offset $d — " +
+            "encodeGrayGif layout changed?")
+        q(d + 5) = -1; q(d + 6) = -1 // fw = 65535
+        q(d + 7) = -1; q(d + 8) = -1 // fh = 65535
         q
       case _ =>
         val q = p.clone()

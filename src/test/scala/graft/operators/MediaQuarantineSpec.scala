@@ -154,42 +154,9 @@ class MediaQuarantineSpec extends AnyFunSuite {
     assert(headerScreen("image", goodPng).isEmpty)
   }
 
-  /** Mirror of Multimodal's private lyingHeader (kept in sync by the
-    * q350 gate passing at both SFs — a drift here fails this spec's
-    * expectations against the gate's). */
+  /** Delegates to the production corruption (private[operators]) so the
+    * unit test can never silently drift from what q350 actually plants
+    * (ADVICE r13 — the old byte-for-byte mirror could). */
   private def lyingHeaderForTest(kind: String, p: Array[Byte]): Array[Byte] =
-    kind match {
-      case "image" =>
-        val q = p.clone()
-        def be32(off: Int, v: Int): Unit = {
-          q(off) = (v >>> 24).toByte; q(off + 1) = (v >>> 16).toByte
-          q(off + 2) = (v >>> 8).toByte; q(off + 3) = v.toByte
-        }
-        be32(16, 1); be32(20, 0x7ffffff0)
-        val crc = new java.util.zip.CRC32()
-        crc.update(q, 12, 17)
-        be32(29, crc.getValue.toInt)
-        q
-      case "video" =>
-        val q = p.clone()
-        val d = 6 + 7 + 768
-        q(d + 5) = -1; q(d + 6) = -1; q(d + 7) = -1; q(d + 8) = -1
-        q
-      case _ =>
-        val q = p.clone()
-        var i = 12
-        var done = false
-        while (!done && i + 8 < math.min(q.length, 128)) {
-          if (q(i) == 'd' && q(i + 1) == 'a' && q(i + 2) == 't' &&
-            q(i + 3) == 'a') {
-            val sz = (q(i + 4) & 0xffL) | ((q(i + 5) & 0xffL) << 8) |
-              ((q(i + 6) & 0xffL) << 16) | ((q(i + 7) & 0xffL) << 24)
-            val lie = math.min(sz * 2, Int.MaxValue.toLong)
-            q(i + 4) = lie.toByte; q(i + 5) = (lie >> 8).toByte
-            q(i + 6) = (lie >> 16).toByte; q(i + 7) = (lie >> 24).toByte
-            done = true
-          } else i += 1
-        }
-        q
-    }
+    Multimodal.lyingHeader(kind, p)
 }

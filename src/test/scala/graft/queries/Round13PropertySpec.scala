@@ -114,4 +114,26 @@ class Round13PropertySpec extends SparkSpec {
     assert(cos.getDouble(0) > 0.95, s"planted cosine floor ${cos.getDouble(0)}")
     assert(cos.getDouble(1) < 0.9999, s"jitter was a no-op: ${cos.getDouble(1)}")
   }
+
+  test("q351 background ceiling: no non-planted pair near the threshold") {
+    // The gate's engine/oracle agreement at the 0.80 threshold assumes
+    // no pair sits within a ulp of the boundary (Spark float kernel vs
+    // DuckDB double cosine can differ in the last bit). The planted
+    // floor is pinned above; this pins the OTHER margin: the max cosine
+    // over every non-planted pair in the staged corpus (exhaustive
+    // all-pairs — strictly wider than the gate's LSH candidate set)
+    // must stay well below 0.80, so a fixture/corpus change can't
+    // silently park pairs on the boundary (ADVICE r13).
+    import graft.functions.VectorFunctions.{cosine, vec64}
+    val corpus = Vectors.plantedNearDupCorpus(spark, sf)
+      .select(col("vec_id"), vec64(col("embedding")).as("v"))
+    val a = corpus.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = corpus.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val maxBg = a.crossJoin(b)
+      .filter(col("ia") < col("ib") &&
+        col("ib") - col("ia") =!= 10000000L) // exclude planted (src, copy)
+      .select(cosine(col("va"), col("vb")).as("c"))
+      .agg(max(col("c"))).head().getDouble(0)
+    assert(maxBg < 0.75, s"background cosine ceiling too close: $maxBg")
+  }
 }
