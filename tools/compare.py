@@ -110,26 +110,29 @@ SELF_CHECKS = {
 }
 
 
-def run_self_checks(outdir):
+def run_self_checks(outdir, record=lambda *a, **k: None):
     """Returns (n_pass, n_fail) over the self-certifying rows-only dumps."""
     n_pass = n_fail = 0
     for name, check in sorted(SELF_CHECKS.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name} (self-check): no spark output")
+            record(f"{name}__selfcheck", False, "no spark output")
             n_fail += 1
             continue
         try:
             check(pq.read_table(files).to_pandas())
             print(f"PASS {name} (self-check)")
+            record(f"{name}__selfcheck", True)
             n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name} (self-check): {e}")
+            record(f"{name}__selfcheck", False, str(e)[:400])
             n_fail += 1
     return n_pass, n_fail
 
 
-def check_staging_tables(outdir):
+def check_staging_tables(outdir, record=lambda *a, **k: None):
     """Driver-replica check over the `_q*_input` staging dirs.
 
     The driver's comparator reads EVERY outdir subdir as a parquet
@@ -149,15 +152,23 @@ def check_staging_tables(outdir):
             df = pads.dataset(path, format="parquet").to_table().to_pandas()
             df.sort_values(by=list(df.columns), inplace=True)
             print(f"PASS {name} (staging: {len(df)} rows, driver-sortable)")
+            record(f"{name}__staging", True)
             n_pass += 1
         except Exception as e:
             print(f"FAIL {name} (staging): {type(e).__name__}: {e}")
+            record(f"{name}__staging", False, f"{type(e).__name__}: {e}"[:400])
             n_fail += 1
     return n_pass, n_fail
 
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    results = {}
+
+    def record(name, ok, detail=""):
+        results[name] = {"pass": ok} if not detail else {"pass": ok, "detail": detail}
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
@@ -168,6 +179,7 @@ def main():
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            record(name, False, "no spark output")
             n_fail += 1
             continue
         try:
@@ -177,22 +189,27 @@ def main():
             ddf = dtab.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            record(name, False, str(e)[:400])
             n_fail += 1
             continue
         srows, scols = frame_rows(sdf)
         drows, dcols = frame_rows(ddf)
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            record(name, False, f"columns spark={scols} duck={dcols}")
             n_fail += 1
             continue
         tmis = dtype_mismatches(stab, dtab)
         if tmis:
             print(f"FAIL {name}: dtype mismatch " +
                   "; ".join(f"{c}: spark={a} duck={b}" for c, a, b in tmis))
+            record(name, False, "dtype mismatch: " +
+                   "; ".join(f"{c}: spark={a} duck={b}" for c, a, b in tmis))
             n_fail += 1
             continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+            record(name, False, f"rows spark={len(srows)} duck={len(drows)}")
             n_fail += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
@@ -202,17 +219,37 @@ def main():
             print(f"  cols : {dcols}")
             print(f"  spark: {a}")
             print(f"  duck : {b}")
+            record(name, False, f"{len(bad)}/{len(srows)} rows differ; first at {i}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows)")
+            record(name, True)
             n_pass += 1
-    sp, sf_ = run_self_checks(outdir)
+    sp, sf_ = run_self_checks(outdir, record)
     n_pass += sp
     n_fail += sf_
-    stp, stf = check_staging_tables(outdir)
+    stp, stf = check_staging_tables(outdir, record)
     n_pass += stp
     n_fail += stf
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        import subprocess, datetime
+        try:
+            head = subprocess.run(["git", "rev-parse", "HEAD"],
+                                  capture_output=True, text=True).stdout.strip()
+        except Exception:
+            head = "unknown"
+        payload = {
+            "head": head,
+            "sf_dir": sfdir,
+            "utc": datetime.datetime.utcnow().isoformat() + "Z",
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "results": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
