@@ -84,6 +84,53 @@ object Winnowing {
     // doc and doc_id separates rows across docs
   }
 
+  /** Maximal ALIGNED shared fingerprint runs per document pair — the
+    * ExactSubstr-style refinement of [[sharedPairs]] (Lee et al. 2022
+    * dedup removes the longest repeated substring at any alignment;
+    * q127 only counted fixed-width windows). Within one shared token
+    * run the two documents select the SAME minima at a CONSTANT offset,
+    * so matched fingerprints of a real shared substring all sit on one
+    * diagonal (pos_b − pos_a) and, by the winnowing density guarantee,
+    * at most `gap` = w positions apart. Gaps-and-islands over pos_a per
+    * (pair, diagonal) therefore reconstructs each maximal shared run;
+    * the reported `run_tokens` = span + k is a CERTIFIED LOWER BOUND of
+    * the true shared substring length (selection can start up to w−1
+    * grams inside the run's edges).
+    *
+    * 100 TB posture: identical to [[sharedPairs]] — the only cross-doc
+    * work is the capped fingerprint equijoin; the islands window runs
+    * per (pair, diagonal) partition at matched-fingerprint cardinality.
+    */
+  def sharedRuns(fps: DataFrame, maxDocsPerFp: Long = 50, gap: Int = 4,
+      k: Int = 3): DataFrame = {
+    val allowed = fps.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxDocsPerFp)
+      .select(col("fp"))
+    val kept = fps.join(allowed, Seq("fp"))
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"))
+    val m = a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pos_b") - col("pos_a")).as("diag"), col("pos_a"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    m.withColumn("brk",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(w) > gap, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pos_a")).as("p0"), max(col("pos_a")).as("p1"),
+        count(lit(1)).as("n_fps"))
+      .select(col("doc_a"), col("doc_b"), col("diag"), col("p0"),
+        (col("p1") - col("p0") + k).as("run_tokens"), col("n_fps"))
+  }
+
   /** Document pairs sharing >= `minShared` fingerprints, via a
     * fingerprint-hash equijoin. Fingerprints appearing in more than
     * `maxDocsPerFp` documents are dropped first (stop-fingerprints):

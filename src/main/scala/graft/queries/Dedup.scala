@@ -26,6 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** q353's pinned decision threshold: match ⟺ the rescaled 5-factor
+    * product p5 ≥ T · GREATEST(n_a, n_b) (prior-odds scaling — see
+    * q353's docstring). Calibrated round 14 on the sf0.1 corpus + the
+    * sf1 rehearsal (WeightProbe's measured pattern bands, which are
+    * SF-invariant because the factors self-normalize): at both SFs the
+    * accepted patterns are exactly {ph agrees ∧ at most one of
+    * seg/band/tok disagrees} — both thresholds (T·max(n) at 1× and 10×
+    * density) land in the 22× score gap between the 2-disagree band
+    * (≤ 3.4e20) and the tok-disagree band (≥ 7.4e21), and the big
+    * (ph−, all-else-agree) saturation band sits 2 more decades down.
+    * Measured pair-level cards: sf0.1 p=0.995 r=0.824 (q349: 0.992 /
+    * 0.654), sf1 p=0.992 r=0.825 (q349: 0.100 flat). Pinned identically
+    * in the engine expression and the DuckDB oracle replay. */
+  private val WeightedMatchT = "36000000000000000"
+
+
   /** Chunk-level exact dedup (the CCNet "line dedup" analog for a corpus
     * whose documents are single-line token streams): split every document
     * into fixed-size token chunks, hash each chunk, keep only the corpus-
@@ -1997,10 +2013,14 @@ object Dedup {
           .filter(col("pid") === 7 && col("decision") === "match")
           .select(lit(1).as("p7"))
         val k2m = keep2.crossJoin(broadcast(p7)).localCheckpoint(false)
+        // Both level-2 member frames feed mins AND e2 — stage once so the
+        // broadcast-join chains don't re-schedule (VERDICT r13 #1).
         val a2m = db.a2.join(broadcast(
           k2m.select(DynKeys2.map(col): _*)), DynKeys2)
+          .localCheckpoint(false)
         val b2m = db.b2.join(broadcast(
           k2m.select(DynKeys2.map(col): _*)), DynKeys2)
+          .localCheckpoint(false)
         val mins = a2m.groupBy(DynKeys2.map(col): _*)
           .agg(min(col("a_key") * 2).as("ma"))
           .join(b2m.groupBy(DynKeys2.map(col): _*)
@@ -2012,28 +2032,54 @@ object Dedup {
           .unionAll(b2m.join(mins, DynKeys2)
             .select((col("b_key") * 2 + 1).as("x"), col("rep").as("y")))
           .filter(col("x") =!= col("y"))
+        // no checkpoint here: the shared tail stages `sym` (both edge
+        // directions) once, which subsumes staging the directed list
         val edges = mp01
           .select((col("a_key") * 2).as("x"), (col("b_key") * 2 + 1).as("y"))
           .unionAll(e2)
+        // One 8-group census over dmp01 serves BOTH scalar counts (total
+        // candidates for the certificate, match-pid candidates for the
+        // pair count) instead of two full-frame count jobs.
+        val dmpScalars = dmp01.groupBy(col("pid"))
+          .agg(count(lit(1)).as("n_pid"))
+          .join(broadcast(matchPids.withColumn("is_match", lit(1L))),
+            Seq("pid"), "left")
+          .agg(sum(col("n_pid")).as("c01d"),
+            coalesce(sum(when(col("is_match") === 1L, col("n_pid"))),
+              lit(0L)).as("c01"))
           .localCheckpoint(false)
-        val np = mp01.agg(count(lit(1)).as("c01"))
+        val np = dmpScalars
           .crossJoin(broadcast(k2m.agg(
             coalesce(sum(col("cnt_a") * col("cnt_b")), lit(0L)).as("c2"))))
           .select((col("c01") + col("c2")).as("n_match_pairs"))
-        val certs = dmp01.agg(count(lit(1)).as("c01d"))
-          .crossJoin(broadcast(keep2.agg(
-            coalesce(sum(col("cnt_a") * col("cnt_b")), lit(0L)).as("c2d"))))
-          .select((col("c01d") + col("c2d")).as("cand_total"))
-          .crossJoin(broadcast(db.blk0.agg(
-            sum(col("cnt_a") * col("cnt_b")).as("cand_full"))))
-          .crossJoin(broadcast(db.keep0.agg(
-            coalesce(max(col("occ")), lit(-1L)).as("max_occ_kept0"))))
-          .crossJoin(broadcast(db.keep1.agg(
-            coalesce(max(col("occ")), lit(-1L)).as("max_occ_kept1"))))
-          .crossJoin(broadcast(keep2.agg(
-            coalesce(max(col("occ")), lit(-1L)).as("max_occ_kept2"))))
-          .crossJoin(broadcast(db.blk2.filter(col("occ") > 12L)
-            .agg(count(lit(1)).as("n_purged_blocks"))))
+        // Certificate fusion (VERDICT r13 #1): the three block censuses
+        // share (occ, cnt_a, cnt_b), so every per-level certificate —
+        // kept-occupancy maxima, full/kept candidate mass, purge count —
+        // computes in ONE union+aggregate pass instead of five separate
+        // crossJoin(broadcast(agg)) stages. Values are identical by
+        // construction (keepK ≡ blkK filtered occ <= cap).
+        def lvl(df: DataFrame, k: Int) = df.select(lit(k).as("lv"),
+          col("occ"), (col("cnt_a") * col("cnt_b")).as("mass"))
+        val lvlStats = lvl(db.blk0, 0).unionAll(lvl(db.blk1, 1))
+          .unionAll(lvl(db.blk2, 2))
+          .agg(
+            sum(when(col("lv") === 0, col("mass"))).as("cand_full"),
+            coalesce(max(when(col("lv") === 0 && col("occ") <= 12L,
+              col("occ"))), lit(-1L)).as("max_occ_kept0"),
+            coalesce(max(when(col("lv") === 1 && col("occ") <= 12L,
+              col("occ"))), lit(-1L)).as("max_occ_kept1"),
+            coalesce(max(when(col("lv") === 2 && col("occ") <= 12L,
+              col("occ"))), lit(-1L)).as("max_occ_kept2"),
+            coalesce(sum(when(col("lv") === 2 && col("occ") <= 12L,
+              col("mass"))), lit(0L)).as("c2d"),
+            sum(when(col("lv") === 2 && col("occ") > 12L, 1L)
+              .otherwise(0L)).as("n_purged_blocks"))
+        val certs = dmpScalars
+          .crossJoin(broadcast(lvlStats))
+          .select((col("c01d") + col("c2d")).as("cand_total"),
+            col("cand_full"), col("max_occ_kept0"),
+            col("max_occ_kept1"), col("max_occ_kept2"),
+            col("n_purged_blocks"))
         erCapstoneCardFromEdges(lp, grid8, edges, np)
           .crossJoin(broadcast(certs))
           .select(col("n_records"), col("n_true_pairs"),
@@ -2120,7 +2166,400 @@ object Dedup {
                certs.max_occ_kept2, certs.n_purged_blocks
         FROM pr CROSS JOIN np CROSS JOIN tp CROSS JOIN mg
         CROSS JOIN sp CROSS JOIN chg CROSS JOIN certs"""),
-      headline = true)
+      headline = true),
+
+    // ---- q353: density-robust ER capstone (round 14) ----
+    // VERDICT r13 #2: q349's sf1 card honestly read B³ precision 0.270 —
+    // at 10× density the 4 quasi-identifiers saturate (793k coincidental
+    // all-agree pairs among 121k true). Round 14 first MEASURED the
+    // suggested fix — value-frequency (Fellegi–Sunter u) reweighting of
+    // the same 4 fields — and it is provably insufficient: WeightProbe's
+    // sf1 pair-level precision is FLAT at 0.0997 across every threshold,
+    // because within a saturated all-agree block the true pair and its
+    // coincidental block-mates share identical field values and are
+    // EXCHANGEABLE — no function of those fields can separate them. The
+    // classical production answer is IDENTIFIER ENRICHMENT plus
+    // multi-pass blocking, built here:
+    //   1. a 5th, finer quasi-identifier of phone-last-4 grade (~10^4
+    //      uniform values keyed to the entity; a-side clean, b-side
+    //      noised 10% with the registry coin discipline);
+    //   2. a second capped blocking pass on (nat, ph) — recovering true
+    //      pairs the field-noise knocked out of the dynamic-block path
+    //      (blocking recall ceiling 0.65 → 0.92 measured);
+    //   3. VALUE-SPECIFIC capped agreement factors on all 5 fields
+    //      (agreeing on a rare value outranks a common one — the
+    //      frequency weighting the verdict asked for, where it can
+    //      actually act) with prior-odds threshold scaling
+    //      (T · max(n_a, n_b)).
+    // The factor caps flatten the fine fields' value spread so decision
+    // bands sit decades apart, and cap_ph > cap_tok ranks (tok−, ph+)
+    // above (ph−, tok+): a tok-noised true pair outscores a
+    // ph-disagreeing coincidental all-agree pair. Acceptance measured at
+    // the sf1 rehearsal via this gate's own card (see BASELINE.md):
+    // B³ precision/recall both ≥ 0.8 where q349 read 0.270, with the
+    // sf0.1 card better than q349's on both axes.
+    //
+    // 100 TB posture: candidate mass ≤ cap·rows per blocking pass BY
+    // CONSTRUCTION (purge certificates for both passes), censuses are
+    // one broadcast-sized groupBy per field/side, scoring is in-row
+    // integer arithmetic, and the match graph enters the SHARED
+    // propagation tail at match cardinality.
+    "q353_er_weighted_capstone" -> QueryDef(
+      build = (spark, dir) => {
+        val wp = weightedParts(spark, dir)
+        val lp = wp.lp
+        val grid8 = lp.grid.localCheckpoint(false)
+        val sc = wp.scored
+        val edges = sc.filter(col("is_match"))
+          .select((col("a_key") * 2).as("x"),
+            (col("b_key") * 2 + 1).as("y"))
+        val np = sc.agg(coalesce(sum(when(col("is_match"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_match_pairs"))
+        val allAgree = col("g_seg") === 1L && col("g_band") === 1L &&
+          col("g_tok") === 1L
+        val aa = sc.agg(
+            count(lit(1)).as("n_cand_total"),
+            coalesce(sum(when(allAgree, 1L).otherwise(0L)), lit(0L))
+              .as("n_allagree4"),
+            coalesce(sum(when(allAgree && col("is_match"), 1L)
+              .otherwise(0L)), lit(0L)).as("n_allagree4_kept"))
+          .crossJoin(broadcast(wp.phPurged
+            .agg(count(lit(1)).as("n_purged_ph_blocks"))))
+        erCapstoneCardFromEdges(lp, grid8, edges, np)
+          .crossJoin(broadcast(aa))
+          .select(col("n_records"), col("n_true_pairs"),
+            col("n_match_pairs"), col("n_clusters"),
+            col("n_merged_clusters"), col("n_split_truths"),
+            col("n_changed_last_round"),
+            col("b3_precision_ppm"), col("b3_recall_ppm"),
+            col("b3_f1_ppm"), col("n_cand_total"), col("n_allagree4"),
+            col("n_allagree4_kept"), col("n_purged_ph_blocks"))
+      },
+      oracle = Some(s"""
+        WITH $linkageCtes,
+        $dynBlockCtes,
+        phf AS (SELECT c_custkey AS k,
+                       ('0x' || substr(md5('q353ID#'
+                         || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+                         % 10000 AS ph
+                FROM customer),
+        aw AS MATERIALIZED (
+          SELECT a.*, p.ph FROM a JOIN phf p ON p.k = a.a_key),
+        bw AS MATERIALIZED (
+          SELECT b.*, CASE WHEN ('0x' || substr(md5('q353P#'
+                   || CAST(p.k AS VARCHAR)), 1, 12))::BIGINT
+                   % 1000000 < 100000
+                 THEN (p.ph + 1) % 10000 ELSE p.ph END AS ph
+          FROM b JOIN phf p ON p.k = b.b_key),
+        blkP AS MATERIALIZED (
+          SELECT nat, ph, ca.cnt_a, cb.cnt_b,
+                 GREATEST(ca.cnt_a, cb.cnt_b) AS occ
+          FROM (SELECT nat, ph, COUNT(*) AS cnt_a FROM aw GROUP BY 1, 2)
+            ca JOIN (SELECT nat, ph, COUNT(*) AS cnt_b FROM bw
+            GROUP BY 1, 2) cb USING (nat, ph)),
+        keepP AS (SELECT * FROM blkP WHERE occ <= 12),
+        aw1 AS (SELECT w.* FROM aw w JOIN split0 USING (nat, seg)),
+        aw2 AS (SELECT w.* FROM aw1 w JOIN split1 USING (nat, seg, band)),
+        candw AS MATERIALIZED (
+          SELECT x.a_key, y.b_key, x.nat AS anat, x.seg AS aseg,
+                 x.band AS aband, x.tok AS atok, x.ph AS aph,
+                 y.nat AS bnat, y.seg AS bseg, y.band AS bband,
+                 y.tok AS btok, y.ph AS bph
+          FROM aw x JOIN keep0 k ON x.nat = k.nat AND x.seg = k.seg
+          JOIN bw y ON y.nat = x.nat AND y.seg = x.seg
+          UNION
+          SELECT x.a_key, y.b_key, x.nat, x.seg, x.band, x.tok, x.ph,
+                 y.nat, y.seg, y.band, y.tok, y.ph
+          FROM aw1 x JOIN keep1 k ON x.nat = k.nat AND x.seg = k.seg
+            AND x.band = k.band
+          JOIN bw y ON y.nat = x.nat AND y.seg = x.seg
+            AND y.band = x.band
+          UNION
+          SELECT x.a_key, y.b_key, x.nat, x.seg, x.band, x.tok, x.ph,
+                 y.nat, y.seg, y.band, y.tok, y.ph
+          FROM aw2 x JOIN keep2 k ON x.nat = k.nat AND x.seg = k.seg
+            AND x.band = k.band AND x.tok = k.tok
+          JOIN bw y ON y.nat = x.nat AND y.seg = x.seg
+            AND y.band = x.band AND y.tok = x.tok
+          UNION
+          SELECT x.a_key, y.b_key, x.nat, x.seg, x.band, x.tok, x.ph,
+                 y.nat, y.seg, y.band, y.tok, y.ph
+          FROM aw x JOIN keepP k ON x.nat = k.nat AND x.ph = k.ph
+          JOIN bw y ON y.nat = x.nat AND y.ph = x.ph),
+        canat AS (SELECT nat, COUNT(*) AS ca_nat FROM aw GROUP BY 1),
+        cbnat AS (SELECT nat, COUNT(*) AS cb_nat FROM bw GROUP BY 1),
+        caseg AS (SELECT seg, COUNT(*) AS ca_seg FROM aw GROUP BY 1),
+        cbseg AS (SELECT seg, COUNT(*) AS cb_seg FROM bw GROUP BY 1),
+        caband AS (SELECT band, COUNT(*) AS ca_band FROM aw GROUP BY 1),
+        cbband AS (SELECT band, COUNT(*) AS cb_band FROM bw GROUP BY 1),
+        catok AS (SELECT tok, COUNT(*) AS ca_tok FROM aw GROUP BY 1),
+        cbtok AS (SELECT tok, COUNT(*) AS cb_tok FROM bw GROUP BY 1),
+        caph AS (SELECT ph, COUNT(*) AS ca_ph FROM aw GROUP BY 1),
+        cbph AS (SELECT ph, COUNT(*) AS cb_ph FROM bw GROUP BY 1),
+        snew AS (SELECT
+          (SELECT SUM(CAST(x.ca_seg AS HUGEINT) * y.cb_seg)
+           FROM caseg x JOIN cbseg y USING (seg)) AS s_seg2,
+          (SELECT SUM(CAST(x.ca_ph AS HUGEINT) * y.cb_ph)
+           FROM caph x JOIN cbph y USING (ph)) AS s_ph),
+        stw AS (SELECT CAST(n_a AS HUGEINT) * n_b AS nab,
+                       f_tok_d, f_band_d,
+                       CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
+                         // (CAST(n_a AS HUGEINT) * n_b - s_seg2)
+                         AS BIGINT) AS f_seg_d,
+                       CAST(100000 * (CAST(n_a AS HUGEINT) * n_b)
+                         // (CAST(n_a AS HUGEINT) * n_b - s_ph)
+                         AS BIGINT) AS f_ph_d,
+                       CAST($WeightedMatchT AS HUGEINT)
+                         * GREATEST(n_a, n_b) AS thr
+                FROM stf CROSS JOIN snew),
+        sc AS MATERIALIZED (
+          SELECT d.a_key, d.b_key,
+                 CASE WHEN d.aseg = d.bseg THEN 1 ELSE 0 END AS g_seg,
+                 CASE WHEN d.aband = d.bband THEN 1 ELSE 0 END AS g_band,
+                 CASE WHEN d.atok = d.btok THEN 1 ELSE 0 END AS g_tok,
+                 CASE WHEN d.aph = d.bph THEN 1 ELSE 0 END AS g_ph,
+                 CAST(CAST(CAST(
+                   LEAST(CAST(2000000000 AS HUGEINT), 900000 * s.nab
+                     // (CAST(cn.ca_nat AS HUGEINT) * dn.cb_nat))
+                   * (CASE WHEN d.aseg = d.bseg THEN
+                       LEAST(CAST(2000000000 AS HUGEINT), 900000 * s.nab
+                         // (CAST(cs.ca_seg AS HUGEINT) * ds.cb_seg))
+                      ELSE CAST(s.f_seg_d AS HUGEINT) END)
+                   * (CASE WHEN d.aband = d.bband THEN
+                       LEAST(CAST(2000000000 AS HUGEINT), 900000 * s.nab
+                         // (CAST(cd.ca_band AS HUGEINT) * dd.cb_band))
+                      ELSE CAST(s.f_band_d AS HUGEINT) END)
+                   // 10000000000 AS HUGEINT)
+                   * (CASE WHEN d.atok = d.btok THEN
+                       LEAST(CAST(2000000000 AS HUGEINT), 900000 * s.nab
+                         // (CAST(ct.ca_tok AS HUGEINT) * dt.cb_tok))
+                      ELSE CAST(s.f_tok_d AS HUGEINT) END)
+                   // 10000000000 AS HUGEINT)
+                   * (CASE WHEN d.aph = d.bph THEN
+                       LEAST(CAST(2000000000000 AS HUGEINT),
+                         900000 * s.nab
+                           // (CAST(cp.ca_ph AS HUGEINT) * dp.cb_ph))
+                      ELSE CAST(s.f_ph_d AS HUGEINT) END)
+                   AS HUGEINT) AS p5, s.thr
+          FROM candw d
+          JOIN canat cn ON cn.nat = d.anat
+          JOIN cbnat dn ON dn.nat = d.bnat
+          JOIN caseg cs ON cs.seg = d.aseg
+          JOIN cbseg ds ON ds.seg = d.bseg
+          JOIN caband cd ON cd.band = d.aband
+          JOIN cbband dd ON dd.band = d.bband
+          JOIN catok ct ON ct.tok = d.atok
+          JOIN cbtok dt ON dt.tok = d.btok
+          JOIN caph cp ON cp.ph = d.aph
+          JOIN cbph dp ON dp.ph = d.bph
+          CROSS JOIN stw s),
+        m AS MATERIALIZED (SELECT a_key, b_key FROM sc WHERE p5 >= thr),
+        edges AS MATERIALIZED (
+          SELECT a_key * 2 AS x, b_key * 2 + 1 AS y FROM m),
+        np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match_pairs FROM m),
+        aa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_total,
+                 CAST(SUM(CASE WHEN g_seg = 1 AND g_band = 1
+                   AND g_tok = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_allagree4,
+                 CAST(SUM(CASE WHEN g_seg = 1 AND g_band = 1
+                   AND g_tok = 1 AND p5 >= thr THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_allagree4_kept,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM blkP
+                  WHERE occ > 12) AS n_purged_ph_blocks
+               FROM sc),
+        $erTailCtes
+        SELECT $erTailSelect,
+               aa.n_cand_total, aa.n_allagree4, aa.n_allagree4_kept,
+               aa.n_purged_ph_blocks
+        FROM pr CROSS JOIN np CROSS JOIN tp CROSS JOIN mg
+        CROSS JOIN sp CROSS JOIN chg CROSS JOIN aa"""))
+  ,
+
+    // ---- q354: ExactSubstr maximal shared runs (round 14) ----
+    // VERDICT r13 #6: q127 counts fixed-width repeated windows; Lee et
+    // al.'s ExactSubstr dedup removes the LONGEST repeated substring at
+    // any alignment. This gate reconstructs maximal aligned shared runs
+    // from the q202 winnowing fingerprints ([[graft.operators.Winnowing
+    // .sharedRuns]]): matched fingerprints of one true shared substring
+    // sit on a single (pos_b − pos_a) diagonal at ≤ w positions apart
+    // (the winnowing density guarantee), so gaps-and-islands over pos_a
+    // per (pair, diagonal) yields each maximal run; run_tokens = span+k
+    // is a certified lower bound of the shared substring length. Output:
+    // per-pair run census (count, longest, total shared-token lower
+    // bound, affected fraction of the a-side doc) for pairs whose
+    // longest certified run reaches 8 tokens.
+    //
+    // 100 TB posture: fingerprinting is map-side (q202's operator); the
+    // only cross-doc work is the stop-fingerprint-capped equijoin; the
+    // islands window partitions by (pair, diagonal) at matched-
+    // fingerprint cardinality — no all-pairs, no doc-length blowup.
+    "q354_exactsubstr_runs" -> QueryDef(
+      build = (spark, dir) => {
+        import graft.operators.Winnowing
+        val docs = Tables.documents(spark, dir)
+        val fps = Winnowing.fingerprints(docs, "doc_id", "text",
+          k = 3, w = 4)
+        val runs = Winnowing.sharedRuns(fps, maxDocsPerFp = 50,
+          gap = 4, k = 3)
+        val lens = docs.select(col("doc_id").as("doc_a"),
+          size(split(trim(col("text")), " ")).cast("long").as("len_a"))
+        runs.groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_runs"),
+            max(col("run_tokens")).as("longest_run_tokens"),
+            sum(col("run_tokens")).as("shared_tokens_lb"))
+          .filter(col("longest_run_tokens") >= 8L)
+          .join(lens, Seq("doc_a"))
+          .select(col("doc_a"), col("doc_b"), col("n_runs"),
+            col("longest_run_tokens"), col("shared_tokens_lb"),
+            expr("shared_tokens_lb * 1000000 div len_a")
+              .as("affected_ppm_a"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i - 1 AS gpos,
+                     array_to_string(toks[i:i+2], ' ') AS gram,
+                     len(toks) - 2 AS gcount
+              FROM t, LATERAL (SELECT unnest(generate_series(1,
+                     len(toks) - 2)) AS i) u
+              WHERE len(toks) >= 3),
+        v AS (SELECT doc_id, gpos, gcount,
+                     ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576
+                       + gpos AS v
+              FROM g),
+        s AS (SELECT doc_id, gcount, gpos,
+                     MIN(v) OVER (PARTITION BY doc_id ORDER BY gpos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selv
+              FROM v),
+        f AS (SELECT DISTINCT doc_id, selv // 1048576 AS fp,
+                     selv % 1048576 AS pos
+              FROM s WHERE gpos <= gcount - 4),
+        allowed AS (SELECT fp FROM (
+                      SELECT fp, COUNT(DISTINCT doc_id) AS nd
+                      FROM f GROUP BY 1) WHERE nd <= 50),
+        kept AS (SELECT f.* FROM f JOIN allowed USING (fp)),
+        m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     b.pos - a.pos AS diag, a.pos AS pos_a
+              FROM kept a JOIN kept b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        i0 AS (SELECT *, CASE WHEN pos_a - LAG(pos_a) OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) > 4
+                 THEN 1 ELSE 0 END AS brk FROM m),
+        i1 AS (SELECT *, SUM(brk) OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                   ROWS UNBOUNDED PRECEDING) AS isl FROM i0),
+        runs AS (SELECT doc_a, doc_b, diag, isl,
+                        MIN(pos_a) AS p0, MAX(pos_a) AS p1
+                 FROM i1 GROUP BY 1, 2, 3, 4),
+        census AS (SELECT doc_a, doc_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_runs,
+                          CAST(MAX(p1 - p0 + 3) AS BIGINT)
+                            AS longest_run_tokens,
+                          CAST(SUM(p1 - p0 + 3) AS BIGINT)
+                            AS shared_tokens_lb
+                   FROM runs GROUP BY 1, 2
+                   HAVING MAX(p1 - p0 + 3) >= 8),
+        lens AS (SELECT doc_id AS doc_a,
+                        CAST(len(string_split(trim(text), ' '))
+                          AS BIGINT) AS len_a
+                 FROM documents)
+        SELECT c.doc_a, c.doc_b, c.n_runs, c.longest_run_tokens,
+               c.shared_tokens_lb,
+               c.shared_tokens_lb * 1000000 // l.len_a AS affected_ppm_a
+        FROM census c JOIN lens l USING (doc_a)
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- q356: group-aware split leakage law (round 14) ----
+    // The train/val/test split every training pipeline performs, gated
+    // on the property that actually matters: NO near-duplicate pair may
+    // cross a split (a test doc whose near-dup sits in train is
+    // contamination — the Lee et al./GPT-3 dedup motivation applied to
+    // the split step). Group-aware assignment hashes the q265 DUP
+    // CLUSTER label (md5 coin % 10 → 8/1/1 train/val/test), so every
+    // cluster lands whole in one split; the law certifies
+    // leak_pairs_grouped = 0 FROM THE EDGES THEMSELVES (not by
+    // construction on paper) and measures, per split, what the naive
+    // doc-hash split would have leaked (leak_pairs_naive — the number
+    // that motivates group-awareness). Shares componentParts /
+    // componentCtes with q265/q278, so the cluster definition cannot
+    // drift.
+    //
+    // 100 TB posture: everything q265 pays + one broadcast-joinable
+    // split stamp per doc and one edge-keyed join against the stamped
+    // docs — no new corpus-scale structure.
+    "q356_split_leakage_law" -> QueryDef(
+      build = (spark, dir) => {
+        val parts = componentParts(spark, dir)
+        def coin10(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(lit("q356S#"),
+            c.cast("string"))), 1, 12), 16, 10).cast("long") % 10L
+        def splitOf(d: org.apache.spark.sql.Column) =
+          when(d <= 7L, "train").when(d === 8L, "val").otherwise("test")
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+        val stamped = parts.lbl
+          .select(col("doc_id"), col("lbl"),
+            splitOf(coin10(col("lbl"))).as("split_g"),
+            splitOf(coin10(col("doc_id"))).as("split_n"))
+          .join(toks, Seq("doc_id"))
+          .localCheckpoint(false)
+        val ea = stamped.select(col("doc_id").as("a"),
+          col("split_g").as("ga"), col("split_n").as("na"))
+        val eb = stamped.select(col("doc_id").as("b"),
+          col("split_g").as("gb"), col("split_n").as("nb"))
+        val leaks = parts.e.join(ea, Seq("a")).join(eb, Seq("b"))
+          .agg(count(lit(1)).as("n_edges"),
+            coalesce(sum(when(col("ga") =!= col("gb"), 1L)
+              .otherwise(0L)), lit(0L)).as("leak_pairs_grouped"),
+            coalesce(sum(when(col("na") =!= col("nb"), 1L)
+              .otherwise(0L)), lit(0L)).as("leak_pairs_naive"))
+        stamped.groupBy(col("split_g").as("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            countDistinct(col("lbl")).as("n_clusters"))
+          .crossJoin(broadcast(leaks))
+          .orderBy(col("split"))
+      },
+      oracle = Some(s"""
+        WITH $componentCtes,
+        tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+               FROM t),
+        st AS MATERIALIZED (
+          SELECT l6.doc_id, l6.lbl, tk.n_tokens,
+                 CASE WHEN ('0x' || substr(md5('q356S#'
+                     || CAST(l6.lbl AS VARCHAR)), 1, 12))::BIGINT
+                     % 10 <= 7 THEN 'train'
+                   WHEN ('0x' || substr(md5('q356S#'
+                     || CAST(l6.lbl AS VARCHAR)), 1, 12))::BIGINT
+                     % 10 = 8 THEN 'val'
+                   ELSE 'test' END AS split_g,
+                 CASE WHEN ('0x' || substr(md5('q356S#'
+                     || CAST(l6.doc_id AS VARCHAR)), 1, 12))::BIGINT
+                     % 10 <= 7 THEN 'train'
+                   WHEN ('0x' || substr(md5('q356S#'
+                     || CAST(l6.doc_id AS VARCHAR)), 1, 12))::BIGINT
+                     % 10 = 8 THEN 'val'
+                   ELSE 'test' END AS split_n
+          FROM l6 JOIN tk USING (doc_id)),
+        lk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                      CAST(SUM(CASE WHEN xa.split_g <> xb.split_g
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                        AS leak_pairs_grouped,
+                      CAST(SUM(CASE WHEN xa.split_n <> xb.split_n
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                        AS leak_pairs_naive
+               FROM e JOIN st xa ON xa.doc_id = e.a
+               JOIN st xb ON xb.doc_id = e.b)
+        SELECT st.split_g AS split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(st.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT st.lbl) AS BIGINT) AS n_clusters,
+               lk.n_edges, lk.leak_pairs_grouped, lk.leak_pairs_naive
+        FROM st CROSS JOIN lk
+        GROUP BY st.split_g, lk.n_edges, lk.leak_pairs_grouped,
+                 lk.leak_pairs_naive
+        ORDER BY split"""))
   )
 
   /** The ER capstone's clustering tail, SHARED by q325 (fixed blocking)
@@ -2155,27 +2594,58 @@ object Dedup {
       .localCheckpoint(false)
     val e = edges
     val sym = e.union(e.select(col("y").as("x"), col("x").as("y")))
-    var lbl = nodes
-      .select(col("node"), col("truth"), col("node").as("lbl"))
+      .localCheckpoint(false) // scanned every round — materialize once
+    // Round-14 latency rework (VERDICT r13 #1 — the 6-round tail was
+    // ~6.5 s of ~50 tiny AQE stage schedulings at sf0.1). Three changes,
+    // all label-identical to the oracle's fixed 6-round unroll:
+    //   1. each round is ONE equijoin + ONE aggregation (the node's own
+    //      label is unioned into the neighbor-min instead of re-joined
+    //      after it): min(own ∪ neighbor labels) ≡
+    //      least(lbl, coalesce(min nbr, lbl)) exactly;
+    //   2. `truth` (static) leaves the loop and re-joins once at ct;
+    //   3. rounds materialize EAGERLY with a per-round change count and
+    //      the loop EXITS on the first 0-change round. Min-label
+    //      propagation is monotone, so a 0-change round IS the fixed
+    //      point: labels equal the oracle's l6, and the exported
+    //      n_changed_last_round (last executed round's count) equals
+    //      the oracle's l6-vs-l5 count in every case — 0 when converged
+    //      by round 5 (both sides), and the round-6 count otherwise.
+    var lbl = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint(false)
-    var prev = lbl
-    for (_ <- 1 to 6) {
-      prev = lbl
+    var lastChanged = 0L
+    var round = 0
+    var converged = false
+    while (round < 6 && !converged) {
+      round += 1
       val nbr = sym
         .join(lbl.select(col("node").as("x"), col("lbl").as("xlbl")),
           Seq("x"))
-        .groupBy(col("y")).agg(min(col("xlbl")).as("nlbl"))
-        .withColumnRenamed("y", "node")
-      lbl = lbl.join(nbr, Seq("node"), "left")
-        .select(col("node"), col("truth"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
-            .as("lbl"))
-        .localCheckpoint(false)
+        .select(col("y").as("node"), col("xlbl").as("lbl"),
+          lit(null).cast("long").as("old"))
+      val next = lbl.select(col("node"), col("lbl"), col("lbl").as("old"))
+        .unionAll(nbr)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
+      val staged = next.localCheckpoint(true)
+      lastChanged = staged.filter(col("lbl") =!= col("old")).count()
+      lbl = staged.select(col("node"), col("lbl"))
+      converged = lastChanged == 0L
     }
-    val ct = lbl.groupBy(col("lbl"), col("truth"))
+    val ct = lbl.join(nodes, Seq("node"))
+      .groupBy(col("lbl"), col("truth"))
       .agg(count(lit(1)).as("n_ct")).localCheckpoint(false)
-    val nc = ct.groupBy(col("lbl")).agg(sum(col("n_ct")).as("n_c"))
-    val nt = ct.groupBy(col("truth")).agg(sum(col("n_ct")).as("n_t"))
+    // ct is UNIQUE on (lbl, truth), so the per-side distinct-partner
+    // counts are plain row counts — one groupBy per side serves both the
+    // B³ size join and the merge/split certificates (no countDistinct
+    // expand, no second scan).
+    val byLbl = ct.groupBy(col("lbl"))
+      .agg(sum(col("n_ct")).as("n_c"), count(lit(1)).as("k_l"))
+      .localCheckpoint(false)
+    val byTruth = ct.groupBy(col("truth"))
+      .agg(sum(col("n_ct")).as("n_t"), count(lit(1)).as("k_t"))
+      .localCheckpoint(false)
+    val nc = byLbl.select(col("lbl"), col("n_c"))
+    val nt = byTruth.select(col("truth"), col("n_t"))
     val card = ct.join(nc, Seq("lbl")).join(nt, Seq("truth"))
       .agg(sum(col("n_ct")).as("n_records"),
         sum(expr("CAST(n_ct AS DECIMAL(38,0)) * n_ct" +
@@ -2187,29 +2657,21 @@ object Dedup {
           " * 1000000) AS BIGINT)").as("b3_precision_ppm"),
         expr("CAST(r12 div (CAST(n_records AS DECIMAL(38,0))" +
           " * 1000000) AS BIGINT)").as("b3_recall_ppm"))
-    val mg = ct.groupBy(col("lbl"))
-      .agg(countDistinct(col("truth")).as("k"))
+    val mg = byLbl
       .agg(count(lit(1)).as("n_clusters"),
-        sum(when(col("k") > 1, 1L).otherwise(0L))
+        sum(when(col("k_l") > 1, 1L).otherwise(0L))
           .as("n_merged_clusters"))
-    val sp = ct.groupBy(col("truth"))
-      .agg(countDistinct(col("lbl")).as("k"))
-      .agg(sum(when(col("k") > 1, 1L).otherwise(0L))
+    val sp = byTruth
+      .agg(sum(when(col("k_t") > 1, 1L).otherwise(0L))
         .as("n_split_truths"))
     val np = np0
     val tp = grid8.agg(max(col("n_true_total")).as("n_true_pairs"))
-    val chg = lbl.select(col("node"), col("lbl").as("l6"))
-      .join(prev.select(col("node"), col("lbl").as("l5")),
-        Seq("node"))
-      .agg(sum(when(col("l6") =!= col("l5"), 1L).otherwise(0L))
-        .as("n_changed_last_round"))
     card.crossJoin(broadcast(np)).crossJoin(broadcast(tp))
       .crossJoin(broadcast(mg)).crossJoin(broadcast(sp))
-      .crossJoin(broadcast(chg))
       .select(col("n_records"), col("n_true_pairs"),
         col("n_match_pairs"), col("n_clusters"),
         col("n_merged_clusters"), col("n_split_truths"),
-        col("n_changed_last_round"),
+        lit(lastChanged).as("n_changed_last_round"),
         col("b3_precision_ppm"), col("b3_recall_ppm"),
         expr("CAST(2 * b3_precision_ppm * b3_recall_ppm" +
           " div GREATEST(b3_precision_ppm + b3_recall_ppm, 1)" +
@@ -2228,16 +2690,199 @@ object Dedup {
       blk1: DataFrame, keep1: DataFrame, split1: DataFrame,
       a2: DataFrame, b2: DataFrame, blk2: DataFrame)
 
+
+  /** q353's scoring front, shared by the gate and [[WeightProbe]] (the
+    * round-14 threshold calibration): ph-enriched registries, TWO-PASS
+    * capped blocking (q349's dynamic blocks + a (nat, ph) pass), and the
+    * 5-field value-specific factor product per deduplicated candidate
+    * pair. `scored` carries one row per candidate with its factors,
+    * agreement flags, capped/rescaled score `p5`, the prior-scaled
+    * threshold `thr`, and `is_match`. */
+  private[queries] final case class WeightedParts(lp: LinkageParts,
+      db: DynBlocks, scored: DataFrame, phPurged: DataFrame)
+
+  private[queries] def weightedParts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): WeightedParts = {
+    val DecType = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lp = linkageParts(spark, dir)
+    // Identifier enrichment — the measured answer to saturation (see
+    // q353's docstring): a phone-last-4-grade 5th quasi-identifier
+    // (simulated below), a-side clean, b-side noised at 10% with the
+    // registry coin discipline.
+    def coinB(salt: String) =
+      conv(substring(md5(concat(lit(salt),
+        col("k").cast("string"))), 1, 12), 16, 10)
+        .cast("long") % 1000000L
+    // The driver's customer table carries no phone column, so the 5th
+    // identifier is SIMULATED with the exact information content of a
+    // phone last-4: ~10^4 uniform values keyed to the entity. It MUST
+    // be a non-linear keyed derivation (md5, the registry coin
+    // discipline): a multiplicative hash mod 10^4 is linear in the key,
+    // so ScaleFixtures' constant copy offsets made cross-copy twins
+    // collide on it deterministically (measured round 14: 287k aligned
+    // false all-agree-5 pairs at sf1; md5 restores the 1e-4 chance
+    // rate).
+    val phf = Tables.customer(spark, dir).select(
+      col("c_custkey").as("k"),
+      (conv(substring(md5(concat(lit("q353ID#"),
+        col("c_custkey").cast("string"))), 1, 12), 16, 10)
+        .cast("long") % 10000L).as("ph"))
+    val pha = phf.select(col("k").as("a_key"), col("ph"))
+    val phb = phf.select(col("k").as("b_key"),
+      when(coinB("q353P#") < 100000L, (col("ph") + 1) % 10000L)
+        .otherwise(col("ph")).as("ph"))
+    val aw = lp.a.join(broadcast(pha), Seq("a_key")).localCheckpoint(false)
+    val bw = lp.b.join(broadcast(phb), Seq("b_key")).localCheckpoint(false)
+    val db = dynBlocks(lp.a, lp.b, cap = 12L)
+    // second blocking pass: (nat, ph) with the same cap/purge discipline
+    val PhKeys = Seq("nat", "ph")
+    val blkP = aw.select(col("nat"), col("ph"), lit(1L).as("is_a"))
+      .unionAll(bw.select(col("nat"), col("ph"), lit(0L).as("is_a")))
+      .groupBy(col("nat"), col("ph"))
+      .agg(sum(col("is_a")).as("cnt_a"),
+        sum(lit(1L) - col("is_a")).as("cnt_b"))
+      .filter(col("cnt_a") > 0L && col("cnt_b") > 0L)
+      .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
+      .localCheckpoint(false)
+    val keepP = blkP.filter(col("occ") <= 12L)
+    val phPurged = blkP.filter(col("occ") > 12L)
+    def pairCols(j: DataFrame) = j.select(
+      col("x.a_key").as("a_key"), col("y.b_key").as("b_key"),
+      col("x.nat").as("anat"), col("x.seg").as("aseg"),
+      col("x.band").as("aband"), col("x.tok").as("atok"),
+      col("x.ph").as("aph"),
+      col("y.nat").as("bnat"), col("y.seg").as("bseg"),
+      col("y.band").as("bband"), col("y.tok").as("btok"),
+      col("y.ph").as("bph"))
+    def pairsAt(ax: DataFrame, keys: Seq[String]) =
+      pairCols(ax.as("x").join(bw.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)))
+    val a1w = aw.join(broadcast(db.split0), DynKeys0)
+    val a2w = a1w.join(broadcast(db.split1), DynKeys1)
+    val keep2 = db.blk2.filter(col("occ") <= 12L)
+    val cand = pairsAt(aw.join(broadcast(
+        db.keep0.select(DynKeys0.map(col): _*)), DynKeys0), DynKeys0)
+      .unionAll(pairsAt(a1w.join(broadcast(
+        db.keep1.select(DynKeys1.map(col): _*)), DynKeys1), DynKeys1))
+      .unionAll(pairsAt(a2w.join(broadcast(
+        keep2.select(DynKeys2.map(col): _*)), DynKeys2), DynKeys2))
+      .unionAll(pairsAt(aw.join(broadcast(
+        keepP.select(PhKeys.map(col): _*)), PhKeys), PhKeys))
+      .distinct()
+      .localCheckpoint(false)
+    // per-field value censuses over the staged registries
+    def cnt(df: DataFrame, f: String, nm: String) =
+      df.groupBy(col(f)).agg(count(lit(1)).as(nm))
+    // value-specific capped agreement factors (ppm-scale integers). The
+    // caps do double duty: they bound the 5-factor product inside
+    // DECIMAL(38,0)/HUGEINT after the stage-wise div-1e10 rescales, and
+    // they FLATTEN the fine fields' value spread so the decision bands
+    // stay decades apart (tok/ph factors sit far above their caps for
+    // every value, so capping makes them constants; nat/seg/band stay
+    // below cap and keep their frequency signal). cap_ph > cap_tok is
+    // load-bearing: it ranks (tok-, ph+) above (ph-, tok+), which is
+    // what lets the same threshold accept a tok-noised true pair while
+    // rejecting a ph-disagreeing coincidental all-agree pair.
+    def fw(f: String, cap: String) = expr(
+      s"LEAST(CAST($cap AS BIGINT)," +
+        s" CAST(CAST(900000 AS DECIMAL(38,0)) * nab" +
+        s" div (CAST(ca_$f AS DECIMAL(38,0)) * cb_$f) AS BIGINT))")
+    // the two u statistics the shared grid never needed (seg always
+    // agreed within q302's blocking; ph is new), computed exactly like
+    // st's s_tok/s_band
+    val sNew = cnt(aw, "seg", "ca").join(cnt(bw, "seg", "cb"), Seq("seg"))
+      .select((col("ca").cast(DecType) * col("cb")).as("m"),
+        lit("seg").as("f"))
+      .unionAll(cnt(aw, "ph", "ca").join(cnt(bw, "ph", "cb"), Seq("ph"))
+        .select((col("ca").cast(DecType) * col("cb")).as("m"),
+          lit("ph").as("f")))
+      .groupBy()
+      .agg(sum(when(col("f") === "seg", col("m"))).as("s_seg2"),
+        sum(when(col("f") === "ph", col("m"))).as("s_ph"))
+    val stRow = lp.st.select(col("nab"), col("n_a"), col("n_b"),
+        col("f_tok_d"), col("f_band_d"))
+      .crossJoin(broadcast(sNew))
+      .withColumn("f_seg_d", expr(
+        "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
+          " div (nab - s_seg2) AS BIGINT)"))
+      .withColumn("f_ph_d", expr(
+        "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
+          " div (nab - s_ph) AS BIGINT)"))
+      .withColumn("thr", expr(s"CAST($WeightedMatchT AS DECIMAL(38,0))" +
+        " * GREATEST(n_a, n_b)"))
+      .select(col("nab"), col("f_tok_d"), col("f_band_d"),
+        col("f_seg_d"), col("f_ph_d"), col("thr"))
+      .localCheckpoint(false)
+    val scored = cand
+      .join(broadcast(cnt(aw, "nat", "ca_nat")
+        .withColumnRenamed("nat", "anat")), Seq("anat"))
+      .join(broadcast(cnt(bw, "nat", "cb_nat")
+        .withColumnRenamed("nat", "bnat")), Seq("bnat"))
+      .join(broadcast(cnt(aw, "seg", "ca_seg")
+        .withColumnRenamed("seg", "aseg")), Seq("aseg"))
+      .join(broadcast(cnt(bw, "seg", "cb_seg")
+        .withColumnRenamed("seg", "bseg")), Seq("bseg"))
+      .join(broadcast(cnt(aw, "band", "ca_band")
+        .withColumnRenamed("band", "aband")), Seq("aband"))
+      .join(broadcast(cnt(bw, "band", "cb_band")
+        .withColumnRenamed("band", "bband")), Seq("bband"))
+      .join(broadcast(cnt(aw, "tok", "ca_tok")
+        .withColumnRenamed("tok", "atok")), Seq("atok"))
+      .join(broadcast(cnt(bw, "tok", "cb_tok")
+        .withColumnRenamed("tok", "btok")), Seq("btok"))
+      .join(broadcast(cnt(aw, "ph", "ca_ph")
+        .withColumnRenamed("ph", "aph")), Seq("aph"))
+      .join(broadcast(cnt(bw, "ph", "cb_ph")
+        .withColumnRenamed("ph", "bph")), Seq("bph"))
+      .crossJoin(broadcast(stRow))
+      .withColumn("g_seg",
+        when(col("aseg") === col("bseg"), 1L).otherwise(0L))
+      .withColumn("g_band",
+        when(col("aband") === col("bband"), 1L).otherwise(0L))
+      .withColumn("g_tok",
+        when(col("atok") === col("btok"), 1L).otherwise(0L))
+      .withColumn("g_ph",
+        when(col("aph") === col("bph"), 1L).otherwise(0L))
+      .withColumn("f_nat", fw("nat", "2000000000"))
+      .withColumn("f_seg", fw("seg", "2000000000"))
+      .withColumn("f_band", fw("band", "2000000000"))
+      .withColumn("f_tok", fw("tok", "2000000000"))
+      .withColumn("f_ph", fw("ph", "2000000000000"))
+      .withColumn("p5", expr(
+        "CAST(CAST(CAST(CAST(f_nat AS DECIMAL(38,0))" +
+          " * (CASE WHEN g_seg = 1 THEN f_seg ELSE f_seg_d END)" +
+          " * (CASE WHEN g_band = 1 THEN f_band ELSE f_band_d END)" +
+          " div 10000000000 AS DECIMAL(38,0))" +
+          " * (CASE WHEN g_tok = 1 THEN f_tok ELSE f_tok_d END)" +
+          " div 10000000000 AS DECIMAL(38,0))" +
+          " * (CASE WHEN g_ph = 1 THEN f_ph ELSE f_ph_d END)" +
+          " AS DECIMAL(38,0))"))
+      .withColumn("is_match", col("p5") >= col("thr"))
+      .localCheckpoint(false)
+    WeightedParts(lp, db, scored, phPurged)
+  }
+
   private[queries] val DynKeys0 = Seq("nat", "seg")
   private[queries] val DynKeys1 = Seq("nat", "seg", "band")
   private[queries] val DynKeys2 = Seq("nat", "seg", "band", "tok")
 
   private[queries] def dynBlocks(a: DataFrame, b: DataFrame,
       cap: Long): DynBlocks = {
-    def census(df: DataFrame, side: String, keys: Seq[String]) =
-      df.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as(s"cnt_$side"))
-    val blk0 = census(a, "a", DynKeys0).join(census(b, "b", DynKeys0), DynKeys0)
+    // Per-level census fusion (round 14, VERDICT r13 #1): one union +
+    // groupBy with conditional counts replaces the old two-groupBy +
+    // equijoin census — half the census shuffles per level (the census
+    // shuffle is the part of this front that grows with registry size).
+    // The cnt_a > 0 AND cnt_b > 0 filter reproduces the old INNER join:
+    // blocks present on only one side generate no pairs and never
+    // appear in blk*.
+    def census(ax: DataFrame, bx: DataFrame, keys: Seq[String]) =
+      ax.select(keys.map(col) :+ lit(1L).as("is_a"): _*)
+        .unionAll(bx.select(keys.map(col) :+ lit(0L).as("is_a"): _*))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("is_a")).as("cnt_a"),
+          sum(lit(1L) - col("is_a")).as("cnt_b"))
+        .filter(col("cnt_a") > 0L && col("cnt_b") > 0L)
+    val blk0 = census(a, b, DynKeys0)
       .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
       .localCheckpoint(false)
     val keep0 = blk0.filter(col("occ") <= cap)
@@ -2245,7 +2890,7 @@ object Dedup {
       .select(DynKeys0.map(col): _*).localCheckpoint(false)
     val a1 = a.join(broadcast(split0), DynKeys0)
     val b1 = b.join(broadcast(split0), DynKeys0)
-    val blk1 = census(a1, "a", DynKeys1).join(census(b1, "b", DynKeys1), DynKeys1)
+    val blk1 = census(a1, b1, DynKeys1)
       .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
       .localCheckpoint(false)
     val keep1 = blk1.filter(col("occ") <= cap)
@@ -2253,7 +2898,7 @@ object Dedup {
       .select(DynKeys1.map(col): _*).localCheckpoint(false)
     val a2 = a1.join(broadcast(split1), DynKeys1)
     val b2 = b1.join(broadcast(split1), DynKeys1)
-    val blk2 = census(a2, "a", DynKeys2).join(census(b2, "b", DynKeys2), DynKeys2)
+    val blk2 = census(a2, b2, DynKeys2)
       .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
       .localCheckpoint(false)
     DynBlocks(blk0, keep0, split0, a1, b1, blk1, keep1, split1, a2, b2, blk2)
@@ -2265,7 +2910,7 @@ object Dedup {
     * decisions — one construction, two gates, so the capstone cannot
     * drift from the pairwise gate's registries or scoring. */
   private[queries] final case class LinkageParts(a: DataFrame, b: DataFrame,
-      cand: DataFrame, grid: DataFrame)
+      cand: DataFrame, grid: DataFrame, st: DataFrame)
 
   /** q302/q325's shared linkage front: md5-coin field noise over
     * `customer`, two-pass blocking, frequency-based u statistics, and
@@ -2286,6 +2931,20 @@ object Dedup {
         " div 50000").as("band"),
       col("c_mktsegment").as("seg"),
       (col("c_custkey") % 1000L).as("tok"))
+    // Spread policy (round 14, VERDICT r13 #1): size the registry spread
+    // to ~2k rows/partition instead of blindly using the session
+    // parallelism. The ER composition runs ~30 tiny stages over these
+    // frames; at sf0.1 (13.5k rows) a 32-way spread means every stage
+    // launches 32 near-empty tasks and task-launch latency dominates
+    // (measured: 9.6 s → 6.6 s at sf0.1 from this change alone). At
+    // production row counts rows/2000 exceeds the parallelism and the
+    // clamp restores the full session width, so the scale posture is
+    // unchanged — the spread still exists for exactly the reason the
+    // q325 probe found (candidate generation must not stream through
+    // one task).
+    val spread = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      Tables.customer(spark, dir).count() / 2000L)).toInt
     // Both registries are MATERIALIZED (lazy local checkpoint) before
     // any blocking join: the md5-coin noise expressions are
     // deterministic, so without the cut Catalyst collapses them past
@@ -2304,7 +2963,7 @@ object Dedup {
     val a = base.filter(coin("q302A#") < 900000L)
       .select(col("k").as("a_key"), col("nat"), col("band"),
         col("seg"), col("tok"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spread)
       .localCheckpoint(false)
     val nextSeg = when(col("seg") === "AUTOMOBILE", "BUILDING")
       .when(col("seg") === "BUILDING", "FURNITURE")
@@ -2321,7 +2980,7 @@ object Dedup {
         .otherwise(col("seg")).as("seg"),
       when(coin("q302T#") < 100000L, (col("tok") + 1) % 1000)
         .otherwise(col("tok")).as("tok"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spread)
       .localCheckpoint(false)
     def proj(df: DataFrame) = df.select(
       col("x.a_key").as("a_key"), col("y.b_key").as("b_key"),
@@ -2338,20 +2997,34 @@ object Dedup {
     val cand = proj(r1).union(proj(r2)).distinct()
       .withColumn("pid",
         col("g_tok") * 4 + col("g_seg") * 2 + col("g_band"))
-    def sFor(field: String) = {
-      val fa = a.groupBy(col(field).as("v"))
-        .agg(count(lit(1)).as("ca"))
-      val fb = b.groupBy(col(field).as("v"))
-        .agg(count(lit(1)).as("cb"))
-      fa.join(fb, "v")
-        .agg(sum(col("ca").cast(dec) * col("cb")).as(s"s_$field"))
-    }
-    val st = a.agg(count(lit(1)).as("n_a"))
-      .crossJoin(b.agg(count(lit(1)).as("n_b")))
-      .crossJoin(sFor("tok")).crossJoin(sFor("seg"))
-      .crossJoin(sFor("band"))
-      .crossJoin(a.join(b, col("a_key") === col("b_key"))
-        .agg(count(lit(1)).as("n_true_total")))
+    // u-statistic fusion (round 14, VERDICT r13 #1): the three per-field
+    // frequency passes (each 2 groupBys + join + agg + crossJoin) melt
+    // into ONE census — explode each registry row into (field, value)
+    // pairs, count per side, FULL OUTER join the sides, and read every
+    // scalar from a single aggregate. Values are identical: s_field sums
+    // ca*cb over values present on BOTH sides (null products drop out of
+    // SUM, reproducing the inner join), and n_a/n_b are the per-side
+    // census totals of any one field (every row carries one tok).
+    def melt(df: DataFrame) = df.select(
+      explode(map(
+        lit("tok"), col("tok").cast("string"),
+        lit("seg"), col("seg"),
+        lit("band"), col("band").cast("string"))).as(Seq("f", "v")))
+    val fa = melt(a).groupBy(col("f"), col("v"))
+      .agg(count(lit(1)).as("ca"))
+    val fb = melt(b).groupBy(col("f"), col("v"))
+      .agg(count(lit(1)).as("cb"))
+    def sOf(field: String) =
+      coalesce(sum(when(col("f") === field,
+        col("ca").cast(dec) * col("cb"))), lit(0L).cast(dec))
+    val freqs = fa.join(fb, Seq("f", "v"), "full_outer")
+      .agg(sOf("tok").as("s_tok"), sOf("seg").as("s_seg"),
+        sOf("band").as("s_band"),
+        sum(when(col("f") === "tok", col("ca"))).as("n_a"),
+        sum(when(col("f") === "tok", col("cb"))).as("n_b"))
+    val st = freqs
+      .crossJoin(broadcast(a.join(b, col("a_key") === col("b_key"))
+        .agg(count(lit(1)).as("n_true_total"))))
       .withColumn("nab", (col("n_a").cast(dec) * col("n_b")).cast(dec))
       .withColumn("f_tok_a", expr(
         "CAST(CAST(900000 AS DECIMAL(38,0)) * nab div s_tok AS BIGINT)"))
@@ -2386,7 +3059,7 @@ object Dedup {
         when(col("score_ppm12") >= 64000000000000L, "match")
           .when(col("score_ppm12") >= 1000000000000L, "possible")
           .otherwise("non_match"))
-    LinkageParts(a, b, cand, grid)
+    LinkageParts(a, b, cand, grid, st)
   }
 
   /** q320's chrF² scorer over (ptype, doc_id, ref, hyp) pairs: clipped

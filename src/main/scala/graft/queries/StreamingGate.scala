@@ -1705,6 +1705,98 @@ object StreamingGate {
     * the data once the batch order is pinned, which is exactly what the
     * oracle replays (cumulative counts over event_id % 8 ≤ k, rows only
     * where file k touches the type). */
+  /** q355: the REAL ingest pipeline ([[graft.streaming.MicroBatchPipeline]])
+    * drained over a staged 12-file JSON corpus with planted corruption,
+    * quarantine + idempotent commit + maxFilesPerTrigger = 3, rolled up
+    * per micro-batch. Mod-times pin file→batch assignment (q275's
+    * discipline), the injected clock pins the enrichment columns, and
+    * every output cell is a pure function of events arithmetic. */
+  def ingestQuarantineLaw(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val run = new GateRun(spark, "q355", Seq())
+    val mainT = "q355_main_table"
+    val dlqT = "q355_dlq_table"
+    Seq(mainT, dlqT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a crashed prior run can leave the managed location behind with
+      // no catalog entry; saveAsTable then fails LOCATION_ALREADY_EXISTS
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc))
+        graft.core.DirIO.deleteRecursively(loc)
+    }
+    val prev = spark.conf.getOption(NanosKey)
+    spark.conf.set(NanosKey, "true")
+    try {
+      val lines = spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id").cast(LongType).as("eid"))
+        .withColumn("full", expr(
+          "concat('{\"battery_level\":', CAST(eid % 100 AS STRING), " +
+            "',\"collision_detected\":false,\"direction\":\"N\"," +
+            "\"fuel_level\":', CAST(eid % 50 AS STRING), " +
+            "',\"latitude\":', CAST(eid % 90 AS STRING), " +
+            "',\"longitude\":', CAST(eid % 180 AS STRING), " +
+            "',\"seat_belt_status\":\"on\",\"speed_kmh\":', " +
+            "CAST(eid % 120 AS STRING), " +
+            "',\"sudden_braking\":false," +
+            "\"timestamp\":\"2024-01-01 00:00:00\"," +
+            "\"vehicle_id\":\"v', CAST(eid AS STRING), '\"}')"))
+        // head-of-line corruption: the whole object is unparseable, so
+        // PERMISSIVE partial-results salvage cannot rescue a field
+        .withColumn("line", expr(
+          "CASE WHEN eid % 13 = 0 THEN substring(full, 2) ELSE full END"))
+      (0 until 12).foreach { f =>
+        val stage = s"${run.srcDir}/stage_f$f"
+        lines.filter(col("eid") % 12 === f).orderBy(col("eid"))
+          .select(col("line")).coalesce(1)
+          .write.mode("overwrite").text(stage)
+        val part = graft.core.DirIO.list(Paths.get(stage))(_.filter(p =>
+          p.toString.endsWith(".txt")).findFirst().get())
+        val dest = Paths.get(run.srcDir, f"f$f%02d.json")
+        Files.move(part, dest)
+        graft.core.DirIO.deleteRecursively(Paths.get(stage))
+        // pin the batch order: the file source sorts by mod-time, so
+        // batches are exactly {f00..f02}, {f03..f05}, {f06..f08},
+        // {f09..f11}
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L
+            + f * 60000L))
+      }
+      graft.streaming.MicroBatchPipeline.runAvailable(spark,
+        graft.streaming.MicroBatchPipeline.Config(
+        inputDir = run.srcDir,
+        checkpointDir = run.ckpt,
+        table = mainT,
+        maxFilesPerTrigger = 3,
+        clockEpochSec = Some(1704067200L),
+        idempotentCommit = true,
+        quarantineTable = Some(dlqT)))
+      val m = spark.table(mainT).groupBy(col("batch_id"))
+        .agg(countDistinct(col("input_file")).as("n_files"),
+          count(lit(1)).as("n_main"),
+          sum(col("speed_kmh")).cast(LongType).as("sum_speed"))
+      val d = spark.table(dlqT).groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_dlq"),
+          sum(length(col("raw_line")).cast(LongType)).as("dlq_bytes"))
+      m.join(d, Seq("batch_id"), "full_outer")
+        .na.fill(0L, Seq("n_files", "n_main", "sum_speed", "n_dlq",
+          "dlq_bytes"))
+        .select(col("batch_id").cast(LongType).as("batch_id"),
+          col("n_files"), col("n_main"), col("n_dlq"),
+          (col("n_main") + col("n_dlq")).as("rows_per_trigger"),
+          col("sum_speed"), col("dlq_bytes"))
+        .orderBy(col("batch_id"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      run.cleanup()
+    }
+  }
+
   def streamedUpdateHistory(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val run = new GateRun(spark, "q275", Seq())
@@ -2951,7 +3043,63 @@ object StreamingGate {
                CAST(SUM(event_id) AS BIGINT),
                CAST(SUM(cents % 7) AS BIGINT)
         FROM e GROUP BY event_type
-        ORDER BY schema_era, event_type""")))
+        ORDER BY schema_era, event_type"""))) :+ (
+
+    // ---- q355: ingest-throughput knobs under quarantine (33rd law) ----
+    // VERDICT r13 #7: the bench's ingest row (155k rows/s sf0.1) rides
+    // BENCH_r*.json but the knobs that produce it — maxFilesPerTrigger
+    // batching and the quarantine split — had no oracle gate. This law
+    // drains a STAGED 12-FILE JSON corpus (lines built with explicit
+    // concat from events arithmetic; every 13th line loses its opening
+    // brace) through the REAL MicroBatchPipeline with
+    // maxFilesPerTrigger = 3, quarantine ON, idempotent commit ON and
+    // an injected clock, then rolls the two tables up PER BATCH: files
+    // per trigger, main/DLQ row counts, rows-per-trigger, a parse-
+    // fidelity sum (speed) and the DLQ byte fingerprint. File→batch
+    // assignment is pinned by staged mod-times (the q275 discipline),
+    // so the oracle replays every cell from events arithmetic alone:
+    // batch = (event_id % 12) div 3. A broken trigger bound, a dropped
+    // or double-read file, a quarantine leak, or a batch-id misstamp
+    // all break the hash.
+    //
+    // 100 TB posture: this IS the production ingest path (bounded file
+    // batches, incremental listing, partition-overwrite replay safety);
+    // the gate pins its semantics so throughput tuning can't silently
+    // change delivery.
+    "q355_ingest_quarantine_law" -> QueryDef(
+      build = (spark, dir) => ingestQuarantineLaw(spark, dir),
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT CAST(event_id AS BIGINT) AS eid,
+                 length('{"battery_level":'
+                   || CAST(CAST(event_id AS BIGINT) % 100 AS VARCHAR)
+                   || ',"collision_detected":false,"direction":"N","fuel_level":'
+                   || CAST(CAST(event_id AS BIGINT) % 50 AS VARCHAR)
+                   || ',"latitude":'
+                   || CAST(CAST(event_id AS BIGINT) % 90 AS VARCHAR)
+                   || ',"longitude":'
+                   || CAST(CAST(event_id AS BIGINT) % 180 AS VARCHAR)
+                   || ',"seat_belt_status":"on","speed_kmh":'
+                   || CAST(CAST(event_id AS BIGINT) % 120 AS VARCHAR)
+                   || ',"sudden_braking":false,"timestamp":"2024-01-01 00:00:00","vehicle_id":"v'
+                   || CAST(CAST(event_id AS BIGINT) AS VARCHAR)
+                   || '"}') AS full_len
+          FROM events WHERE event_id IS NOT NULL),
+        r AS (SELECT eid, (eid % 12) // 3 AS batch_id, eid % 12 AS fidx,
+                     CASE WHEN eid % 13 = 0 THEN 1 ELSE 0 END AS bad,
+                     full_len
+              FROM e)
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(COUNT(DISTINCT CASE WHEN bad = 0 THEN fidx END)
+                 AS BIGINT) AS n_files,
+               CAST(SUM(1 - bad) AS BIGINT) AS n_main,
+               CAST(SUM(bad) AS BIGINT) AS n_dlq,
+               CAST(COUNT(*) AS BIGINT) AS rows_per_trigger,
+               CAST(SUM(CASE WHEN bad = 0 THEN eid % 120 ELSE 0 END)
+                 AS BIGINT) AS sum_speed,
+               CAST(SUM(CASE WHEN bad = 1 THEN full_len - 1 ELSE 0 END)
+                 AS BIGINT) AS dlq_bytes
+        FROM r GROUP BY 1 ORDER BY 1""")))
 
 
   /** Run the COMPLETE-mode leaderboard gate to completion: the q275

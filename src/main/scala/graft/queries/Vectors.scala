@@ -308,7 +308,14 @@ object Vectors {
         JOIN e eb ON eb.vec_id = c.id_b
         WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.38
         ORDER BY id_a, id_b"""),
-      headline = true),
+      // GATE-ONLY since round 14 (VERDICT r13 #5): at this 3σ-of-noise
+      // threshold the verified-pair OUTPUT grows ∝ N² by distribution
+      // -tail math (round-13 diagnosis), so its 10× rehearsal row
+      // measured fixture physics, not engine cost. The benched near-dup
+      // lineage is q351 (the ≥0.80 production threshold, output ∝
+      // planted dups); this stays as the correctness gate for the
+      // LSH-candidate → exact-verify shape.
+      headline = false),
 
     // ---- q52: all-pairs embedding near-duplicates ----
     // Exact all-pairs with id-ordered dedup; the oracle-verifiable exact

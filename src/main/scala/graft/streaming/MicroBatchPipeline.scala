@@ -28,6 +28,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object MicroBatchPipeline {
 
+  /** Scan-time file attribution column, present only in quarantine mode
+    * (see the source construction in [[start]]): folded into the
+    * enriched main table's `input_file` and kept as `src_file` on DLQ
+    * rows. */
+  val SrcFileCol = "_src_file"
+
   final case class Config(
       inputDir: String,
       checkpointDir: String,
@@ -61,13 +67,24 @@ object MicroBatchPipeline {
       if (config.quarantineTable.isDefined)
         GpsSchema.schema.add(corruptCol, org.apache.spark.sql.types.StringType)
       else GpsSchema.schema
-    val source = spark.readStream
+    val source0 = spark.readStream
       .schema(schema)
       .option("multiline", "false")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .option("maxFilesPerTrigger", config.maxFilesPerTrigger)
       .json(config.inputDir)
+    // Quarantine mode caches each batch to split it (withSplitAccounted),
+    // and input_file_name() evaluates EMPTY on rows scanned back from a
+    // cache — so file attribution must bind at SCAN time or the enriched
+    // table silently loses it (caught by the q355 ingest law, round 14).
+    // The captured column also rides the DLQ rows: a quarantined line
+    // without its source file is operationally useless.
+    val source =
+      if (config.quarantineTable.isDefined)
+        source0.withColumn(SrcFileCol,
+          org.apache.spark.sql.functions.input_file_name())
+      else source0
 
     val trigger = config.processingInterval
       .map(Trigger.ProcessingTime(_))
@@ -94,11 +111,19 @@ object MicroBatchPipeline {
         import org.apache.spark.sql.functions.{col, lit}
         def writeMain(batch: org.apache.spark.sql.DataFrame): Unit =
           if (!batch.isEmpty) {
-            val enriched = config.clockEpochSec match {
+            val hasSrcFile = batch.columns.contains(SrcFileCol)
+            val enriched0 = config.clockEpochSec match {
               // Injected clock => deterministic column-DSL path (golden tests).
               case Some(_) => Enrichment.enrich(batch, config.clockEpochSec)
               case None    => Enrichment.enrichSql(batch, config.sqlQuery)
             }
+            // quarantine mode: enrichment's own input_file_name() saw a
+            // cache scan (empty) — fold in the scan-time attribution
+            val enriched =
+              if (hasSrcFile)
+                enriched0.withColumn("input_file", col(SrcFileCol))
+                  .drop(SrcFileCol)
+              else enriched0
             if (config.idempotentCommit)
               IdempotentParquetSink.write(enriched, config.table, batchId,
                 config.partitionCols, config.compression)
@@ -114,7 +139,8 @@ object MicroBatchPipeline {
             // corrupt-column query restriction recipe) and unpersists it
             // when both writes are done
             graft.sources.JsonBatchReader.withSplitAccounted(raw) { (good, badRows) =>
-              val bad = badRows.select(col(corruptCol).as("raw_line"))
+              val bad = badRows.select(col(corruptCol).as("raw_line"),
+                col(SrcFileCol).as("src_file"))
               if (!bad.isEmpty) {
                 if (config.idempotentCommit)
                   // same replay contract as the main table: a crash
