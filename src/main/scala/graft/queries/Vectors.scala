@@ -1590,7 +1590,145 @@ object Vectors {
                  AS recall_ppm,
                pc.pairs_total - pc.planted_recalled AS background_pairs
         FROM cnts CROSS JOIN bits CROSS JOIN pc"""),
-      headline = true)
+      headline = true),
+
+    // ---- q357: int8 embedding-quantization recall certificate ----
+    // (round 14) The storage operation every 100 TB embedding corpus
+    // performs — scalar int8 quantization (per-dim corpus min/max, 255
+    // bins) cuts the float32 column 4× — gated on the property a
+    // retrieval stack cares about: how much of the EXACT float top-k
+    // does integer-dot ranking over the quantized codes preserve?
+    // Fully oracle-replayable END TO END, unlike the sketch gates:
+    // quantization runs in exact double arithmetic from the float32
+    // inputs (widening is exact; both engines compute the same doubles
+    // and the same FLOOR), integer dot products are exact in BIGINT /
+    // integer-valued doubles, ranks tie-break on vec_id, and the float
+    // side is q50's kernel. Output: per-query overlap@5 plus the corpus
+    // recall rollup.
+    //
+    // 100 TB posture: the min/max census is one posexplode agg
+    // (64-row broadcast result); quantization is in-row; the ranking
+    // here is the bounded brute-force certificate (every 97th vector
+    // as query, broadcast query side — q50's discipline), while the
+    // production read path would feed the codes to q51/q54's bucketed
+    // candidates.
+    "q357_int8_quant_recall" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+          .localCheckpoint(false)
+        val mm = emb.select(posexplode(col("e")).as(Seq("d", "v")))
+          .groupBy(col("d"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .groupBy()
+          .agg(expr("transform(array_sort(collect_list(struct(d, lo)))," +
+            " x -> x.lo)").as("lo_arr"),
+            expr("transform(array_sort(collect_list(struct(d, hi)))," +
+              " x -> x.hi)").as("hi_arr"))
+        // dequantized reconstruction v̂ = lo + code·(hi−lo)/255 — the
+        // value an int8-storing retrieval stack actually scores with
+        // (raw offset-code dots destroy cosine geometry: measured
+        // recall 0 on the first draft of this gate)
+        val quant = emb.crossJoin(broadcast(mm))
+          .select(col("vec_id"), expr(
+            "transform(sequence(1, size(e)), i -> CASE" +
+              " WHEN element_at(hi_arr, i) = element_at(lo_arr, i)" +
+              " THEN element_at(lo_arr, i)" +
+              " ELSE element_at(lo_arr, i) + CAST(LEAST(CAST(255 AS DOUBLE)," +
+              " GREATEST(CAST(0 AS DOUBLE)," +
+              " FLOOR((element_at(e, i) - element_at(lo_arr, i)) * 255" +
+              " / (element_at(hi_arr, i) - element_at(lo_arr, i)))))" +
+              " AS BIGINT) * (element_at(hi_arr, i) - element_at(lo_arr, i))" +
+              " / 255 END)").as("r"))
+          .localCheckpoint(false)
+        val qsInt = quant.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("r").as("rq"))
+        val wI = Window.partitionBy(col("qid"))
+          .orderBy(col("qcos").desc, col("vec_id"))
+        val topInt = quant.join(broadcast(qsInt), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine(col("rq"), col("r")).as("qcos"))
+          .withColumn("rn", row_number().over(wI))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+        val qsF = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val wF = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val topF = emb.join(broadcast(qsF), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine(col("qe"), col("e")).as("cos"))
+          .withColumn("rn", row_number().over(wF))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+        val ov = topInt.join(topF, Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+        val perQ = qsInt.select(col("qid"))
+          .join(ov, Seq("qid"), "left")
+          .na.fill(0L, Seq("n_overlap"))
+          .localCheckpoint(false)
+        val roll = perQ.agg(count(lit(1)).as("n_queries"),
+          sum(col("n_overlap")).as("sum_overlap"),
+          min(col("n_overlap")).as("min_overlap"))
+        perQ.crossJoin(broadcast(roll))
+          .select(col("qid"), col("n_overlap"), col("n_queries"),
+            col("sum_overlap"), col("min_overlap"),
+            expr("sum_overlap * 1000000 div (5 * n_queries)")
+              .as("recall_ppm"))
+          .orderBy(col("qid"))
+      },
+      oracle = Some("""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        dm AS (SELECT i, MIN(v) AS lo, MAX(v) AS hi
+               FROM (SELECT unnest(e) AS v,
+                            generate_subscripts(e, 1) AS i FROM e)
+               GROUP BY 1),
+        mm AS (SELECT list(lo ORDER BY i) AS lo_arr,
+                      list(hi ORDER BY i) AS hi_arr FROM dm),
+        qt AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(range(1, len(e) + 1), i -> CASE
+                   WHEN hi_arr[i] = lo_arr[i] THEN lo_arr[i]
+                   ELSE lo_arr[i] + CAST(LEAST(CAST(255 AS DOUBLE),
+                     GREATEST(CAST(0 AS DOUBLE),
+                     FLOOR((e[i] - lo_arr[i]) * 255
+                       / (hi_arr[i] - lo_arr[i])))) AS BIGINT)
+                     * (hi_arr[i] - lo_arr[i]) / 255 END) AS r
+          FROM e CROSS JOIN mm),
+        qi AS (SELECT vec_id AS qid, r AS rq FROM qt
+               WHERE vec_id % 97 = 0),
+        ri AS (SELECT qid, vec_id FROM (
+                 SELECT qi.qid, qt.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY qi.qid
+                          ORDER BY list_cosine_similarity(qt.r, qi.rq)
+                            DESC, qt.vec_id) AS rn
+                 FROM qt JOIN qi ON qt.vec_id != qi.qid)
+               WHERE rn <= 5),
+        qf AS (SELECT vec_id AS qid, e AS qe FROM e
+               WHERE vec_id % 97 = 0),
+        rf AS (SELECT qid, vec_id FROM (
+                 SELECT qf.qid, e.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY qf.qid
+                          ORDER BY list_cosine_similarity(e.e, qf.qe)
+                            DESC, e.vec_id) AS rn
+                 FROM e JOIN qf ON e.vec_id != qf.qid)
+               WHERE rn <= 5),
+        ov AS (SELECT ri.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+               FROM ri JOIN rf USING (qid, vec_id) GROUP BY 1),
+        pq AS (SELECT qi.qid, COALESCE(ov.n_overlap, 0) AS n_overlap
+               FROM qi LEFT JOIN ov ON ov.qid = qi.qid),
+        roll AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                        CAST(SUM(n_overlap) AS BIGINT) AS sum_overlap,
+                        CAST(MIN(n_overlap) AS BIGINT) AS min_overlap
+                 FROM pq)
+        SELECT pq.qid, CAST(pq.n_overlap AS BIGINT) AS n_overlap,
+               roll.n_queries, roll.sum_overlap, roll.min_overlap,
+               roll.sum_overlap * 1000000 // (5 * roll.n_queries)
+                 AS recall_ppm
+        FROM pq CROSS JOIN roll
+        ORDER BY pq.qid"""))
   )
 
   /** DuckDB replay of q260: the same integer power iteration, unrolled
