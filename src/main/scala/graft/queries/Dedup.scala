@@ -41,6 +41,15 @@ object Dedup {
     * in the engine expression and the DuckDB oracle replay. */
   private val WeightedMatchT = "36000000000000000"
 
+  /** The capped-blocking occupancy cap shared by every dynamic-blocking
+    * ER gate (q325's probe, q349, q353) — the dynBlocks call, the
+    * keep/split/purge filters, the fused lvlStats certificates, and the
+    * DuckDB oracle CTEs all interpolate THIS value, so changing the cap
+    * at one site can never silently desynchronize the kept-occupancy /
+    * candidate-mass / purge certificates from the actual blocking
+    * (round-14 ADVICE). */
+  private[queries] val BlockCap = 12L
+
 
   /** Chunk-level exact dedup (the CCNet "line dedup" analog for a corpus
     * whose documents are single-line token streams): split every document
@@ -1796,7 +1805,7 @@ object Dedup {
         val lp = linkageParts(spark, dir)
         val a = lp.a
         val b = lp.b
-        val db = dynBlocks(a, b, cap = 12L)
+        val db = dynBlocks(a, b, cap = BlockCap)
         import db._
         val k0 = DynKeys0
         val k1 = DynKeys1
@@ -1972,7 +1981,7 @@ object Dedup {
         val a = lp.a
         val b = lp.b
         val grid8 = lp.grid.localCheckpoint(false)
-        val db = dynBlocks(a, b, cap = 12L)
+        val db = dynBlocks(a, b, cap = BlockCap)
         def pairFlags(ax: DataFrame, keys: Seq[String]) = {
           val x = ax.as("x")
           val y = b.as("y")
@@ -1986,7 +1995,7 @@ object Dedup {
               when(col("x.band") === col("y.band"), 1L).otherwise(0L)
                 .as("g_band"))
         }
-        val keep2 = db.blk2.filter(col("occ") <= 12L)
+        val keep2 = db.blk2.filter(col("occ") <= BlockCap)
         // Levels 0/1 materialize pairs (≤ cap·rows each, mixed pids).
         val dmp01 = pairFlags(a.join(broadcast(
             db.keep0.select(DynKeys0.map(col): _*)), DynKeys0), DynKeys0)
@@ -2064,15 +2073,15 @@ object Dedup {
           .unionAll(lvl(db.blk2, 2))
           .agg(
             sum(when(col("lv") === 0, col("mass"))).as("cand_full"),
-            coalesce(max(when(col("lv") === 0 && col("occ") <= 12L,
+            coalesce(max(when(col("lv") === 0 && col("occ") <= BlockCap,
               col("occ"))), lit(-1L)).as("max_occ_kept0"),
-            coalesce(max(when(col("lv") === 1 && col("occ") <= 12L,
+            coalesce(max(when(col("lv") === 1 && col("occ") <= BlockCap,
               col("occ"))), lit(-1L)).as("max_occ_kept1"),
-            coalesce(max(when(col("lv") === 2 && col("occ") <= 12L,
+            coalesce(max(when(col("lv") === 2 && col("occ") <= BlockCap,
               col("occ"))), lit(-1L)).as("max_occ_kept2"),
-            coalesce(sum(when(col("lv") === 2 && col("occ") <= 12L,
+            coalesce(sum(when(col("lv") === 2 && col("occ") <= BlockCap,
               col("mass"))), lit(0L)).as("c2d"),
-            sum(when(col("lv") === 2 && col("occ") > 12L, 1L)
+            sum(when(col("lv") === 2 && col("occ") > BlockCap, 1L)
               .otherwise(0L)).as("n_purged_blocks"))
         val certs = dmpScalars
           .crossJoin(broadcast(lvlStats))
@@ -2156,7 +2165,7 @@ object Dedup {
                  (SELECT CAST(COALESCE(MAX(occ), -1) AS BIGINT)
                   FROM keep2) AS max_occ_kept2,
                  (SELECT CAST(COUNT(*) AS BIGINT) FROM blk2
-                  WHERE occ > 12) AS n_purged_blocks),
+                  WHERE occ > $BlockCap) AS n_purged_blocks),
         $erTailCtes
         SELECT $erTailSelect,
                certs.cand_total, certs.cand_full,
@@ -2257,7 +2266,7 @@ object Dedup {
           FROM (SELECT nat, ph, COUNT(*) AS cnt_a FROM aw GROUP BY 1, 2)
             ca JOIN (SELECT nat, ph, COUNT(*) AS cnt_b FROM bw
             GROUP BY 1, 2) cb USING (nat, ph)),
-        keepP AS (SELECT * FROM blkP WHERE occ <= 12),
+        keepP AS (SELECT * FROM blkP WHERE occ <= $BlockCap),
         aw1 AS (SELECT w.* FROM aw w JOIN split0 USING (nat, seg)),
         aw2 AS (SELECT w.* FROM aw1 w JOIN split1 USING (nat, seg, band)),
         candw AS MATERIALIZED (
@@ -2365,7 +2374,7 @@ object Dedup {
                    AND g_tok = 1 AND p5 >= thr THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_allagree4_kept,
                  (SELECT CAST(COUNT(*) AS BIGINT) FROM blkP
-                  WHERE occ > 12) AS n_purged_ph_blocks
+                  WHERE occ > $BlockCap) AS n_purged_ph_blocks
                FROM sc),
         $erTailCtes
         SELECT $erTailSelect,
@@ -2733,7 +2742,7 @@ object Dedup {
         .otherwise(col("ph")).as("ph"))
     val aw = lp.a.join(broadcast(pha), Seq("a_key")).localCheckpoint(false)
     val bw = lp.b.join(broadcast(phb), Seq("b_key")).localCheckpoint(false)
-    val db = dynBlocks(lp.a, lp.b, cap = 12L)
+    val db = dynBlocks(lp.a, lp.b, cap = BlockCap)
     // second blocking pass: (nat, ph) with the same cap/purge discipline
     val PhKeys = Seq("nat", "ph")
     val blkP = aw.select(col("nat"), col("ph"), lit(1L).as("is_a"))
@@ -2744,8 +2753,8 @@ object Dedup {
       .filter(col("cnt_a") > 0L && col("cnt_b") > 0L)
       .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
       .localCheckpoint(false)
-    val keepP = blkP.filter(col("occ") <= 12L)
-    val phPurged = blkP.filter(col("occ") > 12L)
+    val keepP = blkP.filter(col("occ") <= BlockCap)
+    val phPurged = blkP.filter(col("occ") > BlockCap)
     def pairCols(j: DataFrame) = j.select(
       col("x.a_key").as("a_key"), col("y.b_key").as("b_key"),
       col("x.nat").as("anat"), col("x.seg").as("aseg"),
@@ -2759,7 +2768,7 @@ object Dedup {
         keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)))
     val a1w = aw.join(broadcast(db.split0), DynKeys0)
     val a2w = a1w.join(broadcast(db.split1), DynKeys1)
-    val keep2 = db.blk2.filter(col("occ") <= 12L)
+    val keep2 = db.blk2.filter(col("occ") <= BlockCap)
     val cand = pairsAt(aw.join(broadcast(
         db.keep0.select(DynKeys0.map(col): _*)), DynKeys0), DynKeys0)
       .unionAll(pairsAt(a1w.join(broadcast(
@@ -3106,17 +3115,17 @@ object Dedup {
           .as("chrf_ppm"))
   }
 
-  /** Capped dynamic-blocking CTE chain (cap = 12) over the linkage
-    * registries — shared verbatim by the q338 and q349 oracles so the
-    * certificate card and the scale-safe capstone replay the SAME
-    * splitting. Appends to [[linkageCtes]]' `a`/`b`. */
-  private def dynBlockCtes: String = """ca0 AS (SELECT nat, seg, COUNT(*) AS cnt_a FROM a GROUP BY 1, 2),
+  /** Capped dynamic-blocking CTE chain (cap = [[BlockCap]]) over the
+    * linkage registries — shared verbatim by the q338 and q349 oracles
+    * so the certificate card and the scale-safe capstone replay the
+    * SAME splitting. Appends to [[linkageCtes]]' `a`/`b`. */
+  private def dynBlockCtes: String = s"""ca0 AS (SELECT nat, seg, COUNT(*) AS cnt_a FROM a GROUP BY 1, 2),
         cb0 AS (SELECT nat, seg, COUNT(*) AS cnt_b FROM b GROUP BY 1, 2),
         blk0 AS (SELECT nat, seg, cnt_a, cnt_b,
                         GREATEST(cnt_a, cnt_b) AS occ
                  FROM ca0 JOIN cb0 USING (nat, seg)),
-        keep0 AS (SELECT * FROM blk0 WHERE occ <= 12),
-        split0 AS (SELECT nat, seg FROM blk0 WHERE occ > 12),
+        keep0 AS (SELECT * FROM blk0 WHERE occ <= $BlockCap),
+        split0 AS (SELECT nat, seg FROM blk0 WHERE occ > $BlockCap),
         a1 AS (SELECT x.* FROM a x JOIN split0 USING (nat, seg)),
         b1 AS (SELECT y.* FROM b y JOIN split0 USING (nat, seg)),
         ca1 AS (SELECT nat, seg, band, COUNT(*) AS cnt_a FROM a1
@@ -3126,8 +3135,8 @@ object Dedup {
         blk1 AS (SELECT nat, seg, band, cnt_a, cnt_b,
                         GREATEST(cnt_a, cnt_b) AS occ
                  FROM ca1 JOIN cb1 USING (nat, seg, band)),
-        keep1 AS (SELECT * FROM blk1 WHERE occ <= 12),
-        split1 AS (SELECT nat, seg, band FROM blk1 WHERE occ > 12),
+        keep1 AS (SELECT * FROM blk1 WHERE occ <= $BlockCap),
+        split1 AS (SELECT nat, seg, band FROM blk1 WHERE occ > $BlockCap),
         a2 AS (SELECT x.* FROM a1 x JOIN split1 USING (nat, seg, band)),
         b2 AS (SELECT y.* FROM b1 y JOIN split1 USING (nat, seg, band)),
         ca2 AS (SELECT nat, seg, band, tok, COUNT(*) AS cnt_a FROM a2
@@ -3137,7 +3146,7 @@ object Dedup {
         blk2 AS (SELECT nat, seg, band, tok, cnt_a, cnt_b,
                         GREATEST(cnt_a, cnt_b) AS occ
                  FROM ca2 JOIN cb2 USING (nat, seg, band, tok)),
-        keep2 AS (SELECT * FROM blk2 WHERE occ <= 12)"""
+        keep2 AS (SELECT * FROM blk2 WHERE occ <= $BlockCap)"""
 
   /** The ER capstone's clustering-tail CTE chain (expects `edges(x, y)`
     * — the match graph — and `np(n_match_pairs)` already defined by the

@@ -41,6 +41,37 @@ object Vectors {
   private[queries] val PlantOff = 10000000L
   private[queries] val PlantEvery = 25L
 
+  /** q357's int8 scalar quantize → dequantize front over (vec_id, e):
+    * per-dim corpus min/max census, 255-bin FLOOR codes, reconstruction
+    * v̂ = lo + code·(hi−lo)/255 — the value an int8-storing retrieval
+    * stack actually scores with (raw offset-code dots destroy cosine
+    * geometry: measured recall 0 on the gate's first draft). Every step
+    * is exact, engine-identical double arithmetic; factored out so
+    * Round15PropertySpec can pin the quantized ranking's rank-5/rank-6
+    * cosine margin on the same code the gate runs. */
+  private[queries] def int8Dequant(emb: DataFrame): DataFrame = {
+    val mm = emb.select(posexplode(col("e")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(d, lo)))," +
+        " x -> x.lo)").as("lo_arr"),
+        expr("transform(array_sort(collect_list(struct(d, hi)))," +
+          " x -> x.hi)").as("hi_arr"))
+    emb.crossJoin(broadcast(mm))
+      .select(col("vec_id"), expr(
+        "transform(sequence(1, size(e)), i -> CASE" +
+          " WHEN element_at(hi_arr, i) = element_at(lo_arr, i)" +
+          " THEN element_at(lo_arr, i)" +
+          " ELSE element_at(lo_arr, i) + CAST(LEAST(CAST(255 AS DOUBLE)," +
+          " GREATEST(CAST(0 AS DOUBLE)," +
+          " FLOOR((element_at(e, i) - element_at(lo_arr, i)) * 255" +
+          " / (element_at(hi_arr, i) - element_at(lo_arr, i)))))" +
+          " AS BIGINT) * (element_at(hi_arr, i) - element_at(lo_arr, i))" +
+          " / 255 END)").as("r"))
+      .localCheckpoint(false)
+  }
+
   /** q351's corpus: the embeddings table plus a JITTERED copy of every
     * 25th vector (deterministic Murmur3-keyed per-element perturbation,
     * ‖δ‖² ≈ 0.026 on unit vectors → planted cosine ≈ 0.987 — the
@@ -1598,49 +1629,38 @@ object Vectors {
     // bins) cuts the float32 column 4× — gated on the property a
     // retrieval stack cares about: how much of the EXACT float top-k
     // does integer-dot ranking over the quantized codes preserve?
-    // Fully oracle-replayable END TO END, unlike the sketch gates:
-    // quantization runs in exact double arithmetic from the float32
-    // inputs (widening is exact; both engines compute the same doubles
-    // and the same FLOOR), integer dot products are exact in BIGINT /
-    // integer-valued doubles, ranks tie-break on vec_id, and the float
-    // side is q50's kernel. Output: per-query overlap@5 plus the corpus
-    // recall rollup.
+    // Oracle-replayable END TO END: the QUANTIZATION is exact and
+    // engine-identical (float32→double widening is exact, both engines
+    // compute the same doubles and the same FLOOR, so the
+    // reconstruction arrays are bit-equal), and the RANKING is cosine
+    // over those dequantized doubles — NOT integer arithmetic (the
+    // codes enter scaled by per-dim float (hi−lo)/255 steps; a raw
+    // offset-code integer ranking destroys cosine geometry — measured
+    // recall 0 on this gate's first draft). Cross-engine rank agreement
+    // therefore rests on Spark's dot/(sqrt·sqrt) kernel and DuckDB's
+    // list_cosine_similarity computing the same double to the last
+    // ulp-that-matters at the rank-5/rank-6 boundary (round-14 ADVICE);
+    // Round15PropertySpec pins the MEASURED boundary margin (min over
+    // queries of cos@5 − cos@6 in the quantized ranking) orders of
+    // magnitude above double rounding at both test SFs, so a flip
+    // would need a corpus with a genuine near-tie, not noise. Ranks
+    // tie-break on vec_id; the float side is q50's kernel. Output:
+    // per-query overlap@5 plus the corpus recall rollup.
     //
     // 100 TB posture: the min/max census is one posexplode agg
-    // (64-row broadcast result); quantization is in-row; the ranking
-    // here is the bounded brute-force certificate (every 97th vector
-    // as query, broadcast query side — q50's discipline), while the
-    // production read path would feed the codes to q51/q54's bucketed
-    // candidates.
+    // (64-row broadcast result); quantization is in-row. The ranking
+    // below is a brute-force CERTIFICATE DUAL (q52/q325's convention —
+    // do NOT copy at corpus scale): the corpus side joins against the
+    // every-97th-vector query sample, so work grows N²/97 with corpus
+    // size. It exists to certify the quantizer's recall exactly; the
+    // production read path feeds the codes to q51/q54's bucketed
+    // candidates (sub-quadratic by construction).
     "q357_int8_quant_recall" -> QueryDef(
       build = (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
           .select(col("vec_id"), vec64(col("embedding")).as("e"))
           .localCheckpoint(false)
-        val mm = emb.select(posexplode(col("e")).as(Seq("d", "v")))
-          .groupBy(col("d"))
-          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-          .groupBy()
-          .agg(expr("transform(array_sort(collect_list(struct(d, lo)))," +
-            " x -> x.lo)").as("lo_arr"),
-            expr("transform(array_sort(collect_list(struct(d, hi)))," +
-              " x -> x.hi)").as("hi_arr"))
-        // dequantized reconstruction v̂ = lo + code·(hi−lo)/255 — the
-        // value an int8-storing retrieval stack actually scores with
-        // (raw offset-code dots destroy cosine geometry: measured
-        // recall 0 on the first draft of this gate)
-        val quant = emb.crossJoin(broadcast(mm))
-          .select(col("vec_id"), expr(
-            "transform(sequence(1, size(e)), i -> CASE" +
-              " WHEN element_at(hi_arr, i) = element_at(lo_arr, i)" +
-              " THEN element_at(lo_arr, i)" +
-              " ELSE element_at(lo_arr, i) + CAST(LEAST(CAST(255 AS DOUBLE)," +
-              " GREATEST(CAST(0 AS DOUBLE)," +
-              " FLOOR((element_at(e, i) - element_at(lo_arr, i)) * 255" +
-              " / (element_at(hi_arr, i) - element_at(lo_arr, i)))))" +
-              " AS BIGINT) * (element_at(hi_arr, i) - element_at(lo_arr, i))" +
-              " / 255 END)").as("r"))
-          .localCheckpoint(false)
+        val quant = int8Dequant(emb)
         val qsInt = quant.filter(col("vec_id") % 97 === 0)
           .select(col("vec_id").as("qid"), col("r").as("rq"))
         val wI = Window.partitionBy(col("qid"))

@@ -12,7 +12,7 @@ The dtype check exists because pandas value-compare erases exactly the
 mismatch class the driver's hash catches: DuckDB SUM(int)->HUGEINT vs Spark
 sum(long)->BIGINT, DuckDB CEIL->DOUBLE vs Spark ceil->BIGINT. Python's
 `1 == 1.0` hides those; comparing Arrow types does not."""
-import sys, json, glob, math
+import sys, json, glob, math, time
 
 import duckdb
 import pyarrow as pa
@@ -166,8 +166,13 @@ def main():
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
     results = {}
 
-    def record(name, ok, detail=""):
-        results[name] = {"pass": ok} if not detail else {"pass": ok, "detail": detail}
+    def record(name, ok, detail="", sec=None):
+        r = {"pass": ok}
+        if detail:
+            r["detail"] = detail
+        if sec is not None:
+            r["sec"] = round(sec, 3)
+        results[name] = r
 
     con = duckdb.connect()
     for t in TABLES:
@@ -175,11 +180,12 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        t0 = time.perf_counter()
         sql = oracle[name]
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
-            record(name, False, "no spark output")
+            record(name, False, sec=time.perf_counter() - t0, detail="no spark output")
             n_fail += 1
             continue
         try:
@@ -189,27 +195,27 @@ def main():
             ddf = dtab.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: {e}")
-            record(name, False, str(e)[:400])
+            record(name, False, sec=time.perf_counter() - t0, detail=str(e)[:400])
             n_fail += 1
             continue
         srows, scols = frame_rows(sdf)
         drows, dcols = frame_rows(ddf)
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
-            record(name, False, f"columns spark={scols} duck={dcols}")
+            record(name, False, sec=time.perf_counter() - t0, detail=f"columns spark={scols} duck={dcols}")
             n_fail += 1
             continue
         tmis = dtype_mismatches(stab, dtab)
         if tmis:
             print(f"FAIL {name}: dtype mismatch " +
                   "; ".join(f"{c}: spark={a} duck={b}" for c, a, b in tmis))
-            record(name, False, "dtype mismatch: " +
+            record(name, False, sec=time.perf_counter() - t0, detail="dtype mismatch: " +
                    "; ".join(f"{c}: spark={a} duck={b}" for c, a, b in tmis))
             n_fail += 1
             continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
-            record(name, False, f"rows spark={len(srows)} duck={len(drows)}")
+            record(name, False, sec=time.perf_counter() - t0, detail=f"rows spark={len(srows)} duck={len(drows)}")
             n_fail += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
@@ -219,11 +225,11 @@ def main():
             print(f"  cols : {dcols}")
             print(f"  spark: {a}")
             print(f"  duck : {b}")
-            record(name, False, f"{len(bad)}/{len(srows)} rows differ; first at {i}")
+            record(name, False, sec=time.perf_counter() - t0, detail=f"{len(bad)}/{len(srows)} rows differ; first at {i}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows)")
-            record(name, True)
+            record(name, True, sec=time.perf_counter() - t0)
             n_pass += 1
     sp, sf_ = run_self_checks(outdir, record)
     n_pass += sp
@@ -242,7 +248,8 @@ def main():
         payload = {
             "head": head,
             "sf_dir": sfdir,
-            "utc": datetime.datetime.utcnow().isoformat() + "Z",
+            "utc": datetime.datetime.now(datetime.timezone.utc)
+                .isoformat().replace("+00:00", "Z"),
             "n_pass": n_pass,
             "n_fail": n_fail,
             "results": results,
