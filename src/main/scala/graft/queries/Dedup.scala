@@ -2174,8 +2174,13 @@ object Dedup {
                certs.max_occ_kept0, certs.max_occ_kept1,
                certs.max_occ_kept2, certs.n_purged_blocks
         FROM pr CROSS JOIN np CROSS JOIN tp CROSS JOIN mg
-        CROSS JOIN sp CROSS JOIN chg CROSS JOIN certs"""),
-      headline = true),
+        CROSS JOIN sp CROSS JOIN chg CROSS JOIN certs""")),
+      // gate-only since round 15 (VERDICT r14 #1): q353 — the density-
+      // robust weighted capstone that keeps B³ precision at sf1 where
+      // this gate's 4-field scoring saturates to 0.270 — is the form a
+      // 100 TB run would copy, so IT carries the benched-headline flag;
+      // q349 stays as the dynamic-blocking correctness gate (its
+      // BASELINE.md row is preserved for history).
 
     // ---- q353: density-robust ER capstone (round 14) ----
     // VERDICT r13 #2: q349's sf1 card honestly read B³ precision 0.270 —
@@ -2222,16 +2227,26 @@ object Dedup {
         val edges = sc.filter(col("is_match"))
           .select((col("a_key") * 2).as("x"),
             (col("b_key") * 2 + 1).as("y"))
-        val np = sc.agg(coalesce(sum(when(col("is_match"), 1L)
-          .otherwise(0L)), lit(0L)).as("n_match_pairs"))
+        // One full-frame scalar pass serves the pair count AND the
+        // all-agree census (round-15 latency rework: these were two
+        // separate aggs over the same checkpointed frame — two stage
+        // launches for one row each); np/aa project from the staged
+        // 1-row result.
         val allAgree = col("g_seg") === 1L && col("g_band") === 1L &&
           col("g_tok") === 1L
-        val aa = sc.agg(
+        val scal = sc.agg(
+            coalesce(sum(when(col("is_match"), 1L).otherwise(0L)),
+              lit(0L)).as("n_match_pairs"),
             count(lit(1)).as("n_cand_total"),
             coalesce(sum(when(allAgree, 1L).otherwise(0L)), lit(0L))
               .as("n_allagree4"),
             coalesce(sum(when(allAgree && col("is_match"), 1L)
               .otherwise(0L)), lit(0L)).as("n_allagree4_kept"))
+          .localCheckpoint(false)
+        val np = scal.select(col("n_match_pairs"))
+        val aa = scal
+          .select(col("n_cand_total"), col("n_allagree4"),
+            col("n_allagree4_kept"))
           .crossJoin(broadcast(wp.phPurged
             .agg(count(lit(1)).as("n_purged_ph_blocks"))))
         erCapstoneCardFromEdges(lp, grid8, edges, np)
@@ -2381,8 +2396,9 @@ object Dedup {
                aa.n_cand_total, aa.n_allagree4, aa.n_allagree4_kept,
                aa.n_purged_ph_blocks
         FROM pr CROSS JOIN np CROSS JOIN tp CROSS JOIN mg
-        CROSS JOIN sp CROSS JOIN chg CROSS JOIN aa"""))
-  ,
+        CROSS JOIN sp CROSS JOIN chg CROSS JOIN aa"""),
+      headline = true), // round-15 ER headline (VERDICT r14 #1): the
+      // production-quality weighted capstone replaces q349 in the bench
 
     // ---- q354: ExactSubstr maximal shared runs (round 14) ----
     // VERDICT r13 #6: q127 counts fixed-width repeated windows; Lee et
@@ -2717,11 +2733,11 @@ object Dedup {
     // Identifier enrichment — the measured answer to saturation (see
     // q353's docstring): a phone-last-4-grade 5th quasi-identifier
     // (simulated below), a-side clean, b-side noised at 10% with the
-    // registry coin discipline.
-    def coinB(salt: String) =
-      conv(substring(md5(concat(lit(salt),
-        col("k").cast("string"))), 1, 12), 16, 10)
-        .cast("long") % 1000000L
+    // registry coin discipline. ph is a PURE FUNCTION of the entity key,
+    // so it is derived in-row on the staged registries (round-15 latency
+    // rework) — value-identical to the oracle's phf-join formulation but
+    // two broadcast-join stages cheaper.
+    //
     // The driver's customer table carries no phone column, so the 5th
     // identifier is SIMULATED with the exact information content of a
     // phone last-4: ~10^4 uniform values keyed to the entity. It MUST
@@ -2731,17 +2747,19 @@ object Dedup {
     // collide on it deterministically (measured round 14: 287k aligned
     // false all-agree-5 pairs at sf1; md5 restores the 1e-4 chance
     // rate).
-    val phf = Tables.customer(spark, dir).select(
-      col("c_custkey").as("k"),
-      (conv(substring(md5(concat(lit("q353ID#"),
-        col("c_custkey").cast("string"))), 1, 12), 16, 10)
-        .cast("long") % 10000L).as("ph"))
-    val pha = phf.select(col("k").as("a_key"), col("ph"))
-    val phb = phf.select(col("k").as("b_key"),
-      when(coinB("q353P#") < 100000L, (col("ph") + 1) % 10000L)
-        .otherwise(col("ph")).as("ph"))
-    val aw = lp.a.join(broadcast(pha), Seq("a_key")).localCheckpoint(false)
-    val bw = lp.b.join(broadcast(phb), Seq("b_key")).localCheckpoint(false)
+    def phOf(key: String) =
+      conv(substring(md5(concat(lit("q353ID#"),
+        col(key).cast("string"))), 1, 12), 16, 10)
+        .cast("long") % 10000L
+    def coinOf(salt: String, key: String) =
+      conv(substring(md5(concat(lit(salt),
+        col(key).cast("string"))), 1, 12), 16, 10)
+        .cast("long") % 1000000L
+    val aw = lp.a.withColumn("ph", phOf("a_key")).localCheckpoint(false)
+    val bw = lp.b.withColumn("ph",
+        when(coinOf("q353P#", "b_key") < 100000L,
+          (phOf("b_key") + 1) % 10000L).otherwise(phOf("b_key")))
+      .localCheckpoint(false)
     val db = dynBlocks(lp.a, lp.b, cap = BlockCap)
     // second blocking pass: (nat, ph) with the same cap/purge discipline
     val PhKeys = Seq("nat", "ph")
@@ -2755,33 +2773,23 @@ object Dedup {
       .localCheckpoint(false)
     val keepP = blkP.filter(col("occ") <= BlockCap)
     val phPurged = blkP.filter(col("occ") > BlockCap)
-    def pairCols(j: DataFrame) = j.select(
-      col("x.a_key").as("a_key"), col("y.b_key").as("b_key"),
-      col("x.nat").as("anat"), col("x.seg").as("aseg"),
-      col("x.band").as("aband"), col("x.tok").as("atok"),
-      col("x.ph").as("aph"),
-      col("y.nat").as("bnat"), col("y.seg").as("bseg"),
-      col("y.band").as("bband"), col("y.tok").as("btok"),
-      col("y.ph").as("bph"))
-    def pairsAt(ax: DataFrame, keys: Seq[String]) =
-      pairCols(ax.as("x").join(bw.as("y"),
-        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)))
-    val a1w = aw.join(broadcast(db.split0), DynKeys0)
-    val a2w = a1w.join(broadcast(db.split1), DynKeys1)
-    val keep2 = db.blk2.filter(col("occ") <= BlockCap)
-    val cand = pairsAt(aw.join(broadcast(
-        db.keep0.select(DynKeys0.map(col): _*)), DynKeys0), DynKeys0)
-      .unionAll(pairsAt(a1w.join(broadcast(
-        db.keep1.select(DynKeys1.map(col): _*)), DynKeys1), DynKeys1))
-      .unionAll(pairsAt(a2w.join(broadcast(
-        keep2.select(DynKeys2.map(col): _*)), DynKeys2), DynKeys2))
-      .unionAll(pairsAt(aw.join(broadcast(
-        keepP.select(PhKeys.map(col): _*)), PhKeys), PhKeys))
-      .distinct()
-      .localCheckpoint(false)
-    // per-field value censuses over the staged registries
-    def cnt(df: DataFrame, f: String, nm: String) =
-      df.groupBy(col(f)).agg(count(lit(1)).as(nm))
+    // ONE melted value census per side (round-15 rework, the dynBlocks /
+    // linkageParts census-fusion lever applied here): explode each
+    // registry row into its five (field, value) pairs and count once —
+    // replacing ten per-field groupBy stages (and the four more the
+    // seg/ph u-statistics re-ran). Per-field counts broadcast back out
+    // of the SAME census as filtered slices.
+    def melt5(df: DataFrame) = df.select(
+      explode(map(
+        lit("nat"), col("nat").cast("string"),
+        lit("seg"), col("seg"),
+        lit("band"), col("band").cast("string"),
+        lit("tok"), col("tok").cast("string"),
+        lit("ph"), col("ph").cast("string"))).as(Seq("f", "v")))
+    val fa = melt5(aw).groupBy(col("f"), col("v"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(false)
+    val fb = melt5(bw).groupBy(col("f"), col("v"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(false)
     // value-specific capped agreement factors (ppm-scale integers). The
     // caps do double duty: they bound the 5-factor product inside
     // DECIMAL(38,0)/HUGEINT after the stage-wise div-1e10 rescales, and
@@ -2797,17 +2805,17 @@ object Dedup {
         s" CAST(CAST(900000 AS DECIMAL(38,0)) * nab" +
         s" div (CAST(ca_$f AS DECIMAL(38,0)) * cb_$f) AS BIGINT))")
     // the two u statistics the shared grid never needed (seg always
-    // agreed within q302's blocking; ph is new), computed exactly like
-    // st's s_tok/s_band
-    val sNew = cnt(aw, "seg", "ca").join(cnt(bw, "seg", "cb"), Seq("seg"))
-      .select((col("ca").cast(DecType) * col("cb")).as("m"),
-        lit("seg").as("f"))
-      .unionAll(cnt(aw, "ph", "ca").join(cnt(bw, "ph", "cb"), Seq("ph"))
-        .select((col("ca").cast(DecType) * col("cb")).as("m"),
-          lit("ph").as("f")))
+    // agreed within q302's blocking; ph is new), read from the SAME
+    // melted censuses (the inner join keeps exactly the values present
+    // on both sides, reproducing the old per-field join)
+    val sNew = fa.select(col("f"), col("v"), col("c").as("ca"))
+      .join(fb.select(col("f"), col("v"), col("c").as("cb")),
+        Seq("f", "v"))
       .groupBy()
-      .agg(sum(when(col("f") === "seg", col("m"))).as("s_seg2"),
-        sum(when(col("f") === "ph", col("m"))).as("s_ph"))
+      .agg(sum(when(col("f") === "seg",
+        col("ca").cast(DecType) * col("cb"))).as("s_seg2"),
+        sum(when(col("f") === "ph",
+          col("ca").cast(DecType) * col("cb"))).as("s_ph"))
     val stRow = lp.st.select(col("nab"), col("n_a"), col("n_b"),
         col("f_tok_d"), col("f_band_d"))
       .crossJoin(broadcast(sNew))
@@ -2822,27 +2830,37 @@ object Dedup {
       .select(col("nab"), col("f_tok_d"), col("f_band_d"),
         col("f_seg_d"), col("f_ph_d"), col("thr"))
       .localCheckpoint(false)
-    val scored = cand
-      .join(broadcast(cnt(aw, "nat", "ca_nat")
-        .withColumnRenamed("nat", "anat")), Seq("anat"))
-      .join(broadcast(cnt(bw, "nat", "cb_nat")
-        .withColumnRenamed("nat", "bnat")), Seq("bnat"))
-      .join(broadcast(cnt(aw, "seg", "ca_seg")
-        .withColumnRenamed("seg", "aseg")), Seq("aseg"))
-      .join(broadcast(cnt(bw, "seg", "cb_seg")
-        .withColumnRenamed("seg", "bseg")), Seq("bseg"))
-      .join(broadcast(cnt(aw, "band", "ca_band")
-        .withColumnRenamed("band", "aband")), Seq("aband"))
-      .join(broadcast(cnt(bw, "band", "cb_band")
-        .withColumnRenamed("band", "bband")), Seq("bband"))
-      .join(broadcast(cnt(aw, "tok", "ca_tok")
-        .withColumnRenamed("tok", "atok")), Seq("atok"))
-      .join(broadcast(cnt(bw, "tok", "cb_tok")
-        .withColumnRenamed("tok", "btok")), Seq("btok"))
-      .join(broadcast(cnt(aw, "ph", "ca_ph")
-        .withColumnRenamed("ph", "aph")), Seq("aph"))
-      .join(broadcast(cnt(bw, "ph", "cb_ph")
-        .withColumnRenamed("ph", "bph")), Seq("bph"))
+    // Count-augmented registries: the five per-field counts broadcast-
+    // join onto the 5-field registry rows from ONE composite-key view
+    // of the melted census ("field#value" → count) — the five
+    // BroadcastExchange subtrees are canonically identical, so Spark's
+    // ReuseExchange builds the broadcast ONCE per side (5 builds → 1;
+    // the per-field rename happens above the join, outside the reused
+    // subtree). Counts narrow to INT (a per-value census count) to keep
+    // the enriched registry rows compact — they ride through every
+    // blocking join below.
+    def counted(df: DataFrame, census: DataFrame, side: String) = {
+      val fields = Seq("nat", "seg", "band", "tok", "ph")
+      val fv = census.select(
+        concat_ws("#", col("f"), col("v")).as("fv"),
+        col("c").cast("int").as("c"))
+      fields.foldLeft(df) { (d, f) =>
+        d.join(broadcast(fv),
+            concat(lit(s"$f#"), d(f).cast("string")) === col("fv"))
+          .drop("fv").withColumnRenamed("c", s"${side}_$f")
+      }
+    }
+    val awc = counted(aw, fa, "ca").localCheckpoint(false)
+    val bwc = counted(bw, fb, "cb").localCheckpoint(false)
+    // Scoring runs IN-ROW at pair-generation time (round-15 scale
+    // rework): each blocking pass joins the count-augmented registries,
+    // so the pair's five agreement flags and its full factor product
+    // compute inside the generating join's codegen stage and the wide
+    // per-pair payload NEVER shuffles — the sf1 rehearsal of the first
+    // (dedup-then-reattach) form measured the re-attachment join
+    // shuffling a 770k-row wide intermediate (~150 MB read+write sum at
+    // sf1) once the registry side outgrew the broadcast threshold.
+    def scoreFrame(pairs: DataFrame) = pairs
       .crossJoin(broadcast(stRow))
       .withColumn("g_seg",
         when(col("aseg") === col("bseg"), 1L).otherwise(0L))
@@ -2867,6 +2885,51 @@ object Dedup {
           " * (CASE WHEN g_ph = 1 THEN f_ph ELSE f_ph_d END)" +
           " AS DECIMAL(38,0))"))
       .withColumn("is_match", col("p5") >= col("thr"))
+      .select(col("a_key"), col("b_key"), col("g_seg"), col("g_band"),
+        col("g_tok"), col("g_ph"), col("p5"), col("is_match"))
+    def pairsAt(ax: DataFrame, keys: Seq[String]) =
+      ax.as("x").join(bwc.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _))
+        .select(col("x.a_key").as("a_key"), col("y.b_key").as("b_key"),
+          col("x.nat").as("anat"), col("x.seg").as("aseg"),
+          col("x.band").as("aband"), col("x.tok").as("atok"),
+          col("x.ph").as("aph"),
+          col("y.nat").as("bnat"), col("y.seg").as("bseg"),
+          col("y.band").as("bband"), col("y.tok").as("btok"),
+          col("y.ph").as("bph"),
+          col("x.ca_nat").as("ca_nat"), col("x.ca_seg").as("ca_seg"),
+          col("x.ca_band").as("ca_band"), col("x.ca_tok").as("ca_tok"),
+          col("x.ca_ph").as("ca_ph"),
+          col("y.cb_nat").as("cb_nat"), col("y.cb_seg").as("cb_seg"),
+          col("y.cb_band").as("cb_band"), col("y.cb_tok").as("cb_tok"),
+          col("y.cb_ph").as("cb_ph"))
+    val a1wc = awc.join(broadcast(db.split0), DynKeys0)
+    val a2wc = a1wc.join(broadcast(db.split1), DynKeys1)
+    val keep2 = db.blk2.filter(col("occ") <= BlockCap)
+    // Pair dedup WITHOUT a full-candidate distinct: the three dynamic-
+    // blocking passes are MUTUALLY DISJOINT by construction — a pass-0
+    // pair's (nat, seg) block is in keep0, a pass-1/2 pair's is in
+    // split0 (a1 ⊆ a⋈split0), and keep0 ∩ split0 = ∅; likewise keep1 vs
+    // split1 separates passes 1 and 2 — and no pass repeats a pair
+    // internally (one block key value per row). Only the (nat, ph)
+    // enrichment pass can re-find a dynamic-pass pair, so ONE narrow
+    // anti-join on the key pair replaces the distinct that previously
+    // shuffled every candidate. The oracle's 4-branch UNION is the
+    // cross-engine check of exactly this disjointness argument: a
+    // duplicated pair would double-count n_cand_total and hash-mismatch.
+    val p012 = scoreFrame(
+      pairsAt(awc.join(broadcast(
+        db.keep0.select(DynKeys0.map(col): _*)), DynKeys0), DynKeys0)
+      .unionAll(pairsAt(a1wc.join(broadcast(
+        db.keep1.select(DynKeys1.map(col): _*)), DynKeys1), DynKeys1))
+      .unionAll(pairsAt(a2wc.join(broadcast(
+        keep2.select(DynKeys2.map(col): _*)), DynKeys2), DynKeys2)))
+      .localCheckpoint(false)
+    val pP = scoreFrame(pairsAt(awc.join(broadcast(
+      keepP.select(PhKeys.map(col): _*)), PhKeys), PhKeys))
+    val scored = p012
+      .unionAll(pP.join(p012.select(col("a_key"), col("b_key")),
+        Seq("a_key", "b_key"), "left_anti"))
       .localCheckpoint(false)
     WeightedParts(lp, db, scored, phPurged)
   }
