@@ -29,9 +29,12 @@ object SparkEntry {
     modules.map { case (name, d) => name -> d.build }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Includes the staged `_q*_input` tables' invariant/identity oracles
+    * (VERDICT r14 #5) so every dir Verify writes carries a verdict. */
   def oracleSql: Map[String, String] =
-    modules.collect { case (name, QueryDef(_, Some(sql), _)) => name -> sql }.toMap
+    modules.collect { case (name, QueryDef(_, Some(sql), _)) => name -> sql }.toMap ++
+      graft.queries.VerifyInputs.stagingOracles
 
   /** Subset benchmarked by graft.Bench. */
   def headlines: Seq[String] =

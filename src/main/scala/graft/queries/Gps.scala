@@ -79,7 +79,13 @@ object Gps {
   /** Materialize the enriched batch for the DuckDB oracle (called by
     * Verify before dumping oracle_sql.json). */
   def writeVerifyInput(spark: SparkSession, sfDir: String, outDir: String): Unit =
-    enrichedBatch(spark, sfDir).coalesce(1)
+    // fully ordered so the staging oracle (VerifyInputs.stagingOracles)
+    // can replay the identical row order — the comparator is
+    // order-sensitive, the Det discipline
+    enrichedBatch(spark, sfDir)
+      .orderBy(col("vehicle_id"), col("timestamp"), col("latitude"),
+        col("longitude"), col("speed_kmh"), col("battery_level"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/_q70_input")
 
   val defs: Seq[(String, QueryDef)] = Seq(
