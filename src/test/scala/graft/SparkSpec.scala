@@ -6,8 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all specs (one JVM-wide session — Spark
   * sessions are expensive; suites must not stop() it). */
 object SparkSpec {
+  // local[4, 2]: maxFailures = 2, so a failed task gets ONE re-attempt —
+  // production behavior (cluster default 4), and what RetrySafetySpec's
+  // injected first-attempt failures need to exercise re-attempt
+  // determinism. Specs that assert on failing jobs still see the failure
+  // (a deterministic throw re-throws on the retry).
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
