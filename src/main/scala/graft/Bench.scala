@@ -32,6 +32,12 @@ object Bench {
     private val stageToLabel = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val read = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
     val write = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    // spill posture (VERDICT r14 #3): memory/disk bytes spilled per
+    // label, so a constrained-memory rehearsal can record HOW MUCH each
+    // query spilled (0 under normal runs — any nonzero row is evidence
+    // the spill path executed and the output stayed hash-identical)
+    val memSpill = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    val diskSpill = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
     override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       val label = Option(js.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
@@ -44,6 +50,10 @@ object Bench {
           .add(te.taskMetrics.shuffleReadMetrics.totalBytesRead)
         write.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder)
           .add(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        memSpill.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder)
+          .add(te.taskMetrics.memoryBytesSpilled)
+        diskSpill.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder)
+          .add(te.taskMetrics.diskBytesSpilled)
       }
     }
   }
@@ -197,7 +207,10 @@ object Bench {
     val shuffle = names.map { n =>
       val r = Option(meter.read.get(n)).map(_.sum).getOrElse(0L)
       val w = Option(meter.write.get(n)).map(_.sum).getOrElse(0L)
-      "\"" + n + "\":{\"read\":" + r + ",\"write\":" + w + "}"
+      val ms = Option(meter.memSpill.get(n)).map(_.sum).getOrElse(0L)
+      val ds = Option(meter.diskSpill.get(n)).map(_.sum).getOrElse(0L)
+      "\"" + n + "\":{\"read\":" + r + ",\"write\":" + w +
+        ",\"mem_spill\":" + ms + ",\"disk_spill\":" + ds + "}"
     }.mkString(",\"shuffle_bytes\":{", ",", "}")
     val total = results.map(_._2).sum
     val errJson =

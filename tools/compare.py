@@ -175,8 +175,15 @@ def main():
         results[name] = r
 
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver testdata dirs hold single-FILE tables; ScaleFixtures
+        # rehearsal corpora (sf1/sf3) hold table.parquet DIRECTORIES of
+        # part files — glob those so oracle laws can re-verify at scale
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
