@@ -1340,7 +1340,101 @@ object Insights {
                    'q339: chi-square literal pinned to df=19 (k=20 sources)')
                  WHEN h.h_milli >= 30144 THEN 1 ELSE 0 END AS BIGINT)
                  AS significant
-        FROM per p CROSS JOIN h ORDER BY p.source"""))
+        FROM per p CROSS JOIN h ORDER BY p.source""")),
+
+    // ---- q360: temporal drift certificate (round 15) ----
+    // The monitoring query every production feed runs: split the events
+    // stream at its temporal midpoint (exact epoch-microsecond
+    // arithmetic — unix_micros ≡ DuckDB epoch_us, both exact BIGINT;
+    // the float `epoch()` path rounds and was avoided deliberately) and
+    // compare the reference (early) half's distribution against the
+    // current (late) half across two feature dims: the event_type
+    // categorical and FLOOR(value/10) bands (one IEEE double divide +
+    // floor, engine-identical). Per (dim, bucket): both counts, both
+    // shares in exact floor-div ppm, the absolute share gap; per dim:
+    // the TOTAL VARIATION DISTANCE in ppm (Σ|p−q| div 2 over the
+    // floor-div shares — the exact-integer drift statistic; PSI's log
+    // term is not engine-exact, and TVD bounds it up to scale). A
+    // fresh-vs-stale alarm reads one number: tvd_ppm per dim.
+    //
+    // 100 TB posture: two one-pass bucket censuses (broadcast-sized
+    // results — |event types| + |value bands| rows), the midpoint from
+    // a 1-row min/max agg; no joins at data scale.
+    "q360_drift_certificate" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(unix_micros(col("ts")).as("us"),
+            col("event_type"),
+            expr("CAST(FLOOR(value / 10) AS BIGINT)").as("vband"))
+        val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+        val sided = ev.crossJoin(broadcast(mid))
+          .withColumn("is_ref", when(col("us") <= col("mid"), 1L)
+            .otherwise(0L))
+          .localCheckpoint(false)
+        def census(dim: String, bucket: org.apache.spark.sql.Column) =
+          sided.groupBy(bucket.as("bucket"))
+            .agg(sum(col("is_ref")).as("ref_cnt"),
+              sum(lit(1L) - col("is_ref")).as("cur_cnt"))
+            .withColumn("dim", lit(dim))
+        val both = census("event_type", col("event_type"))
+          .unionAll(census("value_band", col("vband").cast("string")))
+        val tot = both.groupBy(col("dim"))
+          .agg(sum(col("ref_cnt")).as("ref_tot"),
+            sum(col("cur_cnt")).as("cur_tot"))
+        val shares = both.join(broadcast(tot), Seq("dim"))
+          .select(col("dim"), col("bucket"), col("ref_cnt"),
+            col("cur_cnt"),
+            expr("ref_cnt * 1000000 div ref_tot").as("ref_share_ppm"),
+            expr("cur_cnt * 1000000 div cur_tot").as("cur_share_ppm"))
+          .withColumn("gap_ppm",
+            abs(col("ref_share_ppm") - col("cur_share_ppm")))
+          .localCheckpoint(false)
+        val tvd = shares.groupBy(col("dim"))
+          .agg(expr("sum(gap_ppm) div 2").as("tvd_ppm"))
+        shares.join(broadcast(tvd), Seq("dim"))
+          .select(col("dim"), col("bucket"), col("ref_cnt"),
+            col("cur_cnt"), col("ref_share_ppm"),
+            col("cur_share_ppm"), col("gap_ppm"), col("tvd_ppm"))
+          .orderBy(col("dim"), col("bucket"))
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT epoch_us(ts) AS us, event_type,
+                           CAST(FLOOR(value / 10) AS BIGINT) AS vband
+                    FROM events),
+        mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+        sided AS (SELECT e.*, CASE WHEN e.us <= m.mid THEN 1 ELSE 0 END
+                    AS is_ref
+                  FROM ev e CROSS JOIN mid m),
+        bkt AS (
+          SELECT 'event_type' AS dim, event_type AS bucket,
+                 CAST(SUM(is_ref) AS BIGINT) AS ref_cnt,
+                 CAST(SUM(1 - is_ref) AS BIGINT) AS cur_cnt
+          FROM sided GROUP BY 2
+          UNION ALL
+          SELECT 'value_band', CAST(vband AS VARCHAR),
+                 CAST(SUM(is_ref) AS BIGINT),
+                 CAST(SUM(1 - is_ref) AS BIGINT)
+          FROM sided GROUP BY 2),
+        tot AS (SELECT dim, SUM(ref_cnt) AS ref_tot,
+                       SUM(cur_cnt) AS cur_tot
+                FROM bkt GROUP BY 1),
+        shares AS (SELECT b.dim, b.bucket, b.ref_cnt, b.cur_cnt,
+                          b.ref_cnt * 1000000 // t.ref_tot
+                            AS ref_share_ppm,
+                          b.cur_cnt * 1000000 // t.cur_tot
+                            AS cur_share_ppm
+                   FROM bkt b JOIN tot t USING (dim)),
+        g AS (SELECT *, ABS(ref_share_ppm - cur_share_ppm) AS gap_ppm
+              FROM shares),
+        tvd AS (SELECT dim, CAST(SUM(gap_ppm) // 2 AS BIGINT)
+                  AS tvd_ppm
+                FROM g GROUP BY 1)
+        SELECT g.dim, g.bucket, g.ref_cnt, g.cur_cnt,
+               CAST(g.ref_share_ppm AS BIGINT) AS ref_share_ppm,
+               CAST(g.cur_share_ppm AS BIGINT) AS cur_share_ppm,
+               CAST(g.gap_ppm AS BIGINT) AS gap_ppm, t.tvd_ppm
+        FROM g JOIN tvd t USING (dim)
+        ORDER BY dim, bucket"""))
   )
 
   /** q327's full Mann–Whitney battery over (source, n_chars) rows:

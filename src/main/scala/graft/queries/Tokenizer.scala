@@ -530,15 +530,21 @@ object Tokenizer {
     * the oracle replays every position round, so a wrong cost, tie-break,
     * or substring off-by-one in the Spark plan cascades to a hash
     * mismatch, four CTE layers deep). */
+  /** Every wl/uf/vocab/dp CTE is MATERIALIZED (round 15, VERDICT r14
+    * #8): the dp chain references dp(i-1..i-4), and DuckDB inlines
+    * non-materialized CTE references — dp8 re-evaluated the whole chain
+    * ~4^8 times, making this single oracle 287 s of the sweep's 416 s
+    * compare phase. Materialization is evaluation strategy only; every
+    * value is unchanged. Measured 287 s → ~1 s. */
   private def viterbiOracle(cap: Int): String = {
     val head = s"""
-        WITH wl AS (
+        WITH wl AS MATERIALIZED (
           SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w,
                  CAST(len(w) AS BIGINT) AS len
           FROM (SELECT UNNEST(string_split(trim(text), ' ')) AS w
                 FROM documents)
           WHERE len(w) > 0 AND len(w) <= $cap GROUP BY 1),
-        uf AS (
+        uf AS MATERIALIZED (
           SELECT substr(w.w, CAST(t2.range AS INT),
                         CAST(t1.range AS INT)) AS u,
                  CAST(SUM(w.n_w) AS BIGINT) AS freq
@@ -552,7 +558,7 @@ object Tokenizer {
           SELECT u, freq FROM (SELECT u, freq FROM uf WHERE len(u) > 1
                                ORDER BY freq DESC, u LIMIT 40)),
         tt AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM v0),
-        vocab AS (
+        vocab AS MATERIALIZED (
           SELECT u, CAST(ROUND(ROUND(LN(CAST(freq AS DOUBLE) / t), 9)
                  * -1000000, 0) AS BIGINT) AS cost
           FROM v0 CROSS JOIN tt),
@@ -566,7 +572,7 @@ object Tokenizer {
             JOIN vocab v ON v.u = substr(d.w, ${i - l + 1}, $l)"""
       }.mkString("\n            UNION ALL")
       s""",
-        dp$i AS (SELECT w, MIN(ck) AS ckey FROM ($branches
+        dp$i AS MATERIALIZED (SELECT w, MIN(ck) AS ckey FROM ($branches
         ) GROUP BY 1)"""
     }.mkString
     val segUnion = (1 to cap).map { i =>

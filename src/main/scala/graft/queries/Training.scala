@@ -1274,6 +1274,127 @@ object Training {
         GROUP BY p.source, c.n_docs, c.total_cost, c.budget,
                  c.n_selected, c.sel_cost, c.greedy_micro,
                  c.lp_ub_micro
-        ORDER BY p.source"""))
+        ORDER BY p.source""")),
+
+    // ---- q359: hashed-n-gram importance resampling (round 15) ----
+    // DSIR-style data selection (Xie et al. 2023): score every document
+    // by how target-like its hashed unigram distribution is, then
+    // resample with probability proportional to the score. Target
+    // domain = the `en` documents; features = unigrams hashed into 1024
+    // buckets with the md5-coin discipline (the ONLY hash both engines
+    // compute bit-identically — xxhash64/murmur differ across engines).
+    // Per-bucket importance ratio with add-1 smoothing, EXACT in
+    // integer ppm: lr_b = (T_b+1)·(R+1024)·10⁶ div ((R_b+1)·(T+1024))
+    // — Σ(T_b+1) = T+1024 keeps it a proper smoothed ratio. The paper's
+    // log-likelihood-ratio score is replaced by its LINEAR surrogate
+    // (mean per-token ratio, floor-div ppm): logs are not engine-exact
+    // doubles, and the monotone surrogate preserves the selection
+    // ordering this gate certifies. Resampling is DETERMINISTIC
+    // importance sampling: accept iff md5-coin(doc_id) % 10⁶ <
+    // min(10⁶, score·250000 div mean_score) — acceptance ∝ score,
+    // calibrated to ≈ 25% of the corpus in expectation. Output: the
+    // per-language selection card — the law a reader checks is that the
+    // target language's selection rate dominates every other's.
+    //
+    // 100 TB posture: one explode + two bucket censuses (1024-row
+    // broadcast results), per-doc scoring is a keyed aggregation over
+    // the exploded tokens, selection is an in-row coin — no pairwise
+    // structure anywhere.
+    "q359_importance_resample" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val toks = docs
+          .select(col("doc_id"), col("lang"),
+            explode(split(trim(col("text")), " ")).as("tok"))
+          .withColumn("b",
+            conv(substring(md5(col("tok")), 1, 12), 16, 10)
+              .cast("long") % 1024L)
+          .localCheckpoint(false)
+        val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("r_b"))
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("t_b"))
+        val tots = toks.agg(count(lit(1)).as("r_tot"),
+          coalesce(sum(when(col("lang") === "en", 1L).otherwise(0L)),
+            lit(0L)).as("t_tot"))
+        val lr = raw.join(tgt, Seq("b"), "left")
+          .na.fill(0L, Seq("t_b"))
+          .crossJoin(broadcast(tots))
+          .select(col("b"), expr(
+            "CAST(CAST(t_b + 1 AS DECIMAL(38,0)) * (r_tot + 1024)" +
+              " * 1000000 div (CAST(r_b + 1 AS DECIMAL(38,0))" +
+              " * (t_tot + 1024)) AS BIGINT)").as("lr_ppm"))
+        val scored = toks.join(broadcast(lr), Seq("b"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(expr("sum(lr_ppm) div count(1)").as("score_ppm"))
+          .localCheckpoint(false)
+        val mean = scored.agg(
+          expr("sum(score_ppm) div count(1)").as("mean_ppm"))
+        val sel = scored.crossJoin(broadcast(mean))
+          .withColumn("p_ppm", least(lit(1000000L), expr(
+            "CAST(CAST(score_ppm AS DECIMAL(38,0)) * 250000" +
+              " div mean_ppm AS BIGINT)")))
+          .withColumn("coin",
+            conv(substring(md5(concat(lit("q359C#"),
+              col("doc_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long") % 1000000L)
+          .withColumn("selected",
+            when(col("coin") < col("p_ppm"), 1L).otherwise(0L))
+        sel.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("selected")).as("n_sel"),
+            expr("sum(score_ppm) div count(1)").as("mean_score_ppm"),
+            min(col("score_ppm")).as("min_score_ppm"),
+            max(col("score_ppm")).as("max_score_ppm"))
+          .select(col("lang"), col("n_docs"), col("n_sel"),
+            expr("n_sel * 1000000 div n_docs").as("sel_rate_ppm"),
+            col("mean_score_ppm"), col("min_score_ppm"),
+            col("max_score_ppm"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some("""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(tok), 1, 12))::BIGINT % 1024 AS b
+          FROM (SELECT doc_id, lang,
+                       unnest(string_split(trim(text), ' ')) AS tok
+                FROM documents)),
+        raw AS (SELECT b, COUNT(*) AS r_b FROM toks GROUP BY 1),
+        tgt AS (SELECT b, COUNT(*) AS t_b FROM toks
+                WHERE lang = 'en' GROUP BY 1),
+        tots AS (SELECT COUNT(*) AS r_tot,
+                        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS t_tot
+                 FROM toks),
+        lr AS (SELECT raw.b,
+                      CAST(CAST(COALESCE(t_b, 0) + 1 AS HUGEINT)
+                        * (r_tot + 1024) * 1000000
+                        // (CAST(r_b + 1 AS HUGEINT) * (t_tot + 1024))
+                        AS BIGINT) AS lr_ppm
+               FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
+        scored AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 CAST(SUM(lr_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+          FROM toks JOIN lr USING (b)
+          GROUP BY 1, 2),
+        mean AS (SELECT CAST(SUM(score_ppm) // COUNT(*) AS BIGINT)
+                   AS mean_ppm FROM scored),
+        sel AS (SELECT lang, score_ppm,
+                       CASE WHEN ('0x' || substr(md5('q359C#'
+                           || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                           % 1000000
+                         < LEAST(1000000, CAST(
+                           CAST(score_ppm AS HUGEINT) * 250000
+                             // mean_ppm AS BIGINT))
+                       THEN 1 ELSE 0 END AS selected
+                FROM scored CROSS JOIN mean)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(selected) AS BIGINT) AS n_sel,
+               CAST(SUM(selected) AS BIGINT) * 1000000 // COUNT(*)
+                 AS sel_rate_ppm,
+               CAST(SUM(score_ppm) // COUNT(*) AS BIGINT)
+                 AS mean_score_ppm,
+               CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+               CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
+        FROM sel GROUP BY lang ORDER BY lang"""))
   )
 }

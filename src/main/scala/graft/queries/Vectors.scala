@@ -1755,12 +1755,16 @@ object Vectors {
     * — matvec as a join+agg per round, pivot by (|u| DESC, i), the
     * abs-CASE division making DuckDB's floor-div truncate toward zero
     * like Spark's `div`. */
+  /** u/v iteration CTEs are MATERIALIZED (round 15, VERDICT r14 #8):
+    * each level references the previous one twice (u and p), so the
+    * non-materialized chain inlined the base joins ~2^8 times — 34 s of
+    * compare wall for one oracle. Strategy-only; values unchanged. */
   private def powerOracle: String = {
     val rounds = (1 to 8).map { k =>
-      s"""u$k AS (SELECT m.i, CAST(SUM(m.s * v.v) AS BIGINT) AS u
+      s"""u$k AS MATERIALIZED (SELECT m.i, CAST(SUM(m.s * v.v) AS BIGINT) AS u
              FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY 1),
         p$k AS (SELECT u FROM u$k ORDER BY abs(u) DESC, i LIMIT 1),
-        v$k AS (SELECT u$k.i,
+        v$k AS MATERIALIZED (SELECT u$k.i,
                        CASE WHEN (u$k.u >= 0) = (p$k.u >= 0)
                             THEN abs(u$k.u) * 1000 // abs(p$k.u)
                             ELSE -(abs(u$k.u) * 1000 // abs(p$k.u)) END AS v

@@ -49,4 +49,93 @@ class Round15PropertySpec extends SparkSpec {
           "double-rounding distance — the q357 hash is tie-fragile here")
     }
   }
+
+  test("q358 interval merge: removed tokens equal an independent Scala merge") {
+    // Cross-paradigm check of the window-based interval sweep: rebuild
+    // the cut intervals from the shared runs operator, merge them with
+    // plain Scala interval arithmetic, and compare per-doc removed
+    // counts against the gate's output.
+    import graft.operators.Winnowing
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir)
+    val runs = Winnowing.sharedRuns(
+      Winnowing.fingerprints(docs, "doc_id", "text", k = 3, w = 4),
+      maxDocsPerFp = 50, gap = 4, k = 3)
+    val cuts = runs.filter(col("run_tokens") >= 8L)
+      .select(col("doc_b").as("doc_id"),
+        (col("p0") + col("diag")).as("s"),
+        (col("p0") + col("diag") + col("run_tokens")).as("e"))
+      .distinct().collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).sorted)
+      .toMap
+    val lens = docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def merge(iv: Seq[(Long, Long)], cap: Long): Long = {
+      var removed = 0L; var s = -1L; var e = -1L
+      iv.foreach { case (a, b) =>
+        if (a > e) { if (e >= 0) removed += math.min(e, cap) - s; s = a; e = b }
+        else e = math.max(e, b)
+      }
+      if (e >= 0) removed += math.min(e, cap) - s
+      removed
+    }
+    val want = cuts.map { case (d, iv) => d -> merge(iv, lens(d)) }
+    val got = Dedup.defs.toMap.apply("q358_exactsubstr_dedup")
+      .build(spark, dir)
+      .select(col("doc_id"), col("removed_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (d, r) =>
+      assert(got(d) == r, s"doc $d: gate removed ${got(d)}, Scala merge $r")
+    }
+    assert(want.nonEmpty, "no cut docs at sf0.01 — the gate tests nothing")
+  }
+
+  test("q359 selection law: the target language dominates at the sweep density") {
+    // The gate's whole point: en (the target distribution) must carry
+    // both the highest mean importance score and the highest selection
+    // rate. Pinned at sf0.01 where the sweeps run (measured: en mean
+    // 957,930 ppm / rate 293,577 vs next-best 955,267 / 260,273).
+    val out = Training.defs.toMap.apply("q359_importance_resample")
+      .build(spark, "/root/testdata/sf0.01")
+      .select(col("lang"), col("mean_score_ppm"), col("sel_rate_ppm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val en = out.find(_._1 == "en").get
+    out.filter(_._1 != "en").foreach { case (l, m, s) =>
+      assert(en._2 > m, s"en mean score ${en._2} not above $l's $m")
+      assert(en._3 > s, s"en selection rate ${en._3} not above $l's $s")
+    }
+  }
+
+  test("q360 TVD: drift statistic equals an independent Scala recount") {
+    // Cross-paradigm check: recompute the temporal split, both censuses
+    // and the floor-div TVD from raw collected events (sf0.001, 600
+    // rows) with plain Scala arithmetic.
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"),
+        expr("CAST(FLOOR(value / 10) AS BIGINT)").as("vband"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    def tvd[K](key: ((Long, String, Long)) => K): Long = {
+      val ref = ev.filter(_._1 <= mid).groupBy(key).view.mapValues(_.size.toLong)
+      val cur = ev.filter(_._1 > mid).groupBy(key).view.mapValues(_.size.toLong)
+      val (rt, ct) = (ref.values.sum, cur.values.sum)
+      val ks = (ref.keySet ++ cur.keySet).toSeq
+      ks.map { k =>
+        math.abs(ref.getOrElse(k, 0L) * 1000000L / rt -
+          cur.getOrElse(k, 0L) * 1000000L / ct)
+      }.sum / 2
+    }
+    val got = Insights.defs.toMap.apply("q360_drift_certificate")
+      .build(spark, dir)
+      .select(col("dim"), col("tvd_ppm")).distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("event_type") == tvd(_._2))
+    assert(got("value_band") == tvd(_._3))
+  }
 }
