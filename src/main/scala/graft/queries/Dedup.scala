@@ -2574,6 +2574,67 @@ object Dedup {
         FROM perdoc p CROSS JOIN roll r
         ORDER BY doc_id""")),
 
+    // ---- q361: soft-dedup sampling weights (round 15) ----
+    // The production ALTERNATIVE to hard near-dup removal: keep every
+    // document but down-weight it by its duplicate-cluster size
+    // (w = 1/|cluster| — cluster mass sums to one doc's worth, the
+    // "soft dedup" used when provenance diversity matters more than
+    // byte savings). Clusters are the SHARED q265/q278/q356 chunk-edge
+    // components, so the cluster definition cannot drift from the hard
+    // path's. Effective token mass is EXACT in integer micro-tokens
+    // (n_tokens·10⁶ div cl_size per doc, summed); the per-source card a
+    // mixture planner reads: raw vs effective tokens, dup coverage,
+    // and the deflation ratio in ppm.
+    //
+    // 100 TB posture: everything q265 pays + one cluster-size census
+    // keyed on the label and one doc-keyed join — no new corpus-scale
+    // structure.
+    "q361_softdedup_weights" -> QueryDef(
+      build = (spark, dir) => {
+        val parts = componentParts(spark, dir)
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), " ")).cast("long")
+              .as("n_tokens"))
+        val sizes = parts.lbl.groupBy(col("lbl"))
+          .agg(count(lit(1)).as("cl_size"))
+        val j = parts.lbl.join(sizes, Seq("lbl"))
+          .join(docs, Seq("doc_id"))
+        j.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(when(col("cl_size") > 1L, 1L).otherwise(0L)),
+              lit(0L)).as("n_dup_docs"),
+            countDistinct(col("lbl")).as("n_clusters"),
+            sum(col("n_tokens")).as("raw_tokens"),
+            sum(expr("n_tokens * 1000000 div cl_size"))
+              .as("eff_tokens_micro"))
+          .select(col("source"), col("n_docs"), col("n_dup_docs"),
+            col("n_clusters"), col("raw_tokens"),
+            col("eff_tokens_micro"),
+            expr("eff_tokens_micro div raw_tokens").as("retain_ppm"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(s"""
+        WITH $componentCtes,
+        sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cl_size
+                  FROM l6 GROUP BY 1),
+        d AS (SELECT doc_id, source,
+                     CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+        j AS (SELECT l.doc_id, l.lbl, s.cl_size, d.source, d.n_tokens
+              FROM l6 l JOIN sizes s USING (lbl) JOIN d USING (doc_id))
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN cl_size > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup_docs,
+               CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_clusters,
+               CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+               CAST(SUM(n_tokens * 1000000 // cl_size) AS BIGINT)
+                 AS eff_tokens_micro,
+               CAST(SUM(n_tokens * 1000000 // cl_size) // SUM(n_tokens)
+                 AS BIGINT) AS retain_ppm
+        FROM j GROUP BY source ORDER BY source""")),
+
     // ---- q356: group-aware split leakage law (round 14) ----
     // The train/val/test split every training pipeline performs, gated
     // on the property that actually matters: NO near-duplicate pair may
@@ -3571,7 +3632,7 @@ object Dedup {
     * so neither oracle can drift from the other's propagation. */
   private def componentCtes: String = {
     val rounds = (1 to 6).map { k =>
-      s"""l$k AS (SELECT l.doc_id, LEAST(l.lbl, COALESCE(m.mn, l.lbl)) AS lbl
+      s"""l$k AS MATERIALIZED (SELECT l.doc_id, LEAST(l.lbl, COALESCE(m.mn, l.lbl)) AS lbl
              FROM l${k - 1} l LEFT JOIN (
                SELECT s.b AS doc_id, MIN(l2.lbl) AS mn
                FROM sym s JOIN l${k - 1} l2 ON l2.doc_id = s.a
