@@ -94,6 +94,43 @@ object Vectors {
     base.unionAll(copies)
   }
 
+  /** q362's ratio-margin scorer over a cross-corpus candidate-pair table
+    * (id_a, id_b, c) with c = floor(1e9·cos) > 0: per-side top-k sums
+    * with k_eff = min(k, |candidates|), then the exact BIGINT margin
+    * margin_ppm = c·(ka+kb)·10⁶ div (Σa+Σb). Factored out so
+    * Round15PropertySpec can pin the margin law and the mutual-argmax
+    * mining rule on hand-built candidate lists with hand-computed
+    * closed-form margins. */
+  private[queries] def ratioMarginScore(pairs: DataFrame, k: Int): DataFrame = {
+    val wA = Window.partitionBy(col("id_a")).orderBy(col("c").desc, col("id_b"))
+    val wB = Window.partitionBy(col("id_b")).orderBy(col("c").desc, col("id_a"))
+    val sa = pairs.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k).groupBy(col("id_a"))
+      .agg(count(lit(1)).as("ka"), sum(col("c")).as("suma"))
+    val sb = pairs.withColumn("r", row_number().over(wB))
+      .filter(col("r") <= k).groupBy(col("id_b"))
+      .agg(count(lit(1)).as("kb"), sum(col("c")).as("sumb"))
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("c * (ka + kb) * 1000000 div (suma + sumb)").as("margin_ppm"))
+  }
+
+  /** q362's mining rule: mutual argmax by margin (ties on partner id)
+    * above the ppm threshold. */
+  private[queries] def mineMutualArgmax(scored: DataFrame,
+      thresholdPpm: Long): DataFrame = {
+    val wXm = Window.partitionBy(col("id_a"))
+      .orderBy(col("margin_ppm").desc, col("id_b"))
+    val wYm = Window.partitionBy(col("id_b"))
+      .orderBy(col("margin_ppm").desc, col("id_a"))
+    scored
+      .withColumn("rx", row_number().over(wXm))
+      .withColumn("ry", row_number().over(wYm))
+      .filter(col("rx") === 1 && col("ry") === 1 &&
+        col("margin_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("margin_ppm"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- q50: exact brute-force cosine top-k (broadcast query side) ----
@@ -1748,7 +1785,169 @@ object Vectors {
                roll.sum_overlap * 1000000 // (5 * roll.n_queries)
                  AS recall_ppm
         FROM pq CROSS JOIN roll
-        ORDER BY pq.qid"""))
+        ORDER BY pq.qid""")),
+
+    // ---- q362: margin-based bitext mining (ratio margin, mutual argmax) ----
+    // (round 15) The parallel-pair miner every multilingual corpus build
+    // runs (Artetxe & Schwenk '19 / CCMatrix): given two corpora embedded
+    // in a shared space, score cross-corpus pairs by the RATIO MARGIN —
+    // cos(x,y) normalized by the mean cosine of each side's k nearest
+    // neighbors — and mine pairs that are each other's argmax above a
+    // margin threshold. Raw cosine cannot do this job: hub vectors sit
+    // close to everything, so an absolute threshold either floods (hubs)
+    // or starves (sparse regions); the margin divides that local density
+    // out, which is exactly why the paper's mining recall beats cosine
+    // at equal precision.
+    //
+    // Corpus: q351's planted corpus as the two "languages" — base
+    // vectors (< PlantOff) are the source side, the jittered every-25th
+    // copies (>= PlantOff) the target side, so every target has exactly
+    // one true translation and the card can certify mined precision and
+    // recall exactly (true pair <=> id_b = id_a + PlantOff).
+    //
+    // Scale adaptation (the part a 100 TB run copies): kNN lists come
+    // from the SAME bucketed-LSH candidate generation as q51/q351 (at
+    // corpus scale the neighbor lists ARE the ANN retrieval output —
+    // FAISS-then-margin is how the pipeline actually runs), with
+    // per-node k_eff = min(k, |candidates|) so sparse candidate lists
+    // keep exact semantics instead of dropping out. Determinism: the
+    // per-pair cosine comes from the one kernel proven bit-identical to
+    // DuckDB's (q52), is floored once to integer 1e-9 units, and EVERY
+    // margin after that is exact BIGINT arithmetic (margin_ppm =
+    // c·(ka+kb)·10⁶ div (Σa+Σb), positive operands so Spark `div` ≡
+    // DuckDB `//`); ranks tie-break on the partner id.
+    //
+    // 100 TB posture: bucket equijoin (never all-pairs) → per-id rank
+    // windows over candidate rows (bounded by bucket occupancy) → two
+    // keyed sum joins → 1-row card. No stage touches N² and the
+    // embedding arrays never shuffle past the candidate join.
+    "q362_margin_bitext" -> QueryDef(
+      build = (spark, dir) => {
+        val k = 4
+        val corpus = plantedNearDupCorpus(spark, dir)
+        val bits = graft.functions.VectorKernels.autoLshBits(corpus.count())
+        val emb = corpus
+          .select(col("vec_id"), vec64(col("embedding")).as("e"))
+          .withColumn("nrm", norm(col("e")))
+          .withColumn("buckets", lshBuckets(col("e"), 16, bits))
+        val cand = emb.select(col("vec_id"), col("e"), col("nrm"),
+          explode(col("buckets")).as("bucket"))
+        val a = cand.filter(col("vec_id") < PlantOff)
+          .select(col("bucket"), col("vec_id").as("id_a"),
+            col("e").as("ea"), col("nrm").as("na"))
+        val b = cand.filter(col("vec_id") >= PlantOff)
+          .select(col("bucket"), col("vec_id").as("id_b"),
+            col("e").as("eb"), col("nrm").as("nb"))
+        val pairs = a.join(b, Seq("bucket"))
+          .select(col("id_a"), col("id_b"),
+            floor((dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+              * lit(1000000000L)).as("c"))
+          .filter(col("c") > 0L)
+          .dropDuplicates("id_a", "id_b")
+          .localCheckpoint(false)
+        val scored = ratioMarginScore(pairs, k)
+        val mined = mineMutualArgmax(scored, 1200000L)
+          .select(col("id_a"), col("id_b"), col("margin_ppm"),
+            (col("id_b") === col("id_a") + PlantOff).as("is_true"))
+          .localCheckpoint(false)
+        val cnts = corpus.agg(
+          sum(when(col("vec_id") < PlantOff, 1L).otherwise(0L))
+            .as("n_base"),
+          sum(when(col("vec_id") >= PlantOff, 1L).otherwise(0L))
+            .as("n_planted"))
+        val pc = pairs.agg(count(lit(1)).as("n_candidates"))
+        val mc = mined.agg(
+          count(lit(1)).as("n_mined"),
+          coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L))
+            .as("n_true"),
+          coalesce(min(when(col("is_true"), col("margin_ppm"))), lit(0L))
+            .as("min_true_margin_ppm"),
+          coalesce(max(when(!col("is_true"), col("margin_ppm"))), lit(0L))
+            .as("max_false_margin_ppm"))
+        cnts.crossJoin(broadcast(pc)).crossJoin(broadcast(mc))
+          .select(col("n_base"), col("n_planted"),
+            lit(bits.toLong).as("lsh_bits"), col("n_candidates"),
+            col("n_mined"), col("n_true"),
+            (col("n_mined") - col("n_true")).as("n_false"),
+            expr("n_true * 1000000 div n_planted").as("recall_ppm"),
+            col("min_true_margin_ppm"), col("max_false_margin_ppm"))
+      },
+      // Oracle over the SAME staged planted corpus as q351 (`_q351_emb`
+      // scalars + `_q351_input` buckets): candidate generation, the
+      // floored integer cosine, both kNN sums, the exact BIGINT margin,
+      // the mutual-argmax mining rule, and the precision/recall card are
+      // all replayed in DuckDB.
+      oracle = Some(s"""
+        WITH eb AS (SELECT vec_id, CAST(list(val ORDER BY j) AS DOUBLE[])
+                      AS emb
+                    FROM read_parquet('${Gps.VerifyOutToken}/_q351_emb/*.parquet')
+                    GROUP BY vec_id),
+        b AS (SELECT bucket, vec_id
+              FROM read_parquet('${Gps.VerifyOutToken}/_q351_input/*.parquet')),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+                 FROM b a JOIN b bb ON a.bucket = bb.bucket
+                 WHERE a.vec_id < 10000000 AND bb.vec_id >= 10000000),
+        pairs AS MATERIALIZED (
+          SELECT id_a, id_b, c FROM (
+            SELECT c.id_a, c.id_b,
+                   CAST(FLOOR(list_cosine_similarity(ea.emb, e2.emb)
+                     * 1000000000) AS BIGINT) AS c
+            FROM cand c
+            JOIN eb ea ON ea.vec_id = c.id_a
+            JOIN eb e2 ON e2.vec_id = c.id_b)
+          WHERE c > 0),
+        sa AS (SELECT id_a, CAST(COUNT(*) AS BIGINT) AS ka,
+                      CAST(SUM(c) AS BIGINT) AS suma
+               FROM (SELECT id_a, c, ROW_NUMBER() OVER (PARTITION BY id_a
+                       ORDER BY c DESC, id_b) AS r FROM pairs)
+               WHERE r <= 4 GROUP BY 1),
+        sb AS (SELECT id_b, CAST(COUNT(*) AS BIGINT) AS kb,
+                      CAST(SUM(c) AS BIGINT) AS sumb
+               FROM (SELECT id_b, c, ROW_NUMBER() OVER (PARTITION BY id_b
+                       ORDER BY c DESC, id_a) AS r FROM pairs)
+               WHERE r <= 4 GROUP BY 1),
+        sc AS MATERIALIZED (
+          SELECT p.id_a, p.id_b,
+                 p.c * (sa.ka + sb.kb) * 1000000 // (sa.suma + sb.sumb)
+                   AS margin_ppm
+          FROM pairs p
+          JOIN sa ON sa.id_a = p.id_a
+          JOIN sb ON sb.id_b = p.id_b),
+        mm AS (SELECT id_a, id_b, margin_ppm,
+                      ROW_NUMBER() OVER (PARTITION BY id_a
+                        ORDER BY margin_ppm DESC, id_b) AS rx,
+                      ROW_NUMBER() OVER (PARTITION BY id_b
+                        ORDER BY margin_ppm DESC, id_a) AS ry
+               FROM sc),
+        mined AS (SELECT id_a, id_b, margin_ppm,
+                         (id_b = id_a + 10000000) AS is_true
+                  FROM mm
+                  WHERE rx = 1 AND ry = 1 AND margin_ppm >= 1200000),
+        cnts AS (SELECT CAST(SUM(CASE WHEN vec_id < 10000000
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                        CAST(SUM(CASE WHEN vec_id >= 10000000
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+                 FROM eb),
+        bits AS (SELECT LEAST(24, GREATEST(4,
+                   CAST(CEIL(LOG2((SELECT COUNT(*) FROM eb) / 30.0))
+                     AS BIGINT))) AS lsh_bits),
+        pc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM pairs),
+        mc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mined,
+                      CAST(COALESCE(SUM(CASE WHEN is_true
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+                      CAST(COALESCE(MIN(CASE WHEN is_true
+                        THEN margin_ppm END), 0) AS BIGINT)
+                        AS min_true_margin_ppm,
+                      CAST(COALESCE(MAX(CASE WHEN NOT is_true
+                        THEN margin_ppm END), 0) AS BIGINT)
+                        AS max_false_margin_ppm
+               FROM mined)
+        SELECT cnts.n_base, cnts.n_planted, bits.lsh_bits,
+               pc.n_candidates, mc.n_mined, mc.n_true,
+               mc.n_mined - mc.n_true AS n_false,
+               mc.n_true * 1000000 // cnts.n_planted AS recall_ppm,
+               mc.min_true_margin_ppm, mc.max_false_margin_ppm
+        FROM cnts CROSS JOIN bits CROSS JOIN pc CROSS JOIN mc"""))
   )
 
   /** DuckDB replay of q260: the same integer power iteration, unrolled

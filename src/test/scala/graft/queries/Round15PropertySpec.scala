@@ -138,4 +138,47 @@ class Round15PropertySpec extends SparkSpec {
     assert(got("event_type") == tvd(_._2))
     assert(got("value_band") == tvd(_._3))
   }
+
+  test("q362 margin law: scorer and mining rule match a Scala recount " +
+      "on hand-built candidate lists") {
+    // Cross-paradigm pin of the ratio-margin law on a candidate table
+    // small enough to verify by hand, including the closed-form corner:
+    // an ISOLATED mutual pair (each side's only candidate) has margin
+    // exactly c·(1+1)·10⁶ div (c+c) = 10⁶ — ratio 1.0, below any real
+    // threshold — so isolated coincidences can never be mined, whatever
+    // their raw cosine. Margins recomputed in plain Scala BigInt
+    // arithmetic; the mining rule checked against the hand-derived
+    // mutual-argmax set.
+    import spark.implicits._
+    val k = 4
+    val pairs = Seq(
+      (1L, 101L, 900L), (1L, 102L, 400L), (1L, 103L, 380L),
+      (2L, 101L, 410L), (2L, 102L, 420L), (2L, 103L, 950L),
+      (3L, 104L, 999L)).toDF("id_a", "id_b", "c")
+    val raw = Seq(
+      (1L, 101L, 900L), (1L, 102L, 400L), (1L, 103L, 380L),
+      (2L, 101L, 410L), (2L, 102L, 420L), (2L, 103L, 950L),
+      (3L, 104L, 999L))
+    def topSum(xs: Seq[Long]): (Long, Long) = {
+      val t = xs.sorted(Ordering[Long].reverse).take(k)
+      (t.size.toLong, t.sum)
+    }
+    val expected = raw.map { case (a, b, c) =>
+      val (ka, suma) = topSum(raw.filter(_._1 == a).map(_._3))
+      val (kb, sumb) = topSum(raw.filter(_._2 == b).map(_._3))
+      (a, b) -> (BigInt(c) * (ka + kb) * 1000000 / (suma + sumb)).toLong
+    }.toMap
+    val got = Vectors.ratioMarginScore(pairs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got((3L, 104L)) == 1000000L,
+      "isolated-pair margin must be exactly 1.0 (10^6 ppm)")
+    val mined = Vectors.mineMutualArgmax(
+        Vectors.ratioMarginScore(pairs, k), 1200000L)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Hand-derived: (1,101) and (2,103) are each other's margin argmax
+    // and above threshold; (3,104) is mutual but sits at exactly 10^6.
+    assert(mined == Set((1L, 101L), (2L, 103L)))
+  }
 }
