@@ -1447,6 +1447,160 @@ object Curation {
                  SUM(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END)
                  THEN 1 ELSE 0 END AS BIGINT) AS valid_eq_planted
         FROM v GROUP BY source ORDER BY source"""
+      }),
+
+    // ---- q363: PII redaction transform + conservation certificate ----
+    // (round 15) q341 DETECTS card-number PII; this gate performs the
+    // REDACTION a corpus actually ships to training — the q334
+    // transform-certificate pattern applied to PII scrubbing. Planted
+    // PII (q341's 16-digit cards — valid AND broken, because a scrubber
+    // over-redacts by design: a candidate that fails Luhn is still not
+    // trainable text — plus deterministic e-mail addresses on every
+    // 9th doc) is rewritten to fixed placeholders in two sequential
+    // passes (cards first, then e-mails over the card-redacted text,
+    // and the censuses mirror that order exactly). The card certifies
+    // the TRANSFORM, not just the counts:
+    //   - conservation: per-doc final length equals planted length
+    //     − 10·n_card − Σ e-mail chars + 7·n_email, aggregated as a
+    //     min-flag so ONE violating doc anywhere flips the output;
+    //   - fixpoint: zero residual matches of either pattern after the
+    //     pass;
+    //   - untouched identity: the 48-bit md5-prefix checksum of docs
+    //     with no PII is bit-identical before and after (the q334
+    //     DECIMAL(38,0)/HUGEINT accumulator discipline).
+    // Both regexes are RE2-and-Java-identical character classes (no
+    // lookaround), so Spark and DuckDB match the same spans.
+    //
+    // 100 TB posture: the whole transform and every census is in-row
+    // (one projection over the corpus scan — regexp_replace +
+    // regexp_extract_all are codegen'd); the only shuffle is the
+    // |sources|-cardinality rollup. Payload text never shuffles.
+    "q363_pii_redaction" -> QueryDef(
+      build = (spark, dir) => {
+        val card15 = "lpad(CAST((doc_id * 7919 + 123457) %" +
+          " 1000000000000000 AS STRING), 15, '0')"
+        val check = s"(10 - (${luhnSumSql(card15, 15)}) % 10) % 10"
+        val base = "CASE WHEN doc_id % 10 != 0 THEN text " +
+          s"WHEN doc_id % 20 = 0 THEN concat(text, ' ', $card15, " +
+          s"CAST($check AS STRING)) " +
+          s"ELSE concat(text, ' ', $card15, " +
+          s"CAST(($check + 5) % 10 AS STRING)) END"
+        val emailRe = "[a-z0-9]+@[a-z0-9]+\\\\.[a-z]+"
+        val staged = Tables.documents(spark, dir)
+          .withColumn("planted", expr(s"CASE WHEN doc_id % 9 = 3" +
+            s" THEN concat($base, ' user', CAST(doc_id AS STRING)," +
+            s" '@example.com') ELSE $base END"))
+          .withColumn("t1",
+            expr("regexp_replace(planted, '\\\\d{16}', '<CARD>')"))
+          .withColumn("t2",
+            expr(s"regexp_replace(t1, '$emailRe', '<EMAIL>')"))
+          .withColumn("n_card",
+            expr("CAST(size(regexp_extract_all(planted, '\\\\d{16}', 0))" +
+              " AS BIGINT)"))
+          .withColumn("emails",
+            expr(s"regexp_extract_all(t1, '$emailRe', 0)"))
+          .withColumn("n_email", expr("CAST(size(emails) AS BIGINT)"))
+          .withColumn("email_chars",
+            expr("aggregate(emails, CAST(0 AS BIGINT)," +
+              " (a, x) -> a + length(x))"))
+          .withColumn("residual",
+            expr("CAST(size(regexp_extract_all(t2, '\\\\d{16}', 0))" +
+              s" AS BIGINT) + CAST(size(regexp_extract_all(t2," +
+              s" '$emailRe', 0)) AS BIGINT)"))
+          .withColumn("cons_ok",
+            when(expr("CAST(length(t2) AS BIGINT) =" +
+              " CAST(length(planted) AS BIGINT) - 10 * n_card" +
+              " - email_chars + 7 * n_email"), 1L).otherwise(0L))
+          .withColumn("untouched",
+            when(col("n_card") === 0L && col("n_email") === 0L, 1L)
+              .otherwise(0L))
+        def cks(c: String) =
+          expr(s"CAST(conv(substring(md5($c), 1, 12), 16, 10)" +
+            " AS DECIMAL(38,0))")
+        staged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_card")).as("n_card_redactions"),
+            sum(col("n_email")).as("n_email_redactions"),
+            sum(expr("CAST(length(planted) - length(t2) AS BIGINT)"))
+              .as("chars_removed"),
+            min(col("cons_ok")).as("conservation_ok"),
+            sum(col("residual")).as("residual_matches"),
+            sum(col("untouched")).as("n_untouched"),
+            sum(when(col("untouched") === 1L, cks("planted"))
+              .otherwise(0L)).as("cks_orig"),
+            sum(when(col("untouched") === 1L, cks("t2"))
+              .otherwise(0L)).as("cks_final"))
+          .select(col("source"), col("n_docs"),
+            col("n_card_redactions"), col("n_email_redactions"),
+            col("chars_removed"), col("conservation_ok"),
+            col("residual_matches"), col("n_untouched"),
+            when(col("cks_orig") === col("cks_final"), 1L).otherwise(0L)
+              .as("untouched_identity"))
+          .orderBy(col("source"))
+      },
+      oracle = Some {
+        val card15 = "lpad(CAST((doc_id * 7919 + 123457) %" +
+          " 1000000000000000 AS VARCHAR), 15, '0')"
+        val check = s"(10 - (${luhnSumSql(card15, 15)}) % 10) % 10"
+        val base = "CASE WHEN doc_id % 10 != 0 THEN text " +
+          s"WHEN doc_id % 20 = 0 THEN concat(text, ' ', $card15, " +
+          s"CAST($check AS VARCHAR)) " +
+          s"ELSE concat(text, ' ', $card15, " +
+          s"CAST(($check + 5) % 10 AS VARCHAR)) END"
+        val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+        s"""
+        WITH planted AS MATERIALIZED (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 9 = 3
+                   THEN concat($base, ' user', CAST(doc_id AS VARCHAR),
+                     '@example.com')
+                   ELSE $base END AS planted
+          FROM documents),
+        tr AS MATERIALIZED (
+          SELECT doc_id, source, planted,
+                 regexp_replace(planted, '\\d{16}', '<CARD>', 'g') AS t1
+          FROM planted),
+        tr2 AS MATERIALIZED (
+          SELECT doc_id, source, planted, t1,
+                 regexp_replace(t1, '$emailRe', '<EMAIL>', 'g') AS t2,
+                 CAST(len(regexp_extract_all(planted, '\\d{16}'))
+                   AS BIGINT) AS n_card,
+                 regexp_extract_all(t1, '$emailRe') AS emails
+          FROM tr),
+        m AS (SELECT doc_id, source, planted, t2, n_card,
+                     CAST(len(emails) AS BIGINT) AS n_email,
+                     CAST(COALESCE(list_sum(list_transform(emails,
+                       x -> length(x))), 0) AS BIGINT) AS email_chars,
+                     CAST(len(regexp_extract_all(t2, '\\d{16}'))
+                       + len(regexp_extract_all(t2, '$emailRe'))
+                       AS BIGINT) AS residual
+              FROM tr2),
+        f AS (SELECT source, planted, t2, n_card, n_email,
+                     email_chars, residual,
+                     CASE WHEN CAST(length(t2) AS BIGINT) =
+                       CAST(length(planted) AS BIGINT) - 10 * n_card
+                       - email_chars + 7 * n_email
+                       THEN 1 ELSE 0 END AS cons_ok,
+                     CASE WHEN n_card = 0 AND n_email = 0
+                       THEN 1 ELSE 0 END AS untouched
+              FROM m)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_card) AS BIGINT) AS n_card_redactions,
+               CAST(SUM(n_email) AS BIGINT) AS n_email_redactions,
+               CAST(SUM(length(planted) - length(t2)) AS BIGINT)
+                 AS chars_removed,
+               CAST(MIN(cons_ok) AS BIGINT) AS conservation_ok,
+               CAST(SUM(residual) AS BIGINT) AS residual_matches,
+               CAST(SUM(untouched) AS BIGINT) AS n_untouched,
+               CAST(CASE WHEN
+                 SUM(CASE WHEN untouched = 1 THEN
+                   ('0x' || substr(md5(planted), 1, 12))::BIGINT
+                   ELSE 0 END) =
+                 SUM(CASE WHEN untouched = 1 THEN
+                   ('0x' || substr(md5(t2), 1, 12))::BIGINT
+                   ELSE 0 END)
+                 THEN 1 ELSE 0 END AS BIGINT) AS untouched_identity
+        FROM f GROUP BY source ORDER BY source"""
       })
   )
 
