@@ -1327,5 +1327,142 @@ object Mixing {
                s.fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY s.rem DESC,
                  s.event_type) <= sh.k THEN 1 ELSE 0 END AS seats
         FROM s CROSS JOIN short sh ORDER BY s.event_type"""))
+  ) ++ Seq(
+
+    // ---- q364: data-constrained epoch allocation (repeat decay) ----
+    // (round 15) The "how many epochs of what" decision a data-
+    // constrained run makes (Muennighoff et al. '23, Scaling Data-
+    // Constrained Language Models: repeated data decays in value, ~4
+    // epochs buy most of what repetition can buy): each source's e-th
+    // epoch contributes n·δ^(e−1) effective tokens at a cost of n
+    // compute tokens, with δ = 3/4 — the engine-exact rational
+    // surrogate of the paper's fitted decay (powers of 3 and 4 keep
+    // every effective-token figure one exact integer floor-div;
+    // exp/log fits are not engine-exact) — and a 6-epoch value cap.
+    // Marginal value-per-token at level e is δ^(e−1), identical across
+    // sources, so the optimal budget fill is LEVEL ORDER: all sources'
+    // epoch 1, then epoch 2, … down to a cutoff level filled greedily
+    // (n DESC, source — deterministic) while whole sources fit. The
+    // card certifies optimality the q345 way: the fractional-LP upper
+    // bound (full levels + cutoff-rate leftover) is computed in the
+    // same plan, and gap_ppm sandwiches the allocation against the
+    // unknowable integer optimum. A NAIVE arm — spend the same budget
+    // repeating only the LARGEST source — is priced beside it
+    // (uplift_ppm), putting a number on why mixtures beat repetition.
+    //
+    // 100 TB posture: one token-count agg over the corpus scan (the
+    // counting shuffle any pass pays); everything after runs at
+    // |sources| cardinality — the allocation table IS the output.
+    // Micro-scaled BIGINT arithmetic holds to ~10^12 tokens per
+    // source; beyond that, lift the eff columns to DECIMAL(38,0).
+    "q364_epoch_allocation" -> QueryDef(
+      build = (spark, dir) => {
+        def p3(k: String) = s"(CASE $k WHEN 0 THEN 1 WHEN 1 THEN 3" +
+          " WHEN 2 THEN 9 WHEN 3 THEN 27 WHEN 4 THEN 81 WHEN 5 THEN 243" +
+          " ELSE 729 END)"
+        def p4(k: String) = s"(CASE $k WHEN 0 THEN 1 WHEN 1 THEN 4" +
+          " WHEN 2 THEN 16 WHEN 3 THEN 64 WHEN 4 THEN 256" +
+          " WHEN 5 THEN 1024 ELSE 4096 END)"
+        def effMicro(n: String, k: String) = s"(CASE WHEN $k = 0 THEN 0" +
+          s" ELSE ($n * (${p4(k)} - ${p3(k)}) * 1000000)" +
+          s" div ${p4(s"($k - 1)")} END)"
+        val n = Tables.documents(spark, dir)
+          .groupBy(col("source"))
+          .agg(sum(expr("CAST(size(split(trim(text), ' ')) AS BIGINT)"))
+            .as("n"))
+          .localCheckpoint(false)
+        val tot = n.agg(sum(col("n")).as("t"), max(col("n")).as("nmax"))
+        val en = n.crossJoin(broadcast(tot))
+          .withColumn("b", expr("(5 * t) div 2"))
+          .withColumn("f", expr("least(CAST(6 AS BIGINT), b div t)"))
+          .withColumn("p", expr("b - f * t"))
+          .withColumn("cum", sum(col("n")).over(
+            Window.orderBy(col("n").desc, col("source"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("picked",
+            when(col("cum") <= col("p"), 1L).otherwise(0L))
+          .withColumn("eff", expr(s"${effMicro("n", "f")}" +
+            s" + (CASE WHEN cum <= p THEN (n * ${p3("f")} * 1000000)" +
+            s" div ${p4("f")} ELSE 0 END)"))
+          .localCheckpoint(false)
+        val roll = en.agg(sum(col("eff")).as("got"),
+          max(col("t")).as("rt"), max(col("b")).as("rb"),
+          max(col("f")).as("rf"), max(col("p")).as("rp"),
+          max(col("nmax")).as("rnmax"))
+          .withColumn("ubm", expr(s"${effMicro("rt", "rf")}" +
+            s" + (rp * ${p3("rf")} * 1000000) div ${p4("rf")}"))
+          .withColumn("m", expr("least(CAST(6 AS BIGINT), rb div rnmax)"))
+          .withColumn("naive", expr(s"${effMicro("rnmax", "m")}" +
+            s" + (CASE WHEN m < 6 THEN ((rb - m * rnmax) * ${p3("m")}" +
+            s" * 1000000) div ${p4("m")} ELSE 0 END)"))
+        en.crossJoin(broadcast(roll))
+          .select(col("source"), col("n").as("n_tokens"),
+            (col("f") + col("picked")).as("epochs"),
+            col("picked").as("picked_partial"),
+            col("eff").as("eff_micro"),
+            expr("eff * 1000000 div got").as("eff_share_ppm"),
+            col("t").as("t_tokens"), col("b").as("budget"),
+            col("got").as("got_micro"), col("ubm").as("ub_micro"),
+            expr("(ubm - got) * 1000000 div ubm").as("gap_ppm"),
+            col("naive").as("naive_eff_micro"),
+            expr("(got - naive) * 1000000 div naive").as("uplift_ppm"))
+          .orderBy(col("source"))
+      },
+      oracle = Some {
+        def p3(k: String) = s"(CASE $k WHEN 0 THEN 1 WHEN 1 THEN 3" +
+          " WHEN 2 THEN 9 WHEN 3 THEN 27 WHEN 4 THEN 81 WHEN 5 THEN 243" +
+          " ELSE 729 END)"
+        def p4(k: String) = s"(CASE $k WHEN 0 THEN 1 WHEN 1 THEN 4" +
+          " WHEN 2 THEN 16 WHEN 3 THEN 64 WHEN 4 THEN 256" +
+          " WHEN 5 THEN 1024 ELSE 4096 END)"
+        def effMicro(n: String, k: String) = s"(CASE WHEN $k = 0 THEN 0" +
+          s" ELSE ($n * (${p4(k)} - ${p3(k)}) * 1000000)" +
+          s" // ${p4(s"($k - 1)")} END)"
+        s"""
+        WITH n AS MATERIALIZED (
+          SELECT source,
+                 CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+                   AS n
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                       CAST(MAX(n) AS BIGINT) AS nmax FROM n),
+        c2 AS (SELECT t, nmax, (5 * t) // 2 AS b,
+                      LEAST(6, ((5 * t) // 2) // t) AS f,
+                      (5 * t) // 2 - LEAST(6, ((5 * t) // 2) // t) * t
+                        AS p
+               FROM tot),
+        en AS (SELECT nn.source, nn.n, c2.t, c2.b, c2.f, c2.p, c2.nmax,
+                      SUM(nn.n) OVER (ORDER BY nn.n DESC, nn.source
+                        ROWS UNBOUNDED PRECEDING) AS cum
+               FROM n nn CROSS JOIN c2),
+        e2 AS MATERIALIZED (
+          SELECT *, CASE WHEN cum <= p THEN 1 ELSE 0 END AS picked,
+                 ${effMicro("n", "f")} + (CASE WHEN cum <= p
+                   THEN (n * ${p3("f")} * 1000000) // ${p4("f")}
+                   ELSE 0 END) AS eff
+          FROM en),
+        roll AS (SELECT CAST(SUM(eff) AS BIGINT) AS got FROM e2),
+        ub AS (SELECT ${effMicro("t", "f")}
+                 + (p * ${p3("f")} * 1000000) // ${p4("f")} AS ubm
+               FROM c2),
+        nv AS (SELECT LEAST(6, b // nmax) AS m, nmax, b FROM c2),
+        nv2 AS (SELECT ${effMicro("nmax", "m")} + (CASE WHEN m < 6
+                  THEN ((b - m * nmax) * ${p3("m")} * 1000000)
+                    // ${p4("m")} ELSE 0 END) AS naive
+                FROM nv)
+        SELECT e2.source, e2.n AS n_tokens,
+               CAST(e2.f + e2.picked AS BIGINT) AS epochs,
+               CAST(e2.picked AS BIGINT) AS picked_partial,
+               CAST(e2.eff AS BIGINT) AS eff_micro,
+               e2.eff * 1000000 // roll.got AS eff_share_ppm,
+               e2.t AS t_tokens, e2.b AS budget,
+               roll.got AS got_micro, CAST(ub.ubm AS BIGINT) AS ub_micro,
+               (ub.ubm - roll.got) * 1000000 // ub.ubm AS gap_ppm,
+               CAST(nv2.naive AS BIGINT) AS naive_eff_micro,
+               (roll.got - nv2.naive) * 1000000 // nv2.naive
+                 AS uplift_ppm
+        FROM e2 CROSS JOIN roll CROSS JOIN ub CROSS JOIN nv2
+        ORDER BY e2.source"""
+      })
   )
 }

@@ -181,4 +181,50 @@ class Round15PropertySpec extends SparkSpec {
     // and above threshold; (3,104) is mutual but sits at exactly 10^6.
     assert(mined == Set((1L, 101L), (2L, 103L)))
   }
+
+  test("q364 allocation: epochs and effective tokens equal an " +
+      "independent Scala recount") {
+    // Cross-paradigm check: recompute the whole data-constrained
+    // allocation from raw collected documents (sf0.001) with plain
+    // Scala BigInt rationals — per-source token counts, the level fill,
+    // the (n DESC, source) greedy partial, and each source's effective
+    // tokens as the EXACT geometric sum n·10⁶·Σ(3/4)^i floored once
+    // (the same rational the gate's closed form floors) — and compare
+    // per-source epochs and eff_micro against the gate's output.
+    val dir = "/root/testdata/sf0.001"
+    val n = Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).trim.split(" ", -1).length.toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val t = n.values.sum
+    val b = 5 * t / 2
+    val f = math.min(6L, b / t)
+    val p = b - f * t
+    // greedy partial picks: (n desc, source) while whole sources fit
+    var cum = 0L
+    val picked = n.toSeq.sortBy { case (s, v) => (-v, s) }.map {
+      case (s, v) => cum += v; s -> (cum <= p)
+    }.toMap
+    def effMicro(tok: Long, k: Long): Long = {
+      if (k == 0) 0L
+      else {
+        val p4 = BigInt(4).pow(k.toInt); val p3 = BigInt(3).pow(k.toInt)
+        (BigInt(tok) * 1000000 * (p4 - p3) / (p4 / 4)).toLong
+      }
+    }
+    val expected = n.map { case (s, v) =>
+      val k = f + (if (picked(s)) 1 else 0)
+      val full = effMicro(v, f)
+      val part = if (picked(s))
+        (BigInt(v) * BigInt(3).pow(f.toInt) * 1000000
+          / BigInt(4).pow(f.toInt)).toLong else 0L
+      s -> (k, full + part)
+    }
+    val got = Mixing.defs.toMap.apply("q364_epoch_allocation")
+      .build(spark, dir)
+      .select(col("source"), col("epochs"), col("eff_micro")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
 }
