@@ -91,7 +91,14 @@ object Bench {
       // subsequent samples would be garbage — let it abort the run.
       try queries(n)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) => errors(n) = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200) }
-      finally spark.sparkContext.clearJobGroup()
+      finally {
+        spark.sparkContext.clearJobGroup()
+        // same hygiene as the timed loop: do not let one query's
+        // checkpoint blocks squat in the block manager for the rest
+        // of the warmup pass
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
 
     // q60's staged media corpus (written during the warmup pass when the
@@ -126,10 +133,21 @@ object Bench {
     val samples = scala.collection.mutable.Map[String, Double]()
     (1 to 3).foreach { _ =>
       survivors.toSeq.foreach { name =>
-        // Collect the PREVIOUS query's garbage before starting the timer
-        // (JMH-style inter-iteration hygiene): an allocation-heavy
-        // rotation neighbour (q60's binary payloads ahead of q70) must
-        // not tax the next query's samples.
+        // Inter-iteration hygiene (JMH-style), before starting the timer:
+        // (1) unpersist every leftover persisted RDD — localCheckpoint
+        // blocks from PREVIOUS queries' intermediate frames otherwise
+        // accumulate in the block manager until the async ContextCleaner
+        // happens to run (round 15: with 17 headlines × 3 passes the
+        // residue grew to GBs and q60's decode pass — which needs ~2.7 GB
+        // of headroom for 32 concurrent binary column batches — read
+        // 6.8 s in-bench vs 1.5 s focused; a query's own blocks are
+        // rebuilt fresh by each timed execution, so this frees only dead
+        // weight); (2) collect the previous query's garbage so an
+        // allocation-heavy rotation neighbour (q60's binary payloads
+        // ahead of q70) does not tax the next query's samples.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
         System.gc()
         // Two back-to-back executions per pass, both sampled. Pure
         // interleaving (r03/r04 protocol) made EVERY sample JIT-cold —
