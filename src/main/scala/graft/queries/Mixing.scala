@@ -1463,6 +1463,155 @@ object Mixing {
                  AS uplift_ppm
         FROM e2 CROSS JOIN roll CROSS JOIN ub CROSS JOIN nv2
         ORDER BY e2.source"""
-      })
+      }),
+
+    // ---- q365: stratified interleave order + anti-clumping law ----
+    // (round 15) The last step before a training run reads the corpus:
+    // MATERIALIZE THE ORDER. A naive (source, doc) order feeds the
+    // model one domain at a time — the gradient sees a domain "binge"
+    // and training curves wobble; production loaders interleave domains
+    // (T5-style mixing without replacement). This gate builds the
+    // deterministic STRIDE-SCHEDULED order: within each source, docs get
+    // a reproducible md5-shuffle rank i; each source gets a fractional
+    // phase offset θ_s (md5 of the source, milli units); the global sort
+    // key is the exact integer image of (i + θ_s)/n_s — low-discrepancy
+    // spacing, the same schedule every epoch/engine. The card certifies
+    // the ORDER, not the intent, via gaps-and-islands over the emitted
+    // positions: per-source max same-source RUN length (spread: 1 for
+    // every source at both test SFs) and max/min occurrence GAP, with
+    // the naive (source, doc_id) order's max run measured beside it
+    // (= n_s, the binge the interleave removes — the q356
+    // grouped-vs-naive convention).
+    //
+    // 100 TB posture: one global sort (at scale: range partition +
+    // per-part sort — the standard ordered-write path, and the ONLY
+    // stage that touches the corpus); both certificates are per-source
+    // keyed windows over (source, position) pairs — 16-byte rows, never
+    // the payload. The order key is pure in-row arithmetic.
+    "q365_interleave_order" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"))
+        val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val ranked = docs
+          .withColumn("shuf", md5(concat(lit("q365#"),
+            col("doc_id").cast("string"))))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("shuf"), col("doc_id"))) - lit(1))
+          .join(ns, Seq("source"))
+          .withColumn("h", expr("CAST(conv(substring(md5(" +
+            "concat('q365S#', source)), 1, 6), 16, 10) AS BIGINT) % 1000"))
+          .withColumn("key",
+            expr("((CAST(i AS BIGINT) * 1000 + h) * 1000000) div n_s"))
+        val pos = ranked
+          .withColumn("pos", row_number().over(
+            Window.orderBy(col("key"), col("source"), col("i"))))
+          .select(col("source"), col("n_s"), col("pos"))
+          .localCheckpoint(false)
+        val runs = pos
+          .withColumn("grp", col("pos") - row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("pos"))))
+          .groupBy(col("source"), col("grp"))
+          .agg(count(lit(1)).as("runlen"))
+          .groupBy(col("source"))
+          .agg(max(col("runlen")).as("max_run_spread"))
+        val gaps = pos
+          .withColumn("prev", lag(col("pos"), 1).over(
+            Window.partitionBy(col("source")).orderBy(col("pos"))))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("source"))
+          .agg(max((col("pos") - col("prev")).cast("bigint"))
+            .as("max_gap_spread"),
+            min((col("pos") - col("prev")).cast("bigint"))
+              .as("min_gap_spread"))
+        // naive arm: (source, doc_id) order — same machinery, so the
+        // "binge" number is measured, not assumed
+        val naivePos = docs
+          .withColumn("npos", row_number().over(
+            Window.orderBy(col("source"), col("doc_id"))))
+          .select(col("source"), col("npos"))
+        val naiveRuns = naivePos
+          .withColumn("grp", col("npos") - row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("npos"))))
+          .groupBy(col("source"), col("grp"))
+          .agg(count(lit(1)).as("runlen"))
+          .groupBy(col("source"))
+          .agg(max(col("runlen")).as("max_run_naive"))
+        val roll = runs.agg(
+          max(col("max_run_spread")).as("corpus_max_run_spread"))
+        ns.join(runs, Seq("source")).join(gaps, Seq("source"))
+          .join(naiveRuns, Seq("source"))
+          .crossJoin(broadcast(roll))
+          .select(col("source"), col("n_s").as("n_docs"),
+            col("max_run_spread"), col("max_gap_spread"),
+            col("min_gap_spread"), col("max_run_naive"),
+            col("corpus_max_run_spread"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(s"""
+        WITH docs AS (SELECT doc_id, source FROM documents),
+        ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+               FROM docs GROUP BY source),
+        ranked AS (SELECT d.source, ns.n_s,
+                          ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5(concat('q365#',
+                              CAST(d.doc_id AS VARCHAR))), d.doc_id) - 1
+                            AS i,
+                          ('0x' || substr(md5(concat('q365S#', d.source)),
+                            1, 6))::BIGINT % 1000 AS h
+                   FROM docs d JOIN ns ON ns.source = d.source),
+        keyed AS (SELECT source, n_s, i,
+                         ((CAST(i AS BIGINT) * 1000 + h) * 1000000) // n_s
+                           AS key
+                  FROM ranked),
+        pos AS MATERIALIZED (
+          SELECT source, n_s,
+                 ROW_NUMBER() OVER (ORDER BY key, source, i) AS pos
+          FROM keyed),
+        runs AS (SELECT source, CAST(MAX(runlen) AS BIGINT)
+                   AS max_run_spread
+                 FROM (SELECT source, grp,
+                              COUNT(*) AS runlen
+                       FROM (SELECT source, pos,
+                                    pos - ROW_NUMBER() OVER (
+                                      PARTITION BY source ORDER BY pos)
+                                      AS grp
+                             FROM pos)
+                       GROUP BY source, grp)
+                 GROUP BY source),
+        gaps AS (SELECT source,
+                        CAST(MAX(pos - prev) AS BIGINT) AS max_gap_spread,
+                        CAST(MIN(pos - prev) AS BIGINT) AS min_gap_spread
+                 FROM (SELECT source, pos,
+                              LAG(pos) OVER (PARTITION BY source
+                                ORDER BY pos) AS prev
+                       FROM pos)
+                 WHERE prev IS NOT NULL GROUP BY source),
+        npos AS (SELECT source,
+                        ROW_NUMBER() OVER (ORDER BY source, doc_id)
+                          AS npos
+                 FROM docs),
+        nruns AS (SELECT source, CAST(MAX(runlen) AS BIGINT)
+                    AS max_run_naive
+                  FROM (SELECT source, grp, COUNT(*) AS runlen
+                        FROM (SELECT source, npos,
+                                     npos - ROW_NUMBER() OVER (
+                                       PARTITION BY source ORDER BY npos)
+                                       AS grp
+                              FROM npos)
+                        GROUP BY source, grp)
+                  GROUP BY source),
+        roll AS (SELECT CAST(MAX(max_run_spread) AS BIGINT)
+                   AS corpus_max_run_spread FROM runs)
+        SELECT ns.source, ns.n_s AS n_docs, runs.max_run_spread,
+               gaps.max_gap_spread, gaps.min_gap_spread,
+               nruns.max_run_naive, roll.corpus_max_run_spread
+        FROM ns
+        JOIN runs ON runs.source = ns.source
+        JOIN gaps ON gaps.source = ns.source
+        JOIN nruns ON nruns.source = ns.source
+        CROSS JOIN roll
+        ORDER BY ns.source"""))
   )
 }

@@ -227,4 +227,29 @@ class Round15PropertySpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected)
   }
+
+  test("q365 stride schedule: on a balanced corpus every source runs " +
+      "at length 1 with gaps exactly |sources|") {
+    // Closed form: with equal per-source counts n and any per-source
+    // phase offsets, each unit stride [(i)/n, (i+1)/n) contains exactly
+    // ONE doc of every source, so no source can appear twice in a row
+    // (max run = 1) and consecutive occurrences of a source are exactly
+    // |sources| positions apart — whatever the md5 offsets draw, ties
+    // included. The testdata corpus is balanced at every SF, so the law
+    // must hold exactly; an unbalanced corpus would shift gaps, never
+    // runs past ceil(n_max/n_min).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val rows = Mixing.defs.toMap.apply("q365_interleave_order")
+        .build(spark, dir).collect()
+      val counts = rows.map(_.getAs[Long]("n_docs")).distinct
+      assert(counts.length == 1, s"$dir: fixture no longer balanced")
+      val nSources = rows.length.toLong
+      rows.foreach { r =>
+        assert(r.getAs[Long]("max_run_spread") == 1L, s"$dir clump")
+        assert(r.getAs[Long]("max_gap_spread") == nSources &&
+          r.getAs[Long]("min_gap_spread") == nSources,
+          s"$dir: gap != |sources| for ${r.getAs[String]("source")}")
+      }
+    }
+  }
 }
