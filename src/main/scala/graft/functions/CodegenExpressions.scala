@@ -70,6 +70,24 @@ object CodegenExpressions {
       copy(child = newChild)
   }
 
+  /** Codegen'd winnowing fingerprint selection over an array<string>
+    * token column: packed (40-bit md5 gram hash)·2^20 + pos, windowed
+    * minima, first-occurrence dedup — see [[VectorKernels.winnowPacked]]
+    * for the value-identity argument vs the HOF formulation. */
+  final case class WinnowPackExpr(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, ArrayType(StringType), "winnow_pack")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(arr: Any): Any =
+      VectorKernels.winnowPacked(arr.asInstanceOf[ArrayData], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorKernels.winnowPacked($a, $k, $w);")
+    override protected def withNewChildInternal(newChild: Expression): WinnowPackExpr =
+      copy(child = newChild)
+  }
+
   /** Codegen'd 64-bit SimHash over an array<string> token column. */
   final case class SimHashExpr(child: Expression)
       extends UnaryExpression {
@@ -190,4 +208,8 @@ object CodegenExpressions {
 
   def shingleArr(toks: Column, n: Int): Column =
     GraftColumnBridge.column(ShinglesExpr(GraftColumnBridge.expression(toks), n))
+
+  def winnowPack(toks: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(WinnowPackExpr(
+      GraftColumnBridge.expression(toks), k, w))
 }

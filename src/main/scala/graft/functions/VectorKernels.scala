@@ -40,6 +40,81 @@ object VectorKernels {
 
   private val SPACE = UTF8String.fromString(" ")
 
+  /** Winnowed packed-(hash, pos) fingerprint selection over a token
+    * array — the compiled equivalent of the HOF chain in
+    * [[graft.operators.Winnowing.fingerprints]]:
+    * {{{
+    *   vs   = transform(sequence(0, n-k), i =>
+    *            conv(substring(md5(concat_ws(" ", slice(toks,i+1,k))),1,10),16,10)
+    *              .cast("long") * 2^20 + i)
+    *   sels = array_distinct(transform(sequence(0, g-w), s =>
+    *            array_min(slice(vs, s+1, w))))
+    * }}}
+    * Value-identical by construction: the gram bytes are the same
+    * concat_ws(" ") join, MD5 is MD5, and the first 10 hex chars of the
+    * digest ARE its first 5 bytes read big-endian. What the kernel
+    * removes is pure evaluation overhead, not math: the interpreted
+    * per-element lambda walks (each array_min(slice(...)) COPIES a
+    * w-slice), the hex round-trip (digest → 32-char hex string →
+    * substring → conv string parse), and a fresh MessageDigest per gram
+    * — the q202 bench row was one ~2.2 s single-stage job that is
+    * exactly this expression. Window minima run in O(g) via a monotone
+    * deque instead of O(g·w) slice copies.
+    *
+    * Dedup note: array_distinct keeps first occurrences. A packed value
+    * occurs at ONE gram position p (pos lives in the low 20 bits), is
+    * eligible for the contiguous window range [p-w+1, p], and once a
+    * smaller value enters at a LATER position it also leaves later — so
+    * a value's reign as window-min is one contiguous run and duplicates
+    * in the minima sequence are always CONSECUTIVE; suppressing
+    * consecutive repeats is exactly array_distinct here (property-pinned
+    * against the HOF form in WinnowKernelSpec).
+    *
+    * Callers guard n ≥ k + w − 1 (at least one full window) and the
+    * 2^20 pos-packing overflow, same as the HOF form. */
+  def winnowPacked(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val g = n - k + 1 // k-gram count
+    if (g < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val packed = new Array[Long](g)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i < g) {
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      // concat_ws(" ", ...) semantics verbatim (skips nulls, keeps
+      // empty strings) — the md5 input bytes must match the HOF form.
+      val gram = UTF8String.concatWs(SPACE, parts: _*)
+      md.reset()
+      val d = md.digest(gram.getBytes)
+      val h = ((d(0) & 0xFFL) << 32) | ((d(1) & 0xFFL) << 24) |
+        ((d(2) & 0xFFL) << 16) | ((d(3) & 0xFFL) << 8) | (d(4) & 0xFFL)
+      packed(i) = h * 1048576L + i // 2^20 pos packing
+      i += 1
+    }
+    // Sliding-window minima via monotone deque (indices of increasing
+    // packed values), consecutive-duplicate suppression on emission.
+    val deque = new Array[Int](g)
+    var head = 0
+    var tail = 0
+    val out = new Array[Long](g - w + 1)
+    var outN = 0
+    i = 0
+    while (i < g) {
+      while (tail > head && packed(deque(tail - 1)) >= packed(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = packed(deque(head))
+        if (outN == 0 || out(outN - 1) != m) { out(outN) = m; outN += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outN))
+  }
+
   /** 64-bit SimHash of a token array — exact compiled equivalent of the
     * per-bit HOF formulation (bit j votes ±1 by bit j of xxhash64(token),
     * Spark seed 42; fingerprint bit j set iff the vote sum is positive),

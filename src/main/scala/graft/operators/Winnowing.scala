@@ -51,21 +51,23 @@ object Winnowing {
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
     val toks = split(trim(col(textCol)), " ")
-    // packed (hash, pos) per gram position, as one in-row array
-    val vs = transform(sequence(lit(0), size(toks) - k),
-      i => conv(substring(md5(concat_ws(" ",
-        slice(toks, i + 1, lit(k)))), 1, 10), 16, 10).cast("long")
-        * PosBits + i)
-    // Per window start, the min packed value; dedup within the row.
-    // CRITICAL: `vs` must be LET-BOUND via a lambda variable — if the
-    // raw expression tree were referenced inside the window transform's
-    // lambda, Catalyst would inline it and re-evaluate the entire md5
-    // pass once PER WINDOW POSITION (O(n^2 * w) md5 calls; measured
-    // 165 s vs 4 s on the probe corpus). Wrapping it in a 1-element
-    // array and binding it to `arr` forces single evaluation per row.
-    val sels = array_distinct(flatten(transform(array(vs), arr =>
-      transform(sequence(lit(0), size(arr) - w),
-        i => array_min(slice(arr, i + 1, lit(w)))))))
+    // Packed (hash, pos) per gram + windowed-min selection + in-row
+    // dedup, as ONE compiled kernel (round-15 optimization; guide §4.1's
+    // "eliminate interpreted per-element lambdas in the hot path"). The
+    // previous HOF formulation — transform(sequence, md5·conv·substring)
+    // then array_min over per-window SLICE COPIES, carefully LET-BOUND so
+    // Catalyst would not inline the md5 pass once per window (O(n²·w);
+    // measured 165 s vs 4 s on the probe corpus) — was value-correct but
+    // evaluation-bound: JobProbe attributed q202's whole bench row to
+    // this single map stage (~2.2 s of interpreted lambda walks, hex
+    // round-trips and slice copies at sf0.1). The kernel computes the
+    // identical packed values (same concat_ws(" ") gram bytes, same md5,
+    // first-10-hex ≡ first-5-bytes) with a monotone-deque O(n) window
+    // pass — see [[graft.functions.VectorKernels.winnowPacked]] for the
+    // value-identity argument and WinnowKernelSpec for the property pin
+    // against the HOF form; the unchanged DuckDB oracle replays the HOF
+    // math on every gate run.
+    val sels = graft.functions.CodegenExpressions.winnowPack(toks, k, w)
     // Fail fast on pathological documents rather than silently
     // corrupting fingerprints: the (hash, pos) packing reserves 20 bits
     // for pos, so a document with >= 2^20 k-grams would overflow pos
