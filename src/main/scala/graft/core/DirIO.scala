@@ -29,4 +29,24 @@ object DirIO {
     s.sorted(java.util.Comparator.reverseOrder())
       .forEach(q => Files.deleteIfExists(q))
   }
+
+  /** Scratch root for engine-internal ephemeral state (streaming
+    * checkpoints, staged stream sources, bench scratch): tmpfs when
+    * available, java.io.tmpdir otherwise — the round-12 q60 staging
+    * lesson (Multimodal.stageRoot) generalized in round 15. Streaming
+    * micro-batches pay REAL filesystem latency per batch (offset WAL +
+    * commit log + one state-store delta file per shuffle partition, all
+    * rename-committed), so on a disk-backed /tmp the gate's measured
+    * wall is partly the host's disk weather; on tmpfs the same code
+    * path runs at memory speed and the timed span measures the engine.
+    * Production note: on a cluster the checkpoint store is a durability
+    * choice (HDFS/S3), not a latency accident of the driver box — this
+    * helper only chooses where LOCAL ephemeral state lands. */
+  def scratchDir(prefix: String): Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(Files.createDirectories(
+        shm.resolve("graft-scratch")), prefix)
+    else Files.createTempDirectory(prefix)
+  }
 }

@@ -77,9 +77,13 @@ object StreamingGate {
       links: Seq[(String, String)]) {
     val sink: String = gate + "_sink"
     spark.catalog.dropTempView(sink) // previous run's result, if any
-    val ckpt: String =
-      java.nio.file.Files.createTempDirectory(gate + "_ckpt").toString
-    private val srcPath = java.nio.file.Files.createTempDirectory(gate + "_src")
+    // tmpfs-preferred scratch (round 15): every micro-batch writes an
+    // offset WAL entry, a commit-log entry, and one state-store delta
+    // file per shuffle partition under ckpt — on a disk-backed /tmp
+    // that per-batch rename-commit latency is host disk weather, not
+    // engine cost (the q60 staging precedent; see DirIO.scratchDir).
+    val ckpt: String = graft.core.DirIO.scratchDir(gate + "_ckpt").toString
+    private val srcPath = graft.core.DirIO.scratchDir(gate + "_src")
     val srcDir: String = srcPath.toString
     /** Stage a fixture under the source dir. Single-file targets (the
       * driver testdata layout) link 1:1; DIRECTORY targets (Spark-written
