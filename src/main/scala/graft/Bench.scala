@@ -192,7 +192,11 @@ object Bench {
       val rows = graft.core.SfDir.scaled(sfDir, 6000L)
       val stamp = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
         .replaceAll("[^0-9a-zA-Z]", "")
-      val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+      // tmpfs-preferred scratch (round 15, the GateRun change's dual):
+      // the generated input files were already page-cache-prewarmed, but
+      // the per-micro-batch checkpoint renames under $base/ckpt* paid
+      // disk latency on /tmp.
+      val base = graft.core.DirIO.scratchDir("graft-ingest").toString
       graft.sources.GpsGenerator.writeJsonFiles(spark, s"$base/in", rows, files = 60)
       prewarmPageCache(s"$base/in", ext = ".json") // re-touch generated bytes
       var bestSec = Double.MaxValue

@@ -24,12 +24,23 @@ import org.apache.spark.sql.SparkSession
 object SparkSessionFactory {
 
   def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
+    // Shuffle/spill scratch on the fastest local medium available
+    // (round 15): local-mode shuffle map output and external-sort spill
+    // files land under spark.local.dir, which defaults to the
+    // disk-backed /tmp on this host — so every Exchange's write path
+    // raced the host's co-tenant disk traffic. tmpfs (when writable)
+    // mirrors what a production node's NVMe-local scratch is for;
+    // the default /tmp fallback keeps the behavior unchanged elsewhere.
+    val scratch =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        Some(DirIO.scratchDir("spark-local")) else None
+    val b = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val s = scratch.fold(b)(p => b.config("spark.local.dir", p.toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -2252,7 +2252,31 @@ object Dedup {
             col("n_allagree4_kept"))
           .crossJoin(broadcast(wp.phPurged
             .agg(count(lit(1)).as("n_purged_ph_blocks"))))
-        erCapstoneCardFromEdges(lp, grid8, edges, np)
+        // Overlap independent certificate branches with the propagation
+        // loop (round 15; guide §2.6 "overlap independent jobs"): the
+        // card tail below runs ~4 eager jobs per propagation round on
+        // THIS thread, while the scalar census (scal), the FS grid
+        // (grid8) and the ph-purge count are independent of the loop —
+        // previously they materialized serially inside the final
+        // assembly job. Materialize the scored front ONCE first (its
+        // lazy-checkpoint blocks would otherwise be computed twice by
+        // the racing threads), then let FIFO scheduling backfill the
+        // loop's idle cores with the certificate jobs. Results are
+        // unchanged: these are the same frames, just materialized
+        // earlier on another thread.
+        sc.count()
+        val bgErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val bg = new Thread(() => {
+          try { scal.count(); grid8.count() }
+          catch { case t: Throwable => bgErr.set(t) }
+        })
+        bg.setDaemon(true)
+        bg.start()
+        val card = erCapstoneCardFromEdges(lp, grid8, edges, np)
+        bg.join()
+        val err = bgErr.get()
+        if (err != null) throw err
+        card
           .crossJoin(broadcast(aa))
           .select(col("n_records"), col("n_true_pairs"),
             col("n_match_pairs"), col("n_clusters"),
