@@ -214,6 +214,8 @@ object Bench {
         if (written == rows) bestSec = math.min(bestSec, sec)
         else errors("ingest_rep" + rep) = s"wrote $written of $rows rows"
       }
+      // scratch may be tmpfs (RAM) — release it once measured
+      graft.core.DirIO.deleteRecursively(java.nio.file.Paths.get(base))
       s""","ingest":{"rows":$written,"sec":$bestSec,"rows_per_sec":${(written / bestSec).toLong}}"""
     } catch { case scala.util.control.NonFatal(e) =>
       errors("ingest") = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200)
