@@ -97,7 +97,7 @@ object Bench {
         // checkpoint blocks squat in the block manager for the rest
         // of the warmup pass
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
       }
     }
 
@@ -145,8 +145,13 @@ object Bench {
         // weight); (2) collect the previous query's garbage so an
         // allocation-heavy rotation neighbour (q60's binary payloads
         // ahead of q70) does not tax the next query's samples.
+        // blocking=true (round 16, VERDICT r15 #1a): the async form gave
+        // no guarantee q353's multi-GB checkpoint frames had actually
+        // LEFT the block manager before the next query's timer started —
+        // the r15 driver run read q60 at 10.1 s (vs 2.28 s at 8 cores)
+        // with exactly that rotation. The wait is untimed by construction.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         System.gc()
         // Two back-to-back executions per pass, both sampled. Pure
@@ -197,26 +202,29 @@ object Bench {
       // the per-micro-batch checkpoint renames under $base/ckpt* paid
       // disk latency on /tmp.
       val base = graft.core.DirIO.scratchDir("graft-ingest").toString
-      graft.sources.GpsGenerator.writeJsonFiles(spark, s"$base/in", rows, files = 60)
-      prewarmPageCache(s"$base/in", ext = ".json") // re-touch generated bytes
-      var bestSec = Double.MaxValue
-      var written = 0L
-      (1 to 3).foreach { rep =>
-        val table = s"graft_ingest_bench_${stamp}_r$rep"
-        System.gc()
-        val t0 = System.nanoTime()
-        graft.streaming.MicroBatchPipeline.runAvailable(spark,
-          graft.streaming.MicroBatchPipeline.Config(
-            inputDir = s"$base/in", checkpointDir = s"$base/ckpt$rep", table = table))
-        val sec = (System.nanoTime() - t0) / 1e9
-        written = spark.table(table).count()
-        spark.sql(s"DROP TABLE $table")
-        if (written == rows) bestSec = math.min(bestSec, sec)
-        else errors("ingest_rep" + rep) = s"wrote $written of $rows rows"
-      }
-      // scratch may be tmpfs (RAM) — release it once measured
-      graft.core.DirIO.deleteRecursively(java.nio.file.Paths.get(base))
-      s""","ingest":{"rows":$written,"sec":$bestSec,"rows_per_sec":${(written / bestSec).toLong}}"""
+      // scratch may be tmpfs (RAM) — release it once measured. In a
+      // finally (round 16, ADVICE r15 #2): an exception mid-rep used to
+      // leak the whole ~60-file tree in tmpfs, which the OS never reaps.
+      try {
+        graft.sources.GpsGenerator.writeJsonFiles(spark, s"$base/in", rows, files = 60)
+        prewarmPageCache(s"$base/in", ext = ".json") // re-touch generated bytes
+        var bestSec = Double.MaxValue
+        var written = 0L
+        (1 to 3).foreach { rep =>
+          val table = s"graft_ingest_bench_${stamp}_r$rep"
+          System.gc()
+          val t0 = System.nanoTime()
+          graft.streaming.MicroBatchPipeline.runAvailable(spark,
+            graft.streaming.MicroBatchPipeline.Config(
+              inputDir = s"$base/in", checkpointDir = s"$base/ckpt$rep", table = table))
+          val sec = (System.nanoTime() - t0) / 1e9
+          written = spark.table(table).count()
+          spark.sql(s"DROP TABLE $table")
+          if (written == rows) bestSec = math.min(bestSec, sec)
+          else errors("ingest_rep" + rep) = s"wrote $written of $rows rows"
+        }
+        s""","ingest":{"rows":$written,"sec":$bestSec,"rows_per_sec":${(written / bestSec).toLong}}"""
+      } finally graft.core.DirIO.deleteRecursively(java.nio.file.Paths.get(base))
     } catch { case scala.util.control.NonFatal(e) =>
       errors("ingest") = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200)
       ""

@@ -42,11 +42,44 @@ object DirIO {
     * Production note: on a cluster the checkpoint store is a durability
     * choice (HDFS/S3), not a latency accident of the driver box — this
     * helper only chooses where LOCAL ephemeral state lands. */
-  def scratchDir(prefix: String): Path = {
+  /** Minimum usable tmpfs bytes before we place scratch there (round 16,
+    * ADVICE r15 #1): containers commonly mount /dev/shm at 64 MB — writing
+    * shuffle/spill/checkpoint scratch into that fails with ENOSPC, and a
+    * RAM-backed scratch with no headroom can OOM the host. 8 GiB covers
+    * every measured local working set (sf1 rehearsal shuffles ~2 GB,
+    * staged media ~1 GB) with slack; below it we fall back to disk /tmp. */
+  val MinTmpfsUsableBytes: Long = 8L << 30
+
+  /** True when /dev/shm is a sane scratch target: writable AND with at
+    * least [[MinTmpfsUsableBytes]] usable. Shared by every tmpfs chooser
+    * (scratchDir, SparkSessionFactory.local, Multimodal.stageRoot). */
+  def tmpfsUsable(): Boolean = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(Files.createDirectories(
-        shm.resolve("graft-scratch")), prefix)
-    else Files.createTempDirectory(prefix)
+    Files.isDirectory(shm) && Files.isWritable(shm) &&
+      (try Files.getFileStore(shm).getUsableSpace >= MinTmpfsUsableBytes
+       catch { case _: java.io.IOException => false })
+  }
+
+  def scratchDir(prefix: String): Path = {
+    if (tmpfsUsable()) {
+      val root = Files.createDirectories(
+        java.nio.file.Paths.get("/dev/shm").resolve("graft-scratch"))
+      sweepStale(root)
+      Files.createTempDirectory(root, prefix)
+    } else Files.createTempDirectory(prefix)
+  }
+
+  /** Reap graft-scratch entries older than 6 h (ADVICE r15 #2): crashed
+    * runs leak RAM-backed trees the OS never cleans, unlike disk /tmp.
+    * Any live run is hours younger than the threshold; deletion races
+    * with a concurrent sweep are benign (deleteIfExists). */
+  private def sweepStale(root: Path): Unit = {
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    try list(root)(_.forEach { d =>
+      try {
+        if (Files.getLastModifiedTime(d).toMillis < cutoff)
+          deleteRecursively(d)
+      } catch { case _: java.io.IOException => () }
+    }) catch { case _: java.io.IOException => () }
   }
 }

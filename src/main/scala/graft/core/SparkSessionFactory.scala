@@ -31,13 +31,27 @@ object SparkSessionFactory {
     // raced the host's co-tenant disk traffic. tmpfs (when writable)
     // mirrors what a production node's NVMe-local scratch is for;
     // the default /tmp fallback keeps the behavior unchanged elsewhere.
+    // Only when a session is actually being BUILT (round 16, ADVICE r15
+    // #1/#3): getOrCreate() silently ignores configs when a session
+    // already exists, which both orphaned the created scratch dir and let
+    // the caller believe shuffle scratch was on tmpfs when it wasn't.
+    // The tmpfs choice itself is gated on usable space (DirIO.tmpfsUsable
+    // — 64 MB container /dev/shm mounts must fall back to /tmp, and spill
+    // landing back in RAM needs real headroom to be better than disk).
+    val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val scratch =
-      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      if (existing.isEmpty && DirIO.tmpfsUsable())
         Some(DirIO.scratchDir("spark-local")) else None
     val b = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // EXPERIMENT (round 16): size post-shuffle partitions by bytes, not
+      // by the core count — measured per-query before adopting.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val s = scratch.fold(b)(p => b.config("spark.local.dir", p.toString))

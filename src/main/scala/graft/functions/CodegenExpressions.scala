@@ -76,8 +76,19 @@ object CodegenExpressions {
     * for the value-identity argument vs the HOF formulation. */
   final case class WinnowPackExpr(child: Expression, k: Int, w: Int)
       extends UnaryExpression {
-    override def checkInputDataTypes(): TypeCheckResult =
-      requireType(child, ArrayType(StringType), "winnow_pack")
+    // Rejects containsNull=true outright (round 16, ADVICE r15 #5): the
+    // kernel reads each element without an isNullAt check, so a nullable
+    // array could diverge from the HOF's concat_ws null-skip. The only
+    // producer is split(), whose output never contains nulls.
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val base = requireType(child, ArrayType(StringType), "winnow_pack")
+      if (base != TypeCheckResult.TypeCheckSuccess) base
+      else child.dataType match {
+        case ArrayType(_, true) => TypeCheckResult.TypeCheckFailure(
+          "winnow_pack expects array<string> with containsNull=false")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
+    }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(arr: Any): Any =
       VectorKernels.winnowPacked(arr.asInstanceOf[ArrayData], k, w)

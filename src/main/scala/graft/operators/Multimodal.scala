@@ -91,10 +91,11 @@ object Multimodal {
     * real codec decode + featurize), not disk weather. The decode is the
     * work; the scan still runs the full parquet path. */
   def stageRoot: java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
+    // free-space-gated tmpfs choice (round 16, ADVICE r15 #1 applied to
+    // every tmpfs chooser): a 64 MB container /dev/shm cannot hold a
+    // ~1 GB staged corpus — fall back to java.io.tmpdir below headroom
     val base =
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm
+      if (graft.core.DirIO.tmpfsUsable()) java.nio.file.Paths.get("/dev/shm")
       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
     base.resolve("graft-media-stage")
   }

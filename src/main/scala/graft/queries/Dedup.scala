@@ -2247,11 +2247,12 @@ object Dedup {
               .otherwise(0L)), lit(0L)).as("n_allagree4_kept"))
           .localCheckpoint(false)
         val np = scal.select(col("n_match_pairs"))
+        // purge count read from the fused census statistic row (round
+        // 16) — identical to count(phPurged), minus one aggregation job
         val aa = scal
           .select(col("n_cand_total"), col("n_allagree4"),
             col("n_allagree4_kept"))
-          .crossJoin(broadcast(wp.phPurged
-            .agg(count(lit(1)).as("n_purged_ph_blocks"))))
+          .crossJoin(broadcast(wp.stRow.select(col("n_purged_ph_blocks"))))
         // Overlap independent certificate branches with the propagation
         // loop (round 15; guide §2.6 "overlap independent jobs"): the
         // card tail below runs ~4 eager jobs per propagation round on
@@ -2272,8 +2273,12 @@ object Dedup {
         })
         bg.setDaemon(true)
         bg.start()
-        val card = erCapstoneCardFromEdges(lp, grid8, edges, np)
-        bg.join()
+        // join in a finally (round 16, ADVICE r15 #4): if the card tail
+        // throws, the certificate thread must not keep submitting jobs
+        // against the shared session after the query has failed.
+        val card =
+          try erCapstoneCardFromEdges(lp, grid8, edges, np)
+          finally bg.join()
         val err = bgErr.get()
         if (err != null) throw err
         card
@@ -2815,7 +2820,13 @@ object Dedup {
         .unionAll(nbr)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
-      val staged = next.localCheckpoint(true)
+      // LAZY checkpoint + the change count as the materializing action
+      // (round 16, VERDICT r15 #2): the eager localCheckpoint(true) ran
+      // one job to stage the round and a SECOND job to count changes.
+      // The count on top of the lazy checkpoint computes-and-caches the
+      // round's blocks and counts the changed rows in ONE job — same
+      // frames, same count, half the per-round job launches.
+      val staged = next.localCheckpoint(false)
       lastChanged = staged.filter(col("lbl") =!= col("old")).count()
       lbl = staged.select(col("node"), col("lbl"))
       converged = lastChanged == 0L
@@ -2888,7 +2899,8 @@ object Dedup {
     * agreement flags, capped/rescaled score `p5`, the prior-scaled
     * threshold `thr`, and `is_match`. */
   private[queries] final case class WeightedParts(lp: LinkageParts,
-      db: DynBlocks, scored: DataFrame, phPurged: DataFrame)
+      db: DynBlocks, scored: DataFrame, phPurged: DataFrame,
+      stRow: DataFrame)
 
   private[queries] def weightedParts(spark: org.apache.spark.sql.SparkSession,
       dir: String): WeightedParts = {
@@ -2925,35 +2937,54 @@ object Dedup {
           (phOf("b_key") + 1) % 10000L).otherwise(phOf("b_key")))
       .localCheckpoint(false)
     val db = dynBlocks(lp.a, lp.b, cap = BlockCap)
-    // second blocking pass: (nat, ph) with the same cap/purge discipline
+    // Fused (nat, ph) block census + per-side field-value censuses
+    // (round 16, VERDICT r15 #2 — same lever as dynBlocks' all-level
+    // fusion): one melted pass over each enriched registry computes the
+    // second blocking pass AND the five-field value census in ONE
+    // exchange + ONE checkpointed frame, replacing three (blkP, fa, fb).
+    // Each row explodes into its (nat, ph) block row plus five
+    // (field, value) rows; per-side counts come from the same
+    // conditional sums the old separate censuses took. Slices below are
+    // value-identical to the old frames: blkP keeps groups present on
+    // BOTH sides (the old inner-census filter), fa/fb keep any group
+    // present on THEIR side (a value occurring on a side always has a
+    // nonzero count there).
     val PhKeys = Seq("nat", "ph")
-    val blkP = aw.select(col("nat"), col("ph"), lit(1L).as("is_a"))
-      .unionAll(bw.select(col("nat"), col("ph"), lit(0L).as("is_a")))
-      .groupBy(col("nat"), col("ph"))
+    val nulS = lit(null).cast("string")
+    val nulL = lit(null).cast("long")
+    def meltW(df: DataFrame, isA: Long) = df.select(
+      explode(array(
+        struct(lit(3).as("lv"), col("nat"), col("ph"),
+          nulS.as("f"), nulS.as("v")),
+        struct(lit(4).as("lv"), nulL.as("nat"), nulL.as("ph"),
+          lit("nat").as("f"), col("nat").cast("string").as("v")),
+        struct(lit(4).as("lv"), nulL.as("nat"), nulL.as("ph"),
+          lit("seg").as("f"), col("seg").as("v")),
+        struct(lit(4).as("lv"), nulL.as("nat"), nulL.as("ph"),
+          lit("band").as("f"), col("band").cast("string").as("v")),
+        struct(lit(4).as("lv"), nulL.as("nat"), nulL.as("ph"),
+          lit("tok").as("f"), col("tok").cast("string").as("v")),
+        struct(lit(4).as("lv"), nulL.as("nat"), nulL.as("ph"),
+          lit("ph").as("f"), col("ph").cast("string").as("v")))).as("m"),
+      lit(isA).as("is_a"))
+      .select(col("m.lv").as("lv"), col("m.nat").as("nat"),
+        col("m.ph").as("ph"), col("m.f").as("f"), col("m.v").as("v"),
+        col("is_a"))
+    val censW = meltW(aw, 1L).unionAll(meltW(bw, 0L))
+      .groupBy(col("lv"), col("nat"), col("ph"), col("f"), col("v"))
       .agg(sum(col("is_a")).as("cnt_a"),
         sum(lit(1L) - col("is_a")).as("cnt_b"))
-      .filter(col("cnt_a") > 0L && col("cnt_b") > 0L)
-      .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
       .localCheckpoint(false)
+    val blkP = censW.filter(col("lv") === 3 &&
+        col("cnt_a") > 0L && col("cnt_b") > 0L)
+      .select(col("nat"), col("ph"), col("cnt_a"), col("cnt_b"))
+      .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
     val keepP = blkP.filter(col("occ") <= BlockCap)
     val phPurged = blkP.filter(col("occ") > BlockCap)
-    // ONE melted value census per side (round-15 rework, the dynBlocks /
-    // linkageParts census-fusion lever applied here): explode each
-    // registry row into its five (field, value) pairs and count once —
-    // replacing ten per-field groupBy stages (and the four more the
-    // seg/ph u-statistics re-ran). Per-field counts broadcast back out
-    // of the SAME census as filtered slices.
-    def melt5(df: DataFrame) = df.select(
-      explode(map(
-        lit("nat"), col("nat").cast("string"),
-        lit("seg"), col("seg"),
-        lit("band"), col("band").cast("string"),
-        lit("tok"), col("tok").cast("string"),
-        lit("ph"), col("ph").cast("string"))).as(Seq("f", "v")))
-    val fa = melt5(aw).groupBy(col("f"), col("v"))
-      .agg(count(lit(1)).as("c")).localCheckpoint(false)
-    val fb = melt5(bw).groupBy(col("f"), col("v"))
-      .agg(count(lit(1)).as("c")).localCheckpoint(false)
+    val fa = censW.filter(col("lv") === 4 && col("cnt_a") > 0L)
+      .select(col("f"), col("v"), col("cnt_a").as("c"))
+    val fb = censW.filter(col("lv") === 4 && col("cnt_b") > 0L)
+      .select(col("f"), col("v"), col("cnt_b").as("c"))
     // value-specific capped agreement factors (ppm-scale integers). The
     // caps do double duty: they bound the 5-factor product inside
     // DECIMAL(38,0)/HUGEINT after the stage-wise div-1e10 rescales, and
@@ -2968,21 +2999,49 @@ object Dedup {
       s"LEAST(CAST($cap AS BIGINT)," +
         s" CAST(CAST(900000 AS DECIMAL(38,0)) * nab" +
         s" div (CAST(ca_$f AS DECIMAL(38,0)) * cb_$f) AS BIGINT))")
-    // the two u statistics the shared grid never needed (seg always
-    // agreed within q302's blocking; ph is new), read from the SAME
-    // melted censuses (the inner join keeps exactly the values present
-    // on both sides, reproducing the old per-field join)
-    val sNew = fa.select(col("f"), col("v"), col("c").as("ca"))
-      .join(fb.select(col("f"), col("v"), col("c").as("cb")),
-        Seq("f", "v"))
-      .groupBy()
-      .agg(sum(when(col("f") === "seg",
-        col("ca").cast(DecType) * col("cb"))).as("s_seg2"),
+    // ALL the u statistics + the ph purge count from ONE aggregation
+    // over the fused census (round 16; guide §2.4): stRow previously
+    // pulled nab/n_a/n_b/f_tok_d/f_band_d from lp.st — whose melt
+    // censuses + FULL OUTER join re-ran inside stRow's materialization
+    // even though grid8 computes the same subtree for the card — and
+    // joined a second census slice (sNew) for the seg/ph statistics.
+    // censW already carries every per-side value count over the SAME
+    // registry rows (aw/bw = a/b + the derived ph column), so one pass
+    // reads them all. Value identity, term by term:
+    //   - s_f = Σ cnt_a·cnt_b over f's value rows ≡ the old inner-join
+    //     sum (a value missing on either side contributes 0 here and was
+    //     dropped by the join there);
+    //   - n_a/n_b = Σ cnt over the "tok" rows (every registry row has
+    //     exactly one tok) ≡ lp.st's census totals;
+    //   - f_*_d / nab / thr reproduce lp.st's expressions verbatim;
+    //   - n_purged_ph_blocks counts lv-3 both-side groups with
+    //     occ > cap ≡ count(phPurged), fused here so q353's certificate
+    //     does not need a separate aggregation job.
+    val stRow = censW
+      .agg(
+        coalesce(sum(when(col("f") === "tok",
+          col("cnt_a").cast(DecType) * col("cnt_b"))),
+          lit(0L).cast(DecType)).as("s_tok"),
+        coalesce(sum(when(col("f") === "band",
+          col("cnt_a").cast(DecType) * col("cnt_b"))),
+          lit(0L).cast(DecType)).as("s_band"),
+        sum(when(col("f") === "seg",
+          col("cnt_a").cast(DecType) * col("cnt_b"))).as("s_seg2"),
         sum(when(col("f") === "ph",
-          col("ca").cast(DecType) * col("cb"))).as("s_ph"))
-    val stRow = lp.st.select(col("nab"), col("n_a"), col("n_b"),
-        col("f_tok_d"), col("f_band_d"))
-      .crossJoin(broadcast(sNew))
+          col("cnt_a").cast(DecType) * col("cnt_b"))).as("s_ph"),
+        sum(when(col("f") === "tok", col("cnt_a"))).as("n_a"),
+        sum(when(col("f") === "tok", col("cnt_b"))).as("n_b"),
+        sum(when(col("lv") === 3 && col("cnt_a") > 0L &&
+          col("cnt_b") > 0L &&
+          greatest(col("cnt_a"), col("cnt_b")) > BlockCap, 1L)
+          .otherwise(0L)).as("n_purged_ph_blocks"))
+      .withColumn("nab", (col("n_a").cast(DecType) * col("n_b")).cast(DecType))
+      .withColumn("f_tok_d", expr(
+        "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
+          " div (nab - s_tok) AS BIGINT)"))
+      .withColumn("f_band_d", expr(
+        "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
+          " div (nab - s_band) AS BIGINT)"))
       .withColumn("f_seg_d", expr(
         "CAST(CAST(100000 AS DECIMAL(38,0)) * nab" +
           " div (nab - s_seg2) AS BIGINT)"))
@@ -2992,7 +3051,8 @@ object Dedup {
       .withColumn("thr", expr(s"CAST($WeightedMatchT AS DECIMAL(38,0))" +
         " * GREATEST(n_a, n_b)"))
       .select(col("nab"), col("f_tok_d"), col("f_band_d"),
-        col("f_seg_d"), col("f_ph_d"), col("thr"))
+        col("f_seg_d"), col("f_ph_d"), col("thr"),
+        col("n_purged_ph_blocks"))
       .localCheckpoint(false)
     // Count-augmented registries: the five per-field counts broadcast-
     // join onto the 5-field registry rows from ONE composite-key view
@@ -3095,7 +3155,7 @@ object Dedup {
       .unionAll(pP.join(p012.select(col("a_key"), col("b_key")),
         Seq("a_key", "b_key"), "left_anti"))
       .localCheckpoint(false)
-    WeightedParts(lp, db, scored, phPurged)
+    WeightedParts(lp, db, scored, phPurged, stRow)
   }
 
   private[queries] val DynKeys0 = Seq("nat", "seg")
@@ -3104,39 +3164,62 @@ object Dedup {
 
   private[queries] def dynBlocks(a: DataFrame, b: DataFrame,
       cap: Long): DynBlocks = {
-    // Per-level census fusion (round 14, VERDICT r13 #1): one union +
-    // groupBy with conditional counts replaces the old two-groupBy +
-    // equijoin census — half the census shuffles per level (the census
-    // shuffle is the part of this front that grows with registry size).
-    // The cnt_a > 0 AND cnt_b > 0 filter reproduces the old INNER join:
-    // blocks present on only one side generate no pairs and never
-    // appear in blk*.
-    def census(ax: DataFrame, bx: DataFrame, keys: Seq[String]) =
-      ax.select(keys.map(col) :+ lit(1L).as("is_a"): _*)
-        .unionAll(bx.select(keys.map(col) :+ lit(0L).as("is_a"): _*))
-        .groupBy(keys.map(col): _*)
-        .agg(sum(col("is_a")).as("cnt_a"),
-          sum(lit(1L) - col("is_a")).as("cnt_b"))
-        .filter(col("cnt_a") > 0L && col("cnt_b") > 0L)
-    val blk0 = census(a, b, DynKeys0)
+    // ALL-LEVEL census fusion (round 16, VERDICT r15 #2; guide §2.4
+    // "remove shuffles outright"): the three per-level censuses used to
+    // be three separate union+groupBy exchanges, each lazily
+    // checkpointed — at sf0.1 the q353/q349 walls are AQE stage-launch
+    // latency, so every removed exchange removes jobs from the critical
+    // path. One melted pass computes every level at once: each registry
+    // row explodes into its three (level, key-prefix) census rows and
+    // ONE groupBy counts them all. Value identity per level:
+    //   - level 0 groups are exactly census(a, b, (nat,seg));
+    //   - a level-1 group's count over ALL of a equals its count over
+    //     a1 = a ⋈ split0 whenever (nat,seg) ∈ split0, because
+    //     membership in the group fixes (nat,seg) — so blk1 ≡ the
+    //     level-1 slice semi-joined to split0 (and blk2 likewise via
+    //     split1). Groups outside split0/split1 are filtered out by the
+    //     same broadcast join that used to restrict a1/b1/a2/b2.
+    // The cnt_a > 0 AND cnt_b > 0 filter reproduces the old INNER
+    // census join: blocks present on only one side never appear.
+    // Shuffle bytes: the single exchange carries the partially
+    // aggregated (level, keys) groups — the same distinct-group mass
+    // the three exchanges carried, in one stage.
+    val nulL = lit(null).cast("long")
+    def melt(df: DataFrame, isA: Long) = df.select(
+      explode(array(
+        struct(lit(0).as("lv"), col("nat"), col("seg"),
+          nulL.as("band"), nulL.as("tok")),
+        struct(lit(1).as("lv"), col("nat"), col("seg"),
+          col("band"), nulL.as("tok")),
+        struct(lit(2).as("lv"), col("nat"), col("seg"),
+          col("band"), col("tok")))).as("m"),
+      lit(isA).as("is_a"))
+      .select(col("m.lv").as("lv"), col("m.nat").as("nat"),
+        col("m.seg").as("seg"), col("m.band").as("band"),
+        col("m.tok").as("tok"), col("is_a"))
+    val cens = melt(a, 1L).unionAll(melt(b, 0L))
+      .groupBy(col("lv"), col("nat"), col("seg"), col("band"), col("tok"))
+      .agg(sum(col("is_a")).as("cnt_a"),
+        sum(lit(1L) - col("is_a")).as("cnt_b"))
+      .filter(col("cnt_a") > 0L && col("cnt_b") > 0L)
       .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
       .localCheckpoint(false)
+    def slice(lv: Int, keys: Seq[String]) = cens.filter(col("lv") === lv)
+      .select(keys.map(col) ++ Seq(col("cnt_a"), col("cnt_b"),
+        col("occ")): _*)
+    val blk0 = slice(0, DynKeys0)
     val keep0 = blk0.filter(col("occ") <= cap)
     val split0 = blk0.filter(col("occ") > cap)
       .select(DynKeys0.map(col): _*).localCheckpoint(false)
     val a1 = a.join(broadcast(split0), DynKeys0)
     val b1 = b.join(broadcast(split0), DynKeys0)
-    val blk1 = census(a1, b1, DynKeys1)
-      .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
-      .localCheckpoint(false)
+    val blk1 = slice(1, DynKeys1).join(broadcast(split0), DynKeys0)
     val keep1 = blk1.filter(col("occ") <= cap)
     val split1 = blk1.filter(col("occ") > cap)
       .select(DynKeys1.map(col): _*).localCheckpoint(false)
     val a2 = a1.join(broadcast(split1), DynKeys1)
     val b2 = b1.join(broadcast(split1), DynKeys1)
-    val blk2 = census(a2, b2, DynKeys2)
-      .withColumn("occ", greatest(col("cnt_a"), col("cnt_b")))
-      .localCheckpoint(false)
+    val blk2 = slice(2, DynKeys2).join(broadcast(split1), DynKeys1)
     DynBlocks(blk0, keep0, split0, a1, b1, blk1, keep1, split1, a2, b2, blk2)
   }
 
