@@ -82,6 +82,13 @@ object Bench {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.headlines
 
     prewarmPageCache(sfDir)
+    // JIT-prime the media codecs before the warmup pass (round 16,
+    // VERDICT r15 #7): the warmup already JIT-warms every query once,
+    // but q60's single warmup execution decodes the whole staged corpus
+    // at interpreter speed first — priming the codec loops on tiny
+    // synthetic payloads keeps the untimed warmup pass (and any first
+    // timed sample on a slow host) near steady state.
+    graft.operators.Multimodal.preJitCodecs()
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -17,6 +17,10 @@ object QueryTime {
     val passes = if (args.length > 1) args(1).toInt else 1
     val spark = SparkSessionFactory.local(32, "graft-query-time")
     spark.sparkContext.setLogLevel("ERROR")
+    // opt-in codec pre-JIT, to measure cold rows the way Verify/Bench
+    // now run them (round 16)
+    if (sys.env.get("GRAFT_PREJIT").contains("1"))
+      graft.operators.Multimodal.preJitCodecs()
     val picked = SparkEntry.modules
       .filter { case (n, _) => prefixes.exists(n.startsWith) }
     (1 to passes).foreach { pass =>

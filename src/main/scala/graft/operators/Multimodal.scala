@@ -104,7 +104,10 @@ object Multimodal {
     import spark.implicits._
     import java.nio.file.{Files, StandardCopyOption}
     val root = stageRoot
-    val dest = root.resolve(s"n${n}_s$seed")
+    // Dir name carries the layout version (round 16): rg8m = 8 MB parquet
+    // row groups, so a pre-existing 128 MB-row-group staging from an older
+    // build is never half-reused.
+    val dest = root.resolve(s"n${n}_s${seed}_rg8m")
     if (!Files.exists(dest.resolve("_SUCCESS"))) {
       Files.createDirectories(root)
       val tmp = Files.createTempDirectory(root, s"n${n}_s${seed}_tmp")
@@ -112,9 +115,19 @@ object Multimodal {
       // though payload rows are KB-sized and row-group packing is dense
       // uncompressed: payloads are codec output (PNG zlib / WAV PCM
       // keystream / GIF LZW) — snappy recovers nothing and its decode
-      // tax lands on every later scan of the staged corpus
+      // tax lands on every later scan of the staged corpus.
+      // 8 MB ROW GROUPS (round 16, VERDICT r15 #1b — make the decode scan
+      // core-count-safe by construction): the vectorized parquet reader
+      // materializes one row group's binary column per task batch, so
+      // with the default 128 MB block size a 10× corpus put ~16 MB of
+      // payload bytes per in-flight batch × 32 concurrent tasks (the r12
+      // sf1 rehearsal OOM'd an 8g heap in exactly this reader). Bounding
+      // the row group bounds in-flight scan memory at ANY core count
+      // (32 × 8 MB = 256 MB worst case) without touching what any query
+      // computes — same rows, same order within files.
       syntheticAssets(spark, n, seed).repartition(64)
         .write.mode("overwrite").option("compression", "none")
+        .option("parquet.block.size", (8L << 20).toString)
         .parquet(tmp.toString)
       try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileSystemException =>
@@ -123,6 +136,33 @@ object Multimodal {
       }
     }
     spark.read.parquet(dest.toString).as[MediaAsset]
+  }
+
+  /** JIT-prime the media codec hot paths (round 16, VERDICT r15 #7):
+    * the first executions of the multimodal gates used to pay
+    * interpreter/C1-era codec cost (measured at sf0.01: q60 10.7 s cold
+    * vs 0.5 s warm, ~17 s summed across the family — exactly what a
+    * cold Verify pays once per gate). A tight loop over TINY synthetic
+    * payloads drives every encode/decode hot loop through enough
+    * iterations for the JIT to compile them before any timed or
+    * wall-accounted work runs. Pure warmup: inputs are synthesized
+    * in-process (nothing read from the data dir), results are discarded
+    * through a live sink, and no state survives beyond compiled code. */
+  def preJitCodecs(iters: Int = 200): Long = {
+    var i = 0
+    var sink = 0L
+    while (i < iters) {
+      val png = ImageCodec.encodePng(i.toLong, 1L, 16, 16)
+      sink += ImageCodec.decode(png).gray.length
+      val wav = AudioCodec.encodeWav(i.toLong, 1L, 16000, 320)
+      val da = AudioCodec.decode(wav)
+      var j = 0
+      while (j < da.nSamples) { sink += da.sample(j); j += 1 }
+      val gif = VideoCodec.encodeGif(i.toLong, 1L, 16, 16, 2)
+      sink += VideoCodec.decode(gif).flat.length
+      i += 1
+    }
+    sink // returned so the loop cannot be dead-code-eliminated
   }
 
   // ---- operators (partition-local, batch-shaped) ---------------------

@@ -85,6 +85,38 @@ object StreamingGate {
     val ckpt: String = graft.core.DirIO.scratchDir(gate + "_ckpt").toString
     private val srcPath = graft.core.DirIO.scratchDir(gate + "_src")
     val srcDir: String = srcPath.toString
+    // State partitions sized to the STAGED SOURCE BYTES, not the core
+    // count (round 16, VERDICT r15 #8; guide §2.1-2.2). Measured first:
+    // StreamProbe attributed q140's 9.4 s wall almost entirely to
+    // per-store state commits — each HDFSBackedStateStore commit costs
+    // ~0.5 s of task time at ANY state size, and a stream-stream join
+    // opens 4 stores per partition, so 32 partitions paid ~128 fixed
+    // commits per batch for KB-scale state (9.4 s → 3.7 s at 2-8
+    // partitions, emitted rows identical). Policy: one state partition
+    // per 32 MB of staged source (floor 1), clamped to the session
+    // parallelism — scale-adaptive by construction: gate corpora
+    // (KB-MB) collapse to a few partitions, a production TB-scale
+    // source keeps every core busy. Stateful-query semantics are
+    // partition-count-invariant (the driver's own 8-vs-32-core runs
+    // already pin that), and the count is persisted per fresh
+    // checkpoint so restart gates stay self-consistent. Env override:
+    // GRAFT_STREAM_STATE_PARTS.
+    private val stagedBytes: Long = links.map { case (_, target) =>
+      val t = java.nio.file.Paths.get(target)
+      if (java.nio.file.Files.isDirectory(t))
+        graft.core.DirIO.walk(t)(_.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum())
+      else if (java.nio.file.Files.exists(t)) java.nio.file.Files.size(t)
+      else 0L
+    }.sum
+    private val stateParts: Int = sys.env.get("GRAFT_STREAM_STATE_PARTS")
+      .map(_.toInt)
+      .getOrElse(math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        stagedBytes / (32L << 20) + 1L)).toInt)
+    private val prevShufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     /** Stage a fixture under the source dir. Single-file targets (the
       * driver testdata layout) link 1:1; DIRECTORY targets (Spark-written
       * fixtures — the ScaleFixtures sf1 rehearsal corpus) are flattened
@@ -108,13 +140,17 @@ object StreamingGate {
         srcPath.resolve(name), t)
     }
     links.foreach { case (name, target) => stage(name, target) }
-    /** Delete the temp dirs (symlinks only — never their targets). The
-      * sink table stays readable until the NEXT run of the same gate. */
-    def cleanup(): Unit = Seq(java.nio.file.Paths.get(ckpt), srcPath)
-      .foreach { root =>
-        if (java.nio.file.Files.exists(root))
-          graft.core.DirIO.deleteRecursively(root)
-      }
+    /** Delete the temp dirs (symlinks only — never their targets) and
+      * restore the session's shuffle-partition setting. The sink table
+      * stays readable until the NEXT run of the same gate. */
+    def cleanup(): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+      Seq(java.nio.file.Paths.get(ckpt), srcPath)
+        .foreach { root =>
+          if (java.nio.file.Files.exists(root))
+            graft.core.DirIO.deleteRecursively(root)
+        }
+    }
   }
 
   /** Run the streamed hourly profile to completion and return the
@@ -3530,8 +3566,11 @@ object StreamingGate {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       out
     } finally {
-      runA.cleanup()
+      // reverse construction order: each cleanup restores the
+      // shuffle-partition value its GateRun saved, so unwinding B then
+      // A leaves the session at the pre-gate setting
       runB.cleanup()
+      runA.cleanup()
     }
   }
 }
