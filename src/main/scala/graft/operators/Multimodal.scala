@@ -48,9 +48,18 @@ object Multimodal {
     * PNGs (keystream pixels through the JDK encoder), audio/video are a
     * xxhash64 keystream, so any executor regenerates identical assets
     * (no driver materialization; scales to any n). */
-  def syntheticAssets(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaAsset] = {
+  def syntheticAssets(spark: SparkSession, n: Long, seed: Long = 42L,
+      numPartitions: Int = 0): Dataset[MediaAsset] = {
     import spark.implicits._
-    spark.range(n).mapPartitions(_.map { id =>
+    // numPartitions > 0 pre-partitions the ID RANGE (no shuffle at all)
+    // so a caller that needs a specific output layout — the staging
+    // write below — never round-robins generated PAYLOADS through an
+    // exchange (round 16: the staging repartition(64) shuffled ~1 GB of
+    // encoded assets once per fresh host, guide §2.3 "shuffle keys, not
+    // payloads"; partitioning the 8-byte ids before generation is free)
+    val ids = if (numPartitions > 0) spark.range(0L, n, 1L, numPartitions)
+      else spark.range(n)
+    ids.mapPartitions(_.map { id =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
@@ -125,7 +134,7 @@ object Multimodal {
       // the row group bounds in-flight scan memory at ANY core count
       // (32 × 8 MB = 256 MB worst case) without touching what any query
       // computes — same rows, same order within files.
-      syntheticAssets(spark, n, seed).repartition(64)
+      syntheticAssets(spark, n, seed, numPartitions = 64)
         .write.mode("overwrite").option("compression", "none")
         .option("parquet.block.size", (8L << 20).toString)
         .parquet(tmp.toString)

@@ -2857,17 +2857,23 @@ object Dedup {
           " * 1000000) AS BIGINT)").as("b3_precision_ppm"),
         expr("CAST(r12 div (CAST(n_records AS DECIMAL(38,0))" +
           " * 1000000) AS BIGINT)").as("b3_recall_ppm"))
-    val mg = byLbl
-      .agg(count(lit(1)).as("n_clusters"),
-        sum(when(col("k_l") > 1, 1L).otherwise(0L))
-          .as("n_merged_clusters"))
-    val sp = byTruth
-      .agg(sum(when(col("k_t") > 1, 1L).otherwise(0L))
-        .as("n_split_truths"))
+    // Merge + split certificates in ONE union+aggregate over the two
+    // (already checkpointed) per-side count frames (round 16, guide
+    // §2.4): previously two separate aggregations, each its own
+    // exchange + broadcast build in the final assembly. Values are
+    // identical: n_clusters counts byLbl rows, the conditional sums
+    // reproduce the old per-side k>1 counts exactly.
+    val mgsp = byLbl.select(col("k_l").as("k"), lit(1L).as("is_l"))
+      .unionAll(byTruth.select(col("k_t").as("k"), lit(0L).as("is_l")))
+      .agg(sum(col("is_l")).as("n_clusters"),
+        sum(when(col("is_l") === 1L && col("k") > 1L, 1L).otherwise(0L))
+          .as("n_merged_clusters"),
+        sum(when(col("is_l") === 0L && col("k") > 1L, 1L).otherwise(0L))
+          .as("n_split_truths"))
     val np = np0
     val tp = grid8.agg(max(col("n_true_total")).as("n_true_pairs"))
     card.crossJoin(broadcast(np)).crossJoin(broadcast(tp))
-      .crossJoin(broadcast(mg)).crossJoin(broadcast(sp))
+      .crossJoin(broadcast(mgsp))
       .select(col("n_records"), col("n_true_pairs"),
         col("n_match_pairs"), col("n_clusters"),
         col("n_merged_clusters"), col("n_split_truths"),
